@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extractive TF-IDF summarization (SURVEY.md §2.4-2.5: P9, A1, A2, T1, T6).
+  *
+  * Reference behavior (nlp_data_tagging.py:86-116): split a document into
+  * sentences, score each sentence by the sum of its TF-IDF term weights,
+  * select the k highest-scoring sentences, then emit them in their original
+  * document order ("select by score, emit by position"). Documents with <= k
+  * sentences pass through unchanged.
+  *
+  * Engine-defined exact semantics (SURVEY.md §7.3 — we do not chase sklearn
+  * bit-parity): a term's IDF is the integer `floor(1e6 * n_sentences / df)`
+  * where df counts the sentences of the SAME document containing the term;
+  * a sentence's score is the Long sum of `tf * idf` over its post-stopword
+  * tokens. Integer scoring makes results bit-identical across engines
+  * (no float summation-order sensitivity), so the DuckDB oracle can verify
+  * it exactly.
+  *
+  * Scale notes: the whole chain is explode → two hash aggregations keyed by
+  * (doc, term) / (doc, sentence) → one window per doc. All shuffles are on
+  * doc-prefixed keys, so data stays well distributed for any number of
+  * documents; no per-document collect, no driver loops. The per-doc window
+  * (top-k) benefits from Spark 4's WindowGroupLimit pushdown.
+  */
+object SummarizeOps {
+
+  /** P9: punctuation-based sentence split, reference-exact
+    * (`re.split(r'[.!?]+', text)`, keep trimmed sentences with length > 10;
+    * nlp_data_tagging.py:81-84). Output: one row per kept sentence with
+    * `sentence_id` = 0-based rank within the kept list (the reference indexes
+    * into the filtered list).
+    */
+  def sentences(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val raw = docs.select(
+        col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "[.!?]+")).as(Seq("pos", "s")))
+      .select(col(idCol), col("pos"), trim(col("s")).as("sentence"))
+      .where(length(col("sentence")) > 10)
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    raw.select(col(idCol), (row_number().over(w) - 1).cast("long").as("sentence_id"),
+      col("sentence"))
+  }
+
+  /** Fixture-friendly sentence source: chunk a document's whitespace tokens
+    * into consecutive `chunkWords`-word pseudo-sentences. The driver corpus
+    * has no punctuation (FIXTURES.md documents.text), so punctuation splits
+    * would degenerate to one sentence per doc; chunking exercises the same
+    * downstream scoring/top-k machinery on real data.
+    */
+  /** Implemented by slicing the token array directly — narrow (no shuffle),
+    * order-safe (no reliance on collect_list intra-group ordering). One
+    * output row per chunk.
+    */
+  def chunks(docs: DataFrame, chunkWords: Int, textCol: String = "text",
+             idCol: String = "doc_id"): DataFrame = {
+    val toks = TextOps.tokenize(col(textCol))
+    docs.select(col(idCol), toks.as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / lit(chunkWords)).cast("int")),
+          i => array_join(slice(col("toks"), i * chunkWords + 1, lit(chunkWords)), " ")))
+          .as(Seq("sentence_id", "sentence")))
+      .select(col(idCol), col("sentence_id").cast("long"), col("sentence"))
+  }
+
+  /** A1+A2: integer-exact TF-IDF sentence scores over a sentence relation
+    * `(doc_id, sentence_id, sentence)`. Terms are the post-stopword tokens
+    * (TextOps.cleanTokens); sentences contributing no scored terms get
+    * score 0.
+    */
+  def scoreSentences(sents: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val terms = sents.select(col(idCol), col("sentence_id"),
+        explode(TextOps.cleanTokens(col("sentence"))).as("term"))
+    // tf per (doc, sentence, term)
+    val tf = terms.groupBy(col(idCol), col("sentence_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df per (doc, term): number of sentences of the doc containing the term
+    val df = tf.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nSent = sents.groupBy(col(idCol)).agg(count(lit(1)).as("n_sent"))
+    val scored = tf
+      .join(df, Seq(idCol, "term"))
+      .join(nSent, Seq(idCol))
+      .withColumn("w", col("tf") *
+        floor(lit(1000000.0) * col("n_sent") / col("df")).cast("long"))
+      .groupBy(col(idCol), col("sentence_id"))
+      .agg(sum(col("w")).as("score"))
+    // left join back so zero-term sentences keep score 0
+    sents.join(scored, Seq(idCol, "sentence_id"), "left")
+      .select(col(idCol), col("sentence_id"), col("sentence"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** T1 (+ identity case): pick the k top-scoring sentences per doc
+    * (ties → earlier sentence wins, deterministic), emit them joined in
+    * original order. Docs with <= k sentences return the original text
+    * unchanged (nlp_data_tagging.py:91-92).
+    *
+    * @param joiner separator used when stitching selected sentences —
+    *               ". " with trailing "." for punctuation sentences
+    *               (reference :106), " " for word-chunk sentences.
+    */
+  def extractiveSummary(docs: DataFrame, sents: DataFrame, k: Int,
+                        joiner: String, terminal: String,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val byScore = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("sentence_id").asc)
+    val picked = scoreSentences(sents, idCol)
+      .withColumn("rk", row_number().over(byScore))
+      .where(col("rk") <= k)
+    val summaries = picked
+      .groupBy(col(idCol))
+      .agg(
+        concat(array_join(array_sort(collect_list(struct(col("sentence_id"), col("sentence"))))
+          .getField("sentence"), joiner), lit(terminal)).as("picked_summary"),
+        count(lit(1)).as("n_picked"))
+    val nSent = sents.groupBy(col(idCol)).agg(count(lit(1)).as("n_sentences"))
+    docs.join(nSent, Seq(idCol), "left")
+      .join(summaries, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+        when(coalesce(col("n_sentences"), lit(0L)) <= k, col(textCol))
+          .otherwise(col("picked_summary")).as("summary"))
+  }
+
+  /** The reference `summarize_text` length policy (nlp_data_tagging.py:118-130):
+    * target sentence count = max(1, maxLength / 20), then truncate the summary
+    * at a word boundary if it still exceeds maxLength.
+    */
+  def targetSentences(maxLength: Int): Int = math.max(1, maxLength / 20)
+}

@@ -1,0 +1,254 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{MetricOps, SummarizeOps, TagOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-verified queries for the reference-parity NLP surface
+  * (SURVEY.md §2.2-2.5) plus their DuckDB oracle SQL.
+  *
+  * Oracle-parity rules used throughout (see SURVEY.md §7.3):
+  *   - every query ends in a total ORDER BY so row order is deterministic;
+  *   - no floating-point aggregation: scores are integer-scaled, ratios are
+  *     single IEEE divisions (bit-identical across engines);
+  *   - integer outputs are cast to LONG to match DuckDB's BIGINT.
+  */
+object NlpQueries {
+
+  private val stopSql: String =
+    TextOps.StopWords.mkString("['", "', '", "']")
+
+  /** DuckDB: whitespace tokens of a string expression (drops empties,
+    * mirroring TextOps.tokenize).
+    */
+  private def toksSql(c: String): String =
+    raw"list_filter(string_split_regex($c, '\s+'), t -> t <> '')"
+
+  /** DuckDB: reference preprocess_text (P1-P5). */
+  private def preprocessSql(c: String): String =
+    raw"array_to_string(${toksSql(raw"lower(regexp_replace(regexp_replace(coalesce($c, ''), '\s+', ' ', 'g'), '[^\w\s.]', ' ', 'g'))")}, ' ')"
+
+  /** DuckDB: reference simple_tokenize token list (P6-P7) over an
+    * already-preprocessed string.
+    */
+  private def cleanToksSql(c: String): String =
+    raw"list_filter(${toksSql(c)}, t -> length(t) > 2 AND NOT list_contains($stopSql, lower(t)))"
+
+  // --- q01: preprocess + tokenize (P1-P8) ------------------------------
+  def q01CleanTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.preprocess(col("text")).as("cleaned_text"))
+      .select(col("doc_id"), col("cleaned_text"),
+        TextOps.cleanTokens(col("cleaned_text")).as("toks"))
+      .select(col("doc_id"), col("cleaned_text"),
+        array_join(col("toks"), " ").as("processed_text"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  val q01Sql: String = {
+    val pre = preprocessSql("text")
+    s"""SELECT doc_id, $pre AS cleaned_text,
+       array_to_string(${cleanToksSql(pre)}, ' ') AS processed_text,
+       len(${cleanToksSql(pre)}) AS n_tokens
+       FROM documents ORDER BY doc_id"""
+  }
+
+  // --- q02: sentence split (P9) ----------------------------------------
+  // The fixture corpus has no punctuation, so we first materialize sentence
+  // boundaries by replacing the standalone word "the" with "." — a
+  // deterministic transform both engines express identically — then apply the
+  // reference split ([.!?]+, trim, keep length > 10).
+  def q02Sentences(spark: SparkSession, dir: String): DataFrame = {
+    val punctuated = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "\\bthe\\b", ".").as("text"))
+    SummarizeOps.sentences(punctuated).orderBy("doc_id", "sentence_id")
+  }
+
+  val q02Sql: String =
+    raw"""WITH p AS (
+      SELECT doc_id, string_split_regex(regexp_replace(coalesce(text, ''), '\bthe\b', '.', 'g'), '[.!?]+') AS parts
+      FROM documents),
+    e AS (
+      SELECT doc_id, generate_subscripts(parts, 1) AS pos, unnest(parts) AS s FROM p),
+    f AS (
+      SELECT doc_id, pos, trim(s) AS sentence FROM e WHERE length(trim(s)) > 10)
+    SELECT doc_id,
+      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS sentence_id,
+      sentence
+    FROM f ORDER BY doc_id, sentence_id"""
+
+  // --- q03: extractive summarization slice (P9→A1→A2→T1 + P10) ---------
+  private val ChunkWords = 8
+  private val TopK = 2
+  private val TruncLen = 100
+
+  private def summaryDf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sents = SummarizeOps.chunks(docs, ChunkWords)
+    SummarizeOps.extractiveSummary(docs, sents, TopK, " ", "")
+  }
+
+  def q03Summary(spark: SparkSession, dir: String): DataFrame =
+    summaryDf(spark, dir)
+      .select(col("doc_id"), col("n_sentences"), col("summary"),
+        TextOps.truncateAtWordBoundary(col("summary"), TruncLen).as("summary_trunc"))
+      .orderBy("doc_id")
+
+  /** Shared oracle CTE chain producing (doc_id, n_sentences, summary). */
+  private val summaryCte: String =
+    raw"""toks AS (
+      SELECT doc_id, text, ${toksSql("text")} AS w FROM documents),
+    chunk_ids AS (
+      SELECT doc_id, w, unnest(range(0, CAST(floor((len(w) - 1) / $ChunkWords) AS BIGINT) + 1)) AS sid
+      FROM toks WHERE len(w) > 0),
+    chunks AS (
+      SELECT doc_id, sid AS sentence_id,
+        array_to_string(w[(sid*$ChunkWords+1):(sid*$ChunkWords+$ChunkWords)], ' ') AS sentence
+      FROM chunk_ids),
+    terms AS (
+      SELECT doc_id, sentence_id, unnest(${cleanToksSql("sentence")}) AS term FROM chunks),
+    tf AS (
+      SELECT doc_id, sentence_id, term, count(*) AS tf FROM terms GROUP BY doc_id, sentence_id, term),
+    dfreq AS (
+      SELECT doc_id, term, count(*) AS df FROM tf GROUP BY doc_id, term),
+    ns AS (
+      SELECT doc_id, count(*) AS n_sent FROM chunks GROUP BY doc_id),
+    scores AS (
+      SELECT c.doc_id, c.sentence_id, c.sentence, coalesce(s.score, 0) AS score
+      FROM chunks c LEFT JOIN (
+        SELECT tf.doc_id, tf.sentence_id,
+          SUM(tf.tf * CAST(floor(1000000.0 * ns.n_sent / dfreq.df) AS BIGINT)) AS score
+        FROM tf
+        JOIN dfreq ON tf.doc_id = dfreq.doc_id AND tf.term = dfreq.term
+        JOIN ns ON tf.doc_id = ns.doc_id
+        GROUP BY tf.doc_id, tf.sentence_id) s
+      ON c.doc_id = s.doc_id AND c.sentence_id = s.sentence_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, sentence_id ASC) AS rk
+      FROM scores),
+    summ AS (
+      SELECT doc_id, string_agg(sentence, ' ' ORDER BY sentence_id) AS picked_summary
+      FROM ranked WHERE rk <= $TopK GROUP BY doc_id),
+    summary_rel AS (
+      SELECT d.doc_id, coalesce(n.n_sent, 0) AS n_sentences,
+        CASE WHEN coalesce(n.n_sent, 0) <= $TopK THEN d.text ELSE s.picked_summary END AS summary
+      FROM documents d
+      LEFT JOIN ns n ON d.doc_id = n.doc_id
+      LEFT JOIN summ s ON d.doc_id = s.doc_id)"""
+
+  val q03Sql: String =
+    raw"""WITH $summaryCte
+    SELECT doc_id, n_sentences, summary,
+      CASE WHEN length(summary) > $TruncLen
+           THEN regexp_replace(substr(summary, 1, $TruncLen), ' \S*$$', '') || '...'
+           ELSE summary END AS summary_trunc
+    FROM summary_rel ORDER BY doc_id"""
+
+  // --- q04: per-document summary metrics (J1, A10, A11, P11) -----------
+  def q04SummaryMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val joined = docs.join(summaryDf(spark, dir).select("doc_id", "summary"), Seq("doc_id"))
+    MetricOps.summaryMetrics(joined, "text", "summary").orderBy("doc_id")
+  }
+
+  val q04Sql: String =
+    raw"""WITH $summaryCte,
+    m AS (
+      SELECT d.doc_id, d.text, s.summary,
+        list_distinct(${toksSql("lower(d.text)")}) AS ow,
+        list_distinct(${toksSql("lower(s.summary)")}) AS sw
+      FROM documents d JOIN summary_rel s ON d.doc_id = s.doc_id)
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS text_length,
+      CAST(length(summary) AS BIGINT) AS summary_length,
+      CASE WHEN length(text) > 0 THEN CAST(length(summary) AS DOUBLE) / length(text) ELSE 0.0 END AS compression_ratio,
+      CASE WHEN len(ow) > 0 THEN CAST(len(list_filter(ow, t -> list_contains(sw, t))) AS DOUBLE) / len(ow) ELSE 0.0 END AS word_overlap,
+      CASE WHEN len(string_split_regex(summary, '[.!?]+')) > 0
+           THEN CAST(len(${toksSql("summary")}) AS DOUBLE) / len(string_split_regex(summary, '[.!?]+'))
+           ELSE 0.0 END AS avg_sentence_length
+    FROM m ORDER BY doc_id"""
+
+  // --- q05: corpus aggregate stats (A9, A13) ---------------------------
+  def q05CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    MetricOps.corpusStats(q04SummaryMetrics(spark, dir))
+
+  val q05Sql: String =
+    raw"""WITH $summaryCte,
+    m AS (
+      SELECT d.doc_id, length(d.text) AS tl, length(s.summary) AS sl,
+        CASE WHEN length(d.text) > 0 THEN CAST(length(s.summary) AS DOUBLE) / length(d.text) ELSE 0.0 END AS cr
+      FROM documents d JOIN summary_rel s ON d.doc_id = s.doc_id)
+    SELECT count(*) AS n_docs,
+      CAST(sum(tl) AS BIGINT) AS total_text_chars,
+      CAST(sum(sl) AS BIGINT) AS total_summary_chars,
+      CAST(sum(tl) AS DOUBLE) / count(*) AS avg_text_length,
+      CAST(sum(sl) AS DOUBLE) / count(*) AS avg_summary_length,
+      CAST(sum(CAST(floor(cr * 1e9) AS BIGINT)) AS DOUBLE) / (count(*) * 1e9) AS avg_compression_ratio
+    FROM m"""
+
+  // --- q06: fallback TF tags (A7, T4) -----------------------------------
+  def q06FallbackTags(spark: SparkSession, dir: String): DataFrame =
+    TagOps.fallbackTags(Tables.documents(spark, dir), 5)
+      .orderBy("doc_id", "tag_rank")
+
+  /** Oracle CTE: one (doc_id, tag) row per unigram/bigram occurrence. */
+  private val tagTermsCte: String =
+    raw"""ct AS (
+      SELECT doc_id, ${cleanToksSql("text")} AS ctoks FROM documents),
+    tag_terms AS (
+      SELECT doc_id, unnest(list_concat(ctoks,
+        list_transform(range(1, len(ctoks)), i -> ctoks[CAST(i AS INT)] || ' ' || ctoks[CAST(i AS INT) + 1]))) AS tag
+      FROM ct),
+    tag_counts AS (
+      SELECT doc_id, tag, count(*) AS tag_count FROM tag_terms GROUP BY doc_id, tag),
+    tag_ranked AS (
+      SELECT doc_id, tag, tag_count,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tag_count DESC, tag ASC) AS BIGINT) AS tag_rank
+      FROM tag_counts)"""
+
+  val q06Sql: String =
+    raw"""WITH $tagTermsCte
+    SELECT doc_id, tag_rank, tag, tag_count FROM tag_ranked
+    WHERE tag_rank <= 5 ORDER BY doc_id, tag_rank"""
+
+  // --- q07: global tag frequency top-10 (A8, T5) ------------------------
+  def q07TagFrequency(spark: SparkSession, dir: String): DataFrame =
+    TagOps.tagFrequency(q06FallbackTags(spark, dir).select("tag"), 10)
+
+  val q07Sql: String =
+    raw"""WITH $tagTermsCte
+    SELECT tag, count(*) AS tag_count FROM tag_ranked WHERE tag_rank <= 5
+    GROUP BY tag ORDER BY tag_count DESC, tag ASC LIMIT 10"""
+
+  // --- q08: tag diversity (J2, A12) --------------------------------------
+  def q08TagDiversity(spark: SparkSession, dir: String): DataFrame =
+    TagOps.diversity(q06FallbackTags(spark, dir).select("tag"))
+
+  val q08Sql: String =
+    raw"""WITH $tagTermsCte
+    SELECT count(DISTINCT tag) AS unique_tags, count(*) AS total_tags,
+      CAST(count(DISTINCT tag) AS DOUBLE) / count(*) AS diversity
+    FROM tag_ranked WHERE tag_rank <= 5"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_clean_tokens" -> (q01CleanTokens _),
+    "q02_sentences" -> (q02Sentences _),
+    "q03_summary" -> (q03Summary _),
+    "q04_summary_metrics" -> (q04SummaryMetrics _),
+    "q05_corpus_stats" -> (q05CorpusStats _),
+    "q06_fallback_tags" -> (q06FallbackTags _),
+    "q07_tag_frequency" -> (q07TagFrequency _),
+    "q08_tag_diversity" -> (q08TagDiversity _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_clean_tokens" -> q01Sql,
+    "q02_sentences" -> q02Sql,
+    "q03_summary" -> q03Sql,
+    "q04_summary_metrics" -> q04Sql,
+    "q05_corpus_stats" -> q05Sql,
+    "q06_fallback_tags" -> q06Sql,
+    "q07_tag_frequency" -> q07Sql,
+    "q08_tag_diversity" -> q08Sql)
+}
