@@ -1,0 +1,309 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface over the TPC-H-ish fixtures (SURVEY.md §7.2
+  * step 5): aggregations, broadcast/sort-merge/semi/anti joins, windows,
+  * rollup, set ops, top-k. All Spark built-ins — the point is that Catalyst
+  * plans these (predicate pushdown, partial aggregation, broadcast
+  * selection, TakeOrderedAndProject, WindowGroupLimit) with zero custom code.
+  *
+  * Oracle-parity rules (beyond NlpQueries'): money arithmetic is done in
+  * DECIMAL (exact, order-independent partial aggregation) and only the
+  * final aggregate is cast to DOUBLE — one deterministic rounding, so the
+  * DuckDB hash compare is exact. No raw TIMESTAMP output columns (pandas
+  * tz-representation differs between engines): dates are formatted strings.
+  *
+  * Scale notes: at 100 TB the lineitem joins shuffle on their keys; the dim
+  * tables (region/nation/supplier, and customer at this ratio) are
+  * broadcast — hinted explicitly where the optimizer's size estimate might
+  * not see it (e.g., after a filter). Aggregations are partial+final hash
+  * aggs; top-k is TakeOrderedAndProject (no global sort materialized).
+  */
+object RelationalQueries {
+
+  /** Exact decimal cast for 2-decimal money/rate columns. */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def rate(c: Column): Column = c.cast("decimal(3,2)")
+  private val one = lit(1).cast("decimal(3,2)")
+
+  // --- q10: pricing summary (TPC-H Q1 pattern) ---------------------------
+  def q10PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount")))
+          * (one + rate(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(rate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q10Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  // --- q11: top unshipped-revenue orders (TPC-H Q3 pattern) --------------
+  def q11TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).where(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(spark, dir).where(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q11Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""
+
+  // --- q12: revenue by nation within a region (TPC-H Q5 pattern) ---------
+  def q12RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val q12Sql: String =
+    """SELECT n_name,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name ASC"""
+
+  // --- q13: per-supplier top-3 lineitems + windowed totals ----------------
+  def q13SupplierWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+    val byPrice = w.orderBy(col("l_extendedprice").desc,
+      col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        row_number().over(byPrice).cast("long").as("rn"),
+        sum(dec(col("l_extendedprice"))).over(w).cast("double").as("supp_total"),
+        count(lit(1)).over(w).as("supp_items"))
+      .where(col("rn") <= 3)
+      .orderBy("l_suppkey", "rn")
+  }
+
+  val q13Sql: String =
+    """SELECT * FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS rn,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) OVER (PARTITION BY l_suppkey) AS DOUBLE) AS supp_total,
+        count(*) OVER (PARTITION BY l_suppkey) AS supp_items
+      FROM lineitem) t
+    WHERE rn <= 3 ORDER BY l_suppkey, rn"""
+
+  // --- q14: rollup aggregation with grouping indicators -------------------
+  def q14Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"), col("g_rf"), col("g_ls"))
+      .orderBy("returnflag", "linestatus")
+
+  val q14Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      coalesce(l_linestatus, 'ALL') AS linestatus,
+      count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus"""
+
+  // --- q15: set operations (union / intersect / except) -------------------
+  def q15SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    val bigSpenders = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 300000).select(col("o_custkey").as("k")).distinct()
+    def n(df: DataFrame, op: String): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    n(building.union(bigSpenders).distinct(), "union")
+      .unionAll(n(building.intersect(bigSpenders), "intersect"))
+      .unionAll(n(building.except(bigSpenders), "except"))
+      .orderBy("op")
+  }
+
+  val q15Sql: String =
+    """WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+      big AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT k FROM building UNION SELECT k FROM big) t
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n FROM (SELECT k FROM building INTERSECT SELECT k FROM big) t
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (SELECT k FROM building EXCEPT SELECT k FROM big) t
+    ORDER BY op"""
+
+  // --- q16: semi/anti join — customers with/without orders per segment ----
+  def q16SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir).select("o_custkey")
+    val withO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val withoutO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    cust.groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .join(withO, Seq("c_mktsegment"), "left")
+      .join(withoutO, Seq("c_mktsegment"), "left")
+      .select(col("c_mktsegment"), col("n_customers"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q16Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+      CAST(sum(CASE WHEN c_custkey NOT IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // --- q17: exact distinct counts ------------------------------------------
+  def q17DistinctStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val q17Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT l_orderkey) AS n_orders,
+      count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** approx_count_distinct (HLL) — engines' sketches differ by design, so
+    * this is rows-only checked (no oracle). The scale story: at 100 TB exact
+    * distinct on a hot key is a full shuffle; the HLL sketch is partial-
+    * aggregable and constant-size.
+    */
+  def q17bApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  // --- q18: global top-k (TakeOrderedAndProject) ---------------------------
+  def q18TopOrderValues(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+
+  val q18Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""
+
+  // --- q19: orders above their customer's average (window analytics) -------
+  def q19AboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        (sum(dec(col("o_totalprice"))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("cust_avg"),
+        count(lit(1)).over(w).as("cust_orders"))
+      .where(col("o_totalprice") > col("cust_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  val q19Sql: String =
+    """SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+          / count(*) OVER (PARTITION BY o_custkey) AS cust_avg,
+        count(*) OVER (PARTITION BY o_custkey) AS cust_orders
+      FROM orders) t
+    WHERE o_totalprice > cust_avg ORDER BY o_orderkey"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_pricing_summary" -> (q10PricingSummary _),
+    "q11_top_orders" -> (q11TopOrders _),
+    "q12_region_revenue" -> (q12RegionRevenue _),
+    "q13_supplier_window" -> (q13SupplierWindow _),
+    "q14_rollup" -> (q14Rollup _),
+    "q15_set_ops" -> (q15SetOps _),
+    "q16_semi_anti" -> (q16SemiAnti _),
+    "q17_distinct_stats" -> (q17DistinctStats _),
+    "q17b_approx_distinct" -> (q17bApproxDistinct _),
+    "q18_top_order_values" -> (q18TopOrderValues _),
+    "q19_above_customer_avg" -> (q19AboveCustomerAvg _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q10_pricing_summary" -> q10Sql,
+    "q11_top_orders" -> q11Sql,
+    "q12_region_revenue" -> q12Sql,
+    "q13_supplier_window" -> q13Sql,
+    "q14_rollup" -> q14Sql,
+    "q15_set_ops" -> q15Sql,
+    "q16_semi_anti" -> q16Sql,
+    "q17_distinct_stats" -> q17Sql,
+    "q18_top_order_values" -> q18Sql,
+    "q19_above_customer_avg" -> q19Sql)
+}
