@@ -15,7 +15,18 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
-  def events(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "events")
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * Spark reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as
+    * Long and floor-convert to a microsecond timestamp — the same ns→us
+    * truncation DuckDB applies when casting its TIMESTAMP_NS, so the oracle
+    * sees identical instants.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash (builder-prompt extension surface; the reference's
+  * only dedup is order-preserving tag dedup, nlp_data_tagging.py:211).
+  *
+  * Scale design:
+  *   - Exact dedup groups on the full text hash — one shuffle keyed by
+  *     content, the same plan at any scale; no driver-side state.
+  *   - Jaccard all-pairs uses the inverted-index (shingle → docs) self-join,
+  *     the standard distributed formulation: candidate pairs are generated
+  *     only for docs sharing a shingle, never the O(n²) cross product.
+  *     Hot shingles are the skew risk at 100 TB — AQE skew-join handles
+  *     moderate skew; stop-shingle dropping (df cap) is the escape hatch.
+  *   - MinHash compresses each doc to a k-Int64 signature (one shuffle),
+  *     then LSH banding joins on (band, band-key) so only likely-similar
+  *     docs ever meet — the linear-scale path when all-pairs is infeasible.
+  *   - SimHash is one aggregation to a 32-bit fingerprint per doc, then a
+  *     4-band blocked self-join + Hamming filter.
+  *
+  * All hashing uses HashOps' portable polynomial hash so the DuckDB oracle
+  * verifies every step bit-exactly.
+  */
+object DedupOps {
+
+  /** Exact duplicates: every doc labeled with its group's canonical (min)
+    * id and the group size. `groupBy(text)` not `dropDuplicates` so the
+    * lineage (which doc survives, who its duplicates are) is kept — what a
+    * curation pipeline actually needs.
+    */
+  def exactDuplicates(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val groups = docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+    docs.select(col(idCol), col(textCol))
+      .join(groups, Seq(textCol))
+      .select(col(idCol), col("canonical_id"), col("group_size"),
+        (col(idCol) =!= col("canonical_id")).as("is_duplicate"))
+  }
+
+  /** Distinct word n-gram shingles per doc: `(id, shingle)`. Narrow
+    * (explode only). Tokens column must be a staged attribute ref.
+    */
+  def shingles(tokenized: DataFrame, n: Int,
+               idCol: String = "doc_id"): DataFrame =
+    tokenized
+      .where(size(col("toks")) >= n) // sequence(0, size-n) needs size >= n
+      .select(col(idCol),
+        array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("shs"))
+      .select(col(idCol), explode(col("shs")).as("shingle"))
+
+  /** All-pairs n-gram Jaccard via inverted-index self-join. Output:
+    * `(id_a < id_b, common, size_a, size_b, jaccard_micro)` for pairs with
+    * `jaccard_micro >= minMicro` (Jaccard scaled by 1e6 into an exact
+    * integer so the cross-engine compare is bit-exact).
+    */
+  def jaccardPairs(sh: DataFrame, minMicro: Long,
+                   idCol: String = "doc_id"): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val common = sh.toDF(idCol, "shingle")
+      .join(sh.toDF("id_b", "shingle"), "shingle")
+      .where(col(idCol) < col("id_b"))
+      .groupBy(col(idCol).as("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("id_a", "size_a"), "id_a")
+      .join(sizes.toDF("id_b", "size_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
+        floor(lit(1000000L) * col("common") /
+          (col("size_a") + col("size_b") - col("common"))).cast("long")
+          .as("jaccard_micro"))
+      .where(col("jaccard_micro") >= minMicro)
+  }
+
+  /** MinHash signatures: `(id, m0..m{k-1})` — per doc, the min of each
+    * permuted shingle hash. One hash aggregation; signature is k Int64s
+    * regardless of doc size (the whole point at 100 TB).
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val hashed = sh.select(col(idCol), HashOps.charHash(col("shingle")).as("th"))
+    val mins = (0 until HashOps.MinHashK).map(i =>
+      min(HashOps.perm(i, col("th"))).as(s"m$i"))
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over a signature frame: explode to `(id, band, key)` where
+    * key concatenates `rowsPerBand` consecutive signature values.
+    */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int,
+               idCol: String = "doc_id"): DataFrame = {
+    val bands = HashOps.MinHashK / rowsPerBand
+    val bandCols = (0 until bands).map { b =>
+      val ms = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("-", ms: _*).as("key"))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs from LSH banding plus the signature-estimated Jaccard
+    * (#agreeing permutations / k, scaled 1e6). Only docs colliding in at
+    * least one band are compared — linear in data + collisions, never O(n²).
+    */
+  def minhashPairs(sigs: DataFrame, rowsPerBand: Int, minEstMicro: Long,
+                   idCol: String = "doc_id"): DataFrame = {
+    val b = lshBands(sigs, rowsPerBand, idCol)
+    val cand = b.toDF("id_a", "band", "key")
+      .join(b.toDF("id_b", "band", "key"), Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val agree = (0 until HashOps.MinHashK)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(sigs.toDF(("id_a" +: (0 until HashOps.MinHashK).map(i => s"m$i")): _*).as("a"), "id_a")
+      .join(sigs.toDF(("id_b" +: (0 until HashOps.MinHashK).map(i => s"m$i")): _*).as("b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        floor(lit(1000000L) * agree / HashOps.MinHashK).cast("long")
+          .as("est_jaccard_micro"))
+      .where(col("est_jaccard_micro") >= minEstMicro)
+  }
+
+  /** SimHash bit width. */
+  val SimHashBits = 32
+
+  /** 32-bit SimHash fingerprint per doc from tf-weighted term hashes:
+    * bit j is set iff sum over terms of tf * (±1 by bit j of the term hash)
+    * is positive. Computed as 32 parallel SUM aggregates — one shuffle, no
+    * per-bit explode.
+    */
+  def simhash(tokenized: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val tf = tokenized
+      .select(col(idCol), explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .select(col(idCol), col("tf"), HashOps.charHash(col("term")).as("th"))
+    val bitSums = (0 until SimHashBits).map { j =>
+      sum(col("tf") * when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$j")
+    }
+    val fp = (0 until SimHashBits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    tf.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: block on the fingerprint's 4 bytes (a pair
+    * within Hamming distance <= 3 of 32 bits must agree on at least one of
+    * 4 bands — pigeonhole), then exact Hamming filter via bit_count(xor).
+    */
+  def simhashPairs(fps: DataFrame, maxHamming: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    val banded = fps.select(col(idCol), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*))
+          .as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    banded.toDF("id_a", "fp_a", "band", "key")
+      .join(banded.toDF("id_b", "fp_b", "band", "key"), Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` fixture: JSON extraction,
+  * tumbling / sliding / session time windows (SURVEY.md §2.7 extension —
+  * the reference is strictly batch). Batch-first so the DuckDB oracle can
+  * verify them; StreamingOps runs the same aggregation bodies under
+  * Structured Streaming with watermarks.
+  *
+  * Determinism rules: `value` is 2-decimal money-like — summed in DECIMAL
+  * (order-independent) and cast to DOUBLE once at the end. Window bounds are
+  * emitted as formatted strings (raw timestamps round-trip differently
+  * through parquet/pandas across engines).
+  *
+  * Scale: time-windowed groupBys shuffle on (window, key) — naturally
+  * balanced when keys are; sessionization shuffles on user_id once.
+  */
+object EventOps {
+
+  private def decSum(c: Column): Column =
+    sum(c.cast("decimal(12,2)")).cast("double")
+
+  /** The events table with `k` extracted from the JSON `props` column.
+    * `get_json_object` is codegen'd; at scale prefer extracting once and
+    * persisting columnar over re-parsing JSON per query.
+    */
+  def withJsonKey(events: DataFrame): DataFrame =
+    events.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+
+  /** Tumbling-window aggregation: per (10-minute window, event_type) counts
+    * and exact value sums. Uses Spark's native `window()` generator.
+    */
+  def tumbling(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding-window aggregation: 10-minute windows every 5 minutes (each
+    * event lands in 2 windows).
+    */
+  def sliding(events: DataFrame, width: String = "10 minutes",
+              slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user sessionization with a fixed inactivity gap: Spark's native
+    * `session_window` (works in batch since 3.2). A session's end is
+    * last-event + gap; a new session starts when the inter-event gap is >=
+    * the threshold.
+    */
+  def sessions(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"), col("sum_value"))
+}

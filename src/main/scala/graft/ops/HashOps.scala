@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic hashing, expressible identically in Spark and in
+  * the driver's DuckDB oracle (SURVEY.md §5.2: every verified operator needs
+  * a cross-engine-exact formulation).
+  *
+  * Spark's native `hash`/`xxhash64` have no DuckDB twin, so dedup operators
+  * (MinHash, SimHash, fingerprints — SURVEY.md §7.2 step 6) are built on a
+  * polynomial rolling hash over code points mod the Mersenne prime 2^31-1:
+  * `h = fold(chars, 7, (h, c) => (h*31 + c) mod P)`. All arithmetic stays
+  * below 2^63 (h < 2^31, h*31 + c < 2^36), so both engines compute exact
+  * Int64 values. The fold is a left fold in both (`aggregate` here,
+  * `list_reduce` there).
+  *
+  * Scale: these are narrow per-row projections — zero shuffle, codegen'd
+  * higher-order functions. At 100 TB the cost is one pass over the tokens a
+  * row already holds.
+  */
+object HashOps {
+
+  /** Modulus: Mersenne prime 2^31 - 1. */
+  val P = 2147483647L
+
+  /** Seed of the character fold. */
+  val Seed = 7L
+
+  /** Number of MinHash permutations (signature length). */
+  val MinHashK = 16
+
+  /** (a, b) coefficients of the k MinHash permutations
+    * `h_i(x) = (a_i * x + b_i) mod P` — fixed LCG-derived constants so the
+    * Scala operator and the generated oracle SQL share them verbatim.
+    */
+  val MinHashPerms: Seq[(Long, Long)] = {
+    var x = 88172645463325252L
+    def next(): Long = { // xorshift64, public-domain PRNG (Marsaglia 2003)
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      math.floorMod(x, P - 1) + 1
+    }
+    Seq.fill(MinHashK)((next(), next() - 1))
+  }
+
+  /** Polynomial hash of a string column: left fold over its characters.
+    * Empty / null strings hash to the seed.
+    */
+  def charHash(c: Column): Column = {
+    val chars = filter(split(coalesce(c, lit("")), ""), s => length(s) > 0)
+    aggregate(chars, lit(Seed), (h, ch) => (h * 31 + ascii(ch)) % P)
+  }
+
+  /** Rolling fingerprint of a token-array column: left fold of the per-token
+    * char hashes with multiplier 131 (a second-level polynomial hash, so the
+    * fingerprint is order-sensitive — "a b" != "b a").
+    *
+    * IMPORTANT: pass an attribute reference (stage the token array in a
+    * prior select), not a nested expression — lambda duplication otherwise
+    * re-evaluates the tokenization per element.
+    */
+  def rollingFingerprint(tokens: Column): Column =
+    aggregate(tokens, lit(Seed), (h, t) => (h * 131 + charHash(t)) % P)
+
+  /** The i-th MinHash permutation applied to an already-hashed value. */
+  def perm(i: Int, h: Column): Column = {
+    val (a, b) = MinHashPerms(i)
+    (lit(a) * h + lit(b)) % P
+  }
+
+  // ---- DuckDB oracle twins (same constants, same fold) -------------------
+
+  /** DuckDB SQL for `charHash` of expression `c`. */
+  def charHashSql(c: String): String =
+    s"list_reduce(list_prepend(CAST($Seed AS BIGINT), " +
+      s"list_transform(string_split(coalesce($c, ''), ''), " +
+      s"ch -> CAST(ascii(ch) AS BIGINT))), (h, ch) -> (h*31 + ch) % $P)"
+
+  /** DuckDB SQL for `rollingFingerprint` of a list expression `toks`. */
+  def rollingFingerprintSql(toks: String): String =
+    s"list_reduce(list_prepend(CAST($Seed AS BIGINT), " +
+      s"list_transform($toks, t -> ${charHashSql("t")})), " +
+      s"(h, t) -> (h*131 + t) % $P)"
+
+  /** DuckDB SQL for MinHash permutation i over hashed value expression. */
+  def permSql(i: Int, h: String): String = {
+    val (a, b) = MinHashPerms(i)
+    s"(($a * $h + $b) % $P)"
+  }
+}

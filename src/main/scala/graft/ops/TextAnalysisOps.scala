@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data text analysis: language ID, quality scoring, token
+  * counting, document fingerprinting (builder-prompt extension surface; the
+  * reference's only analysis ops are the summary metrics in
+  * nlp_data_tagging.py:242-261, which MetricOps covers).
+  *
+  * All operators are narrow per-row column expressions — zero shuffles, full
+  * whole-stage codegen — so they scale linearly with input splits. Ratios
+  * are single IEEE divisions (deterministic across engines); counts are
+  * exact Int64.
+  */
+object TextAnalysisOps {
+
+  /** Per-language marker-word profiles for the n-gram/stopword language-ID
+    * heuristic. Small public stop-word samples; the heuristic is
+    * argmax(profile-hit count), ties broken by language code order.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "mit", "ein", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "es" -> Seq("el", "la", "que", "y", "en", "un", "es", "se", "no", "los"),
+    "fr" -> Seq("le", "les", "de", "et", "un", "une", "est", "que", "je", "pas"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** A BPE-ish token regex: letter runs, single digits, or single
+    * non-alphanumeric glyphs — the shape (not the merges) of byte-pair
+    * tokenizer output. Works identically in Java regex and RE2.
+    */
+  val BpeTokenRegex = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+  /** Language-ID scores: one hit-count column `score_<lang>` per profile
+    * plus the argmax `pred_lang`. Expects an attribute ref to a token array.
+    */
+  def langScores(tokens: Column): Seq[(String, Column)] =
+    LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(tokens, t => array_contains(typedlit(words), t))).cast("long")
+    }
+
+  /** Argmax over the score columns; ties go to the first language in code
+    * order (deterministic).
+    */
+  def predLang(scores: Seq[(String, Column)]): Column = {
+    val m = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit(LangProfiles.head._1)) { case (acc, (lang, s)) =>
+      when(s === m, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(TextOps.tokenize(text)).cast("long")
+
+  /** BPE-ish token count via regex extraction. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRegex), lit(0))).cast("long")
+
+  /** Per-document quality-signal struct over `(text, tokens)` attribute
+    * refs: char/token counts, type-token ratio, mean token length, stopword
+    * ratio, non-alphanumeric ratio. The classic cheap quality filters for
+    * pretraining corpora (length / repetition / symbol heuristics).
+    */
+  def qualityColumns(text: Column, tokens: Column): Seq[Column] = {
+    val nChars = length(text).cast("long")
+    val nToks = size(tokens).cast("long")
+    val nDistinct = size(array_distinct(tokens)).cast("long")
+    val sumLen = aggregate(tokens, lit(0L), (a, t) => a + length(t))
+    val nStop = size(filter(tokens, t =>
+      array_contains(typedlit(TextOps.StopWords), lower(t)))).cast("long")
+    val nNonAlnum = (length(text) -
+      length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("long")
+    Seq(
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      nDistinct.as("n_distinct_tokens"),
+      when(nToks > 0, nDistinct.cast("double") / nToks).otherwise(0.0)
+        .as("type_token_ratio"),
+      when(nToks > 0, sumLen.cast("double") / nToks).otherwise(0.0)
+        .as("mean_token_len"),
+      when(nToks > 0, nStop.cast("double") / nToks).otherwise(0.0)
+        .as("stopword_ratio"),
+      when(nChars > 0, nNonAlnum.cast("double") / nChars).otherwise(0.0)
+        .as("non_alnum_ratio"))
+  }
+
+  /** Composite quality gate mirroring common pretraining filters: enough
+    * tokens, not too repetitive, mostly alphanumeric, some stopwords.
+    */
+  def qualityPass(df: DataFrame): Column =
+    (col("n_tokens") >= 5) && (col("type_token_ratio") >= 0.2) &&
+      (col("non_alnum_ratio") <= 0.2) && (col("stopword_ratio") <= 0.9)
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{DedupOps, HashOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication query surface over `documents` (builder-prompt extension):
+  * exact groups, n-gram Jaccard all-pairs, MinHash+LSH, SimHash. Every
+  * query is verified bit-exactly by a generated DuckDB oracle sharing
+  * HashOps' constants.
+  */
+object DedupQueries {
+
+  import SqlDefs._
+
+  /** Word n-gram size for shingling. */
+  val ShingleN = 5
+
+  /** Output threshold for exact Jaccard pairs (micro-units, 0.3). */
+  val JaccardMinMicro = 300000L
+
+  /** Output threshold for MinHash-estimated Jaccard (micro-units, 0.25). */
+  val MinhashMinMicro = 250000L
+
+  /** Max Hamming distance for SimHash near-dup pairs (of 32 bits). */
+  val SimhashMaxHamming = 3
+
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+
+  // --- q24: exact duplicate groups ---------------------------------------
+  def q24ExactDup(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.exactDuplicates(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val q24Sql: String =
+    """WITH g AS (
+      SELECT text, min(doc_id) AS canonical_id, count(*) AS group_size
+      FROM documents GROUP BY text)
+    SELECT d.doc_id, g.canonical_id, g.group_size,
+      d.doc_id <> g.canonical_id AS is_duplicate
+    FROM documents d JOIN g ON d.text = g.text ORDER BY d.doc_id"""
+
+  // --- shared oracle CTEs: tokens → shingles → hashes --------------------
+  private val shingleCte: String =
+    s"""tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(0, len(toks) - $ShingleN + 1),
+        i -> array_to_string(toks[(CAST(i AS INT)+1):(CAST(i AS INT)+$ShingleN)], ' ')))) AS shingle
+      FROM tok WHERE len(toks) >= $ShingleN)"""
+
+  // --- q25: n-gram Jaccard all-pairs (inverted index) --------------------
+  def q25NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.jaccardPairs(
+      DedupOps.shingles(tokenized(spark, dir), ShingleN), JaccardMinMicro)
+      .orderBy("id_a", "id_b")
+
+  val q25Sql: String =
+    s"""WITH $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT c.id_a, c.id_b, c.common,
+      sa.sz AS size_a, sb.sz AS size_b,
+      CAST(floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) AS BIGINT) AS jaccard_micro
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= $JaccardMinMicro
+    ORDER BY c.id_a, c.id_b"""
+
+  // --- q26: MinHash + LSH banding ----------------------------------------
+  def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashPairs(
+      DedupOps.minhashSignatures(
+        DedupOps.shingles(tokenized(spark, dir), ShingleN)),
+      rowsPerBand = 4, MinhashMinMicro)
+      .orderBy("id_a", "id_b")
+
+  val q26Sql: String = {
+    val k = HashOps.MinHashK
+    val minExprs = (0 until k)
+      .map(i => s"min(${HashOps.permSql(i, "th")}) AS m$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleCte,
+    h AS (SELECT doc_id, ${HashOps.charHashSql("shingle")} AS th FROM sh),
+    sig AS (SELECT doc_id, $minExprs FROM h GROUP BY doc_id),
+    bands AS ($bandSelects),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+      CAST(floor(1000000 * ($agree) / $k) AS BIGINT) AS est_jaccard_micro
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    WHERE floor(1000000 * ($agree) / $k) >= $MinhashMinMicro
+    ORDER BY id_a, id_b"""
+  }
+
+  // --- q27: SimHash near-dup pairs ---------------------------------------
+  def q27Simhash(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.simhashPairs(
+      DedupOps.simhash(tokenized(spark, dir)), SimhashMaxHamming)
+      .orderBy("id_a", "id_b")
+
+  val q27Sql: String = {
+    val bitSums = (0 until DedupOps.SimHashBits).map(j =>
+      s"sum(tf * CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val fp = (0 until DedupOps.SimHashBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+      GROUP BY doc_id, term),
+    h AS (SELECT doc_id, tf, ${HashOps.charHashSql("term")} AS th FROM tf),
+    bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits),
+    bands AS (
+      SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS key
+      FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs
+    WHERE hamming <= $SimhashMaxHamming ORDER BY id_a, id_b"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_exact_dup" -> (q24ExactDup _),
+    "q25_ngram_jaccard" -> (q25NgramJaccard _),
+    "q26_minhash_lsh" -> (q26MinhashLsh _),
+    "q27_simhash" -> (q27Simhash _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q24_exact_dup" -> q24Sql,
+    "q25_ngram_jaccard" -> q25Sql,
+    "q26_minhash_lsh" -> q26Sql,
+    "q27_simhash" -> q27Sql)
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.EventOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream query surface over `events` (SURVEY.md §2.7 extension):
+  * JSON extraction and tumbling / sliding / session time windows, batch
+  * semantics first so the DuckDB oracle verifies them; StreamingOps reuses
+  * the same bodies under Structured Streaming.
+  *
+  * DuckDB reads the fixture's ns timestamps as TIMESTAMP_NS; every oracle
+  * casts to microsecond TIMESTAMP — the same floor-truncation
+  * Tables.events applies — so both engines window identical instants.
+  */
+object EventQueries {
+
+  // --- q31: JSON extraction + per-type stats -----------------------------
+  def q31JsonStats(spark: SparkSession, dir: String): DataFrame =
+    EventOps.withJsonKey(Tables.events(spark, dir))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
+  val q31Sql: String =
+    """WITH e AS (
+      SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,
+      min(k) AS min_k, max(k) AS max_k, count(DISTINCT k) AS n_distinct_k
+    FROM e GROUP BY event_type ORDER BY event_type"""
+
+  // --- q32: tumbling windows ---------------------------------------------
+  def q32Tumbling(spark: SparkSession, dir: String): DataFrame =
+    EventOps.tumbling(Tables.events(spark, dir))
+      .orderBy("window_start", "event_type")
+
+  val q32Sql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM e GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+  // --- q33: sliding windows (10 min wide, 5 min hop) ---------------------
+  def q33Sliding(spark: SparkSession, dir: String): DataFrame =
+    EventOps.sliding(Tables.events(spark, dir)).orderBy("window_start")
+
+  val q33Sql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    h AS (
+      SELECT ts, value, unnest([
+        time_bucket(INTERVAL '5 minutes', ts),
+        time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws
+      FROM e)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM h WHERE ts >= ws AND ts < ws + INTERVAL '10 minutes'
+    GROUP BY ws ORDER BY window_start"""
+
+  // --- q34: per-user sessionization (5 min inactivity gap) ---------------
+  def q34Sessions(spark: SparkSession, dir: String): DataFrame =
+    EventOps.sessions(Tables.events(spark, dir))
+      .orderBy("user_id", "session_start")
+
+  val q34Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '5 minutes'
+        THEN 1 ELSE 0 END AS new_s FROM l),
+    s AS (SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+    SELECT user_id,
+      strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_json_stats" -> (q31JsonStats _),
+    "q32_tumbling" -> (q32Tumbling _),
+    "q33_sliding" -> (q33Sliding _),
+    "q34_sessions" -> (q34Sessions _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_json_stats" -> q31Sql,
+    "q32_tumbling" -> q32Sql,
+    "q33_sliding" -> q33Sql,
+    "q34_sessions" -> q34Sql)
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.SimilarityOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search query surface over `embeddings` (builder-prompt
+  * extension): brute-force cosine top-k (the correctness baseline), the
+  * sign-LSH bucketed top-k (the scale path), and embedding-cosine near-dup
+  * pairs. The cosine fold is engine-portable (SimilarityOps scaladoc), so
+  * even the float math verifies bit-exactly through the 1e6 integer
+  * scaling.
+  */
+object SimilarityQueries {
+
+  /** Every Nth vec_id is a query point (2% of the table). */
+  val QueryEveryNth = 50
+
+  /** Neighbors returned per query. */
+  val TopK = 5
+
+  /** Sign-LSH bits for the bucketed top-k (16 buckets — recall-leaning). */
+  val TopKBits = 4
+
+  /** Sign-LSH bits for near-dup blocking (256 buckets — precision-leaning). */
+  val NearDupBits = 8
+
+  /** Near-dup threshold in cosine micro-units (0.4). */
+  val NearDupMinMicro = 400000L
+
+  // --- shared oracle fragments -------------------------------------------
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"
+
+  private val preparedCte: String =
+    s"""p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm FROM p)"""
+
+  private def bucketSql(bits: Int): String =
+    (0 until bits)
+      .map(d => s"CASE WHEN emb[${d + 1}] > 0.0 THEN ${1L << d} ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  private def cosMicroSql(aEmb: String, bEmb: String, aNrm: String, bNrm: String): String =
+    s"CAST(floor(1000000.0 * ${dotSql(aEmb, bEmb)} / ($aNrm * $bNrm)) AS BIGINT)"
+
+  // --- q28: embedding-cosine near-dup pairs (sign-LSH blocked) -----------
+  def q28CosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.cosineNearDupPairs(
+      Tables.embeddings(spark, dir), NearDupBits, NearDupMinMicro)
+      .orderBy("id_a", "id_b")
+
+  val q28Sql: String =
+    s"""WITH $preparedCte,
+    b AS (SELECT vec_id, emb, nrm, ${bucketSql(NearDupBits)} AS bucket FROM n)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+      ${cosMicroSql("a.emb", "c.emb", "a.nrm", "c.nrm")} AS cos_micro
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE ${cosMicroSql("a.emb", "c.emb", "a.nrm", "c.nrm")} >= $NearDupMinMicro
+    ORDER BY id_a, id_b"""
+
+  // --- q29: brute-force cosine top-k -------------------------------------
+  def q29KnnBrute(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.bruteForceTopK(
+      Tables.embeddings(spark, dir), QueryEveryNth, TopK)
+      .orderBy("query_id", "rk")
+
+  val q29Sql: String =
+    s"""WITH $preparedCte,
+    q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+      FROM n WHERE vec_id % $QueryEveryNth = 0),
+    s AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+        ${cosMicroSql("q.q_emb", "c.emb", "q.q_nrm", "c.nrm")} AS cos_micro
+      FROM q JOIN n c ON c.vec_id <> q.query_id),
+    r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rk
+      FROM s)
+    SELECT query_id, cand_id, cos_micro, rk FROM r
+    WHERE rk <= $TopK ORDER BY query_id, rk"""
+
+  // --- q29b: sign-LSH bucketed top-k (the 100 TB path) -------------------
+  def q29bKnnLsh(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.bucketedTopK(
+      Tables.embeddings(spark, dir), QueryEveryNth, TopK, TopKBits)
+      .orderBy("query_id", "rk")
+
+  val q29bSql: String =
+    s"""WITH $preparedCte,
+    b AS (SELECT vec_id, emb, nrm, ${bucketSql(TopKBits)} AS bucket FROM n),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket
+      FROM b WHERE vec_id % $QueryEveryNth = 0),
+    s AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+        ${cosMicroSql("q.q_emb", "c.emb", "q.q_nrm", "c.nrm")} AS cos_micro
+      FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id),
+    r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rk
+      FROM s)
+    SELECT query_id, cand_id, cos_micro, rk FROM r
+    WHERE rk <= $TopK ORDER BY query_id, rk"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_cosine_near_dup" -> (q28CosineNearDup _),
+    "q29_knn_brute" -> (q29KnnBrute _),
+    "q29b_knn_lsh" -> (q29bKnnLsh _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q28_cosine_near_dup" -> q28Sql,
+    "q29_knn_brute" -> q29Sql,
+    "q29b_knn_lsh" -> q29bSql)
+}
