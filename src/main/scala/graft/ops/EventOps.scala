@@ -52,8 +52,9 @@ object EventOps {
 
   /** Per-user sessionization with a fixed inactivity gap: Spark's native
     * `session_window` (works in batch since 3.2). A session's end is
-    * last-event + gap; a new session starts when the inter-event gap is >=
-    * the threshold.
+    * last-event + gap; sessions merge while the inter-event gap is <= the
+    * threshold (a gap of exactly the threshold still merges — touching
+    * windows coalesce), so a new session needs gap > threshold.
     */
   def sessions(events: DataFrame, gap: String = "5 minutes"): DataFrame =
     events

@@ -71,21 +71,42 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
-  /** Sign-LSH bucketed top-k: identical contract to bruteForceTopK but
-    * candidates are restricted to the query's bucket. Recall vs brute force
-    * is property-tested (SimilaritySpec); the oracle verifies exactness of
-    * the bucketed semantics themselves.
+  /** Sign bucket over a dimension slice `[offset+1, offset+bits]` — one
+    * hash table of a multi-table LSH index.
+    */
+  def signBucketAt(a: Column, offset: Int, bits: Int): Column =
+    (0 until bits)
+      .map(d => when(element_at(a, offset + d + 1) > 0.0, lit(1L << d)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Multi-table sign-LSH top-k: identical contract to bruteForceTopK but
+    * candidates are the union of same-bucket vectors across `tables` hash
+    * tables (table t buckets on dims [t*bits, (t+1)*bits)), then exact
+    * rerank. A single sign table has recall ~p^bits per true neighbor
+    * (p = 1 - θ/π per hyperplane); T tables lift it to 1-(1-p^bits)^T —
+    * the standard LSH recall/cost dial. Recall vs brute force is
+    * property-tested (DedupSimilaritySpec); the oracle verifies the
+    * bucketed semantics exactly.
     */
   def bucketedTopK(embeddings: DataFrame, everyNth: Int, k: Int,
-                   bits: Int): DataFrame = {
+                   bits: Int, tables: Int): DataFrame = {
     val p = prepared(embeddings)
+    val withBuckets = p.select(col("vec_id"), col("emb"), col("nrm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          signBucketAt(col("emb"), t * bits, bits).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("emb"), col("nrm"),
-        signBucket(col("emb"), bits).as("bucket"))
-    val q = p.where(col("vec_id") % everyNth === 0)
-      .toDF("query_id", "q_emb", "q_nrm", "bucket")
-    val scored = p.toDF("cand_id", "c_emb", "c_nrm", "bucket")
-      .join(broadcast(q), "bucket")
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = withBuckets.where(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val cand = withBuckets
+      .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
+      .join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+    val scored = cand
+      .join(p.toDF("query_id", "q_emb", "q_nrm"), "query_id")
+      .join(p.toDF("cand_id", "c_emb", "c_nrm"), "cand_id")
       .select(col("query_id"), col("cand_id"),
         cosineMicro(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm"))
           .as("cos_micro"))

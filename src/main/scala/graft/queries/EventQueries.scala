@@ -72,7 +72,7 @@ object EventQueries {
   val q34Sql: String =
     """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
     l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
-    f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '5 minutes'
+    f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL '5 minutes'
         THEN 1 ELSE 0 END AS new_s FROM l),
     s AS (SELECT *, sum(new_s) OVER (
         PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f)

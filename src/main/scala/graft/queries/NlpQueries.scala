@@ -232,7 +232,49 @@ object NlpQueries {
       CAST(count(DISTINCT tag) AS DOUBLE) / count(*) AS diversity
     FROM tag_ranked WHERE tag_rank <= 5"""
 
+  // --- q09: the reference's export table (S4/S5 sink shape) --------------
+  // Filename, Summary, Tags, Original_Length, Summary_Length,
+  // Compression_Ratio (nlp_data_tagging.py:514-526), with `source` standing
+  // in for filename and fallback TF tags (the oracle-expressible tag path).
+  def q09Export(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tagStr = TagOps.fallbackTags(docs, 5)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tag_rank"), col("tag")))),
+        t => t.getField("tag")), ", ").as("tags"))
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .join(summaryDf(spark, dir).select("doc_id", "summary"), Seq("doc_id"))
+      .join(tagStr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("summary"),
+        coalesce(col("tags"), lit("")).as("tags"),
+        length(col("text")).cast("long").as("original_length"),
+        length(col("summary")).cast("long").as("summary_length"),
+        when(length(col("text")) > 0,
+          length(col("summary")).cast("double") / length(col("text")))
+          .otherwise(0.0).as("compression_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val q09Sql: String =
+    raw"""WITH $summaryCte,
+    $tagTermsCte,
+    tag_str AS (
+      SELECT doc_id, string_agg(tag, ', ' ORDER BY tag_rank) AS tags
+      FROM tag_ranked WHERE tag_rank <= 5 GROUP BY doc_id)
+    SELECT d.doc_id, d.source, s.summary, coalesce(t.tags, '') AS tags,
+      CAST(length(d.text) AS BIGINT) AS original_length,
+      CAST(length(s.summary) AS BIGINT) AS summary_length,
+      CASE WHEN length(d.text) > 0
+           THEN CAST(length(s.summary) AS DOUBLE) / length(d.text)
+           ELSE 0.0 END AS compression_ratio
+    FROM documents d
+    JOIN summary_rel s ON d.doc_id = s.doc_id
+    LEFT JOIN tag_str t ON d.doc_id = t.doc_id
+    ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q09_export" -> (q09Export _),
     "q01_clean_tokens" -> (q01CleanTokens _),
     "q02_sentences" -> (q02Sentences _),
     "q03_summary" -> (q03Summary _),
@@ -243,6 +285,7 @@ object NlpQueries {
     "q08_tag_diversity" -> (q08TagDiversity _))
 
   val oracleSql: Map[String, String] = Map(
+    "q09_export" -> q09Sql,
     "q01_clean_tokens" -> q01Sql,
     "q02_sentences" -> q02Sql,
     "q03_summary" -> q03Sql,

@@ -20,8 +20,11 @@ object SimilarityQueries {
   /** Neighbors returned per query. */
   val TopK = 5
 
-  /** Sign-LSH bits for the bucketed top-k (16 buckets — recall-leaning). */
+  /** Sign-LSH bits per hash table for the bucketed top-k. */
   val TopKBits = 4
+
+  /** Number of LSH hash tables (tables × bits <= 64 dims). */
+  val TopKTables = 16
 
   /** Sign-LSH bits for near-dup blocking (256 buckets — precision-leaning). */
   val NearDupBits = 8
@@ -38,9 +41,9 @@ object SimilarityQueries {
     s"""p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm FROM p)"""
 
-  private def bucketSql(bits: Int): String =
+  private def bucketSql(bits: Int, offset: Int = 0): String =
     (0 until bits)
-      .map(d => s"CASE WHEN emb[${d + 1}] > 0.0 THEN ${1L << d} ELSE 0 END")
+      .map(d => s"CASE WHEN emb[${offset + d + 1}] > 0.0 THEN ${1L << d} ELSE 0 END")
       .mkString("(", " + ", ")")
 
   private def cosMicroSql(aEmb: String, bEmb: String, aNrm: String, bNrm: String): String =
@@ -81,26 +84,35 @@ object SimilarityQueries {
     SELECT query_id, cand_id, cos_micro, rk FROM r
     WHERE rk <= $TopK ORDER BY query_id, rk"""
 
-  // --- q29b: sign-LSH bucketed top-k (the 100 TB path) -------------------
+  // --- q29b: multi-table sign-LSH top-k (the 100 TB path) ----------------
   def q29bKnnLsh(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.bucketedTopK(
-      Tables.embeddings(spark, dir), QueryEveryNth, TopK, TopKBits)
+      Tables.embeddings(spark, dir), QueryEveryNth, TopK, TopKBits, TopKTables)
       .orderBy("query_id", "rk")
 
-  val q29bSql: String =
+  val q29bSql: String = {
+    val tableSelects = (0 until TopKTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(TopKBits, t * TopKBits)} AS bucket FROM n")
+      .mkString(" UNION ALL ")
     s"""WITH $preparedCte,
-    b AS (SELECT vec_id, emb, nrm, ${bucketSql(TopKBits)} AS bucket FROM n),
-    q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, bucket
-      FROM b WHERE vec_id % $QueryEveryNth = 0),
+    b AS ($tableSelects),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        AND c.vec_id <> q.vec_id
+      WHERE q.vec_id % $QueryEveryNth = 0),
     s AS (
-      SELECT q.query_id, c.vec_id AS cand_id,
-        ${cosMicroSql("q.q_emb", "c.emb", "q.q_nrm", "c.nrm")} AS cos_micro
-      FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id),
+      SELECT cand.query_id, cand.cand_id,
+        ${cosMicroSql("q.emb", "c.emb", "q.nrm", "c.nrm")} AS cos_micro
+      FROM cand
+      JOIN n q ON q.vec_id = cand.query_id
+      JOIN n c ON c.vec_id = cand.cand_id),
     r AS (SELECT *, CAST(row_number() OVER (
         PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rk
       FROM s)
     SELECT query_id, cand_id, cos_micro, rk FROM r
     WHERE rk <= $TopK ORDER BY query_id, rk"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_cosine_near_dup" -> (q28CosineNearDup _),

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden micro-fixtures for the dedup + similarity operator families
+  * (semantics defined in DedupOps/SimilarityOps scaladoc).
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private def tokenized(rows: (Long, String)*) =
+    docs(rows: _*).select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+
+  test("exactDuplicates groups identical texts under the min id") {
+    val out = DedupOps.exactDuplicates(
+      docs(1L -> "a b c", 2L -> "x y", 3L -> "a b c", 4L -> "a b c"))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, 1L, 3L, false), (2L, 2L, 1L, false), (3L, 1L, 3L, true), (4L, 1L, 3L, true)))
+  }
+
+  test("jaccardPairs computes exact shingle Jaccard") {
+    // 2-gram shingles: doc1 {ab, bc, cd}, doc2 {ab, bc, ce} -> J = 2/4
+    val sh = DedupOps.shingles(
+      tokenized(1L -> "a b c d", 2L -> "a b c e"), 2)
+    val out = DedupOps.jaccardPairs(sh, 0L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("common") == 2 && r.getAs[Long]("size_a") == 3 &&
+      r.getAs[Long]("size_b") == 3)
+    assert(r.getAs[Long]("jaccard_micro") == 500000L)
+  }
+
+  test("shingles drops docs shorter than n") {
+    assert(DedupOps.shingles(tokenized(1L -> "a b", 2L -> "a b c"), 3)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("minhash: identical docs share the full signature, est Jaccard = 1") {
+    val sigs = DedupOps.minhashSignatures(DedupOps.shingles(
+      tokenized(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v"), 3))
+    val pairs = DedupOps.minhashPairs(sigs, 4, 0L).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getAs[Long]("est_jaccard_micro") == 1000000L)
+  }
+
+  test("simhash: identical docs collide at Hamming 0; disjoint docs don't pair at <= 3") {
+    val fps = DedupOps.simhash(
+      tokenized(1L -> "w1 w2 w3 w1", 2L -> "w1 w2 w3 w1", 3L -> "z9 z8 z7 z6"))
+    val pairs = DedupOps.simhashPairs(fps, 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 0L)))
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),   // identical to query -> cos 1
+      (2L, Array(0.0f, 1.0f), 0),   // orthogonal -> cos 0
+      (3L, Array(1.0f, 1.0f), 0))   // cos ~ 0.7071
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.bruteForceTopK(emb, everyNth = 1000, k = 3)
+      .orderBy("rk").collect() // only vec_id 0 is a query (0 % n == 0)
+    assert(out.map(_.getAs[Long]("cand_id")).toSeq == Seq(1L, 3L, 2L))
+    assert(out.head.getAs[Long]("cos_micro") == 1000000L)
+    assert(out.last.getAs[Long]("cos_micro") == 0L)
+  }
+
+  test("sign-LSH bucketed top-k achieves >= 60% recall of brute force on the fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keys(SimilarityOps.bruteForceTopK(emb, 50, 5))
+    val lsh = keys(SimilarityOps.bucketedTopK(emb, 50, 5, bits = 4, tables = 16))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("cosine near-dup pairs are symmetric-free and thresholded") {
+    val emb = Seq(
+      (0L, Array.fill(8)(0.5f), 0),
+      (1L, Array.fill(8)(0.5f), 0),
+      (2L, Array.fill(8)(-0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.cosineNearDupPairs(emb, bits = 4, minMicro = 900000L)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden micro-fixtures for TextAnalysisOps + HashOps (language ID,
+  * quality signals, token counting, portable hashing).
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("charHash matches the hand-computed polynomial fold") {
+    // h("cat") = ((((7*31+99)%P)*31+97)%P)*31+116 % P
+    var h = 7L
+    for (c <- "cat") h = (h * 31 + c.toLong) % HashOps.P
+    val got = Seq("cat").toDF("s")
+      .select(HashOps.charHash(col("s"))).head().getLong(0)
+    assert(got == h)
+    assert(got == 306799L) // cross-checked against DuckDB list_reduce
+  }
+
+  test("rollingFingerprint is order-sensitive") {
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq("b", "a"))).toDF("doc_id", "toks")
+    val fps = df.select(HashOps.rollingFingerprint(col("toks")))
+      .collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("language ID picks the profile with most hits; ties go alphabetical") {
+    val df = Seq(
+      (1L, "the cat sat in the garden"),        // en x2 hits
+      (2L, "der hund ist nicht hier"),          // de x3
+      (3L, "xyz qqq zzz"))                      // all 0 -> tie -> de
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+    val scores = TextAnalysisOps.langScores(col("toks"))
+    val out = df.select(col("doc_id"),
+      TextAnalysisOps.predLang(scores).as("pred")).orderBy("doc_id")
+      .collect().map(_.getString(1))
+    assert(out.toSeq == Seq("en", "de", "de"))
+  }
+
+  test("quality columns compute exact counts and ratios") {
+    val df = Seq((1L, "aa bb aa !!")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), TextOps.tokenize(col("text")).as("toks"))
+    val r = df.select((col("doc_id") +:
+      TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*).head()
+    assert(r.getAs[Long]("n_chars") == 11)
+    assert(r.getAs[Long]("n_tokens") == 4)
+    assert(r.getAs[Long]("n_distinct_tokens") == 3)
+    assert(r.getAs[Double]("type_token_ratio") == 0.75)
+    assert(r.getAs[Double]("mean_token_len") == 2.0)
+    assert(r.getAs[Double]("non_alnum_ratio") == 2.0 / 11)
+  }
+
+  test("BPE-ish token count splits letters, digits, symbols") {
+    val df = Seq("ab12 cd!").toDF("text")
+    val n = df.select(TextAnalysisOps.bpeTokenCount(col("text"))).head().getLong(0)
+    // [ab][1][2][cd][!]
+    assert(n == 5)
+  }
+
+  test("MinHash permutation coefficients are in range and distinct") {
+    assert(HashOps.MinHashPerms.size == HashOps.MinHashK)
+    assert(HashOps.MinHashPerms.forall { case (a, b) =>
+      a >= 1 && a < HashOps.P && b >= 0 && b < HashOps.P })
+    assert(HashOps.MinHashPerms.distinct.size == HashOps.MinHashK)
+  }
+}
