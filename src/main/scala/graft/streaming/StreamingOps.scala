@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.ops.EventOps
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2.7 extension — the reference
+  * is strictly batch). The batch aggregation bodies in EventOps run
+  * unchanged under streaming; this module adds what only exists in a
+  * stream: watermarks (bounded state), streaming dedup, and custom
+  * per-key state via flatMapGroupsWithState.
+  *
+  * Scale: watermarks bound state size so windowed aggregations run
+  * indefinitely; state is partitioned by grouping key across executors.
+  * Sources/sinks are the caller's choice (`readStream` kafka/files/rate);
+  * tests drive these with MemoryStream.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts over a streaming events frame; late data beyond
+    * the watermark is dropped (state for closed windows is freed).
+    */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    EventOps.tumbling(events.withWatermark("ts", watermark), width)
+
+  /** Per-user session aggregation under watermark — session_window state
+    * closes once the watermark passes a session's end.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    EventOps.sessions(events.withWatermark("ts", watermark), gap)
+
+  /** Streaming exact dedup on a key: keeps the first arrival, drops
+    * re-deliveries within the watermark horizon (the streaming analogue of
+    * DedupOps.exactDuplicates; state is bounded by the watermark).
+    */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String],
+                 watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
+  /** Running per-user event counter with custom state — the
+    * KeyValueGroupedDataset.flatMapGroupsWithState pattern for semantics
+    * windows can't express (emit an update row per micro-batch with the
+    * lifetime count). NoTimeout keeps state for the stream's lifetime;
+    * production deployments bound it with EventTimeTimeout + watermark
+    * (a processing-time timeout forces perpetual empty micro-batches just
+    * to re-evaluate timers).
+    */
+  case class UserEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Convenience: the events fixture schema as a file stream — the same
+    * relation Tables.events yields, but incremental (one-file-per-trigger).
+    */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Drives the streaming surface with MemoryStream micro-batches and
+  * verifies results against the equivalent batch computation (the
+  * batch-streaming unification contract of EventOps/StreamingOps).
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    (1L, ts("2024-01-01 00:01:00"), 7L, "click", 1.0),
+    (2L, ts("2024-01-01 00:04:00"), 7L, "click", 2.0))
+  private val batch2 = Seq(
+    (3L, ts("2024-01-01 00:11:00"), 7L, "view", 3.0),
+    (2L, ts("2024-01-01 00:04:00"), 7L, "click", 2.0), // exact redelivery
+    (4L, ts("2024-01-01 00:31:00"), 8L, "view", 4.0))
+
+  test("streaming tumbling counts match the batch computation (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.tumblingCounts(df)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .orderBy("window_start", "event_type").collect()
+      val batch = graft.ops.EventOps.tumbling(
+        (batch1 ++ batch2).toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops redelivered keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.dedupByKey(df, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L)) // event 2 delivered twice, kept once
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(StreamingOps.UserEvent(7L, ts("2024-01-01 00:01:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData(StreamingOps.UserEvent(7L, ts("2024-01-01 00:02:00"), 2.0),
+        StreamingOps.UserEvent(8L, ts("2024-01-01 00:03:00"), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("running_test")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((7L, 2L, 3.0), (8L, 1L, 5.0)))
+    } finally q.stop()
+  }
+}
