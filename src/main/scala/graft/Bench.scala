@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen, shuffle machinery, parquet reader) so the
+    // first measured query doesn't absorb one-time JVM/session init.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).limit(1).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

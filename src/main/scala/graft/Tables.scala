@@ -10,8 +10,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parquet file — callers are unaffected.
   */
 object Tables {
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+
+  /** Session conf every graft entry point applies.
+    *
+    * InferFiltersFromGenerate is excluded: for `explode(<computed array>)`
+    * it synthesizes `size(arr) > 0` filters that predicate-pushdown then
+    * rewrites through the staging Project, re-evaluating the whole
+    * tokenize/shingle expression tree 3-4x per row inside the Filter
+    * (observed 1.5x slowdown on the shingle queries). Our generators
+    * already guard emptiness explicitly, so the inferred filters only
+    * duplicate work.
+    */
+  val SessionConf: Map[String, String] = Map(
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+
+  def configure(spark: SparkSession): SparkSession = {
+    SessionConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark
+  }
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

@@ -48,11 +48,16 @@ object DedupOps {
   def shingles(tokenized: DataFrame, n: Int,
                idCol: String = "doc_id"): DataFrame =
     tokenized
-      .where(size(col("toks")) >= n) // sequence(0, size-n) needs size >= n
+      // short docs yield an empty array (explode then drops them) rather
+      // than a Filter on the computed column: a pushed-down filter would
+      // re-evaluate the whole tokenize+shingle tree inside the Filter
+      // (alias substitution), tripling the scan-side work
       .select(col(idCol),
-        array_distinct(transform(
-          sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("shs"))
+        when(size(col("toks")) >= n,
+          array_distinct(transform(
+            sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+          .otherwise(array().cast("array<string>")).as("shs"))
       .select(col(idCol), explode(col("shs")).as("shingle"))
 
   /** All-pairs n-gram Jaccard via inverted-index self-join. Output:
@@ -156,6 +161,9 @@ object DedupOps {
     */
   def simhashPairs(fps: DataFrame, maxHamming: Int,
                    idCol: String = "doc_id"): DataFrame = {
+    // the Hamming filter runs BEFORE the distinct: band collisions on
+    // clustered fingerprints dominate the row count, so dedup must only see
+    // the (few) pairs that survive the distance cut
     val banded = fps.select(col(idCol), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -168,7 +176,7 @@ object DedupOps {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

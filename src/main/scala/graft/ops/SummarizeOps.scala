@@ -59,12 +59,15 @@ object SummarizeOps {
   def chunks(docs: DataFrame, chunkWords: Int, textCol: String = "text",
              idCol: String = "doc_id"): DataFrame = {
     val toks = TextOps.tokenize(col(textCol))
+    // empty docs yield an empty chunk array (posexplode drops them) rather
+    // than a Filter on the computed column — a pushed-down filter would
+    // re-evaluate the tokenize tree inside the Filter (alias substitution)
     docs.select(col(idCol), toks.as("toks"))
-      .where(size(col("toks")) > 0)
       .select(col(idCol),
-        posexplode(transform(
+        posexplode(when(size(col("toks")) > 0, transform(
           sequence(lit(0), floor((size(col("toks")) - 1) / lit(chunkWords)).cast("int")),
           i => array_join(slice(col("toks"), i * chunkWords + 1, lit(chunkWords)), " ")))
+          .otherwise(array().cast("array<string>")))
           .as(Seq("sentence_id", "sentence")))
       .select(col(idCol), col("sentence_id").cast("long"), col("sentence"))
   }

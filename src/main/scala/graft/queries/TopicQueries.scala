@@ -12,8 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object TopicQueries {
 
-  private def fitted(spark: SparkSession, dir: String) =
-    TopicPipeline.fit(Tables.documents(spark, dir))
+  /** One LDA fit per fixture dir per JVM: q40/q41 share the same model (a
+    * fit is ~10s at sf0.1; harness mains run each query independently and
+    * would otherwise pay it twice).
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, TopicPipeline.Fitted]()
+
+  private def fitted(spark: SparkSession, dir: String): TopicPipeline.Fitted =
+    cache.computeIfAbsent(dir,
+      d => TopicPipeline.fit(Tables.documents(spark, d)))
 
   /** Topic → ranked terms (A5/T2). */
   def q40TopicTerms(spark: SparkSession, dir: String): DataFrame =
