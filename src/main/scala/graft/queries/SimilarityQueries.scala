@@ -46,8 +46,12 @@ object SimilarityQueries {
       .map(d => s"CASE WHEN emb[${offset + d + 1}] > 0.0 THEN ${1L << d} ELSE 0 END")
       .mkString("(", " + ", ")")
 
+  /** Association matters: the engine computes `1e6 * (dot / (na*nb))`
+    * (CosineSim returns the ratio), NOT `(1e6*dot) / (na*nb)` — the
+    * parenthesization must match for bit-equality.
+    */
   private def cosMicroSql(aEmb: String, bEmb: String, aNrm: String, bNrm: String): String =
-    s"CAST(floor(1000000.0 * ${dotSql(aEmb, bEmb)} / ($aNrm * $bNrm)) AS BIGINT)"
+    s"CAST(floor(1000000.0 * (${dotSql(aEmb, bEmb)} / ($aNrm * $bNrm))) AS BIGINT)"
 
   // --- q28: embedding-cosine near-dup pairs (sign-LSH blocked) -----------
   def q28CosineNearDup(spark: SparkSession, dir: String): DataFrame =
