@@ -174,6 +174,30 @@ object RelationalQueries {
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus"""
 
+  // --- q14b: full cube with grouping indicators ---------------------------
+  def q14bCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"), col("g_rf"), col("g_ls"))
+      .orderBy("returnflag", "linestatus", "g_rf", "g_ls")
+
+  val q14bSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      coalesce(l_linestatus, 'ALL') AS linestatus,
+      count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus, g_rf, g_ls"""
+
   // --- q15: set operations (union / intersect / except) -------------------
   def q15SetOps(spark: SparkSession, dir: String): DataFrame = {
     val building = Tables.customer(spark, dir)
@@ -288,6 +312,7 @@ object RelationalQueries {
     "q12_region_revenue" -> (q12RegionRevenue _),
     "q13_supplier_window" -> (q13SupplierWindow _),
     "q14_rollup" -> (q14Rollup _),
+    "q14b_cube" -> (q14bCube _),
     "q15_set_ops" -> (q15SetOps _),
     "q16_semi_anti" -> (q16SemiAnti _),
     "q17_distinct_stats" -> (q17DistinctStats _),
@@ -301,6 +326,7 @@ object RelationalQueries {
     "q12_region_revenue" -> q12Sql,
     "q13_supplier_window" -> q13Sql,
     "q14_rollup" -> q14Sql,
+    "q14b_cube" -> q14bSql,
     "q15_set_ops" -> q15Sql,
     "q16_semi_anti" -> q16Sql,
     "q17_distinct_stats" -> q17Sql,

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources & sinks (SURVEY.md §2.1 S1-S5): the reference ingests uploaded
+  * PDFs (S1/S2), guards null extractions (S3), and exports CSV (S4). Here
+  * that surface is Spark-native: `binaryFile` scans for raw documents,
+  * line/whole-file text readers with per-file lineage, and header'd CSV /
+  * partitioned parquet sinks.
+  *
+  * PDF text extraction is a clearly-marked STUB (no PDF library ships in
+  * this environment): it handles only uncompressed text streams by pulling
+  * printable runs, which is deterministic and testable; production swaps
+  * in a real extractor (e.g. pdfbox) behind the same column signature.
+  *
+  * Scale: binaryFile rows carry whole payloads — size partitions by bytes
+  * (`maxPartitionBytes`), extract text EARLY, and drop `content` before
+  * any shuffle. The CSV sink writes one file per partition; a 100 TB
+  * export stays parallel (no coalesce(1) — callers merge downstream if a
+  * single file is truly required).
+  */
+object DocumentSources {
+
+  /** S1/S2: multi-file binary scan — one row per file with lineage
+    * `(path, modificationTime, length, content BINARY)`.
+    */
+  def readBinaryDocs(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+
+  /** S1 (extraction step, STUB): text from a PDF byte column. Real
+    * implementation: a PDF library over the same signature. This stub
+    * returns printable-ASCII runs (length >= 4) of uncompressed streams
+    * for payloads with the %PDF magic, null otherwise (feeding the S3
+    * null guard exactly like a failed real extraction).
+    */
+  def extractPdfText(content: Column): Column =
+    when(substring(content, 1, 4) === lit("%PDF".getBytes),
+      array_join(
+        filter(
+          split(regexp_replace(content.cast("string"), "[^\\x20-\\x7e]+", "\n"),
+            "\n"),
+          s => length(s) >= 4),
+        " "))
+      .otherwise(lit(null).cast("string"))
+
+  /** S2: text corpus from a directory of text files, one row per file with
+    * filename lineage — the closest analogue of the reference's
+    * upload-N-files loop.
+    */
+  def readWholeTextDocs(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content").cast("string").as("text"))
+
+  /** S3: the null-extraction guard (`if raw_text:`). */
+  def dropFailedExtractions(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.where(col(textCol).isNotNull && length(col(textCol)) > 0)
+
+  /** S4: header'd CSV export of the result relation. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Read back a header'd CSV with schema inference off (explicit schema
+    * beats inference at scale — one pass, no sampling job).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: String): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Scale-path sink: parquet partitioned by the given columns — the
+    * layout that makes downstream partition pruning work at 100 TB.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+}
