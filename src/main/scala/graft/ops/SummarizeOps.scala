@@ -138,4 +138,24 @@ object SummarizeOps {
     * at a word boundary if it still exceeds maxLength.
     */
   def targetSentences(maxLength: Int): Int = math.max(1, maxLength / 20)
+
+  /** T6: the reference's error-path summary (nlp_data_tagging.py:108-116) —
+    * first, middle, last sentence (deduped when they coincide), joined in
+    * document order. Expressed as explicit conditional dataflow, not
+    * exception control flow: a count window + position filter.
+    */
+  def fallbackSummary(sents: DataFrame, joiner: String = ". ",
+                      terminal: String = ".",
+                      idCol: String = "doc_id"): DataFrame = {
+    val n = Window.partitionBy(idCol)
+    val picked = sents
+      .withColumn("n_sent", count(lit(1)).over(n))
+      .where(col("sentence_id") === 0 ||
+        col("sentence_id") === floor(col("n_sent") / 2) ||
+        col("sentence_id") === col("n_sent") - 1)
+    picked.groupBy(col(idCol))
+      .agg(concat(array_join(transform(
+        array_sort(collect_list(struct(col("sentence_id"), col("sentence")))),
+        s => s.getField("sentence")), joiner), lit(terminal)).as("summary"))
+  }
 }

@@ -79,7 +79,9 @@ object TextOps {
     */
   def truncateAtWordBoundary(c: Column, maxLength: Int): Column =
     when(length(c) > maxLength,
-      concat(regexp_replace(substring(c, 1, maxLength), " \\S*$", ""), lit("...")))
+      // " [^ ]*$", not " \S*$": Python rsplit(' ') splits on the space
+      // char only, so the dropped tail may contain tabs/newlines
+      concat(regexp_replace(substring(c, 1, maxLength), " [^ ]*$", ""), lit("...")))
       .otherwise(c)
 
   /** P14: first-N-chars preview with ellipsis (nlp_data_tagging.py:496). */

@@ -142,7 +142,7 @@ object NlpQueries {
     raw"""WITH $summaryCte
     SELECT doc_id, n_sentences, summary,
       CASE WHEN length(summary) > $TruncLen
-           THEN regexp_replace(substr(summary, 1, $TruncLen), ' \S*$$', '') || '...'
+           THEN regexp_replace(substr(summary, 1, $TruncLen), ' [^ ]*$$', '') || '...'
            ELSE summary END AS summary_trunc
     FROM summary_rel ORDER BY doc_id"""
 

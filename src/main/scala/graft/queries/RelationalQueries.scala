@@ -245,6 +245,32 @@ object RelationalQueries {
       CAST(sum(CASE WHEN c_custkey NOT IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  // --- q16b: outer joins — nation coverage with zero-order nations ---------
+  def q16bOuter(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val perNation = cust.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+    nat.join(perNation, col("n_nationkey") === col("c_nationkey"), "full_outer")
+      .select(
+        coalesce(col("n_name"), lit("UNKNOWN")).as("nation"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("total_acctbal"), lit(0.0)).as("total_acctbal"))
+      .orderBy("nation")
+  }
+
+  val q16bSql: String =
+    """SELECT coalesce(n_name, 'UNKNOWN') AS nation,
+      coalesce(n_customers, 0) AS n_customers,
+      coalesce(total_acctbal, 0.0) AS total_acctbal
+    FROM nation FULL OUTER JOIN (
+      SELECT c_nationkey, count(*) AS n_customers,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+      FROM customer GROUP BY c_nationkey) c
+    ON n_nationkey = c_nationkey
+    ORDER BY nation"""
+
   // --- q17: exact distinct counts ------------------------------------------
   def q17DistinctStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -315,6 +341,7 @@ object RelationalQueries {
     "q14b_cube" -> (q14bCube _),
     "q15_set_ops" -> (q15SetOps _),
     "q16_semi_anti" -> (q16SemiAnti _),
+    "q16b_outer" -> (q16bOuter _),
     "q17_distinct_stats" -> (q17DistinctStats _),
     "q17b_approx_distinct" -> (q17bApproxDistinct _),
     "q18_top_order_values" -> (q18TopOrderValues _),
@@ -329,6 +356,7 @@ object RelationalQueries {
     "q14b_cube" -> q14bSql,
     "q15_set_ops" -> q15Sql,
     "q16_semi_anti" -> q16Sql,
+    "q16b_outer" -> q16bSql,
     "q17_distinct_stats" -> q17Sql,
     "q18_top_order_values" -> q18Sql,
     "q19_above_customer_avg" -> q19Sql)

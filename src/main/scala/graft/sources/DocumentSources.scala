@@ -71,4 +71,18 @@ object DocumentSources {
     */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** P13: the reference's timestamped export name
+    * (`datetime.now().strftime('%Y%m%d_%H%M%S')`, nlp_data_tagging.py:533)
+    * as a column expression.
+    */
+  def exportStamp(): Column =
+    date_format(current_timestamp(), "yyyyMMdd_HHmmss")
+
+  /** §2.9 wordcloud feed: the whole corpus' summaries as one string
+    * (`' '.join(summaries)`, nlp_data_tagging.py:334) — concat_ws over
+    * collect_list; the only presentation-layer aggregate the engine owns.
+    */
+  def corpusText(df: DataFrame, textCol: String = "summary"): DataFrame =
+    df.agg(concat_ws(" ", collect_list(col(textCol))).as("corpus_text"))
 }

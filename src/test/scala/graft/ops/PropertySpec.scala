@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style tests (SURVEY.md §5.2): ScalaCheck generators produce a
+  * deterministic batch of inputs (fixed seed), evaluated in ONE DataFrame
+  * per property against a pure-Scala reimplementation of the reference's
+  * Python semantics — generative coverage without per-case Spark jobs.
+  */
+class PropertySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val N = 300
+
+  private def sample[A](g: Gen[A]): Seq[A] =
+    Gen.listOfN(N, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  private val wordGen: Gen[String] = for {
+    len <- Gen.choose(1, 10)
+    cs <- Gen.listOfN(len, Gen.alphaLowerChar)
+  } yield cs.mkString
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    ws <- Gen.listOfN(n, Gen.oneOf(wordGen, Gen.oneOf(TextOps.StopWords)))
+    sep <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  ", " \t ", "\n"))
+  } yield ws.zipAll(sep :+ "", "", "").map { case (w, s) => w + s }.mkString
+
+  test("tokenize matches Python str.split() semantics on generated text") {
+    val texts = sample(textGen)
+    val got = texts.toDF("t")
+      .select(TextOps.tokenize(col("t"))).collect().map(_.getSeq[String](0))
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == t.split("\\s+").filter(_.nonEmpty).toSeq, s"text=<$t>")
+    }
+  }
+
+  test("cleanTokens: stop words and short tokens never survive; order is kept") {
+    val texts = sample(textGen)
+    val got = texts.toDF("t")
+      .select(TextOps.cleanTokens(col("t"))).collect().map(_.getSeq[String](0))
+    texts.zip(got).foreach { case (t, g) =>
+      val expected = t.split("\\s+").filter(_.nonEmpty)
+        .filter(w => w.length > 2 && !TextOps.StopWords.contains(w.toLowerCase))
+      assert(g == expected.toSeq, s"text=<$t>")
+    }
+  }
+
+  test("truncateAtWordBoundary: bounded by maxLength+3, mirrors Python rsplit") {
+    val texts = sample(textGen)
+    val maxLen = 20
+    val got = texts.toDF("t")
+      .select(col("t"), TextOps.truncateAtWordBoundary(col("t"), maxLen))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (t, g) =>
+      if (t.length <= maxLen) assert(g == t)
+      else {
+        val head = t.substring(0, maxLen)
+        val expected = (if (head.contains(' ')) {
+          val cut = head.substring(0, head.lastIndexOf(' '))
+          // Python "a b ".rsplit(' ',1)[0] drops only the trailing piece
+          cut
+        } else head) + "..."
+        assert(g == expected, s"text=<$t>")
+        assert(g.length <= maxLen + 3)
+      }
+    }
+  }
+
+  test("summarization is identity for docs with <= k sentences") {
+    val docs = sample(for {
+      n <- Gen.choose(1, 16) // chunks of 8 words -> 1-2 sentences
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val out = SummarizeOps.extractiveSummary(
+      df, SummarizeOps.chunks(df, 8), k = 2, " ", "")
+      .select("doc_id", "summary").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, t) =>
+      assert(out(id) == t, s"doc $id not identity")
+    }
+  }
+
+  test("compression ratio is in (0,1] for non-empty summaries no longer than text") {
+    val rows = sample(for {
+      t <- textGen.suchThat(_.nonEmpty)
+      cut <- Gen.choose(1, t.length)
+    } yield (t, t.substring(0, cut)))
+    val out = rows.toDF("text", "summary")
+      .select(MetricOps.compressionRatio(col("text"), col("summary")))
+      .collect().map(_.getDouble(0))
+    out.foreach(r => assert(r > 0.0 && r <= 1.0))
+  }
+
+  test("fallbackTags yields at most k distinct tags per doc, ranks contiguous") {
+    val docs = sample(textGen).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val out = TagOps.fallbackTags(docs.toDF("doc_id", "text"), 5)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("tag")).as("nd"),
+        max(col("tag_rank")).as("maxr"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") <= 5)
+      assert(r.getAs[Long]("n") == r.getAs[Long]("nd"))
+      assert(r.getAs[Long]("maxr") == r.getAs[Long]("n"))
+    }
+  }
+
+  test("fallbackSummary picks first/middle/last in document order") {
+    val sents = (0L until 7L).map(i => (1L, i, s"s$i")).toDF("doc_id", "sentence_id", "sentence")
+    val out = SummarizeOps.fallbackSummary(sents).head().getString(1)
+    assert(out == "s0. s3. s6.")
+    val one = SummarizeOps.fallbackSummary(
+      Seq((1L, 0L, "only")).toDF("doc_id", "sentence_id", "sentence"))
+      .head().getString(1)
+    assert(one == "only.")
+  }
+}
