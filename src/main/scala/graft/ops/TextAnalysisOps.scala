@@ -92,4 +92,33 @@ object TextAnalysisOps {
   def qualityPass(df: DataFrame): Column =
     (col("n_tokens") >= 5) && (col("type_token_ratio") >= 0.2) &&
       (col("non_alnum_ratio") <= 0.2) && (col("stopword_ratio") <= 0.9)
+
+  /** Boilerplate/repetition signal: fraction of n-gram occurrences that are
+    * repeats (`1 - distinct/total`), 0 for docs shorter than n. High values
+    * flag template/spam text — a standard pretraining filter.
+    */
+  def repetitionRatio(tokens: Column, n: Int): Column = {
+    val grams = when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(0.0)
+  }
+
+  /** PII scrubbing patterns — dialect-portable (no lookaround/backrefs, so
+    * Java regex and RE2 agree). Applied in order; replacement tokens keep
+    * corpus statistics debuggable.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("https?://[^ \\t\\n]+", "<URL>"),
+    ("\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"))
+
+  /** Redact emails, URLs, and phone-like digit runs. Narrow, codegen'd. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
 }

@@ -51,7 +51,8 @@ object AnalysisQueries {
     val toked = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), TextOps.tokenize(col("text")).as("toks"))
     val q = toked.select(
-      (col("doc_id") +: TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*)
+      (col("doc_id") +: TextAnalysisOps.qualityColumns(col("text"), col("toks"))) :+
+        TextAnalysisOps.repetitionRatio(col("toks"), 2).as("bigram_repetition"): _*)
     q.withColumn("quality_pass", TextAnalysisOps.qualityPass(q)).orderBy("doc_id")
   }
 
@@ -64,7 +65,10 @@ object AnalysisQueries {
       CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS type_token_ratio,
       CASE WHEN len(toks) > 0 THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_token_len,
       CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains($stopSql, lower(t)))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
-      CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS non_alnum_ratio
+      CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS non_alnum_ratio,
+      CASE WHEN len(toks) >= 2 AND len(toks) - 1 > 0
+           THEN 1.0 - CAST(len(list_distinct(list_transform(range(0, len(toks) - 1), i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]))) AS DOUBLE) / (len(toks) - 1)
+           ELSE 0.0 END AS bigram_repetition
       FROM t)
     SELECT *,
       (n_tokens >= 5 AND type_token_ratio >= 0.2 AND non_alnum_ratio <= 0.2
@@ -112,15 +116,38 @@ object AnalysisQueries {
       ${HashOps.rollingFingerprintSql("toks")} AS token_fp
     FROM t ORDER BY doc_id"""
 
+  // --- q23b: PII redaction over the corpus -------------------------------
+  // The synthetic fixture contains no PII, so redaction is the identity on
+  // it — the oracle still verifies both engines apply the exact same
+  // transform; the behavioral coverage is in TextAnalysisSpec.
+  def q23bRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysisOps.redactPii(col("text")).as("redacted"))
+      .select(col("doc_id"), length(col("redacted")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  val q23bSql: String = {
+    val redacted = TextAnalysisOps.PiiPatterns.foldLeft("text") {
+      case (c, (pat, repl)) =>
+        val p = pat.replace("\\", "\\\\").replace("'", "''")
+        s"regexp_replace($c, '$p', '$repl', 'g')"
+    }
+    s"""SELECT doc_id, CAST(length($redacted) AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_lang_id" -> (q20LangId _),
     "q21_quality" -> (q21Quality _),
     "q22_token_counts" -> (q22TokenCounts _),
-    "q23_fingerprints" -> (q23Fingerprints _))
+    "q23_fingerprints" -> (q23Fingerprints _),
+    "q23b_redact" -> (q23bRedact _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
     "q21_quality" -> q21Sql,
     "q22_token_counts" -> q22Sql,
-    "q23_fingerprints" -> q23Sql)
+    "q23_fingerprints" -> q23Sql,
+    "q23b_redact" -> q23bSql)
 }

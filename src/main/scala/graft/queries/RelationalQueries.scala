@@ -332,7 +332,68 @@ object RelationalQueries {
       FROM orders) t
     WHERE o_totalprice > cust_avg ORDER BY o_orderkey"""
 
+  // --- q19b: scalar-subquery pattern — orders above the global average ----
+  def q19bAboveGlobalAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val globalAvg = o.agg(
+      (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1)))
+        .as("global_avg"))
+    o.crossJoin(broadcast(globalAvg))
+      .where(col("o_totalprice") > col("global_avg"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q19bSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+      FROM orders)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** q17c: dispersion statistics with cross-engine-exact semantics —
+    * quantities are scaled to exact integer centi-units, the group keeps
+    * exact Int64 sums (Σq, Σq²), and stddev is ONE float expression over
+    * them: `sqrt((n*Σq² - Σq²)/(n*(n-1)))/100`. No float partial
+    * aggregation, so the result is order-independent. (At 100 TB the exact
+    * sums need DECIMAL(38) or a shifted-mean formulation — n*Σq² must stay
+    * under 2^63.)
+    */
+  def q17cStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qi"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qi")).as("sumq"),
+        sum(col("qi") * col("qi")).as("sumq2"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sumq").cast("double") / col("n") / 100.0).as("mean_qty"),
+        (sqrt((col("n") * col("sumq2") - col("sumq") * col("sumq")).cast("double")
+          / (col("n") * (col("n") - 1))) / 100.0).as("stddev_qty"))
+      .orderBy("l_returnflag")
+
+  val q17cSql: String =
+    """WITH s AS (
+      SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS qi
+      FROM lineitem),
+    g AS (
+      SELECT l_returnflag, count(*) AS n,
+        CAST(sum(qi) AS BIGINT) AS sumq, CAST(sum(qi * qi) AS BIGINT) AS sumq2
+      FROM s GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      CAST(sumq AS DOUBLE) / n / 100.0 AS mean_qty,
+      sqrt(CAST(n * sumq2 - sumq * sumq AS DOUBLE) / (n * (n - 1))) / 100.0 AS stddev_qty
+    FROM g ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17c_stats" -> (q17cStats _),
+    "q19b_above_global_avg" -> (q19bAboveGlobalAvg _),
     "q10_pricing_summary" -> (q10PricingSummary _),
     "q11_top_orders" -> (q11TopOrders _),
     "q12_region_revenue" -> (q12RegionRevenue _),
@@ -348,6 +409,8 @@ object RelationalQueries {
     "q19_above_customer_avg" -> (q19AboveCustomerAvg _))
 
   val oracleSql: Map[String, String] = Map(
+    "q17c_stats" -> q17cSql,
+    "q19b_above_global_avg" -> q19bSql,
     "q10_pricing_summary" -> q10Sql,
     "q11_top_orders" -> q11Sql,
     "q12_region_revenue" -> q12Sql,

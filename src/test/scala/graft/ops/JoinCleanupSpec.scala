@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Tests for the salted skew join and the PII/repetition text cleanup. */
+class JoinCleanupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("saltedJoin equals the plain join on a 1:N relationship") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, "o_custkey")
+      .select("o_orderkey", "c_name").orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    val salted = JoinOps.saltedJoin(orders, cust, "o_custkey", salts = 7)
+      .select("o_orderkey", "c_name").orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
+  test("redactPii masks emails, urls, phone runs; leaves clean text alone") {
+    val rows = Seq(
+      (1L, "contact me at jane.doe+x@example.org today"),
+      (2L, "see https://example.com/a?b=c#d for details"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "perfectly clean prose with no identifiers"))
+      .toDF("id", "text")
+    val out = rows.select(col("id"),
+      TextAnalysisOps.redactPii(col("text")).as("r"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) == "contact me at <EMAIL> today")
+    assert(out(1) == "see <URL> for details")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "perfectly clean prose with no identifiers")
+  }
+
+  test("repetitionRatio: 0 for all-distinct, high for repeated template") {
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d")),               // bigrams all distinct -> 0
+      (2L, Seq("x", "y", "x", "y", "x", "y")),     // bigrams {xy,yx} over 5 -> 1 - 2/5
+      (3L, Seq("lone")))                           // shorter than n -> 0
+      .toDF("id", "toks")
+    val out = rows.select(col("id"),
+      TextAnalysisOps.repetitionRatio(col("toks"), 2).as("r"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(out(0) == 0.0)
+    assert(math.abs(out(1) - (1.0 - 2.0 / 5.0)) < 1e-15)
+    assert(out(2) == 0.0)
+  }
+}
