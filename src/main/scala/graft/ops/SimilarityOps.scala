@@ -104,6 +104,39 @@ object SimilarityOps {
       .where(col("rk") <= k)
   }
 
+  /** Aggregator-based brute-force kNN — same contract and tie rules as
+    * bruteForceTopK but per-query top-k runs through the typed bounded-heap
+    * Aggregator (graft.functions.TopKAggregator): partial aggregation
+    * reduces each map task's candidates to k BEFORE the shuffle, so the
+    * exchange carries tasks×k rows instead of every scored candidate — the
+    * preferred shape when N(candidates) >> k at cluster scale.
+    */
+  def bruteForceTopKAgg(embeddings: DataFrame, everyNth: Int, k: Int): DataFrame = {
+    import graft.functions.TopKAggregator
+    val p = prepared(embeddings)
+    val q = p.where(col("vec_id") % everyNth === 0).toDF("query_id", "q_emb")
+    val scored = p.toDF("cand_id", "c_emb")
+      .join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    scored
+      .select(col("query_id"),
+        col("cand_id").as("id"), col("cos_micro").as("score"))
+      .as[(Long, Long, Long)]
+      .map { case (qid, id, s) => (qid, TopKAggregator.Scored(id, s)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopKAggregator.TopK(k).toColumn)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case (s, i) =>
+          (qid, s.id, s.score, (i + 1).toLong)
+        }
+      }
+      .toDF("query_id", "cand_id", "cos_micro", "rk")
+  }
+
   /** Embedding-cosine near-duplicate pairs, sign-LSH blocked: pairs sharing
     * a bucket with scaled cosine >= minMicro. The embedding-space analogue
     * of DedupOps.simhashPairs.

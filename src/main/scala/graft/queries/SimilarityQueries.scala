@@ -118,13 +118,21 @@ object SimilarityQueries {
     WHERE rk <= $TopK ORDER BY query_id, rk"""
   }
 
+  // --- q29c: aggregator-based kNN (same semantics, partial-aggregable) ---
+  def q29cKnnAgg(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.bruteForceTopKAgg(
+      Tables.embeddings(spark, dir), QueryEveryNth, TopK)
+      .orderBy("query_id", "rk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_cosine_near_dup" -> (q28CosineNearDup _),
     "q29_knn_brute" -> (q29KnnBrute _),
-    "q29b_knn_lsh" -> (q29bKnnLsh _))
+    "q29b_knn_lsh" -> (q29bKnnLsh _),
+    "q29c_knn_agg" -> (q29cKnnAgg _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_cosine_near_dup" -> q28Sql,
     "q29_knn_brute" -> q29Sql,
-    "q29b_knn_lsh" -> q29bSql)
+    "q29b_knn_lsh" -> q29bSql,
+    "q29c_knn_agg" -> q29Sql) // identical contract to the window formulation
 }

@@ -70,6 +70,15 @@ object StreamingOps {
       }
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (slowly-changing) static dimension — the standard pattern for
+    * attaching user/content metadata to an event stream. The static side
+    * is re-planned per batch, so broadcast selection applies normally; no
+    * watermark is needed because no stream-stream state accumulates.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
   /** Convenience: the events fixture schema as a file stream — the same
     * relation Tables.events yields, but incremental (one-file-per-trigger).
     */

@@ -58,6 +58,22 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins dimension rows per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.enrich(df, dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      val tiers = spark.table("enrich_test").select("event_id", "tier")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(tiers == Set((1L, "gold"), (2L, "gold")))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingOps.UserEvent]
