@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.{DedupOps, TextAnalysisOps, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation — the composite flow an LLM data
+  * pipeline runs at 100 TB, built entirely from the operator library:
+  *
+  *   1. PII redaction (narrow)
+  *   2. quality gate: token/repetition/symbol heuristics (narrow)
+  *   3. exact dedup: keep each text group's min-id doc (one shuffle)
+  *   4. near-dup removal: 5-gram Jaccard inverted-index pairs; a doc is
+  *      dropped when it near-duplicates a SMALLER-id doc (deterministic
+  *      greedy; one shingle join)
+  *
+  * Every stage is SQL-expressible, so the whole composite is verified
+  * end-to-end against the DuckDB oracle (q50). Stage order matters at
+  * scale: narrow filters run before any shuffle so dedup only pays for
+  * surviving rows.
+  */
+object CurationPipeline {
+
+  val NearDupMinMicro = 500000L
+  val ShingleN = 5
+
+  /** Returns the curated corpus `(doc_id, text, n_tokens)`. */
+  def curate(docs: DataFrame): DataFrame = {
+    // 1-2: redact + quality gate (narrow, no shuffle)
+    val redacted = docs.select(col("doc_id"),
+      TextAnalysisOps.redactPii(col("text")).as("text"))
+    val toked = redacted.select(col("doc_id"), col("text"),
+      TextOps.tokenize(col("text")).as("toks"))
+    val quality = toked.select(
+      (Seq(col("doc_id"), col("text"), col("toks")) ++
+        TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*)
+    val passed = quality.where(TextAnalysisOps.qualityPass(quality))
+      .select("doc_id", "text", "toks")
+    // 3: exact dedup — survivors are each text group's min id
+    val exact = passed
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("text")))
+      .where(col("doc_id") === col("canonical_id"))
+      .select("doc_id", "text", "toks")
+    // 4: near-dup removal — drop docs that near-duplicate a smaller id
+    val pairs = DedupOps.jaccardPairs(
+      DedupOps.shingles(exact.select("doc_id", "toks"), ShingleN),
+      NearDupMinMicro)
+    val drops = pairs.select(col("id_b").as("doc_id")).distinct()
+    exact.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"),
+        size(col("toks")).cast("long").as("n_tokens"))
+  }
+}

@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.TopicQueries.queries
+      graft.queries.TopicQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.AnalysisQueries.oracleSql ++
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
-      graft.queries.EventQueries.oracleSql
+      graft.queries.EventQueries.oracleSql ++
+      graft.queries.CurationQueries.oracleSql
 }

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{CurationPipeline, Tables}
+import graft.ops.TextAnalysisOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composite corpus-curation flow (CurationPipeline) as one
+  * oracle-verified query: redact → quality gate → exact dedup → near-dup
+  * removal, end to end.
+  */
+object CurationQueries {
+
+  import SqlDefs._
+
+  def q50CuratedCorpus(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.curate(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  val q50Sql: String = {
+    val redacted = TextAnalysisOps.PiiPatterns.foldLeft("text") {
+      case (c, (pat, repl)) =>
+        val p = pat.replace("\\", "\\\\").replace("'", "''")
+        s"regexp_replace($c, '$p', '$repl', 'g')"
+    }
+    val n = CurationPipeline.ShingleN
+    s"""WITH red AS (SELECT doc_id, $redacted AS text FROM documents),
+    t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM red),
+    q AS (SELECT doc_id, text, toks,
+      len(toks) AS n_tokens,
+      CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS ttr,
+      CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains($stopSql, lower(x)))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio,
+      CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS non_alnum
+      FROM t),
+    passed AS (
+      SELECT doc_id, text, toks FROM q
+      WHERE n_tokens >= 5 AND ttr >= 0.2 AND non_alnum <= 0.2 AND stop_ratio <= 0.9),
+    exact AS (
+      SELECT doc_id, text, toks FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY text) AS cid FROM passed)
+      WHERE doc_id = cid),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(0, len(toks) - $n + 1),
+        i -> array_to_string(toks[(CAST(i AS INT)+1):(CAST(i AS INT)+$n)], ' ')))) AS shingle
+      FROM exact WHERE len(toks) >= $n),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= ${CurationPipeline.NearDupMinMicro}),
+    drops AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT e.doc_id, e.text, CAST(len(e.toks) AS BIGINT) AS n_tokens
+    FROM exact e LEFT JOIN drops d ON e.doc_id = d.id_b
+    WHERE d.id_b IS NULL
+    ORDER BY e.doc_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_curated_corpus" -> (q50CuratedCorpus _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_curated_corpus" -> q50Sql)
+}
