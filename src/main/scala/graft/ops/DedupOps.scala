@@ -131,6 +131,33 @@ object DedupOps {
       .where(col("est_jaccard_micro") >= minEstMicro)
   }
 
+  /** MLlib-native near-dup path: HashingTF binary term vectors →
+    * `MinHashLSH.approxSimilarityJoin`. Same algorithm family as
+    * minhashPairs but using Spark ML's hash functions — NOT oracle-portable
+    * (MLlib's seeded hashes have no DuckDB twin), so its query is
+    * rows-only-checked; agreement with the portable implementation is the
+    * unit-level check. Prefer this at scale when MLlib pipelines already
+    * produce feature vectors; prefer minhashPairs when cross-engine
+    * verifiability matters.
+    */
+  def minhashPairsMllib(tokenized: DataFrame, threshold: Double,
+                        numTables: Int = 8,
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    // MinHashLSH rejects all-zero vectors: empty-token docs can't near-dup
+    // anything anyway, drop them before hashing
+    val feats = tf.transform(tokenized.where(size(col("toks")) > 0))
+    val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setSeed(42L).fit(feats)
+    model.approxSimilarityJoin(feats, feats, threshold, "jaccard_dist")
+      .select(col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        col("jaccard_dist"))
+      .where(col("id_a") < col("id_b"))
+  }
+
   /** SimHash bit width. */
   val SimHashBits = 32
 

@@ -109,6 +109,24 @@ object DedupQueries {
     ORDER BY id_a, id_b"""
   }
 
+  // --- q26b: MLlib MinHashLSH variant (rows-only — MLlib hashes have no
+  // DuckDB twin; agreement with the portable q26 path is unit-tested) -----
+  // Hash SHINGLE sets (near-unique), not raw tokens: with the corpus'
+  // ~40-word vocabulary, token-level MinHash buckets collide massively and
+  // approxSimilarityJoin's candidate set explodes (observed 600s at sf0.1
+  // vs ~3s on shingles). The threshold is a Jaccard DISTANCE bound.
+  def q26bMinhashMllib(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = tokenized(spark, dir)
+      .select(col("doc_id"),
+        when(size(col("toks")) >= ShingleN,
+          array_distinct(transform(
+            sequence(lit(0), size(col("toks")) - ShingleN),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(ShingleN))))))
+          .otherwise(array().cast("array<string>")).as("toks"))
+    DedupOps.minhashPairsMllib(shingled, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   // --- q27: SimHash near-dup pairs ---------------------------------------
   def q27Simhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhashPairs(
@@ -145,6 +163,7 @@ object DedupQueries {
     "q24_exact_dup" -> (q24ExactDup _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
+    "q26b_minhash_mllib" -> (q26bMinhashMllib _),
     "q27_simhash" -> (q27Simhash _))
 
   val oracleSql: Map[String, String] = Map(

@@ -48,6 +48,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("est_jaccard_micro") == 1000000L)
   }
 
+  test("MLlib MinHashLSH finds the same identical-doc pair as the portable path") {
+    val toked = tokenized(
+      1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v")
+    val pairs = DedupOps.minhashPairsMllib(toked, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 == 0.0) // identical shingle sets -> distance 0
+  }
+
   test("simhash: identical docs collide at Hamming 0; disjoint docs don't pair at <= 3") {
     val fps = DedupOps.simhash(
       tokenized(1L -> "w1 w2 w3 w1", 2L -> "w1 w2 w3 w1", 3L -> "z9 z8 z7 z6"))
