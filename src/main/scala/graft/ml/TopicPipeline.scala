@@ -50,7 +50,11 @@ object TopicPipeline {
     withBigrams.withColumn("terms", concat(col("tokens"), col("bigrams")))
   }
 
-  /** Fit vocabulary + LDA on the corpus (k clamped to corpus size). */
+  /** Fit vocabulary + LDA on the corpus (k clamped to corpus size).
+    * The vectorized corpus is cached for the fit: the online optimizer
+    * makes maxIter mini-batch passes, each of which would otherwise
+    * recompute the tokenize→NGram→CountVectorizer chain from the scan.
+    */
   def fit(docs: DataFrame, cfg: Config = Config()): Fitted = {
     val corpus = featurize(docs)
     val cv = new CountVectorizer()
@@ -58,6 +62,8 @@ object TopicPipeline {
       .setVocabSize(cfg.vocabSize).setMinDF(1.0).setMaxDF(cfg.maxDF)
       .fit(corpus)
     val vectorized = cv.transform(corpus)
+      .select("doc_id", "features")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = math.max(2, math.min(cfg.k, vectorized.count().toInt))
     val lda = new LDA()
       .setK(k).setMaxIter(cfg.maxIter).setSeed(cfg.seed)
