@@ -150,6 +150,62 @@ object RelationalQueries {
       FROM lineitem) t
     WHERE rn <= 3 ORDER BY l_suppkey, rn"""
 
+  // --- q13b: analytic windows — lag/lead + bounded moving frame -----------
+  def q13bAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val frame = byDate.rowsBetween(-2, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
+        // exact 3-row moving sum: DECIMAL accumulation, one final cast
+        sum(dec(col("o_totalprice"))).over(frame).cast("double")
+          .as("moving_sum_3"),
+        row_number().over(byDate).cast("long").as("order_seq"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  val q13bSql: String =
+    """SELECT o_custkey, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+      lag(o_totalprice, 1) OVER w AS prev_price,
+      lead(o_totalprice, 1) OVER w AS next_price,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_3,
+      CAST(row_number() OVER w AS BIGINT) AS order_seq
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    ORDER BY o_custkey, order_seq"""
+
+  // --- q13c: correlated-subquery pattern (TPC-H Q2 shape) — cheapest
+  // supplier per part, decorrelated as a min-aggregate self-join ----------
+  def q13cMinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val minPrice = li.groupBy("l_partkey")
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    li.join(minPrice, Seq("l_partkey"))
+      .where(col("l_extendedprice") === col("min_price"))
+      .groupBy("l_partkey")
+      .agg(min(col("l_suppkey")).as("cheapest_suppkey"), // dedup exact ties
+        min(col("min_price")).as("min_price"))
+      .orderBy("l_partkey")
+      .limit(100)
+  }
+
+  val q13cSql: String =
+    """SELECT l_partkey, CAST(min(l_suppkey) AS BIGINT) AS cheapest_suppkey,
+      min(l_extendedprice) AS min_price
+    FROM lineitem l
+    WHERE l_extendedprice = (
+      SELECT min(l_extendedprice) FROM lineitem i
+      WHERE i.l_partkey = l.l_partkey)
+    GROUP BY l_partkey ORDER BY l_partkey LIMIT 100"""
+
   // --- q14: rollup aggregation with grouping indicators -------------------
   def q14Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -398,6 +454,8 @@ object RelationalQueries {
     "q11_top_orders" -> (q11TopOrders _),
     "q12_region_revenue" -> (q12RegionRevenue _),
     "q13_supplier_window" -> (q13SupplierWindow _),
+    "q13b_analytics" -> (q13bAnalytics _),
+    "q13c_min_cost_supplier" -> (q13cMinCostSupplier _),
     "q14_rollup" -> (q14Rollup _),
     "q14b_cube" -> (q14bCube _),
     "q15_set_ops" -> (q15SetOps _),
@@ -415,6 +473,8 @@ object RelationalQueries {
     "q11_top_orders" -> q11Sql,
     "q12_region_revenue" -> q12Sql,
     "q13_supplier_window" -> q13Sql,
+    "q13b_analytics" -> q13bSql,
+    "q13c_min_cost_supplier" -> q13cSql,
     "q14_rollup" -> q14Sql,
     "q14b_cube" -> q14bSql,
     "q15_set_ops" -> q15Sql,
