@@ -137,6 +137,53 @@ object SimilarityOps {
       .toDF("query_id", "cand_id", "cos_micro", "rk")
   }
 
+  /** IVF (inverted-file) top-k: KMeans partitions the vector space into
+    * nCells centroids; each query probes only the nProbe nearest cells and
+    * reranks their members exactly. The other classic ANN scale path next
+    * to sign-LSH: cluster-adaptive cells fit real data distributions
+    * better than fixed hyperplanes (higher recall at the same candidate
+    * budget), at the cost of a training pass. Not oracle-portable (KMeans
+    * has no DuckDB twin) — recall vs brute force is the check.
+    *
+    * At 100 TB the cell id is the partitioning/bucketing key: a probe
+    * touches nProbe partitions instead of scanning the corpus.
+    */
+  def ivfTopK(embeddings: DataFrame, everyNth: Int, k: Int,
+              nCells: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val p = prepared(embeddings)
+      .withColumn("fvec", array_to_vector(col("emb")))
+    val km = new KMeans().setK(nCells).setSeed(42L)
+      .setFeaturesCol("fvec").setPredictionCol("cell").fit(p)
+    val assigned = km.transform(p).select(col("vec_id"), col("emb"),
+      col("cell").cast("long").as("cell"))
+    // centroid table is tiny: broadcast-join queries to their nProbe cells
+    val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c.toArray)
+    }
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
+    val q = assigned.where(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val qCells = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        cosineMicro(col("q_emb"), col("centroid")).as("cdist"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cdist").desc, col("cell").asc)))
+      .where(col("rk") <= nProbe)
+      .select("query_id", "q_emb", "cell")
+    val scored = qCells
+      .join(assigned.toDF("cand_id", "c_emb", "cell"), Seq("cell"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+      .distinct()
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, sign-LSH blocked: pairs sharing
     * a bucket with scaled cosine >= minMicro. The embedding-space analogue
     * of DedupOps.simhashPairs.

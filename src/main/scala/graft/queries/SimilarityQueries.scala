@@ -124,11 +124,18 @@ object SimilarityQueries {
       Tables.embeddings(spark, dir), QueryEveryNth, TopK)
       .orderBy("query_id", "rk")
 
+  // --- q29d: IVF top-k (KMeans cells, rows-only — no DuckDB KMeans) ------
+  def q29dKnnIvf(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.ivfTopK(Tables.embeddings(spark, dir),
+      QueryEveryNth, TopK, nCells = 16, nProbe = 4)
+      .orderBy("query_id", "rk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_cosine_near_dup" -> (q28CosineNearDup _),
     "q29_knn_brute" -> (q29KnnBrute _),
     "q29b_knn_lsh" -> (q29bKnnLsh _),
-    "q29c_knn_agg" -> (q29cKnnAgg _))
+    "q29c_knn_agg" -> (q29cKnnAgg _),
+    "q29d_knn_ivf" -> (q29dKnnIvf _))
 
   val oracleSql: Map[String, String] = Map(
     "q28_cosine_near_dup" -> q28Sql,

@@ -90,6 +90,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF top-k achieves >= 60% recall of brute force on the fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keys(SimilarityOps.bruteForceTopK(emb, 50, 5))
+    val ivf = keys(SimilarityOps.ivfTopK(emb, 50, 5, nCells = 16, nProbe = 4))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("cosine near-dup pairs are symmetric-free and thresholded") {
     val emb = Seq(
       (0L, Array.fill(8)(0.5f), 0),
