@@ -85,4 +85,16 @@ object DocumentSources {
     */
   def corpusText(df: DataFrame, textCol: String = "summary"): DataFrame =
     df.agg(concat_ws(" ", collect_list(col(textCol))).as("corpus_text"))
+
+  /** Bucketed-table sink: `bucketBy(key) + sortBy(key) + saveAsTable`.
+    * Two tables bucketed the same way join WITHOUT a shuffle (and with
+    * sorted buckets, without a sort) — the standard layout investment for
+    * repeated fact-fact joins at 100 TB: pay one write-side shuffle, then
+    * every downstream join on the key is exchange-free.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

@@ -58,6 +58,27 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file stream over the events fixture matches the batch relation") {
+    val dir = "/root/testdata/sf0.001"
+    // file streams read directories: stage the fixture file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val streamed = StreamingOps.eventsFileStream(spark, streamDir.toString)
+    val q = streamed.groupBy("event_type").count()
+      .writeStream.format("memory").queryName("filestream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("filestream_test").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = graft.Tables.events(spark, dir).groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins dimension rows per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
