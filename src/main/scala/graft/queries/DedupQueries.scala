@@ -127,6 +127,24 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // --- q26c: edit-distance near-dups, blocked by (source, lang) ----------
+  val EditMaxDist = 40
+
+  def q26cEditDistance(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.editDistancePairs(Tables.documents(spark, dir),
+      Seq("source", "lang"), EditMaxDist)
+      .orderBy("id_a", "id_b")
+
+  val q26cSql: String =
+    s"""SELECT a.source || '|' || a.lang AS block,
+      a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE abs(length(a.text) - length(b.text)) <= $EditMaxDist
+      AND levenshtein(a.text, b.text) <= $EditMaxDist
+    ORDER BY id_a, id_b"""
+
   // --- q27: SimHash near-dup pairs ---------------------------------------
   def q27Simhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhashPairs(
@@ -164,11 +182,13 @@ object DedupQueries {
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q26b_minhash_mllib" -> (q26bMinhashMllib _),
+    "q26c_edit_distance" -> (q26cEditDistance _),
     "q27_simhash" -> (q27Simhash _))
 
   val oracleSql: Map[String, String] = Map(
     "q24_exact_dup" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
     "q26_minhash_lsh" -> q26Sql,
+    "q26c_edit_distance" -> q26cSql,
     "q27_simhash" -> q27Sql)
 }

@@ -35,6 +35,24 @@ object EventQueries {
       min(k) AS min_k, max(k) AS max_k, count(DISTINCT k) AS n_distinct_k
     FROM e GROUP BY event_type ORDER BY event_type"""
 
+  // --- q31b: structured JSON parse (from_json with a declared schema) ----
+  def q31bJsonStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("parsed", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+      .select(col("event_type"), col("parsed.k").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type", "k_bucket")
+
+  val q31bSql: String =
+    """WITH e AS (
+      SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type, k % 10 AS k_bucket, count(*) AS n,
+      CAST(sum(k) AS BIGINT) AS sum_k
+    FROM e GROUP BY event_type, k % 10 ORDER BY event_type, k_bucket"""
+
   // --- q32: tumbling windows ---------------------------------------------
   def q32Tumbling(spark: SparkSession, dir: String): DataFrame =
     EventOps.tumbling(Tables.events(spark, dir))
@@ -84,12 +102,14 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_json_stats" -> (q31JsonStats _),
+    "q31b_json_struct" -> (q31bJsonStruct _),
     "q32_tumbling" -> (q32Tumbling _),
     "q33_sliding" -> (q33Sliding _),
     "q34_sessions" -> (q34Sessions _))
 
   val oracleSql: Map[String, String] = Map(
     "q31_json_stats" -> q31Sql,
+    "q31b_json_struct" -> q31bSql,
     "q32_tumbling" -> q32Sql,
     "q33_sliding" -> q33Sql,
     "q34_sessions" -> q34Sql)
