@@ -218,8 +218,12 @@ object DedupOps {
                    idCol: String = "doc_id"): DataFrame = {
     // the Hamming filter runs BEFORE the distinct: band collisions on
     // clustered fingerprints dominate the row count, so dedup must only see
-    // the (few) pairs that survive the distance cut
-    val banded = fps.select(col(idCol), col("simhash"),
+    // the (few) pairs that survive the distance cut. The fingerprint frame
+    // is persisted: both sides of the self-join would otherwise recompute
+    // the full tf/hash aggregation chain (a fingerprint row is 16 bytes —
+    // the cache is tiny at any corpus size).
+    val cached = fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = cached.select(col(idCol), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*))

@@ -111,6 +111,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("charHash matches the pure-Scala polynomial fold on generated strings") {
+    def model(s: String): Long = {
+      var h = HashOps.Seed
+      for (c <- s) h = (h * 31 + c.toLong) % HashOps.P
+      h
+    }
+    val texts = sample(wordGen) ++ Seq("", "a", "zz")
+    val got = texts.toDF("t")
+      .select(HashOps.charHash(col("t"))).collect().map(_.getLong(0))
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == model(t), s"text=<$t>")
+    }
+  }
+
   test("fallbackSummary picks first/middle/last in document order") {
     val sents = (0L until 7L).map(i => (1L, i, s"s$i")).toDF("doc_id", "sentence_id", "sentence")
     val out = SummarizeOps.fallbackSummary(sents).head().getString(1)
