@@ -60,9 +60,35 @@ object CurationQueries {
     ORDER BY e.doc_id"""
   }
 
+  // --- q51: deterministic hash-based train/val/test split ----------------
+  // Splitting on a content hash (not doc_id, not rand()) keeps assignment
+  // stable under re-ingestion and reshuffling — the reproducible-split
+  // pattern for training corpora. Portable hash → oracle-exact.
+  def q51Split(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.ops.HashOps.charHash(col("text")).as("h"))
+      .select(col("doc_id"),
+        when(col("h") % 10 < 8, "train")
+          .when(col("h") % 10 === 8, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+
+  val q51Sql: String =
+    s"""WITH h AS (
+      SELECT doc_id, ${graft.ops.HashOps.charHashSql("text")} AS h FROM documents)
+    SELECT CASE WHEN h % 10 < 8 THEN 'train'
+                WHEN h % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split,
+      count(*) AS n_docs
+    FROM h GROUP BY 1 ORDER BY split"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q50_curated_corpus" -> (q50CuratedCorpus _))
+    "q50_curated_corpus" -> (q50CuratedCorpus _),
+    "q51_split" -> (q51Split _))
 
   val oracleSql: Map[String, String] = Map(
-    "q50_curated_corpus" -> q50Sql)
+    "q50_curated_corpus" -> q50Sql,
+    "q51_split" -> q51Sql)
 }
