@@ -34,7 +34,7 @@ object CurationPipeline {
     val quality = toked.select(
       (Seq(col("doc_id"), col("text"), col("toks")) ++
         TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*)
-    val passed = quality.where(TextAnalysisOps.qualityPass(quality))
+    val passed = quality.where(TextAnalysisOps.qualityPass)
       .select("doc_id", "text", "toks")
     // 3: exact dedup — survivors are each text group's min id
     val exact = passed

@@ -28,7 +28,7 @@ object JoinOps {
                  salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(salts)))
+      pmod(xxhash64(struct(skewed.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>")))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Training-data text analysis: language ID, quality scoring, token
@@ -86,10 +86,11 @@ object TextAnalysisOps {
         .as("non_alnum_ratio"))
   }
 
-  /** Composite quality gate mirroring common pretraining filters: enough
-    * tokens, not too repetitive, mostly alphanumeric, some stopwords.
+  /** Composite quality gate over the qualityColumns output attributes:
+    * enough tokens, not too repetitive, mostly alphanumeric, bounded
+    * stopword density.
     */
-  def qualityPass(df: DataFrame): Column =
+  def qualityPass: Column =
     (col("n_tokens") >= 5) && (col("type_token_ratio") >= 0.2) &&
       (col("non_alnum_ratio") <= 0.2) && (col("stopword_ratio") <= 0.9)
 

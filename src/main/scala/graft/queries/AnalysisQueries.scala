@@ -53,7 +53,7 @@ object AnalysisQueries {
     val q = toked.select(
       (col("doc_id") +: TextAnalysisOps.qualityColumns(col("text"), col("toks"))) :+
         TextAnalysisOps.repetitionRatio(col("toks"), 2).as("bigram_repetition"): _*)
-    q.withColumn("quality_pass", TextAnalysisOps.qualityPass(q)).orderBy("doc_id")
+    q.withColumn("quality_pass", TextAnalysisOps.qualityPass).orderBy("doc_id")
   }
 
   val q21Sql: String =
