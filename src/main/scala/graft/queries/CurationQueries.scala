@@ -84,11 +84,33 @@ object CurationQueries {
       count(*) AS n_docs
     FROM h GROUP BY 1 ORDER BY split"""
 
+  // --- q52: deterministic stratified downsampling ------------------------
+  // Keep ~30% per language stratum, selected by content hash: the sample
+  // is reproducible across runs/reshuffles (rand()/sample() are not) and
+  // exactly verifiable. The pattern for language-balanced corpus capping.
+  def q52StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.ops.HashOps.charHash(col("text")).as("h"))
+      .where(col("h") % 100 < 30)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+
+  val q52Sql: String =
+    s"""WITH h AS (
+      SELECT doc_id, lang, ${graft.ops.HashOps.charHashSql("text")} AS h
+      FROM documents)
+    SELECT lang, count(*) AS n_sampled, CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM h WHERE h % 100 < 30 GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_curated_corpus" -> (q50CuratedCorpus _),
-    "q51_split" -> (q51Split _))
+    "q51_split" -> (q51Split _),
+    "q52_stratified_sample" -> (q52StratifiedSample _))
 
   val oracleSql: Map[String, String] = Map(
     "q50_curated_corpus" -> q50Sql,
-    "q51_split" -> q51Sql)
+    "q51_split" -> q51Sql,
+    "q52_stratified_sample" -> q52Sql)
 }
