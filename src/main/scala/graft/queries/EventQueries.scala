@@ -53,6 +53,29 @@ object EventQueries {
       CAST(sum(k) AS BIGINT) AS sum_k
     FROM e GROUP BY event_type, k % 10 ORDER BY event_type, k_bucket"""
 
+  // --- q31c: pivot — per-user event-type matrix --------------------------
+  // Spark's pivot() with explicit values (never leave values implicit at
+  // scale: implicit pivot runs a distinct scan first). The oracle uses
+  // FILTER aggregation — the portable relational form of the same shape.
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q31cPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("user_id")
+
+  val q31cSql: String = {
+    val cols = EventTypes.map(t =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n      ")
+    s"""SELECT user_id,
+      $cols
+    FROM events GROUP BY user_id ORDER BY user_id"""
+  }
+
   // --- q32: tumbling windows ---------------------------------------------
   def q32Tumbling(spark: SparkSession, dir: String): DataFrame =
     EventOps.tumbling(Tables.events(spark, dir))
@@ -103,6 +126,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_json_stats" -> (q31JsonStats _),
     "q31b_json_struct" -> (q31bJsonStruct _),
+    "q31c_pivot" -> (q31cPivot _),
     "q32_tumbling" -> (q32Tumbling _),
     "q33_sliding" -> (q33Sliding _),
     "q34_sessions" -> (q34Sessions _))
@@ -110,6 +134,7 @@ object EventQueries {
   val oracleSql: Map[String, String] = Map(
     "q31_json_stats" -> q31Sql,
     "q31b_json_struct" -> q31bSql,
+    "q31c_pivot" -> q31cSql,
     "q32_tumbling" -> q32Sql,
     "q33_sliding" -> q33Sql,
     "q34_sessions" -> q34Sql)
