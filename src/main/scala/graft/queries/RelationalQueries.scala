@@ -62,6 +62,22 @@ object RelationalQueries {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  // --- q10b: time-dimension aggregation (year/quarter revenue) -----------
+  def q10bRevenueByQuarter(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("yr", "qtr")
+
+  val q10bSql: String =
+    """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+      CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr,
+      count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1, 2 ORDER BY yr, qtr"""
+
   // --- q11: top unshipped-revenue orders (TPC-H Q3 pattern) --------------
   def q11TopOrders(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-06-01").cast("timestamp")
@@ -451,6 +467,7 @@ object RelationalQueries {
     "q17c_stats" -> (q17cStats _),
     "q19b_above_global_avg" -> (q19bAboveGlobalAvg _),
     "q10_pricing_summary" -> (q10PricingSummary _),
+    "q10b_revenue_by_quarter" -> (q10bRevenueByQuarter _),
     "q11_top_orders" -> (q11TopOrders _),
     "q12_region_revenue" -> (q12RegionRevenue _),
     "q13_supplier_window" -> (q13SupplierWindow _),
@@ -470,6 +487,7 @@ object RelationalQueries {
     "q17c_stats" -> q17cSql,
     "q19b_above_global_avg" -> q19bSql,
     "q10_pricing_summary" -> q10Sql,
+    "q10b_revenue_by_quarter" -> q10bSql,
     "q11_top_orders" -> q11Sql,
     "q12_region_revenue" -> q12Sql,
     "q13_supplier_window" -> q13Sql,
