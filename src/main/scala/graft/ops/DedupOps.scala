@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *   - MinHash compresses each doc to a k-Int64 signature (one shuffle),
   *     then LSH banding joins on (band, band-key) so only likely-similar
   *     docs ever meet — the linear-scale path when all-pairs is infeasible.
-  *   - SimHash is one aggregation to a 32-bit fingerprint per doc, then a
-  *     4-band blocked self-join + Hamming filter.
+  *   - SimHash is one aggregation to a 64-bit fingerprint per doc, then a
+  *     banded self-join (maxHamming+1 bands — candidate-complete by
+  *     pigeonhole) + exact Hamming filter.
   *
   * All hashing uses HashOps' portable polynomial hash so the DuckDB oracle
   * verifies every step bit-exactly.
@@ -186,13 +187,53 @@ object DedupOps {
       .where(col("id_a") < col("id_b"))
   }
 
-  /** SimHash bit width. */
-  val SimHashBits = 32
+  /** SimHash bit width. 64 bits: at billions of docs a 32-bit fingerprint
+    * produces massive false collisions (birthday bound ~2^16 docs), and its
+    * bands make too few join keys to parallelize the self-join.
+    */
+  val SimHashBits = 64
 
-  /** 32-bit SimHash fingerprint per doc from tf-weighted term hashes:
-    * bit j is set iff sum over terms of tf * (±1 by bit j of the term hash)
-    * is positive. Computed as 32 parallel SUM aggregates — one shuffle, no
-    * per-bit explode.
+  /** (a, b) coefficients of the 64 per-bit hash functions
+    * `h_j(x) = (a_j * x + b_j) mod P` — bit j of the fingerprint votes with
+    * the parity of h_j(term_hash). charHash values only span 31 bits, so
+    * fingerprint bits must come from independent derived hashes, not from
+    * the raw bits of the term hash (bits 31-63 would be constant zero).
+    * Fixed xorshift-derived constants (distinct stream from
+    * HashOps.MinHashPerms) shared verbatim with the generated oracle SQL.
+    */
+  val SimHashPerms: Seq[(Long, Long)] = {
+    var x = 1181783497276652981L
+    def next(): Long = { // xorshift64, public-domain PRNG (Marsaglia 2003)
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      math.floorMod(x, HashOps.P - 1) + 1
+    }
+    Seq.fill(SimHashBits)((next(), next() - 1))
+  }
+
+  /** Band layout for a given Hamming cap: `maxHamming + 1` contiguous bit
+    * ranges `(band, startBit, width)` covering all SimHashBits as evenly as
+    * possible. A pair within Hamming distance <= maxHamming must agree
+    * exactly on at least one band (pigeonhole), so banding on these keys is
+    * candidate-complete BY CONSTRUCTION for the given cap — deriving the
+    * band count from the parameter removes the silent-recall-loss footgun
+    * of a fixed band count.
+    */
+  def simhashBandLayout(maxHamming: Int): Seq[(Int, Int, Int)] = {
+    val bands = maxHamming + 1
+    require(bands >= 1 && bands <= SimHashBits,
+      s"maxHamming must be in [0, ${SimHashBits - 1}], got $maxHamming")
+    val base = SimHashBits / bands
+    val rem = SimHashBits % bands
+    val widths = (0 until bands).map(b => base + (if (b < rem) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths).zipWithIndex
+      .map { case ((start, w), b) => (b, start, w) }
+  }
+
+  /** 64-bit SimHash fingerprint per doc from tf-weighted term hashes:
+    * bit j is set iff sum over terms of tf * (±1 by parity of the j-th
+    * permuted term hash) is positive. Computed as 64 parallel SUM
+    * aggregates — one shuffle, no per-bit explode. All arithmetic stays
+    * below 2^63 (a*th < P² < 2^62), exact in both engines.
     */
   def simhash(tokenized: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val tf = tokenized
@@ -200,22 +241,31 @@ object DedupOps {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .select(col(idCol), col("tf"), HashOps.charHash(col("term")).as("th"))
     val bitSums = (0 until SimHashBits).map { j =>
-      sum(col("tf") * when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$j")
+      val (a, b) = SimHashPerms(j)
+      sum(col("tf") *
+        when(((lit(a) * col("th") + lit(b)) % HashOps.P)
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j")
     }
+    // two's-complement OR-fold: bit 63's value is Long.MinValue, so the
+    // fingerprint is assembled with bitwise OR, not addition
     val fp = (0 until SimHashBits)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
+      .reduce(_ bitwiseOR _)
     tf.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), fp.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: block on the fingerprint's 4 bytes (a pair
-    * within Hamming distance <= 3 of 32 bits must agree on at least one of
-    * 4 bands — pigeonhole), then exact Hamming filter via bit_count(xor).
+  /** Near-dup pairs by SimHash: block on `maxHamming + 1` contiguous bands
+    * of the fingerprint (a pair within the Hamming cap must agree on at
+    * least one band — pigeonhole, see simhashBandLayout), then exact
+    * Hamming filter via bit_count(xor). With the default cap 3 this is
+    * 4 bands × 16-bit keys: a 2^16 key domain per band, so the self-join
+    * parallelizes across ~bands × 2^16 shuffle keys instead of the ≤1,024
+    * a byte-banded 32-bit fingerprint allows.
     */
   def simhashPairs(fps: DataFrame, maxHamming: Int,
                    idCol: String = "doc_id"): DataFrame = {
+    val layout = simhashBandLayout(maxHamming)
     // the Hamming filter runs BEFORE the distinct: band collisions on
     // clustered fingerprints dominate the row count, so dedup must only see
     // the (few) pairs that survive the distance cut. The fingerprint frame
@@ -224,10 +274,12 @@ object DedupOps {
     // the cache is tiny at any corpus size).
     val cached = fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = cached.select(col(idCol), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*))
-          .as("bk"))
+        explode(array(layout.map { case (b, start, w) =>
+          // arithmetic shift + low-w mask == logical extraction of the band
+          val key = if (w == SimHashBits) col("simhash")
+            else shiftright(col("simhash"), start).bitwiseAND(lit((1L << w) - 1))
+          struct(lit(b).as("band"), key.as("key"))
+        }: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"),
         col("bk.key").as("key"))
     banded.toDF("id_a", "fp_a", "band", "key")

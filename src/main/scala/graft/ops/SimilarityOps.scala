@@ -184,17 +184,36 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs, sign-LSH blocked: pairs sharing
-    * a bucket with scaled cosine >= minMicro. The embedding-space analogue
-    * of DedupOps.simhashPairs.
+  /** Embedding-cosine near-duplicate pairs, multi-band sign-LSH blocked:
+    * pairs sharing at least one per-band bucket (band t buckets on dims
+    * [t*bits, (t+1)*bits)) with scaled cosine >= minMicro. The
+    * embedding-space analogue of DedupOps.simhashPairs.
+    *
+    * Scale design: `bits` sets the per-band key domain (2^bits buckets) —
+    * the self-join's shuffle parallelism AND its per-bucket pair count.
+    * A single narrow bucket (the previous 8-bit design) caps the join at
+    * 256 keys and goes quadratic inside hot buckets at corpus scale;
+    * 16-bit bands give a 2^16 domain per band. `bands` is the recall dial
+    * (P[caught] = 1-(1-p^bits)^bands, p = 1 - θ/π per hyperplane). Only
+    * (id, band, key) rows pass through the banded self-join — vectors are
+    * re-fetched by id for the exact rerank, so the wide embedding column
+    * is never multiplied by the band count or the collision count.
     */
-  def cosineNearDupPairs(embeddings: DataFrame, bits: Int,
+  def cosineNearDupPairs(embeddings: DataFrame, bits: Int, bands: Int,
                          minMicro: Long): DataFrame = {
     val p = prepared(embeddings)
-      .select(col("vec_id"), col("emb"), signBucket(col("emb"), bits).as("bucket"))
-    p.toDF("id_a", "a_emb", "bucket")
-      .join(p.toDF("id_b", "b_emb", "bucket"), "bucket")
+    val banded = p.select(col("vec_id"),
+        explode(array((0 until bands).map(t =>
+          struct(lit(t).as("band"),
+            signBucketAt(col("emb"), t * bits, bits).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.toDF("id_a", "band", "key")
+      .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(p.toDF("id_a", "a_emb"), "id_a")
+      .join(p.toDF("id_b", "b_emb"), "id_b")
       .select(col("id_a"), col("id_b"),
         cosineMicro(col("a_emb"), col("b_emb")).as("cos_micro"))
       .where(col("cos_micro") >= minMicro)

@@ -23,7 +23,7 @@ object DedupQueries {
   /** Output threshold for MinHash-estimated Jaccard (micro-units, 0.25). */
   val MinhashMinMicro = 250000L
 
-  /** Max Hamming distance for SimHash near-dup pairs (of 32 bits). */
+  /** Max Hamming distance for SimHash near-dup pairs (of 64 bits). */
   val SimhashMaxHamming = 3
 
   private def tokenized(spark: SparkSession, dir: String): DataFrame =
@@ -152,11 +152,24 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
 
   val q27Sql: String = {
-    val bitSums = (0 until DedupOps.SimHashBits).map(j =>
-      s"sum(tf * CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
-      .mkString(", ")
+    val bitSums = (0 until DedupOps.SimHashBits).map { j =>
+      val (a, b) = DedupOps.SimHashPerms(j)
+      s"sum(tf * CASE WHEN (($a * th + $b) % ${HashOps.P}) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    // bit 63's value is Long.MinValue — DuckDB rejects 1::BIGINT << 63 and
+    // the bare negative literal parses as HUGEINT, so spell it as min+(-1);
+    // fold with | (the engine's two's-complement OR), never +
+    def bitLit(j: Int): String =
+      if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
     val fp = (0 until DedupOps.SimHashBits)
-      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${bitLit(j)} ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" | ")
+    val bandSelects = DedupOps.simhashBandLayout(SimhashMaxHamming)
+      .map { case (b, start, w) =>
+        val key = if (w == DedupOps.SimHashBits) "simhash"
+          else s"(simhash >> $start) & ${(1L << w) - 1}"
+        s"SELECT doc_id, simhash, $b AS band, $key AS key FROM fp"
+      }.mkString(" UNION ALL ")
     s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
     tf AS (
       SELECT doc_id, term, count(*) AS tf
@@ -165,9 +178,7 @@ object DedupQueries {
     h AS (SELECT doc_id, tf, ${HashOps.charHashSql("term")} AS th FROM tf),
     bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
     fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bits),
-    bands AS (
-      SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS key
-      FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band)),
+    bands AS ($bandSelects),
     pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming

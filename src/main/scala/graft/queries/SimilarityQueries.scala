@@ -26,8 +26,14 @@ object SimilarityQueries {
   /** Number of LSH hash tables (tables × bits <= 64 dims). */
   val TopKTables = 16
 
-  /** Sign-LSH bits for near-dup blocking (256 buckets — precision-leaning). */
-  val NearDupBits = 8
+  /** Sign-LSH bits per band for near-dup blocking: 2^16 buckets per band,
+    * so the banded self-join parallelizes at corpus scale (the former
+    * single 8-bit bucket capped the join at 256 keys).
+    */
+  val NearDupBits = 16
+
+  /** Near-dup bands (bands × bits = all 64 dims) — the recall dial. */
+  val NearDupBands = 4
 
   /** Near-dup threshold in cosine micro-units (0.4). */
   val NearDupMinMicro = 400000L
@@ -53,20 +59,30 @@ object SimilarityQueries {
   private def cosMicroSql(aEmb: String, bEmb: String, aNrm: String, bNrm: String): String =
     s"CAST(floor(1000000.0 * (${dotSql(aEmb, bEmb)} / ($aNrm * $bNrm))) AS BIGINT)"
 
-  // --- q28: embedding-cosine near-dup pairs (sign-LSH blocked) -----------
+  // --- q28: embedding-cosine near-dup pairs (multi-band sign-LSH) --------
   def q28CosineNearDup(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.cosineNearDupPairs(
-      Tables.embeddings(spark, dir), NearDupBits, NearDupMinMicro)
+      Tables.embeddings(spark, dir), NearDupBits, NearDupBands, NearDupMinMicro)
       .orderBy("id_a", "id_b")
 
-  val q28Sql: String =
+  val q28Sql: String = {
+    val bandSelects = (0 until NearDupBands).map(t =>
+      s"SELECT vec_id, $t AS band, ${bucketSql(NearDupBits, t * NearDupBits)} AS key FROM n")
+      .mkString(" UNION ALL ")
     s"""WITH $preparedCte,
-    b AS (SELECT vec_id, emb, nrm, ${bucketSql(NearDupBits)} AS bucket FROM n)
-    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-      ${cosMicroSql("a.emb", "c.emb", "a.nrm", "c.nrm")} AS cos_micro
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE ${cosMicroSql("a.emb", "c.emb", "a.nrm", "c.nrm")} >= $NearDupMinMicro
+    b AS ($bandSelects),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+        AND a.vec_id < c.vec_id)
+    SELECT cand.id_a, cand.id_b,
+      ${cosMicroSql("x.emb", "y.emb", "x.nrm", "y.nrm")} AS cos_micro
+    FROM cand
+    JOIN n x ON x.vec_id = cand.id_a
+    JOIN n y ON y.vec_id = cand.id_b
+    WHERE ${cosMicroSql("x.emb", "y.emb", "x.nrm", "y.nrm")} >= $NearDupMinMicro
     ORDER BY id_a, id_b"""
+  }
 
   // --- q29: brute-force cosine top-k -------------------------------------
   def q29KnnBrute(spark: SparkSession, dir: String): DataFrame =

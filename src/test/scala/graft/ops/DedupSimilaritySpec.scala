@@ -107,7 +107,8 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, Array.fill(8)(0.5f), 0),
       (2L, Array.fill(8)(-0.5f), 0))
       .toDF("vec_id", "embedding", "label")
-    val out = SimilarityOps.cosineNearDupPairs(emb, bits = 4, minMicro = 900000L)
+    val out = SimilarityOps.cosineNearDupPairs(emb, bits = 4, bands = 2,
+        minMicro = 900000L)
       .collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
   }
