@@ -123,7 +123,29 @@ object EventQueries {
       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  // --- q35: timestamped export name (P13) ---------------------------------
+  // The reference stamps its CSV export with strftime('%Y%m%d_%H%M%S')
+  // (nlp_data_tagging.py:533) on the wall clock; the engine-verifiable
+  // analogue stamps each event stream's export with its max event time.
+  def q35ExportStamp(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(max(col("ts")).as("max_ts"), count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        concat(col("event_type"), lit("_"),
+          date_format(col("max_ts"), "yyyyMMdd_HHmmss"), lit(".csv"))
+          .as("export_name"),
+        col("n_events"))
+      .orderBy("event_type")
+
+  val q35Sql: String =
+    """SELECT event_type,
+      event_type || '_' || strftime(CAST(max(ts) AS TIMESTAMP), '%Y%m%d_%H%M%S') || '.csv' AS export_name,
+      count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_export_stamp" -> (q35ExportStamp _),
     "q31_json_stats" -> (q31JsonStats _),
     "q31b_json_struct" -> (q31bJsonStruct _),
     "q31c_pivot" -> (q31cPivot _),
@@ -132,6 +154,7 @@ object EventQueries {
     "q34_sessions" -> (q34Sessions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q35_export_stamp" -> q35Sql,
     "q31_json_stats" -> q31Sql,
     "q31b_json_struct" -> q31bSql,
     "q31c_pivot" -> q31cSql,

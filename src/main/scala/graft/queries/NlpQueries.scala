@@ -54,6 +54,22 @@ object NlpQueries {
        FROM documents ORDER BY doc_id"""
   }
 
+  // --- q01b: head-N preview (P14, nlp_data_tagging.py:496) --------------
+  private val PreviewLen = 120
+
+  def q01bPreview(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.preview(col("text"), PreviewLen).as("preview"))
+      .orderBy("doc_id")
+
+  val q01bSql: String =
+    s"""SELECT doc_id,
+      CASE WHEN length(text) > $PreviewLen
+           THEN substr(text, 1, $PreviewLen) || '...'
+           ELSE text END AS preview
+    FROM documents ORDER BY doc_id"""
+
   // --- q02: sentence split (P9) ----------------------------------------
   // The fixture corpus has no punctuation, so we first materialize sentence
   // boundaries by replacing the standalone word "the" with "." — a
@@ -66,18 +82,29 @@ object NlpQueries {
     SummarizeOps.sentences(punctuated).orderBy("doc_id", "sentence_id")
   }
 
-  val q02Sql: String =
-    raw"""WITH p AS (
-      SELECT doc_id, string_split_regex(regexp_replace(coalesce(text, ''), '\bthe\b', '.', 'g'), '[.!?]+') AS parts
+  /** Shared oracle CTE chain: punctuated docs (standalone "the" → ".") and
+    * their reference-split sentence relation `(doc_id, sentence_id,
+    * sentence)` — the base of q02/q03b/q03c.
+    */
+  private val punctSentsCte: String =
+    raw"""pdocs AS (
+      SELECT doc_id, regexp_replace(coalesce(text, ''), '\bthe\b', '.', 'g') AS text
       FROM documents),
-    e AS (
-      SELECT doc_id, generate_subscripts(parts, 1) AS pos, unnest(parts) AS s FROM p),
-    f AS (
-      SELECT doc_id, pos, trim(s) AS sentence FROM e WHERE length(trim(s)) > 10)
-    SELECT doc_id,
-      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS sentence_id,
-      sentence
-    FROM f ORDER BY doc_id, sentence_id"""
+    psplit AS (
+      SELECT doc_id, generate_subscripts(parts, 1) AS pos, unnest(parts) AS s
+      FROM (SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts FROM pdocs)),
+    pkept AS (
+      SELECT doc_id, pos, trim(s) AS sentence FROM psplit WHERE length(trim(s)) > 10),
+    psents AS (
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS sentence_id,
+        sentence
+      FROM pkept)"""
+
+  val q02Sql: String =
+    raw"""WITH $punctSentsCte
+    SELECT doc_id, sentence_id, sentence
+    FROM psents ORDER BY doc_id, sentence_id"""
 
   // --- q03: extractive summarization slice (P9→A1→A2→T1 + P10) ---------
   private val ChunkWords = 8
@@ -145,6 +172,84 @@ object NlpQueries {
            THEN regexp_replace(substr(summary, 1, $TruncLen), ' [^ ]*$$', '') || '...'
            ELSE summary END AS summary_trunc
     FROM summary_rel ORDER BY doc_id"""
+
+  // --- q03b: the reference-faithful composed summary (P9→A1→A2→T1→P10) --
+  // The flagship q03 scores word-chunk pseudo-sentences because the fixture
+  // corpus has no punctuation; this variant runs the literal reference
+  // composition (nlp_data_tagging.py:86-130) end-to-end over the q02
+  // punctuated relation: sentence split → TF-IDF score → top-k by score,
+  // emit by position, '. '-joined with a terminal '.' → word-boundary
+  // truncate, with k = max(1, maxLength / 20).
+  private val RefMaxLen = 50
+  private val RefTopK = SummarizeOps.targetSentences(RefMaxLen)
+
+  def q03bSummaryPunct(spark: SparkSession, dir: String): DataFrame = {
+    val punctuated = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(coalesce(col("text"), lit("")), "\\bthe\\b", ".").as("text"))
+    val sents = SummarizeOps.sentences(punctuated)
+    SummarizeOps.extractiveSummary(punctuated, sents, RefTopK, ". ", ".")
+      .select(col("doc_id"), col("n_sentences"), col("summary"),
+        TextOps.truncateAtWordBoundary(col("summary"), RefMaxLen).as("summary_trunc"))
+      .orderBy("doc_id")
+  }
+
+  val q03bSql: String =
+    raw"""WITH $punctSentsCte,
+    pterms AS (
+      SELECT doc_id, sentence_id, unnest(${cleanToksSql("sentence")}) AS term FROM psents),
+    ptf AS (
+      SELECT doc_id, sentence_id, term, count(*) AS tf FROM pterms GROUP BY doc_id, sentence_id, term),
+    pdf AS (
+      SELECT doc_id, term, count(*) AS df FROM ptf GROUP BY doc_id, term),
+    pns AS (
+      SELECT doc_id, count(*) AS n_sent FROM psents GROUP BY doc_id),
+    pscores AS (
+      SELECT c.doc_id, c.sentence_id, c.sentence, coalesce(s.score, 0) AS score
+      FROM psents c LEFT JOIN (
+        SELECT ptf.doc_id, ptf.sentence_id,
+          SUM(ptf.tf * CAST(floor(1000000.0 * pns.n_sent / pdf.df) AS BIGINT)) AS score
+        FROM ptf
+        JOIN pdf ON ptf.doc_id = pdf.doc_id AND ptf.term = pdf.term
+        JOIN pns ON ptf.doc_id = pns.doc_id
+        GROUP BY ptf.doc_id, ptf.sentence_id) s
+      ON c.doc_id = s.doc_id AND c.sentence_id = s.sentence_id),
+    pranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, sentence_id ASC) AS rk
+      FROM pscores),
+    psumm AS (
+      SELECT doc_id, string_agg(sentence, '. ' ORDER BY sentence_id) || '.' AS picked_summary
+      FROM pranked WHERE rk <= $RefTopK GROUP BY doc_id),
+    psummary_rel AS (
+      SELECT d.doc_id, coalesce(n.n_sent, 0) AS n_sentences,
+        CASE WHEN coalesce(n.n_sent, 0) <= $RefTopK THEN d.text ELSE s.picked_summary END AS summary
+      FROM pdocs d
+      LEFT JOIN pns n ON d.doc_id = n.doc_id
+      LEFT JOIN psumm s ON d.doc_id = s.doc_id)
+    SELECT doc_id, n_sentences, summary,
+      CASE WHEN length(summary) > $RefMaxLen
+           THEN regexp_replace(substr(summary, 1, $RefMaxLen), ' [^ ]*$$', '') || '...'
+           ELSE summary END AS summary_trunc
+    FROM psummary_rel ORDER BY doc_id"""
+
+  // --- q03c: the reference's fallback summary (T6) -----------------------
+  // nlp_data_tagging.py:108-116 — first / middle / last sentence joined in
+  // document order; sentences matching several positions appear once.
+  def q03cFallbackSummary(spark: SparkSession, dir: String): DataFrame =
+    SummarizeOps.fallbackSummary(q02Sentences(spark, dir)).orderBy("doc_id")
+
+  val q03cSql: String =
+    raw"""WITH $punctSentsCte,
+    pns AS (SELECT doc_id, count(*) AS n_sent FROM psents GROUP BY doc_id),
+    picked AS (
+      SELECT s.doc_id, s.sentence_id, s.sentence
+      FROM psents s JOIN pns n ON s.doc_id = n.doc_id
+      WHERE s.sentence_id = 0
+         OR s.sentence_id = floor(n.n_sent / 2)
+         OR s.sentence_id = n.n_sent - 1)
+    SELECT doc_id,
+      string_agg(sentence, '. ' ORDER BY sentence_id) || '.' AS summary
+    FROM picked GROUP BY doc_id ORDER BY doc_id"""
 
   // --- q04: per-document summary metrics (J1, A10, A11, P11) -----------
   def q04SummaryMetrics(spark: SparkSession, dir: String): DataFrame = {
@@ -273,11 +378,43 @@ object NlpQueries {
     LEFT JOIN tag_str t ON d.doc_id = t.doc_id
     ORDER BY d.doc_id"""
 
+  // --- q09b: wordcloud-input aggregate (§2.9) -----------------------------
+  // The reference feeds its wordcloud `' '.join(summaries)`
+  // (nlp_data_tagging.py:334). Deterministic doc_id order so the single-row
+  // result is hash-comparable.
+  def q09bWordcloud(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DocumentSources.corpusText(
+      summaryDf(spark, dir).select("doc_id", "summary"))
+
+  val q09bSql: String =
+    raw"""WITH $summaryCte
+    SELECT string_agg(summary, ' ' ORDER BY doc_id) AS corpus_text,
+      count(*) AS n_docs
+    FROM summary_rel"""
+
+  // --- q09c: CSV sink round-trip (S4) -------------------------------------
+  // Writes the export relation through the header'd CSV sink and reads it
+  // back with an explicit schema; the oracle is q09's — a green row proves
+  // the sink round-trips values (quoting, longs, IEEE doubles) losslessly.
+  def q09cCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q09c_csv").toString
+    graft.sources.DocumentSources.writeCsv(q09Export(spark, dir), tmp)
+    graft.sources.DocumentSources.readCsv(spark, tmp,
+      "doc_id BIGINT, source STRING, summary STRING, tags STRING, " +
+        "original_length BIGINT, summary_length BIGINT, compression_ratio DOUBLE")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_export" -> (q09Export _),
+    "q09b_wordcloud" -> (q09bWordcloud _),
+    "q09c_csv_roundtrip" -> (q09cCsvRoundtrip _),
     "q01_clean_tokens" -> (q01CleanTokens _),
+    "q01b_preview" -> (q01bPreview _),
     "q02_sentences" -> (q02Sentences _),
     "q03_summary" -> (q03Summary _),
+    "q03b_summary_punct" -> (q03bSummaryPunct _),
+    "q03c_fallback_summary" -> (q03cFallbackSummary _),
     "q04_summary_metrics" -> (q04SummaryMetrics _),
     "q05_corpus_stats" -> (q05CorpusStats _),
     "q06_fallback_tags" -> (q06FallbackTags _),
@@ -286,9 +423,14 @@ object NlpQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q09_export" -> q09Sql,
+    "q09b_wordcloud" -> q09bSql,
+    "q09c_csv_roundtrip" -> q09Sql,
     "q01_clean_tokens" -> q01Sql,
+    "q01b_preview" -> q01bSql,
     "q02_sentences" -> q02Sql,
     "q03_summary" -> q03Sql,
+    "q03b_summary_punct" -> q03bSql,
+    "q03c_fallback_summary" -> q03cSql,
     "q04_summary_metrics" -> q04Sql,
     "q05_corpus_stats" -> q05Sql,
     "q06_fallback_tags" -> q06Sql,

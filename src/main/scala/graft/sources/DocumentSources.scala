@@ -80,11 +80,18 @@ object DocumentSources {
     date_format(current_timestamp(), "yyyyMMdd_HHmmss")
 
   /** §2.9 wordcloud feed: the whole corpus' summaries as one string
-    * (`' '.join(summaries)`, nlp_data_tagging.py:334) — concat_ws over
-    * collect_list; the only presentation-layer aggregate the engine owns.
+    * (`' '.join(summaries)`, nlp_data_tagging.py:334) — the only
+    * presentation-layer aggregate the engine owns. collect_list's intra-
+    * partition order is nondeterministic, so the pairs are sorted by
+    * `orderCol` before joining — reproducible output at any parallelism.
     */
-  def corpusText(df: DataFrame, textCol: String = "summary"): DataFrame =
-    df.agg(concat_ws(" ", collect_list(col(textCol))).as("corpus_text"))
+  def corpusText(df: DataFrame, textCol: String = "summary",
+                 orderCol: String = "doc_id"): DataFrame =
+    df.agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+        s => s.getField(textCol))).as("corpus_text"),
+      count(lit(1)).as("n_docs"))
 
   /** Bucketed-table sink: `bucketBy(key) + sortBy(key) + saveAsTable`.
     * Two tables bucketed the same way join WITHOUT a shuffle (and with
