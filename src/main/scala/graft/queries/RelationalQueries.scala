@@ -84,8 +84,10 @@ object RelationalQueries {
     val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, dir).where(col("o_orderdate") < cutoff)
     val li = Tables.lineitem(spark, dir).where(col("l_shipdate") > cutoff)
+    // no broadcast hint on customer: it is a fact-scale table (150k×SF),
+    // a hard hint OOMs the driver at cluster scale — AQE picks the join
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
@@ -117,8 +119,10 @@ object RelationalQueries {
     val supp = Tables.supplier(spark, dir)
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    // customer deliberately unhinted (fact-scale — AQE decides); the true
+    // dimensions region/nation/supplier keep their broadcast hints
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
@@ -311,10 +315,13 @@ object RelationalQueries {
       .orderBy("c_mktsegment")
   }
 
+  // EXISTS/NOT EXISTS, not IN/NOT IN: the Spark side is semi/anti join and
+  // NOT IN returns zero rows if o_custkey ever contains a NULL — a latent
+  // cross-engine divergence the null-free fixture would mask
   val q16Sql: String =
     """SELECT c_mktsegment, count(*) AS n_customers,
-      CAST(sum(CASE WHEN c_custkey IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
-      CAST(sum(CASE WHEN c_custkey NOT IN (SELECT o_custkey FROM orders) THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+      CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+      CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
   // --- q16b: outer joins — nation coverage with zero-order nations ---------

@@ -12,16 +12,22 @@ import org.apache.spark.sql.functions._
   */
 object TopicQueries {
 
-  /** One LDA fit per fixture dir per JVM: q40/q41 share the same model (a
-    * fit is ~10s at sf0.1; harness mains run each query independently and
-    * would otherwise pay it twice).
+  /** One LDA fit per (application, fixture dir): q40/q41 share the same
+    * model (a fit is ~10s at sf0.1; harness mains run each query
+    * independently and would otherwise pay it twice). Keyed by
+    * applicationId, not dir alone: a Fitted holds DataFrames persisted in
+    * the creating session, so a restarted session in the same JVM
+    * (repeated test/driver runs) must not see a stale entry. Entries of
+    * stopped applications are evicted on sight.
     */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, TopicPipeline.Fitted]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), TopicPipeline.Fitted]()
 
-  private def fitted(spark: SparkSession, dir: String): TopicPipeline.Fitted =
-    cache.computeIfAbsent(dir,
-      d => TopicPipeline.fit(Tables.documents(spark, d)))
+  private def fitted(spark: SparkSession, dir: String): TopicPipeline.Fitted = {
+    cache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    cache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) => TopicPipeline.fit(Tables.documents(spark, d)) })
+  }
 
   /** Topic → ranked terms (A5/T2). */
   def q40TopicTerms(spark: SparkSession, dir: String): DataFrame =

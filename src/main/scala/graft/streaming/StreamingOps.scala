@@ -35,13 +35,18 @@ object StreamingOps {
     EventOps.sessions(events.withWatermark("ts", watermark), gap)
 
   /** Streaming exact dedup on a key: keeps the first arrival, drops
-    * re-deliveries within the watermark horizon (the streaming analogue of
-    * DedupOps.exactDuplicates; state is bounded by the watermark).
+    * re-deliveries within the watermark horizon even when the re-delivery
+    * carries a different timestamp (the streaming analogue of
+    * DedupOps.exactDuplicates). dropDuplicatesWithinWatermark keys state
+    * on the dedup columns ALONE — a plain dropDuplicates(keys :+ "ts")
+    * would pass differently-stamped re-deliveries through — and expires
+    * each key's state once the watermark passes its event time, so state
+    * stays bounded on an infinite stream.
     */
   def dedupByKey(events: DataFrame, keyCols: Seq[String],
                  watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Running per-user event counter with custom state — the
     * KeyValueGroupedDataset.flatMapGroupsWithState pattern for semantics

@@ -42,7 +42,7 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming dedup drops redelivered keys") {
+  test("streaming dedup drops redelivered keys, even with a different timestamp") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
     val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
@@ -51,10 +51,13 @@ class StreamingOpsSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       mem.addData(batch1: _*); q.processAllAvailable()
-      mem.addData(batch2: _*); q.processAllAvailable()
+      // re-delivery of event 2 with a LATER timestamp — key-based dedup
+      // must still drop it (dropDuplicates on key+ts would let it through)
+      mem.addData(batch2 :+ (2L, ts("2024-01-01 00:06:00"), 7L, "click", 2.0): _*)
+      q.processAllAvailable()
       val ids = spark.table("dedup_test").select("event_id")
         .collect().map(_.getLong(0)).sorted
-      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L)) // event 2 delivered twice, kept once
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L)) // event 2 delivered thrice, kept once
     } finally q.stop()
   }
 
