@@ -24,8 +24,23 @@ object CurationPipeline {
   val NearDupMinMicro = 500000L
   val ShingleN = 5
 
-  /** Returns the curated corpus `(doc_id, text, n_tokens)`. */
-  def curate(docs: DataFrame): DataFrame = {
+  /** Default stop-shingle document-frequency cap: a 5-gram shared by more
+    * than this many docs is boilerplate, not signal, and its C(df, 2)
+    * candidate pairs are the skew that kills the inverted-index join at
+    * scale (see DedupOps.capShingleDf). 50 is deliberately generous for
+    * the fixture corpus (max observed df is far lower) — the point is
+    * that the escape hatch is wired and oracle-verified, and a real
+    * deployment tightens it per corpus.
+    */
+  val MaxShingleDf = 50L
+
+  /** Returns the curated corpus `(doc_id, text, n_tokens)`. Shingle df
+    * capping (stage 4's skew guard) is configurable; sizes and Jaccard
+    * are computed over the CAPPED shingle sets so the semantics stay
+    * consistent (a doc's size is its count of surviving shingles).
+    */
+  def curate(docs: DataFrame,
+             maxShingleDf: Long = MaxShingleDf): DataFrame = {
     // 1-2: redact + quality gate (narrow, no shuffle)
     val redacted = docs.select(col("doc_id"),
       TextAnalysisOps.redactPii(col("text")).as("text"))
@@ -43,9 +58,12 @@ object CurationPipeline {
           org.apache.spark.sql.expressions.Window.partitionBy("text")))
       .where(col("doc_id") === col("canonical_id"))
       .select("doc_id", "text", "toks")
-    // 4: near-dup removal — drop docs that near-duplicate a smaller id
+    // 4: near-dup removal — drop docs that near-duplicate a smaller id;
+    // hot boilerplate shingles are dropped first (skew guard)
     val pairs = DedupOps.jaccardPairs(
-      DedupOps.shingles(exact.select("doc_id", "toks"), ShingleN),
+      DedupOps.capShingleDf(
+        DedupOps.shingles(exact.select("doc_id", "toks"), ShingleN),
+        maxShingleDf),
       NearDupMinMicro)
     val drops = pairs.select(col("id_b").as("doc_id")).distinct()
     exact.join(drops, Seq("doc_id"), "left_anti")

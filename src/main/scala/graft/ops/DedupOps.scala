@@ -61,6 +61,26 @@ object DedupOps {
           .otherwise(array().cast("array<string>")).as("shs"))
       .select(col(idCol), explode(col("shs")).as("shingle"))
 
+  /** Stop-shingle cap: drop shingles whose document frequency exceeds
+    * `maxDf` before any pairwise work. Boilerplate n-grams (license
+    * headers, navigation chrome) occur in a large fraction of a real
+    * corpus; each one makes the inverted-index self-join emit
+    * C(df, 2) candidate rows, so a single shingle with df = 1M produces
+    * 5·10^11 rows — the skew that kills the Jaccard join at 100 TB.
+    * Implemented as a left-anti join against the HOT set (df > cap):
+    * by construction that set is small — AQE broadcasts it — whereas
+    * joining against the kept set would shuffle the full shingle relation
+    * a second time.
+    */
+  def capShingleDf(sh: DataFrame, maxDf: Long,
+                   idCol: String = "doc_id"): DataFrame = {
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("shingle"))
+    // the using-column join moves `shingle` first; downstream ops rename
+    // positionally, so restore the (id, shingle) order
+    sh.join(hot, Seq("shingle"), "left_anti").select(col(idCol), col("shingle"))
+  }
+
   /** All-pairs n-gram Jaccard via inverted-index self-join. Output:
     * `(id_a < id_b, common, size_a, size_b, jaccard_micro)` for pairs with
     * `jaccard_micro >= minMicro` (Jaccard scaled by 1e6 into an exact

@@ -38,11 +38,15 @@ object CurationQueries {
       SELECT doc_id, text, toks FROM (
         SELECT *, min(doc_id) OVER (PARTITION BY text) AS cid FROM passed)
       WHERE doc_id = cid),
-    sh AS (
+    sh0 AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
         range(0, len(toks) - $n + 1),
         i -> array_to_string(toks[(CAST(i AS INT)+1):(CAST(i AS INT)+$n)], ' ')))) AS shingle
       FROM exact WHERE len(toks) >= $n),
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+      HAVING count(*) > ${CurationPipeline.MaxShingleDf}),
+    sh AS (SELECT s.doc_id, s.shingle FROM sh0 s
+      LEFT JOIN hot h ON s.shingle = h.shingle WHERE h.shingle IS NULL),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common

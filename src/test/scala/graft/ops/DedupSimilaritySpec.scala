@@ -35,6 +35,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("jaccard_micro") == 500000L)
   }
 
+  test("capShingleDf drops boilerplate shingles and the pairs they induce") {
+    // three docs sharing only the boilerplate 2-gram {x y}; docs 1 and 2
+    // additionally share real content {a b, b c}
+    val sh = DedupOps.shingles(tokenized(
+      1L -> "a b c x y", 2L -> "a b c x y", 3L -> "p q r x y"), 2)
+    // uncapped: the df=3 shingle makes every doc pair a candidate
+    assert(DedupOps.jaccardPairs(sh, 1L).count() == 3)
+    // cap df <= 2: only "x y" (df=3) is dropped; doc 3 no longer pairs
+    // with anyone
+    val capped = DedupOps.capShingleDf(sh, 2L)
+    assert(capped.where(col("shingle") === "x y").count() == 0)
+    val pairs = DedupOps.jaccardPairs(capped, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // sizes reflect the capped sets: doc1 kept {a b, b c, c x} -> sz 3
+    val r = DedupOps.jaccardPairs(capped, 1L).collect().head
+    assert(r.getAs[Long]("size_a") == 3 && r.getAs[Long]("common") == 3)
+  }
+
   test("shingles drops docs shorter than n") {
     assert(DedupOps.shingles(tokenized(1L -> "a b", 2L -> "a b c"), 3)
       .collect().map(_.getLong(0)).toSet == Set(2L))

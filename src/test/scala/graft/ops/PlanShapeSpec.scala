@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.{CurationQueries, DedupQueries, RelationalQueries, SimilarityQueries}
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions: the dedup/near-dup families must stay
+  * inverted-index/banded equi-joins. A regression to a cross product (or a
+  * nested-loop broadcast) would still pass the correctness oracle at
+  * fixture scale while being O(n²) at 100 TB — this suite is the gate that
+  * catches it at sbt-test time. (The brute-force kNN baselines q29/q29c
+  * are intentionally broadcast-nested-loop and are NOT asserted here.)
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertNoQuadraticJoin(name: String, df: DataFrame): Unit = {
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"$name plan regressed to a cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"$name plan regressed to a nested-loop join:\n$plan")
+  }
+
+  test("q25 n-gram Jaccard stays an inverted-index equi-join") {
+    assertNoQuadraticJoin("q25", DedupQueries.q25NgramJaccard(spark, dir))
+  }
+
+  test("q26 MinHash LSH stays a banded equi-join") {
+    assertNoQuadraticJoin("q26", DedupQueries.q26MinhashLsh(spark, dir))
+  }
+
+  test("q27 SimHash stays a banded equi-join") {
+    assertNoQuadraticJoin("q27", DedupQueries.q27Simhash(spark, dir))
+  }
+
+  test("q28 cosine near-dup stays a bucketed equi-join") {
+    assertNoQuadraticJoin("q28", SimilarityQueries.q28CosineNearDup(spark, dir))
+  }
+
+  test("q50 curation pipeline contains no quadratic join") {
+    assertNoQuadraticJoin("q50", CurationQueries.q50CuratedCorpus(spark, dir))
+  }
+
+  test("q11 global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = planOf(RelationalQueries.q11TopOrders(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q11 lost the top-k pushdown:\n$plan")
+  }
+}
