@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * line/whole-file text readers with per-file lineage, and header'd CSV /
   * partitioned parquet sinks.
   *
-  * PDF text extraction is a clearly-marked STUB (no PDF library ships in
-  * this environment): it handles only uncompressed text streams by pulling
-  * printable runs, which is deterministic and testable; production swaps
-  * in a real extractor (e.g. pdfbox) behind the same column signature.
+  * PDF text extraction is real: PdfText decodes FlateDecode streams with
+  * the JDK Inflater and parses content-stream text operators — the
+  * simple-PDF subset (no CID fonts / encryption / object streams; see
+  * PdfText scaladoc). Production can swap a full-spec extractor (e.g.
+  * pdfbox) behind the same column signature.
   *
   * Scale: binaryFile rows carry whole payloads — size partitions by bytes
   * (`maxPartitionBytes`), extract text EARLY, and drop `content` before
@@ -28,21 +29,35 @@ object DocumentSources {
   def readBinaryDocs(spark: SparkSession, glob: String): DataFrame =
     spark.read.format("binaryFile").load(glob)
 
-  /** S1 (extraction step, STUB): text from a PDF byte column. Real
-    * implementation: a PDF library over the same signature. This stub
-    * returns printable-ASCII runs (length >= 4) of uncompressed streams
-    * for payloads with the %PDF magic, null otherwise (feeding the S3
-    * null guard exactly like a failed real extraction).
+  /** S1 (extraction step): text from a PDF byte column via the real
+    * in-JVM extractor (PdfText: stream scan → Inflater for FlateDecode →
+    * content-stream text operators; see its scaladoc for the supported
+    * subset). Non-PDF payloads and PDFs with no extractable text yield
+    * null, feeding the S3 guard exactly like a failed extraction.
+    *
+    * This is deliberately a UDF — one of the engine's three justified
+    * imperative escapes (with the multimodal decode and the top-k heap
+    * aggregator): decoding an opaque binary codec is per-row CPU work
+    * Catalyst can neither express nor optimize, and it sits on an
+    * ingest path, never inside an oracle-verified relational plan.
     */
-  def extractPdfText(content: Column): Column =
-    when(substring(content, 1, 4) === lit("%PDF".getBytes),
-      array_join(
-        filter(
-          split(regexp_replace(content.cast("string"), "[^\\x20-\\x7e]+", "\n"),
-            "\n"),
-          s => length(s) >= 4),
-        " "))
-      .otherwise(lit(null).cast("string"))
+  def extractPdfText(content: Column): Column = {
+    val extract = udf { bytes: Array[Byte] =>
+      PdfText.extract(bytes).filter(_.nonEmpty).orNull
+    }
+    extract(content)
+  }
+
+  /** S1/S2/S3 composed: directory of PDFs → `(path, text)` with failed
+    * extractions dropped — the reference's upload-extract-guard loop
+    * (nlp_data_tagging.py:37-52) as one scan. `content` is dropped in the
+    * same select so only extracted text (not whole payloads) ever crosses
+    * a shuffle.
+    */
+  def readPdfDocs(spark: SparkSession, glob: String): DataFrame =
+    dropFailedExtractions(
+      readBinaryDocs(spark, glob)
+        .select(col("path"), extractPdfText(col("content")).as("text")))
 
   /** S2: text corpus from a directory of text files, one row per file with
     * filename lineage — the closest analogue of the reference's

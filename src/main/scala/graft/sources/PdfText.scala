@@ -1,0 +1,206 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.{DataFormatException, Inflater}
+
+/** Minimal real PDF text extraction in pure JVM code (no external library
+  * ships in this environment; the JDK's Inflater covers FlateDecode, the
+  * filter virtually all text PDFs use). Mirrors the reference's
+  * per-page PdfReader extraction loop (nlp_data_tagging.py:37-47) at the
+  * whole-document level.
+  *
+  * Scope — the simple-PDF subset, by design:
+  *   - streams are located by scanning for `stream`/`endstream` keywords
+  *     (no xref table walk), and decoded when their object dictionary
+  *     names /FlateDecode (or carries no filter);
+  *   - text is pulled from content-stream operators: `Tj`, `'`, `"`
+  *     (literal and hex strings) and `TJ` arrays, with PDF escape and
+  *     octal sequences decoded; Td, TD, T-star, Tm, BT and ET break lines;
+  *   - single-byte standard/WinAnsi-style encodings are assumed (bytes
+  *     read as Latin-1). CID/Type0 composite fonts, encrypted files and
+  *     object streams (/ObjStm) are out of scope and simply yield
+  *     whatever simple text the file also contains.
+  *
+  * Everything here is per-document CPU work on an opaque binary payload —
+  * exactly the category the engine isolates from Catalyst (compare
+  * MultimodalOps): parsing happens inside one narrow map over the
+  * binaryFile scan, never in an expression the optimizer must reason
+  * about.
+  */
+object PdfText {
+
+  /** Extracted text, or None when the payload is not a PDF. A PDF with no
+    * extractable simple text yields Some("").
+    */
+  def extract(pdf: Array[Byte]): Option[String] = {
+    if (pdf == null || pdf.length < 4 ||
+      !(pdf(0) == '%' && pdf(1) == 'P' && pdf(2) == 'D' && pdf(3) == 'F'))
+      return None
+    // Latin-1 view: one char per byte, lossless round-trip for scanning
+    val s = new String(pdf, ISO_8859_1)
+    val out = new StringBuilder
+    var idx = s.indexOf("stream")
+    while (idx >= 0) {
+      if (idx >= 3 && s.regionMatches(idx - 3, "end", 0, 3)) {
+        // the "stream" inside "endstream" — not a keyword
+        idx = s.indexOf("stream", idx + 1)
+      } else {
+        var ds = idx + "stream".length
+        if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+        if (ds < s.length && s.charAt(ds) == '\n') ds += 1
+        val e = s.indexOf("endstream", ds)
+        if (e < 0) idx = -1
+        else {
+          val dictStart = math.max(s.lastIndexOf("obj", idx), 0)
+          val dict = s.substring(dictStart, idx)
+          // trailing EOL before "endstream" belongs to the keyword
+          var de = e
+          if (de > ds && s.charAt(de - 1) == '\n') de -= 1
+          if (de > ds && s.charAt(de - 1) == '\r') de -= 1
+          val raw = java.util.Arrays.copyOfRange(pdf, ds, de)
+          val data =
+            if (dict.contains("/FlateDecode")) inflate(raw)
+            else if (dict.contains("/Filter")) None // unsupported filter
+            else Some(raw)
+          data.map(new String(_, ISO_8859_1)).filter(_.contains("BT"))
+            .foreach(appendContentText(_, out))
+          idx = s.indexOf("stream", e + "endstream".length)
+        }
+      }
+    }
+    Some(out.toString.trim)
+  }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val bos = new ByteArrayOutputStream(math.max(64, data.length * 4))
+      val buf = new Array[Byte](8192)
+      var n = inf.inflate(buf)
+      while (n > 0) {
+        bos.write(buf, 0, n)
+        n = inf.inflate(buf)
+      }
+      // a truncated stream yields its decoded prefix rather than nothing
+      Some(bos.toByteArray)
+    } catch {
+      case _: DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Walks a decoded content stream and appends shown text to `out`. */
+  private def appendContentText(cs: String, out: StringBuilder): Unit = {
+    val pending = new StringBuilder // operand strings since the last operator
+    def newline(): Unit =
+      if (out.nonEmpty && out.last != '\n') out += '\n'
+    def show(): Unit = { out ++= pending; pending.clear() }
+    var i = 0
+    val n = cs.length
+    while (i < n) {
+      val c = cs.charAt(i)
+      c match {
+        case '(' =>
+          i = parseLiteral(cs, i, pending)
+        case '<' if i + 1 < n && cs.charAt(i + 1) == '<' =>
+          i = skipDict(cs, i)
+        case '<' =>
+          i = parseHex(cs, i, pending)
+        case '%' =>
+          while (i < n && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1
+        case '/' =>
+          i += 1
+          while (i < n && !isDelim(cs.charAt(i))) i += 1
+        case c0 if c0.isLetter || c0 == '\'' || c0 == '"' || c0 == '*' =>
+          val start = i
+          while (i < n && { val ch = cs.charAt(i)
+            ch.isLetterOrDigit || ch == '\'' || ch == '"' || ch == '*' }) i += 1
+          cs.substring(start, i) match {
+            case "Tj" | "TJ" => show()
+            case "'" | "\"" => newline(); show()
+            case "Td" | "TD" | "T*" | "Tm" | "BT" | "ET" =>
+              pending.clear(); newline()
+            case _ => pending.clear()
+          }
+        case _ =>
+          i += 1 // numbers, whitespace, array brackets
+      }
+    }
+  }
+
+  private def isDelim(c: Char): Boolean =
+    c.isWhitespace || "()<>[]{}/%".indexOf(c) >= 0
+
+  /** `(...)` literal string with nesting and escapes; returns the index
+    * just past the closing paren.
+    */
+  private def parseLiteral(cs: String, start: Int, sb: StringBuilder): Int = {
+    var i = start + 1
+    var depth = 1
+    val n = cs.length
+    while (i < n && depth > 0) {
+      val c = cs.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        cs.charAt(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'b' => sb += '\b'; i += 2
+          case 'f' => sb += '\f'; i += 2
+          case '(' => sb += '('; i += 2
+          case ')' => sb += ')'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case '\r' => i += 2; if (i < n && cs.charAt(i) == '\n') i += 1
+          case '\n' => i += 2 // line continuation
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = 0; i += 1
+            while (k < 3 && i < n && cs.charAt(i) >= '0' && cs.charAt(i) <= '7') {
+              v = v * 8 + (cs.charAt(i) - '0'); i += 1; k += 1
+            }
+            sb += v.toChar
+          case other => sb += other; i += 2
+        }
+      } else if (c == '(') { depth += 1; sb += c; i += 1 }
+      else if (c == ')') { depth -= 1; if (depth > 0) sb += c; i += 1 }
+      else { sb += c; i += 1 }
+    }
+    i
+  }
+
+  /** `<48656c6c6f>` hex string; odd digit counts get a trailing zero. */
+  private def parseHex(cs: String, start: Int, sb: StringBuilder): Int = {
+    var i = start + 1
+    val digits = new StringBuilder
+    val n = cs.length
+    while (i < n && cs.charAt(i) != '>') {
+      val c = cs.charAt(i)
+      if (Character.digit(c, 16) >= 0) digits += c
+      i += 1
+    }
+    if (digits.length % 2 == 1) digits += '0'
+    var j = 0
+    while (j < digits.length) {
+      sb += Integer.parseInt(digits.substring(j, j + 2), 16).toChar
+      j += 2
+    }
+    i + 1
+  }
+
+  /** Skips a `<< ... >>` dictionary (nesting-aware), e.g. inline-image
+    * parameter dicts inside content streams.
+    */
+  private def skipDict(cs: String, start: Int): Int = {
+    var i = start + 2
+    var depth = 1
+    val n = cs.length
+    while (i < n && depth > 0) {
+      if (i + 1 < n && cs.charAt(i) == '<' && cs.charAt(i + 1) == '<') {
+        depth += 1; i += 2
+      } else if (i + 1 < n && cs.charAt(i) == '>' && cs.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+      } else i += 1
+    }
+    i
+  }
+}
