@@ -166,11 +166,22 @@ object DedupOps {
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val block = concat_ws("|", blockCols.map(col): _*)
-    val a = docs.select(block.as("block"), col(idCol).as("id_a"),
-      col(textCol).as("text_a"))
-    val b = docs.select(block.as("block"), col(idCol).as("id_b"),
-      col(textCol).as("text_b"))
-    a.join(b, Seq("block"))
+    // length band of width maxDist+1 as an extra join key: |len(a)-len(b)|
+    // <= maxDist forces the pair into the same or adjacent bands, so
+    // joining a's band against b exploded to {band-1, band, band+1} is
+    // candidate-complete AND result-identical to the unbanded join (the
+    // band test is implied by the length pre-filter) — it exists purely to
+    // shrink the quadratic blow-up inside big blocks and to spread the
+    // shuffle over (block × band) keys instead of block alone. Exactly one
+    // match per pair: a carries one key, b's three are distinct.
+    val bandW = maxDist + 1
+    val band = floor(length(col(textCol)) / bandW)
+    val a = docs.select(block.as("block"), band.as("band"),
+      col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val b = docs.select(block.as("block"),
+      explode(array(band - 1, band, band + 1)).as("band"),
+      col(idCol).as("id_b"), col(textCol).as("text_b"))
+    a.join(b, Seq("block", "band"))
       .where(col("id_a") < col("id_b"))
       // cheap length pre-filter: |len(a)-len(b)| bounds the edit distance
       .where(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)

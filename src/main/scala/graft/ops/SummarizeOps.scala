@@ -100,6 +100,40 @@ object SummarizeOps {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** A1 (sklearn-parity variant): TfidfVectorizer-default semantics for
+    * users who want the reference's literal numbers
+    * (nlp_data_tagging.py:95-99) rather than the engine's integer-exact
+    * scheme: idf = ln((1+n)/(1+df)) + 1 (smooth_idf), raw-count tf, and
+    * per-sentence L2 normalization; a sentence's score is the sum of its
+    * normalized row (`tfidf_matrix.sum(axis=1)`). Same shuffle structure
+    * as scoreSentences. Float aggregation is order-sensitive, so this
+    * variant is unit-tested against hand-computed sklearn values and
+    * driver-checked rows-only — it cannot be hash-exact across engines,
+    * which is exactly why the oracle-verified default uses integers
+    * (SURVEY.md §7.3).
+    */
+  def scoreSentencesSklearn(sents: DataFrame,
+                            idCol: String = "doc_id"): DataFrame = {
+    val terms = sents.select(col(idCol), col("sentence_id"),
+      explode(TextOps.cleanTokens(col("sentence"))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("sentence_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nSent = sents.groupBy(col(idCol)).agg(count(lit(1)).as("n_sent"))
+    val w = col("tf") *
+      (log((col("n_sent") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
+    val scored = tf
+      .join(df, Seq(idCol, "term"))
+      .join(nSent, Seq(idCol))
+      .withColumn("w", w)
+      .groupBy(col(idCol), col("sentence_id"))
+      .agg((sum(col("w")) / sqrt(sum(col("w") * col("w")))).as("score"))
+    sents.join(scored, Seq(idCol, "sentence_id"), "left")
+      .select(col(idCol), col("sentence_id"), col("sentence"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
   /** T1 (+ identity case): pick the k top-scoring sentences per doc
     * (ties → earlier sentence wins, deterministic), emit them joined in
     * original order. Docs with <= k sentences return the original text

@@ -251,6 +251,18 @@ object NlpQueries {
       string_agg(sentence, '. ' ORDER BY sentence_id) || '.' AS summary
     FROM picked GROUP BY doc_id ORDER BY doc_id"""
 
+  // --- q03d: sklearn-parity TF-IDF sentence scores (A1 variant) ----------
+  // TfidfVectorizer-default semantics (smooth ln idf + L2 row norm,
+  // nlp_data_tagging.py:95-99) for reference-number parity. Float sums are
+  // fold-order-sensitive, so this is rows-only by design (like the LDA
+  // family); the numeric semantics are locked by golden values in
+  // SummarizeOpsSpec. Scores are rounded for display stability only.
+  def q03dSklearnScores(spark: SparkSession, dir: String): DataFrame =
+    SummarizeOps.scoreSentencesSklearn(q02Sentences(spark, dir))
+      .select(col("doc_id"), col("sentence_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "sentence_id")
+
   // --- q04: per-document summary metrics (J1, A10, A11, P11) -----------
   def q04SummaryMetrics(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
@@ -415,6 +427,7 @@ object NlpQueries {
     "q03_summary" -> (q03Summary _),
     "q03b_summary_punct" -> (q03bSummaryPunct _),
     "q03c_fallback_summary" -> (q03cFallbackSummary _),
+    "q03d_sklearn_scores" -> (q03dSklearnScores _),
     "q04_summary_metrics" -> (q04SummaryMetrics _),
     "q05_corpus_stats" -> (q05CorpusStats _),
     "q06_fallback_tags" -> (q06FallbackTags _),

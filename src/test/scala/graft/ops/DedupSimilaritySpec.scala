@@ -54,6 +54,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("size_a") == 3 && r.getAs[Long]("common") == 3)
   }
 
+  test("editDistancePairs finds pairs across length-band boundaries") {
+    // maxDist=3 -> band width 4: "abc" (len 3, band 0) and "abcde"
+    // (len 5, band 1) sit in ADJACENT bands — the band+-1 explode must
+    // still pair them; the len-10 doc is length-filtered out
+    val d = Seq((1L, "g", "abc"), (2L, "g", "abcde"), (3L, "g", "abcdefghij"))
+      .toDF("doc_id", "grp", "text")
+    val out = DedupOps.editDistancePairs(d, Seq("grp"), 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("edit_dist")))
+    assert(out.toSeq == Seq((1L, 2L, 2L)))
+  }
+
   test("shingles drops docs shorter than n") {
     assert(DedupOps.shingles(tokenized(1L -> "a b", 2L -> "a b c"), 3)
       .collect().map(_.getLong(0)).toSet == Set(2L))

@@ -27,6 +27,33 @@ class SummarizeOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 0L, "a b c"), (1L, 1L, "d e f"), (1L, 2L, "g")))
   }
 
+  test("sklearn-parity scores match the TfidfVectorizer formula (golden)") {
+    // one doc, two sentences; terms chosen outside the stopword list
+    val sents = Seq(
+      (1L, 0L, "apple banana apple"),
+      (1L, 1L, "apple cherry")).toDF("doc_id", "sentence_id", "sentence")
+    val got = SummarizeOps.scoreSentencesSklearn(sents)
+      .orderBy("sentence_id").select("score").as[Double].collect()
+    // scalar re-derivation of sklearn defaults: idf = ln((1+n)/(1+df)) + 1,
+    // raw tf, L2 row norm, score = row sum
+    val idfApple = math.log(3.0 / 3.0) + 1 // df=2 of n=2 sentences
+    val idfRare = math.log(3.0 / 2.0) + 1  // banana/cherry, df=1
+    val s0 = (2 * idfApple + idfRare) /
+      math.sqrt(2 * idfApple * (2 * idfApple) + idfRare * idfRare)
+    val s1 = (idfApple + idfRare) /
+      math.sqrt(idfApple * idfApple + idfRare * idfRare)
+    assert(math.abs(got(0) - s0) < 1e-12 && math.abs(got(1) - s1) < 1e-12)
+  }
+
+  test("sklearn-parity scores: zero-term sentences keep score 0") {
+    val sents = Seq(
+      (1L, 0L, "apple banana orange"),
+      (1L, 1L, "of the and")).toDF("doc_id", "sentence_id", "sentence")
+    val got = SummarizeOps.scoreSentencesSklearn(sents)
+      .orderBy("sentence_id").select("score").as[Double].collect()
+    assert(got(1) == 0.0 && got(0) > 0.0)
+  }
+
   test("extractive summary: identity when n_sentences <= k (py:91-92)") {
     val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
     val sents = SummarizeOps.chunks(docs, 3) // 2 chunks <= k=2
