@@ -191,6 +191,34 @@ object DedupOps {
       .where(col("edit_dist") >= 0) // bounded variant returns -1 past the cap
   }
 
+  /** Benchmark decontamination — the training-corpus hygiene op every LLM
+    * pipeline runs before training: flag training docs that share at least
+    * `minShared` distinct n-gram shingles with ANY benchmark/eval doc, so
+    * test-set material can be held out of the corpus.
+    *
+    * Inputs are shingle relations `(id, shingle)` (from [[shingles]], which
+    * already emits per-doc distinct shingles). `docs` supplies the id
+    * universe so clean docs surface with n_shared = 0.
+    *
+    * Scale shape: the benchmark side is collapsed to its DISTINCT shingle
+    * set — eval benchmarks are a few MB against a 100 TB corpus, so that
+    * set broadcasts and the contamination join is map-side over the
+    * training shingles (no shuffle of the big side); the only wide op left
+    * is the per-doc count, keyed by high-cardinality doc id.
+    */
+  def contaminationScores(docs: DataFrame, trainSh: DataFrame,
+                          benchSh: DataFrame, minShared: Long,
+                          idCol: String = "doc_id"): DataFrame = {
+    val benchSet = benchSh.select(col("shingle")).distinct()
+    val shared = trainSh.join(benchSet, "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    docs.select(col(idCol))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
   /** MLlib-native near-dup path: HashingTF binary term vectors →
     * `MinHashLSH.approxSimilarityJoin`. Same algorithm family as
     * minhashPairs but using Spark ML's hash functions — NOT oracle-portable

@@ -191,18 +191,54 @@ object DedupQueries {
     WHERE hamming <= $SimhashMaxHamming ORDER BY id_a, id_b"""
   }
 
+  // --- q53: benchmark decontamination ------------------------------------
+  // Docs with doc_id % 20 == 0 stand in for a held-out eval benchmark; the
+  // rest are the training corpus. A training doc is contaminated when it
+  // shares any 5-gram shingle with a benchmark doc. The fixture corpus has
+  // duplicate/near-duplicate texts across the split, so the flag fires on
+  // real overlap, not a degenerate all-false relation.
+  val ContaminationMinShared = 1L
+
+  def q53Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val toked = tokenized(spark, dir)
+    val sh = DedupOps.shingles(toked, ShingleN)
+    val isBench = col("doc_id") % 20 === 0
+    DedupOps.contaminationScores(
+      toked.where(!isBench),
+      sh.where(!isBench),
+      sh.where(isBench),
+      ContaminationMinShared)
+      .orderBy("doc_id")
+  }
+
+  val q53Sql: String =
+    s"""WITH $shingleCte,
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+    shared AS (
+      SELECT t.doc_id, count(*) AS n_shared
+      FROM train t JOIN bench b ON t.shingle = b.shingle
+      GROUP BY t.doc_id)
+    SELECT d.doc_id, coalesce(s.n_shared, 0) AS n_shared,
+      coalesce(s.n_shared, 0) >= $ContaminationMinShared AS contaminated
+    FROM (SELECT doc_id FROM tok WHERE doc_id % 20 <> 0) d
+    LEFT JOIN shared s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_exact_dup" -> (q24ExactDup _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q26b_minhash_mllib" -> (q26bMinhashMllib _),
     "q26c_edit_distance" -> (q26cEditDistance _),
-    "q27_simhash" -> (q27Simhash _))
+    "q27_simhash" -> (q27Simhash _),
+    "q53_decontaminate" -> (q53Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
     "q24_exact_dup" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
     "q26_minhash_lsh" -> q26Sql,
     "q26c_edit_distance" -> q26cSql,
-    "q27_simhash" -> q27Sql)
+    "q27_simhash" -> q27Sql,
+    "q53_decontaminate" -> q53Sql)
 }

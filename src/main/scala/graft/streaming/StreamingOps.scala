@@ -84,6 +84,30 @@ object StreamingOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Stream-stream inner join with bounded state: correlate two event
+    * streams on a key within a time bound (e.g. click joined to the
+    * impression that preceded it by at most `maxDelay`). BOTH sides are
+    * watermarked and the join carries an event-time range condition —
+    * the two requirements Structured Streaming needs to know when a
+    * buffered left row can never match again, so state is dropped instead
+    * of growing with the stream. Columns on the right are suffixed to
+    * avoid ambiguity.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   maxDelay: String = "10 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r0 = right.withWatermark("ts", watermark)
+    val r = r0.columns.foldLeft(r0) { (df, c) =>
+      if (c == key) df else df.withColumnRenamed(c, s"${c}_r")
+    }
+    l.join(r,
+      l(key) === r(key) &&
+        col("ts_r") >= col("ts") &&
+        col("ts_r") <= col("ts") + expr(s"INTERVAL $maxDelay"))
+      .drop(r(key))
+  }
+
   /** Convenience: the events fixture schema as a file stream — the same
     * relation Tables.events yields, but incremental (one-file-per-trigger).
     */

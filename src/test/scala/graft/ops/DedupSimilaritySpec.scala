@@ -54,6 +54,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("size_a") == 3 && r.getAs[Long]("common") == 3)
   }
 
+  test("contaminationScores flags training docs overlapping the benchmark") {
+    val bench = tokenized(100L -> "a b c d e f")
+    val train = tokenized(
+      1L -> "z b c d e f g",  // shares 5-gram "b c d e f"
+      2L -> "p q r s t u v")  // disjoint
+    val out = DedupOps.contaminationScores(
+      train, DedupOps.shingles(train, 5), DedupOps.shingles(bench, 5),
+      minShared = 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((1L, 1L, true), (2L, 0L, false)))
+  }
+
   test("editDistancePairs finds pairs across length-band boundaries") {
     // maxDist=3 -> band width 4: "abc" (len 3, band 0) and "abcde"
     // (len 5, band 1) sit in ADJACENT bands — the band+-1 explode must

@@ -42,6 +42,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamingOps.intervalJoin(
+      imps.toDF.toDF("event_id", "ts", "user_id"),
+      clicks.toDF.toDF("event_id", "ts", "user_id"),
+      key = "user_id", maxDelay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 00:00:00"), 7L),
+        (2L, ts("2024-01-01 00:00:00"), 8L))
+      clicks.addData(
+        (10L, ts("2024-01-01 00:05:00"), 7L),  // within 10 min -> match
+        (11L, ts("2024-01-01 00:20:00"), 8L),  // 20 min late -> no match
+        (12L, ts("2024-01-01 00:03:00"), 9L))  // no impression -> no match
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_test")
+        .select("event_id", "event_id_r").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redelivered keys, even with a different timestamp") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
