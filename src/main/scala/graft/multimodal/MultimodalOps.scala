@@ -27,9 +27,13 @@ object MultimodalOps {
   case class MediaRow(media_id: Long, modality: String, content: Array[Byte],
                       uri: String)
 
-  /** Extracted features: id + shape metadata + a fixed-dim feature vector. */
+  /** Extracted features: id + shape metadata + a fixed-dim feature vector.
+    * width/height come from real header parsing (imageDimensions); -1 when
+    * the payload is not a parseable image.
+    */
   case class MediaFeatures(media_id: Long, modality: String, n_bytes: Long,
-                           format: String, features: Array[Double])
+                           format: String, width: Int, height: Int,
+                           features: Array[Double])
 
   /** Magic-byte container sniffing — pure column expression (no UDF):
     * first bytes → format tag. Covers the classic signatures; unknown
@@ -91,10 +95,53 @@ object MultimodalOps {
       // real decoder: load codec/model ONCE here, per partition
       rows.map { r =>
         val fmt = sniffFormatBytes(r.content)
+        val dims = imageDimensions(r.content)
         MediaFeatures(r.media_id, r.modality,
           if (r.content == null) 0L else r.content.length.toLong,
-          fmt, fakeDecodeFeatures(r.content))
+          fmt, dims.fold(-1)(_._1), dims.fold(-1)(_._2),
+          fakeDecodeFeatures(r.content))
       }
+    }
+  }
+
+  /** REAL image dimension parsing from container headers — no codec
+    * needed, so unlike pixel decoding this is not stubbed:
+    *   - PNG: IHDR width/height, big-endian u32 at offsets 16/20;
+    *   - GIF: logical screen size, little-endian u16 at offsets 6/8;
+    *   - JPEG: walk the marker stream to the first SOF0/1/2 frame header
+    *     (height then width, big-endian u16 after the precision byte).
+    * Returns None for other formats or truncated/malformed headers. Runs
+    * in the per-partition typed path beside the (stubbed) pixel decoder.
+    */
+  def imageDimensions(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = if (b != null && i < b.length) b(i) & 0xff else -1
+    def beU32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def beU16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    sniffFormatBytes(b) match {
+      case "png" if b.length >= 24 &&
+        // bytes 12-15 must name the IHDR chunk (it is mandatory-first)
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R' =>
+        Some((beU32(16).toInt, beU32(20).toInt))
+      case "gif" if b.length >= 10 =>
+        Some((leU16(6), leU16(8)))
+      case "jpeg" =>
+        // segments: FF marker len_hi len_lo payload... until SOS/EOI
+        var i = 2
+        while (i + 3 < b.length && u8(i) == 0xff) {
+          val marker = u8(i + 1)
+          if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+            // len(2) precision(1) height(2) width(2)
+            return if (i + 9 <= b.length)
+              Some((beU16(i + 7), beU16(i + 5))) else None
+          }
+          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+          else if (marker == 0xda || marker == 0xd9) return None // SOS/EOI
+          else i += 2 + beU16(i + 2)
+        }
+        None
+      case _ => None
     }
   }
 

@@ -33,4 +33,39 @@ object JoinOps {
       explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>")))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** As-of join (left outer): each left row picks up `rightValCols` from
+    * the LATEST right row with `right.tsCol <= left.tsCol` for the same
+    * `key` (nulls when no right row precedes it) — the standard event/state
+    * enrichment Spark has no native operator for (DuckDB/kdb spell it
+    * ASOF JOIN).
+    *
+    * Spark-first formulation: tag both sides, union, and take
+    * `last(rightStruct, ignoreNulls)` over a window ordered by
+    * `(ts, side)` with right rows sorting first so an exactly-simultaneous
+    * right row is visible to the left row. ONE shuffle keyed by `key` plus
+    * a per-key sort — linear at any scale, unlike a per-row correlated
+    * subquery (O(n) probes) or an inequality join (quadratic per key).
+    *
+    * The right side must be unique per (key, ts) — pre-aggregate if not —
+    * otherwise which simultaneous right row wins is tie-broken by nothing
+    * and the result is nondeterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               rightValCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rv = right.select(col(key), col(tsCol), lit(0).as("__side"),
+      struct(rightValCols.map(col): _*).as("__rv"))
+    val rvType = rv.schema("__rv").dataType
+    val lv = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lv.unionByName(rv, allowMissingColumns = true)
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(left.columns.map(col).toIndexedSeq ++
+        rightValCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
 }

@@ -144,7 +144,46 @@ object EventQueries {
       count(*) AS n_events
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // --- q54: as-of enrichment join ----------------------------------------
+  // Each click picks up the latest preceding (or simultaneous) view of the
+  // same user — JoinOps.asofJoin's union+window formulation, verified
+  // against DuckDB's NATIVE ASOF LEFT JOIN (an independent implementation
+  // of the same semantics, so this is a cross-engine semantic check, not a
+  // mirrored query). The view side is pre-aggregated to unique
+  // (user_id, ts) as asofJoin requires for determinism.
+  def q54AsofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = e.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+      .withColumn("view_ts", col("ts"))
+    graft.ops.JoinOps.asofJoin(clicks, views, "user_id", "ts",
+      Seq("view_ts", "view_value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+        col("view_value"))
+      .orderBy("event_id")
+  }
+
+  val q54Sql: String =
+    """WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events),
+    clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+    views AS (
+      SELECT user_id, ts, max(value) AS view_value
+      FROM e WHERE event_type = 'view' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id,
+      strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+      v.view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    ORDER BY c.event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_asof_enrich" -> (q54AsofEnrich _),
     "q35_export_stamp" -> (q35ExportStamp _),
     "q31_json_stats" -> (q31JsonStats _),
     "q31b_json_struct" -> (q31bJsonStruct _),
@@ -154,6 +193,7 @@ object EventQueries {
     "q34_sessions" -> (q34Sessions _))
 
   val oracleSql: Map[String, String] = Map(
+    "q54_asof_enrich" -> q54Sql,
     "q35_export_stamp" -> q35Sql,
     "q31_json_stats" -> q31Sql,
     "q31b_json_struct" -> q31bSql,

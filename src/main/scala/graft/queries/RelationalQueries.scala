@@ -470,8 +470,36 @@ object RelationalQueries {
       sqrt(CAST(n * sumq2 - sumq * sumq AS DOUBLE) / (n * (n - 1))) / 100.0 AS stddev_qty
     FROM g ORDER BY l_returnflag"""
 
+  /** q17d: exact interpolated percentiles (Spark `percentile` vs DuckDB
+    * `quantile_cont` — independent implementations of the same continuous-
+    * quantile definition). Verifiable bit-exactly because every operand is
+    * exactly representable: quantities are integer-valued doubles and
+    * p ∈ {.25, .5, .75} interpolates on quarter-fractions, so the
+    * interpolation and the 1e6 scaling stay exact in both engines. A p
+    * like 0.9 would NOT be safe (0.9 has no finite binary expansion).
+    * Exact percentile holds the full sorted group — at 100 TB prefer
+    * approx_percentile (q17b's sketch family) unless exactness is the
+    * point.
+    */
+  def q17dPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        floor(percentile(col("l_quantity"), lit(0.25)) * 1000000).cast("long").as("p25_micro"),
+        floor(percentile(col("l_quantity"), lit(0.5)) * 1000000).cast("long").as("p50_micro"),
+        floor(percentile(col("l_quantity"), lit(0.75)) * 1000000).cast("long").as("p75_micro"))
+      .orderBy("l_returnflag")
+
+  val q17dSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      CAST(floor(quantile_cont(l_quantity, 0.25) * 1000000) AS BIGINT) AS p25_micro,
+      CAST(floor(quantile_cont(l_quantity, 0.50) * 1000000) AS BIGINT) AS p50_micro,
+      CAST(floor(quantile_cont(l_quantity, 0.75) * 1000000) AS BIGINT) AS p75_micro
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17c_stats" -> (q17cStats _),
+    "q17d_percentiles" -> (q17dPercentiles _),
     "q19b_above_global_avg" -> (q19bAboveGlobalAvg _),
     "q10_pricing_summary" -> (q10PricingSummary _),
     "q10b_revenue_by_quarter" -> (q10bRevenueByQuarter _),
@@ -492,6 +520,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q17c_stats" -> q17cSql,
+    "q17d_percentiles" -> q17dSql,
     "q19b_above_global_avg" -> q19bSql,
     "q10_pricing_summary" -> q10Sql,
     "q10b_revenue_by_quarter" -> q10bSql,

@@ -57,6 +57,32 @@ class MultimodalOpsSpec extends SparkSpec {
       MultimodalOps.fakeDecodeFeatures(png).toSeq)
   }
 
+  test("imageDimensions parses real PNG/GIF/JPEG headers; -1 in the typed path otherwise") {
+    // PNG: signature + IHDR length + "IHDR" + w=640 h=480 (big-endian u32)
+    val pngHdr = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80.toByte, 0, 0, 0x01, 0xe0.toByte, 8, 6, 0, 0, 0)
+    assert(MultimodalOps.imageDimensions(pngHdr).contains((640, 480)))
+    // GIF89a: w=320 h=200 little-endian u16
+    val gifHdr = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+      0x40, 0x01, 0xc8.toByte, 0x00, 0, 0, 0)
+    assert(MultimodalOps.imageDimensions(gifHdr).contains((320, 200)))
+    // JPEG: SOI, APP0 (skipped via its length), SOF0 with h=30 w=20
+    val jpegHdr = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0, 4, 1, 2, // APP0, len 4
+      0xff.toByte, 0xc0.toByte, 0, 11, 8, 0, 30, 0, 20, 3, 0, 0, 0)
+    assert(MultimodalOps.imageDimensions(jpegHdr).contains((20, 30)))
+    // truncated/junk payloads parse to None, surfaced as -1 by the typed path
+    assert(MultimodalOps.imageDimensions(junk).isEmpty)
+    assert(MultimodalOps.imageDimensions(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)).isEmpty)
+    val feats = MultimodalOps.extractFeatures(
+      Seq((1L, "image", pngHdr, "mem://p.png"), (2L, "audio", junk, "mem://d.raw"))
+        .toDF("media_id", "modality", "content", "uri")
+        .as[MultimodalOps.MediaRow]).collect().sortBy(_.media_id)
+    assert((feats(0).width, feats(0).height) == (640, 480))
+    assert((feats(1).width, feats(1).height) == (-1, -1))
+  }
+
   test("frame sampling emits fixed-size strided blocks") {
     val frames = MultimodalOps.sampleFrames(
       Seq((4L, junk)).toDF("media_id", "content"), blockSize = 16, stride = 2)

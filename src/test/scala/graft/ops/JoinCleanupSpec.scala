@@ -20,6 +20,25 @@ class JoinCleanupSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("asofJoin picks the latest preceding right row; simultaneous counts; none -> null") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 00:10:00")),  // right rows at 00:05 and 00:10
+      (2L, 7L, ts("2024-01-01 00:02:00")),  // before any right row
+      (3L, 8L, ts("2024-01-01 00:05:00")))  // key with no right rows
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 00:05:00"), "a"),
+      (7L, ts("2024-01-01 00:10:00"), "b"),  // simultaneous with left #1
+      (9L, ts("2024-01-01 00:01:00"), "x"))
+      .toDF("user_id", "ts", "tag")
+    val out = JoinOps.asofJoin(left, right, "user_id", "ts", Seq("tag"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("tag"))))
+    assert(out.toSeq == Seq((1L, Some("b")), (2L, None), (3L, None)))
+  }
+
   test("redactPii masks emails, urls, phone runs; leaves clean text alone") {
     val rows = Seq(
       (1L, "contact me at jane.doe+x@example.org today"),
