@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSession
   * round 1 showed as 10-50x artifacts on early slots. Failures are never
   * swallowed: a crashing query records its error message under "errors"
   * and counts -1 sec, so a regression can't silently improve the total.
+  *
+  * Materialization is a `noop`-format write, not `count()`: count lets
+  * Catalyst prune every projection not needed for the row count, so a
+  * narrow query would be timed as a bare scan; the noop sink evaluates
+  * every output column and discards the bytes.
   */
 object Bench {
   private val RunsPerQuery = 2
@@ -36,7 +41,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to RunsPerQuery).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        }
         catch { case e: Throwable =>
           errors.getOrElseUpdate(name,
             s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")

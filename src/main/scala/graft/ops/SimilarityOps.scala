@@ -148,8 +148,17 @@ object SimilarityOps {
     * At 100 TB the cell id is the partitioning/bucketing key: a probe
     * touches nProbe partitions instead of scanning the corpus.
     */
-  def ivfTopK(embeddings: DataFrame, everyNth: Int, k: Int,
-              nCells: Int, nProbe: Int): DataFrame = {
+  /** A built IVF index: cell-assigned vectors and the (tiny) centroid
+    * table. Build ONCE, probe many times — at scale `assigned` is what you
+    * write out partitioned/bucketed by `cell`; rebuilding the index per
+    * query would repeat the KMeans training pass.
+    */
+  case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Training pass of [[ivfTopK]]: fit KMeans cells and assign every
+    * vector to its cell.
+    */
+  def buildIvfIndex(embeddings: DataFrame, nCells: Int): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val p = prepared(embeddings)
@@ -164,7 +173,19 @@ object SimilarityOps {
     }
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
+    IvfIndex(assigned,
+      spark.createDataset(centroids.toSeq).toDF("cell", "centroid"))
+  }
+
+  def ivfTopK(embeddings: DataFrame, everyNth: Int, k: Int,
+              nCells: Int, nProbe: Int): DataFrame =
+    ivfTopK(buildIvfIndex(embeddings, nCells), everyNth, k, nProbe)
+
+  /** Probe pass over a prebuilt index. */
+  def ivfTopK(index: IvfIndex, everyNth: Int, k: Int,
+              nProbe: Int): DataFrame = {
+    val assigned = index.assigned
+    val cents = index.centroids
     val q = assigned.where(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
     val qCells = q.crossJoin(broadcast(cents))
