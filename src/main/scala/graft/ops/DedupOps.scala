@@ -181,14 +181,21 @@ object DedupOps {
     val b = docs.select(block.as("block"),
       explode(array(band - 1, band, band + 1)).as("band"),
       col(idCol).as("id_b"), col(textCol).as("text_b"))
+    // ONE where with the conjuncts cheap-first: chained wheres let Catalyst
+    // reassemble the join condition with levenshtein evaluated BEFORE the
+    // id ordering test, i.e. on both orderings of every pair (measured
+    // 3.3x slower at sf0.1). In a single condition the written order is
+    // kept: id ordering, then the length bound, and only then the bounded
+    // levenshtein (returns -1 past the cap; the unbounded form is another
+    // 13x slower). The survivors' Project re-evaluates levenshtein once
+    // more — negligible, they are the handful of real near-dups.
     a.join(b, Seq("block", "band"))
-      .where(col("id_a") < col("id_b"))
-      // cheap length pre-filter: |len(a)-len(b)| bounds the edit distance
-      .where(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
+      .where(col("id_a") < col("id_b") &&
+        abs(length(col("text_a")) - length(col("text_b"))) <= maxDist &&
+        levenshtein(col("text_a"), col("text_b"), maxDist) >= 0)
       .select(col("block"), col("id_a"), col("id_b"),
         levenshtein(col("text_a"), col("text_b"), maxDist).cast("long")
           .as("edit_dist"))
-      .where(col("edit_dist") >= 0) // bounded variant returns -1 past the cap
   }
 
   /** Benchmark decontamination — the training-corpus hygiene op every LLM
