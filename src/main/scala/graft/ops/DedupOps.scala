@@ -88,9 +88,18 @@ object DedupOps {
     */
   def jaccardPairs(sh: DataFrame, minMicro: Long,
                    idCol: String = "doc_id"): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val common = sh.toDF(idCol, "shingle")
-      .join(sh.toDF("id_b", "shingle"), "shingle")
+    // the shingle relation feeds THREE consumers (the size aggregate and
+    // both sides of the self-join); Catalyst cannot share work across
+    // self-join branches, so without a persist the whole upstream chain
+    // (tokenize/shingle — or redact+quality+dedup when called from the
+    // curation pipeline) runs three times. MEMORY_AND_DISK: at corpus
+    // scale the shingle frame spills rather than recomputes — the same
+    // trade a production pipeline makes by checkpointing its shingle
+    // index.
+    val cached = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = cached.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val common = cached.toDF(idCol, "shingle")
+      .join(cached.toDF("id_b", "shingle"), "shingle")
       .where(col(idCol) < col("id_b"))
       .groupBy(col(idCol).as("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
