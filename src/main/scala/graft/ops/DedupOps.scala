@@ -207,6 +207,51 @@ object DedupOps {
           .as("edit_dist"))
   }
 
+  /** Connected components over near-dup pairs: every doc labeled with its
+    * cluster's canonical (min) id, so transitive duplicate chains
+    * (A~B, B~C ⇒ {A,B,C}) collapse to ONE representative — the correct
+    * cluster semantics where pairwise greedy dropping over- or
+    * under-deletes.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels; converges in
+    * graph-diameter rounds (dup clusters are shallow — a handful). Each
+    * round is one edge-keyed shuffle + one label join, all DataFrame ops,
+    * so a round costs the same at any corpus size; the driver only runs
+    * the loop and the per-round convergence count. `localCheckpoint`
+    * truncates the plan lineage each round — without it the iterated plan
+    * tree grows exponentially and the optimizer, not the data, becomes
+    * the bottleneck.
+    */
+  def duplicateClusters(docs: DataFrame, pairs: DataFrame,
+                        maxIters: Int = 20,
+                        idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol), col(idCol).as("cluster_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIters && changed > 0) {
+      val nbrMin = edges
+        .join(labels.toDF("src", "src_lab"), "src")
+        .groupBy(col("dst").as(idCol))
+        .agg(min(col("src_lab")).as("nbr_lab"))
+      val next = labels.join(nbrMin, Seq(idCol), "left")
+        .select(col(idCol),
+          least(col("cluster_id"), coalesce(col("nbr_lab"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.toDF(idCol, "old_lab"), Seq(idCol))
+        .where(col("cluster_id") =!= col("old_lab")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Benchmark decontamination — the training-corpus hygiene op every LLM
     * pipeline runs before training: flag training docs that share at least
     * `minShared` distinct n-gram shingles with ANY benchmark/eval doc, so

@@ -225,6 +225,41 @@ object DedupQueries {
     LEFT JOIN shared s ON d.doc_id = s.doc_id
     ORDER BY d.doc_id"""
 
+  // --- q55: duplicate clusters (connected components) --------------------
+  // Near-dup PAIRS (q25's relation) resolved into transitive clusters:
+  // every doc labeled with its component's min id. Spark runs iterative
+  // min-label propagation; the oracle computes the same fixpoint with a
+  // DuckDB recursive CTE — two entirely different algorithms agreeing on
+  // the closure is the point of the check.
+  def q55DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.jaccardPairs(
+      DedupOps.shingles(tokenized(spark, dir), ShingleN), JaccardMinMicro)
+    DedupOps.duplicateClusters(Tables.documents(spark, dir), pairs)
+      .orderBy("doc_id")
+  }
+
+  val q55Sql: String =
+    s"""WITH RECURSIVE $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    jpairs AS (
+      SELECT id_a, id_b FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= $JaccardMinMicro),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs
+      UNION ALL SELECT id_b, id_a FROM jpairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM tok
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_exact_dup" -> (q24ExactDup _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
@@ -232,7 +267,8 @@ object DedupQueries {
     "q26b_minhash_mllib" -> (q26bMinhashMllib _),
     "q26c_edit_distance" -> (q26cEditDistance _),
     "q27_simhash" -> (q27Simhash _),
-    "q53_decontaminate" -> (q53Decontaminate _))
+    "q53_decontaminate" -> (q53Decontaminate _),
+    "q55_dup_clusters" -> (q55DupClusters _))
 
   val oracleSql: Map[String, String] = Map(
     "q24_exact_dup" -> q24Sql,
@@ -240,5 +276,6 @@ object DedupQueries {
     "q26_minhash_lsh" -> q26Sql,
     "q26c_edit_distance" -> q26cSql,
     "q27_simhash" -> q27Sql,
-    "q53_decontaminate" -> q53Sql)
+    "q53_decontaminate" -> q53Sql,
+    "q55_dup_clusters" -> q55Sql)
 }

@@ -54,6 +54,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("size_a") == 3 && r.getAs[Long]("common") == 3)
   }
 
+  test("duplicateClusters collapses transitive chains to the min id") {
+    val d = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e", 6L -> "f")
+    // chain 1-2-3 (transitive: 1 and 3 never pair directly), pair 5-6,
+    // singleton 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = DedupOps.duplicateClusters(d, pairs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L), (6L, 5L)))
+  }
+
   test("contaminationScores flags training docs overlapping the benchmark") {
     val bench = tokenized(100L -> "a b c d e f")
     val train = tokenized(
