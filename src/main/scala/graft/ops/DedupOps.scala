@@ -296,8 +296,11 @@ object DedupOps {
     val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
     // MinHashLSH rejects all-zero vectors: empty-token docs can't near-dup
-    // anything anyway, drop them before hashing
+    // anything anyway, drop them before hashing. Persisted: the self-join
+    // consumes the frame as BOTH datasetA and datasetB, which would
+    // otherwise run the shingle+HashingTF chain twice.
     val feats = tf.transform(tokenized.where(size(col("toks")) > 0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numTables).setSeed(42L).fit(feats)
     model.approxSimilarityJoin(feats, feats, threshold, "jaccard_dist")

@@ -223,11 +223,16 @@ object SimilarityOps {
   def cosineNearDupPairs(embeddings: DataFrame, bits: Int, bands: Int,
                          minMicro: Long): DataFrame = {
     val p = prepared(embeddings)
+    // persisted: both sides of the banded self-join consume this frame,
+    // and the sign-bucket keys (bits-per-band hyperplane dot signs) are
+    // the expensive part — 12 bytes a row cached vs recomputing the
+    // projections twice
     val banded = p.select(col("vec_id"),
         explode(array((0 until bands).map(t =>
           struct(lit(t).as("band"),
             signBucketAt(col("emb"), t * bits, bits).as("key"))): _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.toDF("id_a", "band", "key")
       .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
