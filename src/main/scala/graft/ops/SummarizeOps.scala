@@ -77,7 +77,14 @@ object SummarizeOps {
     * (TextOps.cleanTokens); sentences contributing no scored terms get
     * score 0.
     */
-  def scoreSentences(sents: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def scoreSentences(sents0: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    // the sentence relation feeds the term explode AND the zero-score
+    // join-back here, plus the caller's n_sent branch (extractiveSummary)
+    // — without a persist the upstream tokenize/chunk chain re-runs per
+    // branch. CacheManager matches canonicalized plans, so every consumer
+    // of the same sentence plan (including other queries in the session
+    // over the same fixture) shares this one cache entry.
+    val sents = sents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val terms = sents.select(col(idCol), col("sentence_id"),
         explode(TextOps.cleanTokens(col("sentence"))).as("term"))
     // tf per (doc, sentence, term)
@@ -112,8 +119,10 @@ object SummarizeOps {
     * which is exactly why the oracle-verified default uses integers
     * (SURVEY.md §7.3).
     */
-  def scoreSentencesSklearn(sents: DataFrame,
+  def scoreSentencesSklearn(sents0: DataFrame,
                             idCol: String = "doc_id"): DataFrame = {
+    // same multi-consumer persist as scoreSentences
+    val sents = sents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val terms = sents.select(col(idCol), col("sentence_id"),
       explode(TextOps.cleanTokens(col("sentence"))).as("term"))
     val tf = terms.groupBy(col(idCol), col("sentence_id"), col("term"))
