@@ -497,7 +497,34 @@ object RelationalQueries {
       CAST(floor(quantile_cont(l_quantity, 0.75) * 1000000) AS BIGINT) AS p75_micro
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** q56: the salted skew join, driver-verified. Salting is semantics-
+    * preserving for 1:N joins with unique keys on the replicated side, so
+    * the oracle is simply the PLAIN join — the check is that the salt
+    * machinery (deterministic row-hash salt, explode-replicated dimension,
+    * (key, salt) equi-join) changes nothing but the shuffle layout. The
+    * fixture has no engineered hot key; the op exists for corpora where
+    * one key holds a double-digit share of rows and AQE's skew split
+    * can't apply (aggregate-then-join shapes).
+    */
+  def q56SaltedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    graft.ops.JoinOps.saltedJoin(ord, cust, "o_custkey", salts = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q56Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_salted_revenue" -> (q56SaltedRevenue _),
     "q17c_stats" -> (q17cStats _),
     "q17d_percentiles" -> (q17dPercentiles _),
     "q19b_above_global_avg" -> (q19bAboveGlobalAvg _),
@@ -519,6 +546,7 @@ object RelationalQueries {
     "q19_above_customer_avg" -> (q19AboveCustomerAvg _))
 
   val oracleSql: Map[String, String] = Map(
+    "q56_salted_revenue" -> q56Sql,
     "q17c_stats" -> q17cSql,
     "q17d_percentiles" -> q17dSql,
     "q19b_above_global_avg" -> q19bSql,
