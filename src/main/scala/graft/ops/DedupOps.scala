@@ -249,6 +249,14 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    // NEVER return silently-wrong labels: a component with diameter >
+    // maxIters would still be mid-propagation. Dup clusters are shallow in
+    // practice (near-dup graphs are dense blobs, not paths); a corpus that
+    // trips this wants more iterations or the O(log n) large-star/
+    // small-star contraction instead of plain propagation.
+    require(changed == 0,
+      s"duplicateClusters did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters")
     labels
   }
 

@@ -125,6 +125,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicateClusters agrees with a union-find model on random graphs") {
+    // one Spark job over 30 disjoint random graphs (25 nodes each, tagged
+    // into separate id ranges) vs a pure-Scala union-find
+    val graphs = (0 until 30).map { g =>
+      val base = g * 100L
+      val edgeGen = for {
+        a <- Gen.choose(0, 24); b <- Gen.choose(0, 24) if a != b
+      } yield (base + math.min(a, b), base + math.max(a, b))
+      val edges = Gen.listOfN(18, edgeGen)
+        .apply(Gen.Parameters.default, Seed(1000L + g)).get.distinct
+      (base, edges)
+    }
+    val nodes = graphs.flatMap { case (base, _) => (0 until 25).map(base + _) }
+    val edges = graphs.flatMap(_._2)
+    // union-find model
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = DedupOps.duplicateClusters(
+      nodes.toDF("doc_id"),
+      edges.toDF("id_a", "id_b"), maxIters = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("fallbackSummary picks first/middle/last in document order") {
     val sents = (0L until 7L).map(i => (1L, i, s"s$i")).toDF("doc_id", "sentence_id", "sentence")
     val out = SummarizeOps.fallbackSummary(sents).head().getString(1)
