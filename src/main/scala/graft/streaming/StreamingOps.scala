@@ -108,6 +108,33 @@ object StreamingOps {
       .drop(r(key))
   }
 
+  /** Idempotent micro-batch sink: write each batch's windowed rows to
+    * parquet partitioned by a key column under DYNAMIC partition
+    * overwrite, so replaying a batch (failure/retry — Structured
+    * Streaming's at-least-once foreachBatch contract) REWRITES the same
+    * partitions instead of appending duplicates. This is the
+    * exactly-once-per-partition recipe when no transactional table format
+    * is available; with one (Delta/Iceberg) the body becomes a MERGE.
+    * Returns the StreamingQuery; caller manages lifecycle.
+    */
+  def idempotentPartitionedSink(stream: DataFrame, path: String,
+                                partitionCol: String,
+                                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try batch.write.mode("overwrite")
+          .partitionBy(partitionCol).parquet(path)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      .start()
+
   /** Convenience: the events fixture schema as a file stream — the same
     * relation Tables.events yields, but incremental (one-file-per-trigger).
     */

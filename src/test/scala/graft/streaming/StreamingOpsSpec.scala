@@ -67,6 +67,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotent partitioned sink: replaying a batch rewrites, never duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val mem = MemoryStream[(Long, String, Double)]
+    val df = mem.toDF.toDF("event_id", "day", "value")
+    val q = StreamingOps.idempotentPartitionedSink(
+      df, s"$dir/out", "day", s"$dir/ckpt")
+    try {
+      mem.addData((1L, "d1", 1.0), (2L, "d2", 2.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out").count() == 2)
+      // the same d1 rows arrive again (replay) plus a new d1 row: the d1
+      // partition is REWRITTEN with exactly this batch's rows, d2 is kept
+      mem.addData((1L, "d1", 1.0), (3L, "d1", 3.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/out")
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getAs[String]("day")))
+      assert(rows.toSeq == Seq((1L, "d1"), (2L, "d2"), (3L, "d1")))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redelivered keys, even with a different timestamp") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
