@@ -142,8 +142,12 @@ object DedupOps {
     * (#agreeing permutations / k, scaled 1e6). Only docs colliding in at
     * least one band are compared — linear in data + collisions, never O(n²).
     */
-  def minhashPairs(sigs: DataFrame, rowsPerBand: Int, minEstMicro: Long,
+  def minhashPairs(sigs0: DataFrame, rowsPerBand: Int, minEstMicro: Long,
                    idCol: String = "doc_id"): DataFrame = {
+    // four consumers (both band-join sides + both agreement-rerank joins)
+    // would each recompute the shingle→hash→k-min aggregation; a signature
+    // row is k Int64s, so the cache is tiny at any corpus size
+    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = lshBands(sigs, rowsPerBand, idCol)
     val cand = b.toDF("id_a", "band", "key")
       .join(b.toDF("id_b", "band", "key"), Seq("band", "key"))
