@@ -108,13 +108,86 @@ object CurationQueries {
     SELECT lang, count(*) AS n_sampled, CAST(min(doc_id) AS BIGINT) AS first_doc
     FROM h WHERE h % 100 < 30 GROUP BY lang ORDER BY lang"""
 
+  // --- q57: source mixing — per-source target sampling rates --------------
+  // The mixture-weighting step before training: each source keeps a
+  // deterministic hash-selected fraction matching its target weight
+  // (upweight wiki-like sources, downweight crawl), reproducible across
+  // runs and reshuffles like q51/q52. Per-mille rates as a literal map.
+  val MixPermille: Seq[(String, Int)] = Seq(
+    "src0" -> 900, "src1" -> 800, "src2" -> 700, "src3" -> 500, "src4" -> 300)
+
+  def q57SourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val rate = MixPermille.foldLeft(lit(100)) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.ops.HashOps.charHash(col("text")).as("h"), rate.as("rate"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("h") % 1000 < col("rate"), 1)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val q57Sql: String = {
+    val rate = MixPermille.foldRight("100") { case ((s, r), acc) =>
+      s"CASE WHEN source = '$s' THEN $r ELSE $acc END"
+    }
+    s"""WITH h AS (
+      SELECT doc_id, source, ${graft.ops.HashOps.charHashSql("text")} AS h,
+        $rate AS rate
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+      CAST(count(CASE WHEN h % 1000 < rate THEN 1 END) AS BIGINT) AS n_kept
+    FROM h GROUP BY source ORDER BY source"""
+  }
+
+  // --- q58: sequence packing — concatenate-and-split token budgeting ------
+  // How pre-training batches are built: docs are concatenated in a
+  // deterministic order and split at a fixed token budget; each doc gets
+  // its start offset and bin. Window cumulative sums keyed per source —
+  // the shuffle is on the partition key, the cumsum is a single window
+  // pass, and bin assignment is pure arithmetic (no driver loop).
+  val PackBudget = 4096L
+
+  def q58SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.ops.TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id", floor(col("start_offset") / PackBudget).cast("long"))
+      .orderBy("source", "doc_id")
+  }
+
+  val q58Sql: String =
+    s"""WITH t AS (
+      SELECT doc_id, source, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      FROM t)
+    SELECT doc_id, source, n_tokens, start_offset,
+      CAST(floor(start_offset / $PackBudget) AS BIGINT) AS bin_id
+    FROM c ORDER BY source, doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_curated_corpus" -> (q50CuratedCorpus _),
     "q51_split" -> (q51Split _),
-    "q52_stratified_sample" -> (q52StratifiedSample _))
+    "q52_stratified_sample" -> (q52StratifiedSample _),
+    "q57_source_mix" -> (q57SourceMix _),
+    "q58_sequence_packing" -> (q58SequencePacking _))
 
   val oracleSql: Map[String, String] = Map(
     "q50_curated_corpus" -> q50Sql,
     "q51_split" -> q51Sql,
-    "q52_stratified_sample" -> q52Sql)
+    "q52_stratified_sample" -> q52Sql,
+    "q57_source_mix" -> q57Sql,
+    "q58_sequence_packing" -> q58Sql)
 }
