@@ -51,4 +51,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"q11 lost the top-k pushdown:\n$plan")
   }
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q11 predicates reach the parquet scans as PushedFilters") {
+    val plan = formatted(RelationalQueries.q11TopOrders(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem date filter not pushed:\n$plan")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"customer segment filter not pushed:\n$plan")
+  }
+
+  test("narrow queries prune the document scan to the referenced columns") {
+    val plan = formatted(
+      graft.queries.NlpQueries.q01CleanTokens(spark, dir))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q01 reads more than (doc_id, text):\n$plan")
+  }
 }
