@@ -39,9 +39,10 @@ object CurationPipeline {
     * are computed over the CAPPED shingle sets so the semantics stay
     * consistent (a doc's size is its count of surviving shingles).
     */
-  def curate(docs: DataFrame,
-             maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    // 1-2: redact + quality gate (narrow, no shuffle)
+  /** Stages 1-3: redact (narrow) → quality gate (narrow) → exact dedup
+    * (one text-keyed window). Shared by both stage-4 retention policies.
+    */
+  private def exactStage(docs: DataFrame): DataFrame = {
     val redacted = docs.select(col("doc_id"),
       TextAnalysisOps.redactPii(col("text")).as("text"))
     val toked = redacted.select(col("doc_id"), col("text"),
@@ -51,22 +52,48 @@ object CurationPipeline {
         TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*)
     val passed = quality.where(TextAnalysisOps.qualityPass)
       .select("doc_id", "text", "toks")
-    // 3: exact dedup — survivors are each text group's min id
-    val exact = passed
+    passed
       .withColumn("canonical_id",
         min(col("doc_id")).over(
           org.apache.spark.sql.expressions.Window.partitionBy("text")))
       .where(col("doc_id") === col("canonical_id"))
       .select("doc_id", "text", "toks")
+  }
+
+  def curate(docs: DataFrame,
+             maxShingleDf: Long = MaxShingleDf): DataFrame = {
+    val exact = exactStage(docs)
     // 4: near-dup removal — drop docs that near-duplicate a smaller id;
     // hot boilerplate shingles are dropped first (skew guard)
-    val pairs = DedupOps.jaccardPairs(
+    val pairs = nearDupPairs(exact, maxShingleDf)
+    val drops = pairs.select(col("id_b").as("doc_id")).distinct()
+    exact.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"),
+        size(col("toks")).cast("long").as("n_tokens"))
+  }
+
+  private def nearDupPairs(exact: DataFrame, maxShingleDf: Long): DataFrame =
+    DedupOps.jaccardPairs(
       DedupOps.capShingleDf(
         DedupOps.shingles(exact.select("doc_id", "toks"), ShingleN),
         maxShingleDf),
       NearDupMinMicro)
-    val drops = pairs.select(col("id_b").as("doc_id")).distinct()
-    exact.join(drops, Seq("doc_id"), "left_anti")
+
+  /** Cluster-canonical variant of stage 4: resolve near-dup pairs into
+    * connected components and keep exactly each component's min-id doc —
+    * the stricter retention policy fuzzy-dedup pipelines use. The greedy
+    * pairwise rule in [[curate]] keeps every doc that only pairs with
+    * LARGER ids, so a non-transitive similarity chain can retain several
+    * members of one cluster; this variant never does.
+    */
+  def curateClusterDedup(docs: DataFrame,
+                         maxShingleDf: Long = MaxShingleDf): DataFrame = {
+    val exact = exactStage(docs)
+    val pairs = nearDupPairs(exact, maxShingleDf)
+    val clusters = DedupOps.duplicateClusters(
+      exact.select("doc_id"), pairs.select("id_a", "id_b"))
+    exact.join(clusters, Seq("doc_id"))
+      .where(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("text"),
         size(col("toks")).cast("long").as("n_tokens"))
   }

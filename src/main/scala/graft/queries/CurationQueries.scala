@@ -16,14 +16,18 @@ object CurationQueries {
   def q50CuratedCorpus(spark: SparkSession, dir: String): DataFrame =
     CurationPipeline.curate(Tables.documents(spark, dir)).orderBy("doc_id")
 
-  val q50Sql: String = {
+  /** Shared oracle CTE chain for both stage-4 retention policies:
+    * redact → quality gate → exact dedup → capped shingles → Jaccard
+    * pairs. Spliced after `WITH` / `WITH RECURSIVE`.
+    */
+  private val curationCtePrefix: String = {
     val redacted = TextAnalysisOps.PiiPatterns.foldLeft("text") {
       case (c, (pat, repl)) =>
         val p = pat.replace("\\", "\\\\").replace("'", "''")
         s"regexp_replace($c, '$p', '$repl', 'g')"
     }
     val n = CurationPipeline.ShingleN
-    s"""WITH red AS (SELECT doc_id, $redacted AS text FROM documents),
+    s"""red AS (SELECT doc_id, $redacted AS text FROM documents),
     t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM red),
     q AS (SELECT doc_id, text, toks,
       len(toks) AS n_tokens,
@@ -56,13 +60,39 @@ object CurationQueries {
       SELECT id_a, id_b FROM common c
       JOIN sizes sa ON sa.doc_id = c.id_a
       JOIN sizes sb ON sb.doc_id = c.id_b
-      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= ${CurationPipeline.NearDupMinMicro}),
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= ${CurationPipeline.NearDupMinMicro})"""
+  }
+
+  val q50Sql: String =
+    s"""WITH $curationCtePrefix,
     drops AS (SELECT DISTINCT id_b FROM pairs)
     SELECT e.doc_id, e.text, CAST(len(e.toks) AS BIGINT) AS n_tokens
     FROM exact e LEFT JOIN drops d ON e.doc_id = d.id_b
     WHERE d.id_b IS NULL
     ORDER BY e.doc_id"""
-  }
+
+  // --- q50b: cluster-canonical near-dup retention -------------------------
+  // Same stages 1-3, but stage 4 keeps exactly ONE doc per connected
+  // near-dup component (the min id), resolved by the oracle's recursive
+  // closure vs Spark's label propagation.
+  def q50bClusterCurated(spark: SparkSession, dir: String): DataFrame =
+    CurationPipeline.curateClusterDedup(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  val q50bSql: String =
+    s"""WITH RECURSIVE $curationCtePrefix,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM exact
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    cl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+    SELECT e.doc_id, e.text, CAST(len(e.toks) AS BIGINT) AS n_tokens
+    FROM exact e JOIN cl c ON e.doc_id = c.id
+    WHERE e.doc_id = c.cluster_id
+    ORDER BY e.doc_id"""
 
   // --- q51: deterministic hash-based train/val/test split ----------------
   // Splitting on a content hash (not doc_id, not rand()) keeps assignment
@@ -179,6 +209,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_curated_corpus" -> (q50CuratedCorpus _),
+    "q50b_cluster_curated" -> (q50bClusterCurated _),
     "q51_split" -> (q51Split _),
     "q52_stratified_sample" -> (q52StratifiedSample _),
     "q57_source_mix" -> (q57SourceMix _),
@@ -186,6 +217,7 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q50_curated_corpus" -> q50Sql,
+    "q50b_cluster_curated" -> q50bSql,
     "q51_split" -> q51Sql,
     "q52_stratified_sample" -> q52Sql,
     "q57_source_mix" -> q57Sql,
