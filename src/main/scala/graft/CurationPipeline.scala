@@ -88,7 +88,11 @@ object CurationPipeline {
     */
   def curateClusterDedup(docs: DataFrame,
                          maxShingleDf: Long = MaxShingleDf): DataFrame = {
+    // three consumers (cluster id universe, shingle pairs, final join) —
+    // and the label-prop loop's first action would otherwise re-run the
+    // redact+quality+window prefix
     val exact = exactStage(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = nearDupPairs(exact, maxShingleDf)
     val clusters = DedupOps.duplicateClusters(
       exact.select("doc_id"), pairs.select("id_a", "id_b"))
