@@ -14,21 +14,30 @@ import org.apache.spark.sql.functions._
 object JoinOps {
 
   /** Salted equi-join: the skewed (big) side gets a deterministic salt in
-    * [0, salts) derived from its full row hash; the other side is
-    * replicated `salts` times. The join key becomes (key, salt), spreading
-    * each hot key over `salts` partitions. Equivalent to
-    * `skewed.join(other, key)` for any 1:N relationship where `other` has
-    * unique keys (each skewed row meets each matching other row exactly
-    * once, in exactly one salt bucket).
+    * [0, salts) derived from the join key plus the caller-designated cheap
+    * columns; the other side is replicated `salts` times. The join key
+    * becomes (key, salt), spreading each hot key over `salts` partitions.
+    * Equivalent to `skewed.join(other, key)` for any 1:N relationship
+    * where `other` has unique keys (each skewed row meets each matching
+    * other row exactly once, in exactly one salt bucket).
+    *
+    * `saltCols` must vary within a hot key (a row id, a timestamp — any
+    * cheap near-unique column) or every row of the hot key lands in one
+    * salt bucket and the salting is a no-op. They exist so the salt hash
+    * never touches wide payload columns: hashing a full documents-shaped
+    * row (text and all) just to pick a bucket in [0, salts) wastes CPU on
+    * exactly the side that is already in trouble.
     *
     * Cost: `other` is shuffled/broadcast `salts` times — size accordingly
     * (dim tables, pre-aggregated sides).
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
-                 salts: Int): DataFrame = {
+                 salts: Int, saltCols: Seq[String]): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(saltCols.nonEmpty,
+      "saltCols must name at least one cheap column that varies within a key")
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.toIndexedSeq.map(col): _*)), lit(salts)))
+      pmod(xxhash64((key +: saltCols).distinct.map(col): _*), lit(salts)))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>")))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

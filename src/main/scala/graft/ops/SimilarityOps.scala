@@ -201,7 +201,10 @@ object SimilarityOps {
       .where(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
         cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
-      .distinct()
+    // no distinct: `assigned` puts each candidate in exactly ONE cell, so a
+    // (query, cand) pair arises at most once even with nProbe > 1 —
+    // uniqueness is structural, and a distinct here would buy an extra
+    // exchange in the probe path for nothing
     topKPerQuery(scored, k)
   }
 

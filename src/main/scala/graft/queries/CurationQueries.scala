@@ -200,8 +200,8 @@ object CurationQueries {
       FROM documents),
     c AS (
       SELECT doc_id, source, n_tokens,
-        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-          ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
       FROM t)
     SELECT doc_id, source, n_tokens, start_offset,
       CAST(floor(start_offset / $PackBudget) AS BIGINT) AS bin_id

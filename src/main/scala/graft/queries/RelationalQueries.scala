@@ -510,7 +510,8 @@ object RelationalQueries {
     val ord = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
       .withColumnRenamed("c_custkey", "o_custkey")
-    graft.ops.JoinOps.saltedJoin(ord, cust, "o_custkey", salts = 8)
+    graft.ops.JoinOps.saltedJoin(ord, cust, "o_custkey", salts = 8,
+      saltCols = Seq("o_orderkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast("double").as("revenue"))

@@ -14,7 +14,8 @@ class JoinCleanupSpec extends SparkSpec {
     val plain = orders.join(cust, "o_custkey")
       .select("o_orderkey", "c_name").orderBy("o_orderkey")
       .collect().map(_.toSeq).toSeq
-    val salted = JoinOps.saltedJoin(orders, cust, "o_custkey", salts = 7)
+    val salted = JoinOps.saltedJoin(orders, cust, "o_custkey", salts = 7,
+      saltCols = Seq("o_orderkey"))
       .select("o_orderkey", "c_name").orderBy("o_orderkey")
       .collect().map(_.toSeq).toSeq
     assert(salted == plain)
