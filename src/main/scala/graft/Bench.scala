@@ -51,6 +51,10 @@ object Bench {
           None
         }
       }
+      // release operator-internal persists at the query boundary (after
+      // BOTH runs, so run 2 measures the warm-cache plan exactly as before
+      // the lifecycle change and min-of-n stays comparable across rounds)
+      CacheScope.releaseAll()
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Query-boundary lifecycle for operator-internal persists.
+  *
+  * Several operators persist an intermediate that 2+ branches of the
+  * RETURNED (still lazy) plan consume — minhash signatures feed both
+  * band-join sides plus the rerank, TF-IDF sentence relations feed three
+  * aggregations. The operator cannot unpersist before returning (the
+  * consumer's action hasn't run), and never unpersisting leaks storage
+  * across a long-lived session until block eviction. So ops route those
+  * persists through [[persist]], and whoever runs the action — Verify,
+  * Bench, a test, a user session — calls [[releaseAll]] once the query's
+  * results are materialized. Harness mains treat each registered query as
+  * an independent program, so they release at every query boundary.
+  *
+  * `localCheckpoint` RDDs (iterative loops truncating lineage) follow the
+  * same pattern via [[registerRdd]]: unpersisting a local checkpoint
+  * discards its only copy of the data, so the FINAL checkpoint of a loop
+  * must live until the query boundary, not the end of the loop.
+  *
+  * Memoized model caches (TopicQueries, SimilarityQueries' IVF index) are
+  * deliberately NOT query-scoped — they exist to share a fit across
+  * queries — and expose their own evictAll() instead.
+  */
+object CacheScope {
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Persist `ds` and schedule its unpersist for the next [[releaseAll]]. */
+  def persist[T](ds: Dataset[T],
+                 level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
+    ds.persist(level)
+    pending.add(() => { ds.unpersist(blocking = false); () })
+    ds
+  }
+
+  /** Schedule an already-persisted RDD (e.g. a local checkpoint backing a
+    * returned DataFrame) for release at the next [[releaseAll]].
+    */
+  def registerRdd(rdd: RDD[_]): Unit =
+    pending.add(() => { rdd.unpersist(blocking = false); () })
+
+  /** Unpersist everything registered since the last call. Safe to call
+    * when nothing is registered; never throws (a release failure must not
+    * mask the query's own result).
+    */
+  def releaseAll(): Unit = {
+    var f = pending.poll()
+    while (f != null) {
+      try f() catch { case _: Throwable => () }
+      f = pending.poll()
+    }
+  }
+
+  /** Number of registrations awaiting release — for lifecycle tests. */
+  def pendingCount: Int = pending.size()
+}

@@ -91,8 +91,7 @@ object CurationPipeline {
     // three consumers (cluster id universe, shingle pairs, final join) —
     // and the label-prop loop's first action would otherwise re-run the
     // redact+quality+window prefix
-    val exact = exactStage(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = CacheScope.persist(exactStage(docs))
     val pairs = nearDupPairs(exact, maxShingleDf)
     val clusters = DedupOps.duplicateClusters(
       exact.select("doc_id"), pairs.select("id_a", "id_b"))

@@ -96,7 +96,7 @@ object DedupOps {
     // scale the shingle frame spills rather than recomputes — the same
     // trade a production pipeline makes by checkpointing its shingle
     // index.
-    val cached = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = graft.CacheScope.persist(sh)
     val sizes = cached.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val common = cached.toDF(idCol, "shingle")
       .join(cached.toDF("id_b", "shingle"), "shingle")
@@ -147,7 +147,7 @@ object DedupOps {
     // four consumers (both band-join sides + both agreement-rerank joins)
     // would each recompute the shingle→hash→k-min aggregation; a signature
     // row is k Int64s, so the cache is tiny at any corpus size
-    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.CacheScope.persist(sigs0)
     val b = lshBands(sigs, rowsPerBand, idCol)
     val cand = b.toDF("id_a", "band", "key")
       .join(b.toDF("id_b", "band", "key"), Seq("band", "key"))
@@ -233,6 +233,9 @@ object DedupOps {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.graftbridge.Bridge
+    def releaseCheckpoint(ds: DataFrame): Unit =
+      Bridge.checkpointRdd(ds).foreach(_.unpersist(blocking = false))
     var labels = docs.select(col(idCol), col(idCol).as("cluster_id"))
       .localCheckpoint(true)
     var iter = 0
@@ -242,14 +245,24 @@ object DedupOps {
         .join(labels.toDF("src", "src_lab"), "src")
         .groupBy(col("dst").as(idCol))
         .agg(min(col("src_lab")).as("nbr_lab"))
+      // The changed flag rides INSIDE the checkpointed frame, so the
+      // convergence check is a filter-count over the blocks the eager
+      // checkpoint just cached — no join, no shuffle, no recompute. The
+      // previous formulation paid a second full action per round (a
+      // next-vs-labels join) on top of the checkpoint materialization.
       val next = labels.join(nbrMin, Seq(idCol), "left")
         .select(col(idCol),
           least(col("cluster_id"), coalesce(col("nbr_lab"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nbr_lab"), col("cluster_id")) < col("cluster_id"))
+            .as("chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.toDF(idCol, "old_lab"), Seq(idCol))
-        .where(col("cluster_id") =!= col("old_lab")).count()
-      labels = next
+      changed = next.where(col("chg")).count()
+      // the superseded round's checkpoint blocks are garbage the moment
+      // `next` is materialized — free them instead of leaking one cached
+      // RDD per round
+      releaseCheckpoint(labels)
+      labels = next.select(col(idCol), col("cluster_id"))
       iter += 1
     }
     edges.unpersist()
@@ -261,6 +274,9 @@ object DedupOps {
     require(changed == 0,
       s"duplicateClusters did not converge in $maxIters rounds " +
         s"($changed labels still changing) — raise maxIters")
+    // the FINAL checkpoint is the returned frame's only copy of the data —
+    // it lives until the consumer's query boundary, not the end of this loop
+    Bridge.checkpointRdd(labels).foreach(graft.CacheScope.registerRdd)
     labels
   }
 
@@ -311,8 +327,8 @@ object DedupOps {
     // anything anyway, drop them before hashing. Persisted: the self-join
     // consumes the frame as BOTH datasetA and datasetB, which would
     // otherwise run the shingle+HashingTF chain twice.
-    val feats = tf.transform(tokenized.where(size(col("toks")) > 0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats = graft.CacheScope.persist(
+      tf.transform(tokenized.where(size(col("toks")) > 0)))
     val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numTables).setSeed(42L).fit(feats)
     model.approxSimilarityJoin(feats, feats, threshold, "jaccard_dist")
@@ -407,7 +423,7 @@ object DedupOps {
     // is persisted: both sides of the self-join would otherwise recompute
     // the full tf/hash aggregation chain (a fingerprint row is 16 bytes —
     // the cache is tiny at any corpus size).
-    val cached = fps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = graft.CacheScope.persist(fps)
     val banded = cached.select(col(idCol), col("simhash"),
         explode(array(layout.map { case (b, start, w) =>
           // arithmetic shift + low-w mask == logical extraction of the band

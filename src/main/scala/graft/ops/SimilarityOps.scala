@@ -230,12 +230,12 @@ object SimilarityOps {
     // and the sign-bucket keys (bits-per-band hyperplane dot signs) are
     // the expensive part — 12 bytes a row cached vs recomputing the
     // projections twice
-    val banded = p.select(col("vec_id"),
+    val banded = graft.CacheScope.persist(
+      p.select(col("vec_id"),
         explode(array((0 until bands).map(t =>
           struct(lit(t).as("band"),
             signBucketAt(col("emb"), t * bits, bits).as("key"))): _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key")))
     val cand = banded.toDF("id_a", "band", "key")
       .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
       .where(col("id_a") < col("id_b"))

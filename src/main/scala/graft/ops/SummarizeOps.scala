@@ -84,7 +84,7 @@ object SummarizeOps {
     // branch. CacheManager matches canonicalized plans, so every consumer
     // of the same sentence plan (including other queries in the session
     // over the same fixture) shares this one cache entry.
-    val sents = sents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sents = graft.CacheScope.persist(sents0)
     val terms = sents.select(col(idCol), col("sentence_id"),
         explode(TextOps.cleanTokens(col("sentence"))).as("term"))
     // tf per (doc, sentence, term)
@@ -122,7 +122,7 @@ object SummarizeOps {
   def scoreSentencesSklearn(sents0: DataFrame,
                             idCol: String = "doc_id"): DataFrame = {
     // same multi-consumer persist as scoreSentences
-    val sents = sents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sents = graft.CacheScope.persist(sents0)
     val terms = sents.select(col(idCol), col("sentence_id"),
       explode(TextOps.cleanTokens(col("sentence"))).as("term"))
     val tf = terms.groupBy(col(idCol), col("sentence_id"), col("term"))

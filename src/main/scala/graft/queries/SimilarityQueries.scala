@@ -162,6 +162,19 @@ object SimilarityQueries {
     SimilarityOps.ivfTopK(ivfIndex(spark, dir), QueryEveryNth, TopK, nProbe = 4)
       .orderBy("query_id", "rk")
 
+  /** Drop every memoized IVF index and release its persisted assignment
+    * frame. The cache is cross-query by design (one KMeans fit amortized
+    * over every probe), so it is NOT released at query boundaries — a
+    * session that is done with similarity search calls this.
+    */
+  def evictAll(): Unit = {
+    val it = ivfCache.values.iterator()
+    while (it.hasNext) {
+      it.next().assigned.unpersist(blocking = false)
+      it.remove()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_cosine_near_dup" -> (q28CosineNearDup _),
     "q29_knn_brute" -> (q29KnnBrute _),

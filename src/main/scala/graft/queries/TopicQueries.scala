@@ -34,6 +34,19 @@ object TopicQueries {
     TopicPipeline.topicTerms(fitted(spark, dir))
       .orderBy("topic", "term_rank")
 
+  /** Drop every memoized fit and release its persisted vectorized corpus.
+    * The cache is cross-query by design (q40/q41 share one ~10s LDA fit),
+    * so it is NOT released at query boundaries — a session that is done
+    * with topic modeling calls this.
+    */
+  def evictAll(): Unit = {
+    val it = cache.values.iterator()
+    while (it.hasNext) {
+      it.next().tokenized.unpersist(blocking = false)
+      it.remove()
+    }
+  }
+
   /** Per-doc dominant-topic tags (A6/T3/J4/T7). */
   def q41DocTags(spark: SparkSession, dir: String): DataFrame =
     TopicPipeline.tags(fitted(spark, dir))

@@ -1,0 +1,30 @@
+package graft
+
+/** Quality gate: no registered query may leak persisted RDDs past its
+  * boundary. Runs EVERY SparkEntry query at sf0.001, releases the
+  * query-scoped caches the way Verify/Bench do, evicts the (deliberately
+  * cross-query) memoized model caches, and asserts the session's
+  * persistent-RDD registry is empty — so a long-lived session running
+  * many queries holds storage only while a query is in flight.
+  */
+class CacheLifecycleSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every registered query releases all persisted RDDs at its boundary") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      CacheScope.releaseAll()
+      queries.TopicQueries.evictAll()
+      queries.SimilarityQueries.evictAll()
+      val leaked = spark.sparkContext.getPersistentRDDs
+      assert(leaked.isEmpty,
+        s"$name leaked ${leaked.size} persisted RDD(s): " +
+          leaked.values.map(r => s"id=${r.id} ${r.name}").mkString(", "))
+    }
+  }
+
+  test("releaseAll is safe when nothing is registered") {
+    CacheScope.releaseAll()
+    assert(CacheScope.pendingCount == 0)
+  }
+}
