@@ -3,12 +3,23 @@ package graft.multimodal
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing tests over literal binary payloads (no media fixture
-  * table exists; the decode step is stubbed by design — MultimodalOps
-  * scaladoc).
+/** Multimodal plumbing tests: literal binary payloads for the sniffing/
+  * metadata/frame plumbing, REAL encoded images (BufferedImage →
+  * ImageIO.write bytes) for the pixel decode path.
   */
 class MultimodalOpsSpec extends SparkSpec {
   import sqlImplicits._
+
+  /** Encode a solid-color (or two-tone) image to real container bytes. */
+  private def encode(format: String, w: Int, h: Int,
+                     rgbAt: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
 
   private val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3, 4, 5, 6, 7, 8)
   private val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++
@@ -52,9 +63,53 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(feats.forall(_.features.length == MultimodalOps.FeatureDim))
     assert(feats.forall(_.features.forall(v => v >= 0.0 && v <= 1.0)))
     assert(feats.map(_.format).toSeq == Seq("png", "jpeg", "mp4", "bin"))
-    // deterministic: same bytes -> same features
+    // the 12-byte fake "png" has no decodable pixels: ImageIO returns no
+    // reader, so the typed path falls back to the deterministic
+    // byte-block features — same bytes, same features
     assert(feats.head.features.toSeq ==
-      MultimodalOps.fakeDecodeFeatures(png).toSeq)
+      MultimodalOps.byteBlockFeatures(png).toSeq)
+  }
+
+  test("real PNG/JPEG/GIF bytes decode to pixel-derived features") {
+    val red = encode("png", 32, 16, (_, _) => 0xff0000)
+    val feats = MultimodalOps.decodeImageFeatures(red)
+    assert(feats.isDefined)
+    val Array(mr, mg, mb, sr, sg, sb, ml, _) = feats.get
+    // solid red: mean R = 1, G = B = 0, zero variance, luma = 0.299
+    assert(math.abs(mr - 1.0) < 1e-9 && mg == 0.0 && mb == 0.0)
+    assert(sr == 0.0 && sg == 0.0 && sb == 0.0)
+    assert(math.abs(ml - 0.299) < 1e-9)
+
+    // half black / half white columns: means 0.5, stddev 0.5 per channel
+    val checker = encode("png", 64, 64, (x, _) => if (x < 32) 0x000000 else 0xffffff)
+    val Array(cr, _, _, csr, _, _, cl, csl) = MultimodalOps.decodeImageFeatures(checker).get
+    assert(math.abs(cr - 0.5) < 1e-9 && math.abs(csr - 0.5) < 1e-9)
+    assert(math.abs(cl - 0.5) < 1e-9 && math.abs(csl - 0.5) < 1e-9)
+
+    // GIF round-trips solid colors exactly; JPEG is lossy — tolerance
+    val gifGreen = encode("gif", 10, 10, (_, _) => 0x00ff00)
+    val g = MultimodalOps.decodeImageFeatures(gifGreen).get
+    assert(math.abs(g(1) - 1.0) < 1e-9 && g(0) == 0.0 && g(2) == 0.0)
+    val jpgBlue = encode("jpg", 24, 24, (_, _) => 0x0000ff)
+    val j = MultimodalOps.decodeImageFeatures(jpgBlue).get
+    assert(j(2) > 0.9 && j(0) < 0.1 && j(1) < 0.1)
+
+    // corrupt payload (valid magic, garbage body) falls back cleanly
+    val corrupt = red.take(20) ++ Array.fill[Byte](30)(0x55)
+    assert(MultimodalOps.decodeImageFeatures(corrupt).isEmpty)
+    assert(MultimodalOps.decodeImageFeatures(null).isEmpty)
+  }
+
+  test("typed path uses real pixel features for decodable images end-to-end") {
+    val red = encode("png", 8, 8, (_, _) => 0xff0000)
+    val feats = MultimodalOps.extractFeatures(
+      Seq((1L, "image", red, "mem://red.png"))
+        .toDF("media_id", "modality", "content", "uri")
+        .as[MultimodalOps.MediaRow]).collect()
+    assert(feats.length == 1)
+    assert((feats(0).width, feats(0).height) == (8, 8))
+    assert(feats(0).features.toSeq == MultimodalOps.decodeImageFeatures(red).get.toSeq)
+    assert(math.abs(feats(0).features(0) - 1.0) < 1e-9)
   }
 
   test("imageDimensions parses real PNG/GIF/JPEG headers; -1 in the typed path otherwise") {
