@@ -269,14 +269,101 @@ object DedupOps {
     // NEVER return silently-wrong labels: a component with diameter >
     // maxIters would still be mid-propagation. Dup clusters are shallow in
     // practice (near-dup graphs are dense blobs, not paths); a corpus that
-    // trips this wants more iterations or the O(log n) large-star/
-    // small-star contraction instead of plain propagation.
+    // trips this wants [[duplicateClustersStar]] — the large-star/
+    // small-star contraction whose round count is diameter-independent.
     require(changed == 0,
       s"duplicateClusters did not converge in $maxIters rounds " +
         s"($changed labels still changing) — raise maxIters")
     // the FINAL checkpoint is the returned frame's only copy of the data —
     // it lives until the consumer's query boundary, not the end of this loop
     Bridge.checkpointRdd(labels).foreach(graft.CacheScope.registerRdd)
+    labels
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the scale path when component diameter is unknown.
+    * Plain min-label propagation ([[duplicateClusters]]) needs
+    * graph-diameter rounds: fine for the shallow blobs near-dup graphs
+    * form in practice, pathological on chain-shaped components (think
+    * boilerplate documents each overlapping only its neighbors). The star
+    * operations contract every component to a star around its minimum id
+    * in O(log² n) rounds worst case — independent of diameter.
+    *
+    * Per round, with edges directed large-id → small-id:
+    *   - large-star (per node u, BOTH edge directions): attach every
+    *     strictly-larger neighbor of u to min(N(u) ∪ set(u));
+    *   - small-star (per node u, directed edges): attach u and all its
+    *     smaller neighbors to their common minimum.
+    * Both preserve connectivity and only ever point nodes at smaller ids;
+    * the fixpoint is one star per component, read off as node → root.
+    * Convergence is detected by a (count, hash-sum) fingerprint of the
+    * edge set — one tiny aggregation over the blocks the eager checkpoint
+    * just cached, same one-expensive-action-per-round shape as the
+    * propagation loop.
+    *
+    * Same contract as [[duplicateClusters]]: every doc labeled with its
+    * component's min id, singletons label themselves.
+    */
+  def duplicateClustersStar(docs: DataFrame, pairs: DataFrame,
+                            maxRounds: Int = 25,
+                            idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def releaseCheckpoint(ds: DataFrame): Unit =
+      Bridge.checkpointRdd(ds).foreach(_.unpersist(blocking = false))
+    // (count, xor-of-hashes): order-independent, overflow-free (an ANSI
+    // sum of 2^63-scale hashes would trip ARITHMETIC_OVERFLOW)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var prev = fingerprint(edges)
+    var stable = prev._1 == 0L
+    var round = 0
+    while (round < maxRounds && !stable) {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      // large-star: m = min(N(u) ∪ {u}); emit (v, m) for neighbors v > u.
+      // m <= u < v, so no self-loops arise and direction is preserved.
+      val lmins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(lmins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the directed result: all of u's (smaller) neighbors
+      // and u itself attach to the minimum; (m, m) self-loops drop out
+      val smins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(smins, "u")
+        .select(explode(array(
+          struct(col("u"), col("m").as("v")),
+          struct(col("v").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val cur = fingerprint(small)
+      releaseCheckpoint(edges)
+      edges = small
+      stable = cur == prev
+      prev = cur
+      round += 1
+    }
+    require(stable,
+      s"duplicateClustersStar did not converge in $maxRounds rounds")
+    // At the fixpoint each non-root node carries exactly one edge, to its
+    // component root; the min-agg is belt-and-braces against ever
+    // duplicating doc rows through the join.
+    val roots = edges.groupBy(col("u").as(idCol)).agg(min(col("v")).as("root"))
+    val labels = docs.select(col(idCol))
+      .join(roots, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("root"), col(idCol)).as("cluster_id"))
+    Bridge.checkpointRdd(edges).foreach(graft.CacheScope.registerRdd)
     labels
   }
 

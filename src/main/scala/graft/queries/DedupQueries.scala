@@ -238,6 +238,18 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  // Same pairs, same expected labels, different algorithm: the
+  // diameter-independent large-star/small-star contraction. Sharing q55's
+  // recursive-CTE oracle means THREE independent computations of the
+  // transitive closure (propagation, contraction, SQL fixpoint) must agree
+  // bit-exactly.
+  def q55bDupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.jaccardPairs(
+      DedupOps.shingles(tokenized(spark, dir), ShingleN), JaccardMinMicro)
+    DedupOps.duplicateClustersStar(Tables.documents(spark, dir), pairs)
+      .orderBy("doc_id")
+  }
+
   val q55Sql: String =
     s"""WITH RECURSIVE $shingleCte,
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -268,7 +280,8 @@ object DedupQueries {
     "q26c_edit_distance" -> (q26cEditDistance _),
     "q27_simhash" -> (q27Simhash _),
     "q53_decontaminate" -> (q53Decontaminate _),
-    "q55_dup_clusters" -> (q55DupClusters _))
+    "q55_dup_clusters" -> (q55DupClusters _),
+    "q55b_dup_clusters_star" -> (q55bDupClustersStar _))
 
   val oracleSql: Map[String, String] = Map(
     "q24_exact_dup" -> q24Sql,
@@ -277,5 +290,6 @@ object DedupQueries {
     "q26c_edit_distance" -> q26cSql,
     "q27_simhash" -> q27Sql,
     "q53_decontaminate" -> q53Sql,
-    "q55_dup_clusters" -> q55Sql)
+    "q55_dup_clusters" -> q55Sql,
+    "q55b_dup_clusters_star" -> q55Sql)
 }

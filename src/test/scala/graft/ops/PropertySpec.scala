@@ -152,6 +152,32 @@ class PropertySpec extends SparkSpec {
       edges.toDF("id_a", "id_b"), maxIters = 30)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+
+    // the large-star/small-star contraction computes the same labels on
+    // the same random graphs — two different algorithms, one fixpoint
+    val star = DedupOps.duplicateClustersStar(
+      nodes.toDF("doc_id"),
+      edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == expected)
+  }
+
+  test("duplicateClustersStar handles high-diameter components in few rounds") {
+    // a 61-node path: diameter 60, beyond propagation's default budget —
+    // exactly the shape the contraction exists for. It must converge well
+    // inside its default round budget and label everything with node 0.
+    val n = 61
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOps.duplicateClustersStar(nodes, chain, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L))
+    // singleton docs (no edges at all) label themselves
+    val lonely = DedupOps.duplicateClustersStar(
+      Seq(7L, 9L).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lonely == Map(7L -> 7L, 9L -> 9L))
   }
 
   test("fallbackSummary picks first/middle/last in document order") {
