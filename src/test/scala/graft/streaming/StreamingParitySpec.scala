@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.EventOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end batch/stream parity over the REAL events fixture (sf0.01):
+  * the full table replayed as a time-ordered file stream, one file per
+  * micro-batch, through the watermarked q32 (tumbling) and q34 (session)
+  * aggregation bodies — asserting the streamed output is row-identical to
+  * the batch twins the DuckDB oracle verifies.
+  *
+  * Append mode only emits a window once the watermark passes it, so the
+  * replay ends with a single far-future "flush" event (2h past the last
+  * real event, > the 1h watermark delay): it pushes the watermark beyond
+  * every real window and session, forcing them all to emit, while its own
+  * group stays unemitted in state and never appears in the output.
+  */
+class StreamingParitySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val dir = "/root/testdata/sf0.01"
+  private val NChunks = 4
+
+  /** Stage the fixture as NChunks time-ordered parquet files + the flush
+    * file, with strictly increasing mtimes so FileStreamSource replays
+    * them in event-time order (unordered files would make real data cross
+    * the watermark and be dropped — a replay-harness bug, not a parity
+    * property).
+    */
+  private def stageChunks(): String = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet") // ts LONG (nanos)
+    val chunked = raw
+      .withColumn("chunk", ntile(NChunks).over(Window.orderBy("ts")))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-parity")
+    val work = java.nio.file.Files.createTempDirectory("graft-parity-work")
+    val maxTs = raw.agg(max("ts")).head().getLong(0)
+    val flush = Seq((-1L, maxTs + 2L * 3600L * 1000000000L, -1L, "flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    (0 until NChunks).foreach { i =>
+      val part = work.resolve(s"c$i")
+      chunked.where(col("chunk") === i + 1).drop("chunk")
+        .coalesce(1).write.parquet(part.toString)
+      stage(part, streamDir, i)
+    }
+    val fpart = work.resolve("flush")
+    flush.coalesce(1).write.parquet(fpart.toString)
+    stage(fpart, streamDir, NChunks)
+    streamDir.toString
+  }
+
+  private def stage(partDir: java.nio.file.Path, streamDir: java.nio.file.Path,
+                    idx: Int): Unit = {
+    val src = java.nio.file.Files.list(partDir).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val dst = streamDir.resolve(f"$idx%03d.parquet")
+    java.nio.file.Files.move(src, dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(1000000L + idx * 60000L))
+  }
+
+  private implicit class IterW[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+
+  private def runAppend(stream: DataFrame, name: String): Array[org.apache.spark.sql.Row] = {
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("q32 tumbling body: streamed file replay is row-identical to batch") {
+    val streamDir = stageChunks()
+    val streamed = StreamingOps.eventsFileStream(spark, streamDir)
+    val got = runAppend(
+      StreamingOps.tumblingCounts(streamed, "10 minutes", "1 hour"), "parity_tumbling")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._2 != "flush") // the flush event's own window, if ever emitted
+      .sortBy(t => (t._1, t._2))
+    val want = EventOps.tumbling(graft.Tables.events(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.length == want.length,
+      s"streamed ${got.length} windows vs batch ${want.length}")
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q34 session body: streamed file replay is row-identical to batch") {
+    val streamDir = stageChunks()
+    val streamed = StreamingOps.eventsFileStream(spark, streamDir)
+    val got = runAppend(
+      StreamingOps.sessionCounts(streamed, "5 minutes", "1 hour"), "parity_sessions")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._1 != -1L) // the flush event's own session, if ever emitted
+      .sortBy(t => (t._1, t._2))
+    val want = EventOps.sessions(graft.Tables.events(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.length == want.length,
+      s"streamed ${got.length} sessions vs batch ${want.length}")
+    assert(got.toSeq == want.toSeq)
+  }
+}
