@@ -435,39 +435,70 @@ object RelationalQueries {
       FROM orders)
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Exact, order-independent dispersion (n, mean, stddev) over
+    * integer-scaled values, overflow-safe far past Int64 row counts.
+    *
+    * The naive exact form keeps Int64 Σq and Σq² and computes
+    * `n·Σq² - (Σq)²` — which overflows 2^63 around 1e11 rows of
+    * centi-scaled quantities, i.e. exactly at the 100 TB scale this
+    * engine targets. Instead:
+    *   - values are SHIFTED by a constant near the domain midpoint before
+    *     squaring (d = qi - shift), shrinking both sums by orders of
+    *     magnitude without changing the variance (Var(q - c) = Var(q),
+    *     and the mean shifts back exactly);
+    *   - accumulation runs in DECIMAL(38,0) — exact integer arithmetic
+    *     with 1e38 headroom, partial-aggregable, still one shuffle. With
+    *     |d| <= D, `n·Σd² - (Σd)²` <= n²·D², so centi-quantities
+    *     (D = 2500) stay exact beyond 4e15 rows.
+    * The only floats are the final single divisions/sqrt, identical
+    * expressions on the DuckDB side (which runs the same integer math in
+    * HUGEINT), so results stay hash-exact cross-engine.
+    */
+  def exactDispersion(rows: DataFrame, key: String, qi: Column, shift: Long,
+                      scale: Double): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val d = (qi - lit(shift)).cast(dec38)
+    rows.select(col(key), d.as("d"))
+      .groupBy(key)
+      .agg(count(lit(1)).as("n"),
+        sum(col("d")).as("sumd"),
+        sum(col("d") * col("d")).as("sumd2"))
+      .select(col(key), col("n"),
+        ((col("sumd").cast("double") / col("n") + shift) / scale).as("mean_qty"),
+        (sqrt((col("n").cast(dec38) * col("sumd2") - col("sumd") * col("sumd"))
+          .cast("double")
+          / (col("n").cast(dec38) * (col("n") - 1).cast(dec38)).cast("double"))
+          / scale).as("stddev_qty"))
+  }
+
   /** q17c: dispersion statistics with cross-engine-exact semantics —
-    * quantities are scaled to exact integer centi-units, the group keeps
-    * exact Int64 sums (Σq, Σq²), and stddev is ONE float expression over
-    * them: `sqrt((n*Σq² - Σq²)/(n*(n-1)))/100`. No float partial
-    * aggregation, so the result is order-independent. (At 100 TB the exact
-    * sums need DECIMAL(38) or a shifted-mean formulation — n*Σq² must stay
-    * under 2^63.)
+    * quantities scaled to exact integer centi-units, then
+    * [[exactDispersion]]'s shifted DECIMAL(38) accumulation (the
+    * formulation that survives 100 TB row counts; see its scaladoc).
     */
   def q17cStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"),
-        round(col("l_quantity") * 100).cast("long").as("qi"))
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"),
-        sum(col("qi")).as("sumq"),
-        sum(col("qi") * col("qi")).as("sumq2"))
-      .select(col("l_returnflag"), col("n"),
-        (col("sumq").cast("double") / col("n") / 100.0).as("mean_qty"),
-        (sqrt((col("n") * col("sumq2") - col("sumq") * col("sumq")).cast("double")
-          / (col("n") * (col("n") - 1))) / 100.0).as("stddev_qty"))
+    exactDispersion(
+      Tables.lineitem(spark, dir).select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qi")),
+      "l_returnflag", col("qi"), shift = 2500L, scale = 100.0)
       .orderBy("l_returnflag")
 
+  // HUGEINT (int128) carries the same exact integer math on the DuckDB
+  // side; only n/mean/stddev (BIGINT/DOUBLE) reach the output, so no
+  // HUGEINT->float64 dtype artifact can leak into the hash
   val q17cSql: String =
     """WITH s AS (
-      SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS qi
+      SELECT l_returnflag,
+        CAST(CAST(round(l_quantity * 100) AS BIGINT) - 2500 AS HUGEINT) AS d
       FROM lineitem),
     g AS (
       SELECT l_returnflag, count(*) AS n,
-        CAST(sum(qi) AS BIGINT) AS sumq, CAST(sum(qi * qi) AS BIGINT) AS sumq2
+        sum(d) AS sumd, sum(d * d) AS sumd2
       FROM s GROUP BY l_returnflag)
     SELECT l_returnflag, n,
-      CAST(sumq AS DOUBLE) / n / 100.0 AS mean_qty,
-      sqrt(CAST(n * sumq2 - sumq * sumq AS DOUBLE) / (n * (n - 1))) / 100.0 AS stddev_qty
+      (CAST(sumd AS DOUBLE) / n + 2500) / 100.0 AS mean_qty,
+      sqrt(CAST(n * sumd2 - sumd * sumd AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) / 100.0 AS stddev_qty
     FROM g ORDER BY l_returnflag"""
 
   /** q17d: exact interpolated percentiles (Spark `percentile` vs DuckDB

@@ -180,6 +180,33 @@ class PropertySpec extends SparkSpec {
     assert(lonely == Map(7L -> 7L, 9L -> 9L))
   }
 
+  test("exactDispersion stays exact at magnitudes where Int64 sums overflow") {
+    // qi ~ 5e9: qi*qi ~ 2.5e19 > 2^63, so the naive Int64 sum-of-squares
+    // formulation cannot even process ONE row under ANSI — while the
+    // shifted DECIMAL(38) path must return the exact answer. The values
+    // differ by ~10 on a 5e9 base: float accumulation would
+    // catastrophically cancel; exact integer math yields a tiny integer
+    // (n*sumd2 - sumd^2 = 372) from ~1e20-scale terms.
+    val qis = Seq(5000000000L, 5000000003L, 4999999997L, 5000000010L)
+    val df = qis.map(q => ("k", q)).toDF("key", "qi")
+    val row = graft.queries.RelationalQueries.exactDispersion(
+      df, "key", col("qi"), shift = 2500L, scale = 100.0).head()
+    val n = qis.length
+    val sumd = qis.map(q => BigInt(q - 2500)).sum
+    val sumd2 = qis.map(q => BigInt(q - 2500) * BigInt(q - 2500)).sum
+    val num = BigInt(n) * sumd2 - sumd * sumd
+    assert(num == BigInt(372))
+    val wantMean = (BigDecimal(sumd) / n + 2500).toDouble / 100.0
+    val wantStd = math.sqrt(num.toDouble / (n.toLong * (n - 1))) / 100.0
+    assert(row.getLong(1) == n)
+    assert(math.abs(row.getDouble(2) - wantMean) < 1e-6)
+    assert(math.abs(row.getDouble(3) - wantStd) < 1e-12)
+    val e = intercept[Throwable] { df.agg(sum(col("qi") * col("qi"))).head() }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (String.valueOf(t.getMessage).contains("ARITHMETIC_OVERFLOW") || mentions(t.getCause))
+    assert(mentions(e), s"expected ARITHMETIC_OVERFLOW, got $e")
+  }
+
   test("fallbackSummary picks first/middle/last in document order") {
     val sents = (0L until 7L).map(i => (1L, i, s"s$i")).toDF("doc_id", "sentence_id", "sentence")
     val out = SummarizeOps.fallbackSummary(sents).head().getString(1)
