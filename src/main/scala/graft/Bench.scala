@@ -6,9 +6,12 @@ import org.apache.spark.sql.SparkSession
   * order would shuffle which query absorbs residual warmup between rounds),
   * each query runs twice and reports the min — n=1 timings at this scale
   * are dominated by first-touch JIT/codegen of the query's own plan, which
-  * round 1 showed as 10-50x artifacts on early slots. Failures are never
-  * swallowed: a crashing query records its error message under "errors"
-  * and counts -1 sec, so a regression can't silently improve the total.
+  * round 1 showed as 10-50x artifacts on early slots. The median rides
+  * along under "queries_median", and queries where median/min > 3x are
+  * named in "noisy" — the self-report that distinguishes machine
+  * interference from a real regression. Failures are never swallowed: a
+  * crashing query records its error message under "errors" and counts
+  * -1 sec, so a regression can't silently improve the total.
   *
   * Materialization is a `noop`-format write, not `count()`: count lets
   * Catalyst prune every projection not needed for the row count, so a
@@ -55,14 +58,32 @@ object Bench {
       // BOTH runs, so run 2 measures the warm-cache plan exactly as before
       // the lifecycle change and min-of-n stays comparable across rounds)
       CacheScope.releaseAll()
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> times.sorted
     }
-    val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // Noise self-report: a single in-process min-of-n cannot defend
+    // against whole-machine interference (a concurrent job once inflated
+    // one query 12x across BOTH runs). Publishing min AND median per
+    // query, plus a "noisy" list where they diverge >3x, makes a polluted
+    // round diagnosable from the artifact alone instead of reading as a
+    // silent regression.
+    def median(ts: Seq[Double]): Double =
+      if (ts.isEmpty) -1.0
+      else if (ts.size % 2 == 1) ts(ts.size / 2)
+      else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+    val mins = results.map { case (k, ts) =>
+      k -> (if (ts.nonEmpty) ts.min else -1.0) }
+    val medians = results.map { case (k, ts) => k -> median(ts) }
+    val noisy = mins.zip(medians).collect {
+      case ((k, mn), (_, md)) if mn > 0 && md / mn > 3.0 => k
+    }
+    val qs = mins.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val qsMed = medians.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val noisyJson = noisy.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val total = mins.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) =>
       s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"noisy":$noisyJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
