@@ -143,6 +143,48 @@ object SummarizeOps {
         coalesce(col("score"), lit(0.0)).as("score"))
   }
 
+  /** A1 (sklearn-parity, FIXED-POINT): same smooth-idf + L2 semantics as
+    * [[scoreSentencesSklearn]], but each term's idf is quantized ONCE to
+    * exact integer micro-units (floor(1e6·idf)) before any aggregation, so
+    * both sums of the score `Σw / sqrt(Σw²)` are exact integers
+    * (DECIMAL(38,0) accumulation) and the only floats are the final
+    * division and sqrt — single IEEE operations, identical in any engine
+    * and independent of fold order. Scores differ from the float variant
+    * by < 1e-6 relative (the idf quantization, which cancels in the
+    * L2 ratio up to that precision) — and in exchange the result is
+    * hash-verifiable cross-engine, which the order-sensitive float fold
+    * can never be.
+    */
+  def scoreSentencesSklearnFixed(sents0: DataFrame,
+                                 idCol: String = "doc_id"): DataFrame = {
+    val sents = graft.CacheScope.persist(sents0)
+    val terms = sents.select(col(idCol), col("sentence_id"),
+      explode(TextOps.cleanTokens(col("sentence"))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("sentence_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nSent = sents.groupBy(col(idCol)).agg(count(lit(1)).as("n_sent"))
+    // floor(1e6·(ln((1+n)/(1+df)) + 1)): the ONLY pre-aggregation float
+    // expression; written with the exact same parenthesization as the
+    // DuckDB twin so both engines quantize identically. df == n_sent (the
+    // commonest case) gives ln(1) = 0 exactly → 1000000 on both engines.
+    val iq = floor(lit(1000000.0) *
+      (log((col("n_sent") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+      .cast("long")
+    val w = (col("tf") * iq).cast("decimal(38,0)")
+    val scored = tf
+      .join(df, Seq(idCol, "term"))
+      .join(nSent, Seq(idCol))
+      .withColumn("w", w)
+      .groupBy(col(idCol), col("sentence_id"))
+      .agg((sum(col("w")).cast("double")
+        / sqrt(sum(col("w") * col("w")).cast("double"))).as("score"))
+    sents.join(scored, Seq(idCol, "sentence_id"), "left")
+      .select(col(idCol), col("sentence_id"), col("sentence"),
+        coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
   /** T1 (+ identity case): pick the k top-scoring sentences per doc
     * (ties → earlier sentence wins, deterministic), emit them joined in
     * original order. Docs with <= k sentences return the original text

@@ -253,15 +253,42 @@ object NlpQueries {
 
   // --- q03d: sklearn-parity TF-IDF sentence scores (A1 variant) ----------
   // TfidfVectorizer-default semantics (smooth ln idf + L2 row norm,
-  // nlp_data_tagging.py:95-99) for reference-number parity. Float sums are
-  // fold-order-sensitive, so this is rows-only by design (like the LDA
-  // family); the numeric semantics are locked by golden values in
-  // SummarizeOpsSpec. Scores are rounded for display stability only.
+  // nlp_data_tagging.py:95-99). The registered query runs the FIXED-POINT
+  // formulation (idf quantized to exact integer micro-units before any
+  // sum, one float division at the end) so it carries a DuckDB oracle and
+  // hash-verifies — where the float fold was rows-only by necessity. The
+  // float variant (scoreSentencesSklearn, reference-literal numbers)
+  // stays in the library, locked by golden values in SummarizeOpsSpec;
+  // the two agree to < 1e-6 relative.
   def q03dSklearnScores(spark: SparkSession, dir: String): DataFrame =
-    SummarizeOps.scoreSentencesSklearn(q02Sentences(spark, dir))
-      .select(col("doc_id"), col("sentence_id"),
-        round(col("score"), 6).as("score"))
+    SummarizeOps.scoreSentencesSklearnFixed(q02Sentences(spark, dir))
+      .select(col("doc_id"), col("sentence_id"), col("score"))
       .orderBy("doc_id", "sentence_id")
+
+  val q03dSql: String =
+    raw"""WITH $punctSentsCte,
+    dterms AS (
+      SELECT doc_id, sentence_id, unnest(${cleanToksSql("sentence")}) AS term FROM psents),
+    dtf AS (
+      SELECT doc_id, sentence_id, term, count(*) AS tf FROM dterms GROUP BY doc_id, sentence_id, term),
+    ddf AS (
+      SELECT doc_id, term, count(*) AS df FROM dtf GROUP BY doc_id, term),
+    dns AS (
+      SELECT doc_id, count(*) AS n_sent FROM psents GROUP BY doc_id),
+    dw AS (
+      SELECT dtf.doc_id, dtf.sentence_id,
+        CAST(dtf.tf * CAST(floor(1000000.0 * (ln((dns.n_sent + 1.0) / (ddf.df + 1.0)) + 1.0)) AS BIGINT) AS HUGEINT) AS w
+      FROM dtf
+      JOIN ddf ON dtf.doc_id = ddf.doc_id AND dtf.term = ddf.term
+      JOIN dns ON dtf.doc_id = dns.doc_id),
+    dscore AS (
+      SELECT doc_id, sentence_id,
+        CAST(SUM(w) AS DOUBLE) / sqrt(CAST(SUM(w * w) AS DOUBLE)) AS score
+      FROM dw GROUP BY doc_id, sentence_id)
+    SELECT p.doc_id, p.sentence_id, coalesce(s.score, 0.0) AS score
+    FROM psents p
+    LEFT JOIN dscore s ON p.doc_id = s.doc_id AND p.sentence_id = s.sentence_id
+    ORDER BY p.doc_id, p.sentence_id"""
 
   // --- q04: per-document summary metrics (J1, A10, A11, P11) -----------
   def q04SummaryMetrics(spark: SparkSession, dir: String): DataFrame = {
@@ -444,6 +471,7 @@ object NlpQueries {
     "q03_summary" -> q03Sql,
     "q03b_summary_punct" -> q03bSql,
     "q03c_fallback_summary" -> q03cSql,
+    "q03d_sklearn_scores" -> q03dSql,
     "q04_summary_metrics" -> q04Sql,
     "q05_corpus_stats" -> q05Sql,
     "q06_fallback_tags" -> q06Sql,

@@ -45,6 +45,26 @@ class SummarizeOpsSpec extends SparkSpec {
     assert(math.abs(got(0) - s0) < 1e-12 && math.abs(got(1) - s1) < 1e-12)
   }
 
+  test("fixed-point sklearn scores agree with the float variant to 1e-6 relative") {
+    val sents = Seq(
+      (1L, 0L, "apple banana apple"),
+      (1L, 1L, "apple cherry"),
+      (2L, 0L, "delta echo foxtrot delta"),
+      (2L, 1L, "echo golf"),
+      (2L, 2L, "of the and"), // zero-term sentence: both variants emit 0
+      (3L, 0L, "solo")).toDF("doc_id", "sentence_id", "sentence")
+    val float = SummarizeOps.scoreSentencesSklearn(sents)
+      .orderBy("doc_id", "sentence_id").select("score").as[Double].collect()
+    val fixed = SummarizeOps.scoreSentencesSklearnFixed(sents)
+      .orderBy("doc_id", "sentence_id").select("score").as[Double].collect()
+    assert(float.length == fixed.length)
+    float.zip(fixed).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(a)),
+        s"float $a vs fixed $b")
+    }
+    assert(fixed(4) == 0.0)
+  }
+
   test("sklearn-parity scores: zero-term sentences keep score 0") {
     val sents = Seq(
       (1L, 0L, "apple banana orange"),
