@@ -175,23 +175,71 @@ object CurationQueries {
   // --- q58: sequence packing — concatenate-and-split token budgeting ------
   // How pre-training batches are built: docs are concatenated in a
   // deterministic order and split at a fixed token budget; each doc gets
-  // its start offset and bin. Window cumulative sums keyed per source —
-  // the shuffle is on the partition key, the cumsum is a single window
-  // pass, and bin assignment is pure arithmetic (no driver loop).
+  // its start offset and bin. A naive `Window.partitionBy(source)` cumsum
+  // serializes each source's ENTIRE slice through one task — fatal when a
+  // handful of big sources ("web", "code", "books") own most of 100 TB —
+  // so the running sum is a classic two-level prefix sum instead (see
+  // [[packStartOffsets]]): parallelism is sources × PackShards regardless
+  // of how skewed the source sizes are, and the only per-source serial
+  // pass runs over the tiny aggregated shard totals.
   val PackBudget = 4096L
+  val PackShards = 32
+
+  /** Scale-safe running start-offset over `t` = (doc_id, source, n_tokens),
+    * output-identical to `sum(n_tokens) OVER (PARTITION BY source ORDER BY
+    * doc_id ROWS UNBOUNDED PRECEDING) - n_tokens`:
+    *
+    *  1. shard each source's doc_id span into `shards` range buckets —
+    *     `floor((doc_id - min_id) * shards / span)` is monotone
+    *     non-decreasing in doc_id (double multiply/divide/floor by positive
+    *     constants are each monotone, so precision loss can only nudge a
+    *     boundary, never reorder), which is what makes per-shard prefix
+    *     sums composable back into the per-source prefix sum;
+    *  2. cumsum within (source, shard) — sources × shards parallel tasks;
+    *  3. aggregate per-shard token totals (≤ sources × shards rows),
+    *     prefix-sum THOSE per source (tiny window), broadcast the shard
+    *     start offsets back, and add.
+    *
+    * Balance assumes doc_ids spread roughly evenly over their span (dense
+    * sequential or hashed ids both do); a pathological id clustering would
+    * skew shard sizes but still caps a task at one shard's slice, never a
+    * whole source. Visible for the skew-equivalence unit test.
+    */
+  private[graft] def packStartOffsets(t: DataFrame, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cached = graft.CacheScope.persist(t) // tokenize once, 3 narrow cols
+    val bounds = cached.groupBy("source")
+      .agg(min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    val sharded = cached.join(broadcast(bounds), "source")
+      .withColumn("shard",
+        least(lit(shards - 1),
+          floor((col("doc_id") - col("min_id")).cast("double") * shards /
+            (col("max_id") - col("min_id") + 1).cast("double"))).cast("int"))
+      .drop("min_id", "max_id")
+    val wLocal = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sharded.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+    // per-source serial pass, but over ≤ `shards` rows per source
+    val wShard = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val starts = sharded.groupBy("source", "shard")
+      .agg(sum(col("n_tokens")).as("shard_total"))
+      .withColumn("shard_start",
+        sum(col("shard_total")).over(wShard) - col("shard_total"))
+      .select(col("source"), col("shard"), col("shard_start"))
+    local.join(broadcast(starts), Seq("source", "shard"))
+      .withColumn("start_offset",
+        col("shard_start") + col("local_cum") - col("n_tokens"))
+      .withColumn("bin_id", floor(col("start_offset") / PackBudget).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_offset"), col("bin_id"))
+  }
 
   def q58SequencePacking(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.documents(spark, dir)
+    val t = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(graft.ops.TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("start_offset",
-        sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .withColumn("bin_id", floor(col("start_offset") / PackBudget).cast("long"))
-      .orderBy("source", "doc_id")
+    packStartOffsets(t, PackShards).orderBy("source", "doc_id")
   }
 
   val q58Sql: String =

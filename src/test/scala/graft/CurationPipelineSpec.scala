@@ -40,4 +40,59 @@ class CurationPipelineSpec extends SparkSpec {
     val kept = CurationPipeline.curate(docs).collect().map(_.getLong(0)).toSet
     assert(kept == Set(7L)) // 10 near-dups the smaller id 7 -> dropped
   }
+
+  // --- q58 two-level prefix sum ------------------------------------------
+
+  /** Naive per-source single-partition cumsum — the formulation the
+    * sharded path must reproduce bit-for-bit.
+    */
+  private def naivePack(t: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id",
+        floor(col("start_offset") / graft.queries.CurationQueries.PackBudget)
+          .cast("long"))
+  }
+
+  test("packStartOffsets equals naive window on a 90%-skewed source") {
+    // 1 source owns 90% of rows; non-contiguous ids, varying token counts
+    val rows =
+      (0 until 900).map(i => (i * 7L + 3, "web", (i % 13 + 1).toLong)) ++
+      (0 until 60).map(i => (i * 11L, "books", (i % 5 + 1).toLong)) ++
+      (0 until 40).map(i => (i * 3L + 1, "code", (i % 9 + 2).toLong))
+    val t = rows.toDF("doc_id", "source", "n_tokens")
+    val got = graft.queries.CurationQueries.packStartOffsets(t, 8)
+      .orderBy("source", "doc_id").collect().map(_.toSeq).toSeq
+    val want = naivePack(t).select("doc_id", "source", "n_tokens",
+      "start_offset", "bin_id").orderBy("source", "doc_id")
+      .collect().map(_.toSeq).toSeq
+    CacheScope.releaseAll()
+    assert(got == want)
+  }
+
+  test("packStartOffsets handles single-doc sources and shards > rows") {
+    val t = Seq((42L, "solo", 7L), (1L, "pair", 3L), (9L, "pair", 5L))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = graft.queries.CurationQueries.packStartOffsets(t, 32)
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    CacheScope.releaseAll()
+    assert(got == Seq((1L, "pair", 0L), (9L, "pair", 3L), (42L, "solo", 0L)))
+  }
+
+  test("packStartOffsets spreads a big source across multiple shard tasks") {
+    // the point of the reformulation: no single task scans a whole source
+    val t = (0 until 1000).map(i => (i.toLong, "web", 1L))
+      .toDF("doc_id", "source", "n_tokens")
+    val bounds = t.groupBy("source")
+      .agg(min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    val shards = t.join(broadcast(bounds), "source")
+      .select(least(lit(7), floor((col("doc_id") - col("min_id"))
+        .cast("double") * 8 /
+        (col("max_id") - col("min_id") + 1).cast("double"))).as("shard"))
+      .distinct().count()
+    assert(shards == 8)
+  }
 }
