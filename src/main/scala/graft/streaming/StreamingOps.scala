@@ -27,6 +27,17 @@ object StreamingOps {
                      watermark: String = "1 hour"): DataFrame =
     EventOps.tumbling(events.withWatermark("ts", watermark), width)
 
+  /** Sliding-window counts under watermark: each event lands in
+    * width/slide overlapping windows, and append mode emits each window
+    * independently once the watermark passes ITS end — so emission
+    * interleaves across overlapping windows rather than following event
+    * order, which is why sliding gets its own batch-parity test.
+    */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+                    slide: String = "5 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    EventOps.sliding(events.withWatermark("ts", watermark), width, slide)
+
   /** Per-user session aggregation under watermark — session_window state
     * closes once the watermark passes a session's end.
     */

@@ -94,6 +94,31 @@ class StreamingParitySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q33 sliding body: streamed file replay is row-identical to batch") {
+    val streamDir = stageChunks()
+    val streamed = StreamingOps.eventsFileStream(spark, streamDir)
+    // the flush event's own overlapping windows start >= maxTs + 2h - width;
+    // every real window starts <= maxTs, so a cutoff at maxTs (formatted —
+    // the string order is chronological) separates them exactly
+    val maxTs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max("ts")).head().getLong(0)
+    val cutoff = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(maxTs / 1000000000L))
+    val got = runAppend(
+      StreamingOps.slidingCounts(streamed, "10 minutes", "5 minutes", "1 hour"),
+      "parity_sliding")
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 <= cutoff)
+      .sortBy(_._1)
+    val want = EventOps.sliding(graft.Tables.events(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.length == want.length,
+      s"streamed ${got.length} windows vs batch ${want.length}")
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("q34 session body: streamed file replay is row-identical to batch") {
     val streamDir = stageChunks()
     val streamed = StreamingOps.eventsFileStream(spark, streamDir)
