@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.TopicQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracleSql ++
       graft.queries.SimilarityQueries.oracleSql ++
       graft.queries.EventQueries.oracleSql ++
-      graft.queries.CurationQueries.oracleSql
+      graft.queries.CurationQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }

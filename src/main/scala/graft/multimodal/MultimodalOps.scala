@@ -64,17 +64,43 @@ object MultimodalOps {
   /** Feature dimension of both feature extractors. */
   val FeatureDim = 8
 
+  /** Decompression-bomb guard: maximum pixels a payload may DECLARE before
+    * decode is refused. A full decode allocates ~4 bytes/pixel, and the
+    * resulting OutOfMemoryError is not NonFatal — it would escape the
+    * fallback and kill the executor, which a hostile/corrupt image in an
+    * untrusted 100 TB corpus must never be able to do. 2^24 pixels
+    * (4096×4096, ~64 MB decoded) bounds per-task decode memory even with
+    * every executor thread decoding at once.
+    */
+  val MaxDecodePixels: Long = 1L << 24
+
   /** Real pixel decode via the JDK's `javax.imageio` (PNG/JPEG/GIF
     * readers ship with the JVM). Features: per-channel mean and stddev
     * (R, G, B) then luminance mean and stddev, all in [0,1]. None when
     * ImageIO has no reader for the payload (non-image modality, corrupt
-    * or truncated bytes) — callers fall back to [[byteBlockFeatures]].
+    * or truncated bytes) OR when the header declares more than
+    * [[MaxDecodePixels]] — dimensions are read from the header alone
+    * (`ImageReader.getWidth/getHeight` decode no pixel data), so the
+    * bomb is rejected before any allocation. Callers fall back to
+    * [[byteBlockFeatures]].
     */
   def decodeImageFeatures(bytes: Array[Byte]): Option[Array[Double]] = {
     if (bytes == null || bytes.length < 8) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None else Some(pixelFeatures(img))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0).toLong
+          val h = reader.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) None
+          else Some(pixelFeatures(reader.read(0)))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -162,7 +188,7 @@ object MultimodalOps {
     *   - JPEG: walk the marker stream to the first SOF0/1/2 frame header
     *     (height then width, big-endian u16 after the precision byte).
     * Returns None for other formats or truncated/malformed headers. Runs
-    * in the per-partition typed path beside the (stubbed) pixel decoder.
+    * in the per-partition typed path beside the real pixel decoder.
     */
   def imageDimensions(b: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int): Int = if (b != null && i < b.length) b(i) & 0xff else -1
@@ -194,6 +220,39 @@ object MultimodalOps {
         None
       case _ => None
     }
+  }
+
+  /** Big-endian unsigned int from `len` bytes of a binary column at
+    * 1-based byte position `pos` — hex + conv keeps it codegen'd.
+    */
+  private def beUInt(content: Column, pos: Int, len: Int): Column =
+    conv(hex(substring(content, pos, len)), 16, 10).cast("long")
+
+  /** Little-endian u16 at 1-based byte position `pos`: swap the two hex
+    * byte pairs before parsing.
+    */
+  private def leU16(content: Column, pos: Int): Column = {
+    val hx = hex(substring(content, pos, 2))
+    conv(concat(substring(hx, 3, 2), substring(hx, 1, 2)), 16, 10).cast("long")
+  }
+
+  /** Column-expression twin of [[imageDimensions]] for the fixed-offset
+    * containers — PNG (IHDR, big-endian u32) and GIF (logical screen,
+    * little-endian u16) parse with substring/hex/conv and stay inside
+    * whole-stage codegen; JPEG needs marker walking, so it remains
+    * JVM-path-only (-1 here, like every other non-parseable format).
+    * Returns (width, height), each -1 when not parseable — same contract
+    * as imageDimensions' None.
+    */
+  def headerDims(content: Column, format: Column): (Column, Column) = {
+    val pngOk = format === "png" && length(content) >= 24 &&
+      hex(substring(content, 13, 4)) === "49484452" // mandatory-first IHDR
+    val gifOk = format === "gif" && length(content) >= 10
+    val w = when(pngOk, beUInt(content, 17, 4))
+      .when(gifOk, leU16(content, 7)).otherwise(lit(-1L))
+    val h = when(pngOk, beUInt(content, 21, 4))
+      .when(gifOk, leU16(content, 9)).otherwise(lit(-1L))
+    (w, h)
   }
 
   /** JVM-side twin of sniffFormat for the typed path. */

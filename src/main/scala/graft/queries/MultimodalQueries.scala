@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.MultimodalOps
+import graft.ops.HashOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-verifiable query over the multimodal metadata path (the driver
+  * ships no media fixture, so payloads are synthesized DETERMINISTICALLY
+  * from `documents`): each doc becomes a binary payload with a real
+  * container header — PNG signature + IHDR carrying doc_id-derived
+  * dimensions, GIF89a + little-endian logical-screen dimensions, a RIFF
+  * magic, or an 8-byte zero prefix (guaranteed to sniff "bin" — every
+  * magic check, including mp4's offset-4 ftyp probe, reads inside the
+  * prefix) — followed by the UTF-8 text bytes.
+  *
+  * The Spark side runs the REAL operators — [[MultimodalOps.withMetadata]]
+  * sniffs the magic bytes and measures the payload, [[MultimodalOps
+  * .headerDims]] parses width/height out of the binary header — while the
+  * oracle reconstructs the same payloads and recomputes format and
+  * dimensions from the doc_id ground truth they were synthesized from, so
+  * a parser bug on either side breaks the hash match. The one swap:
+  * `withMetadata`'s xxhash64 content hash has no DuckDB twin, so the query
+  * keys content identity with the portable [[HashOps.charHash]] over the
+  * payload's hex image instead (same dedup-keying role; xxhash64 stays
+  * unit-tested). Pixel features are float-valued and not SQL-expressible —
+  * they remain unit-only by design.
+  */
+object MultimodalQueries {
+
+  /** Synthesized header dims: bounded, nonzero, doc_id-derived. */
+  private val WExpr = "(doc_id % 640) + 1"
+  private val HExpr = "(doc_id % 480) + 1"
+
+  /** PNG: 8-byte signature, IHDR length (13), "IHDR", then w/h as
+    * big-endian u32 and bit-depth/color/compression/filter/interlace.
+    */
+  private val PngSigIhdr = "89504E470D0A1A0A0000000D49484452"
+  private val PngTail = "0806000000"
+  /** GIF89a signature; w/h follow as little-endian u16. */
+  private val GifSig = "474946383961"
+  private val RiffMagic = "52494646"
+  private val BinPrefix = "0000000000000000"
+
+  def q60MediaMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val w = expr(WExpr)
+    val h = expr(HExpr)
+    val le16 = (v: org.apache.spark.sql.Column) =>
+      concat(lpad(hex(v % 256), 2, "0"),
+        lpad(hex((v / 256).cast("long")), 2, "0"))
+    val magicHex = when(col("doc_id") % 4 === 0,
+        concat(lit(PngSigIhdr), lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+          lit(PngTail)))
+      .when(col("doc_id") % 4 === 1, concat(lit(GifSig), le16(w), le16(h)))
+      .when(col("doc_id") % 4 === 2, lit(RiffMagic))
+      .otherwise(lit(BinPrefix))
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        concat(unhex(magicHex), encode(col("text"), "UTF-8")).as("content"))
+    val meta = MultimodalOps.withMetadata(staged)
+    val (pw, ph) = MultimodalOps.headerDims(col("content"), col("format"))
+    meta
+      .withColumn("content_hash", HashOps.charHash(hex(col("content"))))
+      .select(col("media_id"), col("n_bytes"), col("format"),
+        col("content_hash"), pw.as("width"), ph.as("height"))
+      .orderBy("media_id")
+  }
+
+  val q60Sql: String = {
+    val hash = HashOps.charHashSql("hex(content)")
+    s"""WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 4 AS kind,
+        $WExpr AS w, $HExpr AS h,
+        unhex(CASE
+          WHEN doc_id % 4 = 0 THEN '$PngSigIhdr'
+            || lpad(hex($WExpr), 8, '0') || lpad(hex($HExpr), 8, '0')
+            || '$PngTail'
+          WHEN doc_id % 4 = 1 THEN '$GifSig'
+            || lpad(hex(($WExpr) % 256), 2, '0') || lpad(hex(($WExpr) // 256), 2, '0')
+            || lpad(hex(($HExpr) % 256), 2, '0') || lpad(hex(($HExpr) // 256), 2, '0')
+          WHEN doc_id % 4 = 2 THEN '$RiffMagic'
+          ELSE '$BinPrefix' END) || encode(text) AS content
+      FROM documents)
+    SELECT media_id,
+      CAST(octet_length(content) AS BIGINT) AS n_bytes,
+      CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'riff'
+        ELSE 'bin' END AS format,
+      $hash AS content_hash,
+      CAST(CASE WHEN kind IN (0, 1) THEN w ELSE -1 END AS BIGINT) AS width,
+      CAST(CASE WHEN kind IN (0, 1) THEN h ELSE -1 END AS BIGINT) AS height
+    FROM m ORDER BY media_id"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_media_metadata" -> (q60MediaMetadata _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q60_media_metadata" -> q60Sql)
+}

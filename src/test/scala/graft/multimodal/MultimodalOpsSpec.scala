@@ -138,6 +138,48 @@ class MultimodalOpsSpec extends SparkSpec {
     assert((feats(1).width, feats(1).height) == (-1, -1))
   }
 
+  test("decode refuses a decompression bomb before allocating") {
+    // valid PNG signature + IHDR declaring 1e5 x 1e5 (10 gigapixels): the
+    // guard must reject from the header alone — no pixel data exists to
+    // decode, and a real bomb would OOM the task if decode were attempted
+    val big = 100000
+    val bomb = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      (big >> 24).toByte, (big >> 16).toByte, (big >> 8).toByte, big.toByte,
+      (big >> 24).toByte, (big >> 16).toByte, (big >> 8).toByte, big.toByte,
+      8, 6, 0, 0, 0) ++ Array.fill[Byte](64)(0x41)
+    assert(MultimodalOps.decodeImageFeatures(bomb).isEmpty)
+    // the typed path degrades to byte-block features instead of dying
+    val feats = MultimodalOps.extractFeatures(
+      Seq((1L, "image", bomb, "mem://bomb.png"))
+        .toDF("media_id", "modality", "content", "uri")
+        .as[MultimodalOps.MediaRow]).collect()
+    assert(feats(0).features.toSeq == MultimodalOps.byteBlockFeatures(bomb).toSeq)
+    // a legitimately-sized image still decodes through the guarded path
+    val red = encode("png", 8, 8, (_, _) => 0xff0000)
+    assert(MultimodalOps.decodeImageFeatures(red).isDefined)
+  }
+
+  test("headerDims column parse agrees with the JVM imageDimensions twin") {
+    // real encoder output + hand-built headers + non-image payloads: the
+    // codegen'd column path and the typed-path parser must agree on all,
+    // with the JVM's extra JPEG capability surfaced as -1 in columns
+    val realPng = encode("png", 32, 16, (_, _) => 0xff0000)
+    val realGif = encode("gif", 10, 7, (_, _) => 0x00ff00)
+    val rows = Seq((1L, realPng), (2L, realGif), (3L, png), (4L, junk), (5L, mp4))
+    val out = rows.toDF("media_id", "content")
+      .withColumn("format", MultimodalOps.sniffFormat(col("content")))
+    val (w, h) = MultimodalOps.headerDims(col("content"), col("format"))
+    val got = out.select(col("media_id"), w.as("w"), h.as("h"))
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(1).toInt, r.getLong(2).toInt))
+    val want = rows.map { case (_, b) =>
+      MultimodalOps.imageDimensions(b).getOrElse((-1, -1))
+    }
+    assert(got.toSeq == want)
+    assert(got(0) == (32, 16) && got(1) == (10, 7))
+  }
+
   test("frame sampling emits fixed-size strided blocks") {
     val frames = MultimodalOps.sampleFrames(
       Seq((4L, junk)).toDF("media_id", "content"), blockSize = 16, stride = 2)
