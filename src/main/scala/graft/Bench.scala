@@ -1,17 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Driver-run throughput bench: one JSON line with per-query seconds.
+/** Driver-run throughput bench: one JSON line with per-query seconds,
+  * also written to `target/bench.json` (stdout tail-capture once truncated
+  * the line's head off a round artifact; the file copy is the durable one).
   *
   * Measurement protocol: queries run in sorted name order (Map iteration
   * order would shuffle which query absorbs residual warmup between rounds),
-  * each query runs twice and reports the min — n=1 timings at this scale
-  * are dominated by first-touch JIT/codegen of the query's own plan, which
-  * round 1 showed as 10-50x artifacts on early slots. The median rides
-  * along under "queries_median", and queries where median/min > 3x are
-  * named in "noisy" — the self-report that distinguishes machine
-  * interference from a real regression. Failures are never swallowed: a
-  * crashing query records its error message under "errors" and counts
-  * -1 sec, so a regression can't silently improve the total.
+  * each query runs `RunsPerQuery` times and reports the min — n=1 timings
+  * at this scale are dominated by first-touch JIT/codegen of the query's
+  * own plan, which round 1 showed as 10-50x artifacts on early slots. The
+  * median over the same runs rides along under "queries_median", and
+  * queries where median/min > 3x are named in "noisy" — the self-report
+  * that distinguishes machine interference from a real regression.
+  * Failures are never swallowed: a crashing query records its error
+  * message under "errors" and counts -1 sec, so a regression can't
+  * silently improve the total.
+  *
+  * Optional args: name substrings — bench only matching queries (local
+  * iteration; the driver passes none and gets the full registry).
   *
   * Materialization is a `noop`-format write, not `count()`: count lets
   * Catalyst prune every projection not needed for the row count, so a
@@ -41,7 +47,10 @@ object Bench {
       case c => c.toString
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        args.isEmpty || args.exists(name.contains) }
+      .map { case (name, fn) =>
       val times = (1 to RunsPerQuery).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -83,7 +92,13 @@ object Bench {
     val errJson = errors.map { case (k, v) =>
       s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"noisy":$noisyJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"noisy":$noisyJson,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    } catch { case _: Throwable => () } // file copy is best-effort
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -16,6 +16,7 @@ class CacheLifecycleSpec extends SparkSpec {
       CacheScope.releaseAll()
       queries.TopicQueries.evictAll()
       queries.SimilarityQueries.evictAll()
+      queries.NlpQueries.evictAll()
       val leaked = spark.sparkContext.getPersistentRDDs
       assert(leaked.isEmpty,
         s"$name leaked ${leaked.size} persisted RDD(s): " +
