@@ -25,6 +25,16 @@ import org.apache.spark.storage.StorageLevel
   * Memoized model caches (TopicQueries, SimilarityQueries' IVF index) are
   * deliberately NOT query-scoped — they exist to share a fit across
   * queries — and expose their own evictAll() instead.
+  *
+  * CONCURRENCY CONTRACT: the registry is process-global, so releaseAll()
+  * drains registrations from ALL threads — it assumes the
+  * one-query-at-a-time harness model (Verify/Bench/ScalaTest's default
+  * sequential suites, which is every current caller). A concurrent
+  * multi-query session must NOT call releaseAll() mid-flight: it would
+  * unpersist another query's in-flight intermediates, and for registered
+  * localCheckpoint RDDs unpersist discards the only copy of the data and
+  * fails that query's action. Such a session should scope registrations
+  * per query (token-keyed registry) before going parallel.
   */
 object CacheScope {
   private val pending = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()

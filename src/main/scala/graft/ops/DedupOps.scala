@@ -300,7 +300,11 @@ object DedupOps {
     * Convergence is detected by a (count, hash-sum) fingerprint of the
     * edge set — one tiny aggregation over the blocks the eager checkpoint
     * just cached, same one-expensive-action-per-round shape as the
-    * propagation loop.
+    * propagation loop. The fingerprint is probabilistic: two DIFFERENT
+    * consecutive edge sets of equal cardinality colliding on the 64-bit
+    * xor-of-hashes would stop the loop early with non-star labels —
+    * accepted at ~2^-64 per round; an exact comparison would cost a full
+    * anti-join of consecutive edge sets every round.
     *
     * Same contract as [[duplicateClusters]]: every doc labeled with its
     * component's min id, singletons label themselves.
@@ -354,17 +358,19 @@ object DedupOps {
       prev = cur
       round += 1
     }
+    // register the final checkpoint BEFORE the convergence require: on the
+    // throw path the query-boundary releaseAll still frees it (it backs no
+    // returned frame in that case, so early release is safe)
+    Bridge.checkpointRdd(edges).foreach(graft.CacheScope.registerRdd)
     require(stable,
       s"duplicateClustersStar did not converge in $maxRounds rounds")
     // At the fixpoint each non-root node carries exactly one edge, to its
     // component root; the min-agg is belt-and-braces against ever
     // duplicating doc rows through the join.
     val roots = edges.groupBy(col("u").as(idCol)).agg(min(col("v")).as("root"))
-    val labels = docs.select(col(idCol))
+    docs.select(col(idCol))
       .join(roots, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("root"), col(idCol)).as("cluster_id"))
-    Bridge.checkpointRdd(edges).foreach(graft.CacheScope.registerRdd)
-    labels
   }
 
   /** Benchmark decontamination — the training-corpus hygiene op every LLM

@@ -169,6 +169,14 @@ object SummarizeOps {
     // expression; written with the exact same parenthesization as the
     // DuckDB twin so both engines quantize identically. df == n_sent (the
     // commonest case) gives ln(1) = 0 exactly → 1000000 on both engines.
+    // ULP CAVEAT: this quantization assumes both engines' ln() agree to
+    // the last bit on the SAME double input. JVM Math.log is within 1 ulp
+    // of correctly-rounded (not exact) and DuckDB inherits libm's, so a
+    // corpus where 1e6·(ln(x)+1) lands within ~1 ulp of an integer could
+    // flip the floor by 1 on one engine only. The distinct (n_sent, df)
+    // inputs here are small integers and none sit near that boundary
+    // (property-checked range in SummarizeOpsSpec); a corpus-independent
+    // fix would precompute the quantized idf table driver-side.
     val iq = floor(lit(1000000.0) *
       (log((col("n_sent") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
       .cast("long")

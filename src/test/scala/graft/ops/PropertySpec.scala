@@ -207,6 +207,43 @@ class PropertySpec extends SparkSpec {
     assert(mentions(e), s"expected ARITHMETIC_OVERFLOW, got $e")
   }
 
+  test("exactDispersion stays exact at magnitudes where Int64 squares overflow") {
+    // Lock the DECIMAL(38,0) formulation at its design edge: |d| up to 1e17
+    // (a single d*d = 1e34 overflows Int64 by 15 orders of magnitude) and
+    // group sizes to 30, so n*sumd2 approaches but never exceeds the
+    // DECIMAL(38) range ((n*V)^2 <= 9e36). The BigInt reference applies the
+    // operator's own post-aggregation arithmetic — exact integer moments,
+    // then single correctly-rounded toDouble casts and IEEE divisions — so
+    // results must match bit-for-bit, not within a tolerance.
+    val shift = 1000000000000000000L // 1e18: values cluster around it
+    val V = 100000000000000000L // 1e17 max deviation
+    val groupGen = for {
+      n <- Gen.choose(2, 30)
+      ds <- Gen.listOfN(n, Gen.choose(-V, V))
+    } yield ds
+    val groups = Gen.listOfN(40, groupGen)
+      .apply(Gen.Parameters.default, Seed(1337L)).get
+    val rows = groups.zipWithIndex.flatMap { case (ds, g) =>
+      ds.map(d => (s"g$g", d + shift))
+    }
+    val got = graft.queries.RelationalQueries.exactDispersion(
+      rows.toDF("key", "qi"), "key", col("qi"), shift = shift, scale = 100.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    groups.zipWithIndex.foreach { case (ds, g) =>
+      val n = ds.length
+      val sumd = ds.map(BigInt(_)).sum
+      val sumd2 = ds.map(d => BigInt(d) * BigInt(d)).sum
+      val num = BigInt(n) * sumd2 - sumd * sumd
+      val wantMean = (sumd.toDouble / n + shift) / 100.0
+      val wantStd =
+        math.sqrt(num.toDouble / (BigInt(n) * BigInt(n - 1)).toDouble) / 100.0
+      val r = got(s"g$g")
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(2) == wantMean, s"mean drift in group g$g")
+      assert(r.getDouble(3) == wantStd, s"stddev drift in group g$g")
+    }
+  }
+
   test("fallbackSummary picks first/middle/last in document order") {
     val sents = (0L until 7L).map(i => (1L, i, s"s$i")).toDF("doc_id", "sentence_id", "sentence")
     val out = SummarizeOps.fallbackSummary(sents).head().getString(1)

@@ -106,4 +106,29 @@ class SummarizeOpsSpec extends SparkSpec {
     assert(scores(0)._4 == 0L)
     assert(scores(1)._4 > 0L)
   }
+
+  test("fixed-point idf quantization stays clear of floor boundaries") {
+    // scoreSentencesSklearnFixed's hash-exact oracle assumes both engines'
+    // ln() round floor(1e6·(ln((1+n)/(1+df))+1)) identically. JVM Math.log
+    // is within 1 ulp of correctly rounded (not exact), so the assumption
+    // only holds when no input lands within a few ulps of an integer.
+    // Exhaustive over the realistic domain (docs have well under 2000
+    // sentences; df < n_sent — df == n_sent is ln(1) = 0, exact): the
+    // minimum observed distance is ~292 ulps; require >= 64 as the guard
+    // so a future formula edit that erodes the margin fails loudly here
+    // instead of flaking the driver's hash compare on some future corpus.
+    var minUlps = Double.MaxValue
+    var n = 1
+    while (n <= 2000) {
+      var df = 1
+      while (df < n) {
+        val v = 1e6 * (math.log((1.0 + n) / (1.0 + df)) + 1.0)
+        val d = math.abs(v - math.rint(v)) / math.ulp(v)
+        if (d < minUlps) minUlps = d
+        df += 1
+      }
+      n += 1
+    }
+    assert(minUlps >= 64.0, s"idf quantization margin eroded: $minUlps ulps")
+  }
 }
