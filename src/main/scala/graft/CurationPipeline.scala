@@ -40,9 +40,11 @@ object CurationPipeline {
     * consistent (a doc's size is its count of surviving shingles).
     */
   /** Stages 1-3: redact (narrow) → quality gate (narrow) → exact dedup
-    * (one text-keyed window). Shared by both stage-4 retention policies.
+    * (one text-keyed window). Shared by both stage-4 retention policies;
+    * public so a session can materialize it ONCE and feed both (see
+    * CurationQueries' memoized relation).
     */
-  private def exactStage(docs: DataFrame): DataFrame = {
+  def exactStage(docs: DataFrame): DataFrame = {
     val redacted = docs.select(col("doc_id"),
       TextAnalysisOps.redactPii(col("text")).as("text"))
     val toked = redacted.select(col("doc_id"), col("text"),
@@ -61,8 +63,14 @@ object CurationPipeline {
   }
 
   def curate(docs: DataFrame,
-             maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    val exact = exactStage(docs)
+             maxShingleDf: Long = MaxShingleDf): DataFrame =
+    curateFrom(exactStage(docs), maxShingleDf)
+
+  /** [[curate]]'s stage 4 over an already-built (possibly persisted)
+    * stages-1-3 relation.
+    */
+  def curateFrom(exact: DataFrame,
+                 maxShingleDf: Long = MaxShingleDf): DataFrame = {
     // 4: near-dup removal — drop docs that near-duplicate a smaller id;
     // hot boilerplate shingles are dropped first (skew guard)
     val pairs = nearDupPairs(exact, maxShingleDf)
@@ -87,11 +95,19 @@ object CurationPipeline {
     * members of one cluster; this variant never does.
     */
   def curateClusterDedup(docs: DataFrame,
-                         maxShingleDf: Long = MaxShingleDf): DataFrame = {
+                         maxShingleDf: Long = MaxShingleDf): DataFrame =
     // three consumers (cluster id universe, shingle pairs, final join) —
     // and the label-prop loop's first action would otherwise re-run the
     // redact+quality+window prefix
-    val exact = CacheScope.persist(exactStage(docs))
+    curateClusterDedupFrom(CacheScope.persist(exactStage(docs)), maxShingleDf)
+
+  /** [[curateClusterDedup]]'s stage 4 over an already-PERSISTED
+    * stages-1-3 relation (the label-propagation loop consumes it from
+    * multiple actions — an unpersisted plan would re-run the prefix
+    * per round).
+    */
+  def curateClusterDedupFrom(exact: DataFrame,
+                             maxShingleDf: Long = MaxShingleDf): DataFrame = {
     val pairs = nearDupPairs(exact, maxShingleDf)
     val clusters = DedupOps.duplicateClusters(
       exact.select("doc_id"), pairs.select("id_a", "id_b"))

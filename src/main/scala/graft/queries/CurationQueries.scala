@@ -13,8 +13,36 @@ object CurationQueries {
 
   import SqlDefs._
 
+  /** One MATERIALIZED stages-1-3 relation (redact → quality gate → exact
+    * dedup) per (application, fixture dir): q50 and q50b differ only in
+    * their stage-4 retention policy, and as independent programs each
+    * would recompute the shared prefix. Same pattern and lifecycle as
+    * NlpQueries' summary cache — applicationId-keyed (stale sessions
+    * evicted on sight), cross-query by design, released via [[evictAll]].
+    */
+  private val exactCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def exactDf(spark: SparkSession, dir: String): DataFrame = {
+    exactCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    exactCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) =>
+        CurationPipeline.exactStage(Tables.documents(spark, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  /** Drop every memoized curation prefix and release its storage. */
+  def evictAll(): Unit = {
+    val it = exactCache.values.iterator()
+    while (it.hasNext) {
+      it.next().unpersist(blocking = false)
+      it.remove()
+    }
+  }
+
   def q50CuratedCorpus(spark: SparkSession, dir: String): DataFrame =
-    CurationPipeline.curate(Tables.documents(spark, dir)).orderBy("doc_id")
+    CurationPipeline.curateFrom(exactDf(spark, dir)).orderBy("doc_id")
 
   /** Shared oracle CTE chain for both stage-4 retention policies:
     * redact → quality gate → exact dedup → capped shingles → Jaccard
@@ -76,7 +104,7 @@ object CurationQueries {
   // near-dup component (the min id), resolved by the oracle's recursive
   // closure vs Spark's label propagation.
   def q50bClusterCurated(spark: SparkSession, dir: String): DataFrame =
-    CurationPipeline.curateClusterDedup(Tables.documents(spark, dir))
+    CurationPipeline.curateClusterDedupFrom(exactDf(spark, dir))
       .orderBy("doc_id")
 
   val q50bSql: String =

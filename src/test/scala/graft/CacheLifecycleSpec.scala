@@ -17,6 +17,7 @@ class CacheLifecycleSpec extends SparkSpec {
       queries.TopicQueries.evictAll()
       queries.SimilarityQueries.evictAll()
       queries.NlpQueries.evictAll()
+      queries.CurationQueries.evictAll()
       val leaked = spark.sparkContext.getPersistentRDDs
       assert(leaked.isEmpty,
         s"$name leaked ${leaked.size} persisted RDD(s): " +
