@@ -61,6 +61,66 @@ object DedupOps {
           .otherwise(array().cast("array<string>")).as("shs"))
       .select(col(idCol), explode(col("shs")).as("shingle"))
 
+  /** Duplicated-span stripping — sub-document exact dedup in the style of
+    * ExactSubstr (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", public): any n-token span occurring more
+    * than once in the corpus (across docs OR repeated within one doc) is
+    * boilerplate/leakage; every token covered by such a span is removed
+    * and the survivors are rejoined. The paper builds a suffix array; the
+    * relational formulation reaches the same cover with Spark-native ops:
+    *
+    *   1. positional shingles (doc_id, pos, shingle) — narrow;
+    *   2. duplicated-shingle set: count(*) > 1 keyed by shingle (one
+    *      shuffle; the count is occurrence-, not document-, based so
+    *      within-doc repeats are caught);
+    *   3. covered start positions per doc: join + collect_list (one
+    *      shuffle keyed by high-cardinality doc_id);
+    *   4. narrow rebuild: token i survives iff no duplicated span starts
+    *      in [i-n+1, i] — evaluated per token against the doc's sorted
+    *      start array (O(toks × starts); real corpora keep the start
+    *      list short, and a doc that is mostly duplicated spans is the
+    *      case where removing everything is the point).
+    *
+    * Returns (idCol, n_tokens, n_removed, text_dedup) — text is rebuilt
+    * space-joined from surviving tokens (whitespace-normalized, like
+    * every token-level op here).
+    */
+  def stripDuplicatedSpans(docs: DataFrame, n: Int,
+                           idCol: String = "doc_id"): DataFrame = {
+    val toked = docs.select(col(idCol),
+      TextOps.tokenize(col("text")).as("toks"))
+    // positional shingles: unlike [[shingles]] NOT distinct'd per doc —
+    // every occurrence counts, and each occurrence carries its position
+    val pos = toked.select(col(idCol),
+      when(size(col("toks")) >= n,
+        sequence(lit(0), size(col("toks")) - n))
+        .otherwise(array().cast("array<int>")).as("ps"),
+      col("toks"))
+      .select(col(idCol), explode(col("ps")).as("pos"), col("toks"))
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(n))).as("shingle"))
+    val sh = graft.CacheScope.persist(pos)
+    val dup = sh.groupBy("shingle").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("shingle")
+    val covered = sh.join(dup, "shingle")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("pos"))).as("starts"))
+    toked.join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col(idCol), col("toks"), col("starts"),
+        when(size(col("toks")) > 0,
+          filter(sequence(lit(0), size(col("toks")) - 1),
+            i => !exists(col("starts"),
+              s => i >= s && i <= s + (n - 1))))
+          .otherwise(array().cast("array<int>")).as("kept"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("kept"),
+          i => element_at(col("toks"), i + 1)), " ").as("text_dedup"))
+  }
+
   /** Stop-shingle cap: drop shingles whose document frequency exceeds
     * `maxDf` before any pairwise work. Boilerplate n-grams (license
     * headers, navigation chrome) occur in a large fraction of a real

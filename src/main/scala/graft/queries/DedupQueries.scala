@@ -278,7 +278,42 @@ object DedupQueries {
     SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
     FROM reach GROUP BY id ORDER BY doc_id"""
 
+  // --- q61: duplicated-span stripping (ExactSubstr-style sub-document
+  // dedup, Lee et al. 2022) — every 10-token span occurring >1 time in
+  // the corpus is removed from every doc that carries it ------------------
+  val SpanN = 10
+
+  def q61StripSpans(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.stripDuplicatedSpans(Tables.documents(spark, dir), SpanN)
+      .orderBy("doc_id")
+
+  val q61Sql: String = {
+    val n = SpanN
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+        unnest(range(0, len(toks) - $n + 1)) AS pos,
+        unnest(list_transform(range(0, len(toks) - $n + 1),
+          i -> array_to_string(toks[(CAST(i AS INT)+1):(CAST(i AS INT)+$n)], ' '))) AS shingle
+      FROM t),
+    dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1),
+    cov AS (SELECT s.doc_id, list_sort(list(s.pos)) AS starts
+      FROM sh s JOIN dup d ON s.shingle = d.shingle GROUP BY s.doc_id),
+    r AS (SELECT t.doc_id, t.toks, coalesce(c.starts, []) AS starts
+      FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id),
+    k AS (SELECT doc_id, toks,
+      list_filter(range(0, len(toks)), i ->
+        len(list_filter(starts, s -> i >= s AND i <= s + ${n - 1})) = 0) AS kept
+      FROM r)
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+      coalesce(array_to_string(list_transform(kept, i -> toks[CAST(i AS INT)+1]), ' '), '') AS text_dedup
+    FROM k ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_strip_spans" -> (q61StripSpans _),
     "q24_exact_dup" -> (q24ExactDup _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
@@ -290,6 +325,7 @@ object DedupQueries {
     "q55b_dup_clusters_star" -> (q55bDupClustersStar _))
 
   val oracleSql: Map[String, String] = Map(
+    "q61_strip_spans" -> q61Sql,
     "q24_exact_dup" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
     "q26_minhash_lsh" -> q26Sql,

@@ -35,6 +35,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("jaccard_micro") == 500000L)
   }
 
+  test("stripDuplicatedSpans removes cross-doc and within-doc repeated spans") {
+    // n=3: docs 1 and 2 share the span "a b c" (both occurrences and the
+    // tokens they cover go); doc 3 repeats "p q r" internally (both go);
+    // doc 4 is unique and survives whole; doc 5 is shorter than n
+    val out = DedupOps.stripDuplicatedSpans(docs(
+      1L -> "a b c x y z",
+      2L -> "m n a b c o",
+      3L -> "p q r k p q r",
+      4L -> "u v w u2 v2",
+      5L -> "s t"), 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    graft.CacheScope.releaseAll()
+    assert(out(0) == ((1L, 6L, 3L, "x y z")))
+    assert(out(1) == ((2L, 6L, 3L, "m n o")))
+    // doc 3: starts 0 and 4 cover tokens 0-2 and 4-6; only "k" (pos 3) stays
+    assert(out(2) == ((3L, 7L, 6L, "k")))
+    assert(out(3) == ((4L, 5L, 0L, "u v w u2 v2")))
+    assert(out(4) == ((5L, 2L, 0L, "s t")))
+  }
+
   test("capShingleDf drops boilerplate shingles and the pairs they induce") {
     // three docs sharing only the boilerplate 2-gram {x y}; docs 1 and 2
     // additionally share real content {a b, b c}
