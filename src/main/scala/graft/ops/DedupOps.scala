@@ -461,6 +461,48 @@ object DedupOps {
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** Two-phase decontamination, bit-identical to [[contaminationScores]]:
+    * a compact Bloom filter over the benchmark shingles' xxhash64 keys
+    * prefilters the training shingles BEFORE the exact confirm join.
+    *
+    * Phase 1 builds the filter with Spark's native `bloom_filter_agg`
+    * (map-side partials, one single-row merge) and attaches it as a scalar
+    * subquery, so the serialized bits ship to every task once and
+    * `might_contain` evaluates inside the scan-side Filter. Phase 2 is the
+    * unchanged exact join against the distinct benchmark shingle STRINGS,
+    * which discards both Bloom false positives and xxhash64 collisions —
+    * false negatives don't exist by the Bloom contract, so the output (and
+    * oracle) is exactly [[contaminationScores]]'s.
+    *
+    * This is the contamination-check shape that holds at 100 TB: the
+    * benchmark side is an eval suite (MBs), so its filter is a few MB
+    * broadcast once, and only ~(true matches + fpp·|train|) shingles ever
+    * reach the join — the alternative of shuffling or even hashing the full
+    * training shingle relation against a broadcast set still materializes
+    * every string; the Bloom probe is a couple of cache-resident bit tests
+    * per shingle. `expectedItems` sizes the filter (Spark allocates 8 bits
+    * per expected item, ~2% fpp at capacity); overshooting costs filter
+    * memory, undershooting costs only extra confirm-join traffic — never
+    * correctness.
+    */
+  def contaminationScoresBloom(docs: DataFrame, trainSh: DataFrame,
+                               benchSh: DataFrame, minShared: Long,
+                               expectedItems: Long,
+                               idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val bloom = benchSh.agg(Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("shingle"))),
+        expectedItems).toAggregateExpression()).as("bloom_bits"))
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Bridge.expression(bloom.scalar()),
+      Bridge.expression(xxhash64(col("shingle")))))
+    contaminationScores(docs, trainSh.where(mightContain), benchSh, minShared,
+      idCol)
+  }
+
   /** MLlib-native near-dup path: HashingTF binary term vectors →
     * `MinHashLSH.approxSimilarityJoin`. Same algorithm family as
     * minhashPairs but using Spark ML's hash functions — NOT oracle-portable

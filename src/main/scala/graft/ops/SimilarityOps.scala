@@ -247,4 +247,26 @@ object SimilarityOps {
         cosineMicro(col("a_emb"), col("b_emb")).as("cos_micro"))
       .where(col("cos_micro") >= minMicro)
   }
+
+  /** SemDedup-style semantic deduplication (Abbas et al. 2023, public):
+    * drop every vector that is the HIGHER id of some near-duplicate pair,
+    * keep the rest — pair-minimal retention. The paper blocks candidates
+    * with k-means clusters; here they come from the engine's portable
+    * banded sign-LSH ([[cosineNearDupPairs]]), which keeps the whole
+    * relation oracle-verifiable. Note the semantics: transitive chains
+    * a~b~c drop BOTH b and c (each is a pair's higher id) — deterministic
+    * and order-free, unlike the paper's sequential greedy. For
+    * component-canonical retention (keep one per transitive cluster) see
+    * DedupOps.duplicateClusters / the q50b curation variant.
+    *
+    * Scale shape: the pair relation is banded-LSH (never all-pairs), the
+    * dropped-id set distincts on vec_id, and the anti-join shuffles on
+    * vec_id — every key high-cardinality, no broadcast of the corpus.
+    */
+  def semanticDedup(embeddings: DataFrame, bits: Int, bands: Int,
+                    minMicro: Long): DataFrame = {
+    val dropped = cosineNearDupPairs(embeddings, bits, bands, minMicro)
+      .select(col("id_b").as("vec_id")).distinct()
+    embeddings.join(dropped, Seq("vec_id"), "left_anti")
+  }
 }

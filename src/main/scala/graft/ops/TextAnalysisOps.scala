@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-data text analysis: language ID, quality scoring, token
@@ -106,6 +106,104 @@ object TextAnalysisOps {
     when(size(grams) > 0,
       lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
       .otherwise(0.0)
+  }
+
+  /** Gopher-style repetition profile (Rae et al. 2021 §A1.1, public):
+    * fraction of characters in the most frequent word 2-gram, fraction of
+    * characters in duplicated word 5-grams, and fraction of duplicate
+    * sentences — the standard pretraining repetition filters beyond
+    * [[repetitionRatio]]'s occurrence fraction.
+    *
+    * Computed relationally (explode → count by (doc, gram)) rather than
+    * per-row array scans: shuffle volume is O(total tokens) keyed by the
+    * high-cardinality (doc, gram) pair, so the same plan holds for
+    * book-length documents where an O(G·distinct) in-array count would
+    * make single rows into stragglers. Sentences follow P9 semantics
+    * (split `[.!?]+`, trimmed, length > 10) without the sentence-id window
+    * — only counts are needed.
+    */
+  def repetitionProfile(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    // stage the token array as an attribute BEFORE any lambda touches it:
+    // a non-attribute array expression inside transform/slice duplicates
+    // its whole tree per element (the documented 40x q06 pitfall)
+    val staged = docs.select(col(idCol), TextOps.tokenize(text).as("toks"))
+    def gramCounts(n: Int): DataFrame = {
+      val toks = col("toks")
+      val grams = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      staged.select(col(idCol), explode(grams).as("gram"))
+        .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+    }
+    val top2 = gramCounts(2).groupBy(col(idCol))
+      .agg(max(col("cnt") * length(col("gram")).cast("long"))
+        .as("top_bigram_chars"))
+    val dup5 = gramCounts(5).groupBy(col(idCol))
+      .agg(sum(when(col("cnt") > 1, col("cnt") * length(col("gram")).cast("long"))
+        .otherwise(0L)).as("dup_5gram_chars"))
+    val sents = docs
+      .select(col(idCol), explode(split(text, "[.!?]+")).as("s"))
+      .select(col(idCol), trim(col("s")).as("sentence"))
+      .where(length(col("sentence")) > 10)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sentences"),
+        countDistinct(col("sentence")).as("n_distinct_sentences"))
+    val nChars = col("n_chars")
+    docs.select(col(idCol), length(text).cast("long").as("n_chars"))
+      .join(top2, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .join(sents, Seq(idCol), "left")
+      .select(col(idCol), nChars,
+        coalesce(col("top_bigram_chars"), lit(0L)).as("top_bigram_chars"),
+        when(nChars > 0,
+          coalesce(col("top_bigram_chars"), lit(0L)).cast("double") / nChars)
+          .otherwise(0.0).as("top_bigram_char_frac"),
+        coalesce(col("dup_5gram_chars"), lit(0L)).as("dup_5gram_chars"),
+        when(nChars > 0,
+          coalesce(col("dup_5gram_chars"), lit(0L)).cast("double") / nChars)
+          .otherwise(0.0).as("dup_5gram_char_frac"),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+        when(coalesce(col("n_sentences"), lit(0L)) > 0,
+          lit(1.0) -
+            col("n_distinct_sentences").cast("double") / col("n_sentences"))
+          .otherwise(0.0).as("dup_sentence_frac"))
+      .withColumn("repetition_pass",
+        col("top_bigram_char_frac") <= 0.20 &&
+          col("dup_5gram_char_frac") <= 0.15 &&
+          col("dup_sentence_frac") <= 0.30)
+  }
+
+  /** Conjunctive keyword retrieval with all-integer ranking: documents
+    * containing EVERY query term (case-folded), ranked by total term
+    * frequency descending with doc_id as the tie-break, top k. The
+    * relational inverted-index shape — explode tokens, filter to the query
+    * terms (a tiny IN-list, evaluated in the scan's codegen'd filter so
+    * only posting rows ever shuffle), count tf per (doc, term), enforce
+    * the conjunction via a distinct-term count. Ranking is pure integers:
+    * no float scores, so the result is engine-exact by construction.
+    * `orderBy.limit` plans as TakeOrderedAndProject — per-partition top-k
+    * heaps, never a full sort, at any corpus size.
+    */
+  def keywordSearch(docs: DataFrame, terms: Seq[String], k: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "keywordSearch needs at least one query term")
+    val folded = terms.map(_.toLowerCase)
+    val postings = docs
+      .select(col(idCol),
+        explode(TextOps.tokenize(lower(coalesce(col(textCol), lit(""))))).as("term"))
+      .where(col("term").isin(folded: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    postings.groupBy(col(idCol))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("total_tf"))
+      .where(col("n_terms") === folded.distinct.size)
+      .select(col(idCol), col("total_tf"))
+      .orderBy(col("total_tf").desc, col(idCol))
+      .limit(k)
   }
 
   /** PII scrubbing patterns — dialect-portable (no lookaround/backrefs, so

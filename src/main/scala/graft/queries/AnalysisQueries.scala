@@ -137,17 +137,100 @@ object AnalysisQueries {
     FROM documents ORDER BY doc_id"""
   }
 
+  // --- q21b: Gopher repetition profile -----------------------------------
+  // Char-fraction repetition filters (top 2-gram, duplicated 5-grams,
+  // duplicate sentences) computed in the explode→count shape; semantics in
+  // TextAnalysisOps.repetitionProfile.
+  def q21bRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.repetitionProfile(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  val q21bSql: String =
+    raw"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM d),
+    g2 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+        i -> array_to_string(toks[(CAST(i AS INT)+1):(CAST(i AS INT)+2)], ' '))) AS gram
+      FROM t WHERE len(toks) >= 2),
+    c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+    s2 AS (SELECT doc_id, max(cnt * length(gram)) AS top_bigram_chars
+      FROM c2 GROUP BY doc_id),
+    g5 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 4),
+        i -> array_to_string(toks[(CAST(i AS INT)+1):(CAST(i AS INT)+5)], ' '))) AS gram
+      FROM t WHERE len(toks) >= 5),
+    c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY doc_id, gram),
+    s5 AS (SELECT doc_id,
+        CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS BIGINT)
+          AS dup_5gram_chars
+      FROM c5 GROUP BY doc_id),
+    sen AS (SELECT doc_id, trim(s) AS sentence
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s FROM d)
+      WHERE length(trim(s)) > 10),
+    ss AS (SELECT doc_id, count(*) AS n_sentences,
+        count(DISTINCT sentence) AS n_distinct_sentences
+      FROM sen GROUP BY doc_id),
+    q AS (SELECT b.doc_id,
+        CAST(length(b.text) AS BIGINT) AS n_chars,
+        CAST(coalesce(s2.top_bigram_chars, 0) AS BIGINT) AS top_bigram_chars,
+        CASE WHEN length(b.text) > 0
+          THEN CAST(coalesce(s2.top_bigram_chars, 0) AS DOUBLE) / length(b.text)
+          ELSE 0.0 END AS top_bigram_char_frac,
+        CAST(coalesce(s5.dup_5gram_chars, 0) AS BIGINT) AS dup_5gram_chars,
+        CASE WHEN length(b.text) > 0
+          THEN CAST(coalesce(s5.dup_5gram_chars, 0) AS DOUBLE) / length(b.text)
+          ELSE 0.0 END AS dup_5gram_char_frac,
+        CAST(coalesce(ss.n_sentences, 0) AS BIGINT) AS n_sentences,
+        CASE WHEN coalesce(ss.n_sentences, 0) > 0
+          THEN 1.0 - CAST(ss.n_distinct_sentences AS DOUBLE) / ss.n_sentences
+          ELSE 0.0 END AS dup_sentence_frac
+      FROM d b
+      LEFT JOIN s2 ON b.doc_id = s2.doc_id
+      LEFT JOIN s5 ON b.doc_id = s5.doc_id
+      LEFT JOIN ss ON b.doc_id = ss.doc_id)
+    SELECT *, (top_bigram_char_frac <= 0.20 AND dup_5gram_char_frac <= 0.15
+      AND dup_sentence_frac <= 0.30) AS repetition_pass
+    FROM q ORDER BY doc_id"""
+
+  // --- q63: conjunctive keyword search (inverted-index top-k) ------------
+  // All-integer retrieval ranking; semantics and scale shape in
+  // TextAnalysisOps.keywordSearch. Terms chosen for real conjunction
+  // frequency in the fixture corpus.
+  val SearchTerms = Seq("hash", "join", "scan")
+  val SearchTopK = 10
+
+  def q63KeywordSearch(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.keywordSearch(
+      Tables.documents(spark, dir), SearchTerms, SearchTopK)
+
+  val q63Sql: String = {
+    val inList = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    raw"""WITH p AS (
+      SELECT doc_id, unnest(${toksSql("lower(coalesce(text, ''))")}) AS term
+      FROM documents),
+    g AS (SELECT doc_id, term, count(*) AS tf
+      FROM p WHERE term IN $inList GROUP BY doc_id, term),
+    a AS (SELECT doc_id, count(DISTINCT term) AS n_terms,
+        CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM g GROUP BY doc_id)
+    SELECT doc_id, total_tf FROM a
+    WHERE n_terms = ${SearchTerms.distinct.size}
+    ORDER BY total_tf DESC, doc_id LIMIT $SearchTopK"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_lang_id" -> (q20LangId _),
     "q21_quality" -> (q21Quality _),
+    "q21b_repetition" -> (q21bRepetition _),
     "q22_token_counts" -> (q22TokenCounts _),
     "q23_fingerprints" -> (q23Fingerprints _),
-    "q23b_redact" -> (q23bRedact _))
+    "q23b_redact" -> (q23bRedact _),
+    "q63_keyword_search" -> (q63KeywordSearch _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
     "q21_quality" -> q21Sql,
+    "q21b_repetition" -> q21bSql,
     "q22_token_counts" -> q22Sql,
     "q23_fingerprints" -> q23Sql,
-    "q23b_redact" -> q23bSql)
+    "q23b_redact" -> q23bSql,
+    "q63_keyword_search" -> q63Sql)
 }

@@ -263,6 +263,44 @@ object CurationQueries {
         col("start_offset"), col("bin_id"))
   }
 
+  // --- q57b: token-budget source capping ----------------------------------
+  // The other half of data mixing: q57 keeps a RATE per source, this keeps
+  // each source's greedy doc_id-order prefix until a TOKEN budget fills —
+  // how real mixtures are specified ("100B tokens of web, 20B of code").
+  // A doc is kept iff its exclusive running-token offset is still under
+  // budget (the straddling doc is kept; the budget bounds where docs START,
+  // so per-source token overshoot is < one doc). Reuses the q58 two-level
+  // prefix sum, so no task ever scans a whole source (see
+  // [[packStartOffsets]]).
+  val TokenBudgetPerSource = 1000L
+
+  def q57bTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.ops.TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
+    packStartOffsets(t, PackShards)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("start_offset") < TokenBudgetPerSource, 1)).as("n_kept"),
+        sum(when(col("start_offset") < TokenBudgetPerSource, col("n_tokens"))
+          .otherwise(0L)).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  val q57bSql: String =
+    s"""WITH t AS (
+      SELECT doc_id, source, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+      FROM t)
+    SELECT source, count(*) AS n_docs,
+      CAST(count(CASE WHEN start_offset < $TokenBudgetPerSource THEN 1 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN start_offset < $TokenBudgetPerSource THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM c GROUP BY source ORDER BY source"""
+
   def q58SequencePacking(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
@@ -289,6 +327,7 @@ object CurationQueries {
     "q51_split" -> (q51Split _),
     "q52_stratified_sample" -> (q52StratifiedSample _),
     "q57_source_mix" -> (q57SourceMix _),
+    "q57b_token_budget" -> (q57bTokenBudget _),
     "q58_sequence_packing" -> (q58SequencePacking _))
 
   val oracleSql: Map[String, String] = Map(
@@ -297,5 +336,6 @@ object CurationQueries {
     "q51_split" -> q51Sql,
     "q52_stratified_sample" -> q52Sql,
     "q57_source_mix" -> q57Sql,
+    "q57b_token_budget" -> q57bSql,
     "q58_sequence_packing" -> q58Sql)
 }

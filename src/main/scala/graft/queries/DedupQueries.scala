@@ -231,6 +231,29 @@ object DedupQueries {
     LEFT JOIN shared s ON d.doc_id = s.doc_id
     ORDER BY d.doc_id"""
 
+  // --- q53b: Bloom-prefiltered decontamination ---------------------------
+  // Same relation as q53 (and the same oracle — the Bloom prefilter is
+  // output-invisible by construction): the 100 TB-shaped variant where a
+  // broadcast Bloom filter prunes the training shingles map-side before
+  // the exact confirm join.
+
+  /** Sizes q53b's Bloom filter. Generous vs the fixture's distinct bench
+    * shingles; only trades memory for false positives, never correctness.
+    */
+  val BenchShingleEstimate = 1L << 17
+
+  def q53bDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val toked = tokenized(spark, dir)
+    val sh = DedupOps.shingles(toked, ShingleN)
+    val isBench = col("doc_id") % 20 === 0
+    DedupOps.contaminationScoresBloom(
+      toked.where(!isBench),
+      sh.where(!isBench),
+      sh.where(isBench),
+      ContaminationMinShared, BenchShingleEstimate)
+      .orderBy("doc_id")
+  }
+
   // --- q55: duplicate clusters (connected components) --------------------
   // Near-dup PAIRS (q25's relation) resolved into transitive clusters:
   // every doc labeled with its component's min id. Spark runs iterative
@@ -321,6 +344,7 @@ object DedupQueries {
     "q26c_edit_distance" -> (q26cEditDistance _),
     "q27_simhash" -> (q27Simhash _),
     "q53_decontaminate" -> (q53Decontaminate _),
+    "q53b_decontaminate_bloom" -> (q53bDecontaminateBloom _),
     "q55_dup_clusters" -> (q55DupClusters _),
     "q55b_dup_clusters_star" -> (q55bDupClustersStar _))
 
@@ -332,6 +356,7 @@ object DedupQueries {
     "q26c_edit_distance" -> q26cSql,
     "q27_simhash" -> q27Sql,
     "q53_decontaminate" -> q53Sql,
+    "q53b_decontaminate_bloom" -> q53Sql,
     "q55_dup_clusters" -> q55Sql,
     "q55b_dup_clusters_star" -> q55Sql)
 }

@@ -175,8 +175,40 @@ object SimilarityQueries {
     }
   }
 
+  // --- q62: SemDedup-style semantic dedup --------------------------------
+  // Pair-minimal retention over q28's near-dup relation (semantics and
+  // scale shape in SimilarityOps.semanticDedup scaladoc).
+  def q62SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.semanticDedup(
+      Tables.embeddings(spark, dir), NearDupBits, NearDupBands, NearDupMinMicro)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+
+  val q62Sql: String = {
+    val bandSelects = (0 until NearDupBands).map(t =>
+      s"SELECT vec_id, $t AS band, ${bucketSql(NearDupBits, t * NearDupBits)} AS key FROM n")
+      .mkString(" UNION ALL ")
+    s"""WITH $preparedCte,
+    b AS ($bandSelects),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+        AND a.vec_id < c.vec_id),
+    dropped AS (
+      SELECT DISTINCT cand.id_b
+      FROM cand
+      JOIN n x ON x.vec_id = cand.id_a
+      JOIN n y ON y.vec_id = cand.id_b
+      WHERE ${cosMicroSql("x.emb", "y.emb", "x.nrm", "y.nrm")} >= $NearDupMinMicro)
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = e.vec_id)
+    ORDER BY e.vec_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_cosine_near_dup" -> (q28CosineNearDup _),
+    "q62_semantic_dedup" -> (q62SemanticDedup _),
     "q29_knn_brute" -> (q29KnnBrute _),
     "q29b_knn_lsh" -> (q29bKnnLsh _),
     "q29c_knn_agg" -> (q29cKnnAgg _),
@@ -184,6 +216,7 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q28_cosine_near_dup" -> q28Sql,
+    "q62_semantic_dedup" -> q62Sql,
     "q29_knn_brute" -> q29Sql,
     "q29b_knn_lsh" -> q29bSql,
     "q29c_knn_agg" -> q29Sql) // identical contract to the window formulation

@@ -35,6 +35,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("jaccard_micro") == 500000L)
   }
 
+  test("contaminationScoresBloom is bit-identical to the exact formulation") {
+    val toked = tokenized(
+      1L -> "a b c d e f",   // benchmark doc
+      2L -> "a b c d e g",   // train: shares the 5-gram "a b c d e"
+      4L -> "p q r s t u",   // train: clean
+      6L -> "a b")           // train: too short to shingle at n=5
+    val sh = DedupOps.shingles(toked, 5)
+    val isBench = col("doc_id") === 1L
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
+      f(toked.where(!isBench), sh.where(!isBench), sh.where(isBench))
+        .orderBy("doc_id").collect().toSeq
+    val exact = run(DedupOps.contaminationScores(_, _, _, 1L))
+    val bloom = run(DedupOps.contaminationScoresBloom(_, _, _, 1L, 1024L))
+    assert(bloom == exact)
+    assert(exact.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))) ==
+      Seq((2L, 1L, true), (4L, 0L, false), (6L, 0L, false)))
+  }
+
+  test("contaminationScoresBloom with an empty benchmark side flags nothing") {
+    val toked = tokenized(2L -> "a b c d e g")
+    val sh = DedupOps.shingles(toked, 5)
+    val out = DedupOps.contaminationScoresBloom(
+      toked, sh, sh.where(lit(false)), 1L, 16L)
+      .collect().toSeq
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))) ==
+      Seq((2L, 0L, false)))
+  }
+
   test("stripDuplicatedSpans removes cross-doc and within-doc repeated spans") {
     // n=3: docs 1 and 2 share the span "a b c" (both occurrences and the
     // tokens they cover go); doc 3 repeats "p q r" internally (both go);
@@ -187,5 +216,20 @@ class DedupSimilaritySpec extends SparkSpec {
         minMicro = 900000L)
       .collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+  }
+
+  test("semanticDedup keeps the pair-minimal set") {
+    // 0, 1, 3 are colinear (pairs (0,1), (0,3), (1,3)); 2 points the other
+    // way. Higher ids of any pair drop: kept = {0, 2}.
+    val emb = Seq(
+      (0L, Array.fill(8)(0.5f), 0),
+      (1L, Array.fill(8)(0.5f), 0),
+      (2L, Array.fill(8)(-0.5f), 0),
+      (3L, Array.fill(8)(0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val kept = SimilarityOps.semanticDedup(emb, bits = 4, bands = 2,
+        minMicro = 900000L)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L, 2L))
   }
 }

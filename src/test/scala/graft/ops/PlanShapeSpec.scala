@@ -42,6 +42,25 @@ class PlanShapeSpec extends SparkSpec {
     assertNoQuadraticJoin("q28", SimilarityQueries.q28CosineNearDup(spark, dir))
   }
 
+  test("q53b probes the Bloom filter in a Filter before the confirm join") {
+    val df = DedupQueries.q53bDecontaminateBloom(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("might_contain"),
+      s"q53b lost its Bloom prefilter:\n$plan")
+    // the prefilter must run below the join, not after it: might_contain
+    // belongs to a Filter node, never to the join condition itself
+    val joinsMention = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("might_contain"))
+    assert(joinsMention.isEmpty,
+      s"q53b's Bloom probe migrated into a join:\n$plan")
+    assertNoQuadraticJoin("q53b", df)
+  }
+
+  test("q62 semantic dedup stays a bucketed equi-join + anti-join") {
+    assertNoQuadraticJoin("q62",
+      SimilarityQueries.q62SemanticDedup(spark, dir))
+  }
+
   test("q50 curation pipeline contains no quadratic join") {
     assertNoQuadraticJoin("q50", CurationQueries.q50CuratedCorpus(spark, dir))
   }

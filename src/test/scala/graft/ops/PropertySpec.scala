@@ -29,6 +29,32 @@ class PropertySpec extends SparkSpec {
     sep <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  ", " \t ", "\n"))
   } yield ws.zipAll(sep :+ "", "", "").map { case (w, s) => w + s }.mkString
 
+  test("Bloom-prefiltered decontamination equals the exact formulation " +
+      "on generated corpora") {
+    // Small vocab + short docs force real shingle overlap across the
+    // bench/train split; a tiny filter (high fpp) stresses that false
+    // positives never survive the confirm join.
+    val smallTextGen = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    } yield ws.mkString(" ")
+    val docs = sample(smallTextGen).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val toked = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+    val sh = DedupOps.shingles(toked, 3)
+    val isBench = col("doc_id") % 7 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    val exact = rows(DedupOps.contaminationScores(
+      toked.where(!isBench), sh.where(!isBench), sh.where(isBench), 1L))
+    val bloom = rows(DedupOps.contaminationScoresBloom(
+      toked.where(!isBench), sh.where(!isBench), sh.where(isBench), 1L,
+      expectedItems = 8L))
+    assert(bloom == exact)
+    assert(exact.exists(_.getBoolean(2)), "degenerate fixture: nothing contaminated")
+  }
+
   test("tokenize matches Python str.split() semantics on generated text") {
     val texts = sample(textGen)
     val got = texts.toDF("t")

@@ -53,6 +53,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("non_alnum_ratio") == 2.0 / 11)
   }
 
+  test("repetitionProfile computes Gopher char-fraction metrics exactly") {
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "It is raining today. It is raining today. It is raining today."),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.repetitionProfile(df).orderBy("doc_id").collect()
+    val r1 = out(0)
+    // bigrams: "a b"x3 (len 3), "b a"x2 -> top 9 of 11 chars; no dup 5-grams
+    assert(r1.getAs[Long]("n_chars") == 11)
+    assert(r1.getAs[Long]("top_bigram_chars") == 9)
+    assert(r1.getAs[Long]("dup_5gram_chars") == 0)
+    assert(r1.getAs[Long]("n_sentences") == 1)
+    assert(r1.getAs[Double]("dup_sentence_frac") == 0.0)
+    assert(!r1.getAs[Boolean]("repetition_pass"))
+    val r2 = out(1)
+    // top bigram "raining today." x3 (len 14) = 42 chars of 62; all four
+    // distinct 5-grams occur twice: 2*(23+23+28+27) = 202; 3 identical
+    // sentences -> dup frac 2/3
+    assert(r2.getAs[Long]("n_chars") == 62)
+    assert(r2.getAs[Long]("top_bigram_chars") == 42)
+    assert(r2.getAs[Long]("dup_5gram_chars") == 202)
+    assert(r2.getAs[Long]("n_sentences") == 3)
+    assert(r2.getAs[Double]("dup_sentence_frac") == 1.0 - 1.0 / 3)
+    assert(!r2.getAs[Boolean]("repetition_pass"))
+    val r3 = out(2)
+    // too short for grams or sentences: all-zero profile passes
+    assert(r3.getAs[Long]("top_bigram_chars") == 0)
+    assert(r3.getAs[Long]("n_sentences") == 0)
+    assert(r3.getAs[Boolean]("repetition_pass"))
+  }
+
+  test("keywordSearch requires every term and ranks by total tf then id") {
+    val df = Seq(
+      (1L, "cat dog cat"),     // both terms, tf 3
+      (2L, "cat cat cat"),     // missing dog
+      (3L, "Dog cat dog dog"), // both (case-folded), tf 4 -> ranks first
+      (4L, "dog CAT"),         // both, tf 2
+      (5L, "bird")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.keywordSearch(df, Seq("cat", "Dog"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((3L, 4L), (1L, 3L)))
+  }
+
   test("BPE-ish token count splits letters, digits, symbols") {
     val df = Seq("ab12 cd!").toDF("text")
     val n = df.select(TextAnalysisOps.bpeTokenCount(col("text"))).head().getLong(0)
