@@ -77,4 +77,45 @@ object JoinOps {
       .select(left.columns.map(col).toIndexedSeq ++
         rightValCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
+
+  /** Bucketed range join: probe rows whose `tsCol` falls inside an
+    * interval `[startCol, endCol)` — with NO equi key, the join Spark
+    * plans as a BroadcastNestedLoopJoin, O(|probe|·|intervals|) and
+    * undriveable once the interval side outgrows a broadcast.
+    *
+    * Both sides bucketize on exact epoch-microsecond integers
+    * (`unix_micros`, no float truncation at bucket edges): a probe row
+    * lands in exactly one `width`-sized bucket, an interval explodes to
+    * the buckets its half-open span touches, and the join becomes a plain
+    * shuffled equi-join on bucket id followed by the exact containment
+    * filter. Every true pair meets exactly once (the probe's single
+    * bucket), so no dedup pass is needed. Candidate volume is
+    * (intervals-per-bucket × probes-per-bucket) summed over buckets —
+    * linear in data for bounded interval density, and hot buckets are
+    * ordinary join skew (AQE splits them; [[saltedJoin]] is the manual
+    * hatch). Pick `widthSeconds` on the order of the typical interval
+    * length: much smaller multiplies the interval explosion, much larger
+    * multiplies false candidates per bucket.
+    *
+    * Output: probe columns then interval columns (names must be disjoint).
+    */
+  def rangeJoinBucketed(probe: DataFrame, intervals: DataFrame,
+                        tsCol: String, startCol: String, endCol: String,
+                        widthSeconds: Long): DataFrame = {
+    require(widthSeconds > 0, "bucket width must be positive")
+    val overlap = probe.columns.toSet & intervals.columns.toSet
+    require(overlap.isEmpty, s"column collision: ${overlap.mkString(", ")}")
+    // integral `div`, not `/`: Column./ on longs promotes to double, and a
+    // float quotient at an exact bucket boundary is the one place this
+    // operator could silently drop a pair
+    val w = widthSeconds * 1000000L
+    val p = probe.withColumn("__bucket",
+      expr(s"unix_micros($tsCol) div ${w}L"))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(expr(s"unix_micros($startCol) div ${w}L"),
+        expr(s"(unix_micros($endCol) - 1) div ${w}L"))))
+    p.join(iv, "__bucket")
+      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bucket")
+  }
 }

@@ -206,6 +206,52 @@ object TextAnalysisOps {
       .limit(k)
   }
 
+  /** Feature-hash dimensionality of the linear quality classifier. */
+  val ClassifierBuckets = 4096L
+
+  /** The classifier's weight RELATION: bucket → integer weight. This
+    * surrogate (`(bucket % 17) - 8`, zero-mean over the bucket space)
+    * stands in for learned fasttext-style parameters — swap in a real
+    * table (same schema) and every plan property below is unchanged.
+    */
+  def classifierWeights(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(ClassifierBuckets)
+      .select(col("id").as("bucket"), (col("id") % 17 - 8).as("weight"))
+
+  /** Model-based quality filtering, the scale plumbing of a fasttext-style
+    * linear classifier (Joulin et al. 2016, public; the CCNet/quality-
+    * filter pattern): tokens hash into [[ClassifierBuckets]] buckets via
+    * the portable polynomial hash, each bucket carries a weight from a
+    * model RELATION, a document scores the sum of its token weights, and
+    * the label is `score >= 0`.
+    *
+    * The model is DATA, not code — a D-row table broadcast-joined to the
+    * exploded (doc, bucket) postings, then one per-doc sum. That is how a
+    * linear model applies to a 100 TB corpus without leaving the
+    * dataflow: no driver-side arrays, no UDF closure captures, weights
+    * swappable/versionable like any dimension table. Integer weights keep
+    * the score engine-exact (no float fold order).
+    */
+  def qualityClassify(docs: DataFrame, weights: DataFrame,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val staged = docs.select(col(idCol),
+      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
+    val scored = staged
+      .select(col(idCol), explode(col("toks")).as("tok"))
+      .select(col(idCol),
+        (HashOps.charHash(col("tok")) % ClassifierBuckets).as("bucket"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("weight")).as("score"), count(lit(1)).as("n_features"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("score"), lit(0L)).as("score"),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        (coalesce(col("score"), lit(0L)) >= 0).as("quality_label"))
+  }
+
   /** PII scrubbing patterns — dialect-portable (no lookaround/backrefs, so
     * Java regex and RE2 agree). Applied in order; replacement tokens keep
     * corpus statistics debuggable.

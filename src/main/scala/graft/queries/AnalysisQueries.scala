@@ -216,6 +216,31 @@ object AnalysisQueries {
     ORDER BY total_tf DESC, doc_id LIMIT $SearchTopK"""
   }
 
+  // --- q65: hashed-feature linear quality classifier ---------------------
+  // Model-based filtering with the model as a broadcast relation; semantics
+  // and scale shape in TextAnalysisOps.qualityClassify.
+  def q65QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.qualityClassify(Tables.documents(spark, dir),
+      TextAnalysisOps.classifierWeights(spark))
+      .orderBy("doc_id")
+
+  val q65Sql: String =
+    s"""WITH w AS (SELECT CAST(range AS BIGINT) AS bucket,
+        CAST(range % 17 - 8 AS BIGINT) AS weight
+      FROM range(${TextAnalysisOps.ClassifierBuckets})),
+    d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    p AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM d),
+    b AS (SELECT doc_id,
+        ${HashOps.charHashSql("tok")} % ${TextAnalysisOps.ClassifierBuckets} AS bucket
+      FROM p),
+    s AS (SELECT doc_id, CAST(sum(w.weight) AS BIGINT) AS score,
+        count(*) AS n_features
+      FROM b JOIN w USING (bucket) GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(s.score, 0) AS score,
+      coalesce(s.n_features, 0) AS n_features,
+      coalesce(s.score, 0) >= 0 AS quality_label
+    FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_lang_id" -> (q20LangId _),
     "q21_quality" -> (q21Quality _),
@@ -223,7 +248,8 @@ object AnalysisQueries {
     "q22_token_counts" -> (q22TokenCounts _),
     "q23_fingerprints" -> (q23Fingerprints _),
     "q23b_redact" -> (q23bRedact _),
-    "q63_keyword_search" -> (q63KeywordSearch _))
+    "q63_keyword_search" -> (q63KeywordSearch _),
+    "q65_quality_classifier" -> (q65QualityClassifier _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
@@ -232,5 +258,6 @@ object AnalysisQueries {
     "q22_token_counts" -> q22Sql,
     "q23_fingerprints" -> q23Sql,
     "q23b_redact" -> q23bSql,
-    "q63_keyword_search" -> q63Sql)
+    "q63_keyword_search" -> q63Sql,
+    "q65_quality_classifier" -> q65Sql)
 }

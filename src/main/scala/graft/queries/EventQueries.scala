@@ -182,8 +182,43 @@ object EventQueries {
       ON c.user_id = v.user_id AND v.ts <= c.ts
     ORDER BY c.event_id"""
 
+  // --- q64: bucketed range join (events within anchor windows) -----------
+  // Every 'error' event opens a 5-minute half-open window; count the
+  // events and distinct users inside each. There is NO equi key, so the
+  // naive join plans as a BroadcastNestedLoopJoin — O(|events|·|anchors|);
+  // JoinOps.rangeJoinBucketed makes it a bucket equi-join (plan-shape
+  // asserted in PlanShapeSpec). Anchors match their own window, so every
+  // anchor surfaces without a left join.
+  val RangeWindowSeconds = 300L
+
+  def q64RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val anchors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("anchor_id"), col("ts").as("w_start"))
+      .withColumn("w_end",
+        col("w_start") + expr(s"INTERVAL $RangeWindowSeconds SECONDS"))
+    val probe = ev.select(col("event_id"), col("ts"), col("user_id"))
+    graft.ops.JoinOps.rangeJoinBucketed(
+      probe, anchors, "ts", "w_start", "w_end", RangeWindowSeconds)
+      .groupBy("anchor_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("anchor_id")
+  }
+
+  val q64Sql: String =
+    s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+    a AS (SELECT event_id AS anchor_id, ts AS w_start,
+        ts + INTERVAL $RangeWindowSeconds SECOND AS w_end
+      FROM e WHERE event_type = 'error')
+    SELECT a.anchor_id, count(*) AS n_events,
+      CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM a JOIN e p ON p.ts >= a.w_start AND p.ts < a.w_end
+    GROUP BY a.anchor_id ORDER BY a.anchor_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_asof_enrich" -> (q54AsofEnrich _),
+    "q64_range_join" -> (q64RangeJoin _),
     "q35_export_stamp" -> (q35ExportStamp _),
     "q31_json_stats" -> (q31JsonStats _),
     "q31b_json_struct" -> (q31bJsonStruct _),
@@ -194,6 +229,7 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q54_asof_enrich" -> q54Sql,
+    "q64_range_join" -> q64Sql,
     "q35_export_stamp" -> q35Sql,
     "q31_json_stats" -> q31Sql,
     "q31b_json_struct" -> q31bSql,

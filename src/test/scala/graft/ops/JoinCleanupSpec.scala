@@ -40,6 +40,33 @@ class JoinCleanupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, Some("b")), (2L, None), (3L, None)))
   }
 
+  test("rangeJoinBucketed equals the naive non-equi join, boundaries exact") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // windows chosen to hit: ts == start (in), ts == end (out), an
+    // interval spanning multiple buckets, and a probe matching two windows
+    val probe = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:04:59")),
+      (3L, ts("2024-01-01 10:05:00")),
+      (4L, ts("2024-01-01 10:12:30")),
+      (5L, ts("2024-01-01 23:00:00"))).toDF("event_id", "ts")
+    val iv = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")),
+      (11L, ts("2024-01-01 10:03:00"), ts("2024-01-01 10:13:00")),
+      (12L, ts("2024-01-01 22:00:00"), ts("2024-01-01 22:30:00")))
+      .toDF("iv_id", "w_start", "w_end")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("iv_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = keys(JoinOps.rangeJoinBucketed(
+      probe, iv, "ts", "w_start", "w_end", widthSeconds = 300L))
+    val naive = keys(probe.join(iv,
+      col("ts") >= col("w_start") && col("ts") < col("w_end")))
+    assert(bucketed == naive)
+    assert(bucketed == Set((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L), (11L, 4L)))
+  }
+
   test("redactPii masks emails, urls, phone runs; leaves clean text alone") {
     val rows = Seq(
       (1L, "contact me at jane.doe+x@example.org today"),

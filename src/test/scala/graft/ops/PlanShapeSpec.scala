@@ -61,6 +61,11 @@ class PlanShapeSpec extends SparkSpec {
       SimilarityQueries.q62SemanticDedup(spark, dir))
   }
 
+  test("q64 range join stays a bucketed equi-join, never nested-loop") {
+    assertNoQuadraticJoin("q64",
+      graft.queries.EventQueries.q64RangeJoin(spark, dir))
+  }
+
   test("q50 curation pipeline contains no quadratic join") {
     assertNoQuadraticJoin("q50", CurationQueries.q50CuratedCorpus(spark, dir))
   }

@@ -84,6 +84,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r3.getAs[Boolean]("repetition_pass"))
   }
 
+  test("qualityClassify sums hashed-bucket weights; empty doc scores 0") {
+    // replicate the surrogate model by hand: w(tok) = (charHash % D % 17) - 8
+    def h(s: String): Long = {
+      var x = 7L
+      for (c <- s) x = (x * 31 + c.toLong) % HashOps.P
+      x
+    }
+    def w(tok: String): Long =
+      h(tok) % TextAnalysisOps.ClassifierBuckets % 17 - 8
+    val df = Seq((1L, "cat dog cat"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.qualityClassify(
+        df, TextAnalysisOps.classifierWeights(spark))
+      .orderBy("doc_id").collect()
+    val expected1 = 2 * w("cat") + w("dog")
+    assert(out(0).getAs[Long]("score") == expected1)
+    assert(out(0).getAs[Long]("n_features") == 3)
+    assert(out(0).getAs[Boolean]("quality_label") == (expected1 >= 0))
+    assert(out(1).getAs[Long]("score") == 0)
+    assert(out(1).getAs[Long]("n_features") == 0)
+    assert(out(1).getAs[Boolean]("quality_label"))
+  }
+
   test("keywordSearch requires every term and ranks by total tf then id") {
     val df = Seq(
       (1L, "cat dog cat"),     // both terms, tf 3
