@@ -101,6 +101,32 @@ object CurationPipeline {
     // redact+quality+window prefix
     curateClusterDedupFrom(CacheScope.persist(exactStage(docs)), maxShingleDf)
 
+  /** [[curate]] with stage-boundary observability: input and output
+    * row/token counters collected DURING the caller's single action via
+    * `Dataset.observe` (a CollectMetrics node), never with extra
+    * `count()` actions — at 100 TB one extra action per stage re-runs
+    * the pipeline once per counter; observe rides the pass the caller
+    * already pays for. The stages-1-3 relation is persisted so the two
+    * stage-4 consumers (pair generation, anti-join) share one
+    * materialization — which is also what keeps the input CollectMetrics
+    * from executing once per consumer branch.
+    *
+    * Read the observations (`.get`) only AFTER an action on the returned
+    * frame completes; `get` blocks until then.
+    */
+  def curateObserved(docs: DataFrame, maxShingleDf: Long = MaxShingleDf)
+      : (DataFrame, org.apache.spark.sql.Observation,
+         org.apache.spark.sql.Observation) = {
+    val obsIn = org.apache.spark.sql.Observation("curation_input")
+    val obsOut = org.apache.spark.sql.Observation("curation_output")
+    val exact = CacheScope.persist(exactStage(
+      docs.observe(obsIn, count(lit(1)).as("n_docs"))))
+    val out = curateFrom(exact, maxShingleDf)
+      .observe(obsOut, count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+    (out, obsIn, obsOut)
+  }
+
   /** [[curateClusterDedup]]'s stage 4 over an already-PERSISTED
     * stages-1-3 relation (the label-propagation loop consumes it from
     * multiple actions — an unpersisted plan would re-run the prefix

@@ -111,9 +111,15 @@ object JoinOps {
     val w = widthSeconds * 1000000L
     val p = probe.withColumn("__bucket",
       expr(s"unix_micros($tsCol) div ${w}L"))
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(expr(s"unix_micros($startCol) div ${w}L"),
-        expr(s"(unix_micros($endCol) - 1) div ${w}L"))))
+    // empty/inverted intervals match nothing; dropping them up front also
+    // keeps the bucket sequence ascending (sequence() would otherwise
+    // step DOWN from start-bucket to (end-1)-bucket and emit junk
+    // candidates). Truncating div (not floor) is fine on both sides: all
+    // that containment needs is the same monotone bucketing everywhere.
+    val iv = intervals.where(col(endCol) > col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(expr(s"unix_micros($startCol) div ${w}L"),
+          expr(s"(unix_micros($endCol) - 1) div ${w}L"))))
     p.join(iv, "__bucket")
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")

@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Optimizer rule: rewrite a declarative interval-containment join —
+  * `probe JOIN intervals ON ts >= start AND ts < end` with no equi key —
+  * into the bucketed equi-join of `JoinOps.rangeJoinBucketed`, at the
+  * LOGICAL PLAN level, so a user who writes the natural non-equi join
+  * gets the scalable plan without knowing the trick exists.
+  *
+  * Without this rule Spark's only strategies for the shape are
+  * BroadcastNestedLoopJoin (O(|probe|·|intervals|) comparisons, and only
+  * while one side still fits in a broadcast) or a cartesian product. The
+  * rewrite adds a `__bucket = unix_micros div width` column to the ts
+  * side, explodes each interval to the buckets its half-open span
+  * touches (guarded by `end > start`, which also keeps the sequence
+  * ascending), joins bucket-to-bucket, and keeps the ORIGINAL predicate
+  * as the residual filter — every true pair meets exactly once (a probe
+  * row has one bucket), so output equality with the naive join is
+  * structural, not probabilistic.
+  *
+  * Opt-in by conf (off when unset or <= 0, so no registered oracle query
+  * changes shape underneath its assertions):
+  *
+  * {{{
+  *   spark.conf.set(RangeJoinRewrite.BucketSecondsKey, "300")
+  * }}}
+  *
+  * Registered either per-session at build time
+  * (`SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`) or at
+  * runtime via `spark.experimental.extraOptimizations`. The matched
+  * pattern is deliberately exact — inner join, a conjunction of one
+  * lower and one upper timestamp bound on the same expression, bounds
+  * from the opposite side, no other conjuncts — anything else (an extra
+  * equi key, outer joins) is a shape Spark already executes well, and
+  * rewriting it would risk changing semantics.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val BucketSecondsKey = "spark.graft.rangeJoin.bucketSeconds"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val seconds =
+      SQLConf.get.getConfString(BucketSecondsKey, "0").toLong
+    if (seconds <= 0) plan
+    else plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint) =>
+        rewrite(j, left, right, cond, hint, seconds).getOrElse(j)
+    }
+  }
+
+  /** (ts, lower-bound) of `e` when it is a lower bound, either spelling. */
+  private def asLower(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case GreaterThanOrEqual(ts, lo) => Some((ts, lo))
+      case LessThanOrEqual(lo, ts) => Some((ts, lo))
+      case _ => None
+    }
+
+  /** (ts, upper-bound) of `e` when it is a strict upper bound. */
+  private def asUpper(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case LessThan(ts, hi) => Some((ts, hi))
+      case GreaterThan(hi, ts) => Some((ts, hi))
+      case _ => None
+    }
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                      cond: Expression, hint: JoinHint,
+                      seconds: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (conjuncts.size != 2) return None
+    val bounds = (asLower(conjuncts(0)), asUpper(conjuncts(1))) match {
+      case (Some(lo), Some(hi)) => Some((lo, hi))
+      case _ => (asLower(conjuncts(1)), asUpper(conjuncts(0))) match {
+        case (Some(lo), Some(hi)) => Some((lo, hi))
+        case _ => None
+      }
+    }
+    bounds.flatMap { case ((ts, start), (ts2, end)) =>
+      val allTimestamps = Seq(ts, start, end)
+        .forall(_.dataType.isInstanceOf[TimestampType.type])
+      if (!ts.semanticEquals(ts2) || !allTimestamps) None
+      else {
+        // which side carries the probe timestamp, which the interval?
+        val sides = if (ts.references.subsetOf(left.outputSet) &&
+            (start.references ++ end.references).subsetOf(right.outputSet))
+          Some((left, right))
+        else if (ts.references.subsetOf(right.outputSet) &&
+            (start.references ++ end.references).subsetOf(left.outputSet))
+          Some((right, left))
+        else None
+        sides.map { case (probe, intervals) =>
+          val w = Literal(seconds * 1000000L)
+          def bucketOf(e: Expression): Expression =
+            IntegralDivide(UnixMicros(e), w)
+          val probeBucket =
+            Alias(bucketOf(ts), "__graft_bucket")()
+          val probeProj = Project(probe.output :+ probeBucket, probe)
+          val ivBucket = AttributeReference("__graft_iv_bucket", LongType)()
+          // Sequence is TimeZoneAwareExpression: without an explicit zone
+          // it stays unresolved, and the optimizer never re-runs
+          // ResolveTimeZone — set it here (unused for a Long sequence)
+          val gen = Generate(
+            Explode(new Sequence(bucketOf(start),
+              IntegralDivide(Subtract(UnixMicros(end), Literal(1L)), w),
+              None, Some(conf.sessionLocalTimeZone))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(ivBucket),
+            Filter(GreaterThan(end, start), intervals))
+          val bucketed = Join(probeProj, gen, Inner,
+            Some(And(EqualTo(probeBucket.toAttribute, ivBucket), cond)),
+            hint)
+          Project(j.output, bucketed)
+        }
+      }
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point: registers [[RangeJoinRewrite]] into
+  * every session built over the extensions, e.g.
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+}

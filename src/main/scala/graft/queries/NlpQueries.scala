@@ -472,10 +472,24 @@ object NlpQueries {
       .orderBy("doc_id")
   }
 
+  // --- q66: JSONL sink round-trip -----------------------------------------
+  // Same contract as q09c but through the JSON-lines sink (the LLM-corpus
+  // interchange format): a green row proves strings (quoting/escapes),
+  // longs, and IEEE doubles survive the text hop bit-exactly.
+  def q66JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q66_jsonl").toString
+    graft.sources.DocumentSources.writeJsonl(q09Export(spark, dir), tmp)
+    graft.sources.DocumentSources.readJsonl(spark, tmp,
+      "doc_id BIGINT, source STRING, summary STRING, tags STRING, " +
+        "original_length BIGINT, summary_length BIGINT, compression_ratio DOUBLE")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q09_export" -> (q09Export _),
     "q09b_wordcloud" -> (q09bWordcloud _),
     "q09c_csv_roundtrip" -> (q09cCsvRoundtrip _),
+    "q66_jsonl_roundtrip" -> (q66JsonlRoundtrip _),
     "q01_clean_tokens" -> (q01CleanTokens _),
     "q01b_preview" -> (q01bPreview _),
     "q02_sentences" -> (q02Sentences _),
@@ -493,6 +507,7 @@ object NlpQueries {
     "q09_export" -> q09Sql,
     "q09b_wordcloud" -> q09bSql,
     "q09c_csv_roundtrip" -> q09Sql,
+    "q66_jsonl_roundtrip" -> q09Sql,
     "q01_clean_tokens" -> q01Sql,
     "q01b_preview" -> q01bSql,
     "q02_sentences" -> q02Sql,

@@ -81,6 +81,20 @@ object DocumentSources {
   def readCsv(spark: SparkSession, path: String, schema: String): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** Training-data sink: JSON-lines shards, the de-facto LLM-corpus
+    * interchange format (one JSON object per line, splittable, appendable
+    * shard-by-shard). Jackson emits doubles at round-trip precision, so
+    * numeric columns survive the text hop losslessly.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Read back JSON-lines with an explicit schema — at corpus scale,
+    * schema inference is a full extra pass over the data; never pay it.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Scale-path sink: parquet partitioned by the given columns — the
     * layout that makes downstream partition pruning work at 100 TB.
     */

@@ -25,6 +25,23 @@ class CurationPipelineSpec extends SparkSpec {
     assert(redacted.contains("<EMAIL>") && !redacted.contains("example.com"))
   }
 
+  test("curateObserved collects input/output counters in the same action") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                  // exact dup -> dropped
+      (4L, "zz xx"),                               // junk -> dropped
+      (5L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val (out, obsIn, obsOut) = CurationPipeline.curateObserved(docs)
+    val rows = out.collect()                        // the ONE action
+    val expectedTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(obsIn.get("n_docs") == 4L)
+    assert(obsOut.get("n_docs") == rows.length.toLong)
+    assert(obsOut.get("n_tokens") == expectedTokens)
+    CacheScope.releaseAll()
+  }
+
   test("curate keeps near-duplicate-free corpora intact") {
     val docs = Seq(
       (1L, "aa bb cc dd ee ff gg"),

@@ -55,6 +55,35 @@ class PropertySpec extends SparkSpec {
     assert(exact.exists(_.getBoolean(2)), "degenerate fixture: nothing contaminated")
   }
 
+  test("rangeJoinBucketed equals the naive non-equi join on generated data") {
+    // timestamps land on and around bucket boundaries (width 60s below);
+    // durations include empty, sub-bucket, exact-width, and multi-bucket
+    val base = 1700000000000000L // epoch micros
+    val tsGen = for {
+      sec <- Gen.choose(0L, 3600L)
+      off <- Gen.oneOf(0L, 1L, 999999L, 500000L)
+    } yield base + sec * 1000000L + off
+    val durGen = Gen.oneOf(0L, 1L, 30L * 1000000L, 60L * 1000000L,
+      150L * 1000000L, 600L * 1000000L)
+    val probes = sample(tsGen).zipWithIndex
+      .map { case (t, i) => (i.toLong, new java.sql.Timestamp(t / 1000)) }
+    val ivs = sample(Gen.zip(tsGen, durGen)).zipWithIndex.take(100)
+      .map { case ((s, d), i) =>
+        (1000L + i, new java.sql.Timestamp(s / 1000),
+          new java.sql.Timestamp((s + d) / 1000)) }
+    val pDf = probes.toDF("event_id", "ts")
+    val iDf = ivs.toDF("iv_id", "w_start", "w_end")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("iv_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = keys(JoinOps.rangeJoinBucketed(
+      pDf, iDf, "ts", "w_start", "w_end", widthSeconds = 60L))
+    val naive = keys(pDf.join(iDf,
+      col("ts") >= col("w_start") && col("ts") < col("w_end")))
+    assert(bucketed == naive)
+    assert(naive.nonEmpty, "degenerate fixture: no containment pairs at all")
+  }
+
   test("tokenize matches Python str.split() semantics on generated text") {
     val texts = sample(textGen)
     val got = texts.toDF("t")

@@ -1,0 +1,101 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The optimizer-rule path of the bucketed range join: a NAIVE non-equi
+  * interval join written by a user must come out as a bucketed equi-join
+  * with identical rows once the rule is enabled (semantics defined in
+  * RangeJoinRewrite scaladoc; the operator-level twin is
+  * JoinOps.rangeJoinBucketed, tested in JoinCleanupSpec/PropertySpec).
+  */
+class RangeJoinRewriteSpec extends SparkSpec {
+  import sqlImplicits._
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def fixtures = {
+    val probe = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:04:59")),
+      (3L, ts("2024-01-01 10:05:00")),
+      (4L, ts("2024-01-01 10:12:30")),
+      (5L, ts("2024-01-01 23:00:00"))).toDF("event_id", "ts")
+    val iv = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")),
+      (11L, ts("2024-01-01 10:03:00"), ts("2024-01-01 10:13:00")),
+      (12L, ts("2024-01-01 22:00:00"), ts("2024-01-01 22:30:00")))
+      .toDF("iv_id", "w_start", "w_end")
+    (probe, iv)
+  }
+
+  private def withRule[A](body: => A): A = {
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    spark.conf.set(RangeJoinRewrite.BucketSecondsKey, "300")
+    try body
+    finally {
+      spark.conf.unset(RangeJoinRewrite.BucketSecondsKey)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("naive interval join is rewritten to an equi-join, rows unchanged") {
+    val (probe, iv) = fixtures
+    def joined = probe.join(iv,
+      col("ts") >= col("w_start") && col("ts") < col("w_end"))
+    val naive = joined
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+      s"fixture no longer exercises the naive shape:\n$naivePlan")
+    val naiveRows = naive.collect().toSet
+    withRule {
+      val rewritten = joined
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rule did not fire:\n$plan")
+      assert(rewritten.collect().toSet == naiveRows)
+      assert(naiveRows.nonEmpty)
+    }
+  }
+
+  test("interval side on the left is handled symmetrically") {
+    val (probe, iv) = fixtures
+    def joined = iv.join(probe,
+      col("ts") >= col("w_start") && col("ts") < col("w_end"))
+    val naiveRows = joined.collect().toSet
+    withRule {
+      val rewritten = joined
+      assert(!rewritten.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(rewritten.collect().toSet == naiveRows)
+    }
+  }
+
+  test("joins with an equi key or extra conjuncts are left alone") {
+    val (probe, iv) = fixtures
+    val keyedProbe = probe.withColumn("k", col("event_id") % 2)
+    val keyedIv = iv.withColumn("k2", col("iv_id") % 2)
+    def joined = keyedProbe.join(keyedIv,
+      col("k") === col("k2") &&
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+    val naiveRows = joined.collect().toSet
+    withRule {
+      // 3 conjuncts -> pattern does not match; Spark's own equi-join
+      // handles it. Rows must be identical either way.
+      assert(joined.collect().toSet == naiveRows)
+    }
+  }
+
+  test("rule is inert when the conf is unset") {
+    val (probe, iv) = fixtures
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    try {
+      val plan = probe.join(iv,
+          col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}
