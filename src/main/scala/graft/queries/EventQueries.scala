@@ -216,9 +216,40 @@ object EventQueries {
     FROM a JOIN e p ON p.ts >= a.w_start AND p.ts < a.w_end
     GROUP BY a.anchor_id ORDER BY a.anchor_id"""
 
+  // --- q64b: the SAME computation through the optimizer-rule path --------
+  // The body writes the NAIVE non-equi join; graft.plans.RangeJoinRewrite
+  // (enabled here, idempotently, for the session) rewrites it to the
+  // bucketed equi-join at optimize time. Sharing q64's oracle puts the
+  // Catalyst extension itself under the driver's hash gate: a green row
+  // means the rule-rewritten plan is bit-identical to DuckDB's answer.
+  // The registration is session-global but inert everywhere else: the rule
+  // only matches 2-conjunct timestamp-interval inner joins, a shape no
+  // other registered query contains.
+  def q64bRangeJoinRule(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.RangeJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    spark.conf.set(RangeJoinRewrite.BucketSecondsKey,
+      RangeWindowSeconds.toString)
+    val ev = Tables.events(spark, dir)
+    val anchors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("anchor_id"), col("ts").as("w_start"))
+      .withColumn("w_end",
+        col("w_start") + expr(s"INTERVAL $RangeWindowSeconds SECONDS"))
+    val probe = ev.select(col("event_id"), col("ts"), col("user_id"))
+    probe.join(anchors,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy("anchor_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("anchor_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_asof_enrich" -> (q54AsofEnrich _),
     "q64_range_join" -> (q64RangeJoin _),
+    "q64b_range_join_rule" -> (q64bRangeJoinRule _),
     "q35_export_stamp" -> (q35ExportStamp _),
     "q31_json_stats" -> (q31JsonStats _),
     "q31b_json_struct" -> (q31bJsonStruct _),
@@ -230,6 +261,7 @@ object EventQueries {
   val oracleSql: Map[String, String] = Map(
     "q54_asof_enrich" -> q54Sql,
     "q64_range_join" -> q64Sql,
+    "q64b_range_join_rule" -> q64Sql,
     "q35_export_stamp" -> q35Sql,
     "q31_json_stats" -> q31Sql,
     "q31b_json_struct" -> q31bSql,

@@ -95,6 +95,22 @@ object StreamingOps {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Stream-static INTERVAL enrichment: tag each streaming event with the
+    * static time windows containing it (maintenance windows, campaign
+    * flights, incident spans) — there is no equi key, so the naive join
+    * is a per-batch nested loop. `JoinOps.rangeJoinBucketed` applies to a
+    * streaming probe side UNCHANGED: the bucket projection is narrow and
+    * stateless, the bucket equi-join is an ordinary supported
+    * stream-static inner join, and the containment filter is row-local —
+    * the batch operator IS the streaming operator, no watermark or state
+    * needed.
+    */
+  def enrichByInterval(events: DataFrame, intervals: DataFrame,
+                       tsCol: String, startCol: String, endCol: String,
+                       widthSeconds: Long): DataFrame =
+    graft.ops.JoinOps.rangeJoinBucketed(
+      events, intervals, tsCol, startCol, endCol, widthSeconds)
+
   /** Stream-stream inner join with bounded state: correlate two event
     * streams on a key within a time bound (e.g. click joined to the
     * impression that preceded it by at most `maxDelay`). BOTH sides are

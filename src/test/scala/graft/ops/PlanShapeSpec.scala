@@ -66,6 +66,13 @@ class PlanShapeSpec extends SparkSpec {
       graft.queries.EventQueries.q64RangeJoin(spark, dir))
   }
 
+  test("q64b's naive join is rewritten by the rule before execution") {
+    // the query body registers RangeJoinRewrite itself; a nested-loop in
+    // its executed plan would mean the rule stopped firing
+    assertNoQuadraticJoin("q64b",
+      graft.queries.EventQueries.q64bRangeJoinRule(spark, dir))
+  }
+
   test("q50 curation pipeline contains no quadratic join") {
     assertNoQuadraticJoin("q50", CurationQueries.q50CuratedCorpus(spark, dir))
   }

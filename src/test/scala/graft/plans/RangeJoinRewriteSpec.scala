@@ -30,6 +30,16 @@ class RangeJoinRewriteSpec extends SparkSpec {
     (probe, iv)
   }
 
+  // q64b's body registers the rule session-globally by design, and suites
+  // share the session — every test here pins BOTH knobs to the state it
+  // needs instead of assuming a clean slate.
+  private def withoutRule[A](body: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RangeJoinRewrite)
+    spark.conf.unset(RangeJoinRewrite.BucketSecondsKey)
+    body
+  }
+
   private def withRule[A](body: => A): A = {
     spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
     spark.conf.set(RangeJoinRewrite.BucketSecondsKey, "300")
@@ -44,11 +54,13 @@ class RangeJoinRewriteSpec extends SparkSpec {
     val (probe, iv) = fixtures
     def joined = probe.join(iv,
       col("ts") >= col("w_start") && col("ts") < col("w_end"))
-    val naive = joined
-    val naivePlan = naive.queryExecution.executedPlan.toString
-    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
-      s"fixture no longer exercises the naive shape:\n$naivePlan")
-    val naiveRows = naive.collect().toSet
+    val naiveRows = withoutRule {
+      val naive = joined
+      val naivePlan = naive.queryExecution.executedPlan.toString
+      assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+        s"fixture no longer exercises the naive shape:\n$naivePlan")
+      naive.collect().toSet
+    }
     withRule {
       val rewritten = joined
       val plan = rewritten.queryExecution.executedPlan.toString
@@ -64,7 +76,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
     val (probe, iv) = fixtures
     def joined = iv.join(probe,
       col("ts") >= col("w_start") && col("ts") < col("w_end"))
-    val naiveRows = joined.collect().toSet
+    val naiveRows = withoutRule(joined.collect().toSet)
     withRule {
       val rewritten = joined
       assert(!rewritten.queryExecution.executedPlan.toString
@@ -80,7 +92,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
     def joined = keyedProbe.join(keyedIv,
       col("k") === col("k2") &&
         col("ts") >= col("w_start") && col("ts") < col("w_end"))
-    val naiveRows = joined.collect().toSet
+    val naiveRows = withoutRule(joined.collect().toSet)
     withRule {
       // 3 conjuncts -> pattern does not match; Spark's own equi-join
       // handles it. Rows must be identical either way.
@@ -90,6 +102,7 @@ class RangeJoinRewriteSpec extends SparkSpec {
 
   test("rule is inert when the conf is unset") {
     val (probe, iv) = fixtures
+    spark.conf.unset(RangeJoinRewrite.BucketSecondsKey)
     spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
     try {
       val plan = probe.join(iv,

@@ -145,6 +145,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static interval enrichment tags events with containing windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val iv = Seq(
+      (100L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:05:00")),
+      (101L, ts("2024-01-01 00:30:00"), ts("2024-01-01 00:35:00")))
+      .toDF("iv_id", "w_start", "w_end")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = StreamingOps.enrichByInterval(
+        df, iv, "ts", "w_start", "w_end", widthSeconds = 300L)
+      .select("event_id", "iv_id")
+      .writeStream.format("memory").queryName("interval_enrich_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val pairs = spark.table("interval_enrich_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // events at 00:01/00:04 fall in window 100, 00:31 in 101; 00:11
+      // matches nothing and drops out
+      assert(pairs == Set((1L, 100L), (2L, 100L), (4L, 101L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingOps.UserEvent]
