@@ -105,6 +105,10 @@ object JoinOps {
     require(widthSeconds > 0, "bucket width must be positive")
     val overlap = probe.columns.toSet & intervals.columns.toSet
     require(overlap.isEmpty, s"column collision: ${overlap.mkString(", ")}")
+    // the working column would silently overwrite (and then drop) a
+    // caller's column of the same name
+    require(!(probe.columns ++ intervals.columns).contains("__bucket"),
+      "__bucket is reserved by rangeJoinBucketed")
     // integral `div`, not `/`: Column./ on longs promotes to double, and a
     // float quotient at an exact bucket boundary is the one place this
     // operator could silently drop a pair

@@ -108,11 +108,20 @@ object TextAnalysisOps {
       .otherwise(0.0)
   }
 
-  /** Gopher-style repetition profile (Rae et al. 2021 §A1.1, public):
-    * fraction of characters in the most frequent word 2-gram, fraction of
-    * characters in duplicated word 5-grams, and fraction of duplicate
-    * sentences — the standard pretraining repetition filters beyond
-    * [[repetitionRatio]]'s occurrence fraction.
+  /** Gopher-style repetition profile (after Rae et al. 2021 §A1.1,
+    * public): top-2-gram character mass, duplicated-5-gram character
+    * mass, and duplicate-sentence fraction — the standard pretraining
+    * repetition filters beyond [[repetitionRatio]]'s occurrence fraction.
+    *
+    * Two DELIBERATE deviations from the paper's letter, chosen for
+    * determinism and scale (both mirrored exactly in the oracle):
+    * `top_bigram_chars` is max over grams of count·len — a tie-free upper
+    * bound on "characters in the most frequent 2-gram" (no arbitrary
+    * tie-break among equally-frequent grams); and `dup_5gram_chars` sums
+    * count·len over duplicated grams, multi-counting overlaps rather than
+    * computing the exact character cover (the common implementation
+    * shortcut — the fraction can exceed 1 on heavily looped text, which
+    * only strengthens the reject signal the threshold encodes).
     *
     * Computed relationally (explode → count by (doc, gram)) rather than
     * per-row array scans: shuffle volume is O(total tokens) keyed by the
@@ -127,8 +136,11 @@ object TextAnalysisOps {
     val text = coalesce(col(textCol), lit(""))
     // stage the token array as an attribute BEFORE any lambda touches it:
     // a non-attribute array expression inside transform/slice duplicates
-    // its whole tree per element (the documented 40x q06 pitfall)
-    val staged = docs.select(col(idCol), TextOps.tokenize(text).as("toks"))
+    // its whole tree per element (the documented 40x q06 pitfall).
+    // Persisted: both gram branches consume it, and Catalyst never shares
+    // work across join branches — unpersisted, the corpus tokenizes twice.
+    val staged = graft.CacheScope.persist(
+      docs.select(col(idCol), TextOps.tokenize(text).as("toks")))
     def gramCounts(n: Int): DataFrame = {
       val toks = col("toks")
       val grams = when(size(toks) >= n,
@@ -237,13 +249,17 @@ object TextAnalysisOps {
                       textCol: String = "text"): DataFrame = {
     val staged = docs.select(col(idCol),
       TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
+    // LEFT join, not inner: a real (sparse) weight table stores only
+    // nonzero buckets, and a missing bucket must mean weight 0 — an inner
+    // join would silently drop those tokens from n_features too
     val scored = staged
       .select(col(idCol), explode(col("toks")).as("tok"))
       .select(col(idCol),
         (HashOps.charHash(col("tok")) % ClassifierBuckets).as("bucket"))
-      .join(broadcast(weights), "bucket")
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(sum(col("weight")).as("score"), count(lit(1)).as("n_features"))
+      .agg(sum(coalesce(col("weight"), lit(0L))).as("score"),
+        count(lit(1)).as("n_features"))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),

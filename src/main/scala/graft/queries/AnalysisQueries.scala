@@ -202,7 +202,13 @@ object AnalysisQueries {
       Tables.documents(spark, dir), SearchTerms, SearchTopK)
 
   val q63Sql: String = {
-    val inList = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    // mirror keywordSearch's term handling exactly: case-fold BEFORE both
+    // the IN list and the conjunction count, and quote-escape the
+    // literals — diverging here would desynchronize engine and oracle the
+    // moment a term with uppercase (or a quote) is configured
+    val folded = SearchTerms.map(_.toLowerCase).distinct
+    val inList = folded.map(t => s"'${t.replace("'", "''")}'")
+      .mkString("(", ", ", ")")
     raw"""WITH p AS (
       SELECT doc_id, unnest(${toksSql("lower(coalesce(text, ''))")}) AS term
       FROM documents),
@@ -212,7 +218,7 @@ object AnalysisQueries {
         CAST(sum(tf) AS BIGINT) AS total_tf
       FROM g GROUP BY doc_id)
     SELECT doc_id, total_tf FROM a
-    WHERE n_terms = ${SearchTerms.distinct.size}
+    WHERE n_terms = ${folded.size}
     ORDER BY total_tf DESC, doc_id LIMIT $SearchTopK"""
   }
 

@@ -191,20 +191,30 @@ object EventQueries {
   // anchor surfaces without a left join.
   val RangeWindowSeconds = 300L
 
-  def q64RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared q64/q64b body — anchors, probe, aggregation, and ordering are
+    * identical by construction (both rows verify against q64Sql); only
+    * the join step differs, so it is the one injected piece.
+    */
+  private def rangeJoinSummary(spark: SparkSession, dir: String)
+      (join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val ev = Tables.events(spark, dir)
     val anchors = ev.where(col("event_type") === "error")
       .select(col("event_id").as("anchor_id"), col("ts").as("w_start"))
       .withColumn("w_end",
         col("w_start") + expr(s"INTERVAL $RangeWindowSeconds SECONDS"))
     val probe = ev.select(col("event_id"), col("ts"), col("user_id"))
-    graft.ops.JoinOps.rangeJoinBucketed(
-      probe, anchors, "ts", "w_start", "w_end", RangeWindowSeconds)
+    join(probe, anchors)
       .groupBy("anchor_id")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("anchor_id")
   }
+
+  def q64RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinSummary(spark, dir) { (probe, anchors) =>
+      graft.ops.JoinOps.rangeJoinBucketed(
+        probe, anchors, "ts", "w_start", "w_end", RangeWindowSeconds)
+    }
 
   val q64Sql: String =
     s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
@@ -232,18 +242,10 @@ object EventQueries {
         spark.experimental.extraOptimizations :+ RangeJoinRewrite
     spark.conf.set(RangeJoinRewrite.BucketSecondsKey,
       RangeWindowSeconds.toString)
-    val ev = Tables.events(spark, dir)
-    val anchors = ev.where(col("event_type") === "error")
-      .select(col("event_id").as("anchor_id"), col("ts").as("w_start"))
-      .withColumn("w_end",
-        col("w_start") + expr(s"INTERVAL $RangeWindowSeconds SECONDS"))
-    val probe = ev.select(col("event_id"), col("ts"), col("user_id"))
-    probe.join(anchors,
+    rangeJoinSummary(spark, dir) { (probe, anchors) =>
+      probe.join(anchors,
         col("ts") >= col("w_start") && col("ts") < col("w_end"))
-      .groupBy("anchor_id")
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"))
-      .orderBy("anchor_id")
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -56,8 +56,15 @@ class PropertySpec extends SparkSpec {
   }
 
   test("rangeJoinBucketed equals the naive non-equi join on generated data") {
-    // timestamps land on and around bucket boundaries (width 60s below);
-    // durations include empty, sub-bucket, exact-width, and multi-bucket
+    // timestamps land on and around bucket boundaries (width 60s below)
+    // at TRUE microsecond resolution — Timestamp(millis) alone would
+    // collapse the ±1µs edges this exists to exercise; durations include
+    // empty, 1µs, sub-bucket, exact-width, and multi-bucket
+    def microTs(micros: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(micros / 1000000L * 1000L)
+      t.setNanos(((micros % 1000000L) * 1000L).toInt)
+      t
+    }
     val base = 1700000000000000L // epoch micros
     val tsGen = for {
       sec <- Gen.choose(0L, 3600L)
@@ -66,11 +73,9 @@ class PropertySpec extends SparkSpec {
     val durGen = Gen.oneOf(0L, 1L, 30L * 1000000L, 60L * 1000000L,
       150L * 1000000L, 600L * 1000000L)
     val probes = sample(tsGen).zipWithIndex
-      .map { case (t, i) => (i.toLong, new java.sql.Timestamp(t / 1000)) }
+      .map { case (t, i) => (i.toLong, microTs(t)) }
     val ivs = sample(Gen.zip(tsGen, durGen)).zipWithIndex.take(100)
-      .map { case ((s, d), i) =>
-        (1000L + i, new java.sql.Timestamp(s / 1000),
-          new java.sql.Timestamp((s + d) / 1000)) }
+      .map { case ((s, d), i) => (1000L + i, microTs(s), microTs(s + d)) }
     val pDf = probes.toDF("event_id", "ts")
     val iDf = ivs.toDF("iv_id", "w_start", "w_end")
     def keys(df: org.apache.spark.sql.DataFrame) =
@@ -78,6 +83,12 @@ class PropertySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val bucketed = keys(JoinOps.rangeJoinBucketed(
       pDf, iDf, "ts", "w_start", "w_end", widthSeconds = 60L))
+    // pin the rewrite rule OFF for the reference side: q64b registers it
+    // session-globally, and a rewritten "naive" join would make this a
+    // bucketed-vs-bucketed comparison
+    spark.experimental.extraOptimizations = spark.experimental
+      .extraOptimizations.filterNot(_ == graft.plans.RangeJoinRewrite)
+    spark.conf.unset(graft.plans.RangeJoinRewrite.BucketSecondsKey)
     val naive = keys(pDf.join(iDf,
       col("ts") >= col("w_start") && col("ts") < col("w_end")))
     assert(bucketed == naive)

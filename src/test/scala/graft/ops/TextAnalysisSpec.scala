@@ -82,6 +82,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r3.getAs[Long]("top_bigram_chars") == 0)
     assert(r3.getAs[Long]("n_sentences") == 0)
     assert(r3.getAs[Boolean]("repetition_pass"))
+    graft.CacheScope.releaseAll() // the op persists its staged tokens
   }
 
   test("qualityClassify sums hashed-bucket weights; empty doc scores 0") {
