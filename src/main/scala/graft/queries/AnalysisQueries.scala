@@ -247,6 +247,66 @@ object AnalysisQueries {
       coalesce(s.score, 0) >= 0 AS quality_label
     FROM d LEFT JOIN s USING (doc_id) ORDER BY doc_id"""
 
+  // --- q67: per-source corpus health report ------------------------------
+  // The dashboard aggregate over the per-doc signals: how much of each
+  // source survives the quality gate, how often the language heuristic
+  // agrees with the label, and the token/char mass — the reference is a
+  // monitoring UI, and this is its summary view as one relation. All
+  // counters are integers (one final IEEE division for the rate), so the
+  // roll-up oracles bit-exactly at any partial-aggregation order.
+  def q67SourceHealth(spark: SparkSession, dir: String): DataFrame = {
+    val toked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        TextOps.tokenize(col("text")).as("toks"))
+    val scores = TextAnalysisOps.langScores(col("toks"))
+    val signals = toked.select(
+      (Seq(col("source"), col("lang"), col("text"), col("toks")) ++
+        TextAnalysisOps.qualityColumns(col("text"), col("toks")) :+
+        TextAnalysisOps.predLang(scores).as("pred_lang")): _*)
+    signals
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(TextAnalysisOps.qualityPass, 1)).as("n_quality_pass"),
+        count(when(col("pred_lang") === col("lang"), 1)).as("n_lang_match"),
+        sum(size(col("toks")).cast("long")).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .withColumn("pass_rate",
+        col("n_quality_pass").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
+  val q67Sql: String = {
+    val scoreExprs = TextAnalysisOps.LangProfiles.map { case (lang, words) =>
+      val lst = words.mkString("['", "', '", "']")
+      s"len(list_filter(toks, t -> list_contains($lst, t))) AS score_$lang"
+    }.mkString(",\n      ")
+    val langs = TextAnalysisOps.LangProfiles.map(_._1)
+    val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val pred = langs.map(l => s"WHEN score_$l = $m THEN '$l'")
+      .mkString("CASE ", " ", " END")
+    raw"""WITH t AS (SELECT doc_id, source, lang, text,
+        ${toksSql("text")} AS toks FROM documents),
+    s AS (SELECT source, lang, text, toks,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS type_token_ratio,
+      CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains($stopSql, lower(t)))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
+      CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS non_alnum_ratio,
+      $scoreExprs
+      FROM t),
+    p AS (SELECT *, $pred AS pred_lang,
+      (n_tokens >= 5 AND type_token_ratio >= 0.2 AND non_alnum_ratio <= 0.2
+        AND stopword_ratio <= 0.9) AS quality_pass
+      FROM s),
+    g AS (SELECT source, count(*) AS n_docs,
+      CAST(count(CASE WHEN quality_pass THEN 1 END) AS BIGINT) AS n_quality_pass,
+      CAST(count(CASE WHEN pred_lang = lang THEN 1 END) AS BIGINT) AS n_lang_match,
+      CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+      CAST(sum(length(text)) AS BIGINT) AS total_chars
+      FROM p GROUP BY source)
+    SELECT *, CAST(n_quality_pass AS DOUBLE) / n_docs AS pass_rate
+    FROM g ORDER BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_lang_id" -> (q20LangId _),
     "q21_quality" -> (q21Quality _),
@@ -255,7 +315,8 @@ object AnalysisQueries {
     "q23_fingerprints" -> (q23Fingerprints _),
     "q23b_redact" -> (q23bRedact _),
     "q63_keyword_search" -> (q63KeywordSearch _),
-    "q65_quality_classifier" -> (q65QualityClassifier _))
+    "q65_quality_classifier" -> (q65QualityClassifier _),
+    "q67_source_health" -> (q67SourceHealth _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_lang_id" -> q20Sql,
@@ -265,5 +326,6 @@ object AnalysisQueries {
     "q23_fingerprints" -> q23Sql,
     "q23b_redact" -> q23bSql,
     "q63_keyword_search" -> q63Sql,
-    "q65_quality_classifier" -> q65Sql)
+    "q65_quality_classifier" -> q65Sql,
+    "q67_source_health" -> q67Sql)
 }
