@@ -200,6 +200,39 @@ object CurationQueries {
     FROM h GROUP BY source ORDER BY source"""
   }
 
+  // --- q68: adaptive length filter (derived thresholds) -------------------
+  // Curation thresholds computed FROM the corpus, not hardcoded: keep the
+  // docs whose token count lies within the corpus' [p25, p75] band. The
+  // two-pass shape is the point — a 1-row exact-percentile aggregate,
+  // broadcast back over the narrow projection as scalar bounds (the q19b
+  // pattern) — and it is unchanged when a 100 TB deployment swaps the
+  // exact percentile for approx_percentile (exact holds the full sorted
+  // column per group; see q17d's scaladoc). p ∈ {.25, .75} over
+  // integer-valued counts keeps the interpolation binary-exact in both
+  // engines, so even the threshold derivation hash-verifies.
+  def q68AdaptiveLength(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.ops.TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
+    val bounds = t.agg(
+      percentile(col("n_tokens"), lit(0.25)).as("lo"),
+      percentile(col("n_tokens"), lit(0.75)).as("hi"))
+    t.crossJoin(broadcast(bounds))
+      .where(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q68Sql: String =
+    s"""WITH t AS (
+      SELECT doc_id, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+      FROM documents),
+    b AS (SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS lo,
+        quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) AS hi FROM t)
+    SELECT t.doc_id, t.n_tokens FROM t, b
+    WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
+    ORDER BY t.doc_id"""
+
   // --- q58: sequence packing — concatenate-and-split token budgeting ------
   // How pre-training batches are built: docs are concatenated in a
   // deterministic order and split at a fixed token budget; each doc gets
@@ -328,6 +361,7 @@ object CurationQueries {
     "q52_stratified_sample" -> (q52StratifiedSample _),
     "q57_source_mix" -> (q57SourceMix _),
     "q57b_token_budget" -> (q57bTokenBudget _),
+    "q68_adaptive_length" -> (q68AdaptiveLength _),
     "q58_sequence_packing" -> (q58SequencePacking _))
 
   val oracleSql: Map[String, String] = Map(
@@ -337,5 +371,6 @@ object CurationQueries {
     "q52_stratified_sample" -> q52Sql,
     "q57_source_mix" -> q57Sql,
     "q57b_token_budget" -> q57bSql,
+    "q68_adaptive_length" -> q68Sql,
     "q58_sequence_packing" -> q58Sql)
 }
