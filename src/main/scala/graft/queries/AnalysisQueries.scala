@@ -14,6 +14,34 @@ object AnalysisQueries {
 
   import SqlDefs._
 
+  // --- shared oracle fragments (q20/q21/q67) -----------------------------
+  // ONE generator for the per-language score expressions + argmax CASE and
+  // one copy of each quality-ratio expression: q67 reuses all of them, and
+  // a second hand-maintained copy is exactly the engine/oracle desync
+  // class the q63 term-folding fix closed.
+
+  /** (score_<lang> select expressions, argmax CASE — ties to profile
+    * order, mirroring predLang's reversed fold).
+    */
+  private val (langScoreExprsSql, predLangSql): (String, String) = {
+    val scoreExprs = TextAnalysisOps.LangProfiles.map { case (lang, words) =>
+      val lst = words.mkString("['", "', '", "']")
+      s"len(list_filter(toks, t -> list_contains($lst, t))) AS score_$lang"
+    }.mkString(",\n      ")
+    val langs = TextAnalysisOps.LangProfiles.map(_._1)
+    val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val pred = langs.map(l => s"WHEN score_$l = $m THEN '$l'")
+      .mkString("CASE ", " ", " END")
+    (scoreExprs, pred)
+  }
+
+  private val typeTokenRatioSql: String =
+    "CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END"
+  private val stopwordRatioSql: String =
+    s"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains($stopSql, lower(t)))) AS DOUBLE) / len(toks) ELSE 0.0 END"
+  private val nonAlnumRatioSql: String =
+    "CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END"
+
   // --- q20: language-ID scores + argmax prediction -----------------------
   def q20LangId(spark: SparkSession, dir: String): DataFrame = {
     val toked = Tables.documents(spark, dir)
@@ -29,20 +57,13 @@ object AnalysisQueries {
   }
 
   val q20Sql: String = {
-    val scoreExprs = TextAnalysisOps.LangProfiles.map { case (lang, words) =>
-      val lst = words.mkString("['", "', '", "']")
-      s"len(list_filter(toks, t -> list_contains($lst, t))) AS score_$lang"
-    }.mkString(",\n      ")
     val langs = TextAnalysisOps.LangProfiles.map(_._1)
-    val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
-    val pred = langs.map(l => s"WHEN score_$l = $m THEN '$l'")
-      .mkString("CASE ", " ", " END")
     s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS toks FROM documents),
     s AS (SELECT doc_id, lang,
-      $scoreExprs
+      $langScoreExprsSql
       FROM t)
     SELECT doc_id, lang, ${langs.map(l => s"score_$l").mkString(", ")},
-      $pred AS pred_lang
+      $predLangSql AS pred_lang
     FROM s ORDER BY doc_id"""
   }
 
@@ -62,10 +83,10 @@ object AnalysisQueries {
       CAST(length(text) AS BIGINT) AS n_chars,
       CAST(len(toks) AS BIGINT) AS n_tokens,
       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-      CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS type_token_ratio,
+      $typeTokenRatioSql AS type_token_ratio,
       CASE WHEN len(toks) > 0 THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_token_len,
-      CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains($stopSql, lower(t)))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
-      CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS non_alnum_ratio,
+      $stopwordRatioSql AS stopword_ratio,
+      $nonAlnumRatioSql AS non_alnum_ratio,
       CASE WHEN len(toks) >= 2 AND len(toks) - 1 > 0
            THEN 1.0 - CAST(len(list_distinct(list_transform(range(0, len(toks) - 1), i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]))) AS DOUBLE) / (len(toks) - 1)
            ELSE 0.0 END AS bigram_repetition
@@ -258,11 +279,18 @@ object AnalysisQueries {
     val toked = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         TextOps.tokenize(col("text")).as("toks"))
-    val scores = TextAnalysisOps.langScores(col("toks"))
-    val signals = toked.select(
+    // stage score columns as attributes before the argmax, like q20:
+    // predLang inlined over raw score trees replicates each HOF scan ~6x
+    // inside the greatest/when expression
+    val scored = toked.select(
+      (Seq(col("source"), col("lang"), col("text"), col("toks")) ++
+        TextAnalysisOps.langScores(col("toks"))
+          .map { case (l, c) => c.as(s"score_$l") }): _*)
+    val signals = scored.select(
       (Seq(col("source"), col("lang"), col("text"), col("toks")) ++
         TextAnalysisOps.qualityColumns(col("text"), col("toks")) :+
-        TextAnalysisOps.predLang(scores).as("pred_lang")): _*)
+        TextAnalysisOps.predLang(TextAnalysisOps.LangProfiles
+          .map { case (l, _) => l -> col(s"score_$l") }).as("pred_lang")): _*)
     signals
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -276,24 +304,16 @@ object AnalysisQueries {
   }
 
   val q67Sql: String = {
-    val scoreExprs = TextAnalysisOps.LangProfiles.map { case (lang, words) =>
-      val lst = words.mkString("['", "', '", "']")
-      s"len(list_filter(toks, t -> list_contains($lst, t))) AS score_$lang"
-    }.mkString(",\n      ")
-    val langs = TextAnalysisOps.LangProfiles.map(_._1)
-    val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
-    val pred = langs.map(l => s"WHEN score_$l = $m THEN '$l'")
-      .mkString("CASE ", " ", " END")
     raw"""WITH t AS (SELECT doc_id, source, lang, text,
         ${toksSql("text")} AS toks FROM documents),
     s AS (SELECT source, lang, text, toks,
       CAST(len(toks) AS BIGINT) AS n_tokens,
-      CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS type_token_ratio,
-      CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains($stopSql, lower(t)))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stopword_ratio,
-      CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS non_alnum_ratio,
-      $scoreExprs
+      $typeTokenRatioSql AS type_token_ratio,
+      $stopwordRatioSql AS stopword_ratio,
+      $nonAlnumRatioSql AS non_alnum_ratio,
+      $langScoreExprsSql
       FROM t),
-    p AS (SELECT *, $pred AS pred_lang,
+    p AS (SELECT *, $predLangSql AS pred_lang,
       (n_tokens >= 5 AND type_token_ratio >= 0.2 AND non_alnum_ratio <= 0.2
         AND stopword_ratio <= 0.9) AS quality_pass
       FROM s),

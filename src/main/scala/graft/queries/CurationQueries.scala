@@ -213,7 +213,7 @@ object CurationQueries {
   def q68AdaptiveLength(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(graft.ops.TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
+        TextAnalysisOps.wsTokenCount(col("text")).as("n_tokens"))
     val bounds = t.agg(
       percentile(col("n_tokens"), lit(0.25)).as("lo"),
       percentile(col("n_tokens"), lit(0.75)).as("hi"))
