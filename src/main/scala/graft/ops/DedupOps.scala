@@ -75,11 +75,16 @@ object DedupOps {
     *      within-doc repeats are caught);
     *   3. covered start positions per doc: join + collect_list (one
     *      shuffle keyed by high-cardinality doc_id);
-    *   4. narrow rebuild: token i survives iff no duplicated span starts
-    *      in [i-n+1, i] — evaluated per token against the doc's sorted
-    *      start array (O(toks × starts); real corpora keep the start
-    *      list short, and a doc that is mostly duplicated spans is the
-    *      case where removing everything is the point).
+    *   4. narrow rebuild: the sorted start array is merged into disjoint
+    *      covered intervals and the survivors are the complement gaps.
+    *      Because every span has the same length n, the merge needs only
+    *      adjacent-element comparisons: start s_{i+1} opens a new interval
+    *      iff s_{i+1} > s_i + n (otherwise the covers [s_i, s_i+n-1] and
+    *      [s_{i+1}, s_{i+1}+n-1] touch or overlap). Two shifted zip_with
+    *      passes find the interval bounds in O(S) and the gap slices
+    *      rebuild `kept` in O(T) — no per-token probe of the start list,
+    *      so an adversarial doc that is mostly repeated shingles (S ≈ T)
+    *      costs O(T), not O(T²), in its task.
     *
     * Returns (idCol, n_tokens, n_removed, text_dedup) — text is rebuilt
     * space-joined from surviving tokens (whitespace-normalized, like
@@ -105,15 +110,34 @@ object DedupOps {
     val covered = sh.join(dup, "shingle")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(col("pos"))).as("starts"))
+    val emptyInts = array().cast("array<int>")
     toked.join(covered, Seq(idCol), "left")
       .select(col(idCol), col("toks"),
-        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+        coalesce(col("starts"), emptyInts).as("starts"))
+      // merged-interval bounds from the sorted starts. Sentinels make the
+      // first element always open an interval (-(n+1) + n < any start >= 0)
+      // and the last always close one. Each array below is staged as an
+      // attribute before the next lambda references it (expression
+      // duplication under alias substitution otherwise re-runs the chain).
       .select(col(idCol), col("toks"), col("starts"),
-        when(size(col("toks")) > 0,
-          filter(sequence(lit(0), size(col("toks")) - 1),
-            i => !exists(col("starts"),
-              s => i >= s && i <= s + (n - 1))))
-          .otherwise(array().cast("array<int>")).as("kept"))
+        concat(array(lit(-(n + 1))),
+          slice(col("starts"), lit(1), greatest(size(col("starts")) - 1, lit(0))))
+          .as("prevs"),
+        concat(slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
+          array(lit(Int.MaxValue))).as("nexts"))
+      .select(col(idCol), col("toks"),
+        filter(zip_with(col("starts"), col("prevs"),
+          (c, p) => when(c > p + n, c)), x => x.isNotNull).as("los"),
+        filter(zip_with(col("starts"), col("nexts"),
+          (c, nx) => when(nx > c + n, c + (n - 1))), x => x.isNotNull).as("his"))
+      // complement gaps: before the first interval, between intervals,
+      // after the last — flattened back into the ascending kept-index list
+      .select(col(idCol), col("toks"),
+        flatten(zip_with(
+          concat(array(lit(0)), transform(col("his"), h => h + 1)),
+          concat(col("los"), array(size(col("toks")))),
+          (a, b) => when(b > a, sequence(a, b - 1)).otherwise(emptyInts)))
+          .as("kept"))
       .select(col(idCol),
         size(col("toks")).cast("long").as("n_tokens"),
         (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),

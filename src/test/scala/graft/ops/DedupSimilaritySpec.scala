@@ -85,6 +85,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(4) == ((5L, 2L, 0L, "s t")))
   }
 
+  test("stripDuplicatedSpans matches the per-token cover definition on random docs") {
+    // reference semantics (the pre-optimization formulation): token i
+    // survives iff no duplicated n-span starts in [i-n+1, i]
+    val n = 3
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 40L).map { id =>
+      val len = rnd.nextInt(12)
+      id -> (0 until len).map(_ => s"w${rnd.nextInt(4)}").mkString(" ")
+    }
+    val toksById = rows.toMap.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val allSpans = toksById.values.toSeq.flatMap(ts => ts.sliding(n).filter(_.size == n).map(_.mkString(" ")))
+    val dupSpans = allSpans.groupBy(identity).collect { case (s, occ) if occ.size > 1 => s }.toSet
+    val expected = toksById.toSeq.sortBy(_._1).map { case (id, ts) =>
+      val starts = ts.sliding(n).zipWithIndex
+        .collect { case (sp, i) if sp.size == n && dupSpans(sp.mkString(" ")) => i }.toSet
+      val kept = ts.indices.filter(i => !starts.exists(s => i >= s && i <= s + n - 1))
+      (id, ts.size.toLong, (ts.size - kept.size).toLong, kept.map(ts).mkString(" "))
+    }
+    val out = DedupOps.stripDuplicatedSpans(docs(rows: _*), n)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    graft.CacheScope.releaseAll()
+    assert(out.toSeq == expected)
+  }
+
+  test("stripDuplicatedSpans is linear on an adversarial all-duplicate doc") {
+    // one shingle repeated 10^4 times: S ≈ T ≈ 3·10^4, the case where the
+    // old per-token exists probe cost O(T·S) ≈ 10^9 HOF evaluations in a
+    // single task; the interval-merge formulation is O(T+S)
+    val text = Seq.fill(10000)("a b c").mkString(" ")
+    val start = System.nanoTime()
+    val out = DedupOps.stripDuplicatedSpans(docs(1L -> text, 2L -> "u v w"), 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    graft.CacheScope.releaseAll()
+    val elapsedSec = (System.nanoTime() - start) / 1e9
+    assert(out(0) == ((1L, 30000L, 30000L, "")))
+    assert(out(1) == ((2L, 3L, 0L, "u v w")))
+    assert(elapsedSec < 60.0, s"adversarial doc took ${elapsedSec}s — not linear")
+  }
+
   test("capShingleDf drops boilerplate shingles and the pairs they induce") {
     // three docs sharing only the boilerplate 2-gram {x y}; docs 1 and 2
     // additionally share real content {a b, b c}
