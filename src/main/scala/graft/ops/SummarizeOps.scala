@@ -143,6 +143,32 @@ object SummarizeOps {
         coalesce(col("score"), lit(0.0)).as("score"))
   }
 
+  /** Declared domain of [[scoreSentencesSklearnFixed]]: documents with up
+    * to this many sentences. [[LnTable]] holds ln(1)..ln(LnTableMax+1) so
+    * both idf operands (n_sent+1 and df+1, df <= n_sent) stay in range.
+    */
+  val LnTableMax: Int = 1024
+
+  /** ln(m) for m = 1..LnTableMax+1, computed ONCE here (JVM Math.log) and
+    * shared verbatim by the engine plan (a literal array) and the
+    * generated oracle SQL ([[LnTableSql]]). Neither engine evaluates ln()
+    * at query time, which is what makes the q03d hash compare independent
+    * of libm rounding.
+    */
+  val LnTable: Array[Double] =
+    Array.tabulate(LnTableMax + 1)(i => math.log(i + 1.0))
+
+  /** The same table as a DuckDB list literal. Each entry is serialized
+    * with `java.lang.Double.toString` (shortest round-trip decimal) and
+    * emitted as a STRING cast to DOUBLE: DuckDB's varchar→double cast is
+    * a correctly-rounded parse, so the oracle's doubles are bit-identical
+    * to the JVM's. (A bare decimal literal would type as DECIMAL and take
+    * a different, multiply-rounded path to DOUBLE.)
+    */
+  val LnTableSql: String =
+    LnTable.map(d => "'" + java.lang.Double.toString(d) + "'")
+      .mkString("[", ",", "]::DOUBLE[]")
+
   /** A1 (sklearn-parity, FIXED-POINT): same smooth-idf + L2 semantics as
     * [[scoreSentencesSklearn]], but each term's idf is quantized ONCE to
     * exact integer micro-units (floor(1e6·idf)) before any aggregation, so
@@ -154,6 +180,19 @@ object SummarizeOps {
     * L2 ratio up to that precision) — and in exchange the result is
     * hash-verifiable cross-engine, which the order-sensitive float fold
     * can never be.
+    *
+    * ENGINE-INDEPENDENCE: the quantization
+    * `floor(1e6·(ln(1+n) − ln(1+df) + 1))` reads both ln values from the
+    * shared precomputed [[LnTable]] — the engine via a literal-array
+    * lookup, the oracle via the [[LnTableSql]] list generated from the
+    * SAME Scala constant — and every remaining operation (−, +, ×, floor)
+    * is a single correctly-rounded IEEE op. No libm call is made by
+    * either engine at query time, so the hash compare cannot flake on ln
+    * rounding for ANY corpus inside the declared domain
+    * (n_sent <= [[LnTableMax]]); beyond it the engine fails loudly
+    * (raise_error) instead of silently degrading — larger documents
+    * belong to [[scoreSentences]] (integer-exact, unbounded) or
+    * [[scoreSentencesSklearn]] (float, rows-only).
     */
   def scoreSentencesSklearnFixed(sents0: DataFrame,
                                  idCol: String = "doc_id"): DataFrame = {
@@ -165,20 +204,17 @@ object SummarizeOps {
     val df = tf.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("df"))
     val nSent = sents.groupBy(col(idCol)).agg(count(lit(1)).as("n_sent"))
-    // floor(1e6·(ln((1+n)/(1+df)) + 1)): the ONLY pre-aggregation float
-    // expression; written with the exact same parenthesization as the
-    // DuckDB twin so both engines quantize identically. df == n_sent (the
-    // commonest case) gives ln(1) = 0 exactly → 1000000 on both engines.
-    // ULP CAVEAT: this quantization assumes both engines' ln() agree to
-    // the last bit on the SAME double input. JVM Math.log is within 1 ulp
-    // of correctly-rounded (not exact) and DuckDB inherits libm's, so a
-    // corpus where 1e6·(ln(x)+1) lands within ~1 ulp of an integer could
-    // flip the floor by 1 on one engine only. The distinct (n_sent, df)
-    // inputs here are small integers and none sit near that boundary
-    // (property-checked range in SummarizeOpsSpec); a corpus-independent
-    // fix would precompute the quantized idf table driver-side.
+    // ln(m) via the shared table; 1-based element_at so index m → ln(m).
+    // df == n_sent (the commonest case) reads the same entry twice →
+    // exactly 0 → 1000000 on both engines.
+    val lnTab = typedLit(LnTable.toSeq)
+    def lnOf(m: Column): Column =
+      when(m <= lit(LnTable.length), element_at(lnTab, m.cast("int")))
+        .otherwise(raise_error(concat(
+          lit(s"scoreSentencesSklearnFixed: n_sent exceeds declared domain LnTableMax=$LnTableMax (got m="),
+          m.cast("string"), lit(")"))).cast("double"))
     val iq = floor(lit(1000000.0) *
-      (log((col("n_sent") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+      (lnOf(col("n_sent") + lit(1)) - lnOf(col("df") + lit(1)) + lit(1.0)))
       .cast("long")
     val w = (col("tf") * iq).cast("decimal(38,0)")
     val scored = tf

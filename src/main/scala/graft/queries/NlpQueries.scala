@@ -303,12 +303,15 @@ object NlpQueries {
       SELECT doc_id, term, count(*) AS df FROM dtf GROUP BY doc_id, term),
     dns AS (
       SELECT doc_id, count(*) AS n_sent FROM psents GROUP BY doc_id),
+    dlut AS (
+      SELECT ${SummarizeOps.LnTableSql} AS l),
     dw AS (
       SELECT dtf.doc_id, dtf.sentence_id,
-        CAST(dtf.tf * CAST(floor(1000000.0 * (ln((dns.n_sent + 1.0) / (ddf.df + 1.0)) + 1.0)) AS BIGINT) AS HUGEINT) AS w
+        CAST(dtf.tf * CAST(floor(1000000.0 * (list_extract(dlut.l, dns.n_sent + 1) - list_extract(dlut.l, ddf.df + 1) + 1.0)) AS BIGINT) AS HUGEINT) AS w
       FROM dtf
       JOIN ddf ON dtf.doc_id = ddf.doc_id AND dtf.term = ddf.term
-      JOIN dns ON dtf.doc_id = dns.doc_id),
+      JOIN dns ON dtf.doc_id = dns.doc_id
+      CROSS JOIN dlut),
     dscore AS (
       SELECT doc_id, sentence_id,
         CAST(SUM(w) AS DOUBLE) / sqrt(CAST(SUM(w * w) AS DOUBLE)) AS score

@@ -107,28 +107,39 @@ class SummarizeOpsSpec extends SparkSpec {
     assert(scores(1)._4 > 0L)
   }
 
-  test("fixed-point idf quantization stays clear of floor boundaries") {
-    // scoreSentencesSklearnFixed's hash-exact oracle assumes both engines'
-    // ln() round floor(1e6·(ln((1+n)/(1+df))+1)) identically. JVM Math.log
-    // is within 1 ulp of correctly rounded (not exact), so the assumption
-    // only holds when no input lands within a few ulps of an integer.
-    // Exhaustive over the realistic domain (docs have well under 2000
-    // sentences; df < n_sent — df == n_sent is ln(1) = 0, exact): the
-    // minimum observed distance is ~292 ulps; require >= 64 as the guard
-    // so a future formula edit that erodes the margin fails loudly here
-    // instead of flaking the driver's hash compare on some future corpus.
-    var minUlps = Double.MaxValue
-    var n = 1
-    while (n <= 2000) {
-      var df = 1
-      while (df < n) {
-        val v = 1e6 * (math.log((1.0 + n) / (1.0 + df)) + 1.0)
-        val d = math.abs(v - math.rint(v)) / math.ulp(v)
-        if (d < minUlps) minUlps = d
-        df += 1
-      }
-      n += 1
+  test("LnTable SQL serialization round-trips to the exact JVM doubles") {
+    // engine-independence of the q03d oracle rests on the oracle's
+    // string→DOUBLE cast (correctly-rounded parse) reproducing the JVM's
+    // bits. Double.toString guarantees shortest-round-trip, so parsing
+    // each serialized entry must give back the identical double.
+    val entries = SummarizeOps.LnTableSql
+      .stripPrefix("[").stripSuffix("]::DOUBLE[]")
+      .split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+    assert(entries.length == SummarizeOps.LnTable.length)
+    entries.zip(SummarizeOps.LnTable).foreach { case (s, d) =>
+      assert(java.lang.Double.parseDouble(s) == d,
+        s"round-trip mismatch: '$s' != $d")
     }
-    assert(minUlps >= 64.0, s"idf quantization margin eroded: $minUlps ulps")
+    // and the table really is ln(m) at index m (1-based in both engines)
+    assert(SummarizeOps.LnTable(0) == 0.0)
+    assert(SummarizeOps.LnTable(1) == math.log(2.0))
+  }
+
+  test("scoreSentencesSklearnFixed fails loudly beyond the declared domain") {
+    // a doc with LnTableMax+1 sentences needs ln(LnTableMax+2) — outside
+    // the shared table; the engine must raise, not silently degrade to a
+    // formulation the oracle can't hash-match
+    val rows = (0 until SummarizeOps.LnTableMax + 1)
+      .map(i => (1L, i.toLong, s"alpha beta w$i"))
+    val sents = rows.toDF("doc_id", "sentence_id", "sentence")
+    val e = intercept[Exception] {
+      SummarizeOps.scoreSentencesSklearnFixed(sents)
+        .write.format("noop").mode("overwrite").save()
+    }
+    graft.CacheScope.releaseAll()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("declared domain")),
+      s"expected domain error, got: ${e.getMessage}")
   }
 }
