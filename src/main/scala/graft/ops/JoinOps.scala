@@ -97,12 +97,19 @@ object JoinOps {
     * length: much smaller multiplies the interval explosion, much larger
     * multiplies false candidates per bucket.
     *
+    * A pathological `width << span` configuration (1s buckets against
+    * year-long intervals) would quietly explode each interval 10^7-fold;
+    * any interval spanning more than `maxBucketsPerInterval` buckets
+    * raises a clear error at execution instead of OOMing the shuffle.
+    *
     * Output: probe columns then interval columns (names must be disjoint).
     */
   def rangeJoinBucketed(probe: DataFrame, intervals: DataFrame,
                         tsCol: String, startCol: String, endCol: String,
-                        widthSeconds: Long): DataFrame = {
+                        widthSeconds: Long,
+                        maxBucketsPerInterval: Long = 65536L): DataFrame = {
     require(widthSeconds > 0, "bucket width must be positive")
+    require(maxBucketsPerInterval > 0, "bucket cap must be positive")
     val overlap = probe.columns.toSet & intervals.columns.toSet
     require(overlap.isEmpty, s"column collision: ${overlap.mkString(", ")}")
     // the working column would silently overwrite (and then drop) a
@@ -120,10 +127,17 @@ object JoinOps {
     // step DOWN from start-bucket to (end-1)-bucket and emit junk
     // candidates). Truncating div (not floor) is fine on both sides: all
     // that containment needs is the same monotone bucketing everywhere.
+    val startB = expr(s"unix_micros($startCol) div ${w}L")
+    val endB = expr(s"(unix_micros($endCol) - 1) div ${w}L")
     val iv = intervals.where(col(endCol) > col(startCol))
       .withColumn("__bucket",
-        explode(sequence(expr(s"unix_micros($startCol) div ${w}L"),
-          expr(s"(unix_micros($endCol) - 1) div ${w}L"))))
+        explode(when(endB - startB < lit(maxBucketsPerInterval),
+          sequence(startB, endB))
+          .otherwise(raise_error(lit(
+            s"rangeJoinBucketed: interval spans more than " +
+              s"$maxBucketsPerInterval buckets at width ${widthSeconds}s " +
+              "— raise widthSeconds or maxBucketsPerInterval"))
+            .cast("array<bigint>"))))
     p.join(iv, "__bucket")
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
@@ -25,12 +26,23 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * row has one bucket), so output equality with the naive join is
   * structural, not probabilistic.
   *
-  * Opt-in by conf (off when unset or <= 0, so no registered oracle query
-  * changes shape underneath its assertions):
+  * Activation, narrowest first:
   *
-  * {{{
-  *   spark.conf.set(RangeJoinRewrite.BucketSecondsKey, "300")
-  * }}}
+  *  1. per-JOIN: a [[RangeJoinRewrite.WidthTag]] on the logical `Join`
+  *     node (set by the owner of that plan, e.g. q64b) — scoped to that
+  *     one join, invisible to every other query in the session;
+  *  2. per-SESSION: `spark.conf.set(BucketSecondsKey, "300")` — applies
+  *     to every matching join until unset. Off when unset, <= 0, or
+  *     unparseable (a malformed value logs a warning and disables the
+  *     rule rather than failing every query in the session).
+  *
+  * A rewritten interval explodes to `span/width` bucket rows, so a
+  * misconfigured width (say 1s buckets against year-long intervals)
+  * could quietly multiply the interval side 10^7-fold. The generated
+  * sequence is therefore capped: any interval spanning more than
+  * [[RangeJoinRewrite.MaxBucketsKey]] buckets (default
+  * [[RangeJoinRewrite.DefaultMaxBuckets]]) raises a clear error at
+  * execution instead of OOMing the shuffle.
   *
   * Registered either per-session at build time
   * (`SparkSession.builder.withExtensions(new GraftExtensions)` or
@@ -45,14 +57,34 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val BucketSecondsKey = "spark.graft.rangeJoin.bucketSeconds"
+  val MaxBucketsKey = "spark.graft.rangeJoin.maxBucketsPerInterval"
+  val DefaultMaxBuckets = 65536L
+
+  /** Set on a logical `Join` node to opt THAT join into the rewrite at
+    * the given bucket width, regardless of the session conf. Catalyst
+    * copies node tags through `withNewChildren`/`makeCopy`, so the tag
+    * survives the optimizer batches that run before this rule.
+    */
+  val WidthTag: TreeNodeTag[Long] =
+    TreeNodeTag[Long]("graft.rangeJoin.bucketSeconds")
+
+  private def confLong(key: String, default: Long): Long = {
+    val raw = SQLConf.get.getConfString(key, default.toString)
+    raw.toLongOption.getOrElse {
+      logWarning(s"$key='$raw' is not a long — treating as $default")
+      default
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val seconds =
-      SQLConf.get.getConfString(BucketSecondsKey, "0").toLong
-    if (seconds <= 0) plan
-    else plan.transformUp {
+    val sessionSeconds = confLong(BucketSecondsKey, 0L)
+    val maxBuckets = math.max(1L, confLong(MaxBucketsKey, DefaultMaxBuckets))
+    plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
-        rewrite(j, left, right, cond, hint, seconds).getOrElse(j)
+        val seconds = j.getTagValue(WidthTag).getOrElse(sessionSeconds)
+        if (seconds <= 0) j
+        else rewrite(j, left, right, cond, hint, seconds, maxBuckets)
+          .getOrElse(j)
     }
   }
 
@@ -74,7 +106,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       cond: Expression, hint: JoinHint,
-                      seconds: Long): Option[LogicalPlan] = {
+                      seconds: Long, maxBuckets: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
     if (conjuncts.size != 2) return None
     val bounds = (asLower(conjuncts(0)), asUpper(conjuncts(1))) match {
@@ -108,10 +140,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // Sequence is TimeZoneAwareExpression: without an explicit zone
           // it stays unresolved, and the optimizer never re-runs
           // ResolveTimeZone — set it here (unused for a Long sequence)
+          val startB = bucketOf(start)
+          val endB =
+            IntegralDivide(Subtract(UnixMicros(end), Literal(1L)), w)
+          val seq = new Sequence(startB, endB,
+            None, Some(conf.sessionLocalTimeZone))
+          // explosion guard: a span/width ratio past the cap raises a
+          // clear error instead of materializing millions of bucket rows
+          val guarded = If(
+            LessThan(Subtract(endB, startB), Literal(maxBuckets)),
+            seq,
+            Cast(new RaiseError(Literal(
+              s"RangeJoinRewrite: interval spans more than $maxBuckets " +
+                s"buckets at width ${seconds}s — raise $BucketSecondsKey " +
+                s"or $MaxBucketsKey")), seq.dataType))
           val gen = Generate(
-            Explode(new Sequence(bucketOf(start),
-              IntegralDivide(Subtract(UnixMicros(end), Literal(1L)), w),
-              None, Some(conf.sessionLocalTimeZone))),
+            Explode(guarded),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(ivBucket),
             Filter(GreaterThan(end, start), intervals))

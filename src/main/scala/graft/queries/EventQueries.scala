@@ -232,19 +232,24 @@ object EventQueries {
   // bucketed equi-join at optimize time. Sharing q64's oracle puts the
   // Catalyst extension itself under the driver's hash gate: a green row
   // means the rule-rewritten plan is bit-identical to DuckDB's answer.
-  // The registration is session-global but inert everywhere else: the rule
-  // only matches 2-conjunct timestamp-interval inner joins, a shape no
-  // other registered query contains.
+  // The rule registration is session-global but the ACTIVATION is scoped
+  // to this one join via a WidthTag on its logical Join node — no session
+  // conf is mutated, so no other query in a shared Verify/Bench session
+  // can inherit the rewrite or its bucket width.
   def q64bRangeJoinRule(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.RangeJoinRewrite
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeJoinRewrite
-    spark.conf.set(RangeJoinRewrite.BucketSecondsKey,
-      RangeWindowSeconds.toString)
     rangeJoinSummary(spark, dir) { (probe, anchors) =>
-      probe.join(anchors,
+      val joined = probe.join(anchors,
         col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      joined.queryExecution.analyzed.foreach {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.setTagValue(RangeJoinRewrite.WidthTag, RangeWindowSeconds)
+        case _ => ()
+      }
+      joined
     }
   }
 

@@ -73,6 +73,28 @@ class JoinCleanupSpec extends SparkSpec {
     assert(bucketed == Set((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L), (11L, 4L)))
   }
 
+  test("rangeJoinBucketed fails loudly past the per-interval bucket cap") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val probe = Seq((1L, ts("2024-06-01 12:00:00"))).toDF("event_id", "ts")
+    // a year-long interval at 300s buckets = ~105k buckets
+    val wide = Seq((20L, ts("2024-01-01 00:00:00"), ts("2025-01-01 00:00:00")))
+      .toDF("iv_id", "w_start", "w_end")
+    val e = intercept[Exception] {
+      JoinOps.rangeJoinBucketed(probe, wide, "ts", "w_start", "w_end",
+        widthSeconds = 300L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("interval spans more than")),
+      s"expected cap error, got: ${e.getMessage}")
+    // an explicit larger cap admits the same interval
+    val n = JoinOps.rangeJoinBucketed(probe, wide, "ts", "w_start", "w_end",
+      widthSeconds = 300L, maxBucketsPerInterval = 200000L).count()
+    assert(n == 1L)
+  }
+
   test("redactPii masks emails, urls, phone runs; leaves clean text alone") {
     val rows = Seq(
       (1L, "contact me at jane.doe+x@example.org today"),

@@ -111,4 +111,74 @@ class RangeJoinRewriteSpec extends SparkSpec {
       assert(plan.contains("BroadcastNestedLoopJoin"))
     } finally spark.experimental.extraOptimizations = Nil
   }
+
+  test("malformed conf value disables the rule instead of failing the session") {
+    val (probe, iv) = fixtures
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    spark.conf.set(RangeJoinRewrite.BucketSecondsKey, "five minutes")
+    try {
+      // every query in the session runs the rule once registered — an
+      // unrelated aggregate must not throw NumberFormatException
+      assert(probe.groupBy().count().collect().head.getLong(0) == 5L)
+      // and the matching join stays naive (rule treated as disabled)
+      val plan = probe.join(iv,
+          col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"))
+    } finally {
+      spark.conf.unset(RangeJoinRewrite.BucketSecondsKey)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("a WidthTag on the Join node scopes the rewrite to that join only") {
+    val (probe, iv) = fixtures
+    spark.experimental.extraOptimizations = Seq(RangeJoinRewrite)
+    spark.conf.unset(RangeJoinRewrite.BucketSecondsKey)
+    try {
+      def cond = col("ts") >= col("w_start") && col("ts") < col("w_end")
+      val naiveRows = probe.join(iv, cond).collect().toSet
+      val tagged = probe.join(iv, cond)
+      tagged.queryExecution.analyzed.foreach {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.setTagValue(RangeJoinRewrite.WidthTag, 300L)
+        case _ => ()
+      }
+      val plan = tagged.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"tag did not activate the rewrite:\n$plan")
+      assert(tagged.collect().toSet == naiveRows && naiveRows.nonEmpty)
+      // an identical UNtagged join in the same session stays naive
+      val untagged = probe.join(iv, cond)
+      assert(untagged.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("an interval spanning more than the bucket cap fails loudly") {
+    val (probe, _) = fixtures
+    // one year-long interval at 300s buckets = ~105k buckets > default cap
+    val wide = Seq((20L, ts("2024-01-01 00:00:00"), ts("2025-01-01 00:00:00")))
+      .toDF("iv_id", "w_start", "w_end")
+    withRule {
+      val e = intercept[Exception] {
+        probe.join(wide,
+            col("ts") >= col("w_start") && col("ts") < col("w_end"))
+          .collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("interval spans more than")),
+        s"expected cap error, got: ${e.getMessage}")
+      // raising the cap via conf admits the same interval
+      spark.conf.set(RangeJoinRewrite.MaxBucketsKey, "200000")
+      try {
+        val n = probe.join(wide,
+            col("ts") >= col("w_start") && col("ts") < col("w_end"))
+          .count()
+        assert(n == 5L) // all probe rows fall inside the year
+      } finally spark.conf.unset(RangeJoinRewrite.MaxBucketsKey)
+    }
+  }
 }
