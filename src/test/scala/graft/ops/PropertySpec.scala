@@ -319,4 +319,31 @@ class PropertySpec extends SparkSpec {
       .head().getString(1)
     assert(one == "only.")
   }
+
+  test("q17b approx_count_distinct stays within the HLL error bound") {
+    // q17b is rows-only by design (sketches can't hash-match an oracle);
+    // this gives the row a quantitative claim: on the fixture every
+    // group's estimate is within 3x the configured relative standard
+    // deviation (default rsd = 0.05) of the exact distinct count — the
+    // published HLL++ guarantee holds at ~99.7% per estimate, and the
+    // fixture values are deterministic so this never flakes.
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.queries.RelationalQueries
+      .q17bApproxDistinct(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_orderkey")).as("orders"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    val maxRelErr = 3 * 0.05
+    exact.foreach { case (flag, (eParts, eOrders)) =>
+      val (aParts, aOrders) = approx(flag)
+      assert(math.abs(aParts - eParts).toDouble / eParts < maxRelErr,
+        s"$flag parts: approx=$aParts exact=$eParts")
+      assert(math.abs(aOrders - eOrders).toDouble / eOrders < maxRelErr,
+        s"$flag orders: approx=$aOrders exact=$eOrders")
+    }
+  }
 }
