@@ -119,6 +119,35 @@ class StreamingParitySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("enrichByInterval: streamed file replay is row-identical to batch") {
+    // the q64 shape (error-anchored 300s windows over the same fixture)
+    // with a STREAMING probe side: stateless stream-static bucketed join,
+    // so no watermark/flush mechanics — every micro-batch's matches must
+    // appear, and their union must equal the batch operator's output. The
+    // flush event joins nothing (no interval contains it).
+    val streamDir = stageChunks()
+    val batchEvents = graft.Tables.events(spark, dir)
+    val anchors = batchEvents.where(col("event_type") === "error")
+      .select(col("event_id").as("anchor_id"), col("ts").as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 300 SECONDS"))
+    def pairs(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("event_id")))
+      .sorted.toSeq
+    val streamed = StreamingOps.eventsFileStream(spark, streamDir)
+      .select("event_id", "ts", "user_id")
+    val got = pairs(runAppend(
+      StreamingOps.enrichByInterval(streamed, anchors,
+        "ts", "w_start", "w_end", 300L)
+        .select("anchor_id", "event_id"), "parity_interval_enrich"))
+    val want = pairs(graft.ops.JoinOps.rangeJoinBucketed(
+      batchEvents.select("event_id", "ts", "user_id"), anchors,
+      "ts", "w_start", "w_end", 300L)
+      .select("anchor_id", "event_id").collect())
+    assert(got.length == want.length,
+      s"streamed ${got.length} pairs vs batch ${want.length}")
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q34 session body: streamed file replay is row-identical to batch") {
     val streamDir = stageChunks()
     val streamed = StreamingOps.eventsFileStream(spark, streamDir)
