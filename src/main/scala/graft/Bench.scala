@@ -94,10 +94,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"noisy":$noisyJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
+    // target/bench.json is the durable FULL-registry round artifact; a
+    // filtered local run writes a sibling file so it can never clobber
+    // the last complete round with a partial, indistinguishable one
+    val benchFile =
+      if (args.isEmpty) "target/bench.json" else "target/bench_partial.json"
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench.json"), line + "\n")
+        java.nio.file.Paths.get(benchFile), line + "\n")
     } catch { case _: Throwable => () } // file copy is best-effort
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -86,13 +86,32 @@ object TextAnalysisOps {
         .as("non_alnum_ratio"))
   }
 
+  /** Quality-gate thresholds — the single source for BOTH the engine
+    * predicate ([[qualityPass]]) and every oracle's SQL twin
+    * ([[qualityPassSql]]), so a threshold change can never desync them.
+    */
+  val QualityMinTokens: Int = 5
+  val QualityMinTtr: Double = 0.2
+  val QualityMaxNonAlnum: Double = 0.2
+  val QualityMaxStopword: Double = 0.9
+
   /** Composite quality gate over the qualityColumns output attributes:
     * enough tokens, not too repetitive, mostly alphanumeric, bounded
     * stopword density.
     */
   def qualityPass: Column =
-    (col("n_tokens") >= 5) && (col("type_token_ratio") >= 0.2) &&
-      (col("non_alnum_ratio") <= 0.2) && (col("stopword_ratio") <= 0.9)
+    (col("n_tokens") >= QualityMinTokens) &&
+      (col("type_token_ratio") >= QualityMinTtr) &&
+      (col("non_alnum_ratio") <= QualityMaxNonAlnum) &&
+      (col("stopword_ratio") <= QualityMaxStopword)
+
+  /** The same gate as oracle SQL, over caller-named signal columns. */
+  def qualityPassSql(nTokens: String = "n_tokens",
+                     ttr: String = "type_token_ratio",
+                     nonAlnum: String = "non_alnum_ratio",
+                     stopword: String = "stopword_ratio"): String =
+    s"($nTokens >= $QualityMinTokens AND $ttr >= $QualityMinTtr AND " +
+      s"$nonAlnum <= $QualityMaxNonAlnum AND $stopword <= $QualityMaxStopword)"
 
   /** Boilerplate/repetition signal: fraction of n-gram occurrences that are
     * repeats (`1 - distinct/total`), 0 for docs shorter than n. High values

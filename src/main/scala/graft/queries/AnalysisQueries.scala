@@ -92,8 +92,7 @@ object AnalysisQueries {
            ELSE 0.0 END AS bigram_repetition
       FROM t)
     SELECT *,
-      (n_tokens >= 5 AND type_token_ratio >= 0.2 AND non_alnum_ratio <= 0.2
-        AND stopword_ratio <= 0.9) AS quality_pass
+      ${TextAnalysisOps.qualityPassSql()} AS quality_pass
     FROM q ORDER BY doc_id"""
 
   // --- q22: token counting rolled up by source ---------------------------
@@ -314,8 +313,7 @@ object AnalysisQueries {
       $langScoreExprsSql
       FROM t),
     p AS (SELECT *, $predLangSql AS pred_lang,
-      (n_tokens >= 5 AND type_token_ratio >= 0.2 AND non_alnum_ratio <= 0.2
-        AND stopword_ratio <= 0.9) AS quality_pass
+      ${TextAnalysisOps.qualityPassSql()} AS quality_pass
       FROM s),
     g AS (SELECT source, count(*) AS n_docs,
       CAST(count(CASE WHEN quality_pass THEN 1 END) AS BIGINT) AS n_quality_pass,

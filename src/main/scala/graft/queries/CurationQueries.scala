@@ -65,7 +65,8 @@ object CurationQueries {
       FROM t),
     passed AS (
       SELECT doc_id, text, toks FROM q
-      WHERE n_tokens >= 5 AND ttr >= 0.2 AND non_alnum <= 0.2 AND stop_ratio <= 0.9),
+      WHERE ${graft.ops.TextAnalysisOps.qualityPassSql(
+        "n_tokens", "ttr", "non_alnum", "stop_ratio")}),
     exact AS (
       SELECT doc_id, text, toks FROM (
         SELECT *, min(doc_id) OVER (PARTITION BY text) AS cid FROM passed)

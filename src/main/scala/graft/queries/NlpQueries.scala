@@ -467,7 +467,10 @@ object NlpQueries {
   // back with an explicit schema; the oracle is q09's — a green row proves
   // the sink round-trips values (quoting, longs, IEEE doubles) losslessly.
   def q09cCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q09c_csv").toString
+    // fixed per-query path + overwrite sink: re-invocations (Bench runs
+    // each query twice per round) rewrite in place instead of
+    // accumulating a fresh temp directory per call
+    val tmp = "target/graft_q09c_csv"
     graft.sources.DocumentSources.writeCsv(q09Export(spark, dir), tmp)
     graft.sources.DocumentSources.readCsv(spark, tmp,
       "doc_id BIGINT, source STRING, summary STRING, tags STRING, " +
@@ -480,7 +483,8 @@ object NlpQueries {
   // interchange format): a green row proves strings (quoting/escapes),
   // longs, and IEEE doubles survive the text hop bit-exactly.
   def q66JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q66_jsonl").toString
+    // fixed per-query path + overwrite sink, as q09c
+    val tmp = "target/graft_q66_jsonl"
     graft.sources.DocumentSources.writeJsonl(q09Export(spark, dir), tmp)
     graft.sources.DocumentSources.readJsonl(spark, tmp,
       "doc_id BIGINT, source STRING, summary STRING, tags STRING, " +
