@@ -17,6 +17,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // production registration path for the graft optimizer rules
+      // (q64b's runtime extraOptimizations fallback covers sessions built
+      // without it; both present is safe — the rewritten shape is
+      // unmatchable, so the rule can never fire twice on one join)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -99,6 +99,41 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got == Seq((1L, "pair", 0L), (9L, "pair", 3L), (42L, "solo", 0L)))
   }
 
+  test("packStartOffsets equals naive window under pathological id clustering") {
+    // the documented balance assumption is ids spread "roughly evenly over
+    // their span"; this locks the CORRECTNESS claim when that assumption
+    // is maximally violated: outlier ids stretch the span so that nearly
+    // every row lands in ONE shard's range. Shard sizes skew (bounded by
+    // one shard's slice), but the composed prefix sum must stay
+    // bit-identical to the naive per-source window.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val sourceGen = for {
+      n <- Gen.choose(5, 120)
+      span <- Gen.choose(100000L, 10000000L)
+      clusterAt <- Gen.choose(0L, span - 200)
+      // ids packed into a 200-wide window inside a huge span, plus the
+      // two outliers that define the span
+      ids <- Gen.listOfN(n, Gen.choose(clusterAt, clusterAt + 199))
+    } yield (0L +: span +: ids.distinct).distinct
+    val corpusGen = Gen.listOfN(3, sourceGen)
+    val corpora = Gen.listOfN(5, corpusGen)
+      .apply(Gen.Parameters.default, Seed(2026L)).get
+    corpora.foreach { sources =>
+      val rows = sources.zipWithIndex.flatMap { case (ids, s) =>
+        ids.map(id => (id, s"src$s", id % 17 + 1))
+      }
+      val t = rows.toDF("doc_id", "source", "n_tokens")
+      val got = graft.queries.CurationQueries.packStartOffsets(t, 8)
+        .orderBy("source", "doc_id").collect().map(_.toSeq).toSeq
+      val want = naivePack(t).select("doc_id", "source", "n_tokens",
+        "start_offset", "bin_id").orderBy("source", "doc_id")
+        .collect().map(_.toSeq).toSeq
+      CacheScope.releaseAll()
+      assert(got == want)
+    }
+  }
+
   test("packStartOffsets spreads a big source across multiple shard tasks") {
     // the point of the reformulation: no single task scans a whole source
     val t = (0 until 1000).map(i => (i.toLong, "web", 1L))

@@ -155,6 +155,42 @@ class RangeJoinRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("GraftExtensions wires the rule into a session at build time") {
+    // the production registration path — the SAME class the conf string
+    // `spark.sql.extensions=graft.plans.GraftExtensions` names (Verify and
+    // Bench set that string and exercise the class-name resolution in a
+    // fresh JVM every round; `spark.sql.extensions` is a STATIC conf read
+    // from the SparkContext, so a second session over this suite's shared
+    // context can only attach it programmatically). A new session is
+    // built over the same SparkContext; extensions apply per-session.
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(ext ne orig, "builder returned the original session — " +
+        "extensions would not have been applied")
+      ext.conf.set(RangeJoinRewrite.BucketSecondsKey, "300")
+      import ext.implicits._
+      val probe = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "ts")
+      val iv = Seq((10L, ts("2024-01-01 09:58:00"), ts("2024-01-01 10:03:00")))
+        .toDF("iv_id", "w_start", "w_end")
+      val joined = probe.join(iv,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"extension-injected rule did not fire:\n$plan")
+      assert(joined.count() == 1L)
+    } finally {
+      ext.conf.unset(RangeJoinRewrite.BucketSecondsKey)
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("an interval spanning more than the bucket cap fails loudly") {
     val (probe, _) = fixtures
     // one year-long interval at 300s buckets = ~105k buckets > default cap
