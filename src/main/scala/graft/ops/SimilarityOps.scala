@@ -269,4 +269,60 @@ object SimilarityOps {
       .select(col("id_b").as("vec_id")).distinct()
     embeddings.join(dropped, Seq("vec_id"), "left_anti")
   }
+
+  /** Quantization scale for [[centroidOutliers]]: embedding components map
+    * to integer milliunits (`floor(x * 1000)`).
+    */
+  val QuantScale = 1000.0
+
+  /** Per-label centroid-distance outlier ranking — the dataset-pruning
+    * signal of SSL-prototypicality / SemDedup-style curation (Sorscher et
+    * al. 2022, public): vectors far from their class centroid are likely
+    * mislabeled or junk. Engine-exact by integer quantization:
+    *
+    *   1. components quantize to integer milliunits (one deterministic
+    *      IEEE multiply + floor per element — no float accumulates);
+    *   2. centroids are per-(label, dim) integer SUMS (order-independent,
+    *      exact at any partial-aggregation order), floor-divided by the
+    *      label count — the only division, a single IEEE double op;
+    *   3. each vector's squared distance to its centroid is an integer
+    *      `zip_with` fold — max |q - c| ~ 2·QuantScale·|x|max, so the
+    *      64-dim sum sits far below Int64 at any corpus size;
+    *   4. per-label row_number by (dist² desc, vec_id) takes the top k.
+    *
+    * Scale shape: the quantized table is persisted (centroid aggregate +
+    * probe side both consume it); the centroid relation is labels × dims
+    * rows reassembled to labels rows — broadcast by construction; the
+    * probe side is a narrow per-row fold; the final window partitions by
+    * label with WindowGroupLimit pruning before the shuffle.
+    */
+  def centroidOutliers(embeddings: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quant = graft.CacheScope.persist(
+      embeddings.select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * QuantScale).cast("long")).as("qv")))
+    val sums = quant
+      .select(col("label"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val centroids = sums
+      .select(col("label"), col("dim"),
+        floor(col("s").cast("double") / col("n").cast("double"))
+          .cast("long").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val scored = quant.join(broadcast(centroids), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, d) => acc + d).as("dist2"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("dist2").desc, col("vec_id"))))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("label"), col("dist2"),
+        col("rank").cast("long").as("rank"))
+  }
 }

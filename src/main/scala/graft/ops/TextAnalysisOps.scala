@@ -287,6 +287,61 @@ object TextAnalysisOps {
         (coalesce(col("score"), lit(0L)) >= 0).as("quality_label"))
   }
 
+  /** Corpus-frequency threshold under which a token counts as "rare". */
+  val RareMaxCtf = 3L
+
+  /** Per-document unigram-rarity profile — the engine-exact stand-in for a
+    * perplexity / LM-familiarity score (the CCNet "how surprising is this
+    * doc under a corpus LM" signal, with the unigram model's -log p
+    * replaced by integer log2 buckets so no libm call can desync the
+    * oracle):
+    *
+    *   - `n_tokens` / `n_distinct`: document mass;
+    *   - `n_hapax` / `n_rare`: token instances whose CORPUS frequency is
+    *     1 / <= [[RareMaxCtf]] — high counts flag OCR noise, codey text,
+    *     or junk vocabularies;
+    *   - `min_ctf`: the rarest token's corpus frequency;
+    *   - `sum_log2_ctf`: sum over instances of floor(log2(corpus tf)) —
+    *     a monotone familiarity mass (low = doc is made of rare tokens).
+    *     floor(log2) is the binary-string length minus one: exact integer
+    *     arithmetic in both engines, no float log.
+    *
+    * Shape at 100 TB: postings reduce map-side to (doc, token, tf) in one
+    * shuffle; the vocabulary relation aggregates those partials by token
+    * (second shuffle, output = distinct-vocab rows, tiny vs the corpus);
+    * the postings-vocab equi-join broadcasts whenever the vocab fits (AQE
+    * decides from runtime stats) and degrades to a shuffled hash join —
+    * never all-pairs — when a web-scale vocabulary doesn't.
+    */
+  def unigramRarity(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    // persisted: BOTH the profile join's probe side and the vocabulary
+    // aggregate consume the postings, and Catalyst never shares work
+    // across join branches — unpersisted, the corpus tokenizes twice
+    val postings = graft.CacheScope.persist(docs
+      .select(col(idCol),
+        explode(TextOps.tokenize(coalesce(col(textCol), lit("")))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf")))
+    val vocab = postings.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
+    val log2Ctf = (length(conv(col("ctf"), 10, 2)) - 1).cast("long")
+    val profile = postings.join(vocab, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("ctf") === 1, col("tf")).otherwise(0L)).as("n_hapax"),
+        sum(when(col("ctf") <= RareMaxCtf, col("tf")).otherwise(0L)).as("n_rare"),
+        min(col("ctf")).as("min_ctf"),
+        sum(col("tf") * log2Ctf).as("sum_log2_ctf"))
+    docs.select(col(idCol)).join(profile, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        coalesce(col("min_ctf"), lit(0L)).as("min_ctf"),
+        coalesce(col("sum_log2_ctf"), lit(0L)).as("sum_log2_ctf"))
+  }
+
   /** PII scrubbing patterns — dialect-portable (no lookaround/backrefs, so
     * Java regex and RE2 agree). Applied in order; replacement tokens keep
     * corpus statistics debuggable.

@@ -325,7 +325,41 @@ object AnalysisQueries {
     FROM g ORDER BY source"""
   }
 
+  // --- q70: unigram-rarity profile (perplexity proxy) ---------------------
+  // See TextAnalysisOps.unigramRarity: the corpus's own unigram counts
+  // joined back over each doc's postings, all-integer (log2 buckets via
+  // binary-string length — no float log anywhere, so the "LM familiarity"
+  // signal hash-verifies bit-exactly).
+  def q70UnigramRarity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.unigramRarity(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  val q70Sql: String = {
+    val rare = TextAnalysisOps.RareMaxCtf
+    raw"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    p AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    dt AS (SELECT doc_id, tok, count(*) AS tf FROM p GROUP BY doc_id, tok),
+    v AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS ctf FROM dt GROUP BY tok),
+    agg AS (SELECT dt.doc_id,
+      CAST(sum(dt.tf) AS BIGINT) AS n_tokens,
+      count(*) AS n_distinct,
+      CAST(sum(CASE WHEN v.ctf = 1 THEN dt.tf ELSE 0 END) AS BIGINT) AS n_hapax,
+      CAST(sum(CASE WHEN v.ctf <= $rare THEN dt.tf ELSE 0 END) AS BIGINT) AS n_rare,
+      CAST(min(v.ctf) AS BIGINT) AS min_ctf,
+      CAST(sum(dt.tf * (length(format('{:b}', v.ctf)) - 1)) AS BIGINT) AS sum_log2_ctf
+      FROM dt JOIN v ON dt.tok = v.tok GROUP BY dt.doc_id)
+    SELECT t.doc_id,
+      coalesce(a.n_tokens, 0) AS n_tokens,
+      coalesce(a.n_distinct, 0) AS n_distinct,
+      coalesce(a.n_hapax, 0) AS n_hapax,
+      coalesce(a.n_rare, 0) AS n_rare,
+      coalesce(a.min_ctf, 0) AS min_ctf,
+      coalesce(a.sum_log2_ctf, 0) AS sum_log2_ctf
+    FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_unigram_rarity" -> (q70UnigramRarity _),
     "q20_lang_id" -> (q20LangId _),
     "q21_quality" -> (q21Quality _),
     "q21b_repetition" -> (q21bRepetition _),
@@ -337,6 +371,7 @@ object AnalysisQueries {
     "q67_source_health" -> (q67SourceHealth _))
 
   val oracleSql: Map[String, String] = Map(
+    "q70_unigram_rarity" -> q70Sql,
     "q20_lang_id" -> q20Sql,
     "q21_quality" -> q21Sql,
     "q21b_repetition" -> q21bSql,

@@ -355,7 +355,102 @@ object CurationQueries {
       CAST(floor(start_offset / $PackBudget) AS BIGINT) AS bin_id
     FROM c ORDER BY source, doc_id"""
 
+  // --- q69: context-window chunking ---------------------------------------
+  // The doc → training-sequence step q58 budgets for: each document is cut
+  // into token windows of ChunkSize every ChunkStride tokens (windows
+  // overlap by ChunkSize - ChunkStride so no span is ever split across a
+  // boundary without context; the final window may be partial). Pure
+  // narrow per-row work — stage toks, generate the start offsets, explode,
+  // slice — zero shuffles before the oracle's ORDER BY, so throughput is
+  // scan-bound at any corpus size. chunk_id is start/stride (exact integer
+  // division), not an ordinal: no window function needed.
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  def q69ContextChunks(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.ops.TextOps.tokenize(coalesce(col("text"), lit(""))).as("toks"))
+    val starts = when(size(col("toks")) > 0,
+      sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride)))
+      .otherwise(array().cast("array<int>"))
+    staged
+      .select(col("doc_id"), col("toks"), explode(starts).as("start"))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_token"),
+        slice(col("toks"), col("start") + 1, lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_token"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val q69Sql: String =
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), $ChunkStride)) AS start FROM t),
+    c AS (SELECT doc_id,
+      CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+      CAST(start AS BIGINT) AS start_token,
+      toks[(CAST(start AS INT)+1):(CAST(start AS INT)+$ChunkSize)] AS chunk
+      FROM s)
+    SELECT doc_id, chunk_id, start_token,
+      CAST(len(chunk) AS BIGINT) AS n_tokens,
+      array_to_string(chunk, ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_id"""
+
+  // --- q71: snapshot delta (incremental corpus refresh) -------------------
+  // Corpora are re-crawled, not rebuilt: given yesterday's snapshot and
+  // today's, classify every doc_id as added / deleted / updated / unchanged
+  // and keep the latest text (latest-wins merge). The two snapshots are
+  // carved deterministically from the fixture (A = doc_id%10 < 8,
+  // B = doc_id%10 >= 2, with every doc_id%4 == 0 rewritten in B) so the
+  // relation exercises all four classes. One full-outer equi-join on the
+  // id — co-partitioned at scale when both snapshots are bucketed by
+  // doc_id, in which case it is shuffle-free; presence flags (not text
+  // nullness) drive the classification so NULL text can never
+  // misclassify.
+  def q71SnapshotDelta(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val snapA = docs.where(col("doc_id") % 10 < 8)
+      .select(col("doc_id"), col("text").as("text_a"), lit(true).as("in_a"))
+    val snapB = docs.where(col("doc_id") % 10 >= 2)
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text_b"),
+        lit(true).as("in_b"))
+    snapA.join(snapB, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "deleted")
+          .when(col("text_a") =!= col("text_b"), "updated")
+          .otherwise("unchanged").as("change"),
+        coalesce(col("in_b"), lit(false)).as("kept"),
+        length(coalesce(col("text_b"), col("text_a"))).cast("long")
+          .as("n_chars_latest"))
+      .orderBy("doc_id")
+  }
+
+  val q71Sql: String =
+    s"""WITH a AS (
+      SELECT doc_id, text AS text_a FROM documents WHERE doc_id % 10 < 8),
+    b AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN text || ' [rev2]' ELSE text END AS text_b
+      FROM documents WHERE doc_id % 10 >= 2)
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      CASE WHEN a.doc_id IS NULL THEN 'added'
+           WHEN b.doc_id IS NULL THEN 'deleted'
+           WHEN a.text_a <> b.text_b THEN 'updated'
+           ELSE 'unchanged' END AS change,
+      b.doc_id IS NOT NULL AS kept,
+      CAST(length(coalesce(b.text_b, a.text_a)) AS BIGINT) AS n_chars_latest
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_context_chunks" -> (q69ContextChunks _),
+    "q71_snapshot_delta" -> (q71SnapshotDelta _),
     "q50_curated_corpus" -> (q50CuratedCorpus _),
     "q50b_cluster_curated" -> (q50bClusterCurated _),
     "q51_split" -> (q51Split _),
@@ -366,6 +461,8 @@ object CurationQueries {
     "q58_sequence_packing" -> (q58SequencePacking _))
 
   val oracleSql: Map[String, String] = Map(
+    "q69_context_chunks" -> q69Sql,
+    "q71_snapshot_delta" -> q71Sql,
     "q50_curated_corpus" -> q50Sql,
     "q50b_cluster_curated" -> q50bSql,
     "q51_split" -> q51Sql,

@@ -42,6 +42,31 @@ object DedupQueries {
       d.doc_id <> g.canonical_id AS is_duplicate
     FROM documents d JOIN g ON d.text = g.text ORDER BY d.doc_id"""
 
+  // --- q24b: canonical-form exact dedup ----------------------------------
+  // The "fuzzy-exact" dedup every web pipeline runs before anything
+  // fancier (RefinedWeb/CCNet practice): group on a NORMALIZED text key —
+  // lowercase, punctuation stripped, whitespace collapsed (the reference's
+  // own P1-P5 preprocess) — so case/punctuation/spacing variants of the
+  // same content collapse into one group. Same single content-keyed
+  // shuffle as q24; the canonical key is a narrow codegen'd projection, so
+  // the only added cost over q24 is per-row regex work in the scan.
+  def q24bCanonicalDup(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.exactDuplicates(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.preprocess(col("text")).as("canon")),
+      textCol = "canon")
+      .orderBy("doc_id")
+
+  val q24bSql: String =
+    s"""WITH c AS (
+      SELECT doc_id, ${preprocessSql("text")} AS canon FROM documents),
+    g AS (
+      SELECT canon, min(doc_id) AS canonical_id, count(*) AS group_size
+      FROM c GROUP BY canon)
+    SELECT c.doc_id, g.canonical_id, g.group_size,
+      c.doc_id <> g.canonical_id AS is_duplicate
+    FROM c JOIN g ON c.canon = g.canon ORDER BY c.doc_id"""
+
   // --- shared oracle CTEs: tokens → shingles → hashes --------------------
   private val shingleCte: String =
     s"""tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
@@ -338,6 +363,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_strip_spans" -> (q61StripSpans _),
     "q24_exact_dup" -> (q24ExactDup _),
+    "q24b_canonical_dup" -> (q24bCanonicalDup _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q26b_minhash_mllib" -> (q26bMinhashMllib _),
@@ -351,6 +377,7 @@ object DedupQueries {
   val oracleSql: Map[String, String] = Map(
     "q61_strip_spans" -> q61Sql,
     "q24_exact_dup" -> q24Sql,
+    "q24b_canonical_dup" -> q24bSql,
     "q25_ngram_jaccard" -> q25Sql,
     "q26_minhash_lsh" -> q26Sql,
     "q26c_edit_distance" -> q26cSql,

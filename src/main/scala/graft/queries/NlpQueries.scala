@@ -16,24 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object NlpQueries {
 
-  private val stopSql: String =
-    TextOps.StopWords.mkString("['", "', '", "']")
-
-  /** DuckDB: whitespace tokens of a string expression (drops empties,
-    * mirroring TextOps.tokenize).
-    */
-  private def toksSql(c: String): String =
-    raw"list_filter(string_split_regex($c, '\s+'), t -> t <> '')"
-
-  /** DuckDB: reference preprocess_text (P1-P5). */
-  private def preprocessSql(c: String): String =
-    raw"array_to_string(${toksSql(raw"lower(regexp_replace(regexp_replace(coalesce($c, ''), '\s+', ' ', 'g'), '[^\w\s.]', ' ', 'g'))")}, ' ')"
-
-  /** DuckDB: reference simple_tokenize token list (P6-P7) over an
-    * already-preprocessed string.
-    */
-  private def cleanToksSql(c: String): String =
-    raw"list_filter(${toksSql(c)}, t -> length(t) > 2 AND NOT list_contains($stopSql, lower(t)))"
+  // oracle fragments (tokenize / preprocess / clean-token twins) are the
+  // shared SqlDefs ones — single source, no hand-maintained duplicates
+  import SqlDefs._
 
   // --- q01: preprocess + tokenize (P1-P8) ------------------------------
   def q01CleanTokens(spark: SparkSession, dir: String): DataFrame =

@@ -206,7 +206,47 @@ object SimilarityQueries {
     ORDER BY e.vec_id"""
   }
 
+  // --- q72: per-label centroid-distance outliers --------------------------
+  // See SimilarityOps.centroidOutliers — integer-quantized prototypicality
+  // pruning. All arithmetic after the per-element quantize is exact Int64
+  // (sums are order-independent; the centroid floor-divide is one IEEE
+  // double op per (label, dim)), so the ranking hash-verifies bit-exactly.
+  val OutlierTopK = 5
+
+  def q72CentroidOutliers(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.centroidOutliers(Tables.embeddings(spark, dir), OutlierTopK)
+      .orderBy("label", "rank")
+
+  val q72Sql: String = {
+    val scale = SimilarityOps.QuantScale
+    s"""WITH q AS (
+      SELECT vec_id, label,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS qv
+      FROM embeddings),
+    e AS (SELECT label, unnest(qv) AS v,
+        unnest(range(1, len(qv) + 1)) AS dim FROM q),
+    s AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+      FROM e GROUP BY label, dim),
+    c AS (SELECT label,
+        list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+          ORDER BY dim) AS cv
+      FROM s GROUP BY label),
+    d AS (SELECT q.vec_id, q.label,
+        CAST(list_sum(list_transform(range(1, len(qv) + 1),
+          i -> (qv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+             * (qv[CAST(i AS INT)] - cv[CAST(i AS INT)]))) AS BIGINT) AS dist2
+      FROM q JOIN c ON q.label = c.label),
+    r AS (SELECT vec_id, label, dist2,
+        CAST(row_number() OVER (PARTITION BY label
+          ORDER BY dist2 DESC, vec_id) AS BIGINT) AS rank
+      FROM d)
+    SELECT vec_id, label, dist2, rank FROM r
+    WHERE rank <= $OutlierTopK ORDER BY label, rank"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_centroid_outliers" -> (q72CentroidOutliers _),
     "q28_cosine_near_dup" -> (q28CosineNearDup _),
     "q62_semantic_dedup" -> (q62SemanticDedup _),
     "q29_knn_brute" -> (q29KnnBrute _),
@@ -215,6 +255,7 @@ object SimilarityQueries {
     "q29d_knn_ivf" -> (q29dKnnIvf _))
 
   val oracleSql: Map[String, String] = Map(
+    "q72_centroid_outliers" -> q72Sql,
     "q28_cosine_near_dup" -> q28Sql,
     "q62_semantic_dedup" -> q62Sql,
     "q29_knn_brute" -> q29Sql,

@@ -22,4 +22,16 @@ object SqlDefs {
     */
   def cleanFilterSql(toks: String): String =
     raw"list_filter($toks, t -> length(t) > 2 AND NOT list_contains($stopSql, lower(t)))"
+
+  /** Reference preprocess_text (P1-P5): collapse whitespace, strip
+    * punctuation keeping periods, lowercase, renormalize spaces — the
+    * DuckDB twin of TextOps.preprocess.
+    */
+  def preprocessSql(c: String): String =
+    raw"array_to_string(${toksSql(raw"lower(regexp_replace(regexp_replace(coalesce($c, ''), '\s+', ' ', 'g'), '[^\w\s.]', ' ', 'g'))")}, ' ')"
+
+  /** Reference simple_tokenize token list (P6-P7) over an
+    * already-preprocessed string expression.
+    */
+  def cleanToksSql(c: String): String = cleanFilterSql(toksSql(c))
 }

@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.{CurationQueries, DedupQueries}
+import org.apache.spark.sql.functions._
+
+/** Micro-fixtures and fixture-level invariants for the round-5 additions:
+  * unigram rarity (q70), context chunking (q69), canonical-form dedup
+  * (q24b), snapshot delta (q71).
+  */
+class RarityAndRefreshSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("unigramRarity computes exact integer rarity signals") {
+    // corpus counts: a=3, b=1, c=1, d=1
+    val docs = Seq((1L, "a a b c"), (2L, "a d"), (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysisOps.unigramRarity(docs).orderBy("doc_id").collect()
+    // doc 1: 4 tokens, 3 distinct; hapax instances b,c; all ctf<=3;
+    // sum_log2 = 2 instances of a (msb(3)=1) + 0 + 0 = 2
+    assert(r(0).getAs[Long]("n_tokens") == 4)
+    assert(r(0).getAs[Long]("n_distinct") == 3)
+    assert(r(0).getAs[Long]("n_hapax") == 2)
+    assert(r(0).getAs[Long]("n_rare") == 4)
+    assert(r(0).getAs[Long]("min_ctf") == 1)
+    assert(r(0).getAs[Long]("sum_log2_ctf") == 2)
+    // doc 2: hapax d only; sum_log2 = msb(3) + msb(1) = 1
+    assert(r(1).getAs[Long]("n_tokens") == 2)
+    assert(r(1).getAs[Long]("n_hapax") == 1)
+    assert(r(1).getAs[Long]("sum_log2_ctf") == 1)
+    // doc 3: empty -> all-zero row survives the left join
+    assert(r(2).getAs[Long]("n_tokens") == 0)
+    assert(r(2).getAs[Long]("min_ctf") == 0)
+  }
+
+  test("context chunks cover every token exactly once per window step") {
+    val chunks = CurationQueries.q69ContextChunks(spark, dir)
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokenize(col("text"))).cast("long").as("n"))
+    val byDoc = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      max(col("chunk_id")).as("max_id"),
+      min(col("chunk_id")).as("min_id"),
+      max(col("start_token") + col("n_tokens")).as("covered"),
+      max(when(col("chunk_id") =!= col("start_token") / CurationQueries.ChunkStride,
+        1).otherwise(0)).as("bad_id"))
+    val joined = byDoc.join(toks, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { row =>
+      // chunk ids are 0..n_chunks-1, start = id*stride, and the furthest
+      // window end reaches exactly the last token
+      assert(row.getAs[Long]("min_id") == 0L)
+      assert(row.getAs[Long]("max_id") == row.getAs[Long]("n_chunks") - 1)
+      assert(row.getAs[Int]("bad_id") == 0)
+      assert(row.getAs[Long]("covered") == row.getAs[Long]("n"))
+    }
+    // every window holds exactly min(ChunkSize, n - start) tokens: full
+    // until the doc runs out, partial only at the tail
+    val badLen = chunks.join(toks, "doc_id")
+      .where(col("n_tokens") =!=
+        least(lit(CurationQueries.ChunkSize.toLong), col("n") - col("start_token")))
+      .count()
+    assert(badLen == 0)
+  }
+
+  test("canonical-form dedup groups case/punct/spacing variants") {
+    val docs = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),
+      (3L, "HELLO WORLD."), // period survives preprocess -> distinct group
+      (4L, "something else")).toDF("doc_id", "text")
+    val out = DedupOps.exactDuplicates(
+      docs.select(col("doc_id"), TextOps.preprocess(col("text")).as("canon")),
+      textCol = "canon").orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("canonical_id") == 1L)
+    assert(out(0).getAs[Long]("group_size") == 2L)
+    assert(out(1).getAs[Long]("canonical_id") == 1L)
+    assert(out(1).getAs[Boolean]("is_duplicate"))
+    assert(out(2).getAs[Long]("group_size") == 1L)
+    assert(!out(2).getAs[Boolean]("is_duplicate"))
+  }
+
+  test("centroidOutliers ranks by exact integer distance to the label centroid") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f), 0),
+      (2L, Seq(0.001f, 0.001f), 0),
+      (3L, Seq(1.0f, 1.0f), 0),
+      (9L, Seq(0.5f, -0.5f), 1)) // singleton label: its own centroid, dist 0
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.centroidOutliers(vecs, k = 2)
+      .orderBy("label", "rank").collect()
+    // label 0 quantizes to [0,0],[1,1],[1000,1000]; centroid floor(1001/3)=333
+    assert(out(0).getAs[Long]("vec_id") == 3L)
+    assert(out(0).getAs[Long]("dist2") == 2L * 667 * 667)
+    assert(out(1).getAs[Long]("vec_id") == 1L)
+    assert(out(1).getAs[Long]("dist2") == 2L * 333 * 333)
+    assert(out(2).getAs[Long]("vec_id") == 9L)
+    assert(out(2).getAs[Long]("dist2") == 0L)
+  }
+
+  test("snapshot delta classifies against independently derived classes") {
+    val ids = graft.Tables.documents(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    def expected(id: Long): Option[String] = {
+      val inA = id % 10 < 8
+      val inB = id % 10 >= 2
+      (inA, inB) match {
+        case (false, true)  => Some("added")
+        case (true, false)  => Some("deleted")
+        case (true, true)   => Some(if (id % 4 == 0) "updated" else "unchanged")
+        case (false, false) => None
+      }
+    }
+    val want = ids.toSeq.flatMap(id => expected(id).map(id -> _)).toMap
+    val got = CurationQueries.q71SnapshotDelta(spark, dir)
+      .select("doc_id", "change", "kept").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("change"), r.getAs[Boolean]("kept"))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (change, kept)) =>
+      assert(change == want(id), s"doc $id")
+      assert(kept == (change != "deleted"), s"doc $id kept flag")
+    }
+  }
+}
