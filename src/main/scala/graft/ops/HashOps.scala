@@ -43,10 +43,20 @@ object HashOps {
     Seq.fill(MinHashK)((next(), next() - 1))
   }
 
-  /** Polynomial hash of a string column: left fold over its characters.
-    * Empty / null strings hash to the seed.
+  /** Polynomial hash of a string column: left fold over its code points.
+    * Empty / null strings hash to the seed. Backed by the fused native
+    * expression [[graft.functions.PolyCharHash]] — same fold as
+    * [[charHashHof]] (agreement property-tested incl. multi-byte code
+    * points) without the per-character array allocation.
     */
-  def charHash(c: Column): Column = {
+  def charHash(c: Column): Column =
+    graft.functions.PolyCharHash.polyCharHash(coalesce(c, lit("")))
+
+  /** The higher-order-function formulation of [[charHash]] — the readable
+    * reference the native expression must agree with (and the shape a
+    * Spark deployment without the extension jar would use).
+    */
+  def charHashHof(c: Column): Column = {
     val chars = filter(split(coalesce(c, lit("")), ""), s => length(s) > 0)
     aggregate(chars, lit(Seed), (h, ch) => (h * 31 + ascii(ch)) % P)
   }
@@ -70,11 +80,17 @@ object HashOps {
 
   // ---- DuckDB oracle twins (same constants, same fold) -------------------
 
-  /** DuckDB SQL for `charHash` of expression `c`. */
+  /** DuckDB SQL for `charHash` of expression `c`. The empty-string guard
+    * matters: DuckDB's `string_split('', '')` yields `['']` whose
+    * `ascii` is 0, which would fold once and diverge from the engine's
+    * seed-only result — unreachable for the non-empty tokens/shingles the
+    * dedup operators hash, but the twins should agree on every input.
+    */
   def charHashSql(c: String): String =
-    s"list_reduce(list_prepend(CAST($Seed AS BIGINT), " +
+    s"CASE WHEN coalesce($c, '') = '' THEN CAST($Seed AS BIGINT) ELSE " +
+      s"list_reduce(list_prepend(CAST($Seed AS BIGINT), " +
       s"list_transform(string_split(coalesce($c, ''), ''), " +
-      s"ch -> CAST(ascii(ch) AS BIGINT))), (h, ch) -> (h*31 + ch) % $P)"
+      s"ch -> CAST(ascii(ch) AS BIGINT))), (h, ch) -> (h*31 + ch) % $P) END"
 
   /** DuckDB SQL for `rollingFingerprint` of a list expression `toks`. */
   def rollingFingerprintSql(toks: String): String =

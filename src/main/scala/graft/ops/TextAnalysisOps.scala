@@ -287,6 +287,37 @@ object TextAnalysisOps {
         (coalesce(col("score"), lit(0L)) >= 0).as("quality_label"))
   }
 
+  /** Context-window chunking: each document cut into token windows of
+    * `size` starting every `stride` tokens (windows overlap by
+    * `size - stride`; tail windows may be partial). The doc →
+    * training-sequence step before packing/batching. Pure narrow per-row
+    * work — stage toks, generate starts, explode, slice — zero shuffles,
+    * so throughput is scan-bound at any corpus size. chunk_id is
+    * start/stride (exact integer division), not an ordinal: no window
+    * function needed.
+    */
+  def contextChunks(docs: DataFrame, size: Int, stride: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(size > 0 && stride > 0, "contextChunks needs positive size/stride")
+    val staged = docs.select(col(idCol),
+      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
+    val starts = when(org.apache.spark.sql.functions.size(col("toks")) > 0,
+      sequence(lit(0),
+        org.apache.spark.sql.functions.size(col("toks")) - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    staged
+      .select(col(idCol), col("toks"), explode(starts).as("start"))
+      .select(col(idCol),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_token"),
+        slice(col("toks"), col("start") + 1, lit(size)).as("chunk"))
+      .select(col(idCol), col("chunk_id"), col("start_token"),
+        org.apache.spark.sql.functions.size(col("chunk")).cast("long")
+          .as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   /** Corpus-frequency threshold under which a token counts as "rare". */
   val RareMaxCtf = 3L
 

@@ -169,12 +169,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** `spark.sql.extensions` entry point: registers [[RangeJoinRewrite]] into
-  * every session built over the extensions, e.g.
+/** `spark.sql.extensions` entry point: registers [[RangeJoinRewrite]] and
+  * the native graft functions (`cosine_sim`, `poly_char_hash`) into every
+  * session built over the extensions, e.g.
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim"),
+      exprs => graft.functions.CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("poly_char_hash"),
+      new ExpressionInfo(classOf[graft.functions.PolyCharHash].getName, "poly_char_hash"),
+      exprs => graft.functions.PolyCharHash(exprs.head)))
+  }
 }

@@ -367,24 +367,10 @@ object CurationQueries {
   val ChunkSize = 64
   val ChunkStride = 48
 
-  def q69ContextChunks(spark: SparkSession, dir: String): DataFrame = {
-    val staged = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        graft.ops.TextOps.tokenize(coalesce(col("text"), lit(""))).as("toks"))
-    val starts = when(size(col("toks")) > 0,
-      sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride)))
-      .otherwise(array().cast("array<int>"))
-    staged
-      .select(col("doc_id"), col("toks"), explode(starts).as("start"))
-      .select(col("doc_id"),
-        (col("start") / ChunkStride).cast("long").as("chunk_id"),
-        col("start").cast("long").as("start_token"),
-        slice(col("toks"), col("start") + 1, lit(ChunkSize)).as("chunk"))
-      .select(col("doc_id"), col("chunk_id"), col("start_token"),
-        size(col("chunk")).cast("long").as("n_tokens"),
-        array_join(col("chunk"), " ").as("chunk_text"))
+  def q69ContextChunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.contextChunks(
+      Tables.documents(spark, dir), ChunkSize, ChunkStride)
       .orderBy("doc_id", "chunk_id")
-  }
 
   val q69Sql: String =
     s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),

@@ -191,6 +191,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native charHash agrees with the HOF fold across unicode planes") {
+    // 2-byte (é), 3-byte (汉), and 4-byte astral (𝄞 U+1D11E) code points
+    // plus generated ASCII — the native byte-walk and the split/ascii HOF
+    // must fold identical code-point sequences
+    val unicodeGen = for {
+      n <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar.map(_.toString), Gen.oneOf("é", "ß", "汉", "字",
+          "é", "你", new String(Character.toChars(0x1D11E)),
+          new String(Character.toChars(0x1F600)), " ")))
+    } yield cs.mkString
+    val texts = sample(unicodeGen) ++ Seq("", "mixed é汉𝄞 tail")
+    val rows = texts.toDF("t")
+      .select(HashOps.charHash(col("t")).as("native"),
+        HashOps.charHashHof(col("t")).as("hof"))
+      .collect()
+    texts.zip(rows).foreach { case (t, r) =>
+      assert(r.getLong(0) == r.getLong(1), s"text=<$t>")
+    }
+  }
+
   test("duplicateClusters agrees with a union-find model on random graphs") {
     // one Spark job over 30 disjoint random graphs (25 nodes each, tagged
     // into separate id ranges) vs a pure-Scala union-find
@@ -318,6 +339,48 @@ class PropertySpec extends SparkSpec {
       Seq((1L, 0L, "only")).toDF("doc_id", "sentence_id", "sentence"))
       .head().getString(1)
     assert(one == "only.")
+  }
+
+  test("contextChunks matches the pure-Scala sliding-window model") {
+    val docs = sample(textGen).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val size = 7
+    val stride = 4
+    val got = TextAnalysisOps.contextChunks(
+      docs.toDF("doc_id", "text"), size, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val want = docs.flatMap { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      (0 until toks.length by stride).zipWithIndex.map { case (start, ci) =>
+        val chunk = toks.slice(start, start + size)
+        (id, ci.toLong) -> (start.toLong, chunk.length.toLong, chunk.mkString(" "))
+      }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("unigramRarity matches the pure-Scala corpus-count model") {
+    val docs = sample(textGen).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val corpus = docs.flatMap { case (_, t) => toks(t) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def msb(n: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val got = TextAnalysisOps.unigramRarity(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    docs.foreach { case (id, t) =>
+      val ts = toks(t)
+      val want =
+        if (ts.isEmpty) (0L, 0L, 0L, 0L, 0L, 0L)
+        else (ts.size.toLong, ts.distinct.size.toLong,
+          ts.count(corpus(_) == 1L).toLong,
+          ts.count(corpus(_) <= TextAnalysisOps.RareMaxCtf).toLong,
+          ts.map(corpus).min,
+          ts.map(w => msb(corpus(w))).sum)
+      assert(got(id) == want, s"doc $id")
+    }
   }
 
   test("q17b approx_count_distinct stays within the HLL error bound") {
