@@ -43,23 +43,27 @@ object DedupOps {
         (col(idCol) =!= col("canonical_id")).as("is_duplicate"))
   }
 
-  /** Distinct word n-gram shingles per doc: `(id, shingle)`. Narrow
-    * (explode only). Tokens column must be a staged attribute ref.
+  /** Distinct word n-gram shingles per doc: `(id, carryCols..., shingle)`.
+    * Narrow (explode only). Tokens column must be a staged attribute ref.
+    * `carryCols` names columns of `tokenized` to ride along unchanged
+    * (e.g. `source` for per-source boilerplate statistics).
     */
   def shingles(tokenized: DataFrame, n: Int,
-               idCol: String = "doc_id"): DataFrame =
+               idCol: String = "doc_id",
+               carryCols: Seq[String] = Nil): DataFrame =
     tokenized
       // short docs yield an empty array (explode then drops them) rather
       // than a Filter on the computed column: a pushed-down filter would
       // re-evaluate the whole tokenize+shingle tree inside the Filter
       // (alias substitution), tripling the scan-side work
-      .select(col(idCol),
+      .select(col(idCol) +: carryCols.map(col) :+
         when(size(col("toks")) >= n,
           array_distinct(transform(
             sequence(lit(0), size(col("toks")) - n),
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
-          .otherwise(array().cast("array<string>")).as("shs"))
-      .select(col(idCol), explode(col("shs")).as("shingle"))
+          .otherwise(array().cast("array<string>")).as("shs"): _*)
+      .select(col(idCol) +: carryCols.map(col) :+
+        explode(col("shs")).as("shingle"): _*)
 
   /** Duplicated-span stripping — sub-document exact dedup in the style of
     * ExactSubstr (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -156,6 +160,44 @@ object DedupOps {
     * joining against the kept set would shuffle the full shingle relation
     * a second time.
     */
+  /** Per-source boilerplate profile — the CCNet/RefinedWeb observation
+    * (public) that template text (headers, navigation chrome, license
+    * footers) repeats across many documents of the SAME source while real
+    * content does not. A shingle present in `minDocs`+ distinct docs of
+    * one source is boilerplate FOR that source; each doc then reports what
+    * fraction of its distinct shingles is boilerplate — the score a
+    * curation pipeline thresholds to drop template-dominated docs (and the
+    * per-source boilerplate sets double as strip lists).
+    *
+    * Input is a per-doc-distinct shingle relation carrying `source` (from
+    * [[shingles]] with `carryCols = Seq("source")`). Because rows are
+    * distinct per doc, `count(*)` keyed by (source, shingle) IS the
+    * within-source document frequency. Scale shape: one shuffle for the
+    * df aggregate (source × shingle keys — high cardinality, no skew
+    * beyond hot template shingles, which is the data being measured), one
+    * back-join on the same key, one per-doc roll-up. Never all-pairs.
+    *
+    * Output: `(id, source, n_shingles, n_boilerplate, boilerplate_micro)`
+    * for every doc with at least one shingle.
+    */
+  def boilerplateProfile(sh: DataFrame, minDocs: Long,
+                         idCol: String = "doc_id"): DataFrame = {
+    // two consumers: the df aggregate and the back-join
+    val cached = graft.CacheScope.persist(sh)
+    val bp = cached.groupBy(col("source"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("source"), col("shingle"), lit(1).as("is_bp"))
+    cached.join(bp, Seq("source", "shingle"), "left")
+      .groupBy(col(idCol), col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("is_bp")).as("n_boilerplate"))
+      .select(col(idCol), col("source"), col("n_shingles"),
+        col("n_boilerplate"),
+        floor(lit(1000000L) * col("n_boilerplate") / col("n_shingles"))
+          .cast("long").as("boilerplate_micro"))
+  }
+
   def capShingleDf(sh: DataFrame, maxDf: Long,
                    idCol: String = "doc_id"): DataFrame = {
     val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -165,13 +207,14 @@ object DedupOps {
     sh.join(hot, Seq("shingle"), "left_anti").select(col(idCol), col("shingle"))
   }
 
-  /** All-pairs n-gram Jaccard via inverted-index self-join. Output:
-    * `(id_a < id_b, common, size_a, size_b, jaccard_micro)` for pairs with
-    * `jaccard_micro >= minMicro` (Jaccard scaled by 1e6 into an exact
-    * integer so the cross-engine compare is bit-exact).
+  /** Shared core of the all-pairs set-overlap scores: inverted-index
+    * self-join to `(id_a < id_b, common, size_a, size_b)` — co-occurring
+    * shingle counts plus both docs' distinct-shingle sizes. Candidate
+    * pairs exist only for docs sharing a shingle, never the O(n²) cross
+    * product; the scoring variants below differ only in the final
+    * narrow projection.
     */
-  def jaccardPairs(sh: DataFrame, minMicro: Long,
-                   idCol: String = "doc_id"): DataFrame = {
+  private def pairCommonSizes(sh: DataFrame, idCol: String): DataFrame = {
     // the shingle relation feeds THREE consumers (the size aggregate and
     // both sides of the self-join); Catalyst cannot share work across
     // self-join branches, so without a persist the whole upstream chain
@@ -190,12 +233,40 @@ object DedupOps {
     common
       .join(sizes.toDF("id_a", "size_a"), "id_a")
       .join(sizes.toDF("id_b", "size_b"), "id_b")
+  }
+
+  /** All-pairs n-gram Jaccard via inverted-index self-join. Output:
+    * `(id_a < id_b, common, size_a, size_b, jaccard_micro)` for pairs with
+    * `jaccard_micro >= minMicro` (Jaccard scaled by 1e6 into an exact
+    * integer so the cross-engine compare is bit-exact).
+    */
+  def jaccardPairs(sh: DataFrame, minMicro: Long,
+                   idCol: String = "doc_id"): DataFrame =
+    pairCommonSizes(sh, idCol)
       .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
         floor(lit(1000000L) * col("common") /
           (col("size_a") + col("size_b") - col("common"))).cast("long")
           .as("jaccard_micro"))
       .where(col("jaccard_micro") >= minMicro)
-  }
+
+  /** All-pairs n-gram CONTAINMENT via the same inverted index:
+    * `common / min(size_a, size_b)`, scaled 1e6. Jaccard is blind to
+    * subset duplication — a doc fully quoted inside a much larger one
+    * scores `|A| / |B| ≈ 0` — while containment scores it 1.0; this is
+    * the standard second lens (Broder 1997, "On the resemblance and
+    * containment of documents", public) a curation pipeline runs next to
+    * Jaccard to catch quote/wrapper near-dups. Same scale shape as
+    * [[jaccardPairs]]: candidates from shared shingles only, one narrow
+    * scoring projection at the end.
+    */
+  def containmentPairs(sh: DataFrame, minMicro: Long,
+                       idCol: String = "doc_id"): DataFrame =
+    pairCommonSizes(sh, idCol)
+      .select(col("id_a"), col("id_b"), col("common"), col("size_a"), col("size_b"),
+        floor(lit(1000000L) * col("common") /
+          least(col("size_a"), col("size_b"))).cast("long")
+          .as("containment_micro"))
+      .where(col("containment_micro") >= minMicro)
 
   /** MinHash signatures: `(id, m0..m{k-1})` — per doc, the min of each
     * permuted shingle hash. One hash aggregation; signature is k Int64s
@@ -525,6 +596,53 @@ object DedupOps {
       Bridge.expression(xxhash64(col("shingle")))))
     contaminationScores(docs, trainSh.where(mightContain), benchSh, minShared,
       idCol)
+  }
+
+  /** Leakage audit — [[contaminationScores]] from the BENCHMARK's point of
+    * view: for each benchmark/eval doc, how widely its n-gram shingles
+    * leak into the training corpus. Where decontamination answers "which
+    * training docs must go", this answers the eval-integrity question
+    * "which benchmark items are compromised and how badly" (the audit
+    * table in the GPT-3 appendix-C / PaLM contamination studies, public).
+    *
+    * Output per benchmark doc: its distinct-shingle count (`bench_sz`),
+    * the number of distinct training docs sharing ≥1 shingle
+    * (`n_train_docs`), total shared (bench-doc, train-doc, shingle) hits
+    * (`n_shared_total`), the single worst overlap (`max_common`), and
+    * that worst overlap as a fraction of the bench doc's shingles
+    * (`max_containment_micro`, 1e6-scaled integer). A bench doc with
+    * `max_containment_micro` near 1e6 appears verbatim somewhere in
+    * training data.
+    *
+    * Scale shape mirrors [[contaminationScores]] reversed: the bench side
+    * is MBs against a 100 TB train corpus, so it broadcasts and the join
+    * streams map-side over the training shingles; the wide ops are keyed
+    * by (bench_id, train_id) then bench_id — both fine-grained. The bench
+    * universe is docs with ≥1 shingle (shorter docs have nothing to leak).
+    */
+  def leakageAudit(benchSh: DataFrame, trainSh: DataFrame,
+                   idCol: String = "doc_id"): DataFrame = {
+    // two consumers (size aggregate + join side); the bench shingle
+    // relation is small by contract but recomputing its upstream
+    // tokenize/shingle chain twice is still waste
+    val bench = graft.CacheScope.persist(benchSh.toDF(idCol, "shingle"))
+    val benchSizes = bench.groupBy(col(idCol))
+      .agg(count(lit(1)).as("bench_sz"))
+    val pairShared = bench
+      .join(trainSh.toDF("train_id", "shingle"), "shingle")
+      .groupBy(col(idCol), col("train_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val audit = pairShared.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(col("n_common")).as("n_shared_total"),
+        max(col("n_common")).as("max_common"))
+    benchSizes.join(audit, Seq(idCol), "left")
+      .select(col(idCol), col("bench_sz"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_shared_total"), lit(0L)).as("n_shared_total"),
+        coalesce(col("max_common"), lit(0L)).as("max_common"),
+        floor(lit(1000000L) * coalesce(col("max_common"), lit(0L)) /
+          col("bench_sz")).cast("long").as("max_containment_micro"))
   }
 
   /** MLlib-native near-dup path: HashingTF binary term vectors →

@@ -102,16 +102,28 @@ object JoinOps {
     * any interval spanning more than `maxBucketsPerInterval` buckets
     * raises a clear error at execution instead of OOMing the shuffle.
     *
-    * Output: probe columns then interval columns (names must be disjoint).
+    * `extraKeys` names columns present on BOTH sides that must also be
+    * equal — the bucketed join then shuffles on (key..., bucket), so
+    * candidates are generated only within a key's bucket (the attribution
+    * shape: correlate two event streams per user within a time bound).
+    * The key multiplies selectivity for free — it rides the same shuffle.
+    *
+    * Output: probe columns then interval columns (names must be disjoint
+    * apart from `extraKeys`, which appear once).
     */
   def rangeJoinBucketed(probe: DataFrame, intervals: DataFrame,
                         tsCol: String, startCol: String, endCol: String,
                         widthSeconds: Long,
-                        maxBucketsPerInterval: Long = 65536L): DataFrame = {
+                        maxBucketsPerInterval: Long = 65536L,
+                        extraKeys: Seq[String] = Nil): DataFrame = {
     require(widthSeconds > 0, "bucket width must be positive")
     require(maxBucketsPerInterval > 0, "bucket cap must be positive")
-    val overlap = probe.columns.toSet & intervals.columns.toSet
-    require(overlap.isEmpty, s"column collision: ${overlap.mkString(", ")}")
+    require(extraKeys.forall(k =>
+      probe.columns.contains(k) && intervals.columns.contains(k)),
+      "every extraKey must exist on both sides")
+    val overlap = (probe.columns.toSet & intervals.columns.toSet) -- extraKeys
+    require(overlap.isEmpty,
+      s"column collision beyond extraKeys: ${overlap.mkString(", ")}")
     // the working column would silently overwrite (and then drop) a
     // caller's column of the same name
     require(!(probe.columns ++ intervals.columns).contains("__bucket"),
@@ -138,7 +150,7 @@ object JoinOps {
               s"$maxBucketsPerInterval buckets at width ${widthSeconds}s " +
               "— raise widthSeconds or maxBucketsPerInterval"))
             .cast("array<bigint>"))))
-    p.join(iv, "__bucket")
+    p.join(iv, "__bucket" +: extraKeys)
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
   }

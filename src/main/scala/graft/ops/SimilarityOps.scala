@@ -48,6 +48,53 @@ object SimilarityOps {
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
+  /** Normalized int8 scalar quantization (SQ8) of the embedding column —
+    * the compression step every large ANN deployment runs (FAISS
+    * `ScalarQuantizer`, public): each vector is L2-normalized and its
+    * components mapped to `floor(x/|x| * 127 + 0.5)` ∈ [-127, 127], a 4×
+    * memory cut that keeps cosine ranking ≈ intact because the integer
+    * dot product of unit-normalized codes is a monotone ≈cosine score.
+    * Normalizing FIRST makes the quantizer parameter-free (no corpus
+    * max-abs pass) and engine-exact: norm is the left-to-right double
+    * fold shared with [[CosineSim]]'s oracle contract, and each code is
+    * one correctly-rounded divide/multiply/add then floor. Zero vectors
+    * quantize to all-zero codes.
+    *
+    * Returns `(vec_id, codes ARRAY<INT>)` — narrow, no shuffle.
+    */
+  def sq8Codes(embeddings: DataFrame): DataFrame = {
+    val p = prepared(embeddings)
+    val withNrm = p.select(col("vec_id"), col("emb"),
+      sqrt(aggregate(col("emb"), lit(0.0), (acc, x) => acc + x * x))
+        .as("nrm"))
+    withNrm.select(col("vec_id"),
+      transform(col("emb"), x =>
+        when(col("nrm") > 0.0, floor(x / col("nrm") * 127.0 + 0.5))
+          .otherwise(0L).cast("int")).as("codes"))
+  }
+
+  /** Quantized brute-force top-k over [[sq8Codes]]: same query/candidate
+    * contract as [[bruteForceTopK]] but scored by the exact INTEGER dot
+    * product of the int8 codes — the scoring a SQ8 index does at scale
+    * (integer SIMD over 4×-smaller vectors; cosine rank preserved up to
+    * quantization error, which the recall test quantifies). All-integer
+    * scores make even this approximate path bit-exactly oracle-checkable.
+    */
+  def sq8TopK(embeddings: DataFrame, everyNth: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = sq8Codes(embeddings)
+    val q = c.where(col("vec_id") % everyNth === 0).toDF("query_id", "q_codes")
+    val scored = c.toDF("cand_id", "c_codes")
+      .join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        aggregate(zip_with(col("q_codes"), col("c_codes"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot_int"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot_int").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
   /** Brute-force cosine top-k: for each query vector (`vec_id % everyNth ==
     * 0`), the k nearest other vectors by scaled cosine, ties broken by
     * candidate id. The query side is broadcast — candidates stream through

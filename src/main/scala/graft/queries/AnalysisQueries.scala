@@ -242,6 +242,35 @@ object AnalysisQueries {
     ORDER BY total_tf DESC, doc_id LIMIT $SearchTopK"""
   }
 
+  // --- q76: exact phrase search (positional postings top-k) --------------
+  // Adjacency-exact retrieval; semantics and scale shape in
+  // TextAnalysisOps.phraseSearch. The oracle deliberately uses a DIFFERENT
+  // algorithm — a narrow per-doc window scan counting positions where all
+  // phrase tokens line up — so posting-list intersection and direct window
+  // counting must agree on the relation.
+  val PhraseTokens = Seq("table", "scan")
+  val PhraseTopK = 10
+
+  def q76PhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.phraseSearch(
+      Tables.documents(spark, dir), PhraseTokens, PhraseTopK)
+
+  val q76Sql: String = {
+    val folded = PhraseTokens.map(_.toLowerCase)
+    val conj = folded.zipWithIndex.map { case (t, i) =>
+      s"toks[CAST(i AS INT)+${i + 1}] = '${t.replace("'", "''")}'"
+    }.mkString(" AND ")
+    raw"""WITH t AS (
+      SELECT doc_id, ${toksSql("lower(coalesce(text, ''))")} AS toks
+      FROM documents),
+    h AS (SELECT doc_id,
+        CAST(len(list_filter(range(0, len(toks) - ${folded.size - 1}),
+          i -> $conj)) AS BIGINT) AS n_hits
+      FROM t)
+    SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+    ORDER BY n_hits DESC, doc_id LIMIT $PhraseTopK"""
+  }
+
   // --- q65: hashed-feature linear quality classifier ---------------------
   // Model-based filtering with the model as a broadcast relation; semantics
   // and scale shape in TextAnalysisOps.qualityClassify.
@@ -368,7 +397,8 @@ object AnalysisQueries {
     "q23b_redact" -> (q23bRedact _),
     "q63_keyword_search" -> (q63KeywordSearch _),
     "q65_quality_classifier" -> (q65QualityClassifier _),
-    "q67_source_health" -> (q67SourceHealth _))
+    "q67_source_health" -> (q67SourceHealth _),
+    "q76_phrase_search" -> (q76PhraseSearch _))
 
   val oracleSql: Map[String, String] = Map(
     "q70_unigram_rarity" -> q70Sql,
@@ -380,5 +410,6 @@ object AnalysisQueries {
     "q23b_redact" -> q23bSql,
     "q63_keyword_search" -> q63Sql,
     "q65_quality_classifier" -> q65Sql,
-    "q67_source_health" -> q67Sql)
+    "q67_source_health" -> q67Sql,
+    "q76_phrase_search" -> q76Sql)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{CurationPipeline, Tables}
 import graft.ops.TextAnalysisOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The composite corpus-curation flow (CurationPipeline) as one
@@ -200,6 +200,71 @@ object CurationQueries {
       CAST(count(CASE WHEN h % 1000 < rate THEN 1 END) AS BIGINT) AS n_kept
     FROM h GROUP BY source ORDER BY source"""
   }
+
+  // --- q75: temperature-scaled source mixing weights ----------------------
+  // Where q57 APPLIES hand-tuned per-source rates, this DERIVES the rates:
+  // multinomial sampling weights w_s ∝ n_s^α with α = 0.5, the temperature
+  // upsampling of low-resource sources used by XLM-R / mT5 / the Pile
+  // (public). α = 0.5 is exactly an integer square root, so the whole
+  // derivation stays engine-exact: isqrt via floor(sqrt(double)) with a
+  // ±1 correction (exact for any int64 — the double rounding can be off
+  // by at most one step, and the correction compares exact integer
+  // squares), then 1e6-scaled weights by INTEGER division against the
+  // isqrt total. Two aggregates: per-source roll-up, then a 1-row total
+  // broadcast back (the q19b/q68 scalar pattern). The 1e6 numerator
+  // scaling bounds per-source token mass at ~9.2e12 before int64
+  // overflow — generous for one source's tokens, and the guard is the
+  // same one every *_micro column in this repo carries.
+  /** Exact integer square root of a non-negative long column: the double
+    * `sqrt` seed can be off by one step once values pass 2^52, so the
+    * result is corrected against exact integer squares. Exact for
+    * 0 <= x < 2^62 (above that the (s+1)² probe itself could overflow).
+    */
+  def isqrtExact(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    coalesce(
+      when((s0 + 1) * (s0 + 1) <= x, s0 + 1),
+      when(s0 * s0 > x, s0 - 1),
+      s0)
+  }
+
+  def q75TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        TextAnalysisOps.wsTokenCount(col("text")).as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val w = perSource.withColumn("isqrt_tokens", isqrtExact(col("n_tokens")))
+    val totals = w.agg(sum("n_tokens").as("tot_tokens"),
+      sum("isqrt_tokens").as("tot_isqrt"))
+    w.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("isqrt_tokens"),
+        expr("1000000 * n_tokens div tot_tokens").as("w_prop_micro"),
+        expr("1000000 * isqrt_tokens div tot_isqrt").as("w_temp_micro"))
+      .orderBy("source")
+  }
+
+  val q75Sql: String =
+    s"""WITH t AS (
+      SELECT source, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source),
+    i AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+      FROM s),
+    c AS (SELECT source, n_docs, n_tokens,
+        CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+             WHEN s0 * s0 > n_tokens THEN s0 - 1
+             ELSE s0 END AS isqrt_tokens
+      FROM i),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        CAST(sum(isqrt_tokens) AS BIGINT) AS tot_isqrt FROM c)
+    SELECT c.source, c.n_docs, c.n_tokens, c.isqrt_tokens,
+      1000000 * c.n_tokens // t.tot_tokens AS w_prop_micro,
+      1000000 * c.isqrt_tokens // t.tot_isqrt AS w_temp_micro
+    FROM c, tot t ORDER BY c.source"""
 
   // --- q68: adaptive length filter (derived thresholds) -------------------
   // Curation thresholds computed FROM the corpus, not hardcoded: keep the
@@ -443,6 +508,7 @@ object CurationQueries {
     "q52_stratified_sample" -> (q52StratifiedSample _),
     "q57_source_mix" -> (q57SourceMix _),
     "q57b_token_budget" -> (q57bTokenBudget _),
+    "q75_temperature_mix" -> (q75TemperatureMix _),
     "q68_adaptive_length" -> (q68AdaptiveLength _),
     "q58_sequence_packing" -> (q58SequencePacking _))
 
@@ -455,6 +521,7 @@ object CurationQueries {
     "q52_stratified_sample" -> q52Sql,
     "q57_source_mix" -> q57Sql,
     "q57b_token_budget" -> q57bSql,
+    "q75_temperature_mix" -> q75Sql,
     "q68_adaptive_length" -> q68Sql,
     "q58_sequence_packing" -> q58Sql)
 }

@@ -98,6 +98,34 @@ object DedupQueries {
     WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= $JaccardMinMicro
     ORDER BY c.id_a, c.id_b"""
 
+  // --- q74: containment near-dup pairs -----------------------------------
+  // Jaccard's blind spot: a doc quoted inside a much larger one scores
+  // |A|/|B| ≈ 0 Jaccard but 1.0 containment. Same inverted index as q25,
+  // different final projection (common / min size); run together the two
+  // relations bracket subset- and symmetric-duplication.
+  val ContainmentMinMicro = 500000L
+
+  def q74Containment(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.containmentPairs(
+      DedupOps.shingles(tokenized(spark, dir), ShingleN), ContainmentMinMicro)
+      .orderBy("id_a", "id_b")
+
+  val q74Sql: String =
+    s"""WITH $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT c.id_a, c.id_b, c.common,
+      sa.sz AS size_a, sb.sz AS size_b,
+      CAST(floor(1000000 * c.common / least(sa.sz, sb.sz)) AS BIGINT) AS containment_micro
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE floor(1000000 * c.common / least(sa.sz, sb.sz)) >= $ContainmentMinMicro
+    ORDER BY c.id_a, c.id_b"""
+
   // --- q26: MinHash + LSH banding ----------------------------------------
   def q26MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minhashPairs(
@@ -279,6 +307,76 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  // --- q73: benchmark leakage audit (q53 from the bench side) ------------
+  // Same split convention as q53 (doc_id % 20 == 0 is the benchmark);
+  // the output is the eval-integrity report: per bench doc, how many
+  // training docs it leaks into and the worst single-doc containment.
+  def q73LeakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingles(tokenized(spark, dir), ShingleN)
+    val isBench = col("doc_id") % 20 === 0
+    DedupOps.leakageAudit(sh.where(isBench), sh.where(!isBench))
+      .orderBy("doc_id")
+  }
+
+  val q73Sql: String =
+    s"""WITH $shingleCte,
+    bench AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 = 0),
+    train AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+    bsz AS (SELECT doc_id, count(*) AS bench_sz FROM bench GROUP BY doc_id),
+    pair AS (
+      SELECT b.doc_id, t.train_id, count(*) AS n_common
+      FROM bench b JOIN train t ON b.shingle = t.shingle
+      GROUP BY b.doc_id, t.train_id),
+    a AS (
+      SELECT doc_id, count(*) AS n_train_docs,
+        CAST(sum(n_common) AS BIGINT) AS n_shared_total,
+        max(n_common) AS max_common
+      FROM pair GROUP BY doc_id)
+    SELECT z.doc_id, z.bench_sz,
+      coalesce(a.n_train_docs, 0) AS n_train_docs,
+      coalesce(a.n_shared_total, 0) AS n_shared_total,
+      coalesce(a.max_common, 0) AS max_common,
+      CAST(floor(1000000 * coalesce(a.max_common, 0) / z.bench_sz) AS BIGINT)
+        AS max_containment_micro
+    FROM bsz z LEFT JOIN a USING (doc_id) ORDER BY doc_id"""
+
+  // --- q78: per-source boilerplate profile --------------------------------
+  // Semantics and scale shape in DedupOps.boilerplateProfile; the oracle
+  // recomputes the within-source shingle df and per-doc roll-up in SQL.
+  val BoilerplateMinDocs = 2L
+
+  def q78Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val toked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenize(col("text")).as("toks"))
+    DedupOps.boilerplateProfile(
+      DedupOps.shingles(toked, ShingleN, carryCols = Seq("source")),
+      BoilerplateMinDocs)
+      .orderBy("doc_id")
+  }
+
+  val q78Sql: String =
+    s"""WITH tok AS (
+      SELECT doc_id, source, ${toksSql("text")} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, source, unnest(list_distinct(list_transform(
+        range(0, len(toks) - $ShingleN + 1),
+        i -> array_to_string(toks[(CAST(i AS INT)+1):(CAST(i AS INT)+$ShingleN)], ' ')))) AS shingle
+      FROM tok WHERE len(toks) >= $ShingleN),
+    bp AS (
+      SELECT source, shingle FROM sh GROUP BY source, shingle
+      HAVING count(*) >= $BoilerplateMinDocs),
+    j AS (
+      SELECT s.doc_id, s.source, count(*) AS n_shingles,
+        count(b.shingle) AS n_boilerplate
+      FROM sh s LEFT JOIN bp b
+        ON s.source = b.source AND s.shingle = b.shingle
+      GROUP BY s.doc_id, s.source)
+    SELECT doc_id, source, n_shingles, n_boilerplate,
+      CAST(floor(1000000 * n_boilerplate / n_shingles) AS BIGINT)
+        AS boilerplate_micro
+    FROM j ORDER BY doc_id"""
+
   // --- q55: duplicate clusters (connected components) --------------------
   // Near-dup PAIRS (q25's relation) resolved into transitive clusters:
   // every doc labeled with its component's min id. Spark runs iterative
@@ -365,6 +463,9 @@ object DedupQueries {
     "q24_exact_dup" -> (q24ExactDup _),
     "q24b_canonical_dup" -> (q24bCanonicalDup _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
+    "q73_leakage_audit" -> (q73LeakageAudit _),
+    "q74_containment" -> (q74Containment _),
+    "q78_boilerplate" -> (q78Boilerplate _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q26b_minhash_mllib" -> (q26bMinhashMllib _),
     "q26c_edit_distance" -> (q26cEditDistance _),
@@ -379,6 +480,9 @@ object DedupQueries {
     "q24_exact_dup" -> q24Sql,
     "q24b_canonical_dup" -> q24bSql,
     "q25_ngram_jaccard" -> q25Sql,
+    "q73_leakage_audit" -> q73Sql,
+    "q74_containment" -> q74Sql,
+    "q78_boilerplate" -> q78Sql,
     "q26_minhash_lsh" -> q26Sql,
     "q26c_edit_distance" -> q26cSql,
     "q27_simhash" -> q27Sql,

@@ -253,8 +253,55 @@ object EventQueries {
     }
   }
 
+  // --- q77: per-user click attribution (keyed bucketed range join) -------
+  // The two-stream correlation every event pipeline runs: each click is
+  // attributed to every view by the SAME user in the preceding
+  // `AttributionWindowSeconds` (half-open — a view at the click instant
+  // counts, one exactly window-length earlier does not). With a key the
+  // bucketed join shuffles on (user, bucket): candidates are generated
+  // only within one user's bucket, so the shape survives both corpus
+  // scale and hot-bucket skew (a viral second spreads across users).
+  // `delay_sec` is exact integer microsecond arithmetic, truncating div.
+  // The SAME relation is computed by the streaming intervalJoin
+  // (stream-stream inner join with watermarked state); their agreement
+  // over the real events fixture is StreamingParitySpec's business.
+  val AttributionWindowSeconds = 600L
+
+  def q77ClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts"), col("user_id"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("v_start"),
+        (col("ts") + expr(s"INTERVAL $AttributionWindowSeconds SECONDS"))
+          .as("v_end"),
+        col("user_id"))
+    graft.ops.JoinOps.rangeJoinBucketed(
+      clicks, views, "ts", "v_start", "v_end",
+      widthSeconds = RangeWindowSeconds, extraKeys = Seq("user_id"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        expr("(unix_micros(ts) - unix_micros(v_start)) div 1000000L")
+          .as("delay_sec"))
+      .orderBy("click_id", "view_id")
+  }
+
+  val q77Sql: String =
+    s"""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        event_type FROM events),
+    c AS (SELECT event_id AS click_id, ts, user_id FROM e
+      WHERE event_type = 'click'),
+    v AS (SELECT event_id AS view_id, ts AS v_start,
+        ts + INTERVAL $AttributionWindowSeconds SECOND AS v_end, user_id
+      FROM e WHERE event_type = 'view')
+    SELECT c.click_id, v.view_id, c.user_id,
+      (epoch_us(c.ts) - epoch_us(v.v_start)) // 1000000 AS delay_sec
+    FROM c JOIN v ON c.user_id = v.user_id
+      AND c.ts >= v.v_start AND c.ts < v.v_end
+    ORDER BY c.click_id, v.view_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_asof_enrich" -> (q54AsofEnrich _),
+    "q77_click_attribution" -> (q77ClickAttribution _),
     "q64_range_join" -> (q64RangeJoin _),
     "q64b_range_join_rule" -> (q64bRangeJoinRule _),
     "q35_export_stamp" -> (q35ExportStamp _),
@@ -267,6 +314,7 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q54_asof_enrich" -> q54Sql,
+    "q77_click_attribution" -> q77Sql,
     "q64_range_join" -> q64Sql,
     "q64b_range_join_rule" -> q64Sql,
     "q35_export_stamp" -> q35Sql,

@@ -245,8 +245,65 @@ object SimilarityQueries {
     WHERE rank <= $OutlierTopK ORDER BY label, rank"""
   }
 
+  // --- q79/q79b: SQ8 quantization + quantized kNN ------------------------
+  // Semantics and scale shape in SimilarityOps.sq8Codes/sq8TopK. q79
+  // verifies the quantizer itself through integer roll-ups of the code
+  // arrays; q79b verifies the quantized-domain retrieval (exact integer
+  // dot scoring, same query/candidate contract as q29). Cosine-vs-SQ8
+  // recall is quantified in DedupSimilaritySpec.
+  private val codesCte: String =
+    s"""$preparedCte,
+    nn AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm FROM p),
+    c AS (SELECT vec_id, list_transform(emb, x ->
+        CAST(CASE WHEN nrm > 0.0 THEN floor(x / nrm * 127.0 + 0.5)
+          ELSE 0 END AS INT)) AS codes
+      FROM nn)"""
+
+  def q79Sq8Codes(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.sq8Codes(Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        size(col("codes")).cast("long").as("n_dims"),
+        array_min(col("codes")).cast("long").as("code_min"),
+        array_max(col("codes")).cast("long").as("code_max"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + abs(x)).as("code_l1"))
+      .orderBy("vec_id")
+
+  val q79Sql: String =
+    s"""WITH $codesCte
+    SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+      CAST(list_min(codes) AS BIGINT) AS code_min,
+      CAST(list_max(codes) AS BIGINT) AS code_max,
+      CAST(list_reduce(list_prepend(0, codes), (x, y) -> x + y) AS BIGINT)
+        AS code_sum,
+      CAST(list_reduce(list_prepend(0, list_transform(codes, x -> abs(x))),
+        (x, y) -> x + y) AS BIGINT) AS code_l1
+    FROM c ORDER BY vec_id"""
+
+  def q79bSq8Knn(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.sq8TopK(Tables.embeddings(spark, dir), QueryEveryNth, TopK)
+      .orderBy("query_id", "rk")
+
+  val q79bSql: String =
+    s"""WITH $codesCte,
+    q AS (SELECT vec_id AS query_id, codes AS qc FROM c
+      WHERE vec_id % $QueryEveryNth = 0),
+    s AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+        CAST(list_reduce(list_prepend(0, list_transform(
+          list_zip(q.qc, c.codes), p -> p[1] * p[2])), (x, y) -> x + y)
+          AS BIGINT) AS dot_int
+      FROM q JOIN c ON c.vec_id <> q.query_id),
+    r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY dot_int DESC, cand_id ASC) AS BIGINT) AS rk
+      FROM s)
+    SELECT query_id, cand_id, dot_int, rk FROM r
+    WHERE rk <= $TopK ORDER BY query_id, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_centroid_outliers" -> (q72CentroidOutliers _),
+    "q79_sq8_codes" -> (q79Sq8Codes _),
+    "q79b_sq8_knn" -> (q79bSq8Knn _),
     "q28_cosine_near_dup" -> (q28CosineNearDup _),
     "q62_semantic_dedup" -> (q62SemanticDedup _),
     "q29_knn_brute" -> (q29KnnBrute _),
@@ -256,6 +313,8 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q72_centroid_outliers" -> q72Sql,
+    "q79_sq8_codes" -> q79Sql,
+    "q79b_sq8_knn" -> q79bSql,
     "q28_cosine_near_dup" -> q28Sql,
     "q62_semantic_dedup" -> q62Sql,
     "q29_knn_brute" -> q29Sql,

@@ -113,12 +113,16 @@ object StreamingOps {
 
   /** Stream-stream inner join with bounded state: correlate two event
     * streams on a key within a time bound (e.g. click joined to the
-    * impression that preceded it by at most `maxDelay`). BOTH sides are
-    * watermarked and the join carries an event-time range condition —
-    * the two requirements Structured Streaming needs to know when a
-    * buffered left row can never match again, so state is dropped instead
-    * of growing with the stream. Columns on the right are suffixed to
-    * avoid ambiguity.
+    * impression that preceded it by strictly less than `maxDelay`). BOTH
+    * sides are watermarked and the join carries an event-time range
+    * condition — the two requirements Structured Streaming needs to know
+    * when a buffered left row can never match again, so state is dropped
+    * instead of growing with the stream. Columns on the right are suffixed
+    * to avoid ambiguity.
+    *
+    * The bound is HALF-OPEN (`[ts, ts + maxDelay)`), matching the batch
+    * twin `JoinOps.rangeJoinBucketed` — StreamingParitySpec replays the
+    * events fixture through both and asserts the same relation.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    maxDelay: String = "10 minutes",
@@ -131,7 +135,7 @@ object StreamingOps {
     l.join(r,
       l(key) === r(key) &&
         col("ts_r") >= col("ts") &&
-        col("ts_r") <= col("ts") + expr(s"INTERVAL $maxDelay"))
+        col("ts_r") < col("ts") + expr(s"INTERVAL $maxDelay"))
       .drop(r(key))
   }
 

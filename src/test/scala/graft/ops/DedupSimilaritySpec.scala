@@ -35,6 +35,61 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Long]("jaccard_micro") == 500000L)
   }
 
+  test("containmentPairs scores subset duplication that Jaccard misses") {
+    // doc1's 2-gram shingles {ab, bc} are a strict subset of doc2's
+    // {ab, bc, cd, de, ef, fg, gh}: Jaccard 2/7 looks dissimilar while
+    // containment is exactly 1.0 — the quote/wrapper near-dup signal
+    val sh = DedupOps.shingles(
+      tokenized(1L -> "a b c", 2L -> "a b c d e f g h"), 2)
+    val cont = DedupOps.containmentPairs(sh, 0L).collect()
+    assert(cont.length == 1)
+    assert(cont.head.getAs[Long]("containment_micro") == 1000000L)
+    assert(cont.head.getAs[Long]("common") == 2L)
+    val jac = DedupOps.jaccardPairs(sh, 0L).collect()
+    assert(jac.head.getAs[Long]("jaccard_micro") == 285714L) // floor(1e6*2/7)
+  }
+
+  test("leakageAudit reports per-bench-doc spread and worst containment") {
+    // n=5 shingles. bench 10 {abcde, bcdef}: train 1 shares 1, train 2
+    // shares 2 (full containment); bench 20 {pqrst}: clean.
+    val toked = tokenized(
+      10L -> "a b c d e f",
+      20L -> "p q r s t",
+      1L -> "a b c d e x",
+      2L -> "z a b c d e f",
+      3L -> "u v w x y")
+    val sh = DedupOps.shingles(toked, 5)
+    val isBench = col("doc_id") >= 10L
+    val out = DedupOps.leakageAudit(sh.where(isBench), sh.where(!isBench))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (10L, 2L, 2L, 3L, 2L, 1000000L),
+      (20L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("boilerplateProfile flags within-source template shingles only") {
+    // "x y" repeats across docs 1-2 of source A -> boilerplate in A;
+    // doc 4 carries the same shingles in source B where each is unique
+    val toked = Seq(
+      (1L, "A", "x y z"), (2L, "A", "x y w"), (3L, "A", "p q"),
+      (4L, "B", "x y z"))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenize(col("text")).as("toks"))
+    val out = DedupOps.boilerplateProfile(
+      DedupOps.shingles(toked, 2, carryCols = Seq("source")), 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "A", 2L, 1L, 500000L),
+      (2L, "A", 2L, 1L, 500000L),
+      (3L, "A", 1L, 0L, 0L),
+      (4L, "B", 2L, 0L, 0L)))
+  }
+
   test("contaminationScoresBloom is bit-identical to the exact formulation") {
     val toked = tokenized(
       1L -> "a b c d e f",   // benchmark doc
@@ -247,6 +302,30 @@ class DedupSimilaritySpec extends SparkSpec {
     val ivf = keys(SimilarityOps.ivfTopK(emb, 50, 5, nCells = 16, nProbe = 4))
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("SQ8 codes are int8-bounded and unit-scale") {
+    val emb = Seq(
+      (0L, Array(3.0f, 4.0f), 0),          // unit = (0.6, 0.8)
+      (1L, Array(0.0f, 0.0f), 0))          // zero vector -> zero codes
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.sq8Codes(emb).orderBy("vec_id").collect()
+      .map(r => r.getSeq[Int](1).toSeq)
+    // floor(0.6*127 + 0.5) = 76, floor(0.8*127 + 0.5) = 102
+    assert(out(0) == Seq(76, 102))
+    assert(out(1) == Seq(0, 0))
+  }
+
+  test("SQ8 quantized top-k achieves >= 80% recall of brute force " +
+      "on the fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keys(SimilarityOps.bruteForceTopK(emb, 50, 5))
+    val quant = keys(SimilarityOps.sq8TopK(emb, 50, 5))
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
   }
 
   test("cosine near-dup pairs are symmetric-free and thresholded") {

@@ -73,6 +73,32 @@ class JoinCleanupSpec extends SparkSpec {
     assert(bucketed == Set((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L), (11L, 4L)))
   }
 
+  test("rangeJoinBucketed with extraKeys matches only same-key rows") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val probe = Seq(
+      (1L, ts("2024-01-01 10:01:00"), 7L),
+      (2L, ts("2024-01-01 10:01:00"), 8L),  // same time, other user
+      (3L, ts("2024-01-01 10:20:00"), 7L))  // same user, outside window
+      .toDF("event_id", "ts", "user_id")
+    val iv = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 7L))
+      .toDF("iv_id", "w_start", "w_end", "user_id")
+    val got = JoinOps.rangeJoinBucketed(
+      probe, iv, "ts", "w_start", "w_end", widthSeconds = 300L,
+      extraKeys = Seq("user_id"))
+      .select("iv_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L)))
+    // a collision outside extraKeys still fails loudly
+    val e = intercept[IllegalArgumentException] {
+      JoinOps.rangeJoinBucketed(
+        probe, iv.withColumnRenamed("iv_id", "event_id"),
+        "ts", "w_start", "w_end", 300L, extraKeys = Seq("user_id"))
+    }
+    assert(e.getMessage.contains("column collision"))
+  }
+
   test("rangeJoinBucketed fails loudly past the per-interval bucket cap") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

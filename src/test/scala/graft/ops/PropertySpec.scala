@@ -409,4 +409,26 @@ class PropertySpec extends SparkSpec {
         s"$flag orders: approx=$aOrders exact=$eOrders")
     }
   }
+
+  test("isqrtExact is exact on generated longs and double-rounding edges") {
+    // The double sqrt seed rounds once values pass 2^52; the correction
+    // must land on floor(sqrt(x)) exactly. Cover random magnitudes plus
+    // the adversarial neighborhoods k²±1 around large perfect squares.
+    val magGen = Gen.choose(0, 61).flatMap(b =>
+      Gen.choose(0L, (1L << b) max 1L))
+    val edgeGen = for {
+      k <- Gen.choose((1L << 26) - 3, (1L << 31) - 2)
+      d <- Gen.oneOf(-1L, 0L, 1L)
+    } yield (k * k + d) max 0L
+    val xs = (sample(magGen) ++ sample(edgeGen)).distinct
+    val got = xs.toDF("x")
+      .select(col("x"),
+        graft.queries.CurationQueries.isqrtExact(col("x")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val s = got(x)
+      assert(s * s <= x && (s + 1) * (s + 1) > x,
+        s"isqrtExact($x) = $s is not the integer square root")
+    }
+  }
 }

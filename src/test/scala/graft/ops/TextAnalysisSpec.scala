@@ -119,6 +119,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq((3L, 4L), (1L, 3L)))
   }
 
+  test("phraseSearch matches only adjacent tokens, counting overlaps") {
+    val df = Seq(
+      (1L, "Table Scan table scan x"), // two occurrences (case-folded)
+      (2L, "table x scan"),            // both terms but never adjacent
+      (3L, "scan table"),              // wrong order
+      (4L, "y table scan z")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.phraseSearch(df, Seq("table", "scan"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L), (4L, 1L)))
+  }
+
+  test("phraseSearch counts overlapping occurrences of a repeated token") {
+    val df = Seq((1L, "a a a"), (2L, "a b a")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.phraseSearch(df, Seq("a", "a"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L))) // positions 0 and 1 both start "a a"
+  }
+
+  test("phraseSearch supports phrases longer than two tokens") {
+    val df = Seq(
+      (1L, "x full table scan plan full table scan"),
+      (2L, "full table x scan")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.phraseSearch(
+      df, Seq("full", "table", "scan"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L)))
+  }
+
   test("BPE-ish token count splits letters, digits, symbols") {
     val df = Seq("ab12 cd!").toDF("text")
     val n = df.select(TextAnalysisOps.bpeTokenCount(col("text"))).head().getLong(0)

@@ -148,6 +148,32 @@ class StreamingParitySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("q77 stream-stream interval join: file replay matches the batch " +
+      "bucketed join") {
+    // BOTH sides stream (two independent file sources over the same
+    // replay): views watermarked+buffered, clicks joined to same-user
+    // views within the half-open 10-minute bound. Inner stream-stream
+    // joins emit matches as soon as both rows are buffered, so no flush
+    // mechanics are needed; the watermark's role is state cleanup only.
+    val streamDir = stageChunks()
+    def typed(t: String) = StreamingOps.eventsFileStream(spark, streamDir)
+      .where(col("event_type") === t)
+      .select("event_id", "ts", "user_id")
+    val joined = StreamingOps.intervalJoin(
+      typed("view"), typed("click"), key = "user_id",
+      maxDelay = "10 minutes", watermark = "1 hour")
+    val got = runAppend(
+      joined.select(col("event_id_r").as("click_id"),
+        col("event_id").as("view_id")), "parity_ssjoin")
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = graft.queries.EventQueries.q77ClickAttribution(spark, dir)
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got.length == want.length,
+      s"streamed ${got.length} pairs vs batch ${want.length}")
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q34 session body: streamed file replay is row-identical to batch") {
     val streamDir = stageChunks()
     val streamed = StreamingOps.eventsFileStream(spark, streamDir)
