@@ -280,6 +280,54 @@ object TextAnalysisOps {
       .limit(k)
   }
 
+  /** Disjunctive RANKED retrieval with integer idf weighting — the
+    * BM25-shaped upgrade of [[keywordSearch]]'s conjunctive total-tf
+    * ranking, restated in exact integer arithmetic so the ranking (not
+    * just the hit set) is oracle-verifiable:
+    *
+    *   score(d) = Σ_t  min(tf_td, tfCap) · (idfBoost · (⌊log2 N⌋ − ⌊log2 df_t⌋) + 1)
+    *
+    * min(tf, cap) is BM25's term-frequency saturation as a hard knee;
+    * the weight is an idf bucket (floor-log2 via binary-string length,
+    * the q70 trick — no libm), boosted so rarity dominates raw repetition,
+    * plus 1 so every matched term still contributes (weights are ≥ 1, so
+    * every doc matching ≥ 1 term scores ≥ 1). Docs are ranked by score,
+    * ties by id; docs matching no term never appear (inner postings join).
+    *
+    * Scale shape: postings pruned to the query terms right after the
+    * explode (vanishing fraction of the corpus); df aggregate and weight
+    * table are |terms| rows, broadcast; one per-doc sum; top-k is
+    * orderBy.limit → TakeOrderedAndProject.
+    */
+  def rankedSearch(docs: DataFrame, terms: Seq[String], tfCap: Int,
+                   idfBoost: Int, k: Int,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "rankedSearch needs at least one query term")
+    val folded = terms.map(_.toLowerCase).distinct
+    val postings0 = docs
+      .select(col(idCol),
+        explode(TextOps.tokenize(lower(coalesce(col(textCol), lit(""))))).as("term"))
+      .where(col("term").isin(folded: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // two consumers: the df aggregate and the scoring join
+    val postings = graft.CacheScope.persist(postings0)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    def log2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+    val weights = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        (lit(idfBoost.toLong) * (log2len(col("n_docs")) - log2len(col("df")))
+          + 1L).as("w"))
+    postings.join(broadcast(weights), "term")
+      .groupBy(col(idCol))
+      .agg(sum(least(col("tf"), lit(tfCap.toLong)) * col("w")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Feature-hash dimensionality of the linear quality classifier. */
   val ClassifierBuckets = 4096L
 

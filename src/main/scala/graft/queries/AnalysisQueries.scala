@@ -242,6 +242,42 @@ object AnalysisQueries {
     ORDER BY total_tf DESC, doc_id LIMIT $SearchTopK"""
   }
 
+  // --- q63b: ranked disjunctive retrieval (integer-idf BM25 shape) -------
+  // Semantics and scale shape in TextAnalysisOps.rankedSearch. 'dup' is
+  // the fixture's one genuinely rare term (df 25 of 500 vs ~380 for the
+  // common vocabulary), so the idf buckets separate for real: rarity
+  // outranks raw repetition of common terms.
+  val RankedTerms = Seq("dup", "value", "scan")
+  val RankedTfCap = 3
+  val RankedIdfBoost = 4
+  val RankedTopK = 10
+
+  def q63bRankedSearch(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.rankedSearch(Tables.documents(spark, dir),
+      RankedTerms, RankedTfCap, RankedIdfBoost, RankedTopK)
+
+  val q63bSql: String = {
+    val folded = RankedTerms.map(_.toLowerCase).distinct
+    val inList = folded.map(t => s"'${t.replace("'", "''")}'")
+      .mkString("(", ", ", ")")
+    raw"""WITH p AS (
+      SELECT doc_id, unnest(${toksSql("lower(coalesce(text, ''))")}) AS term
+      FROM documents),
+    g AS (SELECT doc_id, term, count(*) AS tf
+      FROM p WHERE term IN $inList GROUP BY doc_id, term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (SELECT d.term,
+        $RankedIdfBoost * (length(format('{:b}', n.n_docs))
+          - length(format('{:b}', d.df))) + 1 AS w
+      FROM (SELECT term, count(*) AS df FROM g GROUP BY term) d, nd n),
+    s AS (SELECT g.doc_id,
+        CAST(sum(least(g.tf, $RankedTfCap) * w.w) AS BIGINT) AS score,
+        count(*) AS n_terms
+      FROM g JOIN w USING (term) GROUP BY g.doc_id)
+    SELECT doc_id, score, n_terms FROM s
+    ORDER BY score DESC, doc_id LIMIT $RankedTopK"""
+  }
+
   // --- q76: exact phrase search (positional postings top-k) --------------
   // Adjacency-exact retrieval; semantics and scale shape in
   // TextAnalysisOps.phraseSearch. The oracle deliberately uses a DIFFERENT
@@ -396,6 +432,7 @@ object AnalysisQueries {
     "q23_fingerprints" -> (q23Fingerprints _),
     "q23b_redact" -> (q23bRedact _),
     "q63_keyword_search" -> (q63KeywordSearch _),
+    "q63b_ranked_search" -> (q63bRankedSearch _),
     "q65_quality_classifier" -> (q65QualityClassifier _),
     "q67_source_health" -> (q67SourceHealth _),
     "q76_phrase_search" -> (q76PhraseSearch _))
@@ -409,6 +446,7 @@ object AnalysisQueries {
     "q23_fingerprints" -> q23Sql,
     "q23b_redact" -> q23bSql,
     "q63_keyword_search" -> q63Sql,
+    "q63b_ranked_search" -> q63bSql,
     "q65_quality_classifier" -> q65Sql,
     "q67_source_health" -> q67Sql,
     "q76_phrase_search" -> q76Sql)

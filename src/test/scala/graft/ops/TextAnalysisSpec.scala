@@ -119,6 +119,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq((3L, 4L), (1L, 3L)))
   }
 
+  test("rankedSearch saturates tf, weights rarity, breaks ties by id") {
+    // N=4: df(rare)=2, df(common)=2 -> equal weights 4*(3-2)+1 = 5.
+    // doc2/doc3 saturate at tf cap 3 (score 15), tie broken by id;
+    // doc1 matches both terms once (score 10); doc4 matches nothing.
+    val df = Seq(
+      (1L, "rare common"),
+      (2L, "common common common common"),
+      (3L, "rare rare rare rare"),
+      (4L, "other words here")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.rankedSearch(
+      df, Seq("rare", "common"), tfCap = 3, idfBoost = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((2L, 15L, 1L), (3L, 15L, 1L), (1L, 10L, 2L)))
+  }
+
+  test("rankedSearch idf buckets rank a rare-term doc above a common-term doc") {
+    // 8 docs: 'r' in one doc (w = 4*(4-1)+1 = 13), 'c' in four
+    // (w = 4*(4-3)+1 = 5): one 'r' must outrank a saturated 'c' doc.
+    val df = (Seq((1L, "r"), (2L, "c c c c c")) ++
+      (3L to 8L).map(i => (i, if (i <= 5L) "c x" else "x y")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.rankedSearch(
+      df, Seq("r", "c"), tfCap = 3, idfBoost = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((2L, 15L), (1L, 13L), (3L, 5L)))
+  }
+
   test("phraseSearch matches only adjacent tokens, counting overlaps") {
     val df = Seq(
       (1L, "Table Scan table scan x"), // two occurrences (case-folded)
