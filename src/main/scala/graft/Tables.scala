@@ -35,8 +35,40 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  /** Small-input rebalance for the COMPUTE-DENSE content tables. The
+    * fixture writes one row group per table, and a parquet scan
+    * parallelizes at row-group granularity — so every narrow transform
+    * over `documents`/`embeddings` (regex, tokenize, shingle, vector
+    * folds: where most of the engine's CPU goes) was serializing on ONE
+    * core regardless of `local[32]`. When the scan yields fewer
+    * partitions than the session's parallelism, shuffle the (tiny) input
+    * once across the cores; at cluster scale a table has orders of
+    * magnitude more row groups than cores and this is a no-op. Filters
+    * and column pruning still reach the scan: Catalyst pushes both
+    * through Repartition.
+    *
+    * The relational/event tables deliberately SKIP it (measured: q12-family
+    * queries got 1.5-2x slower with it): their queries aggregate or join
+    * immediately, so scan-side partial aggregation collapses the data
+    * before any exchange — a pre-shuffle of the full table only adds
+    * traffic. Dimension tables skip it too (they broadcast; fanning 5
+    * rows over 32 tasks is pure overhead).
+    */
+  private def rebalance(spark: SparkSession, df: DataFrame): DataFrame = {
+    // 8-way, not defaultParallelism: the win is breaking the single-task
+    // serialization of per-row compute; past ~8 ways the extra tiny tasks
+    // cost more in per-stage scheduling than they recover, especially for
+    // iterative consumers re-reading a many-partition cached frame every
+    // round (measured: 32-way made the CC/packing families 1.5-2x slower
+    // while 8-way keeps the 2-4x single-pass wins)
+    val p = math.min(spark.sparkContext.defaultParallelism, 8)
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame  =
+    rebalance(spark, read(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    rebalance(spark, read(spark, dir, "embeddings"))
   /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which the
     * Spark reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as
     * Long and floor-convert to a microsecond timestamp — the same ns→us
