@@ -92,9 +92,52 @@ object MultimodalQueries {
     FROM m ORDER BY media_id"""
   }
 
+  // --- q60b: strided frame sampling over binary payloads ------------------
+  // The video-frame-sampling plumbing (MultimodalOps.sampleFrames) under
+  // the driver's hash gate: each doc's UTF-8 bytes stand in for a media
+  // payload, every FrameStride-th FrameBlock-byte block becomes a frame
+  // row, and each frame is keyed by the portable hash of its hex image.
+  // The oracle re-slices the same payloads with hex-STRING arithmetic
+  // (2 hex chars per byte) — byte-slicing and hex-slicing must agree
+  // exactly, so an off-by-one in either engine's offset math breaks the
+  // hash match. All frames are full blocks by construction (the last
+  // start offset is <= len - FrameBlock).
+  val FrameBlock = 32
+  val FrameStride = 4
+
+  def q60bFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"))
+    MultimodalOps.sampleFrames(staged, FrameBlock, FrameStride)
+      .select(col("media_id"), col("frame_id"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        HashOps.charHash(hex(col("frame"))).as("frame_hash"))
+      .orderBy("media_id", "frame_id")
+  }
+
+  val q60bSql: String = {
+    val step = FrameBlock * FrameStride
+    val frameHex =
+      s"substring(hex(content), CAST(frame_id * ${step * 2} + 1 AS INT), ${FrameBlock * 2})"
+    s"""WITH m AS (
+      SELECT doc_id AS media_id, encode(text) AS content FROM documents),
+    s AS (SELECT media_id, content, octet_length(content) AS len
+      FROM m WHERE octet_length(content) >= $FrameBlock),
+    f AS (SELECT media_id, content,
+        unnest(range(0, ((len - $FrameBlock) // $step) + 1)) AS frame_id
+      FROM s)
+    SELECT media_id, CAST(frame_id AS BIGINT) AS frame_id,
+      CAST(length($frameHex) / 2 AS BIGINT) AS frame_bytes,
+      ${HashOps.charHashSql(frameHex)} AS frame_hash
+    FROM f ORDER BY media_id, frame_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q60_media_metadata" -> (q60MediaMetadata _))
+    "q60_media_metadata" -> (q60MediaMetadata _),
+    "q60b_frame_sample" -> (q60bFrameSample _))
 
   val oracleSql: Map[String, String] = Map(
-    "q60_media_metadata" -> q60Sql)
+    "q60_media_metadata" -> q60Sql,
+    "q60b_frame_sample" -> q60bSql)
 }
