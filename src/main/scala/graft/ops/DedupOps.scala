@@ -320,6 +320,65 @@ object DedupOps {
       .where(col("est_jaccard_micro") >= minEstMicro)
   }
 
+  /** Incremental ingest dedup — the production shape for a GROWING corpus:
+    * never re-dedup 100 TB on every batch; band-join the incoming delta's
+    * MinHash signatures against the STORED signature index (k Int64s per
+    * doc, the only state the pipeline keeps) and rerank the few banded
+    * candidates exactly. Each incoming doc reports how many index docs it
+    * collided with, its best match (highest signature agreement, ties to
+    * the smallest index id), and whether that match crosses the duplicate
+    * threshold.
+    *
+    * Inputs are signature frames from [[minhashSignatures]] (`newSigs` =
+    * the incoming batch, `indexSigs` = the stored index). Scale shape:
+    * the index side streams through the band join keyed by (band, key) —
+    * one shuffle each side, candidates only for colliding signatures; the
+    * rerank joins are keyed by doc id; the per-doc best is one
+    * WindowGroupLimit-prunable row_number. The incoming batch is
+    * typically ≪ the index, so every wide op is keyed fine-grained and
+    * nothing scans the index beyond its band relation.
+    *
+    * Output per incoming doc (with ≥1 shingle): `(id, n_candidates,
+    * best_match, est_jaccard_micro, is_dup)`; candidate-less docs carry
+    * `(0, -1, 0, false)`.
+    */
+  def incrementalDupCheck(newSigs: DataFrame, indexSigs: DataFrame,
+                          rowsPerBand: Int, minEstMicro: Long,
+                          idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // each side feeds its band relation AND an agreement-rerank join
+    val ns = graft.CacheScope.persist(newSigs)
+    val is_ = graft.CacheScope.persist(indexSigs)
+    val nb = lshBands(ns, rowsPerBand, idCol).toDF("new_id", "band", "key")
+    val ob = lshBands(is_, rowsPerBand, idCol).toDF("old_id", "band", "key")
+    val cand = nb.join(ob, Seq("band", "key"))
+      .select("new_id", "old_id").distinct()
+    val agree = (0 until HashOps.MinHashK)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sigCols = (0 until HashOps.MinHashK).map(i => s"m$i")
+    val scored = cand
+      .join(ns.toDF(("new_id" +: sigCols): _*).as("a"), "new_id")
+      .join(is_.toDF(("old_id" +: sigCols): _*).as("b"), "old_id")
+      .select(col("new_id"), col("old_id"),
+        floor(lit(1000000L) * agree / HashOps.MinHashK).cast("long")
+          .as("est"))
+    val w = Window.partitionBy("new_id")
+    val best = scored
+      .withColumn("n_candidates", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("est").desc, col("old_id").asc)))
+      .where(col("rk") === 1)
+    ns.select(col(idCol))
+      .join(best.select(col("new_id").as(idCol), col("n_candidates"),
+        col("old_id"), col("est")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("old_id"), lit(-1L)).as("best_match"),
+        coalesce(col("est"), lit(0L)).as("est_jaccard_micro"),
+        (coalesce(col("est"), lit(0L)) >= minEstMicro).as("is_dup"))
+  }
+
   /** Edit-distance near-dup pairs within a blocking key: levenshtein over
     * all intra-block pairs. Quadratic in block size — the blocking columns
     * (source, language, length-band, or an LSH bucket) are what make it

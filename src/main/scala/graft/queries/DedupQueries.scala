@@ -162,6 +162,63 @@ object DedupQueries {
     ORDER BY id_a, id_b"""
   }
 
+  // --- q80: incremental ingest dedup against a stored signature index ----
+  // docs with doc_id % 10 == 9 stand in for the incoming batch; the rest
+  // are the already-indexed corpus. Semantics and scale shape in
+  // DedupOps.incrementalDupCheck.
+  val IncrementalMinMicro = 500000L
+
+  def q80IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = DedupOps.minhashSignatures(
+      DedupOps.shingles(tokenized(spark, dir), ShingleN))
+    val isNew = col("doc_id") % 10 === 9
+    DedupOps.incrementalDupCheck(
+      sigs.where(isNew), sigs.where(!isNew),
+      rowsPerBand = 4, IncrementalMinMicro)
+      .orderBy("doc_id")
+  }
+
+  val q80Sql: String = {
+    val k = HashOps.MinHashK
+    val minExprs = (0 until k)
+      .map(i => s"min(${HashOps.permSql(i, "th")}) AS m$i").mkString(", ")
+    def bandSelects(src: String, idAs: String): String = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id AS $idAs, $b AS band, $key AS key FROM $src"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleCte,
+    h AS (SELECT doc_id, ${HashOps.charHashSql("shingle")} AS th FROM sh),
+    sig AS (SELECT doc_id, $minExprs FROM h GROUP BY doc_id),
+    newsig AS (SELECT * FROM sig WHERE doc_id % 10 = 9),
+    oldsig AS (SELECT * FROM sig WHERE doc_id % 10 <> 9),
+    nb AS (${bandSelects("newsig", "new_id")}),
+    ob AS (${bandSelects("oldsig", "old_id")}),
+    cand AS (
+      SELECT DISTINCT nb.new_id, ob.old_id
+      FROM nb JOIN ob ON nb.band = ob.band AND nb.key = ob.key),
+    sc AS (
+      SELECT c.new_id, c.old_id,
+        CAST(floor(1000000 * ($agree) / $k) AS BIGINT) AS est
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.new_id
+      JOIN sig sb ON sb.doc_id = c.old_id),
+    r AS (SELECT *,
+        row_number() OVER (PARTITION BY new_id ORDER BY est DESC, old_id) AS rk,
+        count(*) OVER (PARTITION BY new_id) AS n_cand
+      FROM sc)
+    SELECT ns.doc_id,
+      coalesce(r.n_cand, 0) AS n_candidates,
+      coalesce(r.old_id, -1) AS best_match,
+      coalesce(r.est, 0) AS est_jaccard_micro,
+      coalesce(r.est, 0) >= $IncrementalMinMicro AS is_dup
+    FROM newsig ns
+    LEFT JOIN (SELECT * FROM r WHERE rk = 1) r ON ns.doc_id = r.new_id
+    ORDER BY ns.doc_id"""
+  }
+
   // --- q26b: MLlib MinHashLSH variant (rows-only — MLlib hashes have no
   // DuckDB twin; agreement with the portable q26 path is unit-tested) -----
   // Hash SHINGLE sets (near-unique), not raw tokens: with the corpus'
@@ -466,6 +523,7 @@ object DedupQueries {
     "q73_leakage_audit" -> (q73LeakageAudit _),
     "q74_containment" -> (q74Containment _),
     "q78_boilerplate" -> (q78Boilerplate _),
+    "q80_incremental_dedup" -> (q80IncrementalDedup _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q26b_minhash_mllib" -> (q26bMinhashMllib _),
     "q26c_edit_distance" -> (q26cEditDistance _),
@@ -483,6 +541,7 @@ object DedupQueries {
     "q73_leakage_audit" -> q73Sql,
     "q74_containment" -> q74Sql,
     "q78_boilerplate" -> q78Sql,
+    "q80_incremental_dedup" -> q80Sql,
     "q26_minhash_lsh" -> q26Sql,
     "q26c_edit_distance" -> q26cSql,
     "q27_simhash" -> q27Sql,

@@ -69,6 +69,24 @@ class DedupSimilaritySpec extends SparkSpec {
       (20L, 1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("incrementalDupCheck flags new docs against the stored index") {
+    val toked = tokenized(
+      1L -> "a b c d e f g",   // index
+      2L -> "p q r s t u",     // index
+      9L -> "a b c d e f g",   // new: exact dup of 1 -> est 1.0
+      19L -> "x y z w v u t")  // new: disjoint shingles -> no candidates
+    val sigs = DedupOps.minhashSignatures(DedupOps.shingles(toked, 5))
+    val isNew = col("doc_id") >= 9L
+    val out = DedupOps.incrementalDupCheck(
+      sigs.where(isNew), sigs.where(!isNew), rowsPerBand = 4, 500000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (9L, 1L, 1L, 1000000L, true),
+      (19L, 0L, -1L, 0L, false)))
+  }
+
   test("boilerplateProfile flags within-source template shingles only") {
     // "x y" repeats across docs 1-2 of source A -> boilerplate in A;
     // doc 4 carries the same shingles in source B where each is unique
