@@ -410,6 +410,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("phraseSearch agrees with a brute-force window count on generated docs") {
+    // tiny alphabet forces real adjacency collisions, including runs of
+    // the same token (overlapping occurrences)
+    val tinyDocGen = for {
+      n <- Gen.choose(0, 14)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")
+    val docs = sample(tinyDocGen).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val phrase = Seq("a", "b")
+    val got = TextAnalysisOps.phraseSearch(
+      docs.toDF("doc_id", "text"), phrase, k = docs.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = docs.map { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      id -> toks.indices.dropRight(1)
+        .count(i => toks(i) == "a" && toks(i + 1) == "b").toLong
+    }.filter(_._2 > 0).sortBy { case (id, n) => (-n, id) }
+    assert(got == want)
+  }
+
+  test("containmentPairs equals direct set arithmetic on generated corpora") {
+    val smallTextGen = for {
+      n <- Gen.choose(0, 10)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield ws.mkString(" ")
+    val docs = sample(smallTextGen).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val n = 3
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val toked = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+    val got = DedupOps.containmentPairs(
+      DedupOps.shingles(toked, n), minMicro = 400000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1)
+      if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+      common = (sets(a) & sets(b)).size
+      micro = math.floor(1000000.0 * common /
+        math.min(sets(a).size, sets(b).size)).toLong
+      if micro >= 400000L
+    } yield (a, b) -> micro).toMap
+    assert(got == want)
+  }
+
   test("isqrtExact is exact on generated longs and double-rounding edges") {
     // The double sqrt seed rounds once values pass 2^52; the correction
     // must land on floor(sqrt(x)) exactly. Cover random magnitudes plus
