@@ -464,6 +464,52 @@ object TextAnalysisOps {
         coalesce(col("sum_log2_ctf"), lit(0L)).as("sum_log2_ctf"))
   }
 
+  /** Rare-token scrubbing — the long-tail privacy pass that complements
+    * pattern-based [[redactPii]]: a token occurring fewer than `minCtf`
+    * times in the WHOLE corpus is statistically identifying (names, ids,
+    * addresses that no regex anticipates — the k-anonymity intuition
+    * applied to vocabulary), so every occurrence is replaced by a
+    * sentinel and the text rebuilt in order.
+    *
+    * Scale shape: positional postings (narrow posexplode), one
+    * corpus-count shuffle keyed by token, one postings-vocab join (AQE
+    * broadcasts the vocab when it fits), one per-doc rebuild keyed by the
+    * high-cardinality doc id — order restored by sorting the collected
+    * (pos, token) structs, never a window. The corpus count is the SAME
+    * aggregate [[unigramRarity]] builds; a production pipeline computes
+    * it once and feeds both.
+    *
+    * Output: `(id, n_tokens, n_scrubbed, text_scrubbed)` for every doc
+    * (tokenless docs carry `(0, 0, "")`).
+    */
+  def rareTokenScrub(docs: DataFrame, minCtf: Long,
+                     sentinel: String = "<RARE>",
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    // two consumers: the vocabulary aggregate and the scrub join
+    val postings = graft.CacheScope.persist(docs
+      .select(col(idCol),
+        posexplode(TextOps.tokenize(coalesce(col(textCol), lit(""))))
+          .as(Seq("pos", "tok"))))
+    val vocab = postings.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
+    val marked = postings.join(vocab, Seq("tok"))
+      .select(col(idCol), col("pos"),
+        (col("ctf") < minCtf).as("is_rare"),
+        when(col("ctf") < minCtf, lit(sentinel)).otherwise(col("tok"))
+          .as("out_tok"))
+    val rebuilt = marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("is_rare"), 1)).as("n_scrubbed"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("out_tok")))),
+          s => s.getField("out_tok")), " ").as("text_scrubbed"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_scrubbed"), lit(0L)).as("n_scrubbed"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
   /** PII scrubbing patterns — dialect-portable (no lookaround/backrefs, so
     * Java regex and RE2 agree). Applied in order; replacement tokens keep
     * corpus statistics debuggable.

@@ -278,6 +278,36 @@ object AnalysisQueries {
     ORDER BY score DESC, doc_id LIMIT $RankedTopK"""
   }
 
+  // --- q81: rare-token privacy scrub --------------------------------------
+  // Semantics and scale shape in TextAnalysisOps.rareTokenScrub. The
+  // fixture's vocabulary has exactly one long-tail term ('dup', ctf 26 vs
+  // 840+ for everything else), so the threshold bites without degenerating.
+  val ScrubMinCtf = 100L
+
+  def q81RareScrub(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.rareTokenScrub(Tables.documents(spark, dir), ScrubMinCtf)
+      .orderBy("doc_id")
+
+  val q81Sql: String =
+    s"""WITH t AS (
+      SELECT doc_id, ${toksSql("coalesce(text, '')")} AS toks FROM documents),
+    p AS (SELECT doc_id, unnest(toks) AS tok,
+        generate_subscripts(toks, 1) AS pos FROM t),
+    v AS (SELECT tok, count(*) AS ctf FROM p GROUP BY tok),
+    m AS (SELECT p.doc_id, p.pos, v.ctf < $ScrubMinCtf AS is_rare,
+        CASE WHEN v.ctf < $ScrubMinCtf THEN '<RARE>' ELSE p.tok END AS out_tok
+      FROM p JOIN v USING (tok)),
+    r AS (SELECT doc_id, count(*) AS n_tokens,
+        CAST(count(CASE WHEN is_rare THEN 1 END) AS BIGINT) AS n_scrubbed,
+        array_to_string(list(out_tok ORDER BY pos), ' ') AS text_scrubbed
+      FROM m GROUP BY doc_id)
+    SELECT d.doc_id,
+      coalesce(r.n_tokens, 0) AS n_tokens,
+      coalesce(r.n_scrubbed, 0) AS n_scrubbed,
+      coalesce(r.text_scrubbed, '') AS text_scrubbed
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN r USING (doc_id) ORDER BY d.doc_id"""
+
   // --- q76: exact phrase search (positional postings top-k) --------------
   // Adjacency-exact retrieval; semantics and scale shape in
   // TextAnalysisOps.phraseSearch. The oracle deliberately uses a DIFFERENT
@@ -435,7 +465,8 @@ object AnalysisQueries {
     "q63b_ranked_search" -> (q63bRankedSearch _),
     "q65_quality_classifier" -> (q65QualityClassifier _),
     "q67_source_health" -> (q67SourceHealth _),
-    "q76_phrase_search" -> (q76PhraseSearch _))
+    "q76_phrase_search" -> (q76PhraseSearch _),
+    "q81_rare_scrub" -> (q81RareScrub _))
 
   val oracleSql: Map[String, String] = Map(
     "q70_unigram_rarity" -> q70Sql,
@@ -449,5 +480,6 @@ object AnalysisQueries {
     "q63b_ranked_search" -> q63bSql,
     "q65_quality_classifier" -> q65Sql,
     "q67_source_health" -> q67Sql,
-    "q76_phrase_search" -> q76Sql)
+    "q76_phrase_search" -> q76Sql,
+    "q81_rare_scrub" -> q81Sql)
 }

@@ -119,6 +119,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq((3L, 4L), (1L, 3L)))
   }
 
+  test("rareTokenScrub replaces corpus-rare tokens in place") {
+    val df = Seq(
+      (1L, "alice likes spark"),   // ctf: alice 1, bob 1, likes 3, spark 4
+      (2L, "bob likes spark"),
+      (3L, "spark likes spark"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.rareTokenScrub(df, minCtf = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, "<RARE> likes spark"),
+      (2L, 3L, 1L, "<RARE> likes spark"),
+      (3L, 3L, 0L, "spark likes spark"),
+      (4L, 0L, 0L, "")))
+  }
+
   test("rankedSearch saturates tf, weights rarity, breaks ties by id") {
     // N=4: df(rare)=2, df(common)=2 -> equal weights 4*(3-2)+1 = 5.
     // doc2/doc3 saturate at tf cap 3 (score 15), tie broken by id;
