@@ -95,6 +95,33 @@ object SimilarityOps {
       .where(col("rk") <= k)
   }
 
+  /** Two-stage retrieval: SQ8 integer-dot prefilter to `k × overfetch`
+    * candidates, then EXACT float-cosine rerank of only those — the
+    * production ANN shape (FAISS SQ/PQ + refine, public): the cheap
+    * integer scan bounds the candidate set, the expensive exact metric
+    * runs on a vanishing fraction of the corpus, and the output contract
+    * (cos_micro, rank, ties by candidate id) matches [[bruteForceTopK]]
+    * so recall is directly measurable. Both stages are deterministic, so
+    * unlike most ANN indexes the whole two-stage path is bit-exactly
+    * oracle-checkable.
+    */
+  def sq8RerankTopK(embeddings: DataFrame, everyNth: Int, k: Int,
+                    overfetch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = graft.CacheScope.persist(prepared(embeddings))
+    val cand = sq8TopK(embeddings, everyNth, k * overfetch)
+      .select(col("query_id"), col("cand_id"))
+    val scored = cand
+      .join(p.toDF("query_id", "q_emb"), "query_id")
+      .join(p.toDF("cand_id", "c_emb"), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
   /** Brute-force cosine top-k: for each query vector (`vec_id % everyNth ==
     * 0`), the k nearest other vectors by scaled cosine, ties broken by
     * candidate id. The query side is broadcast — candidates stream through

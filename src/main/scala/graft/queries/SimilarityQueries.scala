@@ -300,10 +300,48 @@ object SimilarityQueries {
     SELECT query_id, cand_id, dot_int, rk FROM r
     WHERE rk <= $TopK ORDER BY query_id, rk"""
 
+  // --- q79c: two-stage retrieval (SQ8 prefilter → exact cosine rerank) ---
+  // Semantics and scale shape in SimilarityOps.sq8RerankTopK. Both stages
+  // are deterministic, so the full two-stage path hash-verifies.
+  val RerankOverfetch = 4
+
+  def q79cSq8Rerank(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.sq8RerankTopK(
+      Tables.embeddings(spark, dir), QueryEveryNth, TopK, RerankOverfetch)
+      .orderBy("query_id", "rk")
+
+  val q79cSql: String =
+    s"""WITH $codesCte,
+    q AS (SELECT vec_id AS query_id, codes AS qc FROM c
+      WHERE vec_id % $QueryEveryNth = 0),
+    s AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+        CAST(list_reduce(list_prepend(0, list_transform(
+          list_zip(q.qc, c.codes), p -> p[1] * p[2])), (x, y) -> x + y)
+          AS BIGINT) AS dot_int
+      FROM q JOIN c ON c.vec_id <> q.query_id),
+    r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY dot_int DESC, cand_id ASC) AS rk
+      FROM s),
+    cand AS (SELECT query_id, cand_id FROM r
+      WHERE rk <= ${TopK * RerankOverfetch}),
+    e AS (
+      SELECT cand.query_id, cand.cand_id,
+        ${cosMicroSql("x.emb", "y.emb", "x.nrm", "y.nrm")} AS cos_micro
+      FROM cand
+      JOIN nn x ON x.vec_id = cand.query_id
+      JOIN nn y ON y.vec_id = cand.cand_id),
+    r2 AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rk
+      FROM e)
+    SELECT query_id, cand_id, cos_micro, rk FROM r2
+    WHERE rk <= $TopK ORDER BY query_id, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_centroid_outliers" -> (q72CentroidOutliers _),
     "q79_sq8_codes" -> (q79Sq8Codes _),
     "q79b_sq8_knn" -> (q79bSq8Knn _),
+    "q79c_sq8_rerank" -> (q79cSq8Rerank _),
     "q28_cosine_near_dup" -> (q28CosineNearDup _),
     "q62_semantic_dedup" -> (q62SemanticDedup _),
     "q29_knn_brute" -> (q29KnnBrute _),
@@ -315,6 +353,7 @@ object SimilarityQueries {
     "q72_centroid_outliers" -> q72Sql,
     "q79_sq8_codes" -> q79Sql,
     "q79b_sq8_knn" -> q79bSql,
+    "q79c_sq8_rerank" -> q79cSql,
     "q28_cosine_near_dup" -> q28Sql,
     "q62_semantic_dedup" -> q62Sql,
     "q29_knn_brute" -> q29Sql,

@@ -346,6 +346,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("SQ8 prefilter + exact rerank recall beats SQ8-only on the fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keys(SimilarityOps.bruteForceTopK(emb, 50, 5))
+    val quant = keys(SimilarityOps.sq8TopK(emb, 50, 5))
+    val rerank = keys(SimilarityOps.sq8RerankTopK(emb, 50, 5, overfetch = 4))
+    val quantRecall = (brute & quant).size.toDouble / brute.size
+    val rerankRecall = (brute & rerank).size.toDouble / brute.size
+    assert(rerankRecall >= quantRecall,
+      s"rerank $rerankRecall < sq8-only $quantRecall")
+    assert(rerankRecall >= 0.85, s"rerank recall $rerankRecall")
+  }
+
   test("cosine near-dup pairs are symmetric-free and thresholded") {
     val emb = Seq(
       (0L, Array.fill(8)(0.5f), 0),
