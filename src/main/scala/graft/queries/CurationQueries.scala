@@ -420,6 +420,55 @@ object CurationQueries {
       CAST(floor(start_offset / $PackBudget) AS BIGINT) AS bin_id
     FROM c ORDER BY source, doc_id"""
 
+  // --- q82: deletion-impact analysis over the packed corpus ---------------
+  // The right-to-be-forgotten query: given a delete list, which training
+  // bins (q58's packed sequences) are contaminated and must be rebuilt,
+  // and how much of each is lost. The delete set is keyed by CONTENT hash,
+  // not id — re-ingested copies of a deleted document are caught wherever
+  // they landed. Join-shape: the packed relation (q58's two-level prefix
+  // sum) joined to the per-doc flags on the high-cardinality doc id, one
+  // (source, bin) roll-up, affected bins only.
+  val DeleteHashMod = 17L
+
+  def q82DeletionImpact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = docs.select(col("doc_id"), col("source"),
+      size(graft.ops.TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
+    val flags = docs.select(col("doc_id"),
+      (graft.ops.HashOps.charHash(col("text")) % DeleteHashMod === 0L)
+        .as("is_del"))
+    packStartOffsets(t, PackShards)
+      .join(flags, "doc_id")
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("is_del"), 1)).as("n_deleted"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        sum(when(col("is_del"), col("n_tokens")).otherwise(0L))
+          .as("deleted_tokens"))
+      .where(col("n_deleted") > 0)
+      .orderBy("source", "bin_id")
+  }
+
+  val q82Sql: String =
+    s"""WITH t AS (
+      SELECT doc_id, source, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+        ${graft.ops.HashOps.charHashSql("text")} % $DeleteHashMod = 0 AS is_del
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens, is_del,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+      FROM t),
+    b AS (
+      SELECT source, CAST(floor(start_offset / $PackBudget) AS BIGINT) AS bin_id,
+        count(*) AS n_docs,
+        CAST(count(CASE WHEN is_del THEN 1 END) AS BIGINT) AS n_deleted,
+        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        CAST(sum(CASE WHEN is_del THEN n_tokens ELSE 0 END) AS BIGINT)
+          AS deleted_tokens
+      FROM c GROUP BY source, bin_id)
+    SELECT * FROM b WHERE n_deleted > 0 ORDER BY source, bin_id"""
+
   // --- q69: context-window chunking ---------------------------------------
   // The doc → training-sequence step q58 budgets for: each document is cut
   // into token windows of ChunkSize every ChunkStride tokens (windows
@@ -510,7 +559,8 @@ object CurationQueries {
     "q57b_token_budget" -> (q57bTokenBudget _),
     "q75_temperature_mix" -> (q75TemperatureMix _),
     "q68_adaptive_length" -> (q68AdaptiveLength _),
-    "q58_sequence_packing" -> (q58SequencePacking _))
+    "q58_sequence_packing" -> (q58SequencePacking _),
+    "q82_deletion_impact" -> (q82DeletionImpact _))
 
   val oracleSql: Map[String, String] = Map(
     "q69_context_chunks" -> q69Sql,
@@ -523,5 +573,6 @@ object CurationQueries {
     "q57b_token_budget" -> q57bSql,
     "q75_temperature_mix" -> q75Sql,
     "q68_adaptive_length" -> q68Sql,
-    "q58_sequence_packing" -> q58Sql)
+    "q58_sequence_packing" -> q58Sql,
+    "q82_deletion_impact" -> q82Sql)
 }
