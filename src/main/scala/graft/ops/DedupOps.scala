@@ -678,6 +678,10 @@ object DedupOps {
     * streams map-side over the training shingles; the wide ops are keyed
     * by (bench_id, train_id) then bench_id — both fine-grained. The bench
     * universe is docs with ≥1 shingle (shorter docs have nothing to leak).
+    * A stop-shingle shared by a bench doc and millions of train docs
+    * inflates the join output (that fan-out IS the audit's answer, but it
+    * costs the shuffle); [[capShingleDf]] on the bench side is the same
+    * escape hatch the Jaccard family uses.
     */
   def leakageAudit(benchSh: DataFrame, trainSh: DataFrame,
                    idCol: String = "doc_id"): DataFrame = {

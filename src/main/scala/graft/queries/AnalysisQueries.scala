@@ -278,6 +278,57 @@ object AnalysisQueries {
     ORDER BY score DESC, doc_id LIMIT $RankedTopK"""
   }
 
+  // --- q83: per-source token-distribution drift between snapshots ---------
+  // The mixture-monitoring query a crawl pipeline runs between snapshot
+  // refreshes: has a source's token distribution moved? Docs split into
+  // snapshot A/B by doc_id parity (the q71 convention); per source the
+  // drift is the L1 distance between the two term distributions, kept
+  // EXACT by cross-multiplying instead of dividing:
+  //   drift_cross = Σ_t |cA(t)·totB − cB(t)·totA|
+  //               = totA·totB · Σ_t |P_A(t) − P_B(t)|
+  // — all int64 (counts ≤ 1e6 per source keep the products ≪ 2^63), so
+  // the score hash-verifies with no float folds. One token-count shuffle
+  // keyed (source, term, snapshot), one conditional-sum pivot, scalar
+  // totals broadcast back.
+  def q83DistributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), (col("doc_id") % 2 === 0).as("in_a"),
+        explode(TextOps.tokenize(col("text"))).as("term"))
+    val counts = toks.groupBy("source", "term")
+      .agg(count(when(col("in_a"), 1)).as("c_a"),
+        count(when(!col("in_a"), 1)).as("c_b"))
+    val totals = counts.groupBy("source")
+      .agg(sum("c_a").as("tot_a"), sum("c_b").as("tot_b"))
+    counts.join(totals, "source")
+      .groupBy(col("source"), col("tot_a"), col("tot_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(abs(col("c_a") * col("tot_b") - col("c_b") * col("tot_a")))
+          .as("drift_cross"))
+      .select(col("source"), col("tot_a"), col("tot_b"), col("n_terms"),
+        col("drift_cross"))
+      .orderBy("source")
+  }
+
+  val q83Sql: String =
+    s"""WITH p AS (
+      SELECT source, doc_id % 2 = 0 AS in_a, unnest(${toksSql("text")}) AS term
+      FROM documents),
+    c AS (
+      SELECT source, term,
+        CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS c_a,
+        CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS c_b
+      FROM p GROUP BY source, term),
+    t AS (
+      SELECT source, CAST(sum(c_a) AS BIGINT) AS tot_a,
+        CAST(sum(c_b) AS BIGINT) AS tot_b
+      FROM c GROUP BY source)
+    SELECT c.source, t.tot_a, t.tot_b,
+      count(*) AS n_terms,
+      CAST(sum(abs(c.c_a * t.tot_b - c.c_b * t.tot_a)) AS BIGINT) AS drift_cross
+    FROM c JOIN t USING (source)
+    GROUP BY c.source, t.tot_a, t.tot_b
+    ORDER BY c.source"""
+
   // --- q81: rare-token privacy scrub --------------------------------------
   // Semantics and scale shape in TextAnalysisOps.rareTokenScrub. The
   // fixture's vocabulary has exactly one long-tail term ('dup', ctf 26 vs
@@ -466,7 +517,8 @@ object AnalysisQueries {
     "q65_quality_classifier" -> (q65QualityClassifier _),
     "q67_source_health" -> (q67SourceHealth _),
     "q76_phrase_search" -> (q76PhraseSearch _),
-    "q81_rare_scrub" -> (q81RareScrub _))
+    "q81_rare_scrub" -> (q81RareScrub _),
+    "q83_distribution_drift" -> (q83DistributionDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q70_unigram_rarity" -> q70Sql,
@@ -481,5 +533,6 @@ object AnalysisQueries {
     "q65_quality_classifier" -> q65Sql,
     "q67_source_health" -> q67Sql,
     "q76_phrase_search" -> q76Sql,
-    "q81_rare_scrub" -> q81Sql)
+    "q81_rare_scrub" -> q81Sql,
+    "q83_distribution_drift" -> q83Sql)
 }
