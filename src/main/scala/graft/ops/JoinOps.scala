@@ -108,8 +108,9 @@ object JoinOps {
     * shape: correlate two event streams per user within a time bound).
     * The key multiplies selectivity for free — it rides the same shuffle.
     *
-    * Output: probe columns then interval columns (names must be disjoint
-    * apart from `extraKeys`, which appear once).
+    * Output: the join keys (`extraKeys`) first, then remaining probe and
+    * interval columns (names must be disjoint apart from `extraKeys`,
+    * which appear once).
     */
   def rangeJoinBucketed(probe: DataFrame, intervals: DataFrame,
                         tsCol: String, startCol: String, endCol: String,
