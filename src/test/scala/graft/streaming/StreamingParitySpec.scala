@@ -174,6 +174,36 @@ class StreamingParitySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("running user totals: final streamed state matches the batch aggregate") {
+    // the flatMapGroupsWithState body over the real fixture replay: the
+    // LAST emitted row per user (lifetime state at stream end) must agree
+    // with the batch per-user aggregate. Counts compare exactly; the
+    // float total compares within ulp slack because the streamed fold
+    // adds in replay order while batch partial aggregation does not.
+    val streamDir = stageChunks()
+    val streamed = StreamingOps.eventsFileStream(spark, streamDir)
+      .where(col("event_id") >= 0) // drop the flush row (its own user)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[StreamingOps.UserEvent]
+    val got = runAppend(
+      StreamingOps.runningUserTotals(streamed).toDF, "parity_running")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }
+      .toSeq.sortBy(_._1)
+    val want = graft.Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(_._1)
+    assert(got.length == want.length,
+      s"streamed ${got.length} users vs batch ${want.length}")
+    got.zip(want).foreach { case ((u1, n1, t1), (u2, n2, t2)) =>
+      assert(u1 == u2 && n1 == n2, s"user $u1/$u2 count $n1/$n2")
+      assert(math.abs(t1 - t2) <= 1e-9 * math.max(1.0, math.abs(t2)),
+        s"user $u1 total $t1 vs $t2")
+    }
+  }
+
   test("q34 session body: streamed file replay is row-identical to batch") {
     val streamDir = stageChunks()
     val streamed = StreamingOps.eventsFileStream(spark, streamDir)
