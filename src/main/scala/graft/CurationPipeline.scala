@@ -70,17 +70,23 @@ object CurationPipeline {
     * stages-1-3 relation.
     */
   def curateFrom(exact: DataFrame,
-                 maxShingleDf: Long = MaxShingleDf): DataFrame = {
+                 maxShingleDf: Long = MaxShingleDf): DataFrame =
+    curateFromPairs(exact, nearDupPairs(exact, maxShingleDf))
+
+  /** Stage-4 greedy retention over precomputed near-dup pairs — split out
+    * so a caller holding a memoized pairs relation (CurationQueries: q50
+    * and q50b consume the SAME pairs) skips the shingle/join rebuild.
+    */
+  def curateFromPairs(exact: DataFrame, pairs: DataFrame): DataFrame = {
     // 4: near-dup removal — drop docs that near-duplicate a smaller id;
     // hot boilerplate shingles are dropped first (skew guard)
-    val pairs = nearDupPairs(exact, maxShingleDf)
     val drops = pairs.select(col("id_b").as("doc_id")).distinct()
     exact.join(drops, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"),
         size(col("toks")).cast("long").as("n_tokens"))
   }
 
-  private def nearDupPairs(exact: DataFrame, maxShingleDf: Long): DataFrame =
+  private[graft] def nearDupPairs(exact: DataFrame, maxShingleDf: Long): DataFrame =
     DedupOps.jaccardPairs(
       DedupOps.capShingleDf(
         DedupOps.shingles(exact.select("doc_id", "toks"), ShingleN),
@@ -133,8 +139,14 @@ object CurationPipeline {
     * per round).
     */
   def curateClusterDedupFrom(exact: DataFrame,
-                             maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    val pairs = nearDupPairs(exact, maxShingleDf)
+                             maxShingleDf: Long = MaxShingleDf): DataFrame =
+    curateClusterDedupFromPairs(exact, nearDupPairs(exact, maxShingleDf))
+
+  /** Cluster-canonical stage 4 over precomputed pairs (see
+    * [[curateFromPairs]] for why the pairs are injectable).
+    */
+  def curateClusterDedupFromPairs(exact: DataFrame,
+                                  pairs: DataFrame): DataFrame = {
     val clusters = DedupOps.duplicateClusters(
       exact.select("doc_id"), pairs.select("id_a", "id_b"))
     exact.join(clusters, Seq("doc_id"))

@@ -32,17 +32,38 @@ object CurationQueries {
       })
   }
 
-  /** Drop every memoized curation prefix and release its storage. */
+  /** The near-dup PAIRS relation memoized alongside the prefix: q50 and
+    * q50b consume the SAME pairs (drop-list vs cluster retention), and as
+    * independent programs each would re-shingle and re-join. Tiny frame
+    * (one row per near-dup pair), same lifecycle as [[exactCache]].
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def pairsDf(spark: SparkSession, dir: String): DataFrame = {
+    pairsCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    pairsCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) =>
+        CurationPipeline.nearDupPairs(exactDf(spark, d),
+          CurationPipeline.MaxShingleDf)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  /** Drop every memoized curation relation and release its storage. */
   def evictAll(): Unit = {
-    val it = exactCache.values.iterator()
-    while (it.hasNext) {
-      it.next().unpersist(blocking = false)
-      it.remove()
+    Seq(exactCache, pairsCache).foreach { cache =>
+      val it = cache.values.iterator()
+      while (it.hasNext) {
+        it.next().unpersist(blocking = false)
+        it.remove()
+      }
     }
   }
 
   def q50CuratedCorpus(spark: SparkSession, dir: String): DataFrame =
-    CurationPipeline.curateFrom(exactDf(spark, dir)).orderBy("doc_id")
+    CurationPipeline.curateFromPairs(exactDf(spark, dir), pairsDf(spark, dir))
+      .orderBy("doc_id")
 
   /** Shared oracle CTE chain for both stage-4 retention policies:
     * redact → quality gate → exact dedup → capped shingles → Jaccard
@@ -105,7 +126,8 @@ object CurationQueries {
   // near-dup component (the min id), resolved by the oracle's recursive
   // closure vs Spark's label propagation.
   def q50bClusterCurated(spark: SparkSession, dir: String): DataFrame =
-    CurationPipeline.curateClusterDedupFrom(exactDf(spark, dir))
+    CurationPipeline.curateClusterDedupFromPairs(
+      exactDf(spark, dir), pairsDf(spark, dir))
       .orderBy("doc_id")
 
   val q50bSql: String =
