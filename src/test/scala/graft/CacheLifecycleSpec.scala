@@ -18,6 +18,7 @@ class CacheLifecycleSpec extends SparkSpec {
       queries.SimilarityQueries.evictAll()
       queries.NlpQueries.evictAll()
       queries.CurationQueries.evictAll()
+      queries.DedupQueries.evictAll()
       val leaked = spark.sparkContext.getPersistentRDDs
       assert(leaked.isEmpty,
         s"$name leaked ${leaked.size} persisted RDD(s): " +
