@@ -513,6 +513,59 @@ object DedupQueries {
     SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
     FROM reach GROUP BY id ORDER BY doc_id"""
 
+  // --- q84: quality-aware cluster retention --------------------------------
+  // q50b/q55 keep each near-dup cluster's MIN-ID doc; real fuzzy-dedup
+  // pipelines keep the BEST doc (RefinedWeb keeps the longest/cleanest).
+  // Same clusters, retention re-ranked by an integer quality signal
+  // (distinct-token count — the TTR numerator), ties to the smaller id so
+  // the choice stays total. One quality projection + one per-cluster
+  // window; the oracle recomputes the closure with its recursive CTE and
+  // must agree on every keep/drop decision.
+  def q84ClusterBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = DedupOps.duplicateClusters(
+      Tables.documents(spark, dir), jpairs(spark, dir))
+    val quality = tokenized(spark, dir)
+      .select(col("doc_id"),
+        size(array_distinct(col("toks"))).cast("long").as("quality"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  val q84Sql: String =
+    s"""WITH RECURSIVE $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    jpairs AS (
+      SELECT id_a, id_b FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= $JaccardMinMicro),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jpairs
+      UNION ALL SELECT id_b, id_a FROM jpairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM tok
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    cl AS (SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id),
+    q AS (SELECT doc_id, CAST(len(list_distinct(toks)) AS BIGINT) AS quality
+      FROM tok),
+    r AS (SELECT cl.doc_id, cl.cluster_id, q.quality,
+        row_number() OVER (PARTITION BY cl.cluster_id
+          ORDER BY q.quality DESC, cl.doc_id ASC) AS rk
+      FROM cl JOIN q USING (doc_id))
+    SELECT doc_id, cluster_id, quality, rk = 1 AS kept
+    FROM r ORDER BY doc_id"""
+
   // --- q61: duplicated-span stripping (ExactSubstr-style sub-document
   // dedup, Lee et al. 2022) — every 10-token span occurring >1 time in
   // the corpus is removed from every doc that carries it ------------------
@@ -556,6 +609,7 @@ object DedupQueries {
     "q74_containment" -> (q74Containment _),
     "q78_boilerplate" -> (q78Boilerplate _),
     "q80_incremental_dedup" -> (q80IncrementalDedup _),
+    "q84_cluster_best" -> (q84ClusterBest _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q26b_minhash_mllib" -> (q26bMinhashMllib _),
     "q26c_edit_distance" -> (q26cEditDistance _),
@@ -574,6 +628,7 @@ object DedupQueries {
     "q74_containment" -> q74Sql,
     "q78_boilerplate" -> q78Sql,
     "q80_incremental_dedup" -> q80Sql,
+    "q84_cluster_best" -> q84Sql,
     "q26_minhash_lsh" -> q26Sql,
     "q26c_edit_distance" -> q26cSql,
     "q27_simhash" -> q27Sql,

@@ -147,6 +147,23 @@ class RarityAndRefreshSpec extends SparkSpec {
     assert(got("Y") == (2L, 2L, 2L, 8L))
   }
 
+  test("q84 keeps the highest-quality doc of a near-dup cluster") {
+    // docs 1-2 share 3 of 6 5-gram shingles (Jaccard 0.5 >= 0.3) -> one
+    // cluster; doc 2 has MORE distinct tokens, so quality retention keeps
+    // it while min-id retention (q55/q50b) would keep doc 1. doc 3 is its
+    // own cluster and always kept.
+    val dir = stageDocs(
+      (1L, "S", "a b c d e f g x"),
+      (2L, "S", "a b c d e f g h i"),
+      (3L, "S", "p q r s t"))
+    val got = DedupQueries.q84ClusterBest(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L) == (1L, 8L, false))
+    assert(got(2L) == (1L, 9L, true))
+    assert(got(3L) == (3L, 5L, true))
+  }
+
   test("q82 affected bins account for exactly the flagged delete set") {
     // flags are content-hash-derived; recompute them independently and
     // check the affected-bin roll-up totals them without loss
