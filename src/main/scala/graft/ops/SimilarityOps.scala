@@ -84,16 +84,25 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val c = sq8Codes(embeddings)
     val q = c.where(col("vec_id") % everyNth === 0).toDF("query_id", "q_codes")
+    // the fused native expression, not the zip_with/aggregate HOF pair —
+    // this fold runs once per (query, candidate); agreement between the
+    // two forms is property-tested (see sq8DotHof)
     val scored = c.toDF("cand_id", "c_codes")
       .join(broadcast(q), col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        aggregate(zip_with(col("q_codes"), col("c_codes"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("dot_int"))
+        graft.functions.IntDot.intDot(col("q_codes"), col("c_codes"))
+          .as("dot_int"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("dot_int").desc, col("cand_id").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
   }
+
+  /** The higher-order reference formulation of [[graft.functions.IntDot]]
+    * — kept as the agreement-test twin, never on the hot path.
+    */
+  def sq8DotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Two-stage retrieval: SQ8 integer-dot prefilter to `k × overfetch`
     * candidates, then EXACT float-cosine rerank of only those — the

@@ -170,8 +170,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** `spark.sql.extensions` entry point: registers [[RangeJoinRewrite]] and
-  * the native graft functions (`cosine_sim`, `poly_char_hash`) into every
-  * session built over the extensions, e.g.
+  * the native graft functions (`cosine_sim`, `poly_char_hash`, `int_dot`)
+  * into every session built over the extensions, e.g.
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   */
@@ -187,5 +187,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("poly_char_hash"),
       new ExpressionInfo(classOf[graft.functions.PolyCharHash].getName, "poly_char_hash"),
       exprs => graft.functions.PolyCharHash(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[graft.functions.IntDot].getName, "int_dot"),
+      exprs => graft.functions.IntDot(exprs(0), exprs(1))))
   }
 }
