@@ -436,14 +436,48 @@ object TextAnalysisOps {
     * never all-pairs — when a web-scale vocabulary doesn't.
     */
   def unigramRarity(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text"): DataFrame =
+    rarityProfile(docs,
+      docs.select(col(idCol),
+        explode(TextOps.tokenize(coalesce(col(textCol), lit("")))).as("tok")),
+      idCol)
+
+  /** Bigram familiarity — the sequence-plausibility upgrade of
+    * [[unigramRarity]]: the same integer log2-bucket profile computed over
+    * word BIGRAM instances, so a doc whose individual words are common but
+    * whose word ORDER is corpus-alien (shuffled text, word-salad spam,
+    * wrong-language-model output) scores low familiarity where the unigram
+    * profile cannot see a problem. Column names keep the generic term
+    * semantics: `n_tokens` counts bigram instances, `n_hapax`/`n_rare`
+    * corpus-rare bigram instances, `sum_log2_ctf` the familiarity mass.
+    */
+  def bigramFamiliarity(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val staged = docs.select(col(idCol),
+      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
+    val terms = staged
+      .select(col(idCol),
+        when(org.apache.spark.sql.functions.size(col("toks")) >= 2,
+          transform(
+            sequence(lit(0),
+              org.apache.spark.sql.functions.size(col("toks")) - 2),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(2)))))
+          .otherwise(array().cast("array<string>")).as("bs"))
+      .select(col(idCol), explode(col("bs")).as("tok"))
+    rarityProfile(docs, terms, idCol)
+  }
+
+  /** Shared core of the rarity/familiarity profiles over a term-INSTANCE
+    * relation `(id, tok)` — see [[unigramRarity]] for the signal and
+    * scale documentation.
+    */
+  private def rarityProfile(docs: DataFrame, terms: DataFrame,
+                            idCol: String): DataFrame = {
     // persisted: BOTH the profile join's probe side and the vocabulary
     // aggregate consume the postings, and Catalyst never shares work
     // across join branches — unpersisted, the corpus tokenizes twice
-    val postings = graft.CacheScope.persist(docs
-      .select(col(idCol),
-        explode(TextOps.tokenize(coalesce(col(textCol), lit("")))).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf")))
+    val postings = graft.CacheScope.persist(
+      terms.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf")))
     val vocab = postings.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
     val log2Ctf = (length(conv(col("ctf"), 10, 2)) - 1).cast("long")
     val profile = postings.join(vocab, Seq("tok"))

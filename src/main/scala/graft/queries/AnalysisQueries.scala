@@ -504,8 +504,43 @@ object AnalysisQueries {
     FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id"""
   }
 
+  // --- q70b: bigram familiarity (sequence-plausibility proxy) ------------
+  // See TextAnalysisOps.bigramFamiliarity: the q70 profile over word
+  // BIGRAM instances — catches corpus-alien word ORDER that the unigram
+  // profile is blind to. Same integer log2-bucket arithmetic.
+  def q70bBigramFamiliarity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.bigramFamiliarity(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  val q70bSql: String = {
+    val rare = TextAnalysisOps.RareMaxCtf
+    raw"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    p AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+        i -> toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2])) AS tok
+      FROM t),
+    dt AS (SELECT doc_id, tok, count(*) AS tf FROM p GROUP BY doc_id, tok),
+    v AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS ctf FROM dt GROUP BY tok),
+    agg AS (SELECT dt.doc_id,
+      CAST(sum(dt.tf) AS BIGINT) AS n_tokens,
+      count(*) AS n_distinct,
+      CAST(sum(CASE WHEN v.ctf = 1 THEN dt.tf ELSE 0 END) AS BIGINT) AS n_hapax,
+      CAST(sum(CASE WHEN v.ctf <= $rare THEN dt.tf ELSE 0 END) AS BIGINT) AS n_rare,
+      CAST(min(v.ctf) AS BIGINT) AS min_ctf,
+      CAST(sum(dt.tf * (length(format('{:b}', v.ctf)) - 1)) AS BIGINT) AS sum_log2_ctf
+      FROM dt JOIN v ON dt.tok = v.tok GROUP BY dt.doc_id)
+    SELECT t.doc_id,
+      coalesce(a.n_tokens, 0) AS n_tokens,
+      coalesce(a.n_distinct, 0) AS n_distinct,
+      coalesce(a.n_hapax, 0) AS n_hapax,
+      coalesce(a.n_rare, 0) AS n_rare,
+      coalesce(a.min_ctf, 0) AS min_ctf,
+      coalesce(a.sum_log2_ctf, 0) AS sum_log2_ctf
+    FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_unigram_rarity" -> (q70UnigramRarity _),
+    "q70b_bigram_familiarity" -> (q70bBigramFamiliarity _),
     "q20_lang_id" -> (q20LangId _),
     "q21_quality" -> (q21Quality _),
     "q21b_repetition" -> (q21bRepetition _),
@@ -534,5 +569,6 @@ object AnalysisQueries {
     "q67_source_health" -> q67Sql,
     "q76_phrase_search" -> q76Sql,
     "q81_rare_scrub" -> q81Sql,
-    "q83_distribution_drift" -> q83Sql)
+    "q83_distribution_drift" -> q83Sql,
+    "q70b_bigram_familiarity" -> q70bSql)
 }

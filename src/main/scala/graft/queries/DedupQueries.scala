@@ -513,6 +513,55 @@ object DedupQueries {
     SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
     FROM reach GROUP BY id ORDER BY doc_id"""
 
+  // --- q85: per-source dedup-rate report -----------------------------------
+  // The duplication dashboard a corpus pipeline watches per refresh: for
+  // each source, how many docs are exact duplicates (q24's relation) and
+  // how many participate in any near-dup pair (q25's relation). A source
+  // whose rates jump signals a scraping/ingest regression. Shares the
+  // memoized pairs; the exact stage is one content-keyed shuffle; the
+  // roll-up is one aggregate keyed by source.
+  def q85DedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val exact = DedupOps.exactDuplicates(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("is_duplicate"))
+    val p = jpairs(spark, dir)
+    val members = p.select(col("id_a").as("doc_id"))
+      .union(p.select(col("id_b").as("doc_id")))
+      .distinct().withColumn("near", lit(1))
+    docs.join(exact, "doc_id")
+      .join(members, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("is_duplicate"), 1)).as("n_exact_dups"),
+        count(col("near")).as("n_near_members"))
+      .orderBy("source")
+  }
+
+  val q85Sql: String =
+    s"""WITH $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    jp AS (
+      SELECT id_a, id_b FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= $JaccardMinMicro),
+    members AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM jp UNION ALL SELECT id_b FROM jp)),
+    g AS (SELECT text, min(doc_id) AS canonical_id FROM documents GROUP BY text)
+    SELECT d.source, count(*) AS n_docs,
+      CAST(count(CASE WHEN d.doc_id <> g.canonical_id THEN 1 END) AS BIGINT)
+        AS n_exact_dups,
+      CAST(count(m.doc_id) AS BIGINT) AS n_near_members
+    FROM documents d
+    JOIN g ON d.text = g.text
+    LEFT JOIN members m ON d.doc_id = m.doc_id
+    GROUP BY d.source ORDER BY d.source"""
+
   // --- q84: quality-aware cluster retention --------------------------------
   // q50b/q55 keep each near-dup cluster's MIN-ID doc; real fuzzy-dedup
   // pipelines keep the BEST doc (RefinedWeb keeps the longest/cleanest).
@@ -610,6 +659,7 @@ object DedupQueries {
     "q78_boilerplate" -> (q78Boilerplate _),
     "q80_incremental_dedup" -> (q80IncrementalDedup _),
     "q84_cluster_best" -> (q84ClusterBest _),
+    "q85_dedup_report" -> (q85DedupReport _),
     "q26_minhash_lsh" -> (q26MinhashLsh _),
     "q26b_minhash_mllib" -> (q26bMinhashMllib _),
     "q26c_edit_distance" -> (q26cEditDistance _),
@@ -629,6 +679,7 @@ object DedupQueries {
     "q78_boilerplate" -> q78Sql,
     "q80_incremental_dedup" -> q80Sql,
     "q84_cluster_best" -> q84Sql,
+    "q85_dedup_report" -> q85Sql,
     "q26_minhash_lsh" -> q26Sql,
     "q26c_edit_distance" -> q26cSql,
     "q27_simhash" -> q27Sql,

@@ -147,6 +147,19 @@ class RarityAndRefreshSpec extends SparkSpec {
     assert(got("Y") == (2L, 2L, 2L, 8L))
   }
 
+  test("bigramFamiliarity profiles word-order rarity over bigram instances") {
+    // bigram instances: doc1 {a b, b a, a b}, doc2 {a b, b c}, doc3 none;
+    // corpus ctf: "a b"=3, "b a"=1, "b c"=1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysisOps.bigramFamiliarity(docs).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6)))
+    assert(r(0) == ((1L, 3L, 2L, 1L, 3L, 1L, 2L))) // 2·msb(3) + msb(1)
+    assert(r(1) == ((2L, 2L, 2L, 1L, 2L, 1L, 1L)))
+    assert(r(2) == ((3L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("q84 keeps the highest-quality doc of a near-dup cluster") {
     // docs 1-2 share 3 of 6 5-gram shingles (Jaccard 0.5 >= 0.3) -> one
     // cluster; doc 2 has MORE distinct tokens, so quality retention keeps
