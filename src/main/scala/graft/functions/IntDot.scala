@@ -19,13 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * fused codegen loop over the two arrays — zero allocations, stays
   * inside WholeStageCodegen.
   *
-  * Contract (matching the HOF form on the quantizer's output, where both
-  * arrays are equal-length and null-free): products accumulate into a
-  * 64-bit sum pairwise over the shorter length; a null ELEMENT on either
-  * side contributes 0 (`zip_with`'s null product is likewise dropped by
-  * the long-seeded sum only when coalesced — the quantizer never emits
-  * null elements, and the agreement property test pins the two forms to
-  * each other on null-free inputs). Null ARRAY input → null.
+  * Contract: products accumulate into a 64-bit sum pairwise over the
+  * shorter length; a null ELEMENT on either side contributes 0; a null
+  * ARRAY input yields null. The quantizer emits equal-length null-free
+  * arrays, where this is bit-identical to the HOF form (the agreement
+  * property test pins the two on exactly that domain — on null elements
+  * the HOF's null product would instead null the whole sum, and on
+  * unequal lengths `zip_with` null-pads, so the forms intentionally
+  * diverge outside the contract).
   */
 case class IntDot(left: Expression, right: Expression)
     extends BinaryExpression {
