@@ -321,6 +321,57 @@ object CurationQueries {
     WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
     ORDER BY t.doc_id"""
 
+  /** Context-window size/stride shared by q69 and q86 — declared ABOVE
+    * both Sql strings: a forward reference from a strict val interpolation
+    * would silently read 0 (caught once by a zero-width q86 oracle).
+    */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  // --- q86: chunk-level dedup (training-sequence granularity) -------------
+  // Completes the dedup granularity ladder: documents (q24), sub-document
+  // spans (q61), and now the CHUNKS that actually become training
+  // sequences (q69's windows) — a passage repeated across documents
+  // produces byte-identical chunks even when neither whole doc is a dup.
+  // Per doc: how many of its chunks also occur elsewhere in the corpus
+  // (by exact chunk text), 1e6-scaled. One content-keyed shuffle over the
+  // chunk relation, one per-doc roll-up — q24's shape, one level down.
+  def q86ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = TextAnalysisOps.contextChunks(
+      Tables.documents(spark, dir), ChunkSize, ChunkStride)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+    // two consumers: the frequency aggregate and the roll-up join
+    val cached = graft.CacheScope.persist(chunks)
+    val freq = cached.groupBy("chunk_text").agg(count(lit(1)).as("n_occ"))
+    cached.join(freq, "chunk_text")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("n_occ") > 1, 1)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        floor(lit(1000000L) * col("n_dup_chunks") / col("n_chunks"))
+          .cast("long").as("dup_chunk_micro"))
+      .orderBy("doc_id")
+  }
+
+  val q86Sql: String =
+    s"""WITH t AS (
+      SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+        array_to_string(toks[(CAST(s AS INT)+1):(CAST(s AS INT)+$ChunkSize)], ' ')
+          AS chunk_text
+      FROM (SELECT doc_id, toks,
+          unnest(range(0, len(toks), $ChunkStride)) AS s
+        FROM t)),
+    f AS (SELECT chunk_text, count(*) AS n_occ FROM c GROUP BY chunk_text),
+    r AS (
+      SELECT c.doc_id, count(*) AS n_chunks,
+        CAST(count(CASE WHEN f.n_occ > 1 THEN 1 END) AS BIGINT) AS n_dup_chunks
+      FROM c JOIN f USING (chunk_text) GROUP BY c.doc_id)
+    SELECT doc_id, n_chunks, n_dup_chunks,
+      CAST(floor(1000000 * n_dup_chunks / n_chunks) AS BIGINT) AS dup_chunk_micro
+    FROM r ORDER BY doc_id"""
+
   // --- q58: sequence packing — concatenate-and-split token budgeting ------
   // How pre-training batches are built: docs are concatenated in a
   // deterministic order and split at a fixed token budget; each doc gets
@@ -499,9 +550,8 @@ object CurationQueries {
   // narrow per-row work — stage toks, generate the start offsets, explode,
   // slice — zero shuffles before the oracle's ORDER BY, so throughput is
   // scan-bound at any corpus size. chunk_id is start/stride (exact integer
-  // division), not an ordinal: no window function needed.
-  val ChunkSize = 64
-  val ChunkStride = 48
+  // division), not an ordinal: no window function needed. ChunkSize /
+  // ChunkStride are declared above q86 (shared; val-order constraint).
 
   def q69ContextChunks(spark: SparkSession, dir: String): DataFrame =
     TextAnalysisOps.contextChunks(
@@ -582,7 +632,8 @@ object CurationQueries {
     "q75_temperature_mix" -> (q75TemperatureMix _),
     "q68_adaptive_length" -> (q68AdaptiveLength _),
     "q58_sequence_packing" -> (q58SequencePacking _),
-    "q82_deletion_impact" -> (q82DeletionImpact _))
+    "q82_deletion_impact" -> (q82DeletionImpact _),
+    "q86_chunk_dedup" -> (q86ChunkDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q69_context_chunks" -> q69Sql,
@@ -596,5 +647,6 @@ object CurationQueries {
     "q75_temperature_mix" -> q75Sql,
     "q68_adaptive_length" -> q68Sql,
     "q58_sequence_packing" -> q58Sql,
-    "q82_deletion_impact" -> q82Sql)
+    "q82_deletion_impact" -> q82Sql,
+    "q86_chunk_dedup" -> q86Sql)
 }
