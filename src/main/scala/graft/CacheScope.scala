@@ -47,6 +47,17 @@ object CacheScope {
     ds
   }
 
+  /** [[persist]], unless `ds` is already persisted — in which case it is a
+    * longer-lived cache (a session memo such as DedupQueries' shingle
+    * relation) that must NOT be drained at the next query boundary:
+    * registering it here would unpersist the memo out from under every
+    * later query that consumes it, silently re-deriving the whole upstream
+    * chain each time.
+    */
+  def persistIfUnpersisted[T](ds: Dataset[T],
+                              level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] =
+    if (ds.storageLevel == StorageLevel.NONE) persist(ds, level) else ds
+
   /** Schedule an already-persisted RDD (e.g. a local checkpoint backing a
     * returned DataFrame) for release at the next [[releaseAll]].
     */

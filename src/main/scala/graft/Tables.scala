@@ -54,7 +54,17 @@ object Tables {
     * traffic. Dimension tables skip it too (they broadcast; fanning 5
     * rows over 32 tasks is pure overhead).
     */
-  private def rebalance(spark: SparkSession, df: DataFrame): DataFrame = {
+  // Scan-partition counts probed by rebalance, keyed per application +
+  // table path: df.rdd.getNumPartitions forces full physical planning and
+  // RDD lineage construction, and documents()/embeddings() are called once
+  // per registered query in a Verify/Bench run — probing every time pays
+  // that planning cost hundreds of times for an answer that cannot change
+  // while the fixture files and session parallelism are fixed.
+  private val scanParts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
+
+  private def rebalance(spark: SparkSession, dir: String, name: String,
+                        df: DataFrame): DataFrame = {
     // 8-way, not defaultParallelism: the win is breaking the single-task
     // serialization of per-row compute; past ~8 ways the extra tiny tasks
     // cost more in per-stage scheduling than they recover, especially for
@@ -62,13 +72,17 @@ object Tables {
     // round (measured: 32-way made the CC/packing families 1.5-2x slower
     // while 8-way keeps the 2-4x single-pass wins)
     val p = math.min(spark.sparkContext.defaultParallelism, 8)
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    scanParts.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    val n: Int = scanParts.computeIfAbsent(
+      (spark.sparkContext.applicationId, s"$dir/$name"),
+      _ => Integer.valueOf(df.rdd.getNumPartitions))
+    if (n < p) df.repartition(p) else df
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame  =
-    rebalance(spark, read(spark, dir, "documents"))
+    rebalance(spark, dir, "documents", read(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    rebalance(spark, read(spark, dir, "embeddings"))
+    rebalance(spark, dir, "embeddings", read(spark, dir, "embeddings"))
   /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which the
     * Spark reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as
     * Long and floor-convert to a microsecond timestamp — the same ns→us

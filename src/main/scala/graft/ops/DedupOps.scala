@@ -160,6 +160,15 @@ object DedupOps {
     * joining against the kept set would shuffle the full shingle relation
     * a second time.
     */
+  def capShingleDf(sh: DataFrame, maxDf: Long,
+                   idCol: String = "doc_id"): DataFrame = {
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("shingle"))
+    // the using-column join moves `shingle` first; downstream ops rename
+    // positionally, so restore the (id, shingle) order
+    sh.join(hot, Seq("shingle"), "left_anti").select(col(idCol), col("shingle"))
+  }
+
   /** Per-source boilerplate profile — the CCNet/RefinedWeb observation
     * (public) that template text (headers, navigation chrome, license
     * footers) repeats across many documents of the SAME source while real
@@ -183,7 +192,7 @@ object DedupOps {
   def boilerplateProfile(sh: DataFrame, minDocs: Long,
                          idCol: String = "doc_id"): DataFrame = {
     // two consumers: the df aggregate and the back-join
-    val cached = graft.CacheScope.persist(sh)
+    val cached = graft.CacheScope.persistIfUnpersisted(sh)
     val bp = cached.groupBy(col("source"), col("shingle"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocs)
@@ -196,15 +205,6 @@ object DedupOps {
         col("n_boilerplate"),
         floor(lit(1000000L) * col("n_boilerplate") / col("n_shingles"))
           .cast("long").as("boilerplate_micro"))
-  }
-
-  def capShingleDf(sh: DataFrame, maxDf: Long,
-                   idCol: String = "doc_id"): DataFrame = {
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select(col("shingle"))
-    // the using-column join moves `shingle` first; downstream ops rename
-    // positionally, so restore the (id, shingle) order
-    sh.join(hot, Seq("shingle"), "left_anti").select(col(idCol), col("shingle"))
   }
 
   /** Shared core of the all-pairs set-overlap scores: inverted-index
@@ -222,8 +222,10 @@ object DedupOps {
     // curation pipeline) runs three times. MEMORY_AND_DISK: at corpus
     // scale the shingle frame spills rather than recomputes — the same
     // trade a production pipeline makes by checkpointing its shingle
-    // index.
-    val cached = graft.CacheScope.persist(sh)
+    // index. When the caller hands us an ALREADY-persisted frame (the
+    // memoized session shingle cache), reuse it as-is — query-boundary
+    // registration would evict the memo.
+    val cached = graft.CacheScope.persistIfUnpersisted(sh)
     val sizes = cached.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val common = cached.toDF(idCol, "shingle")
       .join(cached.toDF("id_b", "shingle"), "shingle")

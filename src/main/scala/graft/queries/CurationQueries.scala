@@ -333,8 +333,11 @@ object CurationQueries {
   // spans (q61), and now the CHUNKS that actually become training
   // sequences (q69's windows) — a passage repeated across documents
   // produces byte-identical chunks even when neither whole doc is a dup.
-  // Per doc: how many of its chunks also occur elsewhere in the corpus
-  // (by exact chunk text), 1e6-scaled. One content-keyed shuffle over the
+  // Per doc: how many of its chunks occur more than once corpus-wide by
+  // exact chunk text — including repeats WITHIN the same doc, which the
+  // overlapping windows surface for internally repetitive text and which
+  // a packing pipeline wants flagged just as much as cross-doc dups.
+  // 1e6-scaled. One content-keyed shuffle over the
   // chunk relation, one per-doc roll-up — q24's shape, one level down.
   def q86ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val chunks = TextAnalysisOps.contextChunks(
