@@ -1,0 +1,205 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Merge-table byte-pair encoding (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units"; the greedy apply loop is
+  * the public GPT-2 tokenizer's): start from the code points of each
+  * pre-token, then repeatedly merge the adjacent pair with the lowest merge
+  * rank until no adjacent pair is in the table. This replaces the regex
+  * pre-tokenizer PROXY count ([[graft.ops.TextAnalysisOps.bpeTokenCount]])
+  * for token-denominated operators — budgets, packing, chunking, deletion
+  * impact — whose numbers a training pipeline spends real money on.
+  *
+  * Deterministic step contract (what BOTH engines implement, and what the
+  * DuckDB oracle replays as a recursive CTE): each step merges the
+  * LEFTMOST occurrence of the LOWEST-ranked adjacent pair. For a
+  * well-formed table — every merge's parts are single code points or
+  * outputs of EARLIER merges, asserted by [[validateTable]] and unit-gated
+  * — this equals the published all-occurrences-per-scan loop: a merge can
+  * only create pairs whose own merges rank LATER, so the running minimum
+  * never changes mid-pair, and merging occurrences one at a time visits
+  * them in the same left-to-right order.
+  *
+  * The table itself is a small hand-authored English merge list in the
+  * public table's style (character pairs by descending English bigram
+  * frequency, then compositions). The GPT-2 merge table is ~50k entries;
+  * shipping a library-internal 146-entry table keeps the engine
+  * self-contained while exercising the identical algorithm — swapping in a
+  * full table is a data change, not a code change.
+  *
+  * Scale shape: [[BpeEncode]] is a narrow per-row expression (zero
+  * shuffles, inside WholeStageCodegen via a static call, like
+  * [[PolyCharHash]]). Per-executor memoization caps the work at
+  * O(distinct pre-tokens): natural-language vocabulary grows ~O(corpus^0.5)
+  * (Heaps' law), so at 100 TB the cache hit rate only improves; the cache
+  * is size-capped so adversarial vocabularies degrade to recompute, never
+  * to memory growth.
+  */
+object BpeMerges {
+
+  /** The merge table, rank = index. Each entry is "left right"; the merged
+    * token is the concatenation. Ordering: single-character pairs first
+    * (by approximate descending English bigram frequency), then
+    * compositions — the shape BPE training produces, and the well-formed
+    * property the apply loop's correctness argument needs.
+    */
+  val Table: IndexedSeq[String] = IndexedSeq(
+    "t h", "i n", "e r", "a n", "o n", "r e", "a t", "s t", "e n", "o r",
+    "a r", "a l", "o w", "e s", "l e", "c o", "n e", "d e", "h a", "r o",
+    "m e", "u e", "a s", "u s", "i l", "b a", "b i", "g r", "q u", "s p",
+    "s m", "j o", "k e", "d a", "t a", "f a", "f i", "s c", "v a", "s l",
+    "d u", "w i", "p a", "a g", "c u", "l i", "s o", "v e", "n d", "u p",
+    "h e", "c h", "o m", "m a", "r y", "w o", "b o", "p o", "n o", "g o",
+    "r t", "c t", "a m", "g e", "s h", "u n", "e d", "i s", "i t", "o f",
+    "th e", "an d", "in g", "or d", "ar k", "re a", "st r", "en t", "er y", "es s",
+    "at a", "al l", "ow s", "le n", "co l", "ne w", "de r", "ha s", "ro w", "me r",
+    "ue r", "as h", "us t", "il t", "ba t", "bi g", "gr o", "qu er", "sp ark", "sm all",
+    "jo in", "ke y", "da t", "ta b", "fa st", "fi l", "sc an", "va l", "sl ow", "du p",
+    "wi nd", "pa rt", "ag g", "cu st", "li ne", "so rt", "ve ct", "t ch", "ma n", "wo r",
+    "quer y", "dat a", "tab le", "fil t", "val ue", "wind ow", "cust om", "vect or",
+    "gro up", "filt er", "st re", "stre am", "custom er", "b le", "or der", "mer ge",
+    "ba tch", "ha sh", "c an", "r un", "t o", "e x", "p l", "w h", "c l", "b u")
+
+  /** (left, right) -> rank. Lower rank merges first. */
+  val Ranks: Map[(String, String), Int] =
+    Table.zipWithIndex.map { case (m, i) =>
+      val sp = m.indexOf(' ')
+      (m.substring(0, sp), m.substring(sp + 1)) -> i
+    }.toMap
+
+  /** Well-formedness errors: duplicates, malformed entries, or a part that
+    * is neither a single code point nor the output of an earlier merge.
+    * Empty for a valid table (unit-gated); the apply loop's equivalence to
+    * the published all-occurrences form relies on it.
+    */
+  def validateTable(table: Seq[String]): Seq[String] = {
+    val formed = scala.collection.mutable.Set[String]()
+    val seen = scala.collection.mutable.Set[String]()
+    table.zipWithIndex.flatMap { case (m, i) =>
+      val parts = m.split(" ", -1)
+      val dup = if (!seen.add(m)) Seq(s"rank $i '$m': duplicate rule") else Nil
+      val bad =
+        if (parts.length != 2 || parts.exists(_.isEmpty))
+          Seq(s"rank $i '$m': malformed")
+        else parts.toSeq.collect {
+          case p if p.codePointCount(0, p.length) > 1 && !formed.contains(p) =>
+            s"rank $i '$m': part '$p' not formed by an earlier merge"
+        }
+      if (parts.length == 2) formed += parts(0) + parts(1)
+      dup ++ bad
+    }
+  }
+
+  /** Size-capped per-executor memo of word -> encoded tokens. Vocabulary
+    * repeats dominate real text, so this turns the per-occurrence cost
+    * into a hash probe; at the cap we recompute instead of evicting
+    * (deterministic output either way, no lock churn).
+    */
+  private val MemoCap = 1 << 16
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  /** Greedy BPE over one pre-token: code-point split, then merge the
+    * leftmost lowest-ranked adjacent pair until fixpoint.
+    */
+  def encodeWord(w: String): Array[String] = {
+    val hit = memo.get(w)
+    if (hit != null) return hit
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    var ci = 0
+    while (ci < w.length) {
+      val cp = w.codePointAt(ci)
+      buf += new String(Character.toChars(cp))
+      ci += Character.charCount(cp)
+    }
+    var done = buf.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var i = 0
+      while (i < buf.length - 1) {
+        val r = Ranks.getOrElse((buf(i), buf(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPos = i }
+        i += 1
+      }
+      if (bestPos < 0) done = true
+      else {
+        buf(bestPos) = buf(bestPos) + buf(bestPos + 1)
+        buf.remove(bestPos + 1)
+        if (buf.length < 2) done = true
+      }
+    }
+    val out = buf.toArray
+    if (memo.size < MemoCap) memo.put(w, out)
+    out
+  }
+
+  /** Array-of-pre-tokens -> array-of-BPE-tokens; static so generated code
+    * calls it directly. Null elements are skipped (regexp_extract_all
+    * never produces them; defensive for direct callers).
+    */
+  def encodeArray(parts: ArrayData): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var i = 0
+    val n = parts.numElements()
+    while (i < n) {
+      if (!parts.isNullAt(i)) {
+        val w = parts.getUTF8String(i).toString
+        val toks = encodeWord(w)
+        var j = 0
+        while (j < toks.length) {
+          out += UTF8String.fromString(toks(j))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The merge table as a DuckDB list literal — the oracle's copy of the
+    * same constant, so engine and oracle can never disagree on the table.
+    */
+  def mergesSqlList: String = Table.mkString("['", "', '", "']")
+
+  /** Column-API entry point: pre-token array -> BPE token array. */
+  def bpeEncode(preTokens: Column): Column =
+    Bridge.column(BpeEncode(Bridge.expression(preTokens)))
+}
+
+/** `bpe_encode(array<string>) -> array<string>` — greedy merge-table BPE
+  * per pre-token, concatenated in order. Null input -> null; stays inside
+  * WholeStageCodegen via a static call (same pattern as [[PolyCharHash]]).
+  */
+case class BpeEncode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode expects ARRAY<STRING>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "bpe_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeMerges.encodeArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeMerges.encodeArray($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}

@@ -54,9 +54,26 @@ object TextAnalysisOps {
   def wsTokenCount(text: Column): Column =
     size(TextOps.tokenize(text)).cast("long")
 
-  /** BPE-ish token count via regex extraction. */
+  /** BPE-ish token count via regex extraction — the pre-tokenizer PROXY
+    * (counts pre-tokens, not merged subwords). Kept for q22's rollup;
+    * token-DENOMINATED operators should use [[bpeTokens]] /
+    * [[graft.functions.BpeMerges]], the real merge-table encoder.
+    */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenRegex), lit(0))).cast("long")
+
+  /** Pre-token array feeding the real BPE encoder (same regex as the
+    * proxy count, so both stages of the tokenizer share one split).
+    */
+  def bpePreTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeTokenRegex), lit(0))
+
+  /** Real merge-table BPE token array (greedy lowest-rank merges; see
+    * [[graft.functions.BpeMerges]]). Stage the pre-token array in a prior
+    * select when consuming this more than once.
+    */
+  def bpeTokens(text: Column): Column =
+    graft.functions.BpeMerges.bpeEncode(bpePreTokens(text))
 
   /** Per-document quality-signal struct over `(text, tokens)` attribute
     * refs: char/token counts, type-token ratio, mean token length, stopword

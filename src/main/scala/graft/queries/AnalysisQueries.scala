@@ -121,6 +121,38 @@ object AnalysisQueries {
     FROM t GROUP BY source ORDER BY source"""
   }
 
+  // --- q22b: real merge-table BPE tokenization ---------------------------
+  // De-proxies the token counts: q22 counts regex PRE-tokens; this runs
+  // the actual greedy merge loop (graft.functions.BpeMerges) and emits the
+  // full token stream, so the oracle comparison verifies every merge
+  // decision, not just a count. The DuckDB twin replays the identical
+  // leftmost-lowest-rank step as a recursive CTE over the distinct
+  // pre-token vocabulary, then joins back per document — also the 100 TB
+  // shape if the encoder were not a cheap narrow expression (it is: one
+  // codegen'd call per row, vocabulary memoized per executor).
+  def q22bBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysisOps.bpePreTokens(col("text")).as("pts"))
+      .select(col("doc_id"), size(col("pts")).cast("long").as("n_pretokens"),
+        graft.functions.BpeMerges.bpeEncode(col("pts")).as("btoks"))
+      .select(col("doc_id"), col("n_pretokens"),
+        size(col("btoks")).cast("long").as("n_bpe_tokens"),
+        array_join(col("btoks"), " ").as("bpe_text"))
+      .orderBy("doc_id")
+
+  val q22bSql: String =
+    s"""WITH RECURSIVE $bpeVocabCtes,
+    d AS (SELECT doc_id, regexp_extract_all(text, '$bpeRegexSql') AS pts
+      FROM documents),
+    ex AS (SELECT doc_id, unnest(pts) AS w,
+      unnest(range(1, len(pts) + 1)) AS i FROM d),
+    agg AS (SELECT e.doc_id, flatten(list(v.toks ORDER BY e.i)) AS btoks
+      FROM ex e JOIN bpe_vocab v USING (w) GROUP BY e.doc_id)
+    SELECT d.doc_id, CAST(len(d.pts) AS BIGINT) AS n_pretokens,
+      CAST(coalesce(len(a.btoks), 0) AS BIGINT) AS n_bpe_tokens,
+      coalesce(array_to_string(a.btoks, ' '), '') AS bpe_text
+    FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+
   // --- q23: document fingerprints (rolling hash) -------------------------
   def q23Fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -545,6 +577,7 @@ object AnalysisQueries {
     "q21_quality" -> (q21Quality _),
     "q21b_repetition" -> (q21bRepetition _),
     "q22_token_counts" -> (q22TokenCounts _),
+    "q22b_bpe_tokens" -> (q22bBpeTokens _),
     "q23_fingerprints" -> (q23Fingerprints _),
     "q23b_redact" -> (q23bRedact _),
     "q63_keyword_search" -> (q63KeywordSearch _),
@@ -561,6 +594,7 @@ object AnalysisQueries {
     "q21_quality" -> q21Sql,
     "q21b_repetition" -> q21bSql,
     "q22_token_counts" -> q22Sql,
+    "q22b_bpe_tokens" -> q22bSql,
     "q23_fingerprints" -> q23Sql,
     "q23b_redact" -> q23bSql,
     "q63_keyword_search" -> q63Sql,

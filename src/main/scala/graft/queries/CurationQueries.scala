@@ -449,10 +449,28 @@ object CurationQueries {
   // [[packStartOffsets]]).
   val TokenBudgetPerSource = 1000L
 
-  def q57bTokenBudget(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(spark, dir)
+  /** `(doc_id, source, n_tokens)` with whitespace-token counts — q57b/q58's
+    * original denominator.
+    */
+  private def wsTokenCounted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(graft.ops.TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
+
+  /** `(doc_id, source, n_tokens)` with REAL merge-table BPE counts
+    * (graft.functions.BpeMerges) — what a training pipeline actually
+    * budgets in. Same narrow zero-shuffle scan; the encoder is one
+    * codegen'd call per row.
+    */
+  private def bpeTokenCounted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysisOps.bpePreTokens(col("text")).as("pts"))
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.BpeMerges.bpeEncode(col("pts")))
+          .cast("long").as("n_tokens"))
+
+  private def tokenBudgetOver(t: DataFrame): DataFrame =
     packStartOffsets(t, PackShards)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -460,7 +478,30 @@ object CurationQueries {
         sum(when(col("start_offset") < TokenBudgetPerSource, col("n_tokens"))
           .otherwise(0L)).as("tokens_kept"))
       .orderBy("source")
-  }
+
+  def q57bTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetOver(wsTokenCounted(spark, dir))
+
+  // --- q57c: token budget in REAL BPE tokens ------------------------------
+  // Same greedy prefix-under-budget mix as q57b, denominated in merge-table
+  // BPE tokens instead of whitespace tokens — the number a "100B tokens of
+  // web" mixture spec actually means. The oracle replays the merge loop in
+  // SQL (SqlDefs.bpeCountCtes), so the budget arithmetic is verified on
+  // top of verified token counts.
+  def q57cTokenBudgetBpe(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetOver(bpeTokenCounted(spark, dir))
+
+  val q57cSql: String =
+    s"""WITH RECURSIVE $bpeCountCtes,
+    c AS (
+      SELECT doc_id, source, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+      FROM t)
+    SELECT source, count(*) AS n_docs,
+      CAST(count(CASE WHEN start_offset < $TokenBudgetPerSource THEN 1 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN start_offset < $TokenBudgetPerSource THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM c GROUP BY source ORDER BY source"""
 
   val q57bSql: String =
     s"""WITH t AS (
@@ -476,12 +517,29 @@ object CurationQueries {
       CAST(sum(CASE WHEN start_offset < $TokenBudgetPerSource THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
     FROM c GROUP BY source ORDER BY source"""
 
-  def q58SequencePacking(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(graft.ops.TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
-    packStartOffsets(t, PackShards).orderBy("source", "doc_id")
-  }
+  def q58SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    packStartOffsets(wsTokenCounted(spark, dir), PackShards)
+      .orderBy("source", "doc_id")
+
+  // --- q58b: sequence packing in REAL BPE tokens --------------------------
+  // q58's concatenate-and-split packing with bins measured in merge-table
+  // BPE tokens — bin boundaries land where the training batch builder
+  // would actually cut. Same two-level prefix sum; only the count column
+  // changes.
+  def q58bPackingBpe(spark: SparkSession, dir: String): DataFrame =
+    packStartOffsets(bpeTokenCounted(spark, dir), PackShards)
+      .orderBy("source", "doc_id")
+
+  val q58bSql: String =
+    s"""WITH RECURSIVE $bpeCountCtes,
+    c AS (
+      SELECT doc_id, source, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+      FROM t)
+    SELECT doc_id, source, n_tokens, start_offset,
+      CAST(floor(start_offset / $PackBudget) AS BIGINT) AS bin_id
+    FROM c ORDER BY source, doc_id"""
 
   val q58Sql: String =
     s"""WITH t AS (
@@ -632,9 +690,11 @@ object CurationQueries {
     "q52_stratified_sample" -> (q52StratifiedSample _),
     "q57_source_mix" -> (q57SourceMix _),
     "q57b_token_budget" -> (q57bTokenBudget _),
+    "q57c_token_budget_bpe" -> (q57cTokenBudgetBpe _),
     "q75_temperature_mix" -> (q75TemperatureMix _),
     "q68_adaptive_length" -> (q68AdaptiveLength _),
     "q58_sequence_packing" -> (q58SequencePacking _),
+    "q58b_packing_bpe" -> (q58bPackingBpe _),
     "q82_deletion_impact" -> (q82DeletionImpact _),
     "q86_chunk_dedup" -> (q86ChunkDedup _))
 
@@ -647,9 +707,11 @@ object CurationQueries {
     "q52_stratified_sample" -> q52Sql,
     "q57_source_mix" -> q57Sql,
     "q57b_token_budget" -> q57bSql,
+    "q57c_token_budget_bpe" -> q57cSql,
     "q75_temperature_mix" -> q75Sql,
     "q68_adaptive_length" -> q68Sql,
     "q58_sequence_packing" -> q58Sql,
+    "q58b_packing_bpe" -> q58bSql,
     "q82_deletion_impact" -> q82Sql,
     "q86_chunk_dedup" -> q86Sql)
 }

@@ -34,4 +34,63 @@ object SqlDefs {
     * already-preprocessed string expression.
     */
   def cleanToksSql(c: String): String = cleanFilterSql(toksSql(c))
+
+  /** The BPE pre-token regex as a DuckDB string literal body. */
+  val bpeRegexSql: String =
+    graft.ops.TextAnalysisOps.BpeTokenRegex.replace("\\", "\\\\")
+
+  /** Recursive-CTE replay of the engine's merge-table BPE
+    * ([[graft.functions.BpeMerges]]) over the DISTINCT pre-token
+    * vocabulary of `documents.text` — each recursion step merges the
+    * leftmost occurrence of the lowest-ranked adjacent pair, the exact
+    * step contract BpeEncode implements. Running it per distinct word
+    * (then joining back) keeps the oracle O(vocab · word_len) instead of
+    * O(corpus · word_len). `list_position` returns 0 for a missing pair,
+    * hence the `r > 0` filter; a row terminates (done) when no pair of its
+    * current tokens is in the table. Defines `bpe_vocab(w, toks)`; must
+    * be spliced under a `WITH RECURSIVE` header.
+    */
+  val bpeVocabCtes: String = {
+    val merges = graft.functions.BpeMerges.mergesSqlList
+    s"""bpe_words AS (
+      SELECT DISTINCT unnest(regexp_extract_all(text, '$bpeRegexSql')) AS w
+      FROM documents),
+    bpe_steps AS (
+      SELECT w, list_transform(range(1, len(w) + 1), i -> w[i]) AS toks,
+        false AS done
+      FROM bpe_words
+      UNION ALL
+      SELECT w,
+        CASE WHEN pos IS NULL THEN toks
+             ELSE list_concat(list_concat(toks[1:pos-1],
+                    [toks[pos] || toks[pos+1]]), toks[pos+2:]) END,
+        pos IS NULL
+      FROM (
+        SELECT w, toks,
+          list_position(ranks,
+            list_aggregate(list_filter(ranks, r -> r > 0), 'min')) AS pos
+        FROM (
+          SELECT w, toks,
+            list_transform(range(1, len(toks)), i ->
+              list_position($merges, toks[i] || ' ' || toks[i+1])) AS ranks
+          FROM bpe_steps WHERE NOT done))),
+    bpe_vocab AS (SELECT w, toks FROM bpe_steps WHERE done)"""
+  }
+
+  /** [[bpeVocabCtes]] plus the per-document roll-up: defines
+    * `t(doc_id, source, n_tokens)` with n_tokens = real BPE token count —
+    * the drop-in CTE prefix for token-budget/packing oracles. Also must
+    * sit under `WITH RECURSIVE`.
+    */
+  val bpeCountCtes: String =
+    s"""$bpeVocabCtes,
+    bpe_doc AS (SELECT doc_id, source,
+      regexp_extract_all(text, '$bpeRegexSql') AS pts FROM documents),
+    bpe_ex AS (SELECT doc_id, unnest(pts) AS w FROM bpe_doc),
+    bpe_cnt AS (SELECT e.doc_id,
+        CAST(sum(len(v.toks)) AS BIGINT) AS n_tokens
+      FROM bpe_ex e JOIN bpe_vocab v USING (w) GROUP BY e.doc_id),
+    t AS (SELECT d.doc_id, d.source,
+        CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens
+      FROM bpe_doc d LEFT JOIN bpe_cnt c USING (doc_id))"""
 }

@@ -1,0 +1,115 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Merge-table BPE: table well-formedness, the greedy step contract, and
+  * equivalence with the published all-occurrences-per-scan loop.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], n: Int = 500): Seq[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(46L)).get
+
+  test("merge table is well-formed (unique rules, parts formed before use)") {
+    assert(BpeMerges.validateTable(BpeMerges.Table) === Seq.empty)
+  }
+
+  test("validateTable flags duplicates and unformed parts") {
+    assert(BpeMerges.validateTable(Seq("a b", "a b")).exists(_.contains("duplicate")))
+    assert(BpeMerges.validateTable(Seq("ab c")).exists(_.contains("not formed")))
+    assert(BpeMerges.validateTable(Seq("a b c")).exists(_.contains("malformed")))
+  }
+
+  test("encodeWord matches hand-checked fixtures (greedy order matters)") {
+    // "row": (o,w) outranks (r,o), so 'ro' never forms even though the
+    // table has a "ro w" rule — the greedy-order-sensitive case.
+    assert(BpeMerges.encodeWord("row").toSeq === Seq("r", "ow"))
+    assert(BpeMerges.encodeWord("the").toSeq === Seq("the"))
+    assert(BpeMerges.encodeWord("customer").toSeq === Seq("customer"))
+    assert(BpeMerges.encodeWord("batch").toSeq === Seq("b", "at", "ch"))
+    assert(BpeMerges.encodeWord("window").toSeq === Seq("w", "in", "d", "ow"))
+    assert(BpeMerges.encodeWord("query").toSeq === Seq("qu", "ery"))
+    assert(BpeMerges.encodeWord("a").toSeq === Seq("a"))
+    assert(BpeMerges.encodeWord("").toSeq === Seq.empty)
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.alphaLowerChar, 1 -> Gen.oneOf('x', 'z', '7', '!', '漢')))
+        .map(_.mkString))
+
+  test("property: output concatenates to input and is a merge fixpoint") {
+    sample(wordGen).foreach { w =>
+      val toks = BpeMerges.encodeWord(w)
+      assert(toks.mkString === w)
+      assert(toks.forall(_.nonEmpty))
+      toks.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(!BpeMerges.Ranks.contains((a, b)))
+        case _ =>
+      }
+    }
+  }
+
+  /** The published apply loop: per scan, find the lowest-ranked pair
+    * present, merge ALL its occurrences left to right, rescan.
+    */
+  private def encodeAllOccurrences(w: String): Seq[String] = {
+    var t = w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+    var done = t.length < 2
+    while (!done) {
+      val best = t.zip(t.drop(1)).flatMap(p => BpeMerges.Ranks.get(p)).minOption
+      best match {
+        case None => done = true
+        case Some(rank) =>
+          val (a, b) = BpeMerges.Ranks.find(_._2 == rank).get._1
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < t.length) {
+            if (i < t.length - 1 && t(i) == a && t(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += t(i); i += 1 }
+          }
+          t = out.toSeq
+          if (t.length < 2) done = true
+      }
+    }
+    t
+  }
+
+  test("property: leftmost-lowest-rank stepping equals the published " +
+    "all-occurrences loop on the well-formed table") {
+    sample(wordGen).foreach { w =>
+      assert(BpeMerges.encodeWord(w).toSeq === encodeAllOccurrences(w))
+    }
+  }
+
+  test("BpeEncode expression equals driver-side encodeWord flatMap") {
+    import sqlImplicits._
+    val docs = Seq("the fast customer batch window", "query row merge",
+      "", "a 7 ! mixed-case MiXeD").toDF("text")
+    val got = docs
+      .select(graft.ops.TextAnalysisOps.bpePreTokens(col("text")).as("pts"))
+      .select(col("pts"), BpeMerges.bpeEncode(col("pts")).as("btoks"))
+      .collect()
+    got.foreach { r =>
+      val pts = r.getSeq[String](0)
+      val expect = pts.flatMap(BpeMerges.encodeWord(_).toSeq)
+      assert(r.getSeq[String](1) === expect)
+    }
+  }
+
+  test("BpeEncode survives both codegen and eval paths") {
+    import sqlImplicits._
+    val df = Seq(Seq("stream", "batch")).toDF("pts")
+      .select(BpeMerges.bpeEncode(col("pts")).as("t"))
+    assert(df.collect().head.getSeq[String](0) === Seq("stream", "b", "at", "ch"))
+    // null array input -> null out (nullIntolerant)
+    val nulls = Seq(Option.empty[Seq[String]]).toDF("pts")
+      .select(BpeMerges.bpeEncode(col("pts")).as("t"))
+    assert(nulls.collect().head.isNullAt(0))
+  }
+}
