@@ -291,6 +291,73 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** The stored relation of the IVF-SQ8 composed index: each vector's SQ8
+    * codes co-located with its IVF cell. Build once next to
+    * [[buildIvfIndex]]'s assignment; at 100 TB this is what you write out
+    * PARTITIONED BY cell, so a probe's cell-key join prunes partitions and
+    * reads nProbe cells' codes, never the corpus.
+    */
+  def ivfSq8Coded(index: IvfIndex, embeddings: DataFrame): DataFrame =
+    index.assigned.select(col("vec_id"), col("cell"))
+      .join(sq8Codes(embeddings), "vec_id")
+      .select(col("vec_id"), col("cell"), col("codes"))
+
+  /** IVF-SQ8 composed retrieval (the standard FAISS IVF-SQ shape, public):
+    * a query probes its `nProbe` nearest KMeans cells, scores ONLY those
+    * cells' int8 codes with the fused integer dot product, keeps
+    * `k × overfetch` candidates, then exactly reranks that handful in
+    * float cosine. This closes [[sq8TopK]]'s scaladoc'd limitation: the
+    * quantized stage-1 cost per query drops from O(N) (the flat scan
+    * [[sq8RerankTopK]] still pays) to O(N · nProbe / nCells), while the
+    * exact metric touches only k × overfetch rows. Deterministic given the
+    * fitted cells, but not oracle-portable (KMeans has no DuckDB twin) —
+    * recall vs brute force is the check (DedupSimilaritySpec).
+    */
+  def ivfSq8TopK(index: IvfIndex, coded: DataFrame, everyNth: Int, k: Int,
+                 nProbe: Int, overfetch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = index.assigned
+    // queries carry codes (stage 1) and the float vector (centroid probe);
+    // both query relations are N/everyNth rows — broadcast size
+    val q = assigned.where(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+      .join(coded.where(col("vec_id") % everyNth === 0)
+        .select(col("vec_id").as("query_id"), col("codes").as("q_codes")),
+        "query_id")
+    val qCells = q.crossJoin(broadcast(index.centroids))
+      .select(col("query_id"), col("q_codes"), col("cell"),
+        cosineMicro(col("q_emb"), col("centroid")).as("cdist"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell").asc)))
+      .where(col("crk") <= nProbe)
+      .select("query_id", "q_codes", "cell")
+    // stage 1: integer-dot scoring inside probed cells only — the coded
+    // index streams map-side against the broadcast (query, cell) probes,
+    // and the score is computed solely for same-cell candidates
+    val stage1 = coded.toDF("cand_id", "cell", "c_codes")
+      .join(broadcast(qCells), Seq("cell"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.IntDot.intDot(col("q_codes"), col("c_codes"))
+          .as("dot_int"))
+    // a candidate lives in exactly ONE cell, so (query, cand) is unique
+    // across probes — no distinct needed (same argument as ivfTopK)
+    val cand = stage1.withColumn("prk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dot_int").desc, col("cand_id").asc)))
+      .where(col("prk") <= k * overfetch)
+      .select("query_id", "cand_id")
+    // stage 2: exact float-cosine rerank of k × overfetch rows per query
+    val scored = cand
+      .join(assigned.select(col("vec_id").as("query_id"), col("emb").as("q_emb")),
+        "query_id")
+      .join(assigned.select(col("vec_id").as("cand_id"), col("emb").as("c_emb")),
+        "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, multi-band sign-LSH blocked:
     * pairs sharing at least one per-band bucket (band t buckets on dims
     * [t*bits, (t+1)*bits)) with scaled cosine >= minMicro. The

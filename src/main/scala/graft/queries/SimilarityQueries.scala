@@ -162,16 +162,49 @@ object SimilarityQueries {
     SimilarityOps.ivfTopK(ivfIndex(spark, dir), QueryEveryNth, TopK, nProbe = 4)
       .orderBy("query_id", "rk")
 
-  /** Drop every memoized IVF index and release its persisted assignment
-    * frame. The cache is cross-query by design (one KMeans fit amortized
-    * over every probe), so it is NOT released at query boundaries — a
-    * session that is done with similarity search calls this.
+  // --- q79d: IVF-SQ8 composed retrieval (rows-only, like q29d) -----------
+  // Quantized codes INSIDE KMeans cells + exact rerank — the composition
+  // q79c's flat stage-1 scan scaladoc points at. The coded relation
+  // (vec_id, cell, codes) is the second stored half of the index,
+  // memoized beside the assignment with the same lifecycle.
+  private val ivfCodedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def ivfCoded(spark: SparkSession, dir: String): DataFrame = {
+    ivfCodedCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    ivfCodedCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) =>
+        SimilarityOps.ivfSq8Coded(ivfIndex(spark, d), Tables.embeddings(spark, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  def q79dIvfSq8(spark: SparkSession, dir: String): DataFrame =
+    // nProbe 8 of 16 cells: the fixture's measured knee — 4 probes cap
+    // composed recall at the IVF floor (~0.66), 8 clear the q79c rerank
+    // floor (>= 0.85, DedupSimilaritySpec) while stage 1 still scores
+    // only half the corpus per query; at higher cells/corpus ratios the
+    // same dial sits much further left
+    SimilarityOps.ivfSq8TopK(ivfIndex(spark, dir), ivfCoded(spark, dir),
+      QueryEveryNth, TopK, nProbe = 8, RerankOverfetch)
+      .orderBy("query_id", "rk")
+
+  /** Drop every memoized IVF index (assignment + SQ8 codes) and release
+    * the persisted frames. The caches are cross-query by design (one
+    * KMeans fit amortized over every probe), so they are NOT released at
+    * query boundaries — a session that is done with similarity search
+    * calls this.
     */
   def evictAll(): Unit = {
     val it = ivfCache.values.iterator()
     while (it.hasNext) {
       it.next().assigned.unpersist(blocking = false)
       it.remove()
+    }
+    val ic = ivfCodedCache.values.iterator()
+    while (ic.hasNext) {
+      ic.next().unpersist(blocking = false)
+      ic.remove()
     }
   }
 
@@ -347,7 +380,8 @@ object SimilarityQueries {
     "q29_knn_brute" -> (q29KnnBrute _),
     "q29b_knn_lsh" -> (q29bKnnLsh _),
     "q29c_knn_agg" -> (q29cKnnAgg _),
-    "q29d_knn_ivf" -> (q29dKnnIvf _))
+    "q29d_knn_ivf" -> (q29dKnnIvf _),
+    "q79d_knn_ivf_sq8" -> (q79dIvfSq8 _))
 
   val oracleSql: Map[String, String] = Map(
     "q72_centroid_outliers" -> q72Sql,

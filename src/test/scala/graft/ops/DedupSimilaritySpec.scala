@@ -361,6 +361,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rerankRecall >= 0.85, s"rerank recall $rerankRecall")
   }
 
+  test("IVF-SQ8 composed retrieval matches the two-stage rerank recall floor " +
+      "on the fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keys(SimilarityOps.bruteForceTopK(emb, 50, 5))
+    val index = SimilarityOps.buildIvfIndex(emb, nCells = 16)
+    val coded = SimilarityOps.ivfSq8Coded(index, emb)
+    val composed = keys(SimilarityOps.ivfSq8TopK(index, coded, 50, 5,
+      nProbe = 8, overfetch = 4))
+    val recall = (brute & composed).size.toDouble / brute.size
+    // the q79c floor: composing the probe with SQ8 + exact rerank must not
+    // cost recall vs the flat two-stage scan on this fixture
+    assert(recall >= 0.85, s"recall $recall")
+  }
+
   test("cosine near-dup pairs are symmetric-free and thresholded") {
     val emb = Seq(
       (0L, Array.fill(8)(0.5f), 0),
