@@ -312,8 +312,10 @@ object AnalysisQueries {
 
   // --- q83: per-source token-distribution drift between snapshots ---------
   // The mixture-monitoring query a crawl pipeline runs between snapshot
-  // refreshes: has a source's token distribution moved? Docs split into
-  // snapshot A/B by doc_id parity (the q71 convention); per source the
+  // refreshes: has a source's token distribution moved? The snapshots are
+  // the SAME two relations q71's delta classifies (CurationQueries.
+  // Snapshots — yesterday's A, today's re-crawled B with its rewritten
+  // docs), so drift here explains the churn q71 reports; per source the
   // drift is the L1 distance between the two term distributions, kept
   // EXACT by cross-multiplying instead of dividing:
   //   drift_cross = Σ_t |cA(t)·totB − cB(t)·totA|
@@ -321,10 +323,19 @@ object AnalysisQueries {
   // — all int64 (counts ≤ 1e6 per source keep the products ≪ 2^63), so
   // the score hash-verifies with no float folds. One token-count shuffle
   // keyed (source, term, snapshot), one conditional-sum pivot, scalar
-  // totals broadcast back.
+  // totals broadcast back. Overlapping membership (most docs are in both
+  // snapshots) makes each doc scan twice — the price of comparing real
+  // snapshot relations rather than a disjoint hash split.
   def q83DistributionDrift(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("source"), (col("doc_id") % 2 === 0).as("in_a"),
+    val snaps = CurationQueries.Snapshots
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val snapA = docs.where(snaps.inA)
+      .select(col("source"), lit(true).as("in_a"), col("text"))
+    val snapB = docs.where(snaps.inB)
+      .select(col("source"), lit(false).as("in_a"), snaps.textB.as("text"))
+    val toks = snapA.unionByName(snapB)
+      .select(col("source"), col("in_a"),
         explode(TextOps.tokenize(col("text"))).as("term"))
     val counts = toks.groupBy("source", "term")
       .agg(count(when(col("in_a"), 1)).as("c_a"),
@@ -341,10 +352,15 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
-  val q83Sql: String =
+  val q83Sql: String = {
+    val snaps = CurationQueries.Snapshots
     s"""WITH p AS (
-      SELECT source, doc_id % 2 = 0 AS in_a, unnest(${toksSql("text")}) AS term
-      FROM documents),
+      SELECT source, true AS in_a, unnest(${toksSql("text")}) AS term
+      FROM documents WHERE ${snaps.inASql}
+      UNION ALL
+      SELECT source, false AS in_a,
+        unnest(${toksSql(snaps.textBSql)}) AS term
+      FROM documents WHERE ${snaps.inBSql}),
     c AS (
       SELECT source, term,
         CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS c_a,
@@ -360,6 +376,7 @@ object AnalysisQueries {
     FROM c JOIN t USING (source)
     GROUP BY c.source, t.tot_a, t.tot_b
     ORDER BY c.source"""
+  }
 
   // --- q81: rare-token privacy scrub --------------------------------------
   // Semantics and scale shape in TextAnalysisOps.rareTokenScrub. The

@@ -632,6 +632,23 @@ object CurationQueries {
       array_to_string(chunk, ' ') AS chunk_text
     FROM c ORDER BY doc_id, chunk_id"""
 
+  /** The snapshot-pair convention SHARED by q71 (delta classification) and
+    * q83 (distribution drift): A = yesterday (`doc_id % 10 < 8`, original
+    * text), B = today (`doc_id % 10 >= 2`, docs with `doc_id % 4 == 0`
+    * rewritten). One definition, Column + SQL twins, so the two queries
+    * can never drift onto different snapshot carvings.
+    */
+  object Snapshots {
+    def inA: Column = col("doc_id") % 10 < 8
+    def inB: Column = col("doc_id") % 10 >= 2
+    def textB: Column =
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(" [rev2]")))
+        .otherwise(col("text"))
+    val inASql = "doc_id % 10 < 8"
+    val inBSql = "doc_id % 10 >= 2"
+    val textBSql = "CASE WHEN doc_id % 4 = 0 THEN text || ' [rev2]' ELSE text END"
+  }
+
   // --- q71: snapshot delta (incremental corpus refresh) -------------------
   // Corpora are re-crawled, not rebuilt: given yesterday's snapshot and
   // today's, classify every doc_id as added / deleted / updated / unchanged
@@ -645,13 +662,10 @@ object CurationQueries {
   // misclassify.
   def q71SnapshotDelta(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val snapA = docs.where(col("doc_id") % 10 < 8)
+    val snapA = docs.where(Snapshots.inA)
       .select(col("doc_id"), col("text").as("text_a"), lit(true).as("in_a"))
-    val snapB = docs.where(col("doc_id") % 10 >= 2)
-      .select(col("doc_id"),
-        when(col("doc_id") % 4 === 0, concat(col("text"), lit(" [rev2]")))
-          .otherwise(col("text")).as("text_b"),
-        lit(true).as("in_b"))
+    val snapB = docs.where(Snapshots.inB)
+      .select(col("doc_id"), Snapshots.textB.as("text_b"), lit(true).as("in_b"))
     snapA.join(snapB, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("in_a").isNull, "added")
@@ -666,11 +680,10 @@ object CurationQueries {
 
   val q71Sql: String =
     s"""WITH a AS (
-      SELECT doc_id, text AS text_a FROM documents WHERE doc_id % 10 < 8),
+      SELECT doc_id, text AS text_a FROM documents WHERE ${Snapshots.inASql}),
     b AS (
-      SELECT doc_id,
-        CASE WHEN doc_id % 4 = 0 THEN text || ' [rev2]' ELSE text END AS text_b
-      FROM documents WHERE doc_id % 10 >= 2)
+      SELECT doc_id, ${Snapshots.textBSql} AS text_b
+      FROM documents WHERE ${Snapshots.inBSql})
     SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
       CASE WHEN a.doc_id IS NULL THEN 'added'
            WHEN b.doc_id IS NULL THEN 'deleted'
