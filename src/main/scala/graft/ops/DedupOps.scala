@@ -348,9 +348,12 @@ object DedupOps {
                           rowsPerBand: Int, minEstMicro: Long,
                           idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // each side feeds its band relation AND an agreement-rerank join
-    val ns = graft.CacheScope.persist(newSigs)
-    val is_ = graft.CacheScope.persist(indexSigs)
+    // each side feeds its band relation AND an agreement-rerank join; an
+    // already-persisted side (the STORED index under a streaming caller
+    // checking batch after batch against it) is reused, not re-registered
+    // at query scope
+    val ns = graft.CacheScope.persistIfUnpersisted(newSigs)
+    val is_ = graft.CacheScope.persistIfUnpersisted(indexSigs)
     val nb = lshBands(ns, rowsPerBand, idCol).toDF("new_id", "band", "key")
     val ob = lshBands(is_, rowsPerBand, idCol).toDF("old_id", "band", "key")
     val cand = nb.join(ob, Seq("band", "key"))

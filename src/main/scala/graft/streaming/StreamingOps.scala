@@ -166,6 +166,40 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming twin of the q80 incremental ingest dedup: each micro-batch
+    * of newly-ingested documents is MinHash-signed and band-joined against
+    * the STORED signature index inside `foreachBatch` — the production
+    * shape for continuous ingest. foreachBatch (not a plain stream-static
+    * join) because the per-doc roll-up (candidate count, best match) is an
+    * aggregation the append-mode planner would demand a watermark for,
+    * while the semantics need none: each doc's verdict depends only on its
+    * OWN batch row and the static index, so micro-batch boundaries cannot
+    * change the answer — the batch operator applied per batch IS the
+    * streaming operator, and the parity harness asserts exactly that.
+    * The caller persists `indexSigs` ONCE (it is reused every batch;
+    * incrementalDupCheck leaves persisted inputs alone) and receives each
+    * batch's verdicts through `collect` — in production a MERGE into the
+    * results/index table, in tests a memory sink. Per-batch operator
+    * persists are released after `collect` returns, so state never
+    * accumulates across batches.
+    */
+  def incrementalDedupStream(newDocs: DataFrame, indexSigs: DataFrame,
+                             shingleN: Int, rowsPerBand: Int,
+                             minEstMicro: Long, checkpoint: String)
+                            (collect: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val toked = batch.select(col("doc_id"),
+          graft.ops.TextOps.tokenize(col("text")).as("toks"))
+        val sigs = graft.ops.DedupOps.minhashSignatures(
+          graft.ops.DedupOps.shingles(toked, shingleN))
+        collect(graft.ops.DedupOps.incrementalDupCheck(
+          sigs, indexSigs, rowsPerBand, minEstMicro))
+        graft.CacheScope.releaseAll()
+      }
+      .start()
+
   /** Convenience: the events fixture schema as a file stream — the same
     * relation Tables.events yields, but incremental (one-file-per-trigger).
     */

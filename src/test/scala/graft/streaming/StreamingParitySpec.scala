@@ -204,6 +204,62 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  test("q80 incremental ingest dedup: chunked file replay against the " +
+      "stored index matches the batch twin") {
+    import graft.ops.{DedupOps, TextOps}
+    // the q80 carving: doc_id % 10 == 9 is the incoming delta, the rest is
+    // the already-indexed corpus whose signatures are the STORED index
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val isNew = col("doc_id") % 10 === 9
+    val toked = (df: DataFrame) => df.select(col("doc_id"),
+      TextOps.tokenize(col("text")).as("toks"))
+    val n = graft.queries.DedupQueries.ShingleN
+    val indexSigs = DedupOps.minhashSignatures(
+        DedupOps.shingles(toked(docs.where(!isNew)), n))
+      .persist() // the stored index: persisted ONCE, reused every batch
+    val want = DedupOps.incrementalDupCheck(
+        DedupOps.minhashSignatures(DedupOps.shingles(toked(docs.where(isNew)), n)),
+        indexSigs, rowsPerBand = 4, graft.queries.DedupQueries.IncrementalMinMicro)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    graft.CacheScope.releaseAll()
+    // stage the delta as 4 doc_id-ordered parquet chunks (continuous
+    // ingest batches); no flush file — foreachBatch has no watermark
+    val work = java.nio.file.Files.createTempDirectory("graft-incr-work")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-incr")
+    val chunked = docs.where(isNew)
+      .withColumn("chunk", ntile(NChunks).over(Window.orderBy("doc_id")))
+    (0 until NChunks).foreach { i =>
+      val part = work.resolve(s"c$i")
+      chunked.where(col("chunk") === i + 1).drop("chunk")
+        .coalesce(1).write.parquet(part.toString)
+      stage(part, streamDir, i)
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Boolean)]
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-incr-ckpt").toString
+    val q = StreamingOps.incrementalDedupStream(stream, indexSigs, n,
+      rowsPerBand = 4, graft.queries.DedupQueries.IncrementalMinMicro,
+      checkpoint) { out =>
+      got ++= out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      ()
+    }
+    try q.processAllAvailable() finally q.stop()
+    indexSigs.unpersist(blocking = false)
+    // every delta doc lands in exactly one micro-batch and its verdict
+    // depends only on the static index, so the union of batch outputs
+    // must equal the batch operator over the whole delta
+    assert(got.sortBy(_._1).toSeq == want.toSeq)
+    assert(want.nonEmpty && want.exists(_._5), "degenerate fixture: no dup found")
+  }
+
   test("q34 session body: streamed file replay is row-identical to batch") {
     val streamDir = stageChunks()
     val streamed = StreamingOps.eventsFileStream(spark, streamDir)
