@@ -96,6 +96,34 @@ object DedupOps {
     */
   def stripDuplicatedSpans(docs: DataFrame, n: Int,
                            idCol: String = "doc_id"): DataFrame = {
+    val emptyInts = array().cast("array<int>")
+    spanCovers(docs, n, idCol)
+      // complement gaps: before the first interval, between intervals,
+      // after the last — flattened back into the ascending kept-index list
+      .select(col(idCol), col("toks"),
+        flatten(zip_with(
+          concat(array(lit(0)), transform(col("his"), h => h + 1)),
+          concat(col("los"), array(size(col("toks")))),
+          (a, b) => when(b > a, sequence(a, b - 1)).otherwise(emptyInts)))
+          .as("kept"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("kept"),
+          i => element_at(col("toks"), i + 1)), " ").as("text_dedup"))
+  }
+
+  /** Shared cover stage of the span-dedup family: per doc, the MERGED
+    * disjoint intervals `[los_i, his_i]` (token indices, inclusive) of all
+    * duplicated n-token spans — `(idCol, toks, los, his)`. Because covers
+    * of the same n merge whenever they touch, each merged interval is a
+    * MAXIMAL duplicated region and its length is the length of the
+    * variable-length duplicated span it represents — which is what lets
+    * [[variableSpanProfile]] recover ExactSubstr's length-thresholded
+    * semantics from one fixed-n pass.
+    */
+  private[graft] def spanCovers(docs: DataFrame, n: Int,
+                                idCol: String = "doc_id"): DataFrame = {
     val toked = docs.select(col(idCol),
       TextOps.tokenize(col("text")).as("toks"))
     // positional shingles: unlike [[shingles]] NOT distinct'd per doc —
@@ -134,19 +162,56 @@ object DedupOps {
           (c, p) => when(c > p + n, c)), x => x.isNotNull).as("los"),
         filter(zip_with(col("starts"), col("nexts"),
           (c, nx) => when(nx > c + n, c + (n - 1))), x => x.isNotNull).as("his"))
-      // complement gaps: before the first interval, between intervals,
-      // after the last — flattened back into the ascending kept-index list
-      .select(col(idCol), col("toks"),
+  }
+
+  /** Variable-length exact-substring profile — the length-thresholded
+    * semantics of the published ExactSubstr (Lee et al. 2022 use a suffix
+    * array and only remove duplicated substrings of length ≥ 50): each
+    * MAXIMAL duplicated region from [[spanCovers]] carries its length, so
+    * one fixed-n pass yields the removal set for EVERY threshold ≥ n at
+    * once. Emits per doc the span count, the longest span, tokens removed
+    * at each tier (`removed_ge<t>`), and the rebuilt text with only
+    * spans ≥ `textTier` stripped. The base tier n reproduces
+    * [[stripDuplicatedSpans]]'s removal exactly (unit-gated), so this is
+    * a strict refinement, not a different cover.
+    *
+    * Scale shape: identical to q61's — the two keyed shuffles (shingle
+    * count, per-doc start collection) plus narrow interval arithmetic;
+    * the tiers add only per-row array folds.
+    */
+  def variableSpanProfile(docs: DataFrame, n: Int, tiers: Seq[Int],
+                          textTier: Int,
+                          idCol: String = "doc_id"): DataFrame = {
+    val emptyInts = array().cast("array<int>")
+    val tierCols = tiers.map(t =>
+      aggregate(col("lens"), lit(0L),
+        (a, x) => a + when(x >= t, x.cast("long")).otherwise(0L))
+        .as(s"removed_ge$t"))
+    spanCovers(docs, n, idCol)
+      .select(col(idCol), col("toks"), col("los"), col("his"),
+        zip_with(col("his"), col("los"), (h, l) => h - l + 1).as("lens"))
+      // the text tier's surviving intervals, re-staged as attributes
+      // before the gap rebuild references them twice
+      .select(col(idCol), col("toks"), col("lens"),
+        filter(col("los"),
+          (_, i) => element_at(col("lens"), i + 1) >= textTier).as("los_t"),
+        filter(col("his"),
+          (_, i) => element_at(col("lens"), i + 1) >= textTier).as("his_t"))
+      .select(col(idCol), col("toks"), col("lens"),
         flatten(zip_with(
-          concat(array(lit(0)), transform(col("his"), h => h + 1)),
-          concat(col("los"), array(size(col("toks")))),
+          concat(array(lit(0)), transform(col("his_t"), h => h + 1)),
+          concat(col("los_t"), array(size(col("toks")))),
           (a, b) => when(b > a, sequence(a, b - 1)).otherwise(emptyInts)))
           .as("kept"))
-      .select(col(idCol),
-        size(col("toks")).cast("long").as("n_tokens"),
-        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+      .select(col(idCol) +:
+        size(col("toks")).cast("long").as("n_tokens") +:
+        size(col("lens")).cast("long").as("n_spans") +:
+        coalesce(array_max(col("lens")), lit(0)).cast("long")
+          .as("max_span_len") +:
+        tierCols :+
         array_join(transform(col("kept"),
-          i => element_at(col("toks"), i + 1)), " ").as("text_dedup"))
+          i => element_at(col("toks"), i + 1)), " ")
+          .as(s"text_dedup_ge$textTier"): _*)
   }
 
   /** Stop-shingle cap: drop shingles whose document frequency exceeds

@@ -649,8 +649,79 @@ object DedupQueries {
     FROM k ORDER BY doc_id"""
   }
 
+  // --- q61b: variable-length exact-substring profile ----------------------
+  // ExactSubstr's length-thresholded semantics (the paper removes only
+  // duplicated substrings >= 50 tokens) recovered from q61's single n=10
+  // pass: each merged cover interval is a MAXIMAL duplicated region, so
+  // its length is the variable span length and thresholding is a per-row
+  // filter. Tier 10 reproduces q61's removal exactly (so q61b's removal
+  // surface is a superset of q61's by construction); the rebuilt text
+  // strips only spans >= 20 — the precision dial that keeps naturally
+  // recurring short phrases while still killing wholesale duplication.
+  // The oracle reaches the same intervals relationally: covered tokens ->
+  // gaps-and-islands (lag + running sum) -> per-run lengths.
+  val SpanTiers = Seq(10, 20, 50)
+  val SpanTextTier = 20
+
+  def q61bVariableSpans(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.variableSpanProfile(
+      Tables.documents(spark, dir), SpanN, SpanTiers, SpanTextTier)
+      .orderBy("doc_id")
+
+  val q61bSql: String = {
+    val n = SpanN
+    val tierSelects = SpanTiers.map(t =>
+      s"CAST(coalesce(sum(CASE WHEN rl >= $t THEN rl END), 0) AS BIGINT) AS removed_ge$t")
+      .mkString(",\n        ")
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+        unnest(range(0, len(toks) - $n + 1)) AS pos,
+        unnest(list_transform(range(0, len(toks) - $n + 1),
+          i -> array_to_string(toks[(CAST(i AS INT)+1):(CAST(i AS INT)+$n)], ' '))) AS shingle
+      FROM t),
+    dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1),
+    cov AS (SELECT s.doc_id, list_sort(list(s.pos)) AS starts
+      FROM sh s JOIN dup d ON s.shingle = d.shingle GROUP BY s.doc_id),
+    r AS (SELECT t.doc_id, t.toks, coalesce(c.starts, []) AS starts
+      FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id),
+    ct AS (
+      SELECT doc_id, i FROM (
+        SELECT doc_id, unnest(range(0, len(toks))) AS i, starts FROM r)
+      WHERE len(list_filter(starts, s -> i >= s AND i <= s + ${n - 1})) > 0),
+    isl AS (SELECT doc_id, i,
+        CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) = 1
+             THEN 0 ELSE 1 END AS brk
+      FROM ct),
+    grp AS (SELECT doc_id, i,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM isl),
+    runs AS (SELECT doc_id, g, count(*) AS rl FROM grp GROUP BY doc_id, g),
+    prof AS (SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(max(rl) AS BIGINT) AS max_span_len,
+        $tierSelects
+      FROM runs GROUP BY doc_id),
+    remtok AS (SELECT grp.doc_id, list(grp.i) AS removed
+      FROM grp JOIN runs USING (doc_id, g)
+      WHERE runs.rl >= $SpanTextTier GROUP BY grp.doc_id),
+    k AS (SELECT r.doc_id, r.toks, coalesce(m.removed, []) AS removed
+      FROM r LEFT JOIN remtok m USING (doc_id))
+    SELECT k.doc_id,
+      CAST(len(k.toks) AS BIGINT) AS n_tokens,
+      coalesce(p.n_spans, 0) AS n_spans,
+      coalesce(p.max_span_len, 0) AS max_span_len,
+      ${SpanTiers.map(t => s"coalesce(p.removed_ge$t, 0) AS removed_ge$t").mkString(",\n      ")},
+      coalesce(array_to_string(list_transform(
+        list_filter(range(0, len(k.toks)), i -> NOT list_contains(k.removed, i)),
+        i -> k.toks[CAST(i AS INT)+1]), ' '), '') AS text_dedup_ge$SpanTextTier
+    FROM k LEFT JOIN prof p USING (doc_id)
+    ORDER BY k.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_strip_spans" -> (q61StripSpans _),
+    "q61b_variable_spans" -> (q61bVariableSpans _),
     "q24_exact_dup" -> (q24ExactDup _),
     "q24b_canonical_dup" -> (q24bCanonicalDup _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
@@ -671,6 +742,7 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q61_strip_spans" -> q61Sql,
+    "q61b_variable_spans" -> q61bSql,
     "q24_exact_dup" -> q24Sql,
     "q24b_canonical_dup" -> q24bSql,
     "q25_ngram_jaccard" -> q25Sql,

@@ -158,6 +158,56 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(4) == ((5L, 2L, 0L, "s t")))
   }
 
+  test("variableSpanProfile: base tier equals stripDuplicatedSpans and " +
+      "tiers are monotone on the fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val n = 10
+    val base = DedupOps.stripDuplicatedSpans(docs, n).orderBy("doc_id")
+      .select("doc_id", "n_removed").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prof = DedupOps.variableSpanProfile(docs, n, Seq(10, 20, 50), 20)
+      .orderBy("doc_id").collect()
+    graft.CacheScope.releaseAll()
+    assert(prof.nonEmpty)
+    var sawSpan = false
+    prof.foreach { r =>
+      val id = r.getLong(0)
+      val (g10, g20, g50) = (r.getAs[Long]("removed_ge10"),
+        r.getAs[Long]("removed_ge20"), r.getAs[Long]("removed_ge50"))
+      // tier n IS q61's removal — q61b's surface is a superset of q61's
+      assert(g10 == base(id), s"doc $id: ge10 $g10 != q61 ${base(id)}")
+      assert(g10 >= g20 && g20 >= g50, s"doc $id: tiers not monotone")
+      assert(r.getAs[Long]("max_span_len") >= 0)
+      if (r.getAs[Long]("n_spans") > 0) sawSpan = true
+    }
+    assert(sawSpan, "degenerate fixture: no duplicated span at all")
+  }
+
+  test("variableSpanProfile thresholds the rebuilt text by span length") {
+    // doc 1/2 share a long 12-token span (>= textTier 10 -> stripped);
+    // docs 3/4 share only the short span "p q r" (< 10 -> kept in text
+    // but counted in removed_ge3)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l x"),
+      (2L, "z a b c d e f g h i j k l"),
+      (3L, "p q r u v w"),
+      (4L, "m n p q r o")).toDF("doc_id", "text")
+    val out = DedupOps.variableSpanProfile(docs, 3, Seq(3, 10), 10)
+      .orderBy("doc_id").collect()
+    graft.CacheScope.releaseAll()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("removed_ge3") == 12L)
+    assert(r1.getAs[Long]("removed_ge10") == 12L)
+    assert(r1.getAs[Long]("max_span_len") == 12L)
+    assert(r1.getAs[String]("text_dedup_ge10") == "x")
+    val r3 = out(2)
+    assert(r3.getAs[Long]("removed_ge3") == 3L)
+    assert(r3.getAs[Long]("removed_ge10") == 0L)
+    // the short span survives the length-thresholded rebuild
+    assert(r3.getAs[String]("text_dedup_ge10") == "p q r u v w")
+  }
+
   test("stripDuplicatedSpans matches the per-token cover definition on random docs") {
     // reference semantics (the pre-optimization formulation): token i
     // survives iff no duplicated n-span starts in [i-n+1, i]
