@@ -43,7 +43,11 @@ object MultimodalQueries {
   private val RiffMagic = "52494646"
   private val BinPrefix = "0000000000000000"
 
-  def q60MediaMetadata(spark: SparkSession, dir: String): DataFrame = {
+  /** The synthesized media relation `(media_id, content)` shared by the
+    * multimodal queries: doc_id-derived container magic (PNG/GIF/RIFF/raw)
+    * prepended to the doc's UTF-8 bytes.
+    */
+  private[graft] def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {
     val w = expr(WExpr)
     val h = expr(HExpr)
     val le16 = (v: org.apache.spark.sql.Column) =>
@@ -55,10 +59,29 @@ object MultimodalQueries {
       .when(col("doc_id") % 4 === 1, concat(lit(GifSig), le16(w), le16(h)))
       .when(col("doc_id") % 4 === 2, lit(RiffMagic))
       .otherwise(lit(BinPrefix))
-    val staged = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id").as("media_id"),
         concat(unhex(magicHex), encode(col("text"), "UTF-8")).as("content"))
-    val meta = MultimodalOps.withMetadata(staged)
+  }
+
+  /** [[syntheticMedia]]'s oracle twin — a CTE body selecting
+    * `(media_id, content)` from `documents`.
+    */
+  private val syntheticMediaSql: String =
+    s"""SELECT doc_id AS media_id,
+      unhex(CASE
+        WHEN doc_id % 4 = 0 THEN '$PngSigIhdr'
+          || lpad(hex($WExpr), 8, '0') || lpad(hex($HExpr), 8, '0')
+          || '$PngTail'
+        WHEN doc_id % 4 = 1 THEN '$GifSig'
+          || lpad(hex(($WExpr) % 256), 2, '0') || lpad(hex(($WExpr) // 256), 2, '0')
+          || lpad(hex(($HExpr) % 256), 2, '0') || lpad(hex(($HExpr) // 256), 2, '0')
+        WHEN doc_id % 4 = 2 THEN '$RiffMagic'
+        ELSE '$BinPrefix' END) || encode(text) AS content
+    FROM documents"""
+
+  def q60MediaMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val meta = MultimodalOps.withMetadata(syntheticMedia(spark, dir))
     val (pw, ph) = MultimodalOps.headerDims(col("content"), col("format"))
     meta
       .withColumn("content_hash", HashOps.charHash(hex(col("content"))))
@@ -133,11 +156,84 @@ object MultimodalQueries {
     FROM f ORDER BY media_id, frame_id"""
   }
 
+  // --- q60c: perceptual-hash near-dup pairs over the media column ---------
+  // Extends the dedup ladder to the multimodal column: integer pHash
+  // (graft.functions.PHash — block-mean grid → scaled-integer DCT → sign
+  // bits) per payload, then a BANDED Hamming join (8 bands × 8 bits). By
+  // pigeonhole, distance ≤ 7 implies at least one agreeing band, so the
+  // banding loses NO pairs at this threshold — the oracle runs the naive
+  // all-pairs formulation and the hash match proves the banded plan
+  // equals it. At 100 TB the band key is the shuffle key; candidates
+  // meet only inside matching 8-bit buckets, never all-pairs.
+  val PHashMaxHamming = 7
+  val PHashBands = 8
+
+  def q60cPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PHash
+    // two consumers: the band explode and the exact rerank
+    val hashed = graft.CacheScope.persist(
+      syntheticMedia(spark, dir)
+        .select(col("media_id"), PHash.pHash(col("content")).as("ph")))
+    val banded = hashed.select(col("media_id"),
+      explode(array((0 until PHashBands).map(t =>
+        struct(lit(t).as("band"),
+          shiftright(col("ph"), t * 8).bitwiseAND(lit(255L)).as("key"))): _*))
+        .as("bk"))
+      .select(col("media_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.toDF("id_a", "band", "key")
+      .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(hashed.toDF("id_a", "ph_a"), "id_a")
+      .join(hashed.toDF("id_b", "ph_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= PHashMaxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q60cSql: String = {
+    import graft.functions.PHash
+    val n = PHash.GridDim * PHash.GridDim
+    val tl = PHash.cosSqlList
+    s"""WITH m AS ($syntheticMediaSql),
+    hx AS (SELECT media_id, hex(content) AS hs, octet_length(content) AS len
+      FROM m),
+    b AS (SELECT media_id, len,
+        list_transform(range(0, len), i ->
+          (strpos('0123456789ABCDEF', hs[CAST(2*i+1 AS INT)]) - 1) * 16 +
+          (strpos('0123456789ABCDEF', hs[CAST(2*i+2 AS INT)]) - 1)) AS bytes
+      FROM hx),
+    g AS (SELECT media_id,
+        list_transform(range(0, $n), k ->
+          CASE WHEN (((k+1) * len) // $n) > ((k * len) // $n)
+            THEN CAST(list_sum(bytes[CAST((k * len) // $n + 1 AS INT):CAST(((k+1) * len) // $n AS INT)]) AS BIGINT)
+                 // (((k+1) * len) // $n - (k * len) // $n)
+            ELSE 0 END) AS grid
+      FROM b),
+    h AS (SELECT media_id,
+        CAST(list_sum(list_transform(range(1, $n), k ->
+          CASE WHEN list_sum(list_transform(range(0, $n), bb ->
+              grid[CAST(bb+1 AS INT)]
+                * $tl[CAST((bb // ${PHash.GridDim}) * ${PHash.GridDim} + (k // ${PHash.GridDim}) + 1 AS INT)]
+                * $tl[CAST((bb % ${PHash.GridDim}) * ${PHash.GridDim} + (k % ${PHash.GridDim}) + 1 AS INT)])) > 0
+            THEN CAST(1 AS BIGINT) << CAST(k - 1 AS INT) ELSE 0 END)) AS BIGINT) AS phash
+      FROM g)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+      CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= $PHashMaxHamming
+    ORDER BY id_a, id_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_metadata" -> (q60MediaMetadata _),
-    "q60b_frame_sample" -> (q60bFrameSample _))
+    "q60b_frame_sample" -> (q60bFrameSample _),
+    "q60c_phash_pairs" -> (q60cPhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_media_metadata" -> q60Sql,
-    "q60b_frame_sample" -> q60bSql)
+    "q60b_frame_sample" -> q60bSql,
+    "q60c_phash_pairs" -> q60cSql)
 }
