@@ -134,17 +134,27 @@ class RarityAndRefreshSpec extends SparkSpec {
     tmp
   }
 
-  test("q83 drift is zero for identical halves, exact for a full shift") {
-    // source X: both halves token-identical -> drift 0; source Y: half A
-    // is all 'a', half B all 'b' -> drift = |2*2-0| + |0-2*2| = 8
+  test("q83 drift is zero for identical snapshots, exact for shift and rewrite") {
+    // q71's snapshot carving: A = id%10<8 (original), B = id%10>=2 (docs
+    // with id%4==0 rewritten with ' [rev2]').
+    // X: ids 2,3 live in BOTH snapshots unrewritten -> identical
+    //    distributions, drift 0.
+    // Y: id 1 is A-only ("a a"), id 9 B-only ("b b") -> full shift:
+    //    drift = |2*2-0| + |0-2*2| = 8.
+    // Z: id 4 is in both but REWRITTEN in B ("x y" -> "x y [rev2]"):
+    //    tot_a=2, tot_b=3; per term x: |1·3-1·2|=1, y: 1, [rev2]:
+    //    |0-1·2|=2 -> drift 4 — the rewritten token shows up as B-side
+    //    drift.
     val dir = stageDocs(
-      (0L, "X", "a b"), (1L, "X", "a b"),
-      (2L, "Y", "a a"), (3L, "Y", "b b"))
+      (2L, "X", "a b"), (3L, "X", "a b"),
+      (1L, "Y", "a a"), (9L, "Y", "b b"),
+      (4L, "Z", "x y"))
     val got = graft.queries.AnalysisQueries.q83DistributionDrift(spark, dir)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    assert(got("X") == (2L, 2L, 2L, 0L))
+    assert(got("X") == (4L, 4L, 2L, 0L))
     assert(got("Y") == (2L, 2L, 2L, 8L))
+    assert(got("Z") == (2L, 3L, 3L, 4L))
   }
 
   test("bigramFamiliarity profiles word-order rarity over bigram instances") {
