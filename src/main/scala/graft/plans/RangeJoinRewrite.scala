@@ -170,8 +170,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** `spark.sql.extensions` entry point: registers [[RangeJoinRewrite]] and
-  * the native graft functions (`cosine_sim`, `poly_char_hash`, `int_dot`)
-  * into every session built over the extensions, e.g.
+  * the native graft functions (`cosine_sim`, `poly_char_hash`, `int_dot`,
+  * `bpe_encode`, `phash64`) into every session built over the extensions,
+  * e.g.
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
   */
@@ -190,5 +191,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("int_dot"),
       new ExpressionInfo(classOf[graft.functions.IntDot].getName, "int_dot"),
       exprs => graft.functions.IntDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[graft.functions.BpeEncode].getName, "bpe_encode"),
+      exprs => graft.functions.BpeEncode(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("phash64"),
+      new ExpressionInfo(classOf[graft.functions.PHash64].getName, "phash64"),
+      exprs => graft.functions.PHash64(exprs.head)))
   }
 }

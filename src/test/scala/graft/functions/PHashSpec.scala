@@ -48,6 +48,22 @@ class PHashSpec extends SparkSpec {
     assert(out(1L) != out(3L))
   }
 
+  test("SQL registration works through GraftExtensions sessions") {
+    // Verify/Bench sessions register phash64 via spark.sql.extensions;
+    // the shared test session may not, so register directly here
+    Seq(Tuple1("the quick brown fox jumps over the lazy dog")).toDF("s")
+      .createOrReplaceTempView("ph_test")
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("phash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PHash64].getName, "phash64"),
+      exprs => PHash64(exprs.head))
+    val got = spark.sql("SELECT phash64(encode(s, 'UTF-8')) AS h FROM ph_test")
+      .head().getLong(0)
+    assert(got == PHash.hash(
+      "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")))
+  }
+
   test("q60c's banded Hamming join equals the all-pairs formulation on the " +
       "fixture (pigeonhole exactness at distance <= 7)") {
     val dir = "/root/testdata/sf0.001"
