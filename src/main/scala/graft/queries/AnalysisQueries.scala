@@ -153,6 +153,52 @@ object AnalysisQueries {
       coalesce(array_to_string(a.btoks, ' '), '') AS bpe_text
     FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
 
+  // --- q87/q87b: distributed BPE vocabulary training ---------------------
+  // q22b APPLIES a merge table; q87 LEARNS one from the corpus — the
+  // Sennrich 2016 learn_bpe loop as Spark aggregations (ops.BpeTrainOps):
+  // one corpus-wide word count, then per-round pair-count aggregations
+  // over the capped vocabulary. The round loop's global argmax is
+  // inherently sequential (each merge depends on the table so far), which
+  // a DuckDB recursive CTE cannot replay (no aggregates in the recursive
+  // term) — so q87 is a declared rows-only query, and its merge decisions
+  // are gated instead by BpeTrainSpec's golden parity against an
+  // independent in-memory trainer plus BpeMerges.validateTable
+  // well-formedness. q87b oracles the round-0 pair statistics — the exact
+  // aggregation every round runs — end-to-end against DuckDB.
+
+  /** Trainer knobs, declared before the SQL vals that interpolate them
+    * (strict-val initialization order).
+    */
+  val BpeTrainMerges: Int = 24
+  val BpeTrainMinPair: Long = 4L
+  val BpeTrainMaxVocab: Int = 1 << 16
+
+  def q87BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.BpeTrainOps.train(spark, Tables.documents(spark, dir),
+      numMerges = BpeTrainMerges, minPairCount = BpeTrainMinPair,
+      maxVocab = BpeTrainMaxVocab).orderBy("rank")
+
+  def q87bPairCounts(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = graft.ops.BpeTrainOps
+      .wordVocab(Tables.documents(spark, dir), BpeTrainMaxVocab)
+      .select(graft.ops.BpeTrainOps.symbolSplit(col("w")).as("syms"),
+        col("cnt"))
+    graft.ops.BpeTrainOps.pairCounts(vocab)
+      .orderBy(desc("pair_count"), asc("l"), asc("r")).limit(50)
+  }
+
+  val q87bSql: String =
+    s"""WITH wc AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(text, '$bpeRegexSql')) AS w
+        FROM documents)
+      WHERE length(w) >= 2 GROUP BY w
+      ORDER BY cnt DESC, w LIMIT $BpeTrainMaxVocab),
+    pr AS (SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, cnt
+      FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc))
+    SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM pr GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 50"""
+
   // --- q23: document fingerprints (rolling hash) -------------------------
   def q23Fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -595,6 +641,8 @@ object AnalysisQueries {
     "q21b_repetition" -> (q21bRepetition _),
     "q22_token_counts" -> (q22TokenCounts _),
     "q22b_bpe_tokens" -> (q22bBpeTokens _),
+    "q87_bpe_train" -> (q87BpeTrain _),
+    "q87b_bpe_pair_counts" -> (q87bPairCounts _),
     "q23_fingerprints" -> (q23Fingerprints _),
     "q23b_redact" -> (q23bRedact _),
     "q63_keyword_search" -> (q63KeywordSearch _),
@@ -612,6 +660,7 @@ object AnalysisQueries {
     "q21b_repetition" -> q21bSql,
     "q22_token_counts" -> q22Sql,
     "q22b_bpe_tokens" -> q22bSql,
+    "q87b_bpe_pair_counts" -> q87bSql,
     "q23_fingerprints" -> q23Sql,
     "q23b_redact" -> q23bSql,
     "q63_keyword_search" -> q63Sql,

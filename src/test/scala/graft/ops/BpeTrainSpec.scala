@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.BpeMerges
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Gate for the distributed BPE trainer (q87): golden parity against an
+  * INDEPENDENT in-memory implementation of the published learn_bpe loop
+  * (separate pre-tokenization, pair counting, and merge application code
+  * paths — shared constants only), plus the structural invariants the
+  * encoder relies on.
+  */
+class BpeTrainSpec extends SparkSpec {
+
+  /** In-memory reference trainer: same contract as BpeTrainOps.train
+    * (adjacent pairs weighted by word count, overlaps included; argmax
+    * with (count desc, left asc, right asc) tie-break; leftmost-first
+    * non-overlapping merge application), implemented with plain Scala
+    * collections.
+    */
+  private def goldenTrain(texts: Seq[String], numMerges: Int,
+                          minPairCount: Long,
+                          maxVocab: Int): Seq[(Int, String, String, String, Long)] = {
+    val re = TextAnalysisOps.BpeTokenRegex.r
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    texts.foreach(t => re.findAllIn(t).foreach { w =>
+      if (w.codePointCount(0, w.length) >= 2) counts(w) += 1L
+    })
+    var vocab: Seq[(Vector[String], Long)] = counts.toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(maxVocab)
+      .map { case (w, c) =>
+        val syms = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          syms += new String(Character.toChars(cp))
+          i += Character.charCount(cp)
+        }
+        (syms.toVector, c)
+      }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) { pc((syms(i), syms(i + 1))) += c; i += 1 }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((l, r), n) = pc.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        if (n < minPairCount) done = true
+        else {
+          out += ((rank, l, r, l + r, n))
+          vocab = vocab.map { case (syms, c) =>
+            val merged = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                merged += l + r; i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            (merged.toVector, c)
+          }
+          rank += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def trained(df: DataFrame): Seq[(Int, String, String, String, Long)] =
+    df.orderBy("rank").collect().toSeq.map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+
+  test("golden parity on the sf0.001 corpus (every merge decision)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = trained(BpeTrainOps.train(spark, docs, numMerges = 24,
+      minPairCount = 4L, maxVocab = 1 << 16))
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val want = goldenTrain(texts, numMerges = 24, minPairCount = 4L,
+      maxVocab = 1 << 16)
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("hand-computed adversarial overlap corpus") {
+    import sqlImplicits._
+    // "aaaa" x2, "bbbb" x1. Round 0: (a,a) weighted 3*2=6 beats (b,b)=3;
+    // merging turns aaaa into [aa,aa] (leftmost-first, third 'a' pair
+    // consumed by overlap). Round 1: (b,b)=3 beats (aa,aa)=2. Round 2:
+    // (aa,aa)=2. Round 3: best is (bb,bb)=1 < minPairCount=2 -> stop.
+    val docs = Seq("aaaa bbbb", "aaaa").toDF("text")
+    val got = trained(BpeTrainOps.train(spark, docs, numMerges = 10,
+      minPairCount = 2L))
+    assert(got == Seq(
+      (0, "a", "a", "aa", 6L),
+      (1, "b", "b", "bb", 3L),
+      (2, "aa", "aa", "aaaa", 2L)))
+  }
+
+  test("trained table is well-formed for the greedy encoder") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rules = BpeTrainOps.train(spark, docs, numMerges = 24,
+      minPairCount = 4L)
+      .orderBy("rank").collect().map(r => r.getString(1) + " " + r.getString(2))
+    // The encoder's leftmost-lowest-rank == published-all-occurrences
+    // equivalence argument (BpeMerges scaladoc) requires exactly this
+    // property of the table; training must produce it by construction.
+    assert(BpeMerges.validateTable(rules.toIndexedSeq).isEmpty)
+  }
+
+  test("golden parity on three seeded random corpora") {
+    import sqlImplicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val words = Vector("spark", "stream", "batch", "aaa", "abab", "ba",
+        "table", "scan", "shuffle", "zz")
+      val texts = Seq.fill(20)(
+        Seq.fill(1 + rnd.nextInt(8))(words(rnd.nextInt(words.length)))
+          .mkString(" "))
+      val got = trained(BpeTrainOps.train(spark, texts.toDF("text"),
+        numMerges = 12, minPairCount = 2L))
+      val want = goldenTrain(texts, numMerges = 12, minPairCount = 2L,
+        maxVocab = 1 << 16)
+      assert(got == want, s"corpus: $texts")
+    }
+  }
+
+  test("mergeAdjacent folds leftmost-first over overlaps in both eval paths") {
+    import sqlImplicits._
+    val df = Seq(Tuple1(Seq("a", "a", "a", "b", "a", "a"))).toDF("syms")
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      val out = df.select(BpeTrainOps.mergeAdjacent($"syms", "a", "a"))
+        .head().getSeq[String](0)
+      assert(out == Seq("aa", "a", "b", "aa"), cg)
+    }
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+}
