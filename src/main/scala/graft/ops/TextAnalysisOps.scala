@@ -575,4 +575,87 @@ object TextAnalysisOps {
     PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
       regexp_replace(c, pat, repl)
     }
+
+  // --- Gopher document-quality rule battery (Rae et al. 2021 §A1.1) ------
+
+  /** The paper's "required word" list: a document must contain at least
+    * [[GopherMinStopHits]] distinct members to pass the stop-word rule.
+    */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Published thresholds, kept verbatim (not tuned to any fixture):
+    * 50..100k words; mean word length 3..10; symbol-to-word ratio <= 0.1
+    * (# and ellipsis marks); <= 10% bullet-started lines; <= 30%
+    * ellipsis-ended lines; >= 80% words with an alphabetic character;
+    * >= 2 required words present.
+    */
+  val GopherMinWords: Long = 50L
+  val GopherMaxWords: Long = 100000L
+  val GopherMinMeanLen: Long = 3L
+  val GopherMaxMeanLen: Long = 10L
+  val GopherMinStopHits: Long = 2L
+
+  /** Per-document Gopher rule signals + 0/1 rule flags + keep, over
+    * `documents(doc_id, text)`. Every ratio rule is evaluated in exact
+    * integer cross-multiplied form (`10*symbols <= words`, not a float
+    * division), so engine and oracle can never disagree on a boundary
+    * document. All columns are narrow per-row expressions — the whole
+    * battery is one codegen'd scan, the shape a 100 TB filter pass needs.
+    *
+    * `...`-ellipsis occurrences count non-overlapping left-to-right (both
+    * engines' replace semantics); the removed length is always a multiple
+    * of 3, so the /3 is exact.
+    */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val staged = docs.select(col(idCol), col(textCol).as("text"),
+      TextOps.tokenize(col(textCol)).as("toks"),
+      split(col(textCol), "\n", -1).as("lines"))
+    val sig = staged.select(col(idCol),
+      size(col("toks")).cast("long").as("n_words"),
+      aggregate(col("toks"), lit(0L), (a, w) => a + length(w))
+        .as("sum_word_chars"),
+      size(filter(col("toks"), w => w.rlike("[a-zA-Z]"))).cast("long")
+        .as("n_alpha_words"),
+      GopherStopWords.map(w =>
+        array_contains(transform(col("toks"), lower _), w).cast("long"))
+        .reduce(_ + _).as("n_stop_present"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(filter(col("lines"), l =>
+        substring(ltrim(l), 1, 1).isin("•", "-", "*"))).cast("long")
+        .as("n_bullet_lines"),
+      size(filter(col("lines"), l =>
+        rtrim(l).endsWith("…") || rtrim(l).endsWith("..."))).cast("long")
+        .as("n_ellipsis_lines"),
+      ((length(col("text")) - length(translate(col("text"), "#", ""))) +
+        (length(col("text")) - length(translate(col("text"), "…", ""))) +
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          .cast("long")).cast("long").as("n_symbol_marks"))
+    sig.select(col(idCol), col("n_words"), col("sum_word_chars"),
+      col("n_alpha_words"), col("n_stop_present"), col("n_lines"),
+      col("n_bullet_lines"), col("n_ellipsis_lines"), col("n_symbol_marks"),
+      (col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+        .cast("long").as("r_word_count"),
+      (col("n_words") > 0 &&
+        col("sum_word_chars") >= lit(GopherMinMeanLen) * col("n_words") &&
+        col("sum_word_chars") <= lit(GopherMaxMeanLen) * col("n_words"))
+        .cast("long").as("r_mean_word_len"),
+      (lit(10L) * col("n_symbol_marks") <= col("n_words"))
+        .cast("long").as("r_symbol_ratio"),
+      (lit(10L) * col("n_bullet_lines") <= col("n_lines"))
+        .cast("long").as("r_bullet_lines"),
+      (lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
+        .cast("long").as("r_ellipsis_lines"),
+      (lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+        .cast("long").as("r_alpha_words"),
+      (col("n_stop_present") >= GopherMinStopHits)
+        .cast("long").as("r_stop_words"))
+      .withColumn("keep",
+        (col("r_word_count") * col("r_mean_word_len") *
+          col("r_symbol_ratio") * col("r_bullet_lines") *
+          col("r_ellipsis_lines") * col("r_alpha_words") *
+          col("r_stop_words")).cast("long"))
+  }
 }

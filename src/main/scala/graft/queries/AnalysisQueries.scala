@@ -199,6 +199,75 @@ object AnalysisQueries {
     SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count
     FROM pr GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 50"""
 
+  // --- q88: Gopher document-quality rule battery -------------------------
+  // The published pretraining filter battery (Rae et al. 2021 §A1.1) as
+  // one codegen'd scan: per-rule 0/1 flags + keep, every ratio rule in
+  // exact cross-multiplied integer form. On this fixture the line/symbol
+  // rules are constant-pass (the synthetic text has no newlines or
+  // symbol glyphs — TextAnalysisSpec exercises them on handcrafted
+  // multi-line docs) while word-count / mean-word-length / alpha /
+  // stop-word flags vary document-to-document; thresholds are the
+  // paper's, not tuned to the fixture.
+  def q88GopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.gopherRules(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  val q88Sql: String = {
+    val stops = TextAnalysisOps.GopherStopWords
+      .map(w => s"list_contains(lt, '$w')::INT").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks,
+      string_split(text, chr(10)) AS lines FROM documents),
+    t2 AS (SELECT doc_id, text, toks, lines,
+      list_transform(toks, w -> lower(w)) AS lt FROM t),
+    s AS (SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_words,
+      CAST(coalesce(list_aggregate(
+        list_transform(toks, w -> length(w)), 'sum'), 0) AS BIGINT)
+        AS sum_word_chars,
+      CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+        AS BIGINT) AS n_alpha_words,
+      CAST($stops AS BIGINT) AS n_stop_present,
+      CAST(len(lines) AS BIGINT) AS n_lines,
+      CAST(len(list_filter(lines, l ->
+        left(ltrim(l), 1) IN ('•', '-', '*'))) AS BIGINT) AS n_bullet_lines,
+      CAST(len(list_filter(lines, l ->
+        rtrim(l) LIKE '%…' OR rtrim(l) LIKE '%...')) AS BIGINT)
+        AS n_ellipsis_lines,
+      CAST((length(text) - length(replace(text, '#', ''))) +
+        (length(text) - length(replace(text, '…', ''))) +
+        CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+        AS BIGINT) AS n_symbol_marks
+      FROM t2)
+    SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_stop_present,
+      n_lines, n_bullet_lines, n_ellipsis_lines, n_symbol_marks,
+      CAST(n_words >= ${TextAnalysisOps.GopherMinWords}
+        AND n_words <= ${TextAnalysisOps.GopherMaxWords} AS BIGINT)
+        AS r_word_count,
+      CAST(n_words > 0
+        AND sum_word_chars >= ${TextAnalysisOps.GopherMinMeanLen} * n_words
+        AND sum_word_chars <= ${TextAnalysisOps.GopherMaxMeanLen} * n_words
+        AS BIGINT) AS r_mean_word_len,
+      CAST(10 * n_symbol_marks <= n_words AS BIGINT) AS r_symbol_ratio,
+      CAST(10 * n_bullet_lines <= n_lines AS BIGINT) AS r_bullet_lines,
+      CAST(10 * n_ellipsis_lines <= 3 * n_lines AS BIGINT)
+        AS r_ellipsis_lines,
+      CAST(5 * n_alpha_words >= 4 * n_words AS BIGINT) AS r_alpha_words,
+      CAST(n_stop_present >= ${TextAnalysisOps.GopherMinStopHits} AS BIGINT)
+        AS r_stop_words,
+      CAST((n_words >= ${TextAnalysisOps.GopherMinWords}
+          AND n_words <= ${TextAnalysisOps.GopherMaxWords})::INT *
+        (n_words > 0
+          AND sum_word_chars >= ${TextAnalysisOps.GopherMinMeanLen} * n_words
+          AND sum_word_chars <= ${TextAnalysisOps.GopherMaxMeanLen} * n_words)::INT *
+        (10 * n_symbol_marks <= n_words)::INT *
+        (10 * n_bullet_lines <= n_lines)::INT *
+        (10 * n_ellipsis_lines <= 3 * n_lines)::INT *
+        (5 * n_alpha_words >= 4 * n_words)::INT *
+        (n_stop_present >= ${TextAnalysisOps.GopherMinStopHits})::INT
+        AS BIGINT) AS keep
+    FROM s ORDER BY doc_id"""
+  }
+
   // --- q23: document fingerprints (rolling hash) -------------------------
   def q23Fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -643,6 +712,7 @@ object AnalysisQueries {
     "q22b_bpe_tokens" -> (q22bBpeTokens _),
     "q87_bpe_train" -> (q87BpeTrain _),
     "q87b_bpe_pair_counts" -> (q87bPairCounts _),
+    "q88_gopher_rules" -> (q88GopherRules _),
     "q23_fingerprints" -> (q23Fingerprints _),
     "q23b_redact" -> (q23bRedact _),
     "q63_keyword_search" -> (q63KeywordSearch _),
@@ -661,6 +731,7 @@ object AnalysisQueries {
     "q22_token_counts" -> q22Sql,
     "q22b_bpe_tokens" -> q22bSql,
     "q87b_bpe_pair_counts" -> q87bSql,
+    "q88_gopher_rules" -> q88Sql,
     "q23_fingerprints" -> q23Sql,
     "q23b_redact" -> q23bSql,
     "q63_keyword_search" -> q63Sql,

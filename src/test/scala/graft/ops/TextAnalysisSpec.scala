@@ -9,6 +9,44 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import sqlImplicits._
 
+  test("gopherRules: line and symbol rules fire on handcrafted docs " +
+      "(the fixture corpus cannot exercise them — no newlines/glyphs)") {
+    val docs = Seq(
+      // 1: clean prose, passes everything but word count (< 50 words)
+      (1L, "the cat sat on the mat and that was that with some more " +
+        "plain words to read"),
+      // 2: bullet-heavy — 3 of 4 lines bullet-started (> 10%)
+      (2L, "- alpha item\n- beta item\n- gamma item\nplain closing line"),
+      // 3: ellipsis-heavy — both lines ellipsis-ended (> 30%)
+      (3L, "this trails off...\nand this one too…"),
+      // 4: symbol-heavy — ### and ... push symbols*10 > words
+      (4L, "### heading ### more ... hash # tags"),
+      // 5: numeric soup — < 80% words alphabetic
+      (5L, "12 34 56 78 90 11 22 33 44 word")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysisOps.gopherRules(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 2: n_lines=4, bullet lines=3 -> 30 > 4 fails r_bullet_lines
+    assert(out(2L).getAs[Long]("n_bullet_lines") == 3L)
+    assert(out(2L).getAs[Long]("r_bullet_lines") == 0L)
+    // doc 3: 2 lines, both ellipsis-ended -> 20 > 6 fails
+    assert(out(3L).getAs[Long]("n_ellipsis_lines") == 2L)
+    assert(out(3L).getAs[Long]("r_ellipsis_lines") == 0L)
+    // doc 4: 7 '#' + 1 '...' = 8 marks vs 8 words -> 80 > 8 fails
+    assert(out(4L).getAs[Long]("n_symbol_marks") == 8L)
+    assert(out(4L).getAs[Long]("r_symbol_ratio") == 0L)
+    // doc 5: 1 alpha word of 10 -> 5 < 40 fails
+    assert(out(5L).getAs[Long]("r_alpha_words") == 0L)
+    // doc 1: all content rules pass, word count fails (17 words < 50)
+    assert(out(1L).getAs[Long]("r_mean_word_len") == 1L)
+    assert(out(1L).getAs[Long]("r_stop_words") == 1L)
+    assert(out(1L).getAs[Long]("r_alpha_words") == 1L)
+    assert(out(1L).getAs[Long]("r_word_count") == 0L)
+    assert(out(1L).getAs[Long]("keep") == 0L)
+    // every doc fails at least one rule -> keep all zero
+    assert(out.values.forall(_.getAs[Long]("keep") == 0L))
+  }
+
   test("charHash matches the hand-computed polynomial fold") {
     // h("cat") = ((((7*31+99)%P)*31+97)%P)*31+116 % P
     var h = 7L
