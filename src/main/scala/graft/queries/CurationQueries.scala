@@ -694,7 +694,74 @@ object CurationQueries {
     FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
     ORDER BY doc_id"""
 
+  // --- q89: deterministic epoch shuffle + length curriculum --------------
+  // The data-ordering step before training: a REPRODUCIBLE corpus
+  // permutation (order by a seeded content hash — stable across runs and
+  // re-ingestions, unlike rand()) composed with a length curriculum
+  // (short docs first: bin by word count, shuffle within bin — the
+  // classic curriculum/length-warmup ordering). The global position is
+  // NOT a single-partition row_number: the hash key is uniform over
+  // [0, P), so `skey * shards / P` is a monotone range-shard, per-(bin,
+  // shard) ranks run in parallel windows, and the serial prefix pass sees
+  // only bins × shards count rows — the same two-level prefix-sum shape
+  // as [[packStartOffsets]]. Any row's final position is invariant to
+  // shard boundaries, so the output is deterministic at any parallelism.
+
+  /** Epoch seed (vary to draw a fresh permutation) and curriculum word-
+    * count bin bounds, declared before the SQL val that interpolates
+    * them.
+    */
+  val CurriculumSeed: String = "ep1"
+  val CurriculumBounds: Seq[Long] = Seq(40L, 60L, 80L)
+  val CurriculumShards: Int = 32
+
+  def q89CurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.ops.TextOps.tokenize(col("text"))).cast("long")
+          .as("n_words"),
+        graft.ops.HashOps.charHash(concat(lit(CurriculumSeed), col("text")))
+          .as("skey"))
+      .withColumn("bin", CurriculumBounds.map(b =>
+        (col("n_words") >= b).cast("long")).reduce(_ + _))
+    // two consumers: per-shard ranks and the shard-count prefix
+    val sharded = graft.CacheScope.persist(scored.withColumn("shard",
+      floor(col("skey") * CurriculumShards /
+        lit(graft.ops.HashOps.P.toDouble)).cast("int")))
+    val wLocal = Window.partitionBy("bin", "shard").orderBy("skey", "doc_id")
+    val local = sharded.withColumn("local_rank",
+      row_number().over(wLocal).cast("long"))
+    // serial pass over <= bins * shards rows only
+    val wStart = Window.orderBy("bin", "shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val starts = sharded.groupBy("bin", "shard")
+      .agg(count(lit(1)).as("n_in_shard"))
+      .withColumn("shard_start",
+        sum(col("n_in_shard")).over(wStart) - col("n_in_shard"))
+      .select(col("bin"), col("shard"), col("shard_start"))
+    local.join(broadcast(starts), Seq("bin", "shard"))
+      .select(col("doc_id"), col("n_words"), col("bin"), col("skey"),
+        (col("shard_start") + col("local_rank")).as("pos"))
+      .orderBy("pos")
+  }
+
+  val q89Sql: String = {
+    val binSql = CurriculumBounds
+      .map(b => s"(n_words >= $b)::INT").mkString(" + ")
+    s"""WITH s AS (SELECT doc_id,
+      CAST(len(${toksSql("text")}) AS BIGINT) AS n_words,
+      ${graft.ops.HashOps.charHashSql("'" + CurriculumSeed + "' || text")}
+        AS skey FROM documents),
+    b AS (SELECT doc_id, n_words, skey,
+      CAST($binSql AS BIGINT) AS bin FROM s)
+    SELECT doc_id, n_words, bin, skey,
+      CAST(row_number() OVER (ORDER BY bin, skey, doc_id) AS BIGINT) AS pos
+    FROM b ORDER BY pos"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_curriculum_order" -> (q89CurriculumOrder _),
     "q69_context_chunks" -> (q69ContextChunks _),
     "q71_snapshot_delta" -> (q71SnapshotDelta _),
     "q50_curated_corpus" -> (q50CuratedCorpus _),
@@ -712,6 +779,7 @@ object CurationQueries {
     "q86_chunk_dedup" -> (q86ChunkDedup _))
 
   val oracleSql: Map[String, String] = Map(
+    "q89_curriculum_order" -> q89Sql,
     "q69_context_chunks" -> q69Sql,
     "q71_snapshot_delta" -> q71Sql,
     "q50_curated_corpus" -> q50Sql,

@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
 class CurationPipelineSpec extends SparkSpec {
   import sqlImplicits._
 
+  test("q89 curriculum order: positions are a 1..N permutation, bins are " +
+      "non-decreasing, and the shard decomposition matches a global sort") {
+    val out = graft.queries.CurationQueries
+      .q89CurriculumOrder(spark, "/root/testdata/sf0.001")
+      .collect()
+    CacheScope.releaseAll()
+    val n = out.length
+    assert(n > 0)
+    assert(out.map(_.getAs[Long]("pos")).toSet == (1L to n).toSet)
+    val byPos = out.sortBy(_.getAs[Long]("pos"))
+    assert(byPos.sliding(2).forall(p =>
+      p(0).getAs[Long]("bin") <= p(1).getAs[Long]("bin")))
+    // the two-level prefix-sum position == rank in a plain global sort
+    val want = out.sortBy(r => (r.getAs[Long]("bin"), r.getAs[Long]("skey"),
+      r.getAs[Long]("doc_id"))).zipWithIndex
+      .map { case (r, i) => r.getAs[Long]("doc_id") -> (i + 1L) }.toMap
+    assert(out.forall(r =>
+      want(r.getAs[Long]("doc_id")) == r.getAs[Long]("pos")))
+  }
+
   test("curate: redacts PII, drops junk, removes exact and near duplicates") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val docs = Seq(
