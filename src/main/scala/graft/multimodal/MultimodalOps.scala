@@ -236,6 +236,46 @@ object MultimodalOps {
     conv(concat(substring(hx, 3, 2), substring(hx, 1, 2)), 16, 10).cast("long")
   }
 
+  /** Little-endian u32 at 1-based byte position `pos`: reverse the four
+    * hex byte pairs before parsing.
+    */
+  private def leU32(content: Column, pos: Int): Column = {
+    val hx = hex(substring(content, pos, 4))
+    conv(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+      substring(hx, 3, 2), substring(hx, 1, 2)), 16, 10).cast("long")
+  }
+
+  /** Canonical-layout RIFF/WAVE PCM header parse (the public WAV spec:
+    * RIFF size, "WAVE", a 16-byte "fmt " chunk, then "data"). Like
+    * [[headerDims]]'s mandatory-first-IHDR simplification, only the
+    * canonical chunk order is parsed — a payload with extension chunks
+    * between fmt and data reports -1s rather than a wrong parse (the
+    * chunk-walking general case needs a loop no fixed-offset expression
+    * can express, same boundary as JPEG marker walking). All fields stay
+    * substring/hex/conv expressions inside whole-stage codegen.
+    *
+    * Returns (audio_format, channels, sample_rate, byte_rate,
+    * block_align, bits_per_sample, data_size), each -1 when the payload
+    * is not canonical WAVE.
+    */
+  def wavPcmHeader(content: Column): Seq[(String, Column)] = {
+    val ok = length(content) >= 44 &&
+      hex(substring(content, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(content, 9, 4)) === "57415645" && // "WAVE"
+      hex(substring(content, 13, 4)) === "666D7420" && // "fmt "
+      leU32(content, 17) === 16L && // PCM fmt chunk length
+      hex(substring(content, 37, 4)) === "64617461" // "data"
+    def f(c: Column): Column = when(ok, c).otherwise(lit(-1L))
+    Seq(
+      "audio_format" -> f(leU16(content, 21)),
+      "channels" -> f(leU16(content, 23)),
+      "sample_rate" -> f(leU32(content, 25)),
+      "byte_rate" -> f(leU32(content, 29)),
+      "block_align" -> f(leU16(content, 33)),
+      "bits_per_sample" -> f(leU16(content, 35)),
+      "data_size" -> f(leU32(content, 41)))
+  }
+
   /** Column-expression twin of [[imageDimensions]] for the fixed-offset
     * containers — PNG (IHDR, big-endian u32) and GIF (logical screen,
     * little-endian u16) parse with substring/hex/conv and stay inside

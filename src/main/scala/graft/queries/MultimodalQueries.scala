@@ -227,13 +227,82 @@ object MultimodalQueries {
     ORDER BY id_a, id_b"""
   }
 
+  // --- q60d: audio (RIFF/WAVE) header metadata -----------------------------
+  // The audio leg of the multimodal surface: each doc becomes a REAL
+  // canonical WAV payload (RIFF size, WAVE, 16-byte PCM fmt chunk with
+  // doc_id-derived channels/sample-rate, data chunk over the UTF-8 text
+  // bytes). The engine PARSES the binary header back with
+  // MultimodalOps.wavPcmHeader (substring/hex/conv, codegen'd) and
+  // derives sample count and duration with exact integer division; the
+  // oracle recomputes every field from the doc_id ground truth the header
+  // was synthesized from — a parser or synthesizer bug on either side
+  // breaks the hash match, the same contract as q60's image dims.
+  private val WavChannelsExpr = "(doc_id % 2) + 1"
+  private val WavRateExpr = "8000 + (doc_id % 5) * 2000"
+
+  /** Synthesized canonical WAV relation `(media_id, content)`. */
+  private[graft] def syntheticWav(spark: SparkSession, dir: String): DataFrame = {
+    val le16 = (v: org.apache.spark.sql.Column) =>
+      concat(lpad(hex(v % 256), 2, "0"),
+        lpad(hex((v / 256).cast("long")), 2, "0"))
+    val le32 = (v: org.apache.spark.sql.Column) =>
+      concat(le16(v % 65536), le16((v / 65536).cast("long")))
+    val ch = expr(WavChannelsExpr).cast("long")
+    val rate = expr(WavRateExpr).cast("long")
+    val blockAlign = ch * 2
+    val byteRate = rate * blockAlign
+    val dataSize = length(encode(col("text"), "UTF-8")).cast("long")
+    val hdr = concat(
+      lit("52494646"), le32(dataSize + 36), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), le32(lit(16L)), // "fmt " + PCM chunk length
+      le16(lit(1L)), le16(ch), le32(rate), le32(byteRate),
+      le16(blockAlign), le16(lit(16L)), // block align, 16-bit samples
+      lit("64617461"), le32(dataSize)) // "data" + payload size
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        concat(unhex(hdr), encode(col("text"), "UTF-8")).as("content"))
+  }
+
+  def q60dWavMetadata(spark: SparkSession, dir: String): DataFrame =
+    syntheticWav(spark, dir)
+      .select(Seq(col("media_id")) ++ MultimodalOps.wavPcmHeader(col("content"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .select(col("media_id"), col("audio_format"), col("channels"),
+        col("sample_rate"), col("byte_rate"), col("block_align"),
+        col("bits_per_sample"), col("data_size"),
+        expr("data_size div block_align").as("n_samples"),
+        expr("(data_size div block_align) * 1000 div sample_rate")
+          .as("duration_ms"))
+      .orderBy("media_id")
+
+  val q60dSql: String =
+    s"""WITH g AS (SELECT doc_id AS media_id,
+      $WavChannelsExpr AS channels,
+      $WavRateExpr AS sample_rate,
+      octet_length(encode(text)) AS data_size
+    FROM documents)
+    SELECT media_id,
+      CAST(1 AS BIGINT) AS audio_format,
+      CAST(channels AS BIGINT) AS channels,
+      CAST(sample_rate AS BIGINT) AS sample_rate,
+      CAST(sample_rate * channels * 2 AS BIGINT) AS byte_rate,
+      CAST(channels * 2 AS BIGINT) AS block_align,
+      CAST(16 AS BIGINT) AS bits_per_sample,
+      CAST(data_size AS BIGINT) AS data_size,
+      CAST(data_size // (channels * 2) AS BIGINT) AS n_samples,
+      CAST((data_size // (channels * 2)) * 1000 // sample_rate AS BIGINT)
+        AS duration_ms
+    FROM g ORDER BY media_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_metadata" -> (q60MediaMetadata _),
     "q60b_frame_sample" -> (q60bFrameSample _),
-    "q60c_phash_pairs" -> (q60cPhashPairs _))
+    "q60c_phash_pairs" -> (q60cPhashPairs _),
+    "q60d_wav_metadata" -> (q60dWavMetadata _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_media_metadata" -> q60Sql,
     "q60b_frame_sample" -> q60bSql,
-    "q60c_phash_pairs" -> q60cSql)
+    "q60c_phash_pairs" -> q60cSql,
+    "q60d_wav_metadata" -> q60dSql)
 }

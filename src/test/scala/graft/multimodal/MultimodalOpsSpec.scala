@@ -10,6 +10,37 @@ import org.apache.spark.sql.functions._
 class MultimodalOpsSpec extends SparkSpec {
   import sqlImplicits._
 
+  test("wavPcmHeader parses a hand-built canonical WAV and rejects " +
+      "non-canonical layouts") {
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val data = Array.fill[Byte](100)(7)
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 2 * 2) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    // a LIST chunk between fmt and data — legal WAV, not canonical layout
+    val listed = wav.take(36) ++ "LIST".getBytes ++ le32(4) ++
+      "INFO".getBytes ++ wav.drop(36)
+    val rows = Seq((1L, wav), (2L, listed), (3L, data)).toDF("id", "content")
+      .select(Seq(col("id")) ++
+        MultimodalOps.wavPcmHeader(col("content")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("audio_format") == 1L)
+    assert(rows(1L).getAs[Long]("channels") == 2L)
+    assert(rows(1L).getAs[Long]("sample_rate") == 44100L)
+    assert(rows(1L).getAs[Long]("byte_rate") == 176400L)
+    assert(rows(1L).getAs[Long]("block_align") == 4L)
+    assert(rows(1L).getAs[Long]("bits_per_sample") == 16L)
+    assert(rows(1L).getAs[Long]("data_size") == 100L)
+    // non-canonical and non-WAV payloads: every field -1, never a misparse
+    for (id <- Seq(2L, 3L))
+      assert(Seq("audio_format", "channels", "sample_rate", "byte_rate",
+        "block_align", "bits_per_sample", "data_size")
+        .forall(f => rows(id).getAs[Long](f) == -1L), id)
+  }
+
   /** Encode a solid-color (or two-tone) image to real container bytes. */
   private def encode(format: String, w: Int, h: Int,
                      rgbAt: (Int, Int) => Int): Array[Byte] = {
