@@ -576,6 +576,69 @@ object TextAnalysisOps {
       regexp_replace(c, pat, repl)
     }
 
+  // --- bigram surprisal (conditional-LM perplexity proxy) -----------------
+
+  /** Per-document bigram surprisal under a corpus-trained conditional
+    * bigram model — the CCNet perplexity-filter signal one modeling step
+    * past [[unigramRarity]] (unigram -log p) and [[bigramFamiliarity]]
+    * (bigram COVERAGE): each bigram instance (w1, w2) contributes
+    *
+    *   s = ⌊log2 ctf1(w1)⌋ − ⌊log2 btf(w1, w2)⌋   (≈ −log2 p(w2 | w1))
+    *
+    * where btf is the bigram's corpus count and ctf1(w1) = Σ_w btf(w1, w)
+    * is w1's left-context mass, so btf <= ctf1 and s >= 0. Integer log2
+    * buckets (binary-string length, the q70 trick) keep both engines
+    * libm-free. High `sum_surprisal`/`n_bigrams` flags improbable word
+    * SEQUENCES — templated spam with plausible unigrams, shuffled text —
+    * that both unigram rarity and coverage are blind to.
+    *
+    * Scale shape: three keyed map-side-combined shuffles (doc-bigram,
+    * bigram, unigram — each no wider than a tokenize pass), one
+    * bigram-keyed join back, one per-doc sum; no all-pairs shapes. The
+    * model here is self-trained on the scored corpus; scoring against a
+    * held-out reference model is the same plan with `bt`/`ut` built from
+    * the reference relation.
+    *
+    * Output: `(id, n_bigrams, sum_surprisal, max_surprisal)`; docs with
+    * < 2 tokens carry zeros.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val staged = docs.select(col(idCol),
+      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
+    val pairs = staged
+      .select(col(idCol),
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+          .as("bs"))
+      .select(col(idCol), explode(col("bs")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // persisted: the bigram-count aggregate and the scoring join both
+    // consume the doc-bigram relation (same lifecycle as rarityProfile)
+    val dt = graft.CacheScope.persist(
+      pairs.groupBy(col(idCol), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k")))
+    val bt = graft.CacheScope.persist(
+      dt.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("btf")))
+    val ut = bt.groupBy(col("w1")).agg(sum(col("btf")).as("ctf1"))
+    def log2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+    val scored = dt.join(bt, Seq("w1", "w2")).join(ut, Seq("w1"))
+      .select(col(idCol), col("k"),
+        (log2len(col("ctf1")) - log2len(col("btf"))).as("s"))
+    val profile = scored.groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("s")).as("sum_surprisal"),
+        max(col("s")).as("max_surprisal"))
+    docs.select(col(idCol)).join(profile, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_surprisal"), lit(0L)).as("sum_surprisal"),
+        coalesce(col("max_surprisal"), lit(0L)).as("max_surprisal"))
+  }
+
   // --- Gopher document-quality rule battery (Rae et al. 2021 §A1.1) ------
 
   /** The paper's "required word" list: a document must contain at least

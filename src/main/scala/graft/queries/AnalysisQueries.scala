@@ -199,6 +199,36 @@ object AnalysisQueries {
     SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count
     FROM pr GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 50"""
 
+  // --- q90: bigram surprisal (conditional-LM perplexity proxy) -----------
+  // See TextAnalysisOps.bigramSurprisal: -log2 p(w2|w1) in integer log2
+  // buckets under the corpus's own bigram counts — the sequence-level
+  // perplexity filter q70 (unigram) and q70b (coverage) stop short of.
+  def q90BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.bigramSurprisal(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  val q90Sql: String =
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+    dt AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY doc_id, w1, w2),
+    bt AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS btf FROM dt GROUP BY w1, w2),
+    ut AS (SELECT w1, CAST(sum(btf) AS BIGINT) AS ctf1 FROM bt GROUP BY w1),
+    sc AS (SELECT dt.doc_id, dt.k,
+      CAST(length(format('{:b}', ut.ctf1)) -
+        length(format('{:b}', bt.btf)) AS BIGINT) AS s
+      FROM dt JOIN bt USING (w1, w2) JOIN ut USING (w1)),
+    agg AS (SELECT doc_id,
+      CAST(sum(k) AS BIGINT) AS n_bigrams,
+      CAST(sum(k * s) AS BIGINT) AS sum_surprisal,
+      CAST(max(s) AS BIGINT) AS max_surprisal
+      FROM sc GROUP BY doc_id)
+    SELECT t.doc_id,
+      coalesce(a.n_bigrams, 0) AS n_bigrams,
+      coalesce(a.sum_surprisal, 0) AS sum_surprisal,
+      coalesce(a.max_surprisal, 0) AS max_surprisal
+    FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id"""
+
   // --- q88: Gopher document-quality rule battery -------------------------
   // The published pretraining filter battery (Rae et al. 2021 §A1.1) as
   // one codegen'd scan: per-rule 0/1 flags + keep, every ratio rule in
@@ -713,6 +743,7 @@ object AnalysisQueries {
     "q87_bpe_train" -> (q87BpeTrain _),
     "q87b_bpe_pair_counts" -> (q87bPairCounts _),
     "q88_gopher_rules" -> (q88GopherRules _),
+    "q90_bigram_surprisal" -> (q90BigramSurprisal _),
     "q23_fingerprints" -> (q23Fingerprints _),
     "q23b_redact" -> (q23bRedact _),
     "q63_keyword_search" -> (q63KeywordSearch _),
@@ -732,6 +763,7 @@ object AnalysisQueries {
     "q22b_bpe_tokens" -> q22bSql,
     "q87b_bpe_pair_counts" -> q87bSql,
     "q88_gopher_rules" -> q88Sql,
+    "q90_bigram_surprisal" -> q90Sql,
     "q23_fingerprints" -> q23Sql,
     "q23b_redact" -> q23bSql,
     "q63_keyword_search" -> q63Sql,

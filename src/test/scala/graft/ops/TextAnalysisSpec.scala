@@ -47,6 +47,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Long]("keep") == 0L))
   }
 
+  test("bigramSurprisal matches hand-computed conditional log2 buckets") {
+    // corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1; left-context mass a=3 b=2
+    // s(a,b) = bitlen(3)-bitlen(3) = 0; s(b,a) = bitlen(2)-bitlen(1) = 1;
+    // s(b,c) = 1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysisOps.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    graft.CacheScope.releaseAll()
+    assert(out(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(out(1L).getAs[Long]("sum_surprisal") == 1L) // 2*0 + 1*1
+    assert(out(1L).getAs[Long]("max_surprisal") == 1L)
+    assert(out(2L).getAs[Long]("n_bigrams") == 2L)
+    assert(out(2L).getAs[Long]("sum_surprisal") == 1L) // 0 + 1
+    assert(out(3L).getAs[Long]("n_bigrams") == 0L)
+    assert(out(3L).getAs[Long]("sum_surprisal") == 0L)
+    assert(out(3L).getAs[Long]("max_surprisal") == 0L)
+  }
+
   test("charHash matches the hand-computed polynomial fold") {
     // h("cat") = ((((7*31+99)%P)*31+97)%P)*31+116 % P
     var h = 7L
