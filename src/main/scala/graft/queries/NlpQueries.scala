@@ -477,7 +477,39 @@ object NlpQueries {
       .orderBy("doc_id")
   }
 
+  // --- q91: partitioned parquet sink round-trip (the 100 TB layout) -------
+  // q09c/q66 prove the text sinks; this proves the SCALE sink — parquet
+  // partitioned by source, the layout that makes downstream partition
+  // pruning free. The read-back aggregates per source, so a green row
+  // proves values survive AND the partition column reconstructs exactly
+  // from directory names (type/escaping round-trip — a real failure
+  // class); DocumentSourcesSpec asserts the pruning plan itself
+  // (PartitionFilters, not a post-scan Filter).
+  def q91PartitionedSink(spark: SparkSession, dir: String): DataFrame = {
+    // fixed per-query path + overwrite sink, as q09c
+    val tmp = "target/graft_q91_parts"
+    graft.sources.DocumentSources.writePartitioned(
+      Tables.documents(spark, dir), tmp, Seq("source"))
+    spark.read.parquet(tmp)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+  }
+
+  val q91Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      CAST(min(doc_id) AS BIGINT) AS first_doc,
+      CAST(max(doc_id) AS BIGINT) AS last_doc,
+      CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_partitioned_sink" -> (q91PartitionedSink _),
     "q09_export" -> (q09Export _),
     "q09b_wordcloud" -> (q09bWordcloud _),
     "q09c_csv_roundtrip" -> (q09cCsvRoundtrip _),
@@ -496,6 +528,7 @@ object NlpQueries {
     "q08_tag_diversity" -> (q08TagDiversity _))
 
   val oracleSql: Map[String, String] = Map(
+    "q91_partitioned_sink" -> q91Sql,
     "q09_export" -> q09Sql,
     "q09b_wordcloud" -> q09bSql,
     "q09c_csv_roundtrip" -> q09Sql,

@@ -250,6 +250,42 @@ object RelationalQueries {
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus"""
 
+  // --- q14c: asymmetric GROUPING SETS --------------------------------------
+  // The granularity mix neither ROLLUP nor CUBE expresses: the detailed
+  // (returnflag, linestatus) breakdown, a linenumber-only view, and the
+  // grand total in ONE pass (one Expand + one aggregate — each input row
+  // fans out to exactly 3 grouping rows, not 2^k).
+  def q14cGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linenumber")), Seq()),
+        col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        grouping(col("l_linenumber")).cast("long").as("g_ln"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        coalesce(col("l_linenumber").cast("long"), lit(-1L)).as("linenumber"),
+        col("n"), col("sum_qty"), col("g_rf"), col("g_ls"), col("g_ln"))
+      .orderBy("returnflag", "linestatus", "linenumber", "g_rf", "g_ls", "g_ln")
+
+  val q14cSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      coalesce(l_linestatus, 'ALL') AS linestatus,
+      CAST(coalesce(l_linenumber, -1) AS BIGINT) AS linenumber,
+      count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      CAST(grouping(l_linenumber) AS BIGINT) AS g_ln
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber), ())
+    ORDER BY returnflag, linestatus, linenumber, g_rf, g_ls, g_ln"""
+
   // --- q14b: full cube with grouping indicators ---------------------------
   def q14bCube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -568,6 +604,7 @@ object RelationalQueries {
     "q13b_analytics" -> (q13bAnalytics _),
     "q13c_min_cost_supplier" -> (q13cMinCostSupplier _),
     "q14_rollup" -> (q14Rollup _),
+    "q14c_grouping_sets" -> (q14cGroupingSets _),
     "q14b_cube" -> (q14bCube _),
     "q15_set_ops" -> (q15SetOps _),
     "q16_semi_anti" -> (q16SemiAnti _),
@@ -590,6 +627,7 @@ object RelationalQueries {
     "q13b_analytics" -> q13bSql,
     "q13c_min_cost_supplier" -> q13cSql,
     "q14_rollup" -> q14Sql,
+    "q14c_grouping_sets" -> q14cSql,
     "q14b_cube" -> q14bSql,
     "q15_set_ops" -> q15Sql,
     "q16_semi_anti" -> q16Sql,

@@ -146,5 +146,14 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$out/lang=en")))
     val pruned = spark.read.parquet(out).where(col("lang") === "en")
     assert(pruned.count() == 1)
+    // the filter must prune PARTITIONS at the scan (directory-level skip),
+    // not survive as a post-scan row filter
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "lang")),
+      scan.partitionFilters.toString)
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(_.files.size).sum == 1)
   }
 }
