@@ -113,6 +113,17 @@ object BpeMerges {
   def encodeWord(w: String): Array[String] = {
     val hit = memo.get(w)
     if (hit != null) return hit
+    val out = encodeWordWith(Ranks, w)
+    if (memo.size < MemoCap) memo.put(w, out)
+    out
+  }
+
+  /** [[encodeWord]] against a caller-supplied rank table — the apply side
+    * of the train→encode loop ([[graft.ops.BpeTrainOps]] learns a table,
+    * this runs it; the static-table path memoizes on top). Same step
+    * contract: leftmost occurrence of the lowest-ranked adjacent pair.
+    */
+  def encodeWordWith(ranks: Map[(String, String), Int], w: String): Array[String] = {
     val buf = scala.collection.mutable.ArrayBuffer[String]()
     var ci = 0
     while (ci < w.length) {
@@ -126,7 +137,7 @@ object BpeMerges {
       var bestPos = -1
       var i = 0
       while (i < buf.length - 1) {
-        val r = Ranks.getOrElse((buf(i), buf(i + 1)), Int.MaxValue)
+        val r = ranks.getOrElse((buf(i), buf(i + 1)), Int.MaxValue)
         if (r < bestRank) { bestRank = r; bestPos = i }
         i += 1
       }
@@ -137,9 +148,7 @@ object BpeMerges {
         if (buf.length < 2) done = true
       }
     }
-    val out = buf.toArray
-    if (memo.size < MemoCap) memo.put(w, out)
-    out
+    buf.toArray
   }
 
   /** Array-of-pre-tokens -> array-of-BPE-tokens; static so generated code

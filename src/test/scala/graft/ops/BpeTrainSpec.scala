@@ -112,6 +112,39 @@ class BpeTrainSpec extends SparkSpec {
     assert(BpeMerges.validateTable(rules.toIndexedSeq).isEmpty)
   }
 
+  test("train→encode loop closes: greedy encoding with the trained table " +
+      "equals the training-time merge replay on every corpus word") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rules = BpeTrainOps.train(spark, docs, numMerges = 24,
+      minPairCount = 4L)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val ranks = rules.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    // training-time replay: apply merges in rank order, leftmost-first
+    // non-overlapping per pass (the trainer's mergeAdjacent semantics)
+    def replay(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector
+      rules.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+    val words = docs.select("text").collect().iterator
+      .flatMap(r => TextAnalysisOps.BpeTokenRegex.r.findAllIn(r.getString(0)))
+      .filter(_.length >= 2).toSet
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      assert(BpeMerges.encodeWordWith(ranks, w).toVector == replay(w), w)
+    }
+  }
+
   test("golden parity on three seeded random corpora") {
     import sqlImplicits._
     val rnd = new scala.util.Random(42)
