@@ -639,6 +639,80 @@ object TextAnalysisOps {
         coalesce(col("max_surprisal"), lit(0L)).as("max_surprisal"))
   }
 
+  /** [[bigramSurprisal]] against a FIXED model corpus — the production
+    * shape: the model is trained once (on `modelDocs`), new data is
+    * scored against it, and out-of-vocabulary events are first-class
+    * (self-scoring can never produce one; held-out scoring always does).
+    * Integer smoothing ladder, coarsest-information-first:
+    *
+    *   - bigram seen:            s = ⌊log2 ctf1(w1)⌋ − ⌊log2 btf(w1,w2)⌋
+    *   - context known, bigram
+    *     unseen:                 s = ⌊log2 ctf1(w1)⌋ + 1 (one past the
+    *                             rarest seen score for that context —
+    *                             Laplace's btf=1 plus a unit penalty)
+    *   - context unknown:        s = ⌊log2 B⌋ + 1, B = the model's total
+    *                             bigram mass (the global worst case)
+    *
+    * so unseen ≥ any seen score in context and unknown-context ≥ any
+    * known-context score. Same three keyed shuffles as the self-scored
+    * variant plus one 1-row total broadcast; the model relations are
+    * exactly [[bigramSurprisal]]'s `bt`/`ut` built from `modelDocs`.
+    *
+    * Output: `(id, n_bigrams, n_unseen, n_unknown_ctx, sum_surprisal,
+    * max_surprisal)` over `scoredDocs`; docs with < 2 tokens carry zeros.
+    */
+  def crossSurprisal(modelDocs: DataFrame, scoredDocs: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    def bigrams(docs: DataFrame, cols: Seq[Column]): DataFrame = {
+      val staged = docs.select(cols :+
+        TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"): _*)
+      staged
+        .select(cols :+
+          (when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1),
+              i => struct(element_at(col("toks"), i).as("w1"),
+                element_at(col("toks"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+            .as("bs")): _*)
+        .select(cols :+ explode(col("bs")).as("b"): _*)
+        .select(cols ++ Seq(col("b.w1").as("w1"), col("b.w2").as("w2")): _*)
+    }
+    // persisted: the context aggregate (and through it the total) and the
+    // scoring join all consume the model's bigram counts
+    val bt = graft.CacheScope.persist(bigrams(modelDocs, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("btf")))
+    val ut = bt.groupBy(col("w1")).agg(sum(col("btf")).as("ctf1"))
+    val total = ut.agg(sum(col("ctf1")).as("b_total"))
+    def log2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+    val dt = bigrams(scoredDocs, Seq(col(idCol)))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
+    val scored = dt
+      .join(bt, Seq("w1", "w2"), "left")
+      .join(ut, Seq("w1"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("k"),
+        col("btf").isNull.as("unseen"),
+        col("ctf1").isNull.as("unknown_ctx"),
+        when(col("btf").isNotNull, log2len(col("ctf1")) - log2len(col("btf")))
+          .when(col("ctf1").isNotNull, log2len(col("ctf1")) + 1L)
+          .otherwise(log2len(col("b_total")) + 1L).as("s"))
+    val profile = scored.groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(when(col("unseen"), col("k")).otherwise(0L)).as("n_unseen"),
+        sum(when(col("unknown_ctx"), col("k")).otherwise(0L))
+          .as("n_unknown_ctx"),
+        sum(col("k") * col("s")).as("sum_surprisal"),
+        max(col("s")).as("max_surprisal"))
+    scoredDocs.select(col(idCol)).join(profile, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("n_unknown_ctx"), lit(0L)).as("n_unknown_ctx"),
+        coalesce(col("sum_surprisal"), lit(0L)).as("sum_surprisal"),
+        coalesce(col("max_surprisal"), lit(0L)).as("max_surprisal"))
+  }
+
   // --- Gopher document-quality rule battery (Rae et al. 2021 §A1.1) ------
 
   /** The paper's "required word" list: a document must contain at least

@@ -229,6 +229,58 @@ object AnalysisQueries {
       coalesce(a.max_surprisal, 0) AS max_surprisal
     FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id"""
 
+  // --- q90b: held-out surprisal with OOV smoothing -----------------------
+  // The production shape q90's self-scoring can't exercise: the bigram
+  // model trains on the content-hash-even half (stable under
+  // re-ingestion, the q51 split pattern) and scores the odd half, where
+  // unseen bigrams and unknown contexts are real events handled by the
+  // integer smoothing ladder (see TextAnalysisOps.crossSurprisal).
+  def q90bHeldoutSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("h", graft.ops.HashOps.charHash(col("text")))
+    TextAnalysisOps.crossSurprisal(
+      docs.where(col("h") % 2 === 0), docs.where(col("h") % 2 =!= 0))
+      .orderBy("doc_id")
+  }
+
+  val q90bSql: String = {
+    val h = graft.ops.HashOps.charHashSql("text")
+    s"""WITH d AS (SELECT doc_id, text, $h AS h FROM documents),
+    mt AS (SELECT ${toksSql("text")} AS toks FROM d WHERE h % 2 = 0),
+    st AS (SELECT doc_id, ${toksSql("text")} AS toks FROM d WHERE h % 2 <> 0),
+    mb AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM mt)),
+    bt AS (SELECT w1, w2, count(*) AS btf FROM mb GROUP BY w1, w2),
+    ut AS (SELECT w1, CAST(sum(btf) AS BIGINT) AS ctf1 FROM bt GROUP BY w1),
+    tot AS (SELECT CAST(sum(ctf1) AS BIGINT) AS b_total FROM ut),
+    sb AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM st)),
+    dt AS (SELECT doc_id, w1, w2, count(*) AS k FROM sb GROUP BY doc_id, w1, w2),
+    sc AS (SELECT dt.doc_id, dt.k,
+      bt.btf IS NULL AS unseen, ut.ctf1 IS NULL AS unknown_ctx,
+      CASE WHEN bt.btf IS NOT NULL THEN
+          length(format('{:b}', ut.ctf1)) - length(format('{:b}', bt.btf))
+        WHEN ut.ctf1 IS NOT NULL THEN length(format('{:b}', ut.ctf1)) + 1
+        ELSE length(format('{:b}', tot.b_total)) + 1 END AS s
+      FROM dt LEFT JOIN bt USING (w1, w2) LEFT JOIN ut USING (w1)
+        CROSS JOIN tot),
+    agg AS (SELECT doc_id,
+      CAST(sum(k) AS BIGINT) AS n_bigrams,
+      CAST(sum(CASE WHEN unseen THEN k ELSE 0 END) AS BIGINT) AS n_unseen,
+      CAST(sum(CASE WHEN unknown_ctx THEN k ELSE 0 END) AS BIGINT)
+        AS n_unknown_ctx,
+      CAST(sum(k * s) AS BIGINT) AS sum_surprisal,
+      CAST(max(s) AS BIGINT) AS max_surprisal
+      FROM sc GROUP BY doc_id)
+    SELECT st.doc_id,
+      coalesce(a.n_bigrams, 0) AS n_bigrams,
+      coalesce(a.n_unseen, 0) AS n_unseen,
+      coalesce(a.n_unknown_ctx, 0) AS n_unknown_ctx,
+      coalesce(a.sum_surprisal, 0) AS sum_surprisal,
+      coalesce(a.max_surprisal, 0) AS max_surprisal
+    FROM st LEFT JOIN agg a USING (doc_id) ORDER BY st.doc_id"""
+  }
+
   // --- q88: Gopher document-quality rule battery -------------------------
   // The published pretraining filter battery (Rae et al. 2021 §A1.1) as
   // one codegen'd scan: per-rule 0/1 flags + keep, every ratio rule in
@@ -744,6 +796,7 @@ object AnalysisQueries {
     "q87b_bpe_pair_counts" -> (q87bPairCounts _),
     "q88_gopher_rules" -> (q88GopherRules _),
     "q90_bigram_surprisal" -> (q90BigramSurprisal _),
+    "q90b_heldout_surprisal" -> (q90bHeldoutSurprisal _),
     "q23_fingerprints" -> (q23Fingerprints _),
     "q23b_redact" -> (q23bRedact _),
     "q63_keyword_search" -> (q63KeywordSearch _),
@@ -764,6 +817,7 @@ object AnalysisQueries {
     "q87b_bpe_pair_counts" -> q87bSql,
     "q88_gopher_rules" -> q88Sql,
     "q90_bigram_surprisal" -> q90Sql,
+    "q90b_heldout_surprisal" -> q90bSql,
     "q23_fingerprints" -> q23Sql,
     "q23b_redact" -> q23bSql,
     "q63_keyword_search" -> q63Sql,

@@ -65,6 +65,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("max_surprisal") == 0L)
   }
 
+  test("crossSurprisal exercises all three smoothing branches") {
+    // model "a b a c": bt {(a,b):1,(b,a):1,(a,c):1}; ut {a:2,b:1}; B=3
+    val model = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "a b"), // seen: s = bitlen(2)-bitlen(1) = 1
+      (2L, "b c"), // known ctx, unseen bigram: s = bitlen(1)+1 = 2
+      (3L, "z z"), // unknown ctx: s = bitlen(3)+1 = 3
+      (4L, "q")    // no bigrams -> zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysisOps.crossSurprisal(model, scored).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    graft.CacheScope.releaseAll()
+    assert(out(1L).getAs[Long]("sum_surprisal") == 1L)
+    assert(out(1L).getAs[Long]("n_unseen") == 0L)
+    assert(out(2L).getAs[Long]("sum_surprisal") == 2L)
+    assert(out(2L).getAs[Long]("n_unseen") == 1L)
+    assert(out(2L).getAs[Long]("n_unknown_ctx") == 0L)
+    assert(out(3L).getAs[Long]("sum_surprisal") == 3L)
+    assert(out(3L).getAs[Long]("n_unseen") == 1L)
+    assert(out(3L).getAs[Long]("n_unknown_ctx") == 1L)
+    assert(out(4L).getAs[Long]("n_bigrams") == 0L)
+    assert(out(4L).getAs[Long]("max_surprisal") == 0L)
+  }
+
   test("charHash matches the hand-computed polynomial fold") {
     // h("cat") = ((((7*31+99)%P)*31+97)%P)*31+116 % P
     var h = 7L
