@@ -101,4 +101,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"q01 reads more than (doc_id, text):\n$plan")
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the automatic " +
+      "complement to q56's manual salting)") {
+    import sqlImplicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "24KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key carrying ~99% of the probe side
+      val probe = spark.range(0, 200000)
+        .selectExpr("CAST(IF(id % 100 = 0, id, 0) AS LONG) AS k",
+          "repeat('x', 32) AS pad")
+      val dim = spark.range(0, 2001).selectExpr("id AS k", "id * 2 AS v")
+      val joined = probe.join(dim, "k").selectExpr("sum(v) AS s")
+      // collect(), not head(): head() wraps the plan in a limit, leaving
+      // this queryExecution unexecuted (isFinalPlan=false, no AQE rewrite)
+      val expected = joined.collect()(0).getLong(0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"no skew-handled join in:\n$plan")
+      assert(plan.contains("AQEShuffleRead skewed"),
+        s"no skewed shuffle read in:\n$plan")
+      assert(expected > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
