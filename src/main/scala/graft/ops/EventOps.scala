@@ -39,6 +39,31 @@ object EventOps {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Per-window top-k events by value, through the typed bounded-heap
+    * Aggregator ([[graft.functions.TopKAggregator]]) registered as an
+    * untyped UDAF — the §2.7 × §2.8 composition: the SAME partial-
+    * aggregable heap that powers q29c's kNN runs under (and, in the
+    * streaming twin, under watermarked) window aggregation, so each map
+    * task ships k rows per window to the shuffle instead of every event.
+    * Scores are `floor(value · 1e6)` — one IEEE multiply + floor, exact
+    * and identical in both engines; ties keep the smaller event_id
+    * (the aggregator's contract, mirrored by the oracle's row_number).
+    */
+  def windowTopK(events: DataFrame, width: String = "10 minutes",
+                 k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator.TopK(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.TopKAggregator.Scored])
+    events
+      .select(window(col("ts"), width).as("w"), col("event_id"),
+        floor(col("value") * 1000000).cast("long").as("score"))
+      .groupBy(col("w"))
+      .agg(topk(col("event_id"), col("score")).as("top"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), posexplode(col("top")))
+      .select(col("window_start"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("event_id"), col("col.score").as("score_micro"))
+  }
+
   /** Sliding-window aggregation: 10-minute windows every 5 minutes (each
     * event lands in 2 windows).
     */

@@ -88,6 +88,27 @@ object EventQueries {
       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM e GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
+  // --- q92: per-window top-k events by value (typed-Aggregator path) -----
+  // EventOps.windowTopK: the bounded-heap Aggregator under window
+  // aggregation (its streaming twin runs the same body watermarked —
+  // StreamingParitySpec). Oracled against a row_number formulation, so
+  // heap tie-breaking must match the window rank exactly.
+  def q92WindowTopK(spark: SparkSession, dir: String): DataFrame =
+    EventOps.windowTopK(Tables.events(spark, dir))
+      .orderBy("window_start", "rk")
+
+  val q92Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      CAST(floor(value * 1000000) AS BIGINT) AS score FROM events),
+    w AS (SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+        '%Y-%m-%d %H:%M:%S') AS window_start, event_id, score FROM e),
+    r AS (SELECT window_start, event_id, score,
+      row_number() OVER (PARTITION BY window_start
+        ORDER BY score DESC, event_id) AS rk FROM w)
+    SELECT window_start, CAST(rk AS BIGINT) AS rk, event_id,
+      score AS score_micro
+    FROM r WHERE rk <= 3 ORDER BY window_start, rk"""
+
   // --- q33: sliding windows (10 min wide, 5 min hop) ---------------------
   def q33Sliding(spark: SparkSession, dir: String): DataFrame =
     EventOps.sliding(Tables.events(spark, dir)).orderBy("window_start")
@@ -310,7 +331,8 @@ object EventQueries {
     "q31c_pivot" -> (q31cPivot _),
     "q32_tumbling" -> (q32Tumbling _),
     "q33_sliding" -> (q33Sliding _),
-    "q34_sessions" -> (q34Sessions _))
+    "q34_sessions" -> (q34Sessions _),
+    "q92_window_topk" -> (q92WindowTopK _))
 
   val oracleSql: Map[String, String] = Map(
     "q54_asof_enrich" -> q54Sql,
@@ -322,6 +344,7 @@ object EventQueries {
     "q31b_json_struct" -> q31bSql,
     "q31c_pivot" -> q31cSql,
     "q32_tumbling" -> q32Sql,
+    "q92_window_topk" -> q92Sql,
     "q33_sliding" -> q33Sql,
     "q34_sessions" -> q34Sql)
 }

@@ -27,6 +27,16 @@ object StreamingOps {
                      watermark: String = "1 hour"): DataFrame =
     EventOps.tumbling(events.withWatermark("ts", watermark), width)
 
+  /** Per-window top-k events by value under watermark — the custom typed
+    * Aggregator (§2.8) composed with watermarked streaming aggregation
+    * (§2.7): partial heaps merge across micro-batches in the window's
+    * state, append mode emits each window's final k once the watermark
+    * closes it. Same body as the batch twin ([[EventOps.windowTopK]]).
+    */
+  def windowTopKStream(events: DataFrame, width: String = "10 minutes",
+                       k: Int = 3, watermark: String = "1 hour"): DataFrame =
+    EventOps.windowTopK(events.withWatermark("ts", watermark), width, k)
+
   /** Sliding-window counts under watermark: each event lands in
     * width/slide overlapping windows, and append mode emits each window
     * independently once the watermark passes ITS end — so emission

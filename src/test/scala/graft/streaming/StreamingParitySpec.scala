@@ -94,6 +94,24 @@ class StreamingParitySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q92 window top-k body: streamed file replay is row-identical to " +
+      "batch (typed Aggregator state merged across micro-batches)") {
+    val streamDir = stageChunks()
+    val streamed = StreamingOps.eventsFileStream(spark, streamDir)
+    val got = runAppend(
+      StreamingOps.windowTopKStream(streamed, "10 minutes", 3, "1 hour"),
+      "parity_window_topk")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._3 != -1L) // the flush event's own window, if ever emitted
+      .sortBy(t => (t._1, t._2))
+    val want = EventOps.windowTopK(graft.Tables.events(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.length == want.length,
+      s"streamed ${got.length} rows vs batch ${want.length}")
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("q33 sliding body: streamed file replay is row-identical to batch") {
     val streamDir = stageChunks()
     val streamed = StreamingOps.eventsFileStream(spark, streamDir)
