@@ -189,6 +189,38 @@ object CurationQueries {
     SELECT lang, count(*) AS n_sampled, CAST(min(doc_id) AS BIGINT) AS first_doc
     FROM h WHERE h % 100 < 30 GROUP BY lang ORDER BY lang"""
 
+  // --- q52b: exact-size per-stratum sample ---------------------------------
+  // q52 keeps a hash RATE per stratum (sample size varies with stratum
+  // size); this keeps exactly K docs per language — the fixed-budget
+  // variant (eval-set carving, per-language caps). Selection order is the
+  // content hash, so membership is reproducible and oracle-exact; the
+  // rank<=K filter plans through Spark 4's WindowGroupLimit, which prunes
+  // each stratum to K rows per partition BEFORE the window sort's shuffle
+  // — the aggregator-free scale path for fixed-k sampling.
+  val FixedSampleK = 20
+
+  def q52bFixedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.ops.HashOps.charHash(col("text")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= FixedSampleK)
+      .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+      .orderBy("lang", "rk")
+  }
+
+  val q52bSql: String =
+    s"""WITH h AS (
+      SELECT doc_id, lang, ${graft.ops.HashOps.charHashSql("text")} AS h
+      FROM documents),
+    r AS (SELECT lang, doc_id, h,
+      CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        AS BIGINT) AS rk FROM h)
+    SELECT lang, rk, doc_id, h FROM r
+    WHERE rk <= $FixedSampleK ORDER BY lang, rk"""
+
   // --- q57: source mixing — per-source target sampling rates --------------
   // The mixture-weighting step before training: each source keeps a
   // deterministic hash-selected fraction matching its target weight
@@ -768,6 +800,7 @@ object CurationQueries {
     "q50b_cluster_curated" -> (q50bClusterCurated _),
     "q51_split" -> (q51Split _),
     "q52_stratified_sample" -> (q52StratifiedSample _),
+    "q52b_fixed_sample" -> (q52bFixedSample _),
     "q57_source_mix" -> (q57SourceMix _),
     "q57b_token_budget" -> (q57bTokenBudget _),
     "q57c_token_budget_bpe" -> (q57cTokenBudgetBpe _),
@@ -786,6 +819,7 @@ object CurationQueries {
     "q50b_cluster_curated" -> q50bSql,
     "q51_split" -> q51Sql,
     "q52_stratified_sample" -> q52Sql,
+    "q52b_fixed_sample" -> q52bSql,
     "q57_source_mix" -> q57Sql,
     "q57b_token_budget" -> q57bSql,
     "q57c_token_budget_bpe" -> q57cSql,

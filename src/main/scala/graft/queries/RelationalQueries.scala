@@ -201,6 +201,33 @@ object RelationalQueries {
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
     ORDER BY o_custkey, order_seq"""
 
+  // --- q13d: distribution window functions ---------------------------------
+  // The §2.6 completion: ntile / percent_rank / cume_dist over supplier
+  // balances within nation. The ratio functions are (k-1)/(n-1) and k/n —
+  // each a single IEEE division of identical integers in both engines, so
+  // the doubles hash-match bit-exactly (the q10 avg precedent). Ties on
+  // acctbal are broken into the ORDER BY by suppkey, making every rank
+  // deterministic.
+  def q13dDistributionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+    Tables.supplier(spark, dir)
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
+  val q13dSql: String =
+    """SELECT s_nationkey, s_suppkey, s_acctbal,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+    ORDER BY s_nationkey, s_suppkey"""
+
   // --- q13c: correlated-subquery pattern (TPC-H Q2 shape) — cheapest
   // supplier per part, decorrelated as a min-aggregate self-join ----------
   def q13cMinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
@@ -605,6 +632,7 @@ object RelationalQueries {
     "q13c_min_cost_supplier" -> (q13cMinCostSupplier _),
     "q14_rollup" -> (q14Rollup _),
     "q14c_grouping_sets" -> (q14cGroupingSets _),
+    "q13d_distribution_windows" -> (q13dDistributionWindows _),
     "q14b_cube" -> (q14bCube _),
     "q15_set_ops" -> (q15SetOps _),
     "q16_semi_anti" -> (q16SemiAnti _),
@@ -628,6 +656,7 @@ object RelationalQueries {
     "q13c_min_cost_supplier" -> q13cSql,
     "q14_rollup" -> q14Sql,
     "q14c_grouping_sets" -> q14cSql,
+    "q13d_distribution_windows" -> q13dSql,
     "q14b_cube" -> q14bSql,
     "q15_set_ops" -> q15Sql,
     "q16_semi_anti" -> q16Sql,

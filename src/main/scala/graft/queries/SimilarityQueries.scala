@@ -370,7 +370,39 @@ object SimilarityQueries {
     SELECT query_id, cand_id, cos_micro, rk FROM r2
     WHERE rk <= $TopK ORDER BY query_id, rk"""
 
+  // --- q93: embedding coverage audit ---------------------------------------
+  // The pipeline-health query a vector-indexed corpus needs: per source,
+  // how many docs have an embedding row and which is the first without
+  // one — a keyed LEFT join between the text relation and the embedding
+  // relation (doc_id = vec_id), the shape that stays an equi-join shuffle
+  // at 100 TB (never a scan-and-probe loop). An incomplete or stale
+  // embedding index is one of the quietest ways a retrieval corpus rots;
+  // this makes it a monitored number.
+  def q93EmbeddingCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val embs = graft.Tables.embeddings(spark, dir).select(col("vec_id"))
+    docs.join(embs, col("doc_id") === col("vec_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("vec_id")).as("n_embedded"),
+        (count(lit(1)) - count(col("vec_id"))).as("n_missing"),
+        coalesce(min(when(col("vec_id").isNull, col("doc_id"))), lit(-1L))
+          .as("first_missing"))
+      .orderBy("source")
+  }
+
+  val q93Sql: String =
+    """SELECT d.source,
+      count(*) AS n_docs,
+      count(e.vec_id) AS n_embedded,
+      count(*) - count(e.vec_id) AS n_missing,
+      CAST(coalesce(min(CASE WHEN e.vec_id IS NULL THEN d.doc_id END), -1)
+        AS BIGINT) AS first_missing
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.source ORDER BY d.source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_embedding_coverage" -> (q93EmbeddingCoverage _),
     "q72_centroid_outliers" -> (q72CentroidOutliers _),
     "q79_sq8_codes" -> (q79Sq8Codes _),
     "q79b_sq8_knn" -> (q79bSq8Knn _),
@@ -384,6 +416,7 @@ object SimilarityQueries {
     "q79d_knn_ivf_sq8" -> (q79dIvfSq8 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q93_embedding_coverage" -> q93Sql,
     "q72_centroid_outliers" -> q72Sql,
     "q79_sq8_codes" -> q79Sql,
     "q79b_sq8_knn" -> q79bSql,

@@ -102,6 +102,12 @@ class PlanShapeSpec extends SparkSpec {
       s"q01 reads more than (doc_id, text):\n$plan")
   }
 
+  test("q52b fixed-size sampling plans a WindowGroupLimit below the sort") {
+    val plan = planOf(CurationQueries.q52bFixedSample(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"q52b lost the per-stratum rank pushdown:\n$plan")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (the automatic " +
       "complement to q56's manual salting)") {
     import sqlImplicits._
