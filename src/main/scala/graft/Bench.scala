@@ -65,6 +65,7 @@ object Bench {
       queries.NlpQueries.evictAll()
       queries.CurationQueries.evictAll()
       queries.DedupQueries.evictAll()
+      queries.AnalysisQueries.evictAll()
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>

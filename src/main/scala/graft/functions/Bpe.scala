@@ -182,12 +182,102 @@ object BpeMerges {
   /** Column-API entry point: pre-token array -> BPE token array. */
   def bpeEncode(preTokens: Column): Column =
     Bridge.column(BpeEncode(Bridge.expression(preTokens)))
+
+  /** [[bpeEncode]] against a caller-supplied merge table (e.g. one
+    * learned by [[graft.ops.BpeTrainOps]]) — rejects ill-formed tables at
+    * construction, since the greedy loop's correctness argument needs
+    * well-formedness.
+    */
+  def bpeEncodeWith(table: Seq[String], preTokens: Column): Column =
+    Bridge.column(BpeEncodeWith(Bridge.expression(preTokens), table))
 }
 
 /** `bpe_encode(array<string>) -> array<string>` — greedy merge-table BPE
   * per pre-token, concatenated in order. Null input -> null; stays inside
   * WholeStageCodegen via a static call (same pattern as [[PolyCharHash]]).
   */
+/** `BpeEncode` parameterized by a RUNTIME merge table — the apply side of
+  * the train→encode loop: `BpeTrainOps`-learned merges tokenize the very
+  * corpus they were trained on (or any other), with the same greedy
+  * leftmost-lowest-rank step contract as the static-table expression.
+  *
+  * The table rides inside the expression (constructor arg, shipped with
+  * the serialized plan — a few KB for real vocabularies) and is REQUIRED
+  * well-formed at construction, because the encoder's equivalence to the
+  * published all-occurrences loop depends on it. Codegen stays whole-stage:
+  * the generated code calls back into this instance through
+  * `ctx.addReferenceObj`, the standard pattern for expressions carrying
+  * driver-built state. Per-instance size-capped memo, like the static
+  * path's per-executor one.
+  */
+case class BpeEncodeWith(child: Expression, table: Seq[String])
+    extends UnaryExpression {
+
+  {
+    val errs = BpeMerges.validateTable(table)
+    require(errs.isEmpty,
+      s"ill-formed BPE table: ${errs.take(3).mkString("; ")}")
+  }
+
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    table.zipWithIndex.map { case (m, i) =>
+      val sp = m.indexOf(' ')
+      (m.substring(0, sp), m.substring(sp + 1)) -> i
+    }.toMap
+
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  /** Instance twin of [[BpeMerges.encodeArray]] over this table. */
+  def encode(parts: ArrayData): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var i = 0
+    val n = parts.numElements()
+    while (i < n) {
+      if (!parts.isNullAt(i)) {
+        val w = parts.getUTF8String(i).toString
+        var toks = memo.get(w)
+        if (toks == null) {
+          toks = BpeMerges.encodeWordWith(ranks, w)
+          if (memo.size < (1 << 16)) memo.put(w, toks)
+        }
+        var j = 0
+        while (j < toks.length) {
+          out += UTF8String.fromString(toks(j))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode_with expects ARRAY<STRING>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "bpe_encode_with"
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", this,
+      classOf[BpeEncodeWith].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeWith =
+    copy(child = newChild)
+}
+
 case class BpeEncode(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

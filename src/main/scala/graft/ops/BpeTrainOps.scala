@@ -156,13 +156,17 @@ object BpeTrainOps {
       }
     }
     releaseCheckpoint(checkpointed)
-    val schema = StructType(Seq(
-      StructField("rank", IntegerType, nullable = false),
-      StructField("left", StringType, nullable = false),
-      StructField("right", StringType, nullable = false),
-      StructField("merged", StringType, nullable = false),
-      StructField("pair_count", LongType, nullable = false)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.toSeq, 1), schema)
+      spark.sparkContext.parallelize(merges.toSeq, 1), MergeSchema)
   }
+
+  /** Schema of [[train]]'s output — shared with callers that re-hydrate a
+    * memoized merge table into a DataFrame.
+    */
+  val MergeSchema: StructType = StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("left", StringType, nullable = false),
+    StructField("right", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false),
+    StructField("pair_count", LongType, nullable = false)))
 }

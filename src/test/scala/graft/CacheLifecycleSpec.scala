@@ -19,6 +19,7 @@ class CacheLifecycleSpec extends SparkSpec {
       queries.NlpQueries.evictAll()
       queries.CurationQueries.evictAll()
       queries.DedupQueries.evictAll()
+      queries.AnalysisQueries.evictAll()
       val leaked = spark.sparkContext.getPersistentRDDs
       assert(leaked.isEmpty,
         s"$name leaked ${leaked.size} persisted RDD(s): " +

@@ -118,6 +118,26 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq("stream", "b", "at", "ch"))
   }
 
+  test("BpeEncodeWith runs a runtime table through both codegen and eval " +
+      "paths, and rejects ill-formed tables at construction") {
+    import sqlImplicits._
+    val table = Seq("a b", "ab c") // ab then abc
+    val df = Seq(Seq("abc", "xyz", "ab")).toDF("pts")
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      val got = df.select(BpeMerges.bpeEncodeWith(table, $"pts").as("t"))
+        .head().getSeq[String](0)
+      assert(got == Seq("abc", "x", "y", "z", "ab"), cg)
+    }
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    // "xy z" is ill-formed ('xy' never produced by an earlier merge):
+    // construction must fail, not silently mis-encode
+    val err = intercept[IllegalArgumentException] {
+      BpeMerges.bpeEncodeWith(Seq("xy z"), $"pts")
+    }
+    assert(err.getMessage.contains("ill-formed"))
+  }
+
   test("BpeEncode survives both codegen and eval paths") {
     import sqlImplicits._
     val df = Seq(Seq("stream", "batch")).toDF("pts")

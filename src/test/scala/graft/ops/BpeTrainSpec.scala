@@ -145,6 +145,31 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("q87c tokenizes with the trained table: per-doc counts equal a " +
+      "driver-side encodeWordWith pass over the same pre-tokens") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.AnalysisQueries.q87cTrainedTokens(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.CacheScope.releaseAll()
+    val rules = BpeTrainOps.train(spark, graft.Tables.documents(spark, dir),
+      numMerges = graft.queries.AnalysisQueries.BpeTrainMerges,
+      minPairCount = graft.queries.AnalysisQueries.BpeTrainMinPair,
+      maxVocab = graft.queries.AnalysisQueries.BpeTrainMaxVocab)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val ranks = rules.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val re = TextAnalysisOps.BpeTokenRegex.r
+    val want = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val n = re.findAllIn(r.getString(1))
+          .map(w => BpeMerges.encodeWordWith(ranks, w).length.toLong).sum
+        r.getLong(0) -> n
+      }.toMap
+    graft.queries.AnalysisQueries.evictAll()
+    assert(out.nonEmpty && out == want)
+  }
+
   test("golden parity on three seeded random corpora") {
     import sqlImplicits._
     val rnd = new scala.util.Random(42)
