@@ -508,8 +508,79 @@ object NlpQueries {
       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
     FROM documents GROUP BY source ORDER BY source"""
 
+  // --- q94: corrupt-record quarantine on ingest ----------------------------
+  // Production ingest never assumes clean input: every doc_id % 7 == 0 row
+  // is written as a deliberately TRUNCATED JSON line, the read declares
+  // an explicit schema + PERMISSIVE mode with a _corrupt_record column,
+  // and the query reports the quarantine split per source. Corrupt rows
+  // parse no fields, so they bucket under '_corrupt' with no doc_id —
+  // the oracle recomputes the whole split from the doc_id rule the
+  // corruption was synthesized from. A parser that silently dropped (or
+  // wrongly accepted) a line breaks the row counts.
+  def q94CorruptQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = "target/graft_q94_jsonl" // fixed path + overwrite, as q09c
+    Tables.documents(spark, dir)
+      .select(when(col("doc_id") % 7 === 0,
+        concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"text\": \"broken")))
+        .otherwise(to_json(struct(col("doc_id"), col("source"), col("text"))))
+        .as("value"))
+      .write.mode("overwrite").text(tmp)
+    spark.read
+      .schema("doc_id BIGINT, source STRING, text STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp)
+      .groupBy(coalesce(col("source"), lit("_corrupt")).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(min(col("doc_id")), lit(-1L)).as("first_doc"),
+        coalesce(max(col("doc_id")), lit(-1L)).as("last_doc"))
+      .orderBy("bucket")
+  }
+
+  val q94Sql: String =
+    """SELECT CASE WHEN doc_id % 7 = 0 THEN '_corrupt' ELSE source END AS bucket,
+      count(*) AS n_rows,
+      CAST(coalesce(min(CASE WHEN doc_id % 7 <> 0 THEN doc_id END), -1)
+        AS BIGINT) AS first_doc,
+      CAST(coalesce(max(CASE WHEN doc_id % 7 <> 0 THEN doc_id END), -1)
+        AS BIGINT) AS last_doc
+    FROM documents GROUP BY 1 ORDER BY bucket"""
+
+  // --- q95: schema-evolution merge across batches ---------------------------
+  // The lake reality q91's single-schema layout skips: batch 1 was written
+  // before the lang column existed, batch 2 carries it. mergeSchema reads
+  // the union schema, early rows surface NULL lang, and the query audits
+  // exactly that — per batch, how many rows lack the late column. The
+  // oracle recomputes from `documents` + the doc_id carving rule.
+  def q95SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = "target/graft_q95_evolve"
+    val docs = Tables.documents(spark, dir)
+    docs.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    docs.where(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(col("batch").cast("long").as("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("lang")).as("n_with_lang"),
+        (count(lit(1)) - count(col("lang"))).as("n_missing_lang"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("batch")
+  }
+
+  val q95Sql: String =
+    """SELECT CAST(1 + doc_id % 2 AS BIGINT) AS batch,
+      count(*) AS n_rows,
+      count(CASE WHEN doc_id % 2 <> 0 THEN lang END) AS n_with_lang,
+      count(*) - count(CASE WHEN doc_id % 2 <> 0 THEN lang END) AS n_missing_lang,
+      count(DISTINCT CASE WHEN doc_id % 2 <> 0 THEN lang END) AS n_langs
+    FROM documents GROUP BY 1 ORDER BY batch"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_partitioned_sink" -> (q91PartitionedSink _),
+    "q94_corrupt_quarantine" -> (q94CorruptQuarantine _),
+    "q95_schema_evolution" -> (q95SchemaEvolution _),
     "q09_export" -> (q09Export _),
     "q09b_wordcloud" -> (q09bWordcloud _),
     "q09c_csv_roundtrip" -> (q09cCsvRoundtrip _),
@@ -529,6 +600,8 @@ object NlpQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q91_partitioned_sink" -> q91Sql,
+    "q94_corrupt_quarantine" -> q94Sql,
+    "q95_schema_evolution" -> q95Sql,
     "q09_export" -> q09Sql,
     "q09b_wordcloud" -> q09bSql,
     "q09c_csv_roundtrip" -> q09Sql,
