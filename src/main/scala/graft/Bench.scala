@@ -59,14 +59,7 @@ object Bench {
       case c => c.toString
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def evictMemos(): Unit = {
-      queries.TopicQueries.evictAll()
-      queries.SimilarityQueries.evictAll()
-      queries.NlpQueries.evictAll()
-      queries.CurationQueries.evictAll()
-      queries.DedupQueries.evictAll()
-      queries.AnalysisQueries.evictAll()
-    }
+    def evictMemos(): Unit = queries.SessionMemos.evictAll()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         args.isEmpty || args.exists(name.contains) }

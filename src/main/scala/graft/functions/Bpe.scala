@@ -68,12 +68,18 @@ object BpeMerges {
     "gro up", "filt er", "st re", "stre am", "custom er", "b le", "or der", "mer ge",
     "ba tch", "ha sh", "c an", "r un", "t o", "e x", "p l", "w h", "c l", "b u")
 
-  /** (left, right) -> rank. Lower rank merges first. */
-  val Ranks: Map[(String, String), Int] =
-    Table.zipWithIndex.map { case (m, i) =>
+  /** "left right" rules -> ((left, right) -> rank); lower rank merges
+    * first. The ONE parse both the static table and runtime tables
+    * ([[BpeEncodeWith]]) go through.
+    */
+  def parseRanks(table: Seq[String]): Map[(String, String), Int] =
+    table.zipWithIndex.map { case (m, i) =>
       val sp = m.indexOf(' ')
       (m.substring(0, sp), m.substring(sp + 1)) -> i
     }.toMap
+
+  /** (left, right) -> rank for [[Table]]. */
+  val Ranks: Map[(String, String), Int] = parseRanks(Table)
 
   /** Well-formedness errors: duplicates, malformed entries, or a part that
     * is neither a single code point nor the output of an earlier merge.
@@ -103,7 +109,7 @@ object BpeMerges {
     * into a hash probe; at the cap we recompute instead of evicting
     * (deterministic output either way, no lock churn).
     */
-  private val MemoCap = 1 << 16
+  private[functions] val MemoCap = 1 << 16
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
@@ -151,18 +157,25 @@ object BpeMerges {
     buf.toArray
   }
 
-  /** Array-of-pre-tokens -> array-of-BPE-tokens; static so generated code
-    * calls it directly. Null elements are skipped (regexp_extract_all
+  /** Array-of-pre-tokens -> array-of-BPE-tokens against caller-supplied
+    * ranks and memo — the ONE encode loop both the static path and
+    * [[BpeEncodeWith]] run. Null elements are skipped (regexp_extract_all
     * never produces them; defensive for direct callers).
     */
-  def encodeArray(parts: ArrayData): ArrayData = {
+  def encodeArrayWith(ranks: Map[(String, String), Int],
+                      memo: java.util.concurrent.ConcurrentHashMap[String, Array[String]],
+                      parts: ArrayData): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer[AnyRef]()
     var i = 0
     val n = parts.numElements()
     while (i < n) {
       if (!parts.isNullAt(i)) {
         val w = parts.getUTF8String(i).toString
-        val toks = encodeWord(w)
+        var toks = memo.get(w)
+        if (toks == null) {
+          toks = encodeWordWith(ranks, w)
+          if (memo.size < MemoCap) memo.put(w, toks)
+        }
         var j = 0
         while (j < toks.length) {
           out += UTF8String.fromString(toks(j))
@@ -173,6 +186,12 @@ object BpeMerges {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** [[encodeArrayWith]] over the static [[Table]]; static so generated
+    * code calls it directly.
+    */
+  def encodeArray(parts: ArrayData): ArrayData =
+    encodeArrayWith(Ranks, memo, parts)
 
   /** The merge table as a DuckDB list literal — the oracle's copy of the
     * same constant, so engine and oracle can never disagree on the table.
@@ -220,37 +239,16 @@ case class BpeEncodeWith(child: Expression, table: Seq[String])
   }
 
   @transient private lazy val ranks: Map[(String, String), Int] =
-    table.zipWithIndex.map { case (m, i) =>
-      val sp = m.indexOf(' ')
-      (m.substring(0, sp), m.substring(sp + 1)) -> i
-    }.toMap
+    BpeMerges.parseRanks(table)
 
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
-  /** Instance twin of [[BpeMerges.encodeArray]] over this table. */
-  def encode(parts: ArrayData): ArrayData = {
-    val out = scala.collection.mutable.ArrayBuffer[AnyRef]()
-    var i = 0
-    val n = parts.numElements()
-    while (i < n) {
-      if (!parts.isNullAt(i)) {
-        val w = parts.getUTF8String(i).toString
-        var toks = memo.get(w)
-        if (toks == null) {
-          toks = BpeMerges.encodeWordWith(ranks, w)
-          if (memo.size < (1 << 16)) memo.put(w, toks)
-        }
-        var j = 0
-        while (j < toks.length) {
-          out += UTF8String.fromString(toks(j))
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(out.toArray)
-  }
+  /** Instance twin of [[BpeMerges.encodeArray]] over this table — the
+    * same shared loop, against this instance's ranks and memo.
+    */
+  def encode(parts: ArrayData): ArrayData =
+    BpeMerges.encodeArrayWith(ranks, memo, parts)
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {

@@ -56,9 +56,11 @@ object PHash {
   def cosSqlList: String =
     CosT.flatten.mkString("[", ",", "]")
 
-  /** The 63-bit integer perceptual hash of a byte payload. Empty/null
-    * payloads hash to 0 (all-zero grid → all coefficients 0 → no sign
-    * bits).
+  /** The 63-bit integer perceptual hash of a byte payload. EMPTY payloads
+    * hash to 0 (all-zero grid → all coefficients 0 → no sign bits); a
+    * SQL NULL never reaches this method — the [[PHash64]] expression is
+    * null-intolerant, so `phash64(NULL)` yields NULL, not 0 (the
+    * `bytes == null` guard serves only direct JVM callers).
     */
   def hash(bytes: Array[Byte]): Long = {
     if (bytes == null || bytes.isEmpty) return 0L

@@ -602,20 +602,30 @@ object TextAnalysisOps {
     * Output: `(id, n_bigrams, sum_surprisal, max_surprisal)`; docs with
     * < 2 tokens carry zeros.
     */
-  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
-    val staged = docs.select(col(idCol),
-      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
-    val pairs = staged
-      .select(col(idCol),
-        when(size(col("toks")) >= 2,
+  /** Adjacent word-pair instances of `docs.textCol`, one row per bigram,
+    * carrying `cols` through: the ONE bigram construction both surprisal
+    * variants share (a drifted copy would silently skew q90 vs q90b
+    * parity).
+    */
+  private def bigramPairs(docs: DataFrame, cols: Seq[Column],
+                          textCol: String): DataFrame = {
+    val staged = docs.select(cols :+
+      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"): _*)
+    staged
+      .select(cols :+
+        (when(size(col("toks")) >= 2,
           transform(sequence(lit(1), size(col("toks")) - 1),
             i => struct(element_at(col("toks"), i).as("w1"),
               element_at(col("toks"), i + 1).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-          .as("bs"))
-      .select(col(idCol), explode(col("bs")).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .as("bs")): _*)
+      .select(cols :+ explode(col("bs")).as("b"): _*)
+      .select(cols ++ Seq(col("b.w1").as("w1"), col("b.w2").as("w2")): _*)
+  }
+
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val pairs = bigramPairs(docs, Seq(col(idCol)), textCol)
     // persisted: the bigram-count aggregate and the scoring join both
     // consume the doc-bigram relation (same lifecycle as rarityProfile)
     val dt = graft.CacheScope.persist(
@@ -664,28 +674,14 @@ object TextAnalysisOps {
   def crossSurprisal(modelDocs: DataFrame, scoredDocs: DataFrame,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    def bigrams(docs: DataFrame, cols: Seq[Column]): DataFrame = {
-      val staged = docs.select(cols :+
-        TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"): _*)
-      staged
-        .select(cols :+
-          (when(size(col("toks")) >= 2,
-            transform(sequence(lit(1), size(col("toks")) - 1),
-              i => struct(element_at(col("toks"), i).as("w1"),
-                element_at(col("toks"), i + 1).as("w2"))))
-            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-            .as("bs")): _*)
-        .select(cols :+ explode(col("bs")).as("b"): _*)
-        .select(cols ++ Seq(col("b.w1").as("w1"), col("b.w2").as("w2")): _*)
-    }
     // persisted: the context aggregate (and through it the total) and the
     // scoring join all consume the model's bigram counts
-    val bt = graft.CacheScope.persist(bigrams(modelDocs, Seq.empty)
+    val bt = graft.CacheScope.persist(bigramPairs(modelDocs, Seq.empty, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("btf")))
     val ut = bt.groupBy(col("w1")).agg(sum(col("btf")).as("ctf1"))
     val total = ut.agg(sum(col("ctf1")).as("b_total"))
     def log2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
-    val dt = bigrams(scoredDocs, Seq(col(idCol)))
+    val dt = bigramPairs(scoredDocs, Seq(col(idCol)), textCol)
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
     val scored = dt
       .join(bt, Seq("w1", "w2"), "left")

@@ -14,12 +14,7 @@ class CacheLifecycleSpec extends SparkSpec {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       CacheScope.releaseAll()
-      queries.TopicQueries.evictAll()
-      queries.SimilarityQueries.evictAll()
-      queries.NlpQueries.evictAll()
-      queries.CurationQueries.evictAll()
-      queries.DedupQueries.evictAll()
-      queries.AnalysisQueries.evictAll()
+      queries.SessionMemos.evictAll()
       val leaked = spark.sparkContext.getPersistentRDDs
       assert(leaked.isEmpty,
         s"$name leaked ${leaked.size} persisted RDD(s): " +
