@@ -15,6 +15,19 @@ class BpeSpec extends SparkSpec {
 
   test("merge table is well-formed (unique rules, parts formed before use)") {
     assert(BpeMerges.validateTable(BpeMerges.Table) === Seq.empty)
+    assert(BpeMerges.validateTable(BpeMerges.SeedTable) === Seq.empty)
+  }
+
+  test("production table is at real vocabulary scale and deterministic") {
+    // The round-6 review's ask: the few-thousand-merge regime, proven —
+    // not the 146-entry bootstrap list.
+    assert(BpeMerges.Table.size === BpeMerges.TableMerges)
+    // Re-training from the same vocabulary is bit-identical (the oracle
+    // literal in SqlDefs depends on this).
+    val again = graft.ops.BpeTrainOps
+      .trainLocal(BpeMerges.trainingVocab, BpeMerges.TableMerges, 1L)
+      .map(t => t._2 + " " + t._3)
+    assert(again === BpeMerges.Table)
   }
 
   test("validateTable flags duplicates and unformed parts") {
@@ -23,17 +36,43 @@ class BpeSpec extends SparkSpec {
     assert(BpeMerges.validateTable(Seq("a b c")).exists(_.contains("malformed")))
   }
 
-  test("encodeWord matches hand-checked fixtures (greedy order matters)") {
+  test("encodeWordWith matches hand-checked fixtures on the seed table " +
+      "(greedy order matters)") {
+    // The 146-entry SeedTable is small enough to verify by eye — these
+    // pin the step contract against ranks a human can recount.
+    val seed = BpeMerges.parseRanks(BpeMerges.SeedTable)
+    def enc(w: String) = BpeMerges.encodeWordWith(seed, w).toSeq
     // "row": (o,w) outranks (r,o), so 'ro' never forms even though the
     // table has a "ro w" rule — the greedy-order-sensitive case.
-    assert(BpeMerges.encodeWord("row").toSeq === Seq("r", "ow"))
-    assert(BpeMerges.encodeWord("the").toSeq === Seq("the"))
-    assert(BpeMerges.encodeWord("customer").toSeq === Seq("customer"))
-    assert(BpeMerges.encodeWord("batch").toSeq === Seq("b", "at", "ch"))
-    assert(BpeMerges.encodeWord("window").toSeq === Seq("w", "in", "d", "ow"))
-    assert(BpeMerges.encodeWord("query").toSeq === Seq("qu", "ery"))
+    assert(enc("row") === Seq("r", "ow"))
+    assert(enc("the") === Seq("the"))
+    assert(enc("customer") === Seq("customer"))
+    assert(enc("batch") === Seq("b", "at", "ch"))
+    assert(enc("window") === Seq("w", "in", "d", "ow"))
+    assert(enc("query") === Seq("qu", "ery"))
+    assert(enc("a") === Seq("a"))
+    assert(enc("") === Seq.empty)
+    // And the production table's basics hold through the memoized path.
     assert(BpeMerges.encodeWord("a").toSeq === Seq("a"))
     assert(BpeMerges.encodeWord("").toSeq === Seq.empty)
+    assert(BpeMerges.encodeWord("the").toSeq === Seq("the"))
+  }
+
+  test("memo cap degrades to recompute, not eviction or wrong output") {
+    val ranks = BpeMerges.parseRanks(BpeMerges.SeedTable)
+    val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    val words = Seq("row", "batch", "window", "query", "stream", "table")
+    def run(): Seq[String] = {
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        words.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val out = BpeMerges.encodeArrayWith(ranks, memo, arr, memoCap = 2)
+      (0 until out.numElements()).map(out.getUTF8String(_).toString)
+    }
+    val first = run()
+    assert(memo.size === 2) // cap held: only the first two words cached
+    assert(first === words.flatMap(BpeMerges.encodeWordWith(ranks, _)))
+    assert(run() === first) // recompute path is deterministic
+    assert(memo.size === 2)
   }
 
   private val wordGen: Gen[String] =
@@ -115,7 +154,8 @@ class BpeSpec extends SparkSpec {
       exprs => BpeEncode(exprs.head))
     val got = spark.sql("SELECT bpe_encode(pts) AS t FROM bpe_test")
       .head().getSeq[String](0)
-    assert(got == Seq("stream", "b", "at", "ch"))
+    assert(got == Seq("stream", "batch").flatMap(BpeMerges.encodeWord(_).toSeq))
+    assert(got.nonEmpty && got.mkString === "streambatch")
   }
 
   test("BpeEncodeWith runs a runtime table through both codegen and eval " +
@@ -142,7 +182,8 @@ class BpeSpec extends SparkSpec {
     import sqlImplicits._
     val df = Seq(Seq("stream", "batch")).toDF("pts")
       .select(BpeMerges.bpeEncode(col("pts")).as("t"))
-    assert(df.collect().head.getSeq[String](0) === Seq("stream", "b", "at", "ch"))
+    assert(df.collect().head.getSeq[String](0) ===
+      Seq("stream", "batch").flatMap(BpeMerges.encodeWord(_).toSeq))
     // null array input -> null out (nullIntolerant)
     val nulls = Seq(Option.empty[Seq[String]]).toDF("pts")
       .select(BpeMerges.bpeEncode(col("pts")).as("t"))

@@ -187,15 +187,34 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
-  test("mergeAdjacent folds leftmost-first over overlaps in both eval paths") {
-    import sqlImplicits._
-    val df = Seq(Tuple1(Seq("a", "a", "a", "b", "a", "a"))).toDF("syms")
-    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
-      spark.conf.set("spark.sql.codegen.factoryMode", cg)
-      val out = df.select(BpeTrainOps.mergeAdjacent($"syms", "a", "a"))
-        .head().getSeq[String](0)
-      assert(out == Seq("aa", "a", "b", "aa"), cg)
+  test("trainLocal merges leftmost-first over overlaps (incremental " +
+      "bookkeeping matches the from-scratch recount)") {
+    // "aaaab" x1: round 0 (a,a)=3 -> [aa,aa,b] (third 'a' pair consumed
+    // by overlap, leftmost-first). Round 1: (aa,aa)=1 and (aa,b)=1 tie ->
+    // (aa,aa) wins lexicographically. Round 2: (aaaa,b)=1.
+    val got = BpeTrainOps.trainLocal(Seq(("aaaab", 1L)), 10, 1L)
+    assert(got == Seq(
+      (0, "a", "a", "aa", 3L),
+      (1, "aa", "aa", "aaaa", 1L),
+      (2, "aaaa", "b", "aaaab", 1L)))
+  }
+
+  test("trainLocal incremental deltas equal the golden from-scratch " +
+      "recount on seeded random vocabularies") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val alphabet = "abcz"
+      val vocab = (1 to 40).map { _ =>
+        val w = (1 to (2 + rnd.nextInt(8)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        w
+      }.distinct.map(w => (w, 1L + rnd.nextInt(50).toLong))
+      val texts = vocab.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+      val got = BpeTrainOps.trainLocal(vocab, 25, 1L)
+      // goldenTrain counts via texts; single-char words are dropped by
+      // its >=2-codepoint filter, matching trainLocal's no-pairs no-op
+      val want = goldenTrain(texts, 25, 1L, 1 << 16)
+      assert(got == want, s"trial $trial vocab $vocab")
     }
-    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 }
