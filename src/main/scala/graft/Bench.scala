@@ -72,7 +72,10 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
-            errors.getOrElseUpdate(name,
+            // cold-pass failures get their own key: a query that fails
+            // only cold (or fails differently warm) must be tellable
+            // apart from a warm failure in the artifact
+            errors.getOrElseUpdate(s"cold:$name",
               s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
             -1.0
         }
@@ -99,7 +102,7 @@ object Bench {
       // BOTH runs, so run 2 measures the warm-cache plan exactly as before
       // the lifecycle change and min-of-n stays comparable across rounds)
       CacheScope.releaseAll()
-      name -> times.sorted
+      name -> times
     }
     // Noise self-report: a single in-process min-of-n cannot defend
     // against whole-machine interference (a concurrent job once inflated
@@ -109,16 +112,25 @@ object Bench {
     // silent regression.
     def median(ts: Seq[Double]): Double =
       if (ts.isEmpty) -1.0
-      else if (ts.size % 2 == 1) ts(ts.size / 2)
-      else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+      else if (ts.size % 2 == 1) ts.sorted.apply(ts.size / 2)
+      else (ts.sorted.apply(ts.size / 2 - 1) + ts.sorted.apply(ts.size / 2)) / 2.0
     val mins = results.map { case (k, ts) =>
       k -> (if (ts.nonEmpty) ts.min else -1.0) }
     val medians = results.map { case (k, ts) => k -> median(ts) }
+    // First warm run, separately: with n=2 the median is the mean, so a
+    // memo-rebuild-heavy run 1 silently inflates it (the round-6 dedup
+    // family "creep" read as a regression until run-level data showed
+    // warm run 1 was absorbing post-cold-pass storage-eviction churn).
+    // Publishing run 1 makes rebuild-vs-steady-state attributable from
+    // the artifact alone.
+    val warm1s = results.map { case (k, ts) =>
+      k -> (if (ts.nonEmpty) ts.head else -1.0) }
     val noisy = mins.zip(medians).collect {
       case ((k, mn), (_, md)) if mn > 0 && md / mn > 3.0 => k
     }
     val qs = mins.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qsMed = medians.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val qsW1 = warm1s.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qsCold = cold.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val noisyJson = noisy.map(k => s"\"$k\"").mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum
@@ -126,7 +138,7 @@ object Bench {
     val errJson = errors.map { case (k, v) =>
       s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_cold":$qsCold,"noisy":$noisyJson,"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // target/bench.json is the durable FULL-registry round artifact; a
     // filtered local run writes a sibling file so it can never clobber

@@ -39,11 +39,22 @@ import org.apache.spark.storage.StorageLevel
 object CacheScope {
   private val pending = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
+  // Per-thread override queue for [[scoped]]: registrations made on a
+  // thread inside a scope land here instead of the global registry, so a
+  // concurrent releaseAll() (or another scope) can never drain them.
+  private val localPending =
+    new ThreadLocal[java.util.ArrayDeque[() => Unit]]()
+
+  private def register(f: () => Unit): Unit = {
+    val local = localPending.get()
+    if (local != null) local.add(f) else { pending.add(f); () }
+  }
+
   /** Persist `ds` and schedule its unpersist for the next [[releaseAll]]. */
   def persist[T](ds: Dataset[T],
                  level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
     ds.persist(level)
-    pending.add(() => { ds.unpersist(blocking = false); () })
+    register(() => { ds.unpersist(blocking = false); () })
     ds
   }
 
@@ -62,7 +73,34 @@ object CacheScope {
     * returned DataFrame) for release at the next [[releaseAll]].
     */
   def registerRdd(rdd: RDD[_]): Unit =
-    pending.add(() => { rdd.unpersist(blocking = false); () })
+    register(() => { rdd.unpersist(blocking = false); () })
+
+  /** Run `body` with a PRIVATE registration scope and release exactly the
+    * persists it registered (on the current thread) when it returns.
+    *
+    * This is the safe release primitive for work that runs CONCURRENTLY
+    * with foreground queries — streaming `foreachBatch` bodies execute on
+    * stream threads, so a global [[releaseAll]] there would unpersist a
+    * concurrent foreground query's (or second stream's) in-flight
+    * intermediates mid-query: correctness survives (recompute) but
+    * caching silently degrades. The scope is thread-local, which matches
+    * how registrations happen: operators persist during plan
+    * construction, on the thread building the batch plan.
+    */
+  def scoped[T](body: => T): T = {
+    val prev = localPending.get()
+    val mine = new java.util.ArrayDeque[() => Unit]()
+    localPending.set(mine)
+    try body
+    finally {
+      if (prev != null) localPending.set(prev) else localPending.remove()
+      var f = mine.poll()
+      while (f != null) {
+        try f() catch { case _: Throwable => () }
+        f = mine.poll()
+      }
+    }
+  }
 
   /** Unpersist everything registered since the last call. Safe to call
     * when nothing is registered; never throws (a release failure must not

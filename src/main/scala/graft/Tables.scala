@@ -59,7 +59,13 @@ object Tables {
   // RDD lineage construction, and documents()/embeddings() are called once
   // per registered query in a Verify/Bench run — probing every time pays
   // that planning cost hundreds of times for an answer that cannot change
-  // while the fixture files and session parallelism are fixed.
+  // while the fixture files and session parallelism are fixed. ASSUMPTION:
+  // the cache is never invalidated within an application, so a sink that
+  // rewrites files under a cached path mid-session would leave a stale
+  // count (wrongly skipping or forcing the rebalance). That cannot happen
+  // today — these loaders only ever point at the read-only fixture roots,
+  // and every sink writes under Scratch.dir — but a loader aimed at
+  // mutable paths must clear the entry on write.
   private val scanParts =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
 

@@ -200,13 +200,17 @@ object StreamingOps {
     newDocs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val toked = batch.select(col("doc_id"),
-          graft.ops.TextOps.tokenize(col("text")).as("toks"))
-        val sigs = graft.ops.DedupOps.minhashSignatures(
-          graft.ops.DedupOps.shingles(toked, shingleN))
-        collect(graft.ops.DedupOps.incrementalDupCheck(
-          sigs, indexSigs, rowsPerBand, minEstMicro))
-        graft.CacheScope.releaseAll()
+        // scoped, NOT releaseAll: micro-batches run on stream threads, so
+        // a global drain here could unpersist a concurrent foreground
+        // query's in-flight intermediates (see CacheScope.scoped)
+        graft.CacheScope.scoped {
+          val toked = batch.select(col("doc_id"),
+            graft.ops.TextOps.tokenize(col("text")).as("toks"))
+          val sigs = graft.ops.DedupOps.minhashSignatures(
+            graft.ops.DedupOps.shingles(toked, shingleN))
+          collect(graft.ops.DedupOps.incrementalDupCheck(
+            sigs, indexSigs, rowsPerBand, minEstMicro))
+        }
       }
       .start()
 

@@ -26,4 +26,23 @@ class CacheLifecycleSpec extends SparkSpec {
     CacheScope.releaseAll()
     assert(CacheScope.pendingCount == 0)
   }
+
+  test("scoped releases exactly the persists registered inside the scope") {
+    import org.apache.spark.storage.StorageLevel
+    val outer = CacheScope.persist(spark.range(10).toDF())
+    outer.count()
+    var inner: org.apache.spark.sql.DataFrame = null
+    CacheScope.scoped {
+      inner = CacheScope.persist(spark.range(5).toDF())
+      inner.count()
+      assert(inner.storageLevel != StorageLevel.NONE)
+    }
+    // the scope released its own registration...
+    assert(inner.storageLevel == StorageLevel.NONE)
+    // ...without draining the global registry (the foreachBatch hazard:
+    // a concurrent foreground query's persists must survive a batch)
+    assert(outer.storageLevel != StorageLevel.NONE)
+    CacheScope.releaseAll()
+    assert(outer.storageLevel == StorageLevel.NONE)
+  }
 }
