@@ -314,23 +314,45 @@ object SimilarityOps {
     * recall vs brute force is the check (DedupSimilaritySpec).
     */
   def ivfSq8TopK(index: IvfIndex, coded: DataFrame, everyNth: Int, k: Int,
-                 nProbe: Int, overfetch: Int): DataFrame = {
+                 nProbe: Int, overfetch: Int): DataFrame =
+    ivfSq8Score(index,
+      coded, ivfSq8ProbeCells(index, coded, everyNth, nProbe), k, overfetch)
+
+  /** Centroid-probe phase of [[ivfSq8TopK]]: which `nProbe` cells each
+    * query scores, carrying the query's own SQ8 codes —
+    * `(query_id, q_codes, cell)`, a broadcast-sized relation (queries ×
+    * nProbe rows). Split out so callers probing a STORED index (q79e) can
+    * derive the probed-cell set BEFORE touching the coded relation and
+    * push it into the stored scan as a partition filter.
+    */
+  def ivfSq8ProbeCells(index: IvfIndex, coded: DataFrame, everyNth: Int,
+                       nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = index.assigned
     // queries carry codes (stage 1) and the float vector (centroid probe);
     // both query relations are N/everyNth rows — broadcast size
-    val q = assigned.where(col("vec_id") % everyNth === 0)
+    val q = index.assigned.where(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
       .join(coded.where(col("vec_id") % everyNth === 0)
         .select(col("vec_id").as("query_id"), col("codes").as("q_codes")),
         "query_id")
-    val qCells = q.crossJoin(broadcast(index.centroids))
+    q.crossJoin(broadcast(index.centroids))
       .select(col("query_id"), col("q_codes"), col("cell"),
         cosineMicro(col("q_emb"), col("centroid")).as("cdist"))
       .withColumn("crk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell").asc)))
       .where(col("crk") <= nProbe)
       .select("query_id", "q_codes", "cell")
+  }
+
+  /** Scoring + rerank phase of [[ivfSq8TopK]] over an already-derived
+    * probe relation. `coded` here may be the in-memory index half OR its
+    * stored layout read back (q79e) — the plan is identical either way;
+    * only the scan under it changes.
+    */
+  def ivfSq8Score(index: IvfIndex, coded: DataFrame, qCells: DataFrame,
+                  k: Int, overfetch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = index.assigned
     // stage 1: integer-dot scoring inside probed cells only — the coded
     // index streams map-side against the broadcast (query, cell) probes,
     // and the score is computed solely for same-cell candidates

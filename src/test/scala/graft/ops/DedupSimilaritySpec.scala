@@ -428,6 +428,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"recall $recall")
   }
 
+  test("stored coded index: the probe prunes the scan to exactly the " +
+      "probed cells' partitions, and scoring it equals the in-memory path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = SimilarityOps.buildIvfIndex(emb, nCells = 16)
+    val coded = SimilarityOps.ivfSq8Coded(index, emb)
+    val path = graft.Scratch.dir("test_ivf_stored")
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    // single-query serving shape: one probe, nProbe = 4 of 16 cells
+    val qCells = SimilarityOps.ivfSq8ProbeCells(index, coded,
+      everyNth = 1 << 20, nProbe = 4)
+    val cells = qCells.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(cells.size == 4, s"expected 4 probed cells, got $cells")
+    val stored = spark.read.parquet(path)
+      .where(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("codes"))
+    val disk = SimilarityOps.ivfSq8Score(index, stored, qCells,
+      k = 5, overfetch = 4).orderBy("query_id", "rk").collect().toSeq
+    val mem = SimilarityOps.ivfSq8Score(index, coded, qCells,
+      k = 5, overfetch = 4).orderBy("query_id", "rk").collect().toSeq
+    assert(disk == mem)
+    // the cell filter must prune PARTITIONS at the stored scan
+    // (directory-level skip), not survive as a post-scan row filter
+    val scan = stored.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      scan.partitionFilters.toString)
+    val scanned = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil).size
+    assert(scanned == 4, s"scan read $scanned of 16 cell partitions")
+  }
+
+  test("q79e over the stored index is byte-identical to q79d over the " +
+      "in-memory index") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.SimilarityQueries.q79dIvfSq8(spark, dir)
+      .collect().toSeq
+    val b = graft.queries.SimilarityQueries.q79eStoredIvf(spark, dir)
+      .collect().toSeq
+    assert(b == a)
+    graft.queries.SimilarityQueries.evictAll()
+  }
+
   test("cosine near-dup pairs are symmetric-free and thresholded") {
     val emb = Seq(
       (0L, Array.fill(8)(0.5f), 0),
