@@ -32,15 +32,37 @@ object JoinOps {
     * (dim tables, pre-aggregated sides).
     */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
-                 salts: Int, saltCols: Seq[String]): DataFrame = {
+                 salts: Int, saltCols: Seq[String]): DataFrame =
+    saltedJoinKeys(skewed, other, Seq(key), salts, saltCols)
+
+  /** Composite-key form of [[saltedJoin]] — q90's bigram scoring join
+    * keys on (w1, w2). Same contract, all keys equi-joined plus the salt.
+    *
+    * Why manual salting here and not AQE: OptimizeSkewedJoin can only
+    * rewrite a sort-merge join whose children are BOTH plain shuffle
+    * reads (`Sort` directly over a materialized exchange) — splitting one
+    * side's oversized partition re-reads the other side's matching
+    * partition once per split, which requires that side to BE a shuffle.
+    * An aggregated side (final HashAggregate above its exchange) or a
+    * persisted side (the cache's partitioning satisfies the join, so no
+    * exchange exists at all) breaks the pattern, and q90's corpus-derived
+    * count relations are exactly those two shapes — verified empirically:
+    * a 40x-skewed hot-bigram partition is left unsplit even with
+    * forceOptimizeSkewedJoin on. The salt is applied at plan-construction
+    * time instead, which is also cheaper: it never waits for runtime
+    * statistics.
+    */
+  def saltedJoinKeys(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+                     salts: Int, saltCols: Seq[String]): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(keys.nonEmpty, "at least one join key")
     require(saltCols.nonEmpty,
       "saltCols must name at least one cheap column that varies within a key")
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64((key +: saltCols).distinct.map(col): _*), lit(salts)))
+      pmod(xxhash64((keys ++ saltCols).distinct.map(col): _*), lit(salts)))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<bigint>")))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
   /** As-of join (left outer): each left row picks up `rightValCols` from

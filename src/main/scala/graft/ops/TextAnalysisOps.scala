@@ -607,6 +607,14 @@ object TextAnalysisOps {
     * variants share (a drifted copy would silently skew q90 vs q90b
     * parity).
     */
+  /** Salt fan-out for the q90 scoring join: the hottest bigram's rows
+    * spread over this many partitions; the vocabulary-sized model side is
+    * replicated this many times. 8 caps the worst-partition factor well
+    * below task-straggler territory while keeping the replication cost a
+    * rounding error next to the corpus side.
+    */
+  val SurprisalSalts = 8
+
   private def bigramPairs(docs: DataFrame, cols: Seq[Column],
                           textCol: String): DataFrame = {
     val staged = docs.select(cols :+
@@ -635,7 +643,23 @@ object TextAnalysisOps {
       dt.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("btf")))
     val ut = bt.groupBy(col("w1")).agg(sum(col("btf")).as("ctf1"))
     def log2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
-    val scored = dt.join(bt, Seq("w1", "w2")).join(ut, Seq("w1"))
+    // Model-side join first: bt ⋈ ut is VOCABULARY-sized on both sides
+    // (per-w1 fan-out bounded by distinct right-neighbors), so enriching
+    // the bigram table with its left-context mass costs one small join.
+    // Then ONE corpus-sized join scores dt against the enriched model —
+    // the earlier dt ⋈ bt ⋈ ut chain shuffled the corpus-sized relation
+    // twice (once on (w1,w2), again on w1). That corpus join is the
+    // engine's one Zipf-exposed shape: real text has mega-hot bigrams,
+    // and AQE's skew split structurally cannot fire here (see
+    // JoinOps.saltedJoinKeys — aggregated/persisted sides break its
+    // pattern; verified on a synthetic hot-bigram corpus), so the key is
+    // pre-salted: the hot bigram spreads over SurprisalSalts partitions,
+    // the vocabulary-sized model side is replicated that many times
+    // (PlanShapeSpec asserts the spread quantitatively).
+    val model = bt.join(ut, Seq("w1"))
+      .select(col("w1"), col("w2"), col("btf"), col("ctf1"))
+    val scored = JoinOps.saltedJoinKeys(dt, model, Seq("w1", "w2"),
+        SurprisalSalts, Seq(idCol))
       .select(col(idCol), col("k"),
         (log2len(col("ctf1")) - log2len(col("btf"))).as("s"))
     val profile = scored.groupBy(col(idCol))

@@ -140,4 +140,68 @@ class PlanShapeSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q90's bigram scoring join spreads a hot bigram across salt " +
+      "partitions (AQE's skew split structurally cannot fire here)") {
+    // Real text is Zipf-extreme: one dominant bigram can carry most of
+    // the doc-bigram relation. AQE's OptimizeSkewedJoin is NOT the answer
+    // on this shape — it only rewrites a sort-merge join whose children
+    // are both bare shuffle reads, and q90's model side is an aggregated
+    // (and persisted) relation: verified empirically, a 40x-skewed
+    // hot-bigram partition stays unsplit even with
+    // forceOptimizeSkewedJoin on. So bigramSurprisal pre-salts the
+    // corpus-side key (JoinOps.saltedJoinKeys). This test builds the
+    // hot-bigram corpus — 20k docs all repeating one pair, 1k carrying a
+    // unique tail pair — and asserts the salted shuffle's worst partition
+    // carries a bounded share of the bytes, where the unsalted join put
+    // ~97% of them on one task.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    val confs = Seq(
+      // no broadcast: force the shuffle-join path the salt protects
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // enough reducers that the 8 salt buckets don't re-collide into a
+      // handful of partitions (the test session default is 4)
+      "spark.sql.shuffle.partitions" -> "32")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val docs = spark.range(0, 20000)
+        .selectExpr("id AS doc_id",
+          "concat('aa aa aa aa aa aa aa aa aa aa', " +
+            "IF(id < 1000, concat(' w', id), '')) AS text")
+      val scored = TextAnalysisOps.bigramSurprisal(docs)
+        .agg(org.apache.spark.sql.functions.sum("sum_surprisal").as("s"))
+      assert(scored.collect()(0).getLong(0) > 0)
+      def walk(p: SparkPlan): Seq[SparkPlan] = {
+        val extra = p match {
+          case q: QueryStageExec => Seq(q.plan)
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case _ => Nil
+        }
+        p +: (p.children ++ extra).flatMap(walk)
+      }
+      val stages = walk(scored.queryExecution.executedPlan)
+        .collect { case s: ShuffleQueryStageExec => s }
+      // the scoring join's shuffle keys on (w1, w2, __salt)
+      val saltStages = stages.filter(
+        _.plan.toString.contains("__salt"))
+      assert(saltStages.nonEmpty,
+        s"no salted exchange in:\n${scored.queryExecution.executedPlan}")
+      val corpusSide = saltStages
+        .flatMap(_.mapStats.map(_.bytesByPartitionId))
+        .maxBy(_.sum)
+      val worstShare = corpusSide.max.toDouble / corpusSide.sum
+      // unsalted, the hot bigram put ~97% of the bytes on one partition;
+      // salted over 8 buckets the worst task must stay near 1/8 + tail
+      assert(worstShare <= 0.35,
+        s"hot bigram not spread: ${corpusSide.mkString(",")}")
+    } finally {
+      graft.CacheScope.releaseAll()
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
