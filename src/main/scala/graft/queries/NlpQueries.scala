@@ -455,13 +455,20 @@ object NlpQueries {
     // fixed per-query path + overwrite sink: re-invocations (Bench runs
     // each query twice per round) rewrite in place instead of
     // accumulating a fresh temp directory per call
-    val tmp = "target/graft_q09c_csv"
+    val tmp = graft.Scratch.dir("q09c_csv")
     graft.sources.DocumentSources.writeCsv(q09Export(spark, dir), tmp)
-    graft.sources.DocumentSources.readCsv(spark, tmp,
-      "doc_id BIGINT, source STRING, summary STRING, tags STRING, " +
-        "original_length BIGINT, summary_length BIGINT, compression_ratio DOUBLE")
+    graft.sources.DocumentSources.readCsv(spark, tmp, ExportSchemaDdl)
       .orderBy("doc_id")
   }
+
+  /** Explicit read-back schema of the q09 export relation — shared by
+    * every sink round-trip (q09c CSV, q66 JSONL, q96 ORC, q96b Avro) so
+    * the four format twins are guaranteed to be comparing the same
+    * relation under the same oracle.
+    */
+  private val ExportSchemaDdl: String =
+    "doc_id BIGINT, source STRING, summary STRING, tags STRING, " +
+      "original_length BIGINT, summary_length BIGINT, compression_ratio DOUBLE"
 
   // --- q66: JSONL sink round-trip -----------------------------------------
   // Same contract as q09c but through the JSON-lines sink (the LLM-corpus
@@ -469,11 +476,33 @@ object NlpQueries {
   // longs, and IEEE doubles survive the text hop bit-exactly.
   def q66JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     // fixed per-query path + overwrite sink, as q09c
-    val tmp = "target/graft_q66_jsonl"
+    val tmp = graft.Scratch.dir("q66_jsonl")
     graft.sources.DocumentSources.writeJsonl(q09Export(spark, dir), tmp)
-    graft.sources.DocumentSources.readJsonl(spark, tmp,
-      "doc_id BIGINT, source STRING, summary STRING, tags STRING, " +
-        "original_length BIGINT, summary_length BIGINT, compression_ratio DOUBLE")
+    graft.sources.DocumentSources.readJsonl(spark, tmp, ExportSchemaDdl)
+      .orderBy("doc_id")
+  }
+
+  // --- q96/q96b: ORC and Avro round-trips (lake-format breadth) -----------
+  // Real corpora arrive in more formats than parquet/CSV/JSONL. q96 runs
+  // the same contract through Spark's native ORC source (binary columnar —
+  // doubles survive without a text formatter); q96b through the engine's
+  // own Avro container IO (sources/AvroIo — this build carries no
+  // spark-avro DataSource, so the container format is implemented on the
+  // Avro core library directly: per-partition imperative write, binaryFile
+  // scan + per-file decode read). Both read back under the shared explicit
+  // schema and verify against q09's oracle — DuckDB compares the read-back
+  // RELATION, so the oracle is format-agnostic by construction.
+  def q96OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("q96_orc")
+    q09Export(spark, dir).write.mode("overwrite").orc(tmp)
+    spark.read.schema(ExportSchemaDdl).orc(tmp).orderBy("doc_id")
+  }
+
+  def q96bAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("q96b_avro")
+    graft.sources.AvroIo.write(q09Export(spark, dir), tmp)
+    graft.sources.AvroIo.read(spark, tmp,
+      org.apache.spark.sql.types.StructType.fromDDL(ExportSchemaDdl))
       .orderBy("doc_id")
   }
 
@@ -487,7 +516,7 @@ object NlpQueries {
   // (PartitionFilters, not a post-scan Filter).
   def q91PartitionedSink(spark: SparkSession, dir: String): DataFrame = {
     // fixed per-query path + overwrite sink, as q09c
-    val tmp = "target/graft_q91_parts"
+    val tmp = graft.Scratch.dir("q91_parts")
     graft.sources.DocumentSources.writePartitioned(
       Tables.documents(spark, dir), tmp, Seq("source"))
     spark.read.parquet(tmp)
@@ -518,7 +547,7 @@ object NlpQueries {
   // corruption was synthesized from. A parser that silently dropped (or
   // wrongly accepted) a line breaks the row counts.
   def q94CorruptQuarantine(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = "target/graft_q94_jsonl" // fixed path + overwrite, as q09c
+    val tmp = graft.Scratch.dir("q94_jsonl") // fixed path + overwrite, as q09c
     Tables.documents(spark, dir)
       .select(when(col("doc_id") % 7 === 0,
         concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"text\": \"broken")))
@@ -530,10 +559,19 @@ object NlpQueries {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(tmp)
-      .groupBy(coalesce(col("source"), lit("_corrupt")).as("bucket"))
+      // bucket and min/max key off _corrupt_record, not off which fields
+      // happened to parse: partial-results JSON parsing
+      // (spark.sql.json.enablePartialResults, default on) may retain
+      // leading fields such as doc_id for some malformation classes, so
+      // the '_corrupt' bucket and its -1 sentinels are enforced by the
+      // query, not by parser behavior
+      .groupBy(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+        .otherwise(col("source")).as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
-        coalesce(min(col("doc_id")), lit(-1L)).as("first_doc"),
-        coalesce(max(col("doc_id")), lit(-1L)).as("last_doc"))
+        coalesce(min(when(col("_corrupt_record").isNull, col("doc_id"))),
+          lit(-1L)).as("first_doc"),
+        coalesce(max(when(col("_corrupt_record").isNull, col("doc_id"))),
+          lit(-1L)).as("last_doc"))
       .orderBy("bucket")
   }
 
@@ -553,7 +591,7 @@ object NlpQueries {
   // exactly that — per batch, how many rows lack the late column. The
   // oracle recomputes from `documents` + the doc_id carving rule.
   def q95SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = "target/graft_q95_evolve"
+    val tmp = graft.Scratch.dir("q95_evolve")
     val docs = Tables.documents(spark, dir)
     docs.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
       .write.mode("overwrite").parquet(s"$tmp/batch=1")
@@ -585,6 +623,8 @@ object NlpQueries {
     "q09b_wordcloud" -> (q09bWordcloud _),
     "q09c_csv_roundtrip" -> (q09cCsvRoundtrip _),
     "q66_jsonl_roundtrip" -> (q66JsonlRoundtrip _),
+    "q96_orc_roundtrip" -> (q96OrcRoundtrip _),
+    "q96b_avro_roundtrip" -> (q96bAvroRoundtrip _),
     "q01_clean_tokens" -> (q01CleanTokens _),
     "q01b_preview" -> (q01bPreview _),
     "q02_sentences" -> (q02Sentences _),
@@ -606,6 +646,8 @@ object NlpQueries {
     "q09b_wordcloud" -> q09bSql,
     "q09c_csv_roundtrip" -> q09Sql,
     "q66_jsonl_roundtrip" -> q09Sql,
+    "q96_orc_roundtrip" -> q09Sql,
+    "q96b_avro_roundtrip" -> q09Sql,
     "q01_clean_tokens" -> q01Sql,
     "q01b_preview" -> q01bSql,
     "q02_sentences" -> q02Sql,

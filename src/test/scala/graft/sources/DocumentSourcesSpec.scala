@@ -138,6 +138,38 @@ class DocumentSourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("Avro container round-trip preserves primitives, nulls, unicode, " +
+      "and double bit patterns") {
+    val df = Seq(
+      (1L, Option("hello, \"quoted\"\nline\ttab"), 1.5, true),
+      (2L, Option.empty[String], -0.0, false),
+      (3L, Option("ünïcødé ✓ ”smart”"), math.Pi, true))
+      .toDF("id", "s", "d", "b")
+    val path = s"$tmp/avro_rt"
+    AvroIo.write(df, path)
+    val back = AvroIo.read(spark, path, df.schema)
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    // container files on disk, one per non-empty partition
+    assert(Files.list(Paths.get(path)).iterator().hasNext)
+  }
+
+  test("Avro read resolves fields by name, independent of column order") {
+    val df = Seq((7L, "x", 2.5)).toDF("id", "s", "d")
+    val path = s"$tmp/avro_reorder"
+    AvroIo.write(df, path)
+    val back = AvroIo.read(spark, path,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "d DOUBLE, id BIGINT, s STRING"))
+    val r = back.head()
+    assert(r.getDouble(0) == 2.5 && r.getLong(1) == 7L && r.getString(2) == "x")
+  }
+
+  test("AvroIo rejects non-primitive columns loudly") {
+    val df = Seq((1L, Seq("a"))).toDF("id", "arr")
+    intercept[IllegalArgumentException] { AvroIo.schemaJson(df.schema) }
+  }
+
   test("partitioned parquet sink creates partition directories for pruning") {
     val out = s"$tmp/part"
     DocumentSources.writePartitioned(
