@@ -353,6 +353,36 @@ object CurationQueries {
     WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
     ORDER BY t.doc_id"""
 
+  // --- q68b: the same thresholds via approx_percentile --------------------
+  // q68's scaladoc promises "the shape is unchanged when a 100 TB
+  // deployment swaps the exact percentile for approx_percentile" — this
+  // is that swap, present instead of promised. The exact aggregate holds
+  // the full sorted column in one task; the approx one is a mergeable
+  // fixed-size sketch (Greenwald-Khanna) with a published guarantee:
+  // rank error <= n / accuracy. Rows-only in the registry (DuckDB's
+  // approx quantile is a different sketch, so no hash twin exists);
+  // CurationPipelineSpec holds the quantitative error-bound unit — the
+  // approx bound must land within the exact rank window — and the q68
+  // oracle anchors the shared filter shape.
+  def q68bAdaptiveLengthApprox(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysisOps.wsTokenCount(col("text")).as("n_tokens"))
+    val bounds = t.agg(
+      percentile_approx(col("n_tokens"), lit(0.25), lit(PctAccuracy)).as("lo"),
+      percentile_approx(col("n_tokens"), lit(0.75), lit(PctAccuracy)).as("hi"))
+    t.crossJoin(broadcast(bounds))
+      .where(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** approx_percentile accuracy: guarantees rank error <= n/PctAccuracy.
+    * At 10000, a 100 TB corpus' percentile lands within 0.01% of the true
+    * rank while the sketch stays a few hundred KB per partition.
+    */
+  val PctAccuracy = 10000
+
   /** Context-window size/stride shared by q69 and q86 — declared ABOVE
     * both Sql strings: a forward reference from a strict val interpolation
     * would silently read 0 (caught once by a zero-width q86 oracle).
@@ -806,6 +836,7 @@ object CurationQueries {
     "q57c_token_budget_bpe" -> (q57cTokenBudgetBpe _),
     "q75_temperature_mix" -> (q75TemperatureMix _),
     "q68_adaptive_length" -> (q68AdaptiveLength _),
+    "q68b_adaptive_length_approx" -> (q68bAdaptiveLengthApprox _),
     "q58_sequence_packing" -> (q58SequencePacking _),
     "q58b_packing_bpe" -> (q58bPackingBpe _),
     "q82_deletion_impact" -> (q82DeletionImpact _),

@@ -29,6 +29,42 @@ class CurationPipelineSpec extends SparkSpec {
       want(r.getAs[Long]("doc_id")) == r.getAs[Long]("pos")))
   }
 
+  test("q68b approx thresholds land within the published rank-error " +
+      "window of the exact percentiles") {
+    val dir = "/root/testdata/sf0.01"
+    val sorted = Tables.documents(spark, dir)
+      .select(graft.ops.TextAnalysisOps.wsTokenCount(col("text")).as("n"))
+      .collect().map(_.getLong(0)).sorted
+    val n = sorted.length
+    val bounds = Tables.documents(spark, dir)
+      .select(graft.ops.TextAnalysisOps.wsTokenCount(col("text")).as("n"))
+      .agg(
+        percentile_approx(col("n"), lit(0.25),
+          lit(graft.queries.CurationQueries.PctAccuracy)).as("lo"),
+        percentile_approx(col("n"), lit(0.75),
+          lit(graft.queries.CurationQueries.PctAccuracy)).as("hi"))
+      .head()
+    // Greenwald-Khanna guarantee: the returned element's rank is within
+    // n / accuracy of the target rank (+1 slack for the discrete
+    // floor/ceil at the boundary)
+    val slack = n / graft.queries.CurationQueries.PctAccuracy + 1
+    for ((p, got) <- Seq(0.25 -> bounds.getLong(0), 0.75 -> bounds.getLong(1))) {
+      val lo = sorted.indexOf(got)      // first rank holding the value
+      val hi = sorted.lastIndexOf(got)  // last rank holding the value
+      assert(lo >= 0, s"approx p=$p returned $got, not an element of the column")
+      val target = p * (n - 1)
+      assert(target >= lo - slack && target <= hi + slack,
+        s"p=$p: value $got spans ranks [$lo,$hi], target $target, slack $slack")
+    }
+    // and the q68b relation itself: same shape as q68, thresholds applied
+    val out = graft.queries.CurationQueries
+      .q68bAdaptiveLengthApprox(spark, dir).collect()
+    CacheScope.releaseAll()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(1) >= bounds.getLong(0) &&
+      r.getLong(1) <= bounds.getLong(1)))
+  }
+
   test("curate: redacts PII, drops junk, removes exact and near duplicates") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val docs = Seq(
