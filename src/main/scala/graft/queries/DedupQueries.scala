@@ -668,6 +668,19 @@ object DedupQueries {
       Tables.documents(spark, dir), SpanN, SpanTiers, SpanTextTier)
       .orderBy("doc_id")
 
+  // --- q61c: true suffix-array ExactSubstr on a bounded sample ------------
+  // The published algorithm itself (suffix array + LCP per partition
+  // group over a hash sample), closing the precision gap q61b's merged
+  // covers over-approximate: a cover can chain different duplicated
+  // shingles, so its maximal region can exceed the longest truly
+  // duplicated run. Rows-only (a suffix array has no SQL twin); the
+  // agreement contract with q61/q61b's relational cover is unit-gated in
+  // SuffixArraySpec, including a brute-force golden for the statistic.
+  def q61cExactSubstr(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SuffixArrayOps.exactSubstrProfile(
+      Tables.documents(spark, dir), sampleMod = 2, parts = 8)
+      .orderBy("doc_id")
+
   val q61bSql: String = {
     val n = SpanN
     val tierSelects = SpanTiers.map(t =>
@@ -722,6 +735,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_strip_spans" -> (q61StripSpans _),
     "q61b_variable_spans" -> (q61bVariableSpans _),
+    "q61c_exact_substr" -> (q61cExactSubstr _),
     "q24_exact_dup" -> (q24ExactDup _),
     "q24b_canonical_dup" -> (q24bCanonicalDup _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
