@@ -607,6 +607,70 @@ object TextAnalysisOps {
     * variants share (a drifted copy would silently skew q90 vs q90b
     * parity).
     */
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", public): score each raw
+    * doc by how much its hashed n-gram feature distribution looks like a
+    * TARGET corpus rather than the raw corpus,
+    *
+    *   score(d) = Σ_instances ( log q[b] − log p[b] )
+    *
+    * where b is the instance's feature bucket, q the target-corpus and p
+    * the raw-corpus bucket counts. Features are unigrams + space-joined
+    * bigrams hashed into a FIXED number of buckets by the portable
+    * polynomial hash (HashOps.charHash — the paper's hashed n-gram
+    * generative model), so the model table has `buckets` rows no matter
+    * the corpus size. Logs are the engine's integer ⌊log2⌋+1 buckets
+    * over +1-smoothed counts (q70/q90 trick), keeping the whole statistic
+    * hash-exact against DuckDB.
+    *
+    * Scale shape: one narrow feature explode; one map-side-combined
+    * (doc, target?, bucket) count; the bucket model aggregates THAT
+    * relation (never the instances) into `buckets` rows, which join back
+    * BROADCAST — a fixed-size model table means no skew surface and no
+    * corpus-sized shuffle beyond the per-doc count; the per-doc score is
+    * one more keyed sum. The target is a column predicate, so raw and
+    * target counts come out of the same single pass.
+    *
+    * Output: `(idCol, n_feats, dsir_score)`; docs with no tokens carry
+    * zeros. Selection composes downstream (top-k by score, or q52-style
+    * stratified sampling over score bands — the paper's resampling step).
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toked = docs.select(col(idCol), isTarget.as("is_t"),
+      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
+    val feats = toked.select(col(idCol), col("is_t"),
+      concat(col("toks"),
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("fs"))
+    val inst = feats
+      .select(col(idCol), col("is_t"), explode(col("fs")).as("f"))
+      .select(col(idCol), col("is_t"),
+        pmod(HashOps.charHash(col("f")), lit(buckets.toLong)).as("b"))
+    // persisted: the bucket model and the scoring join both consume it
+    val db = graft.CacheScope.persist(
+      inst.groupBy(col(idCol), col("is_t"), col("b"))
+        .agg(count(lit(1)).as("c")))
+    val model = db.groupBy(col("b")).agg(
+      sum(col("c")).as("p_raw"),
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("q_raw"))
+    def log2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+    val scored = db.join(broadcast(model), Seq("b"))
+      .select(col(idCol), col("c"),
+        (log2len(col("q_raw") + 1) - log2len(col("p_raw") + 1)).as("s"))
+    val prof = scored.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("s")).as("dsir_score"))
+    docs.select(col(idCol)).join(prof, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_score"), lit(0L)).as("dsir_score"))
+  }
+
   /** Salt fan-out for the q90 scoring join: the hottest bigram's rows
     * spread over this many partitions; the vocabulary-sized model side is
     * replicated this many times. 8 caps the worst-partition factor well

@@ -383,6 +383,44 @@ object CurationQueries {
     */
   val PctAccuracy = 10000
 
+  // --- q97: DSIR importance weights (target-likeness scoring) -------------
+  // The data-selection scorer between hand-rules (q21/q88) and
+  // similarity search: score every raw doc by hashed-n-gram likeness to
+  // a target slice (here the English subcorpus — the fixture's stand-in
+  // for a curated exemplar set), semantics and 100 TB shape in
+  // TextAnalysisOps.dsirWeights. Oracled bit-exactly: portable
+  // polynomial hash buckets + integer log2 count ratios.
+  val DsirBuckets = 1024
+
+  def q97DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.dsirWeights(
+      Tables.documents(spark, dir), col("lang") === "en", DsirBuckets)
+      .orderBy("doc_id")
+
+  val q97Sql: String = {
+    val h = graft.ops.HashOps.charHashSql("f")
+    s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS toks FROM documents),
+    uni AS (SELECT doc_id, lang = 'en' AS is_t, unnest(toks) AS f FROM t),
+    bi AS (SELECT doc_id, lang = 'en' AS is_t, toks[i] || ' ' || toks[i + 1] AS f
+      FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM t)),
+    inst AS (SELECT doc_id, is_t, ($h) % $DsirBuckets AS b
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+    db AS (SELECT doc_id, is_t, b, count(*) AS c FROM inst GROUP BY doc_id, is_t, b),
+    model AS (SELECT b, CAST(sum(c) AS BIGINT) AS p_raw,
+        CAST(sum(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS q_raw
+      FROM db GROUP BY b),
+    sc AS (SELECT doc_id, c,
+        CAST(length(format('{:b}', q_raw + 1)) -
+          length(format('{:b}', p_raw + 1)) AS BIGINT) AS s
+      FROM db JOIN model USING (b)),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+        CAST(sum(c * s) AS BIGINT) AS dsir_score
+      FROM sc GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.n_feats, 0) AS n_feats,
+      coalesce(a.dsir_score, 0) AS dsir_score
+    FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id"""
+  }
+
   /** Context-window size/stride shared by q69 and q86 — declared ABOVE
     * both Sql strings: a forward reference from a strict val interpolation
     * would silently read 0 (caught once by a zero-width q86 oracle).
@@ -837,6 +875,7 @@ object CurationQueries {
     "q75_temperature_mix" -> (q75TemperatureMix _),
     "q68_adaptive_length" -> (q68AdaptiveLength _),
     "q68b_adaptive_length_approx" -> (q68bAdaptiveLengthApprox _),
+    "q97_dsir_weights" -> (q97DsirWeights _),
     "q58_sequence_packing" -> (q58SequencePacking _),
     "q58b_packing_bpe" -> (q58bPackingBpe _),
     "q82_deletion_impact" -> (q82DeletionImpact _),
@@ -856,6 +895,7 @@ object CurationQueries {
     "q57c_token_budget_bpe" -> q57cSql,
     "q75_temperature_mix" -> q75Sql,
     "q68_adaptive_length" -> q68Sql,
+    "q97_dsir_weights" -> q97Sql,
     "q58_sequence_packing" -> q58Sql,
     "q58b_packing_bpe" -> q58bSql,
     "q82_deletion_impact" -> q82Sql,

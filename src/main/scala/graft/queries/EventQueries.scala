@@ -88,6 +88,47 @@ object EventQueries {
       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM e GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
+  // --- q98: incremental rollup maintenance (mergeable partial aggregates) --
+  // The incremental-ETL contract at 100 TB: a standing per-type rollup is
+  // never recomputed from the full history — the base aggregate merges
+  // with the new batch's aggregate through the measures' merge algebra
+  // (counts and sums add, mins and maxes combine). The carve is
+  // deterministic (event_id % 10: eight "standing rollup" shards, two
+  // "today's batch" shards); the ORACLE recomputes the rollup from
+  // scratch over the union, so a green row proves merge == full recompute
+  // bit-exactly — the property that makes incremental maintenance safe to
+  // run forever. Sums ride DECIMAL(12,2) (the q32 parity pattern);
+  // averages are deliberately absent: a non-algebraic measure is derived
+  // downstream from (sum, count), never maintained.
+  def q98IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("ts"),
+      col("event_id"), col("value").cast("decimal(12,2)").as("v"))
+    def part(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val base = part(ev.where(pmod(col("event_id"), lit(10)) < 8))
+    val delta = part(ev.where(pmod(col("event_id"), lit(10)) >= 8))
+    base.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"), sum(col("s")).as("s2"),
+        min(col("mn")).as("mn2"), max(col("mx")).as("mx2"))
+      .select(col("event_type"), col("n_events"),
+        col("s2").cast("double").as("sum_value"),
+        date_format(col("mn2"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(col("mx2"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy("event_type")
+  }
+
+  val q98Sql: String =
+    """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+        CAST(value AS DECIMAL(12,2)) AS v FROM events)
+    SELECT event_type, count(*) AS n_events,
+      CAST(sum(v) AS DOUBLE) AS sum_value,
+      strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+      strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM e GROUP BY event_type ORDER BY event_type"""
+
   // --- q92: per-window top-k events by value (typed-Aggregator path) -----
   // EventOps.windowTopK: the bounded-heap Aggregator under window
   // aggregation (its streaming twin runs the same body watermarked —
@@ -332,7 +373,8 @@ object EventQueries {
     "q32_tumbling" -> (q32Tumbling _),
     "q33_sliding" -> (q33Sliding _),
     "q34_sessions" -> (q34Sessions _),
-    "q92_window_topk" -> (q92WindowTopK _))
+    "q92_window_topk" -> (q92WindowTopK _),
+    "q98_incremental_rollup" -> (q98IncrementalRollup _))
 
   val oracleSql: Map[String, String] = Map(
     "q54_asof_enrich" -> q54Sql,
@@ -346,5 +388,6 @@ object EventQueries {
     "q32_tumbling" -> q32Sql,
     "q92_window_topk" -> q92Sql,
     "q33_sliding" -> q33Sql,
-    "q34_sessions" -> q34Sql)
+    "q34_sessions" -> q34Sql,
+    "q98_incremental_rollup" -> q98Sql)
 }

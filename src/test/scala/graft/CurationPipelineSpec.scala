@@ -65,6 +65,31 @@ class CurationPipelineSpec extends SparkSpec {
       r.getLong(1) <= bounds.getLong(1)))
   }
 
+  test("DSIR weights rank target-like docs above raw-like docs") {
+    // target vocab T, raw vocab R, one held-out doc per side: the
+    // T-speaking doc must outscore the R-speaking doc, because its
+    // feature buckets carry target mass
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val r = "one two three four five six seven eight"
+    val docs = ((1L to 8L).map(i => (i, t, true)) ++
+      (9L to 16L).map(i => (i, r, false)) ++
+      Seq((17L, t, false), (18L, r, false)))
+      .toDF("doc_id", "text", "is_t")
+    val out = graft.ops.TextAnalysisOps
+      .dsirWeights(docs, col("is_t"), 1024)
+      .collect().map(row => row.getLong(0) -> row.getLong(2)).toMap
+    CacheScope.releaseAll()
+    assert(out(17L) > out(18L),
+      s"target-like ${out(17L)} should beat raw-like ${out(18L)}")
+    // zero-token docs carry zeros
+    val empty = graft.ops.TextAnalysisOps
+      .dsirWeights(Seq((1L, "", false)).toDF("doc_id", "text", "is_t"),
+        col("is_t"), 64).collect()
+    CacheScope.releaseAll()
+    assert(empty.map(row => (row.getLong(1), row.getLong(2))).toSeq ==
+      Seq((0L, 0L)))
+  }
+
   test("curate: redacts PII, drops junk, removes exact and near duplicates") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val docs = Seq(

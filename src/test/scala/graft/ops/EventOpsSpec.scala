@@ -48,6 +48,22 @@ class EventOpsSpec extends SparkSpec {
       (8L, "2024-01-01 00:30:00.000000", 1L, 5.50)))
   }
 
+  test("incremental rollup merge equals the from-scratch recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val merged = graft.queries.EventQueries
+      .q98IncrementalRollup(spark, dir).collect().toSeq
+    val full = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("sum_value"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy("event_type").collect().toSeq
+    assert(merged == full)
+  }
+
   test("json key extraction casts to long") {
     val df = Seq((1L, """{"k": 87}"""), (2L, """{"k": 0}""")).toDF("event_id", "props")
     val out = EventOps.withJsonKey(df).select("k").collect().map(_.getLong(0))
