@@ -50,9 +50,27 @@ object CurationQueries {
       })
   }
 
+  /** The per-doc DSIR weights relation memoized for the q97 family: q97
+    * reports the scores, q97b selects by them — as independent programs
+    * each would re-explode the corpus' n-gram instances. One narrow row
+    * per doc, same lifecycle as [[exactCache]].
+    */
+  private val dsirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def dsirDf(spark: SparkSession, dir: String): DataFrame = {
+    dsirCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    dsirCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) =>
+        TextAnalysisOps.dsirWeights(
+          Tables.documents(spark, d), col("lang") === "en", DsirBuckets)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
   /** Drop every memoized curation relation and release its storage. */
   def evictAll(): Unit = {
-    Seq(exactCache, pairsCache).foreach { cache =>
+    Seq(exactCache, pairsCache, dsirCache).foreach { cache =>
       val it = cache.values.iterator()
       while (it.hasNext) {
         it.next().unpersist(blocking = false)
@@ -392,14 +410,21 @@ object CurationQueries {
   // polynomial hash buckets + integer log2 count ratios.
   val DsirBuckets = 1024
 
-  def q97DsirWeights(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysisOps.dsirWeights(
-      Tables.documents(spark, dir), col("lang") === "en", DsirBuckets)
-      .orderBy("doc_id")
+  /** Kept fraction for q97b's selection step, percent. Declared ABOVE the
+    * interpolating Sql vals (the strict-val-order trap).
+    */
+  val DsirKeepPct = 25
 
-  val q97Sql: String = {
+  def q97DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirDf(spark, dir).orderBy("doc_id")
+
+  /** The per-doc weights relation as a DuckDB CTE chain ending in `w` —
+    * shared verbatim by q97 (report) and q97b (selection), so the two
+    * oracles cannot drift.
+    */
+  private val dsirCteSql: String = {
     val h = graft.ops.HashOps.charHashSql("f")
-    s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS toks FROM documents),
+    s"""t AS (SELECT doc_id, lang, ${toksSql("text")} AS toks FROM documents),
     uni AS (SELECT doc_id, lang = 'en' AS is_t, unnest(toks) AS f FROM t),
     bi AS (SELECT doc_id, lang = 'en' AS is_t, toks[i] || ' ' || toks[i + 1] AS f
       FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM t)),
@@ -415,11 +440,49 @@ object CurationQueries {
       FROM db JOIN model USING (b)),
     agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
         CAST(sum(c * s) AS BIGINT) AS dsir_score
-      FROM sc GROUP BY doc_id)
-    SELECT t.doc_id, coalesce(a.n_feats, 0) AS n_feats,
-      coalesce(a.dsir_score, 0) AS dsir_score
-    FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id"""
+      FROM sc GROUP BY doc_id),
+    w AS (SELECT t.doc_id, coalesce(a.n_feats, 0) AS n_feats,
+        coalesce(a.dsir_score, 0) AS dsir_score
+      FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id)"""
   }
+
+  val q97Sql: String =
+    s"WITH $dsirCteSql SELECT doc_id, n_feats, dsir_score FROM w ORDER BY doc_id"
+
+  // --- q97b: DSIR selection (the paper's resampling step, as top-quantile
+  // with ties). Keep every doc whose score clears s* = the largest score
+  // such that at least ceil(n * keep%) docs score >= s* — deterministic
+  // with ties INCLUDED, so no doc_id tiebreak leaks into the contract and
+  // both engines agree bit-exactly on integer scores. Scale shape: the
+  // threshold comes from a score HISTOGRAM (distinct-score-sized — far
+  // smaller than the corpus; the q89 range-shard prefix sum is the stated
+  // upgrade if distinct scores ever rival doc count), the single-row
+  // threshold broadcasts back (the q68 scalar-bound pattern), and the
+  // kept set is one more filtered scan of the memoized weights.
+  def q97bDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val w = dsirDf(spark, dir)
+    val k = w.agg(count(lit(1)).as("n"))
+      .select(expr(s"(n * $DsirKeepPct + 99) div 100").as("k"))
+    val hist = w.groupBy("dsir_score").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("dsir_score").desc)))
+    val thr = cum.crossJoin(broadcast(k)).where(col("cum") >= col("k"))
+      .agg(max(col("dsir_score")).as("thr"))
+    w.crossJoin(broadcast(thr)).where(col("dsir_score") >= col("thr"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_score"))
+      .orderBy("doc_id")
+  }
+
+  val q97bSql: String =
+    s"""WITH $dsirCteSql,
+    tot AS (SELECT (count(*) * $DsirKeepPct + 99) // 100 AS k FROM w),
+    hist AS (SELECT dsir_score, count(*) AS c FROM w GROUP BY dsir_score),
+    cum AS (SELECT dsir_score, sum(c) OVER (ORDER BY dsir_score DESC) AS cum
+      FROM hist),
+    thr AS (SELECT max(dsir_score) AS thr FROM cum, tot WHERE cum >= k)
+    SELECT w.doc_id, w.n_feats, w.dsir_score FROM w, thr
+    WHERE w.dsir_score >= thr ORDER BY w.doc_id"""
 
   /** Context-window size/stride shared by q69 and q86 — declared ABOVE
     * both Sql strings: a forward reference from a strict val interpolation
@@ -876,6 +939,7 @@ object CurationQueries {
     "q68_adaptive_length" -> (q68AdaptiveLength _),
     "q68b_adaptive_length_approx" -> (q68bAdaptiveLengthApprox _),
     "q97_dsir_weights" -> (q97DsirWeights _),
+    "q97b_dsir_select" -> (q97bDsirSelect _),
     "q58_sequence_packing" -> (q58SequencePacking _),
     "q58b_packing_bpe" -> (q58bPackingBpe _),
     "q82_deletion_impact" -> (q82DeletionImpact _),
@@ -896,6 +960,7 @@ object CurationQueries {
     "q75_temperature_mix" -> q75Sql,
     "q68_adaptive_length" -> q68Sql,
     "q97_dsir_weights" -> q97Sql,
+    "q97b_dsir_select" -> q97bSql,
     "q58_sequence_packing" -> q58Sql,
     "q58b_packing_bpe" -> q58bSql,
     "q82_deletion_impact" -> q82Sql,

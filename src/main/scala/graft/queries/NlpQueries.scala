@@ -482,6 +482,23 @@ object NlpQueries {
       .orderBy("doc_id")
   }
 
+  // --- q66b: gzip-compressed JSONL round-trip -----------------------------
+  // Real corpora arrive COMPRESSED (CommonCrawl WET/WARC derivatives ship
+  // as .gz). Same contract as q66 through Spark's codec layer: the sink
+  // writes one .json.gz per partition, the read decodes transparently. The
+  // scale caveat this query documents: gzip streams are NOT splittable, so
+  // read parallelism equals the FILE count, not the byte count — the sink
+  // side already holds the fix (one file per task; a 100 TB corpus written
+  // by 10^5 tasks reads back 10^5-way), and a single giant .gz would
+  // serialize on one core. Oracle is q09's SQL over the read-back relation.
+  def q66bJsonlGzip(spark: SparkSession, dir: String): DataFrame = {
+    // fixed per-query path + overwrite sink, as q09c
+    val tmp = graft.Scratch.dir("q66b_gzip")
+    q09Export(spark, dir).write.mode("overwrite")
+      .option("compression", "gzip").json(tmp)
+    spark.read.schema(ExportSchemaDdl).json(tmp).orderBy("doc_id")
+  }
+
   // --- q96/q96b: ORC and Avro round-trips (lake-format breadth) -----------
   // Real corpora arrive in more formats than parquet/CSV/JSONL. q96 runs
   // the same contract through Spark's native ORC source (binary columnar —
@@ -623,6 +640,7 @@ object NlpQueries {
     "q09b_wordcloud" -> (q09bWordcloud _),
     "q09c_csv_roundtrip" -> (q09cCsvRoundtrip _),
     "q66_jsonl_roundtrip" -> (q66JsonlRoundtrip _),
+    "q66b_jsonl_gzip" -> (q66bJsonlGzip _),
     "q96_orc_roundtrip" -> (q96OrcRoundtrip _),
     "q96b_avro_roundtrip" -> (q96bAvroRoundtrip _),
     "q01_clean_tokens" -> (q01CleanTokens _),
@@ -646,6 +664,7 @@ object NlpQueries {
     "q09b_wordcloud" -> q09bSql,
     "q09c_csv_roundtrip" -> q09Sql,
     "q66_jsonl_roundtrip" -> q09Sql,
+    "q66b_jsonl_gzip" -> q09Sql,
     "q96_orc_roundtrip" -> q09Sql,
     "q96b_avro_roundtrip" -> q09Sql,
     "q01_clean_tokens" -> q01Sql,

@@ -55,6 +55,26 @@ object StreamingOps {
                     watermark: String = "1 hour"): DataFrame =
     EventOps.sessions(events.withWatermark("ts", watermark), gap)
 
+  /** Standing per-type rollup maintained incrementally — the streaming
+    * face of q98's merge algebra. Spark's stateful aggregation performs
+    * exactly the merge q98 spells out batch-side (counts and sums add,
+    * mins and maxes combine) between the standing state and each
+    * micro-batch's partial aggregate; complete mode re-emits the whole
+    * rollup. No watermark: state is one row per event type, bounded by
+    * the type vocabulary, so it never needs expiry. Sums ride
+    * DECIMAL(12,2) (the q32 parity pattern) so cross-batch merge order
+    * cannot perturb the total; the double cast happens once at emit.
+    */
+  def rollupByType(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("s"),
+        min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .select(col("event_type"), col("n_events"),
+        col("s").cast("double").as("sum_value"),
+        date_format(col("mn"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(col("mx"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+
   /** Streaming exact dedup on a key: keeps the first arrival, drops
     * re-deliveries within the watermark horizon even when the re-delivery
     * carries a different timestamp (the streaming analogue of

@@ -90,6 +90,24 @@ class CurationPipelineSpec extends SparkSpec {
       Seq((0L, 0L)))
   }
 
+  test("DSIR selection keeps at least the quantile, ties included, " +
+      "threshold-clean") {
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.queries.CurationQueries.q97DsirWeights(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val kept = graft.queries.CurationQueries.q97bDsirSelect(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    CacheScope.releaseAll()
+    val k = (all.size * graft.queries.CurationQueries.DsirKeepPct + 99) / 100
+    assert(kept.size >= k, s"kept ${kept.size} < quantile $k")
+    assert(kept.size < all.size, "degenerate: selection kept everything")
+    val dropped = all.keySet -- kept.keySet
+    val minKept = kept.values.min
+    assert(dropped.forall(d => all(d) < minKept),
+      "a dropped doc outscored a kept doc")
+    assert(kept.forall { case (id, s) => all(id) == s })
+  }
+
   test("curate: redacts PII, drops junk, removes exact and near duplicates") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val docs = Seq(

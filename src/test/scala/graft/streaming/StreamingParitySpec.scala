@@ -278,6 +278,34 @@ class StreamingParitySpec extends SparkSpec {
     assert(want.nonEmpty && want.exists(_._5), "degenerate fixture: no dup found")
   }
 
+  test("q98 rollup body: streamed complete-mode state matches the batch merge") {
+    // the incremental-rollup contract run on its natural engine: the
+    // standing per-type state merges with every micro-batch through the
+    // same algebra q98 spells out batch-side, and the FINAL complete-mode
+    // emission must equal q98's merge (itself proven == full recompute by
+    // the oracle). Complete mode needs no flush event — the last real
+    // batch already re-emits the whole rollup; the flush row only adds
+    // its own "flush" type, filtered here.
+    val streamDir = stageChunks()
+    val streamed = StreamingOps.eventsFileStream(spark, streamDir)
+    val q = StreamingOps.rollupByType(streamed)
+      .writeStream.format("memory").queryName("parity_rollup")
+      .outputMode("complete").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("parity_rollup").collect()
+    } finally q.stop()
+    val gotT = got
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getString(4)))
+      .filter(_._1 != "flush").sortBy(_._1).toSeq
+    val want = graft.queries.EventQueries.q98IncrementalRollup(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(gotT == want && gotT.nonEmpty)
+  }
+
   test("q34 session body: streamed file replay is row-identical to batch") {
     val streamDir = stageChunks()
     val streamed = StreamingOps.eventsFileStream(spark, streamDir)
