@@ -469,10 +469,18 @@ object TextAnalysisOps {
     * corpus-rare bigram instances, `sum_log2_ctf` the familiarity mass.
     */
   def bigramFamiliarity(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val staged = docs.select(col(idCol),
+                        textCol: String = "text"): DataFrame =
+    rarityProfile(docs, bigramInstances(docs, idCol, textCol), idCol)
+
+  /** Word-bigram INSTANCE relation `(id, tok)` — one row per adjacent
+    * token pair, `tok` the space-joined pair. Shared term stream of
+    * [[bigramFamiliarity]] and [[heavyHitters]]; a narrow
+    * tokenize-and-explode, no shuffle.
+    */
+  def bigramInstances(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
       TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
-    val terms = staged
       .select(col(idCol),
         when(org.apache.spark.sql.functions.size(col("toks")) >= 2,
           transform(
@@ -481,7 +489,42 @@ object TextAnalysisOps {
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(2)))))
           .otherwise(array().cast("array<string>")).as("bs"))
       .select(col(idCol), explode(col("bs")).as("tok"))
-    rarityProfile(docs, terms, idCol)
+
+  /** Exact heavy hitters by sketch-then-verify: every term whose exact
+    * corpus count exceeds n/`den`, found WITHOUT an all-vocabulary
+    * shuffle. Pass 1 folds the term stream into a capacity-`capacity`
+    * [[graft.functions.MisraGries.Sketch]] (partial-aggregable: each map
+    * task ships <= capacity counters); the MG guarantee (capacity >=
+    * den - 1 required, checked) makes the surviving candidates a superset
+    * of the true heavy hitters. Pass 2 broadcast-semi-joins the term
+    * stream to the <= capacity candidates and exact-counts ONLY those, so
+    * the verification shuffle carries <= capacity keys per task instead of
+    * the full vocabulary; the 1-row total `n` broadcasts as a scalar
+    * bound. Output is exact and deterministic — `(token, cnt)` with
+    * cnt * den > n, ordered (cnt desc, token) — regardless of merge-order
+    * effects inside the sketch.
+    *
+    * Two corpus scans by design (sketch + verify): callers at fixture
+    * scale persist `terms` ([[graft.CacheScope]]); at 100 TB the second
+    * scan re-reads the source and the win is the vanished
+    * vocabulary-sized exchange.
+    */
+  def heavyHitters(terms: DataFrame, capacity: Int, den: Long): DataFrame = {
+    require(capacity >= den - 1,
+      s"MG guarantee needs capacity >= den - 1 (got $capacity < ${den - 1})")
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val sketch = new graft.functions.MisraGries.Sketch(capacity)
+    val cands = terms.select(col("tok")).as[String]
+      .select(sketch.toColumn.as("cands"))
+      .select(explode(col("cands")).as("tok"))
+    val total = terms.agg(count(lit(1)).as("n"))
+    terms.join(broadcast(cands), Seq("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * den > col("n"))
+      .select(col("tok").as("token"), col("cnt"))
   }
 
   /** Shared core of the rarity/familiarity profiles over a term-INSTANCE
