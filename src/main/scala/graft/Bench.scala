@@ -43,6 +43,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same session timezone as Verify: date_format/window queries must
+      // evaluate identical values in both harnesses
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // production registration path for the graft optimizer rules
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

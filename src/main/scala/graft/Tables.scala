@@ -89,17 +89,43 @@ object Tables {
     rebalance(spark, dir, "documents", read(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     rebalance(spark, dir, "embeddings", read(spark, dir, "embeddings"))
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as
-    * Long and floor-convert to a microsecond timestamp — the same ns→us
-    * truncation DuckDB applies when casting its TIMESTAMP_NS, so the oracle
-    * sees identical instants.
+  /** Normalize an events-shaped frame so `ts` is always a session-zone
+    * TIMESTAMP, whatever physical layout the fixture was written with.
+    * The fixture generator has shipped three layouts across rounds:
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark rejects it outright
+    *     (PARQUET_TYPE_ILLEGAL) unless read as Long via
+    *     `spark.sql.legacy.parquet.nanosAsLong`, which surfaces here as
+    *     LongType → floor-divide to micros (the same ns→us truncation
+    *     DuckDB applies casting TIMESTAMP_NS, so the oracle agrees).
+    *   - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: cast to
+    *     TIMESTAMP. Both harness sessions pin timeZone=UTC, so the
+    *     wall-clock reinterpretation is the identity and DuckDB (which
+    *     reads the same file as naive TIMESTAMP) sees identical instants.
+    *   - timestamp[us] adjusted → TIMESTAMP: pass through.
+    *
+    * Keyed off the observed dataType, not the round: the driver can (and
+    * did, r7) regenerate fixtures mid-build, so assuming one layout turns
+    * a schema drift into 13 crashed queries.
     */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName,
+          expr(s"timestamp_micros(CAST($colName div 1000 AS BIGINT))"))
+      case TimestampNTZType => df.withColumn(colName, col(colName).cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.$colName: unsupported fixture timestamp layout $other")
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // harmless when ts is already us-typed; required for a NANOS fixture
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
+    normalizeTs(read(spark, dir, "events"))
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")

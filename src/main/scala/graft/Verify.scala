@@ -30,6 +30,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a crashed query must never present a previous run's parquet as
+        // this run's output — remove any stale result dir
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
       // each query is an independent program: release its operator-internal
       // persists at the boundary (memoized model caches deliberately survive)

@@ -499,32 +499,40 @@ object TextAnalysisOps {
     * of the true heavy hitters. Pass 2 broadcast-semi-joins the term
     * stream to the <= capacity candidates and exact-counts ONLY those, so
     * the verification shuffle carries <= capacity keys per task instead of
-    * the full vocabulary; the 1-row total `n` broadcasts as a scalar
-    * bound. Output is exact and deterministic — `(token, cnt)` with
-    * cnt * den > n, ordered (cnt desc, token) — regardless of merge-order
-    * effects inside the sketch.
+    * the full vocabulary; the 1-row (candidates, total) aggregate
+    * broadcasts back. Output is exact and deterministic — `(token, cnt)`
+    * with cnt > n/den, ordered (cnt desc, token) — regardless of
+    * merge-order effects inside the sketch.
     *
-    * Two corpus scans by design (sketch + verify): callers at fixture
-    * scale persist `terms` ([[graft.CacheScope]]); at 100 TB the second
-    * scan re-reads the source and the win is the vanished
-    * vocabulary-sized exchange.
+    * Two corpus scans by design: pass 1 computes the sketch AND the total
+    * n in ONE global aggregate (persisted — it is 1 row but has two
+    * consumers), pass 2 verifies. The threshold compares `cnt > n div
+    * den` (floor division), algebraically identical to cnt * den > n for
+    * positive integers but immune to Long overflow when cnt * den would
+    * exceed 2^63 at corpus scale. Callers at fixture scale persist
+    * `terms` ([[graft.CacheScope]]); at 100 TB the second scan re-reads
+    * the source and the win is the vanished vocabulary-sized exchange.
     */
   def heavyHitters(terms: DataFrame, capacity: Int, den: Long): DataFrame = {
+    require(den >= 1, s"den must be >= 1, got $den")
     require(capacity >= den - 1,
       s"MG guarantee needs capacity >= den - 1 (got $capacity < ${den - 1})")
     val spark = terms.sparkSession
     import spark.implicits._
     val sketch = new graft.functions.MisraGries.Sketch(capacity)
-    val cands = terms.select(col("tok")).as[String]
-      .select(sketch.toColumn.as("cands"))
-      .select(explode(col("cands")).as("tok"))
-    val total = terms.agg(count(lit(1)).as("n"))
+    val sketchAndTotal = graft.CacheScope.persist(
+      terms.select(col("tok")).as[String]
+        .select(sketch.toColumn.name("cands"), count(lit(1)).as[Long].name("n"))
+        .toDF("cands", "n"))
+    val cands = sketchAndTotal.select(explode(col("cands")).as("tok"))
+    val total = sketchAndTotal.select(col("n"))
     terms.join(broadcast(cands), Seq("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
-      .where(col("cnt") * den > col("n"))
+      .where(col("cnt") > expr(s"n div ${den}L"))
       .select(col("tok").as("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
   }
 
   /** Shared core of the rarity/familiarity profiles over a term-INSTANCE

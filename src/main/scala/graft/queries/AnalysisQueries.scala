@@ -830,7 +830,29 @@ object AnalysisQueries {
     FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id"""
   }
 
+  // --- q99: exact corpus heavy hitters (Misra-Gries sketch-then-verify) --
+  // See TextAnalysisOps.heavyHitters: pass 1 folds the token stream into a
+  // bounded MG sketch + total count (one scan, <= capacity counters per
+  // map task instead of a full-vocabulary shuffle), pass 2 exact-counts
+  // only the broadcast candidates. Output is EXACT, so the plain
+  // threshold-groupBy SQL below is a valid oracle despite the sketch.
+  def q99HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.heavyHitters(
+      Tables.documents(spark, dir).select(
+        explode(TextOps.tokenize(coalesce(col("text"), lit("")))).as("tok")),
+      capacity = 1024, den = 500L)
+
+  val q99Sql: String =
+    raw"""WITH t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+    p AS (SELECT unnest(toks) AS tok FROM t),
+    tot AS (SELECT count(*) AS n FROM p),
+    c AS (SELECT tok, count(*) AS cnt FROM p GROUP BY tok)
+    SELECT c.tok AS token, CAST(c.cnt AS BIGINT) AS cnt
+    FROM c, tot WHERE c.cnt > tot.n // 500
+    ORDER BY cnt DESC, token"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_heavy_hitters" -> (q99HeavyHitters _),
     "q70_unigram_rarity" -> (q70UnigramRarity _),
     "q70b_bigram_familiarity" -> (q70bBigramFamiliarity _),
     "q20_lang_id" -> (q20LangId _),
@@ -855,6 +877,7 @@ object AnalysisQueries {
     "q83_distribution_drift" -> (q83DistributionDrift _))
 
   val oracleSql: Map[String, String] = Map(
+    "q99_heavy_hitters" -> q99Sql,
     "q70_unigram_rarity" -> q70Sql,
     "q20_lang_id" -> q20Sql,
     "q21_quality" -> q21Sql,

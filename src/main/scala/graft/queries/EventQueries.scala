@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * semantics first so the DuckDB oracle verifies them; StreamingOps reuses
   * the same bodies under Structured Streaming.
   *
-  * DuckDB reads the fixture's ns timestamps as TIMESTAMP_NS; every oracle
-  * casts to microsecond TIMESTAMP — the same floor-truncation
-  * Tables.events applies — so both engines window identical instants.
+  * Oracle timestamp parity: every oracle applies `CAST(ts AS TIMESTAMP)`.
+  * Under the original TIMESTAMP_NS fixtures that was DuckDB's ns→us
+  * floor-truncation, matching Tables.events' div-1000 shim; under the
+  * current timestamp[us] fixtures both the cast and the engine-side
+  * normalization (NTZ→TIMESTAMP at UTC) are identities — either way both
+  * engines window identical microsecond instants. See Tables.normalizeTs.
   */
 object EventQueries {
 

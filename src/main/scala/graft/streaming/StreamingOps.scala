@@ -236,14 +236,21 @@ object StreamingOps {
 
   /** Convenience: the events fixture schema as a file stream — the same
     * relation Tables.events yields, but incremental (one-file-per-trigger).
+    *
+    * A file stream needs its schema up front, but the fixture's physical
+    * `ts` layout has drifted across rounds (NANOS-as-Long vs us/NTZ vs
+    * us/UTC — see Tables.normalizeTs). Peek at the files with a static
+    * read to discover the layout, declare the stream with that same
+    * schema, then apply the shared normalizer so downstream watermarks
+    * always see a TIMESTAMP `ts`.
     */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE, props STRING")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts div 1000 AS BIGINT))"))
+    val staticSchema = spark.read.parquet(dir).schema
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(staticSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir))
   }
 }

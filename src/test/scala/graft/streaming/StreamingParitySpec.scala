@@ -32,13 +32,16 @@ class StreamingParitySpec extends SparkSpec {
     */
   private def stageChunks(): String = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet") // ts LONG (nanos)
+    // normalize whatever physical ts layout the fixture ships (see
+    // Tables.normalizeTs) so staged chunks always carry TIMESTAMP ts
+    val raw = graft.Tables.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
     val chunked = raw
       .withColumn("chunk", ntile(NChunks).over(Window.orderBy("ts")))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-parity")
     val work = java.nio.file.Files.createTempDirectory("graft-parity-work")
-    val maxTs = raw.agg(max("ts")).head().getLong(0)
-    val flush = Seq((-1L, maxTs + 2L * 3600L * 1000000000L, -1L, "flush", 0.0, "{}"))
+    val maxTs = raw.agg(max("ts")).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 2L * 3600L * 1000L)
+    val flush = Seq((-1L, flushTs, -1L, "flush", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     (0 until NChunks).foreach { i =>
       val part = work.resolve(s"c$i")
@@ -118,11 +121,11 @@ class StreamingParitySpec extends SparkSpec {
     // the flush event's own overlapping windows start >= maxTs + 2h - width;
     // every real window starts <= maxTs, so a cutoff at maxTs (formatted —
     // the string order is chronological) separates them exactly
-    val maxTs = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max("ts")).head().getLong(0)
+    val maxTs = graft.Tables.events(spark, dir)
+      .agg(max("ts")).head().getTimestamp(0)
     val cutoff = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
-      .format(java.time.Instant.ofEpochSecond(maxTs / 1000000000L))
+      .format(maxTs.toInstant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS))
     val got = runAppend(
       StreamingOps.slidingCounts(streamed, "10 minutes", "5 minutes", "1 hour"),
       "parity_sliding")
