@@ -10,8 +10,10 @@ import org.apache.spark.sql.SparkSession
   * at this scale are dominated by first-touch JIT/codegen of the query's
   * own plan, which round 1 showed as 10-50x artifacts on early slots. The
   * median over the same runs rides along under "queries_median", and
-  * queries where median/min > 3x are named in "noisy" — the self-report
-  * that distinguishes machine interference from a real regression.
+  * queries where median/min > 3x split into two self-report lists:
+  * "rebuild" when run 1 alone is slow (the deterministic session-memo
+  * rebuild a family's first query pays post-eviction) and "noisy" for
+  * divergence run 1 does not explain — true machine interference.
   * Failures are never swallowed: a crashing query records its error
   * message under "errors" and counts -1 sec, so a regression can't
   * silently improve the total.
@@ -128,20 +130,33 @@ object Bench {
     // the artifact alone.
     val warm1s = results.map { case (k, ts) =>
       k -> (if (ts.nonEmpty) ts.head else -1.0) }
+    // Attribute min/median divergence (r6/r7 "noisy" repeat offenders):
+    // when warm run 1 alone is inflated and run 2 is fast, the cause is
+    // the session-memo rebuild a family's FIRST query pays after the
+    // post-cold-pass evictAll (q03 leads the summary family, q25 the
+    // shingle family in sort order) — deterministic work, not machine
+    // interference. Publish those under "rebuild"; reserve "noisy" for
+    // queries where divergence is NOT explained by run 1 (true
+    // environmental noise a polluted round would show).
+    val rebuilds = results.collect {
+      case (k, ts) if ts.size >= 2 && ts.min > 0 && ts.head / ts.min > 3.0 => k
+    }
     val noisy = mins.zip(medians).collect {
-      case ((k, mn), (_, md)) if mn > 0 && md / mn > 3.0 => k
+      case ((k, mn), (_, md)) if mn > 0 && md / mn > 3.0 &&
+        !rebuilds.contains(k) => k
     }
     val qs = mins.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qsMed = medians.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qsW1 = warm1s.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qsCold = cold.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val noisyJson = noisy.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val rebuildJson = rebuilds.map(k => s"\"$k\"").mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) =>
       s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"rebuild":$rebuildJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // target/bench.json is the durable FULL-registry round artifact; a
     // filtered local run writes a sibling file so it can never clobber

@@ -1,7 +1,7 @@
 package graft.ml
 
 import graft.ops.TextOps
-import org.apache.spark.ml.feature.{CountVectorizer, CountVectorizerModel, NGram}
+import org.apache.spark.ml.feature.{CountVectorizerModel, NGram}
 import org.apache.spark.ml.clustering.{LDA, LDAModel}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.DataFrame
@@ -54,13 +54,30 @@ object TopicPipeline {
     * The vectorized corpus is cached for the fit: the online optimizer
     * makes maxIter mini-batch passes, each of which would otherwise
     * recompute the tokenize→NGram→CountVectorizer chain from the scan.
+    *
+    * The vocabulary is built by an explicit aggregation instead of
+    * `CountVectorizer.fit`: MLlib ranks terms by corpus frequency but
+    * leaves FREQUENCY TIES in shuffle-arrival order, so the vocabulary
+    * array — and through it the seeded LDA's topics — differed across
+    * JVM runs. Ranking (count desc, term asc) with the same minDF/maxDF
+    * semantics makes the whole fit reproducible run-to-run (LdaGoldenSpec
+    * guards this), at the cost of one extra small agg.
     */
   def fit(docs: DataFrame, cfg: Config = Config()): Fitted = {
     val corpus = featurize(docs)
-    val cv = new CountVectorizer()
+    require(cfg.maxDF < 1.0, "maxDF is interpreted as a document fraction")
+    val nDocs = corpus.count().toDouble
+    val vocab = corpus
+      .select(explode(col("terms")).as("term"), col("doc_id"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+      // MLlib parity: minDF=1 absolute, maxDF fractional (df <= maxDF*n)
+      .where(col("df") >= 1L && col("df") <= cfg.maxDF * nDocs)
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(cfg.vocabSize)
+      .select("term").collect().map(_.getString(0))
+    val cv = new CountVectorizerModel(vocab)
       .setInputCol("terms").setOutputCol("features")
-      .setVocabSize(cfg.vocabSize).setMinDF(1.0).setMaxDF(cfg.maxDF)
-      .fit(corpus)
     val vectorized = cv.transform(corpus)
       .select("doc_id", "features")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
