@@ -264,6 +264,54 @@ object SimilarityOps {
               nCells: Int, nProbe: Int): DataFrame =
     ivfTopK(buildIvfIndex(embeddings, nCells), everyNth, k, nProbe)
 
+  /** Squared Euclidean distance between two ARRAY<DOUBLE> columns — the
+    * KMeans assignment metric, as one fused fold.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Assign arbitrary embeddings to an EXISTING centroid table: nearest
+    * cell by squared Euclidean distance, ties to the lowest cell id
+    * (KMeans `transform`'s own rule) — `(vec_id, emb, cell)`, the same
+    * shape `buildIvfIndex` produces. The centroid table broadcasts
+    * (nCells rows); assignment is a narrow per-row argmin, no shuffle
+    * beyond the per-vector top-1 window over nCells candidate rows.
+    */
+  def assignToCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    prepared(embeddings)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("emb"), col("cell"),
+        sqDist(col("emb"), col("centroid")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)))
+      .where(col("rk") === 1)
+      .select("vec_id", "emb", "cell")
+  }
+
+  /** Incremental IVF index maintenance: fold a DELTA of new vectors into
+    * a built index WITHOUT retraining or re-assigning the base corpus.
+    * The delta is assigned against the index's FROZEN centroids
+    * ([[assignToCells]]), so the merged assignment is row-identical to
+    * assigning base ∪ delta against those same centroids — probes of the
+    * merged index return exactly what a full re-assignment would
+    * (merge == recompute, the q98 rollup property applied to the ANN
+    * index; unit-gated in IvfAppendSpec). At 100 TB this is the
+    * operational path: the stored cell-partitioned layout (q79e) absorbs
+    * the delta as per-cell APPENDS — new files in existing cell
+    * directories — while a retrain would rewrite the corpus.
+    *
+    * Deliberately NOT handled here: centroid drift. A sustained delta
+    * stream that shifts the data distribution degrades cell balance and
+    * recall; the production loop periodically retrains ([[buildIvfIndex]])
+    * and swaps the index — a rebuild decision, not a merge operation.
+    */
+  def ivfAppend(index: IvfIndex, delta: DataFrame): IvfIndex =
+    IvfIndex(
+      index.assigned.unionByName(assignToCells(delta, index.centroids)),
+      index.centroids)
+
   /** Probe pass over a prebuilt index. */
   def ivfTopK(index: IvfIndex, everyNth: Int, k: Int,
               nProbe: Int): DataFrame = {

@@ -239,6 +239,41 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- q79f: incremental index maintenance (delta append, no rebuild) ----
+  // The q80-style carving applied to the ANN index: vec_id % 10 == 9 is
+  // the newly-ingested delta, the rest is the already-indexed base. The
+  // base index trains KMeans ONCE; the delta is assigned against the
+  // frozen centroids (SimilarityOps.ivfAppend) and the probe runs over
+  // the merged index. Merge == recompute is unit-gated (IvfAppendSpec:
+  // probing the merged index is row-identical to probing a from-scratch
+  // assignment of the union against the same centroids), so this query's
+  // output doubles as the maintained-index correctness witness. Rows-only
+  // tier like every KMeans-backed query.
+  private val ivfMergedCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), SimilarityOps.IvfIndex]()
+
+  /** The delta carving — one definition shared by query and spec. */
+  def isIngestDelta(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % 10 === 9
+
+  private def ivfMerged(spark: SparkSession, dir: String): SimilarityOps.IvfIndex = {
+    ivfMergedCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    ivfMergedCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) =>
+        val all = Tables.embeddings(spark, d)
+        val base = SimilarityOps.buildIvfIndex(
+          all.where(!isIngestDelta(col("vec_id"))), nCells = 16)
+        val merged = SimilarityOps.ivfAppend(
+          base, all.where(isIngestDelta(col("vec_id"))))
+        merged.assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        merged
+      })
+  }
+
+  def q79fIvfAppend(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.ivfTopK(ivfMerged(spark, dir), QueryEveryNth, TopK, nProbe = 4)
+      .orderBy("query_id", "rk")
+
   /** Drop every memoized IVF index (assignment + SQ8 codes) and release
     * the persisted frames. The caches are cross-query by design (one
     * KMeans fit amortized over every probe), so they are NOT released at
@@ -260,6 +295,11 @@ object SimilarityQueries {
     // to re-write the stored layout, which is exactly what a cold
     // measurement should charge it for
     ivfStoredCache.clear()
+    val im = ivfMergedCache.values.iterator()
+    while (im.hasNext) {
+      im.next().assigned.unpersist(blocking = false)
+      im.remove()
+    }
   }
 
   // --- q62: SemDedup-style semantic dedup --------------------------------
@@ -468,7 +508,8 @@ object SimilarityQueries {
     "q29c_knn_agg" -> (q29cKnnAgg _),
     "q29d_knn_ivf" -> (q29dKnnIvf _),
     "q79d_knn_ivf_sq8" -> (q79dIvfSq8 _),
-    "q79e_stored_ivf" -> (q79eStoredIvf _))
+    "q79e_stored_ivf" -> (q79eStoredIvf _),
+    "q79f_ivf_append" -> (q79fIvfAppend _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,
