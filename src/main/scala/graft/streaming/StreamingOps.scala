@@ -184,15 +184,48 @@ object StreamingOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try batch.write.mode("overwrite")
-          .partitionBy(partitionCol).parquet(path)
-        finally prev match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
+        writeDynamicOverwrite(batch, path, Seq(partitionCol))
+      }
+      .start()
+
+  /** Parquet write under DYNAMIC partition overwrite with conf
+    * save/restore — the shared exactly-once-per-partition primitive of
+    * [[idempotentPartitionedSink]] and [[ivfIngestStream]].
+    */
+  private def writeDynamicOverwrite(df: DataFrame, path: String,
+                                    partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Streaming twin of the q79f incremental ANN-index maintenance: each
+    * micro-batch of newly-ingested embeddings is assigned against the
+    * index's FROZEN centroids (SimilarityOps.assignToCells — broadcast
+    * argmin, no retrain) and appended to the stored cell-partitioned
+    * layout. Partitioning is (ingest_batch, cell) under dynamic
+    * overwrite: a replayed batch (foreachBatch's at-least-once contract)
+    * rewrites exactly its own `ingest_batch=<id>` partitions, so reading
+    * the tree is exactly-once; `cell` stays a partition column beneath
+    * it, so a probe's cell filter still prunes directories across every
+    * ingest batch. Centroid drift is the same out-of-scope rebuild
+    * decision documented on SimilarityOps.ivfAppend.
+    */
+  def ivfIngestStream(delta: DataFrame, centroids: DataFrame, path: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    delta.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeDynamicOverwrite(
+          graft.ops.SimilarityOps.assignToCells(batch, centroids)
+            .withColumn("ingest_batch", lit(batchId)),
+          path, Seq("ingest_batch", "cell"))
       }
       .start()
 

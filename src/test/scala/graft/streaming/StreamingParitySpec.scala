@@ -324,4 +324,48 @@ class StreamingParitySpec extends SparkSpec {
       s"streamed ${got.length} sessions vs batch ${want.length}")
     assert(got.toSeq == want.toSeq)
   }
+
+  test("q79f ivf ingest stream: chunked embedding replay into the stored " +
+      "cell layout equals the batch delta assignment, exactly once") {
+    import graft.ops.SimilarityOps
+    // the q79f carving on embeddings: vec_id % 10 == 9 is the ingest
+    // delta; the base trains the index whose centroids stay FROZEN
+    val all = graft.Tables.embeddings(spark, dir)
+    val isDelta = graft.queries.SimilarityQueries.isIngestDelta(col("vec_id"))
+    val base = SimilarityOps.buildIvfIndex(all.where(!isDelta), nCells = 8)
+    val want = SimilarityOps.assignToCells(all.where(isDelta), base.centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // stage the delta as 4 vec_id-ordered parquet chunks (ingest batches)
+    val work = java.nio.file.Files.createTempDirectory("graft-ivf-work")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ivf-in")
+    val chunked = all.where(isDelta)
+      .withColumn("chunk", ntile(NChunks).over(Window.orderBy("vec_id")))
+    (0 until NChunks).foreach { i =>
+      val part = work.resolve(s"c$i")
+      chunked.where(col("chunk") === i + 1).drop("chunk")
+        .coalesce(1).write.parquet(part.toString)
+      stage(part, streamDir, i)
+    }
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-ivf-out").toString + "/index"
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-ivf-ckpt").toString
+    val stream = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = StreamingOps.ivfIngestStream(stream, base.centroids,
+      outPath, checkpoint)
+    try q.processAllAvailable() finally q.stop()
+    val stored = spark.read.parquet(outPath)
+    val got = stored.select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // exactly-once: every delta vector present once, in its batch cell
+    assert(got == want && got.nonEmpty)
+    // the layout keeps cell as a partition directory beneath ingest_batch
+    assert(stored.columns.contains("ingest_batch"))
+    val batches = stored.select("ingest_batch").distinct().count()
+    assert(batches == NChunks, s"expected $NChunks ingest batches, got $batches")
+  }
 }
