@@ -35,18 +35,15 @@ import scala.collection.mutable
   */
 object MisraGries {
 
-  /** Capacity-`k` Misra-Gries summary of a String stream; finish() emits
-    * the surviving candidate items (counts are deliberately withheld —
-    * they are lower bounds, and the verified pass recomputes them
-    * exactly).
+  /** The MG update/merge core, shared by both aggregator flavors. Methods
+    * mutate and return their first argument (Aggregator contract).
     */
-  class Sketch(k: Int)
-      extends Aggregator[String, mutable.HashMap[String, Long], Seq[String]] {
-    require(k > 0, s"capacity must be positive, got $k")
+  trait Core {
+    def k: Int
 
-    override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+    final def zeroBuf: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-    override def reduce(b: mutable.HashMap[String, Long],
+    final def reduceBuf(b: mutable.HashMap[String, Long],
                         a: String): mutable.HashMap[String, Long] = {
       b.get(a) match {
         case Some(c) => b.update(a, c + 1)
@@ -61,7 +58,7 @@ object MisraGries {
       * drop the non-positive — the merged summary keeps the MG error
       * bound additive in the inputs' stream lengths.
       */
-    override def merge(b1: mutable.HashMap[String, Long],
+    final def mergeBuf(b1: mutable.HashMap[String, Long],
                        b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
       b2.foreach { case (t, c) => b1.update(t, b1.getOrElse(t, 0L) + c) }
       if (b1.size > k) {
@@ -75,6 +72,23 @@ object MisraGries {
     private def decrementAll(b: mutable.HashMap[String, Long], by: Long): Unit =
       b.filterInPlace { case (_, c) => c > by }
         .mapValuesInPlace { case (_, c) => c - by }
+  }
+
+  /** Capacity-`k` Misra-Gries summary of a String stream; finish() emits
+    * the surviving candidate items (counts are deliberately withheld —
+    * they are lower bounds, and the verified pass recomputes them
+    * exactly).
+    */
+  class Sketch(val k: Int)
+      extends Aggregator[String, mutable.HashMap[String, Long], Seq[String]]
+      with Core {
+    require(k > 0, s"capacity must be positive, got $k")
+
+    override def zero: mutable.HashMap[String, Long] = zeroBuf
+    override def reduce(b: mutable.HashMap[String, Long], a: String) =
+      reduceBuf(b, a)
+    override def merge(b1: mutable.HashMap[String, Long],
+                       b2: mutable.HashMap[String, Long]) = mergeBuf(b1, b2)
 
     override def finish(b: mutable.HashMap[String, Long]): Seq[String] =
       b.keys.toSeq.sorted
@@ -84,5 +98,33 @@ object MisraGries {
 
     override def outputEncoder: Encoder[Seq[String]] =
       ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Same sketch, but finish() keeps the counters — the cross-batch
+    * flavor: a caller holding long-lived state (a streaming query's
+    * driver, a multi-pass job) merges successive finished summaries with
+    * [[Core.mergeBuf]] and retains the MG guarantee additively, which a
+    * candidates-only finish would destroy. Counts remain LOWER BOUNDS;
+    * exact use still requires a verify pass.
+    */
+  class SketchCounters(val k: Int)
+      extends Aggregator[String, mutable.HashMap[String, Long], Map[String, Long]]
+      with Core {
+    require(k > 0, s"capacity must be positive, got $k")
+
+    override def zero: mutable.HashMap[String, Long] = zeroBuf
+    override def reduce(b: mutable.HashMap[String, Long], a: String) =
+      reduceBuf(b, a)
+    override def merge(b1: mutable.HashMap[String, Long],
+                       b2: mutable.HashMap[String, Long]) = mergeBuf(b1, b2)
+
+    override def finish(b: mutable.HashMap[String, Long]): Map[String, Long] =
+      b.toMap
+
+    override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
+
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
   }
 }

@@ -535,6 +535,47 @@ object TextAnalysisOps {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** C4-style blocklist filter: per document, how many times any blocked
+    * phrase occurs (word-boundary, case-insensitive, whitespace-tolerant
+    * between phrase words) and which phrases matched — `(id, n_blocked,
+    * matched ARRAY<STRING> in list order, keep)`. The published C4
+    * "bad words" pass (Raffel et al. 2020 §2.2 describe the rule; the
+    * list itself is external) drops any page containing a listed phrase;
+    * `keep` is exactly that predicate, with counts kept for auditing.
+    *
+    * Scale: the list is compiled into ONE combined regex evaluated in a
+    * single narrow codegen'd scan (plus one bounded per-phrase probe for
+    * the audit column) — the C4 shape, where the list is a broadcast-size
+    * constant. A list of millions of phrases would switch to the
+    * inverted-index semi-join of [[keywordSearch]]; that is a different
+    * regime, not this operator.
+    *
+    * Phrases must be plain words (letters/digits/spaces): they are
+    * embedded in the regex verbatim, and regex metacharacters would
+    * change its meaning (checked). Multi-word phrases match across any
+    * whitespace run, mirroring tokenize's \s+ splitting.
+    */
+  def blocklistFilter(docs: DataFrame, phrases: Seq[String],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "empty blocklist")
+    val norm = phrases.map(_.trim.toLowerCase)
+    require(norm.forall(_.matches("[a-z0-9]+( [a-z0-9]+)*")),
+      s"blocklist phrases must be plain space-separated words: $norm")
+    val pats = norm.map(_.replace(" ", "\\s+"))
+    val combined = "\\b(?:" + pats.mkString("|") + ")\\b"
+    docs
+      .select(col(idCol), lower(coalesce(col(textCol), lit(""))).as("lt"))
+      .select(col(idCol),
+        regexp_count(col("lt"), lit(combined)).cast("long").as("n_blocked"),
+        filter(
+          typedlit(norm),
+          p => regexp_count(col("lt"),
+            concat(lit("\\b"), replace(p, lit(" "), lit("\\s+")),
+              lit("\\b"))) > 0).as("matched"))
+      .withColumn("keep", col("n_blocked") === 0L)
+  }
+
   /** Shared core of the rarity/familiarity profiles over a term-INSTANCE
     * relation `(id, tok)` — see [[unigramRarity]] for the signal and
     * scale documentation.

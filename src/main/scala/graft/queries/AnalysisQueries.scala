@@ -851,7 +851,31 @@ object AnalysisQueries {
     FROM c, tot WHERE c.cnt > tot.n // 500
     ORDER BY cnt DESC, token"""
 
+  // --- q100: C4-style blocklist filter -----------------------------------
+  // See TextAnalysisOps.blocklistFilter. The list below is a stand-in (the
+  // published C4 rule with a demo list; real deployments swap in their
+  // own) chosen to actually FIRE on the fixture corpus: single words and
+  // multi-word phrases both occur in the synthetic text.
+  val BlockPhrases: Seq[String] = Seq("slow scan", "dup", "hash join")
+
+  def q100Blocklist(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.blocklistFilter(Tables.documents(spark, dir), BlockPhrases)
+      .orderBy("doc_id")
+
+  val q100Sql: String = {
+    val pats = BlockPhrases.map(_.replace(" ", "\\s+"))
+    val combined = "\\b(?:" + pats.mkString("|") + ")\\b"
+    val listSql = BlockPhrases.mkString("['", "', '", "']")
+    raw"""SELECT doc_id,
+      CAST(len(regexp_extract_all(lower(text), '$combined')) AS BIGINT) AS n_blocked,
+      list_filter($listSql, p -> regexp_matches(lower(text),
+        '\b' || replace(p, ' ', '\s+') || '\b')) AS matched,
+      len(regexp_extract_all(lower(text), '$combined')) = 0 AS keep
+    FROM documents ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_blocklist" -> (q100Blocklist _),
     "q99_heavy_hitters" -> (q99HeavyHitters _),
     "q70_unigram_rarity" -> (q70UnigramRarity _),
     "q70b_bigram_familiarity" -> (q70bBigramFamiliarity _),
@@ -877,6 +901,7 @@ object AnalysisQueries {
     "q83_distribution_drift" -> (q83DistributionDrift _))
 
   val oracleSql: Map[String, String] = Map(
+    "q100_blocklist" -> q100Sql,
     "q99_heavy_hitters" -> q99Sql,
     "q70_unigram_rarity" -> q70Sql,
     "q20_lang_id" -> q20Sql,

@@ -267,6 +267,41 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming heavy-hitter candidates — the q99 sketch run continuously.
+    * Each micro-batch folds its `tok` column into ONE capacity-bounded
+    * Misra-Gries summary WITH counters (a single distributed aggregate,
+    * <= capacity counters shipped per map task), and the driver merges it
+    * into the standing summary under the mergeable-summaries rule — so
+    * after any prefix of batches the candidate set is exactly what the
+    * batch sketch would return over the concatenated stream, and every
+    * term with count > n/(capacity+1) so far is guaranteed present. The
+    * driver state is <= capacity counters: scalar-bound by construction,
+    * like q99's collect. `onUpdate` receives the candidate snapshot after
+    * each batch; counts stay engine-internal because they are lower
+    * bounds — an exact answer still needs q99's verify pass over the
+    * accumulated corpus.
+    */
+  def heavyHitterStream(terms: DataFrame, capacity: Int, checkpoint: String)
+                       (onUpdate: Seq[String] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val agg = new graft.functions.MisraGries.SketchCounters(capacity)
+    val state = scala.collection.mutable.HashMap.empty[String, Long]
+    terms.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val batchSummary = batch.select(col("tok")).as[String]
+          .select(agg.toColumn.name("m"))
+          .head()
+        // foreachBatch bodies run serially per query: the driver-held
+        // state needs no synchronization
+        agg.mergeBuf(state,
+          scala.collection.mutable.HashMap.from(batchSummary))
+        onUpdate(state.keys.toSeq.sorted)
+      }
+      .start()
+  }
+
   /** Convenience: the events fixture schema as a file stream — the same
     * relation Tables.events yields, but incremental (one-file-per-trigger).
     *

@@ -283,4 +283,33 @@ class TextAnalysisSpec extends SparkSpec {
       a >= 1 && a < HashOps.P && b >= 0 && b < HashOps.P })
     assert(HashOps.MinHashPerms.distinct.size == HashOps.MinHashK)
   }
+
+  test("blocklistFilter: word boundaries, multi-word whitespace, case, null") {
+    val df = Seq(
+      (1L, "the Slow   scan ran twice slow scan again"), // 2 hits (multi-ws, case)
+      (2L, "slowly scanning is fine"),                   // boundary: no hit
+      (3L, "a dup appeared"),                            // single word hit
+      (4L, null.asInstanceOf[String]),                   // null text
+      (5L, "clean document here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysisOps.blocklistFilter(df, Seq("slow scan", "dup"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toList,
+        r.getBoolean(3)))
+    assert(out(0) == ((1L, 2L, List("slow scan"), false)))
+    assert(out(1) == ((2L, 0L, Nil, true)))
+    assert(out(2) == ((3L, 1L, List("dup"), false)))
+    assert(out(3) == ((4L, 0L, Nil, true)))
+    assert(out(4) == ((5L, 0L, Nil, true)))
+  }
+
+  test("blocklistFilter rejects regex-unsafe phrases") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysisOps.blocklistFilter(df, Seq("a.*b"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysisOps.blocklistFilter(df, Seq.empty)
+    }
+  }
 }

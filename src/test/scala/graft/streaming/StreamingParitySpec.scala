@@ -325,6 +325,52 @@ class StreamingParitySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q99 heavy-hitter stream: replayed corpus candidates cover every " +
+      "exact heavy hitter (mergeable-summaries guarantee across batches)") {
+    import graft.ops.TextOps
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    // stage the corpus as NChunks doc files; tokenization happens INSIDE
+    // the stream, as a production ingest would
+    val work = java.nio.file.Files.createTempDirectory("graft-hh-work")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-hh-in")
+    val chunked = docs
+      .withColumn("chunk", ntile(NChunks).over(Window.orderBy("doc_id")))
+    (0 until NChunks).foreach { i =>
+      val part = work.resolve(s"c$i")
+      chunked.where(col("chunk") === i + 1).drop("chunk")
+        .coalesce(1).write.parquet(part.toString)
+      stage(part, streamDir, i)
+    }
+    val capacity = 256
+    val den = 200L // guarantee needs den <= capacity + 1
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .select(explode(TextOps.tokenize(coalesce(col("text"), lit(""))))
+        .as("tok"))
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-hh-ckpt").toString
+    @volatile var last: Seq[String] = Nil
+    var updates = 0
+    val q = StreamingOps.heavyHitterStream(stream, capacity, checkpoint) {
+      cands => last = cands; updates += 1
+    }
+    try q.processAllAvailable() finally q.stop()
+    // exact heavy hitters of the full corpus, batch-side
+    val terms = docs.select(
+      explode(TextOps.tokenize(coalesce(col("text"), lit("")))).as("tok"))
+    val n = terms.count()
+    val exact = terms.groupBy("tok").count()
+      .where(col("count") * den > n)
+      .select("tok").collect().map(_.getString(0)).toSet
+    assert(updates >= NChunks, s"expected >= $NChunks snapshots, got $updates")
+    assert(last.size <= capacity)
+    assert(exact.nonEmpty, "degenerate fixture: no heavy hitters at den=200")
+    assert(exact.subsetOf(last.toSet),
+      s"stream lost true heavy hitters: ${exact -- last.toSet}")
+  }
+
   test("q79f ivf ingest stream: chunked embedding replay into the stored " +
       "cell layout equals the batch delta assignment, exactly once") {
     import graft.ops.SimilarityOps
