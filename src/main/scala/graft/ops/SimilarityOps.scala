@@ -274,20 +274,36 @@ object SimilarityOps {
   /** Assign arbitrary embeddings to an EXISTING centroid table: nearest
     * cell by squared Euclidean distance, ties to the lowest cell id
     * (KMeans `transform`'s own rule) — `(vec_id, emb, cell)`, the same
-    * shape `buildIvfIndex` produces. The centroid table broadcasts
-    * (nCells rows); assignment is a narrow per-row argmin, no shuffle
-    * beyond the per-vector top-1 window over nCells candidate rows.
+    * shape `buildIvfIndex` produces.
+    *
+    * ZERO-shuffle by construction: the centroid table is collected
+    * (nCells rows — the same scalar-bound driver hop as q79e's probed-cell
+    * set) into an array literal, and the argmin is one codegen'd fold per
+    * row. The first cut cross-joined delta × nCells rows through a
+    * per-vector window — a delta-sized shuffle that this shape removes
+    * entirely, which matters both at 100 TB and per micro-batch in
+    * [[graft.streaming.StreamingOps.ivfIngestStream]].
     */
   def assignToCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // sorted by cell so a strict `<` fold keeps the LOWEST cell on ties,
+    // matching KMeans findClosest
+    val cents: Seq[(Long, Seq[Double])] = centroids
+      .orderBy("cell")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    require(cents.nonEmpty, "empty centroid table")
+    val centArr = typedlit(cents.map { case (cell, c) => (cell, c) })
+    // stage (d2, cell) pairs with transform so each distance is computed
+    // ONCE, then fold for the argmin — putting sqDist inside the fold's
+    // `when` would duplicate the distance expression per comparison
+    val dists = transform(centArr, c =>
+      struct(sqDist(col("emb"), c.getField("_2")).as("d2"),
+        c.getField("_1").as("cell")))
+    val best = aggregate(
+      dists,
+      struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cell")),
+      (acc, p) => when(p.getField("d2") < acc.getField("d2"), p).otherwise(acc))
     prepared(embeddings)
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("emb"), col("cell"),
-        sqDist(col("emb"), col("centroid")).as("d2"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)))
-      .where(col("rk") === 1)
-      .select("vec_id", "emb", "cell")
+      .select(col("vec_id"), col("emb"), best.getField("cell").as("cell"))
   }
 
   /** Incremental IVF index maintenance: fold a DELTA of new vectors into
@@ -327,7 +343,12 @@ object SimilarityOps {
           .orderBy(col("cdist").desc, col("cell").asc)))
       .where(col("rk") <= nProbe)
       .select("query_id", "q_emb", "cell")
-    val scored = qCells
+    // broadcast the probe relation (queries × nProbe rows by construction):
+    // the corpus-sized assignment must stream map-side, never shuffle on
+    // cell into a sort-merge join (ivfSq8Score already does this; without
+    // the hint the static plan picked SMJ when `assigned` was a fresh
+    // union rather than a persisted memo)
+    val scored = broadcast(qCells)
       .join(assigned.toDF("cand_id", "c_emb", "cell"), Seq("cell"))
       .where(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
