@@ -863,16 +863,32 @@ object TextAnalysisOps {
     def log2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
     val dt = bigramPairs(scoredDocs, Seq(col(idCol)), textCol)
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
-    val scored = dt
-      .join(bt, Seq("w1", "w2"), "left")
+    // Join shape (the q90 lesson applied to the smoothing ladder): enrich
+    // the MODEL first (bt ⋈ ut is model-sized), so the corpus-sized `dt`
+    // shuffles ONCE on (w1, w2). Rows that miss the enriched model — the
+    // unseen-bigram tier — are the only ones that need the context
+    // lookup, so the second join on w1 carries just that subset instead
+    // of re-shuffling the whole corpus; the branch arithmetic and the
+    // profile are unchanged (oracle-gated).
+    val enriched = bt.join(ut, Seq("w1"))
+    // persisted: BOTH tier branches read the joined relation, and Catalyst
+    // recomputes unshared subtrees per branch
+    val j1 = graft.CacheScope.persist(
+      dt.join(enriched, Seq("w1", "w2"), "left"))
+    val seen = j1.where(col("btf").isNotNull)
+      .select(col(idCol), col("k"),
+        lit(false).as("unseen"), lit(false).as("unknown_ctx"),
+        (log2len(col("ctf1")) - log2len(col("btf"))).as("s"))
+    val misses = j1.where(col("btf").isNull)
+      .select(col(idCol), col("k"), col("w1"))
       .join(ut, Seq("w1"), "left")
       .crossJoin(broadcast(total))
       .select(col(idCol), col("k"),
-        col("btf").isNull.as("unseen"),
+        lit(true).as("unseen"),
         col("ctf1").isNull.as("unknown_ctx"),
-        when(col("btf").isNotNull, log2len(col("ctf1")) - log2len(col("btf")))
-          .when(col("ctf1").isNotNull, log2len(col("ctf1")) + 1L)
+        when(col("ctf1").isNotNull, log2len(col("ctf1")) + 1L)
           .otherwise(log2len(col("b_total")) + 1L).as("s"))
+    val scored = seen.unionByName(misses)
     val profile = scored.groupBy(col(idCol))
       .agg(sum(col("k")).as("n_bigrams"),
         sum(when(col("unseen"), col("k")).otherwise(0L)).as("n_unseen"),
