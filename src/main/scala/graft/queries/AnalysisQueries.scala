@@ -858,8 +858,14 @@ object AnalysisQueries {
   // multi-word phrases both occur in the synthetic text.
   val BlockPhrases: Seq[String] = Seq("slow scan", "dup", "hash join")
 
+  // The audit column is flattened to a comma-joined STRING here (the
+  // library's blocklistFilter keeps the ARRAY): the driver's oracle
+  // compare sorts every output column in pandas, and array cells are
+  // unhashable there — oracled queries emit atomic columns only
+  // (enforced registry-wide by AtomicOutputSchemaSpec).
   def q100Blocklist(spark: SparkSession, dir: String): DataFrame =
     TextAnalysisOps.blocklistFilter(Tables.documents(spark, dir), BlockPhrases)
+      .withColumn("matched", array_join(col("matched"), ","))
       .orderBy("doc_id")
 
   val q100Sql: String = {
@@ -868,8 +874,8 @@ object AnalysisQueries {
     val listSql = BlockPhrases.mkString("['", "', '", "']")
     raw"""SELECT doc_id,
       CAST(len(regexp_extract_all(lower(text), '$combined')) AS BIGINT) AS n_blocked,
-      list_filter($listSql, p -> regexp_matches(lower(text),
-        '\b' || replace(p, ' ', '\s+') || '\b')) AS matched,
+      array_to_string(list_filter($listSql, p -> regexp_matches(lower(text),
+        '\b' || replace(p, ' ', '\s+') || '\b')), ',') AS matched,
       len(regexp_extract_all(lower(text), '$combined')) = 0 AS keep
     FROM documents ORDER BY doc_id"""
   }
