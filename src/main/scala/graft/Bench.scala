@@ -137,9 +137,14 @@ object Bench {
     // shingle family in sort order) — deterministic work, not machine
     // interference. Publish those under "rebuild"; reserve "noisy" for
     // queries where divergence is NOT explained by run 1 (true
-    // environmental noise a polluted round would show).
+    // environmental noise a polluted round would show). "Explained by
+    // run 1" requires BOTH that run 1 is slow AND that the remaining runs
+    // agree with the min — interference that happens to include a slow
+    // run 1 but also inflates later runs must stay in "noisy", not be
+    // misfiled as a deterministic memo rebuild.
     val rebuilds = results.collect {
-      case (k, ts) if ts.size >= 2 && ts.min > 0 && ts.head / ts.min > 3.0 => k
+      case (k, ts) if ts.size >= 2 && ts.min > 0 && ts.head / ts.min > 3.0 &&
+        median(ts.tail) / ts.min <= 3.0 => k
     }
     val noisy = mins.zip(medians).collect {
       case ((k, mn), (_, md)) if mn > 0 && md / mn > 3.0 &&

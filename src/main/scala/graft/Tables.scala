@@ -122,11 +122,27 @@ object Tables {
     }
   }
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // harmless when ts is already us-typed; required for a NANOS fixture
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(read(spark, dir, "events"))
-  }
+  /** Run `body`; if it fails because a parquet footer carries
+    * TIMESTAMP(NANOS) — which Spark refuses during schema inference
+    * (ILLEGAL_PARQUET_TYPE) unless `nanosAsLong` is on — set the legacy
+    * conf and retry once. Keeps the reader side-effect-free for the
+    * common us/NTZ/adjusted layouts: the session conf is only touched
+    * when a NANOS fixture actually demands it (and then it must stay set
+    * for the lifetime of the plan, so set-and-leave is correct). Any
+    * other failure propagates unchanged from the first attempt.
+    */
+  private[graft] def withNanosFallback[T](spark: SparkSession)(body: => T): T =
+    try body
+    catch {
+      case e: Exception
+          if String.valueOf(e.getMessage).contains("NANOS") ||
+            String.valueOf(e.getMessage).contains("Illegal Parquet type") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        body
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(withNanosFallback(spark)(read(spark, dir, "events")))
   def lineitem(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")

@@ -240,6 +240,17 @@ object SimilarityOps {
 
   /** Training pass of [[ivfTopK]]: fit KMeans cells and assign every
     * vector to its cell.
+    *
+    * KMeans is used ONLY to learn the centroids; the base corpus is then
+    * assigned through [[assignToCells]] — the same rule every delta
+    * ([[ivfAppend]], the streaming ingest) uses. One assignment rule for
+    * base and delta is what makes merge == recompute a guarantee rather
+    * than a fixture-dependent observation: MLlib's own `transform` scores
+    * with norm-based fastSquaredDistance (‖a‖²+‖b‖²−2a·b plus a precision
+    * fallback), which on near-equidistant vectors can pick a different
+    * cell than the exact Σ(x−y)² fold, so mixing the two rules could make
+    * an appended vector land in a different cell than the same vector
+    * re-assigned from scratch.
     */
   def buildIvfIndex(embeddings: DataFrame, nCells: Int): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -248,16 +259,14 @@ object SimilarityOps {
       .withColumn("fvec", array_to_vector(col("emb")))
     val km = new KMeans().setK(nCells).setSeed(42L)
       .setFeaturesCol("fvec").setPredictionCol("cell").fit(p)
-    val assigned = km.transform(p).select(col("vec_id"), col("emb"),
-      col("cell").cast("long").as("cell"))
     // centroid table is tiny: broadcast-join queries to their nProbe cells
     val centroids = km.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i.toLong, c.toArray)
     }
     val spark = embeddings.sparkSession
     import spark.implicits._
-    IvfIndex(assigned,
-      spark.createDataset(centroids.toSeq).toDF("cell", "centroid"))
+    val centDf = spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
+    IvfIndex(assignToCells(embeddings, centDf), centDf)
   }
 
   def ivfTopK(embeddings: DataFrame, everyNth: Int, k: Int,
@@ -309,11 +318,13 @@ object SimilarityOps {
   /** Incremental IVF index maintenance: fold a DELTA of new vectors into
     * a built index WITHOUT retraining or re-assigning the base corpus.
     * The delta is assigned against the index's FROZEN centroids
-    * ([[assignToCells]]), so the merged assignment is row-identical to
+    * ([[assignToCells]] — the same rule [[buildIvfIndex]] assigns the
+    * base corpus with), so the merged assignment is row-identical to
     * assigning base ∪ delta against those same centroids — probes of the
     * merged index return exactly what a full re-assignment would
     * (merge == recompute, the q98 rollup property applied to the ANN
-    * index; unit-gated in IvfAppendSpec). At 100 TB this is the
+    * index; structural now that base and delta share one assignment
+    * rule, and unit-gated in IvfAppendSpec). At 100 TB this is the
     * operational path: the stored cell-partitioned layout (q79e) absorbs
     * the delta as per-cell APPENDS — new files in existing cell
     * directories — while a retrain would rewrite the corpus.
@@ -327,6 +338,65 @@ object SimilarityOps {
     IvfIndex(
       index.assigned.unionByName(assignToCells(delta, index.centroids)),
       index.centroids)
+
+  /** Centroid-drift statistic (q79g) — the NUMBER behind the rebuild
+    * decision [[ivfAppend]]'s scaladoc defers: per cell, compare the
+    * assignment-distance distribution of the APPENDED vectors against the
+    * base corpus's. A delta drawn from the index's own distribution lands
+    * at the same distances (ratio ≈ 1×); a drifted delta sits
+    * systematically farther from the frozen centroids — rising mean/p95
+    * ratios are the signal that cell balance and recall are degrading and
+    * the periodic [[buildIvfIndex]] retrain is due.
+    *
+    * Engine-exact given the frozen centroids: per-row squared distance is
+    * the one [[sqDist]] fold quantized to integer micro-units
+    * (`floor(d2 × 1e6)`), means are integral `sum DIV n` (no float
+    * accumulation-order dependence), p95 is the exact `percentile`
+    * truncated to a long, and the mean-ratio is integral
+    * `(delta_mean × 1e6) DIV base_mean`. Fully deterministic — the
+    * rows-only tier's strongest check (q68b pattern: quantitative unit +
+    * stable rows).
+    *
+    * Scale shape: both sides aggregate on `cell` — the SAME key the
+    * stored layout partitions by, so at 100 TB the base statistics read
+    * co-located per-cell files with no extra shuffle, and the delta side
+    * is one broadcast-argmin pass ([[assignToCells]]) plus a cell-keyed
+    * aggregation of delta-sized data. Exact `percentile` buffers each
+    * cell's values; a corpus-scale deployment swaps it for
+    * `approx_percentile` once the drift dial needs only ±ε.
+    */
+  def ivfDriftStats(index: IvfIndex, delta: DataFrame): DataFrame =
+    ivfDriftStatsAssigned(index.assigned,
+      assignToCells(delta, index.centroids), index.centroids)
+
+  /** [[ivfDriftStats]] over ALREADY-ASSIGNED relations — the shape a
+    * stored index (q79e) or an ingest tree
+    * ([[graft.streaming.StreamingOps.ivfIngestStream]]) reads back
+    * directly.
+    */
+  def ivfDriftStatsAssigned(baseAssigned: DataFrame, deltaAssigned: DataFrame,
+                            centroids: DataFrame): DataFrame = {
+    def d2stats(assigned: DataFrame, prefix: String): DataFrame =
+      assigned.join(broadcast(centroids), Seq("cell"))
+        .select(col("cell"),
+          floor(sqDist(col("emb"), col("centroid")) * lit(1000000.0))
+            .cast("long").as("d2"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as(s"n_$prefix"),
+          expr("sum(d2) DIV count(1)").as(s"${prefix}_mean_d2"),
+          expr("CAST(percentile(d2, 0.95) AS BIGINT)").as(s"${prefix}_p95_d2"))
+    centroids.select("cell")
+      .join(d2stats(baseAssigned, "base"), Seq("cell"), "left")
+      .join(d2stats(deltaAssigned, "delta"), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        col("base_mean_d2"), col("delta_mean_d2"),
+        col("base_p95_d2"), col("delta_p95_d2"),
+        when(col("base_mean_d2") > 0 && col("delta_mean_d2").isNotNull,
+          expr("(delta_mean_d2 * 1000000) DIV base_mean_d2"))
+          .as("drift_mean_ratio_micro"))
+  }
 
   /** Probe pass over a prebuilt index. */
   def ivfTopK(index: IvfIndex, everyNth: Int, k: Int,

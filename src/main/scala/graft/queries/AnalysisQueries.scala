@@ -872,12 +872,17 @@ object AnalysisQueries {
     val pats = BlockPhrases.map(_.replace(" ", "\\s+"))
     val combined = "\\b(?:" + pats.mkString("|") + ")\\b"
     val listSql = BlockPhrases.mkString("['", "', '", "']")
-    raw"""SELECT doc_id,
-      CAST(len(regexp_extract_all(lower(text), '$combined')) AS BIGINT) AS n_blocked,
-      array_to_string(list_filter($listSql, p -> regexp_matches(lower(text),
-        '\b' || replace(p, ' ', '\s+') || '\b')), ',') AS matched,
-      len(regexp_extract_all(lower(text), '$combined')) = 0 AS keep
-    FROM documents ORDER BY doc_id"""
+    // lower(coalesce(text, '')) mirrors the engine's null coalesce; the
+    // outer coalesce covers DuckDB's array_to_string([]) -> NULL (the
+    // engine's array_join([]) is '')
+    raw"""WITH lt AS (SELECT doc_id, lower(coalesce(text, '')) AS lt FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(lt, '$combined')) AS BIGINT) AS n_blocked,
+      coalesce(array_to_string(list_filter($listSql, p ->
+        regexp_matches(lt, '\b' || replace(p, ' ', '\s+') || '\b')),
+        ','), '') AS matched,
+      len(regexp_extract_all(lt, '$combined')) = 0 AS keep
+    FROM lt ORDER BY doc_id"""
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

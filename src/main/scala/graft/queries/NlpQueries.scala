@@ -632,6 +632,28 @@ object NlpQueries {
       count(DISTINCT CASE WHEN doc_id % 2 <> 0 THEN lang END) AS n_langs
     FROM documents GROUP BY 1 ORDER BY batch"""
 
+  // --- q101: Unicode NFC normalization (native expression, §2.8) ----------
+  // Canonical composition before any hashing/dedup (C4/CCNet practice):
+  // composed and decomposed spellings of the same text must become ONE
+  // string. The engine side is the codegen'd NfcNormalize expression
+  // (staged ASCII/already-NFC fast paths — see its scaladoc); DuckDB's
+  // nfc_normalize is the oracle twin (both implement Unicode canonical
+  // composition, agreement unit-tested on decomposed/astral inputs —
+  // the hash check proves the whole column byte-identical). `changed`
+  // audits how much of the corpus actually needed recomposition.
+  def q101NfcNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        graft.functions.NfcNormalize.nfcNormalize(col("text")).as("text_nfc"))
+      .select(col("doc_id"), col("text_nfc"),
+        (col("text") =!= col("text_nfc")).as("changed"))
+      .orderBy("doc_id")
+
+  val q101Sql: String =
+    """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+      text <> nfc_normalize(text) AS changed
+    FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_partitioned_sink" -> (q91PartitionedSink _),
     "q94_corrupt_quarantine" -> (q94CorruptQuarantine _),
@@ -654,7 +676,8 @@ object NlpQueries {
     "q05_corpus_stats" -> (q05CorpusStats _),
     "q06_fallback_tags" -> (q06FallbackTags _),
     "q07_tag_frequency" -> (q07TagFrequency _),
-    "q08_tag_diversity" -> (q08TagDiversity _))
+    "q08_tag_diversity" -> (q08TagDiversity _),
+    "q101_nfc_normalize" -> (q101NfcNormalize _))
 
   val oracleSql: Map[String, String] = Map(
     "q91_partitioned_sink" -> q91Sql,
@@ -678,5 +701,6 @@ object NlpQueries {
     "q05_corpus_stats" -> q05Sql,
     "q06_fallback_tags" -> q06Sql,
     "q07_tag_frequency" -> q07Sql,
-    "q08_tag_diversity" -> q08Sql)
+    "q08_tag_diversity" -> q08Sql,
+    "q101_nfc_normalize" -> q101Sql)
 }

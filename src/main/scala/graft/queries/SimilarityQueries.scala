@@ -274,6 +274,26 @@ object SimilarityQueries {
     SimilarityOps.ivfTopK(ivfMerged(spark, dir), QueryEveryNth, TopK, nProbe = 4)
       .orderBy("query_id", "rk")
 
+  // --- q79g: centroid-drift statistic over the q79f carving --------------
+  // The rebuild-decision signal ivfAppend's scaladoc defers to: per-cell
+  // integer-quantized assignment-distance distribution of the appended
+  // delta vs the base corpus (semantics and exactness contract in
+  // SimilarityOps.ivfDriftStats). The merged index memo already holds
+  // both halves assigned under one rule, so the query is two cell-keyed
+  // aggregations over a split of the SAME persisted relation — no second
+  // KMeans fit, no re-assignment. Rows-only tier (KMeans centroids have
+  // no DuckDB twin); the quantitative gate is IvfAppendSpec's drift
+  // units: identical delta ⇒ ratio exactly 1e6, shifted delta ⇒ ratio
+  // strictly above.
+  def q79gIvfDrift(spark: SparkSession, dir: String): DataFrame = {
+    val merged = ivfMerged(spark, dir)
+    SimilarityOps.ivfDriftStatsAssigned(
+      merged.assigned.where(!isIngestDelta(col("vec_id"))),
+      merged.assigned.where(isIngestDelta(col("vec_id"))),
+      merged.centroids)
+      .orderBy("cell")
+  }
+
   /** Drop every memoized IVF index (assignment + SQ8 codes) and release
     * the persisted frames. The caches are cross-query by design (one
     * KMeans fit amortized over every probe), so they are NOT released at
@@ -509,7 +529,8 @@ object SimilarityQueries {
     "q29d_knn_ivf" -> (q29dKnnIvf _),
     "q79d_knn_ivf_sq8" -> (q79dIvfSq8 _),
     "q79e_stored_ivf" -> (q79eStoredIvf _),
-    "q79f_ivf_append" -> (q79fIvfAppend _))
+    "q79f_ivf_append" -> (q79fIvfAppend _),
+    "q79g_ivf_drift" -> (q79gIvfDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,

@@ -208,17 +208,40 @@ object StreamingOps {
   /** Streaming twin of the q79f incremental ANN-index maintenance: each
     * micro-batch of newly-ingested embeddings is assigned against the
     * index's FROZEN centroids (SimilarityOps.assignToCells — broadcast
-    * argmin, no retrain) and appended to the stored cell-partitioned
-    * layout. Partitioning is (ingest_batch, cell) under dynamic
-    * overwrite: a replayed batch (foreachBatch's at-least-once contract)
-    * rewrites exactly its own `ingest_batch=<id>` partitions, so reading
-    * the tree is exactly-once; `cell` stays a partition column beneath
-    * it, so a probe's cell filter still prunes directories across every
-    * ingest batch. Centroid drift is the same out-of-scope rebuild
-    * decision documented on SimilarityOps.ivfAppend.
+    * argmin, no retrain) and written to `path` as an INGEST TREE.
+    * Partitioning is (ingest_batch, cell) under dynamic overwrite: a
+    * replayed batch (foreachBatch's at-least-once contract) rewrites
+    * exactly its own `ingest_batch=<id>` partitions, so reading the tree
+    * is exactly-once; `cell` stays a partition column beneath it, so a
+    * probe's cell filter still prunes directories across every ingest
+    * batch. Centroid drift is the same out-of-scope rebuild decision
+    * documented on SimilarityOps.ivfAppend.
+    *
+    * `path` must be a DEDICATED ingest tree, NOT the q79e cell-only
+    * stored-index root: the two layouts differ in partition depth, and
+    * mixing them under one parquet root breaks partition discovery for
+    * every reader of either. Guarded at stream start — a `path` already
+    * holding non-`ingest_batch=` partition directories is refused before
+    * any write can corrupt it. (Probes union the base index with this
+    * tree as two separate reads.)
     */
   def ivfIngestStream(delta: DataFrame, centroids: DataFrame, path: String,
-                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(
+      delta.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) {
+      val foreign = fs.listStatus(hPath).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("ingest_batch=") &&
+          !n.startsWith("_") && !n.startsWith("."))
+      require(foreign.isEmpty,
+        s"ivfIngestStream path $path is not a dedicated ingest tree " +
+          s"(found ${foreign.take(3).mkString(", ")}): writing " +
+          "(ingest_batch, cell) partitions next to another layout would " +
+          "mix partition depths in one parquet root and break partition " +
+          "discovery for all readers")
+    }
     delta.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -228,6 +251,7 @@ object StreamingOps {
           path, Seq("ingest_batch", "cell"))
       }
       .start()
+  }
 
   /** Streaming twin of the q80 incremental ingest dedup: each micro-batch
     * of newly-ingested documents is MinHash-signed and band-joined against
@@ -270,33 +294,57 @@ object StreamingOps {
   /** Streaming heavy-hitter candidates — the q99 sketch run continuously.
     * Each micro-batch folds its `tok` column into ONE capacity-bounded
     * Misra-Gries summary WITH counters (a single distributed aggregate,
-    * <= capacity counters shipped per map task), and the driver merges it
-    * into the standing summary under the mergeable-summaries rule — so
-    * after any prefix of batches the candidate set is exactly what the
-    * batch sketch would return over the concatenated stream, and every
-    * term with count > n/(capacity+1) so far is guaranteed present. The
-    * driver state is <= capacity counters: scalar-bound by construction,
-    * like q99's collect. `onUpdate` receives the candidate snapshot after
-    * each batch; counts stay engine-internal because they are lower
-    * bounds — an exact answer still needs q99's verify pass over the
-    * accumulated corpus.
+    * <= capacity counters shipped per map task), persists that finished
+    * summary keyed by batch id, and derives the standing summary by
+    * merging ALL stored batch summaries under the mergeable-summaries
+    * rule — so after any prefix of batches the candidate set covers
+    * exactly the concatenated stream so far, and every term with count >
+    * n/(capacity+1) is guaranteed present. `onUpdate` receives the
+    * candidate snapshot after each batch; counts stay engine-internal
+    * because they are lower bounds — an exact answer still needs q99's
+    * verify pass over the accumulated corpus.
+    *
+    * Replay/restart safety (why state is STORED, not held in a driver
+    * map): foreachBatch is at-least-once, and a restart resumes from
+    * committed offsets with a fresh process. An in-memory running merge
+    * fails both ways — a replayed batch merges twice (merge is not
+    * idempotent) and a restart silently forgets the prefix. Writing each
+    * batch's summary under dynamic partition overwrite keyed by
+    * `mg_batch` (the [[idempotentPartitionedSink]] recipe) makes replay
+    * REWRITE the same partition, and rebuilding the merge from the store
+    * makes restart resume exactly. The store holds <= capacity rows per
+    * batch (a few KB); the per-batch re-merge is O(batches × capacity)
+    * driver work over that scalar-bound store — at a cadence where that
+    * ever mattered, the summaries would themselves be periodically
+    * compacted into a checkpoint summary row, same rule.
     */
-  def heavyHitterStream(terms: DataFrame, capacity: Int, checkpoint: String)
+  def heavyHitterStream(terms: DataFrame, capacity: Int, summaryPath: String,
+                        checkpoint: String)
                        (onUpdate: Seq[String] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val agg = new graft.functions.MisraGries.SketchCounters(capacity)
-    val state = scala.collection.mutable.HashMap.empty[String, Long]
     terms.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val batchSummary = batch.select(col("tok")).as[String]
           .select(agg.toColumn.name("m"))
           .head()
-        // foreachBatch bodies run serially per query: the driver-held
-        // state needs no synchronization
-        agg.mergeBuf(state,
-          scala.collection.mutable.HashMap.from(batchSummary))
+        writeDynamicOverwrite(
+          spark.createDataset(batchSummary.toSeq).toDF("tok", "cnt")
+            .withColumn("mg_batch", lit(batchId)),
+          summaryPath, Seq("mg_batch"))
+        // merge the stored summaries in batch order (deterministic given
+        // the store); collect is <= batches × capacity counters
+        val state = scala.collection.mutable.HashMap.empty[String, Long]
+        spark.read.parquet(summaryPath)
+          .select(col("mg_batch").cast("long"), col("tok"), col("cnt"))
+          .collect()
+          .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+          .foreach { case (_, rows) =>
+            agg.mergeBuf(state, scala.collection.mutable.HashMap.from(
+              rows.map(r => r.getString(1) -> r.getLong(2))))
+          }
         onUpdate(state.keys.toSeq.sorted)
       }
       .start()
@@ -313,8 +361,10 @@ object StreamingOps {
     * always see a TIMESTAMP `ts`.
     */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staticSchema = spark.read.parquet(dir).schema
+    // the static peek trips the NANOS schema refusal first, so the shared
+    // fallback sets the legacy conf only when the files actually need it
+    val staticSchema = graft.Tables.withNanosFallback(spark)(
+      spark.read.parquet(dir).schema)
     graft.Tables.normalizeTs(
       spark.readStream
         .schema(staticSchema)

@@ -351,12 +351,23 @@ class StreamingParitySpec extends SparkSpec {
         .as("tok"))
     val checkpoint = java.nio.file.Files
       .createTempDirectory("graft-hh-ckpt").toString
+    val summaryPath = java.nio.file.Files
+      .createTempDirectory("graft-hh-sums").toString
     @volatile var last: Seq[String] = Nil
     var updates = 0
-    val q = StreamingOps.heavyHitterStream(stream, capacity, checkpoint) {
+    val q = StreamingOps.heavyHitterStream(
+      stream, capacity, summaryPath, checkpoint) {
       cands => last = cands; updates += 1
     }
     try q.processAllAvailable() finally q.stop()
+    // replay/restart safety: the standing summary is DERIVED from the
+    // per-batch summary store, so the stored tree must carry one
+    // partition per processed batch — a replayed batch overwrites its own
+    // partition (dynamic overwrite) instead of double-merging
+    val storedBatches = spark.read.parquet(summaryPath)
+      .select("mg_batch").distinct().count()
+    assert(storedBatches == NChunks,
+      s"expected $NChunks stored batch summaries, got $storedBatches")
     // exact heavy hitters of the full corpus, batch-side
     val terms = docs.select(
       explode(TextOps.tokenize(coalesce(col("text"), lit("")))).as("tok"))
@@ -413,5 +424,29 @@ class StreamingParitySpec extends SparkSpec {
     assert(stored.columns.contains("ingest_batch"))
     val batches = stored.select("ingest_batch").distinct().count()
     assert(batches == NChunks, s"expected $NChunks ingest batches, got $batches")
+    // q79g over the INGEST TREE: the drift statistic read from the
+    // streamed store equals the batch-side statistic over the same delta
+    // — the rebuild-decision signal works off the operational layout, not
+    // just in-memory frames
+    def driftRows(deltaAssigned: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.ivfDriftStatsAssigned(
+        base.assigned, deltaAssigned, base.centroids)
+        .orderBy("cell").collect().map(_.toString).toSeq
+    val fromTree = driftRows(stored.select(
+      col("vec_id"), col("emb"), col("cell").cast("long").as("cell")))
+    val fromBatch = driftRows(
+      SimilarityOps.assignToCells(all.where(isDelta), base.centroids))
+    assert(fromTree == fromBatch && fromTree.nonEmpty)
+    // a dedicated-tree guard: pointing the ingest sink at a cell-only
+    // stored layout must be refused before any write
+    val cellOnly = java.nio.file.Files
+      .createTempDirectory("graft-ivf-cellonly").toString
+    SimilarityOps.assignToCells(all.where(isDelta), base.centroids)
+      .write.partitionBy("cell").mode("overwrite").parquet(cellOnly)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.ivfIngestStream(stream, base.centroids, cellOnly,
+        java.nio.file.Files.createTempDirectory("graft-ivf-ckpt2").toString)
+    }
+    assert(ex.getMessage.contains("dedicated ingest tree"))
   }
 }
