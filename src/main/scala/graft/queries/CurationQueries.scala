@@ -717,6 +717,61 @@ object CurationQueries {
       CAST(floor(start_offset / $PackBudget) AS BIGINT) AS bin_id
     FROM c ORDER BY source, doc_id"""
 
+  // --- q102: export-shard manifest ----------------------------------------
+  // The last mile of a 100 TB curation run: the corpus ships as N output
+  // shards of ~equal TOKEN size (training loaders want balanced files,
+  // not balanced row counts), and every shard needs a manifest row the
+  // receiving side can validate against — doc count, token count, id
+  // range, and a content checksum. Shard assignment is deterministic:
+  // docs in global doc_id order, cut every ShardTokenBudget tokens
+  // (exclusive start offset, q57b's straddle rule — a doc belongs to the
+  // shard its offset falls in, so shards overshoot by < one doc). The
+  // global running sum reuses the q58 two-level prefix sum under a
+  // constant source key: the range-sharded local cumsums keep parallelism
+  // at PackShards regardless of corpus size, and the only serial pass is
+  // the tiny shard-totals window. The checksum is the SUM of per-doc
+  // charHashes — order-independent (exact under any partial-aggregation
+  // order) and bounded: a shard holds < budget docs, each hash < 2^31, so
+  // the sum stays far inside Int64 at ANY corpus size because the BUDGET
+  // caps shard membership, not the corpus. The doc-hash join is keyed on
+  // doc_id — high-cardinality, co-partitioned with the offset relation.
+  val ShardTokenBudget = 2000L
+
+  def q102ExportManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = docs.select(col("doc_id"), lit("corpus").as("source"),
+      size(graft.ops.TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
+    val offs = packStartOffsets(t, PackShards)
+      .withColumn("shard_id",
+        floor(col("start_offset") / ShardTokenBudget).cast("long"))
+    val hashed = docs.select(col("doc_id"),
+      graft.ops.HashOps.charHash(col("text")).as("h"))
+    offs.join(hashed, "doc_id")
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("h")).as("content_sum"))
+      .orderBy("shard_id")
+  }
+
+  val q102Sql: String =
+    s"""WITH t AS (
+      SELECT doc_id, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+        ${graft.ops.HashOps.charHashSql("text")} AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, h,
+        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+      FROM t)
+    SELECT CAST(floor(start_offset / $ShardTokenBudget) AS BIGINT) AS shard_id,
+      count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      CAST(sum(h) AS BIGINT) AS content_sum
+    FROM c GROUP BY 1 ORDER BY shard_id"""
+
   // --- q82: deletion-impact analysis over the packed corpus ---------------
   // The right-to-be-forgotten query: given a delete list, which training
   // bins (q58's packed sequences) are contaminated and must be rebuilt,
@@ -943,7 +998,8 @@ object CurationQueries {
     "q58_sequence_packing" -> (q58SequencePacking _),
     "q58b_packing_bpe" -> (q58bPackingBpe _),
     "q82_deletion_impact" -> (q82DeletionImpact _),
-    "q86_chunk_dedup" -> (q86ChunkDedup _))
+    "q86_chunk_dedup" -> (q86ChunkDedup _),
+    "q102_export_manifest" -> (q102ExportManifest _))
 
   val oracleSql: Map[String, String] = Map(
     "q89_curriculum_order" -> q89Sql,
@@ -964,5 +1020,6 @@ object CurationQueries {
     "q58_sequence_packing" -> q58Sql,
     "q58b_packing_bpe" -> q58bSql,
     "q82_deletion_impact" -> q82Sql,
-    "q86_chunk_dedup" -> q86Sql)
+    "q86_chunk_dedup" -> q86Sql,
+    "q102_export_manifest" -> q102Sql)
 }
