@@ -385,9 +385,12 @@ object SimilarityOps {
         .agg(count(lit(1)).as(s"n_$prefix"),
           expr("sum(d2) DIV count(1)").as(s"${prefix}_mean_d2"),
           expr("CAST(percentile(d2, 0.95) AS BIGINT)").as(s"${prefix}_p95_d2"))
+    // both stats relations aggregate to <= nCells rows by construction —
+    // broadcast them so the final assembly never sorts (the static plan
+    // picked SMJ for the outer joins without the hint)
     centroids.select("cell")
-      .join(d2stats(baseAssigned, "base"), Seq("cell"), "left")
-      .join(d2stats(deltaAssigned, "delta"), Seq("cell"), "left")
+      .join(broadcast(d2stats(baseAssigned, "base")), Seq("cell"), "left")
+      .join(broadcast(d2stats(deltaAssigned, "delta")), Seq("cell"), "left")
       .select(col("cell"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_delta"), lit(0L)).as("n_delta"),

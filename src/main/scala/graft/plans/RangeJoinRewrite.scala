@@ -171,7 +171,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
 /** `spark.sql.extensions` entry point: registers [[RangeJoinRewrite]] and
   * the native graft functions (`cosine_sim`, `poly_char_hash`, `int_dot`,
-  * `bpe_encode`, `phash64`) into every session built over the extensions,
+  * `bpe_encode`, `phash64`, `nfc_normalize`) into every session built
+  * over the extensions,
   * e.g.
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -197,5 +198,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("phash64"),
       new ExpressionInfo(classOf[graft.functions.PHash64].getName, "phash64"),
       exprs => graft.functions.PHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      exprs => graft.functions.NfcNormalize(exprs.head)))
   }
 }
