@@ -334,20 +334,87 @@ object StreamingOps {
           spark.createDataset(batchSummary.toSeq).toDF("tok", "cnt")
             .withColumn("mg_batch", lit(batchId)),
           summaryPath, Seq("mg_batch"))
-        // merge the stored summaries in batch order (deterministic given
-        // the store); collect is <= batches × capacity counters
-        val state = scala.collection.mutable.HashMap.empty[String, Long]
-        spark.read.parquet(summaryPath)
-          .select(col("mg_batch").cast("long"), col("tok"), col("cnt"))
-          .collect()
-          .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-          .foreach { case (_, rows) =>
-            agg.mergeBuf(state, scala.collection.mutable.HashMap.from(
-              rows.map(r => r.getString(1) -> r.getLong(2))))
-          }
-        onUpdate(state.keys.toSeq.sorted)
+        onUpdate(mergedHeavyHitterCandidates(spark, summaryPath, capacity))
       }
       .start()
+  }
+
+  /** Left-fold the stored per-batch MG summaries in batch order into the
+    * standing candidate set — the derivation [[heavyHitterStream]] runs
+    * after every batch and any consumer can run against the store alone
+    * (restart recovery, offline audit). Collect is <= batches × capacity
+    * counters; batch order makes the fold deterministic given the store.
+    */
+  def mergedHeavyHitterCandidates(spark: SparkSession, summaryPath: String,
+                                  capacity: Int): Seq[String] = {
+    // an all-empty-batches (or just-created) store holds no partitions at
+    // all — that IS the empty summary, not a read error
+    val root = new org.apache.hadoop.fs.Path(summaryPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root) || !fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("mg_batch=")))
+      return Nil
+    val agg = new graft.functions.MisraGries.SketchCounters(capacity)
+    val state = scala.collection.mutable.HashMap.empty[String, Long]
+    spark.read.parquet(summaryPath)
+      .select(col("mg_batch").cast("long"), col("tok"), col("cnt"))
+      .collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .foreach { case (_, rows) =>
+        agg.mergeBuf(state, scala.collection.mutable.HashMap.from(
+          rows.map(r => r.getString(1) -> r.getLong(2))))
+      }
+    state.keys.toSeq.sorted
+  }
+
+  /** Compact the [[heavyHitterStream]] summary store: left-fold every
+    * batch summary with `mg_batch <= upToBatch` into ONE summary, write
+    * it as the `mg_batch=upToBatch` partition (dynamic overwrite), and
+    * delete the earlier partitions. Because the standing derivation is a
+    * left fold in batch order, fold(fold(0..k), k+1, …) IS
+    * fold(0, 1, …, n) — the candidate set after compaction is
+    * bit-identical, not merely guarantee-preserving, and the store stops
+    * growing with stream lifetime.
+    *
+    * Safety precondition: `upToBatch` must be strictly below the
+    * stream's latest committed batch. foreachBatch can only replay the
+    * batch whose offsets are not yet committed; batches at or below the
+    * committed horizon can never re-run, so their partitions are safe to
+    * fold away. Compacting the in-flight batch would let its replay
+    * resurrect a partition whose counts are already inside the compacted
+    * summary (double count).
+    */
+  def compactHeavyHitterSummaries(spark: SparkSession, summaryPath: String,
+                                  capacity: Int, upToBatch: Long): Unit = {
+    import spark.implicits._
+    val agg = new graft.functions.MisraGries.SketchCounters(capacity)
+    val state = scala.collection.mutable.HashMap.empty[String, Long]
+    spark.read.parquet(summaryPath)
+      .select(col("mg_batch").cast("long"), col("tok"), col("cnt"))
+      .where(col("mg_batch") <= upToBatch)
+      .collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .foreach { case (_, rows) =>
+        agg.mergeBuf(state, scala.collection.mutable.HashMap.from(
+          rows.map(r => r.getString(1) -> r.getLong(2))))
+      }
+    if (state.nonEmpty)
+      writeDynamicOverwrite(
+        spark.createDataset(state.toSeq).toDF("tok", "cnt")
+          .withColumn("mg_batch", lit(upToBatch)),
+        summaryPath, Seq("mg_batch"))
+    // an EMPTY merged summary writes no partition under dynamic
+    // overwrite, so the upToBatch partition must be swept too — an empty
+    // summary is legitimately represented by no partitions at all
+    val keepFrom = if (state.nonEmpty) upToBatch else upToBatch + 1
+    val root = new org.apache.hadoop.fs.Path(summaryPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("mg_batch=") &&
+          name.stripPrefix("mg_batch=").toLong < keepFrom)
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Convenience: the events fixture schema as a file stream — the same

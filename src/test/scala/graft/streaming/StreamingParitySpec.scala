@@ -368,6 +368,21 @@ class StreamingParitySpec extends SparkSpec {
       .select("mg_batch").distinct().count()
     assert(storedBatches == NChunks,
       s"expected $NChunks stored batch summaries, got $storedBatches")
+    // compaction: folding the committed prefix into one partition must be
+    // BIT-IDENTICAL (the standing derivation is a left fold in batch
+    // order, and fold(fold(0..k), k+1..) == fold(0..n)) while the store
+    // shrinks to (compacted partition + later batches)
+    val before = StreamingOps.mergedHeavyHitterCandidates(
+      spark, summaryPath, capacity)
+    assert(before == last, "store-derived candidates must equal the last snapshot")
+    StreamingOps.compactHeavyHitterSummaries(
+      spark, summaryPath, capacity, NChunks - 2L)
+    val partsAfter = spark.read.parquet(summaryPath)
+      .select("mg_batch").distinct().count()
+    assert(partsAfter == 2, s"expected compacted + tail partitions, got $partsAfter")
+    val after = StreamingOps.mergedHeavyHitterCandidates(
+      spark, summaryPath, capacity)
+    assert(after == before, "compaction must not change the candidate set")
     // exact heavy hitters of the full corpus, batch-side
     val terms = docs.select(
       explode(TextOps.tokenize(coalesce(col("text"), lit("")))).as("tok"))
