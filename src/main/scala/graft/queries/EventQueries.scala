@@ -364,7 +364,92 @@ object EventQueries {
       AND c.ts >= v.v_start AND c.ts < v.v_end
     ORDER BY c.click_id, v.view_id"""
 
+  // --- q103: ordered conversion funnel (view → click → purchase) ----------
+  // The product-analytics staple the window surface was missing: how many
+  // users complete each step IN ORDER (a purchase only counts when it
+  // follows a click that itself followed a view). Per user, events are
+  // walked ONCE in (ts, event_id) order with three chained running
+  // minima — earliest view so far, earliest click at-or-after that view,
+  // earliest purchase at-or-after that click; consecutive Window
+  // operators share the partitioning/ordering, so the whole chain costs a
+  // single user_id-keyed shuffle (the key the events table would be
+  // bucketed by at scale) — no per-step self-joins, no repeated scans.
+  // Ties on ts break by event_id, identically in both engines. The
+  // summary emits one row per step with an integral micro-unit
+  // conversion rate vs the previous step (step 1 converts vs all users).
+  def q103Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("t_view").isNotNull,
+          col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("t_click").isNotNull,
+          col("ts"))).over(w))
+    val users = stepped.groupBy("user_id").agg(
+      max(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("r1"),
+      max(when(col("t_click").isNotNull, 1L).otherwise(0L)).as("r2"),
+      max(when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("r3"))
+    val totals = users.agg(count(lit(1)).as("n0"),
+      sum(col("r1")).as("n1"), sum(col("r2")).as("n2"),
+      sum(col("r3")).as("n3"))
+    val steps = {
+      import spark.implicits._
+      Seq((1L, "view"), (2L, "click"), (3L, "purchase"))
+        .toDF("step", "step_name")
+    }
+    // 1-row totals crossJoined back — the q19b scalar-bound broadcast shape
+    steps.crossJoin(totals)
+      .select(col("step"), col("step_name"),
+        when(col("step") === 1, col("n1")).when(col("step") === 2, col("n2"))
+          .otherwise(col("n3")).as("n_users"),
+        when(col("step") === 1, col("n0")).when(col("step") === 2, col("n1"))
+          .otherwise(col("n2")).as("prev_users"))
+      .select(col("step"), col("step_name"), col("n_users"), col("prev_users"),
+        when(col("prev_users") > 0,
+          expr("(n_users * 1000000) DIV prev_users")).as("conv_micro"))
+      .orderBy("step")
+  }
+
+  val q103Sql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        event_type FROM events),
+    s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+        OVER w AS t_view FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING)),
+    s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+          AND t_view IS NOT NULL THEN ts END) OVER w AS t_click FROM s1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING)),
+    s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+          AND t_click IS NOT NULL THEN ts END) OVER w AS t_purchase FROM s2
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING)),
+    u AS (SELECT user_id,
+        max(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+        max(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+        max(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS r3
+      FROM s3 GROUP BY user_id),
+    f AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(r1) AS BIGINT) AS n1,
+        CAST(sum(r2) AS BIGINT) AS n2, CAST(sum(r3) AS BIGINT) AS n3 FROM u),
+    steps(step, step_name) AS (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+    SELECT CAST(step AS BIGINT) AS step, step_name,
+      CAST(CASE step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS BIGINT) AS n_users,
+      CAST(CASE step WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END AS BIGINT) AS prev_users,
+      CASE WHEN (CASE step WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END) > 0
+        THEN CAST((CASE step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END) * 1000000
+          // (CASE step WHEN 1 THEN n0 WHEN 2 THEN n1 ELSE n2 END) AS BIGINT)
+      END AS conv_micro
+    FROM steps, f ORDER BY step"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_funnel" -> (q103Funnel _),
     "q54_asof_enrich" -> (q54AsofEnrich _),
     "q77_click_attribution" -> (q77ClickAttribution _),
     "q64_range_join" -> (q64RangeJoin _),
@@ -380,6 +465,7 @@ object EventQueries {
     "q98_incremental_rollup" -> (q98IncrementalRollup _))
 
   val oracleSql: Map[String, String] = Map(
+    "q103_funnel" -> q103Sql,
     "q54_asof_enrich" -> q54Sql,
     "q77_click_attribution" -> q77Sql,
     "q64_range_join" -> q64Sql,

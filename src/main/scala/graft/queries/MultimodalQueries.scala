@@ -168,7 +168,10 @@ object MultimodalQueries {
   val PHashMaxHamming = 7
   val PHashBands = 8
 
-  def q60cPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Banded pHash near-dup pair relation — shared by q60c (pairs) and
+    * q60e (clusters over them); unordered.
+    */
+  private def phashPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.PHash
     // two consumers: the band explode and the exact rerank
     val hashed = graft.CacheScope.persist(
@@ -190,14 +193,19 @@ object MultimodalQueries {
       .select(col("id_a"), col("id_b"),
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
       .where(col("hamming") <= PHashMaxHamming)
-      .orderBy("id_a", "id_b")
   }
 
-  val q60cSql: String = {
+  def q60cPhashPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(spark, dir).orderBy("id_a", "id_b")
+
+  /** The `m`..`h` CTE chain deriving each payload's integer pHash —
+    * shared by the q60c and q60e oracles.
+    */
+  private val phashCtes: String = {
     import graft.functions.PHash
     val n = PHash.GridDim * PHash.GridDim
     val tl = PHash.cosSqlList
-    s"""WITH m AS ($syntheticMediaSql),
+    s"""m AS ($syntheticMediaSql),
     hx AS (SELECT media_id, hex(content) AS hs, octet_length(content) AS len
       FROM m),
     b AS (SELECT media_id, len,
@@ -212,20 +220,60 @@ object MultimodalQueries {
                  // (((k+1) * len) // $n - (k * len) // $n)
             ELSE 0 END) AS grid
       FROM b),
-    h AS (SELECT media_id,
+    h AS MATERIALIZED (SELECT media_id,
         CAST(list_sum(list_transform(range(1, $n), k ->
           CASE WHEN list_sum(list_transform(range(0, $n), bb ->
               grid[CAST(bb+1 AS INT)]
                 * $tl[CAST((bb // ${PHash.GridDim}) * ${PHash.GridDim} + (k // ${PHash.GridDim}) + 1 AS INT)]
                 * $tl[CAST((bb % ${PHash.GridDim}) * ${PHash.GridDim} + (k % ${PHash.GridDim}) + 1 AS INT)])) > 0
             THEN CAST(1 AS BIGINT) << CAST(k - 1 AS INT) ELSE 0 END)) AS BIGINT) AS phash
-      FROM g)
+      FROM g)"""
+  }
+  // AS MATERIALIZED on the pair relation: without it DuckDB inlines the
+  // whole phash-derivation chain into the recursive reach and re-evaluates
+  // the per-payload DCT every iteration (observed ~10 min at sf0.01 vs
+  // seconds materialized)
+
+  val q60cSql: String =
+    s"""WITH $phashCtes
     SELECT a.media_id AS id_a, b.media_id AS id_b,
       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
     FROM h a JOIN h b ON a.media_id < b.media_id
     WHERE bit_count(xor(a.phash, b.phash)) <= $PHashMaxHamming
     ORDER BY id_a, id_b"""
-  }
+
+  // --- q60e: media duplicate clusters over the pHash pair relation --------
+  // The q55b composition applied to the multimodal column: near-identical
+  // media grouped into components (each labeled by its min media id) so a
+  // curation pass can keep one representative per cluster — pairs alone
+  // leave transitive chains (a~b, b~c) split across rows. Same engine
+  // pieces end to end: banded pHash pairs feed the diameter-independent
+  // star contraction (DedupOps.duplicateClustersStar); the oracle walks
+  // the same edges with a recursive min-label reach, so the iterative
+  // MapReduce-style contraction is hash-verified against a declarative
+  // fixpoint.
+  def q60ePhashClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.DedupOps.duplicateClustersStar(
+      syntheticMedia(spark, dir).select(col("media_id")),
+      phashPairs(spark, dir), idCol = "media_id")
+      .orderBy("media_id")
+
+  val q60eSql: String =
+    s"""WITH RECURSIVE $phashCtes,
+    p AS MATERIALIZED (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM h a JOIN h b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= $PHashMaxHamming),
+    ids AS MATERIALIZED (SELECT media_id FROM m),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+    reach(id, lab) AS (
+      SELECT media_id, media_id FROM ids
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id AS media_id, CAST(min(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id ORDER BY media_id"""
 
   // --- q60d: audio (RIFF/WAVE) header metadata -----------------------------
   // The audio leg of the multimodal surface: each doc becomes a REAL
@@ -298,11 +346,13 @@ object MultimodalQueries {
     "q60_media_metadata" -> (q60MediaMetadata _),
     "q60b_frame_sample" -> (q60bFrameSample _),
     "q60c_phash_pairs" -> (q60cPhashPairs _),
+    "q60e_phash_clusters" -> (q60ePhashClusters _),
     "q60d_wav_metadata" -> (q60dWavMetadata _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_media_metadata" -> q60Sql,
     "q60b_frame_sample" -> q60bSql,
     "q60c_phash_pairs" -> q60cSql,
+    "q60e_phash_clusters" -> q60eSql,
     "q60d_wav_metadata" -> q60dSql)
 }
