@@ -639,4 +639,147 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), col("dist2"),
         col("rank").cast("long").as("rank"))
   }
+
+  // --- Product Quantization (the FAISS PQ/IVF-PQ compression tier) -------
+
+  /** A trained PQ codebook: `codebook` is `(sub, cell, centroid)` —
+    * m × kSub rows, the entire index metadata (tiny: broadcast/collect by
+    * construction, like [[IvfIndex.centroids]]). `dSub` = dim / m is the
+    * per-subspace width. Train ONCE, encode/probe many times.
+    */
+  case class PqCodebook(codebook: DataFrame, m: Int, kSub: Int, dSub: Int)
+
+  /** Train a product quantizer (FAISS `ProductQuantizer`, public): the
+    * embedding space is split into `m` contiguous subspaces of dim/m
+    * dims each, and an independent KMeans codebook of `kSub` centroids is
+    * fit per subspace. A vector's PQ code is its m per-subspace nearest
+    * cells — log2(kSub) bits per subspace, so m=8 × kSub=16 compresses a
+    * 64-dim float vector 64× (256 B → 4 B). Where SQ8 ([[sq8Codes]]) cuts
+    * memory 4× by narrowing each component, PQ cuts it another order of
+    * magnitude by replacing whole subvectors with codebook ids — the
+    * compression that makes billion-vector indexes fit in RAM.
+    *
+    * Training is m seeded KMeans fits over the corpus's subvector
+    * projections (at 100 TB you train on a bounded sample — same
+    * sampling contract as [[graft.ops.SuffixArrayOps]]'s bounded tier —
+    * and encode the full corpus; the fixture corpus is small enough to
+    * train on whole). Seeds are 42+sub so subspaces draw distinct inits
+    * deterministically; given the seeds the whole codebook is
+    * reproducible (unit-gated in PqSpec).
+    */
+  def trainPq(embeddings: DataFrame, m: Int, kSub: Int): PqCodebook = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val p = graft.CacheScope.persist(prepared(embeddings))
+    // one-row peek for the dimensionality — not a corpus scan
+    val dim = p.select(size(col("emb"))).head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val dSub = dim / m
+    val rows = (0 until m).flatMap { s =>
+      val sub = p.select(
+        array_to_vector(slice(col("emb"), s * dSub + 1, dSub)).as("fvec"))
+      val km = new KMeans().setK(kSub).setSeed(42L + s)
+        .setFeaturesCol("fvec").setPredictionCol("cell").fit(sub)
+      km.clusterCenters.zipWithIndex.map { case (c, j) =>
+        (s, j, c.toArray.toSeq)
+      }
+    }
+    PqCodebook(
+      spark.createDataset(rows).toDF("sub", "cell", "centroid"), m, kSub, dSub)
+  }
+
+  /** Collected codebook, per subspace sorted by cell id — the same
+    * scalar-bound driver hop as [[assignToCells]] (m × kSub rows total).
+    */
+  private def collectCodebook(cb: PqCodebook): Map[Int, Seq[(Int, Seq[Double])]] =
+    cb.codebook.orderBy("sub", "cell").collect()
+      .map(r => (r.getInt(0), (r.getInt(1), r.getSeq[Double](2).toSeq)))
+      .groupBy(_._1).map { case (s, rs) => (s, rs.map(_._2).toSeq) }
+
+  /** Stage the m subvector projections as attribute columns `sv0..sv{m-1}`
+    * so the per-subspace argmin folds consume plain refs.
+    */
+  private def stagedSubvectors(embeddings: DataFrame, cb: PqCodebook): DataFrame =
+    prepared(embeddings).select(col("vec_id") +: (0 until cb.m).map(s =>
+      slice(col("emb"), s * cb.dSub + 1, cb.dSub).as(s"sv$s")): _*)
+
+  /** Encode vectors against a trained codebook: `(vec_id, codes ARRAY<INT>)`
+    * with `codes[s]` the nearest subspace-s cell by squared Euclidean
+    * distance, ties to the lowest cell id — [[assignToCells]]'s rule,
+    * applied per subspace. ZERO-shuffle by the same construction: the
+    * codebook is an array literal and each code is one codegen'd argmin
+    * fold, so encoding a delta (or a stream micro-batch) is a narrow map —
+    * the property that makes PQ indexes appendable exactly like
+    * [[ivfAppend]]'s cell assignment.
+    */
+  def pqEncode(embeddings: DataFrame, cb: PqCodebook): DataFrame = {
+    val cents = collectCodebook(cb)
+    require(cents.size == cb.m, s"codebook covers ${cents.size} of ${cb.m} subspaces")
+    val codeCols = (0 until cb.m).map { s =>
+      val centArr = typedlit(cents(s))
+      val dists = transform(centArr, c =>
+        struct(sqDist(col(s"sv$s"), c.getField("_2")).as("d2"),
+          c.getField("_1").as("cell")))
+      aggregate(dists,
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cell")),
+        (acc, pr) => when(pr.getField("d2") < acc.getField("d2"), pr)
+          .otherwise(acc))
+        .getField("cell")
+    }
+    stagedSubvectors(embeddings, cb)
+      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ retrieval by asymmetric distance computation (ADC — the PQ probe
+    * every production deployment runs, public in FAISS): the query stays
+    * EXACT; each candidate is represented only by its m-byte code. Per
+    * query, a lookup table of all m × kSub subspace distances
+    * ‖q_s − centroid[s][j]‖² is computed ONCE (m·kSub·dSub flops); each
+    * candidate then costs just m table lookups + adds — independent of
+    * the original dimensionality. Stage 2 exactly reranks the k ×
+    * `overfetch` ADC survivors in float cosine, so the output contract
+    * (cos_micro, rk, ties by cand_id) matches [[bruteForceTopK]] and
+    * recall is directly measurable (PqSpec).
+    *
+    * Scale shape: the LUT relation is queries × (m·kSub doubles) —
+    * broadcast-sized at any corpus scale; the ADC scan streams the coded
+    * relation map-side against it (codes are 64× smaller than the
+    * vectors, so the scan is bandwidth-cheap); the per-query top window
+    * prunes via WindowGroupLimit before the shuffle; the exact metric
+    * touches k × overfetch rows per query. Composing with IVF cells
+    * (probe nProbe cells' codes only — IVF-PQ) is the same composition
+    * [[ivfSq8TopK]] already demonstrates for SQ8.
+    */
+  def pqAdcTopK(embeddings: DataFrame, cb: PqCodebook, coded: DataFrame,
+                everyNth: Int, k: Int, overfetch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = collectCodebook(cb)
+    // per-query LUT: entry s*kSub + j holds ‖q_s − centroid[s][j]‖²
+    val lutEntries = for (s <- 0 until cb.m; (cell, c) <- cents(s)) yield
+      sqDist(col(s"sv$s"), typedlit(c)).as(s"d_${s}_$cell")
+    val qLut = stagedSubvectors(embeddings, cb)
+      .where(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), array(lutEntries: _*).as("lut"))
+    val adc = (0 until cb.m).map(s =>
+      element_at(col("lut"),
+        (lit(s * cb.kSub) + element_at(col("codes"), s + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val stage1 = coded.toDF("cand_id", "codes")
+      .join(broadcast(qLut), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), adc.as("adc_d2"))
+    val cand = stage1.withColumn("prk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_d2").asc, col("cand_id").asc)))
+      .where(col("prk") <= k * overfetch)
+      .select("query_id", "cand_id")
+    val p = prepared(embeddings)
+    val scored = cand
+      .join(p.toDF("query_id", "q_emb"), "query_id")
+      .join(p.toDF("cand_id", "c_emb"), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    topKPerQuery(scored, k)
+  }
 }

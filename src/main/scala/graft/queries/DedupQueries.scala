@@ -513,6 +513,73 @@ object DedupQueries {
     SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
     FROM reach GROUP BY id ORDER BY doc_id"""
 
+  // --- q105: cluster-aware leakage-safe split -----------------------------
+  // q51 splits by per-doc content hash, which keeps EXACT duplicates
+  // together but lets near-duplicates straddle train/test — the classic
+  // eval-contamination leak (a paraphrase of a training doc lands in the
+  // held-out split and inflates the score; q53's decontamination is the
+  // retroactive repair, this is the preventive one). Here the split unit
+  // is the whole near-dup connected component (q55's relation): every doc
+  // is assigned by the hash of its CLUSTER REPRESENTATIVE's text (the
+  // min-id member), so a component can never straddle splits — leakage is
+  // zero by construction, not by audit. Assignment stays content-keyed
+  // (stable under re-ingestion) rather than cluster-id-keyed (ids shift
+  // when docs are added).
+  //
+  // Scale shape: the cluster relation is q55's memoized label propagation;
+  // the representative-hash join is one id-keyed shuffle of (doc_id,
+  // cluster_id) against (doc_id, h) — both narrow; the roll-up is a
+  // two-phase aggregate onto 3 rows. The oracle recomputes the closure
+  // with the recursive CTE and must agree on every count.
+  def q105ClusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cl = DedupOps.duplicateClusters(docs, jpairs(spark, dir))
+    val canon = docs.select(col("doc_id").as("cluster_id"),
+      HashOps.charHash(col("text")).as("h"))
+    cl.join(canon, "cluster_id")
+      .select(col("cluster_id"),
+        when(col("h") % 10 < 8, "train")
+          .when(col("h") % 10 === 8, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy("split")
+  }
+
+  val q105Sql: String =
+    s"""WITH RECURSIVE $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    jp AS (
+      SELECT id_a, id_b FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= $JaccardMinMicro),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION ALL SELECT id_b, id_a FROM jp),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM tok
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+    canon AS (
+      SELECT doc_id AS cluster_id, ${HashOps.charHashSql("text")} AS h
+      FROM documents),
+    s AS (
+      SELECT c.cluster_id,
+        CASE WHEN h % 10 < 8 THEN 'train'
+             WHEN h % 10 = 8 THEN 'val'
+             ELSE 'test' END AS split
+      FROM cl c JOIN canon USING (cluster_id))
+    SELECT split, count(*) AS n_docs,
+      count(DISTINCT cluster_id) AS n_clusters
+    FROM s GROUP BY split ORDER BY split"""
+
   // --- q85: per-source dedup-rate report -----------------------------------
   // The duplication dashboard a corpus pipeline watches per refresh: for
   // each source, how many docs are exact duplicates (q24's relation) and
@@ -758,7 +825,8 @@ object DedupQueries {
     "q53_decontaminate" -> (q53Decontaminate _),
     "q53b_decontaminate_bloom" -> (q53bDecontaminateBloom _),
     "q55_dup_clusters" -> (q55DupClusters _),
-    "q55b_dup_clusters_star" -> (q55bDupClustersStar _))
+    "q55b_dup_clusters_star" -> (q55bDupClustersStar _),
+    "q105_cluster_split" -> (q105ClusterSplit _))
 
   val oracleSql: Map[String, String] = Map(
     "q61_strip_spans" -> q61Sql,
@@ -778,5 +846,6 @@ object DedupQueries {
     "q53_decontaminate" -> q53Sql,
     "q53b_decontaminate_bloom" -> q53Sql,
     "q55_dup_clusters" -> q55Sql,
-    "q55b_dup_clusters_star" -> q55Sql)
+    "q55b_dup_clusters_star" -> q55Sql,
+    "q105_cluster_split" -> q105Sql)
 }
