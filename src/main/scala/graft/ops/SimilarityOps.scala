@@ -659,35 +659,142 @@ object SimilarityOps {
     * magnitude by replacing whole subvectors with codebook ids — the
     * compression that makes billion-vector indexes fit in RAM.
     *
-    * Training is m seeded KMeans fits over the corpus's subvector
-    * projections (at 100 TB you train on a bounded sample — same
-    * sampling contract as [[graft.ops.SuffixArrayOps]]'s bounded tier —
-    * and encode the full corpus; the fixture corpus is small enough to
-    * train on whole). Seeds are 42+sub so subspaces draw distinct inits
-    * deterministically; given the seeds the whole codebook is
-    * reproducible (unit-gated in PqSpec).
+    * Training runs m seeded Lloyd's fits over a BOUNDED deterministic
+    * sample (`sampleCap` vectors in xxhash64(vec_id) order) collected to
+    * the driver — the published PQ practice (FAISS trains codebooks on a
+    * bounded sample however large the index) and the same
+    * bounded-collect-plus-driver-CPU contract as
+    * [[graft.ops.BpeTrainOps]]: the sample is `sampleCap × dim` doubles
+    * at ANY corpus size, and m × kSub × dSub × iters driver flops replace
+    * m sequential MLlib fits' worth of tiny cluster jobs (measured: the
+    * distributed-fit version cost 17.8 s cold on the sf0.1 fixture —
+    * all job scheduling, no compute; the sample fit runs in
+    * milliseconds). Seeds are 42+sub so subspaces draw distinct inits
+    * deterministically; ties in both init and assignment break to the
+    * lowest index, so given the seeds the whole codebook is
+    * bit-reproducible across JVMs (unit-gated in PqSpec).
     */
-  def trainPq(embeddings: DataFrame, m: Int, kSub: Int): PqCodebook = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+  def trainPq(embeddings: DataFrame, m: Int, kSub: Int,
+              sampleCap: Int = 16384): PqCodebook = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val p = graft.CacheScope.persist(prepared(embeddings))
+    val p = prepared(embeddings)
     // one-row peek for the dimensionality — not a corpus scan
     val dim = p.select(size(col("emb"))).head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val dSub = dim / m
+    // content-independent hash order: deterministic, re-ingestion-stable,
+    // and unbiased w.r.t. id assignment order
+    val sample: Array[Array[Double]] = p
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleCap)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train a PQ codebook on an empty corpus")
     val rows = (0 until m).flatMap { s =>
-      val sub = p.select(
-        array_to_vector(slice(col("emb"), s * dSub + 1, dSub)).as("fvec"))
-      val km = new KMeans().setK(kSub).setSeed(42L + s)
-        .setFeaturesCol("fvec").setPredictionCol("cell").fit(sub)
-      km.clusterCenters.zipWithIndex.map { case (c, j) =>
-        (s, j, c.toArray.toSeq)
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dSub, (s + 1) * dSub))
+      lloyd(sub, kSub, seed = 42L + s).zipWithIndex.map { case (c, j) =>
+        (s, j, c.toSeq)
       }
     }
     PqCodebook(
       spark.createDataset(rows).toDF("sub", "cell", "centroid"), m, kSub, dSub)
+  }
+
+  /** Seeded single-threaded Lloyd's over a driver-resident sample:
+    * kmeans++ (D²-weighted) init, assignment ties to the lowest cell id
+    * (the [[assignToCells]] rule, so the trained centroids and the
+    * engine's encoder agree on boundaries), an empty cell reseeds to the
+    * point farthest from its current centroid (deterministic: max dist²,
+    * ties to the lowest point index). Fixed iteration cap; stops early
+    * when assignments fix. Pure sequential double arithmetic in array
+    * order — bit-reproducible for a given (sample, k, seed).
+    */
+  private def lloyd(xs: Array[Array[Double]], k: Int, seed: Long,
+                    maxIter: Int = 25): Array[Array[Double]] = {
+    val d = xs.head.length
+    val n = xs.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    // kmeans++ init over the sample; if n < k the tail cells repeat
+    // points — they lose every argmin tie to the lower-id copy, which is
+    // deterministic and harmless
+    val cents = Array.ofDim[Double](k, d)
+    xs(rnd.nextInt(n)).copyToArray(cents(0))
+    val minD2 = xs.map(x => d2(x, cents(0)))
+    for (c <- 1 until k) {
+      val total = minD2.sum
+      val pick =
+        if (total <= 0) c % n // degenerate: no distance mass left
+        else {
+          var r = rnd.nextDouble() * total
+          var i = 0
+          while (i < n - 1 && r >= minD2(i)) { r -= minD2(i); i += 1 }
+          i
+        }
+      xs(pick).copyToArray(cents(c))
+      var i = 0
+      while (i < n) {
+        val nd = d2(xs(i), cents(c))
+        if (nd < minD2(i)) minD2(i) = nd
+        i += 1
+      }
+    }
+    val assign = Array.fill(n)(-1)
+    var moved = true
+    var iter = 0
+    while (moved && iter < maxIter) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = d2(xs(i), cents(0))
+        var c = 1
+        while (c < k) {
+          val dd = d2(xs(i), cents(c))
+          if (dd < bestD) { bestD = dd; best = c } // strict < keeps lowest id
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (moved) {
+        val sums = Array.ofDim[Double](k, d)
+        val counts = new Array[Int](k)
+        i = 0
+        while (i < n) {
+          val c = assign(i)
+          counts(c) += 1
+          var j = 0
+          while (j < d) { sums(c)(j) += xs(i)(j); j += 1 }
+          i += 1
+        }
+        for (c <- 0 until k) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < d) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          } else {
+            // deterministic empty-cell reseed: farthest point from its
+            // own centroid (max d2, ties to lowest index)
+            var far = 0
+            var farD = -1.0
+            var pt = 0
+            while (pt < n) {
+              val dd = d2(xs(pt), cents(assign(pt)))
+              if (dd > farD) { farD = dd; far = pt }
+              pt += 1
+            }
+            xs(far).copyToArray(cents(c))
+          }
+        }
+      }
+      iter += 1
+    }
+    cents
   }
 
   /** Collected codebook, per subspace sorted by cell id — the same

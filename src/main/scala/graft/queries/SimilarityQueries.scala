@@ -308,15 +308,18 @@ object SimilarityQueries {
   val PqSubspaces = 8
   val PqCellsPerSub = 16
 
-  /** PQ rerank overfetch — 2× the SQ8 dial. 4-bit codes (kSub=16) carry
+  /** PQ rerank overfetch — 4× the SQ8 dial. 4-bit codes (kSub=16) carry
     * 64× compression and proportionally more distortion than SQ8's
     * 8-bit components, so the ADC prefilter needs a wider candidate set
-    * for the exact rerank to recover rank: measured on the fixture,
-    * recall@5 vs brute force is 0.58 at overfetch 4, 0.70 at 8, 0.78 at
-    * 16 — 8 clears the 0.6 unit floor with margin while stage 2 still
-    * touches only k×8 rows per query.
+    * for the exact rerank to recover rank: measured on the fixture with
+    * the bounded-sample Lloyd's codebooks, recall@5 vs brute force is
+    * 0.54 at overfetch 4, 0.60 at 8, 0.82 at 16 — 16 clears the 0.7
+    * unit floor with margin while stage 2 still touches only k×16 rows
+    * per query (the ADC scan, the expensive stage, is overfetch-
+    * independent). Remeasure via the ignored PqDialProbe after any
+    * codebook change.
     */
-  val PqOverfetch = 8
+  val PqOverfetch = 16
 
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (SimilarityOps.PqCodebook, DataFrame)]()

@@ -78,10 +78,10 @@ class PqSpec extends SparkSpec {
     assert(pq == brute)
   }
 
-  test("PQ-ADC + rerank achieves >= 60% recall at the production overfetch") {
-    // the q104 dial (PqOverfetch = 8): measured 0.70 on this fixture;
-    // 4 measures 0.58, 16 measures 0.78 — the rationale for 8 is in
-    // SimilarityQueries.PqOverfetch's scaladoc
+  test("PQ-ADC + rerank achieves >= 70% recall at the production overfetch") {
+    // the q104 dial (PqOverfetch = 16): measured 0.82 on this fixture;
+    // 4 measures 0.54, 8 measures 0.60 — the rationale for 16 is in
+    // SimilarityQueries.PqOverfetch's scaladoc (remeasure: PqDialProbe)
     def keys(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "cand_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -89,6 +89,6 @@ class PqSpec extends SparkSpec {
     val pq = keys(SimilarityOps.pqAdcTopK(emb, cb, coded, 50, 5,
       graft.queries.SimilarityQueries.PqOverfetch))
     val recall = (brute & pq).size.toDouble / brute.size
-    assert(recall >= 0.6, s"recall $recall")
+    assert(recall >= 0.7, s"recall $recall")
   }
 }
