@@ -805,12 +805,34 @@ object SimilarityOps {
       .map(r => (r.getInt(0), (r.getInt(1), r.getSeq[Double](2).toSeq)))
       .groupBy(_._1).map { case (s, rs) => (s, rs.map(_._2).toSeq) }
 
-  /** Stage the m subvector projections as attribute columns `sv0..sv{m-1}`
-    * so the per-subspace argmin folds consume plain refs.
+  /** Stage the m subvector projections of `embCol` as attribute columns
+    * `sv0..sv{m-1}` so the per-subspace argmin folds consume plain refs.
     */
+  private def stageSub(df: DataFrame, idCol: String, embCol: String,
+                       cb: PqCodebook): DataFrame =
+    df.select(col(idCol) +: (0 until cb.m).map(s =>
+      slice(col(embCol), s * cb.dSub + 1, cb.dSub).as(s"sv$s")): _*)
+
   private def stagedSubvectors(embeddings: DataFrame, cb: PqCodebook): DataFrame =
-    prepared(embeddings).select(col("vec_id") +: (0 until cb.m).map(s =>
-      slice(col("emb"), s * cb.dSub + 1, cb.dSub).as(s"sv$s")): _*)
+    stageSub(prepared(embeddings), "vec_id", "emb", cb)
+
+  /** LUT entry columns over staged `sv*` attributes, ordered (sub, cell)
+    * so entry `s*kSub + code` is ‖q_s − centroid[s][code]‖² — the order
+    * [[adcExpr]] indexes by.
+    */
+  private def lutColumns(cb: PqCodebook,
+                         cents: Map[Int, Seq[(Int, Seq[Double])]]): Seq[Column] =
+    for (s <- 0 until cb.m; (cell, c) <- cents(s).toSeq) yield
+      sqDist(col(s"sv$s"), typedlit(c)).as(s"d_${s}_$cell")
+
+  /** ADC distance: m lookups of a candidate's `codes` into the query's
+    * `lut` array, summed.
+    */
+  private def adcExpr(cb: PqCodebook): Column =
+    (0 until cb.m).map(s =>
+      element_at(col("lut"),
+        (lit(s * cb.kSub) + element_at(col("codes"), s + 1) + 1).cast("int")))
+      .reduce(_ + _)
 
   /** Encode vectors against a trained codebook: `(vec_id, codes ARRAY<INT>)`
     * with `codes[s]` the nearest subspace-s cell by squared Euclidean
@@ -864,18 +886,13 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val cents = collectCodebook(cb)
     // per-query LUT: entry s*kSub + j holds ‖q_s − centroid[s][j]‖²
-    val lutEntries = for (s <- 0 until cb.m; (cell, c) <- cents(s)) yield
-      sqDist(col(s"sv$s"), typedlit(c)).as(s"d_${s}_$cell")
     val qLut = stagedSubvectors(embeddings, cb)
       .where(col("vec_id") % everyNth === 0)
-      .select(col("vec_id").as("query_id"), array(lutEntries: _*).as("lut"))
-    val adc = (0 until cb.m).map(s =>
-      element_at(col("lut"),
-        (lit(s * cb.kSub) + element_at(col("codes"), s + 1) + 1).cast("int")))
-      .reduce(_ + _)
+      .withColumnRenamed("vec_id", "query_id")
+      .select(col("query_id"), array(lutColumns(cb, cents): _*).as("lut"))
     val stage1 = coded.toDF("cand_id", "codes")
       .join(broadcast(qLut), col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"), adc.as("adc_d2"))
+      .select(col("query_id"), col("cand_id"), adcExpr(cb).as("adc_d2"))
     val cand = stage1.withColumn("prk", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("adc_d2").asc, col("cand_id").asc)))
@@ -885,6 +902,72 @@ object SimilarityOps {
     val scored = cand
       .join(p.toDF("query_id", "q_emb"), "query_id")
       .join(p.toDF("cand_id", "c_emb"), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    topKPerQuery(scored, k)
+  }
+
+  /** PQ codes co-located with their IVF cell: `(vec_id, cell, codes)` —
+    * the IVF-PQ index body, the PQ analogue of [[ivfSq8Coded]]. At 100 TB
+    * this is the relation written partitioned by `cell` (q79e's stored
+    * layout with 4-byte codes instead of int8 vectors), so a probe reads
+    * nProbe cells' codes — each 64× smaller than the original vectors.
+    */
+  def ivfPqCoded(index: IvfIndex, coded: DataFrame): DataFrame =
+    index.assigned.select(col("vec_id"), col("cell"))
+      .join(coded, "vec_id")
+      .select(col("vec_id"), col("cell"), col("codes"))
+
+  /** IVF-PQ composed retrieval (FAISS `IndexIVFPQ`, public — the layout
+    * behind billion-vector deployments): a query probes its `nProbe`
+    * nearest KMeans cells (centroid-cosine rule shared with
+    * [[ivfSq8ProbeCells]]), ADC-scores ONLY those cells' PQ codes against
+    * its per-query LUT, keeps `k × overfetch` candidates, then exactly
+    * reranks that handful in float cosine — [[bruteForceTopK]]'s output
+    * contract. Completes the ANN ladder's compression×partitioning grid:
+    * stage-1 cost per query is O(N · nProbe / nCells) LOOKUPS (not even
+    * int8 dot products — m adds per candidate), the LUT is computed once
+    * per query, and the probe relation (queries × nProbe rows, carrying
+    * the m·kSub-double LUT) stays broadcast-sized at any corpus scale.
+    * Deterministic given the fitted cells and codebook; recall vs brute
+    * force is the check (PqSpec).
+    */
+  def ivfPqTopK(index: IvfIndex, cb: PqCodebook, cellCoded: DataFrame,
+                everyNth: Int, k: Int, nProbe: Int, overfetch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = collectCodebook(cb)
+    val q = index.assigned.where(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    // probe phase: nProbe nearest cells by centroid cosine (desc, ties to
+    // the lowest cell — the ivfSq8ProbeCells rule)
+    val qCells = q.crossJoin(broadcast(index.centroids))
+      .select(col("query_id"), col("cell"),
+        cosineMicro(col("q_emb"), col("centroid")).as("cdist"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell").asc)))
+      .where(col("crk") <= nProbe)
+      .select("query_id", "cell")
+    val qLut = stageSub(q, "query_id", "q_emb", cb)
+      .select(col("query_id"), array(lutColumns(cb, cents): _*).as("lut"))
+    // queries × nProbe rows, each carrying the query's LUT — broadcast side
+    val probes = qCells.join(qLut, "query_id")
+    val stage1 = cellCoded.toDF("cand_id", "cell", "codes")
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), adcExpr(cb).as("adc_d2"))
+    // a candidate lives in exactly ONE cell, so (query, cand) is unique
+    // across probes — no distinct needed (same argument as ivfSq8Score)
+    val cand = stage1.withColumn("prk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_d2").asc, col("cand_id").asc)))
+      .where(col("prk") <= k * overfetch)
+      .select("query_id", "cand_id")
+    val a = index.assigned
+    val scored = cand
+      .join(a.select(col("vec_id").as("query_id"), col("emb").as("q_emb")),
+        "query_id")
+      .join(a.select(col("vec_id").as("cand_id"), col("emb").as("c_emb")),
+        "cand_id")
       .select(col("query_id"), col("cand_id"),
         cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
     topKPerQuery(scored, k)

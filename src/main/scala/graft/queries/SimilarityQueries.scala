@@ -342,6 +342,23 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- q104b: IVF-PQ composed retrieval (rows-only, like q79d) -----------
+  // The FAISS IndexIVFPQ shape: PQ codes co-located with the memoized
+  // KMeans cells (the q79d assignment and the q104 codebook, both
+  // amortized), each query ADC-scores only its nProbe cells' codes, then
+  // exact-reranks k×overfetch survivors. Stage 1 per query costs
+  // O(N·nProbe/nCells) table LOOKUPS over 4-byte codes — the cheapest
+  // scan in the ladder. nProbe 8 of 16 mirrors q79d's measured knee; the
+  // wider PqOverfetch compensates the 4-bit codes' distortion exactly as
+  // in q104. Recall floor unit-gated in PqSpec.
+  def q104bIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (cb, coded) = pqIndex(spark, dir)
+    val idx = ivfIndex(spark, dir)
+    SimilarityOps.ivfPqTopK(idx, cb, SimilarityOps.ivfPqCoded(idx, coded),
+      QueryEveryNth, TopK, nProbe = 8, PqOverfetch)
+      .orderBy("query_id", "rk")
+  }
+
   /** Drop every memoized IVF index (assignment + SQ8 codes) and release
     * the persisted frames. The caches are cross-query by design (one
     * KMeans fit amortized over every probe), so they are NOT released at
@@ -584,7 +601,8 @@ object SimilarityQueries {
     "q79e_stored_ivf" -> (q79eStoredIvf _),
     "q79f_ivf_append" -> (q79fIvfAppend _),
     "q79g_ivf_drift" -> (q79gIvfDrift _),
-    "q104_pq_adc" -> (q104PqAdc _))
+    "q104_pq_adc" -> (q104PqAdc _),
+    "q104b_ivf_pq" -> (q104bIvfPq _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,

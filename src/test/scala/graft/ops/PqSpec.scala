@@ -78,6 +78,40 @@ class PqSpec extends SparkSpec {
     assert(pq == brute)
   }
 
+  test("IVF-PQ with all cells probed and exhaustive overfetch == brute force") {
+    // nProbe = nCells and k x overfetch >= corpus: every candidate is
+    // ADC-scored and survives to the exact rerank, so the composition
+    // must reduce to bruteForceTopK row-for-row
+    val idx = SimilarityOps.buildIvfIndex(emb, nCells = 16)
+    val cellCoded = SimilarityOps.ivfPqCoded(idx, coded)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id", "cos_micro", "rk")
+        .orderBy("query_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ivfpq = rows(SimilarityOps.ivfPqTopK(idx, cb, cellCoded,
+      everyNth = 50, k = 5, nProbe = 16, overfetch = 1000))
+    val brute = rows(SimilarityOps.bruteForceTopK(emb, everyNth = 50, k = 5))
+    assert(ivfpq.nonEmpty)
+    assert(ivfpq == brute)
+  }
+
+  test("IVF-PQ achieves >= 60% recall at the production dial") {
+    // q104b's dial: nProbe 8 of 16 cells + PqOverfetch; the composed
+    // recall is bounded by BOTH the cell probe (q79d's ~0.85 class) and
+    // the ADC prefilter (q104's 0.82 class), so the floor sits below
+    // either single-stage floor
+    val idx = SimilarityOps.buildIvfIndex(emb, nCells = 16)
+    val cellCoded = SimilarityOps.ivfPqCoded(idx, coded)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keys(SimilarityOps.bruteForceTopK(emb, 50, 5))
+    val ivfpq = keys(SimilarityOps.ivfPqTopK(idx, cb, cellCoded, 50, 5,
+      nProbe = 8, graft.queries.SimilarityQueries.PqOverfetch))
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("PQ-ADC + rerank achieves >= 70% recall at the production overfetch") {
     // the q104 dial (PqOverfetch = 16): measured 0.82 on this fixture;
     // 4 measures 0.54, 8 measures 0.60 — the rationale for 16 is in
