@@ -571,18 +571,35 @@ object CurationQueries {
     * skew shard sizes but still caps a task at one shard's slice, never a
     * whole source. Visible for the skew-equivalence unit test.
     */
-  private[graft] def packStartOffsets(t: DataFrame, shards: Int): DataFrame = {
+  private[graft] def packStartOffsets(t: DataFrame, shards: Int): DataFrame =
+    runningOffsets(t.withColumn("ord", col("doc_id")), shards)
+      .withColumn("bin_id", floor(col("start_offset") / PackBudget).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_offset"), col("bin_id"))
+
+  /** The two-level prefix sum over an ARBITRARY numeric fill order:
+    * output-identical to `sum(n_tokens) OVER (PARTITION BY source ORDER BY
+    * ord, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens`. Range-sharding on
+    * the `ord` span keeps the composition correct for any key: the shard
+    * id is monotone non-decreasing along the fill order, and rows with
+    * EQUAL `ord` always land in the same shard (the boundary expression
+    * depends on `ord` alone), so per-shard cumsums ordered by
+    * (ord, doc_id) concatenate into the per-source prefix sum exactly.
+    * [[packStartOffsets]] instantiates it with ord = doc_id (q58's
+    * arrival-order packing); q106 with ord = -quality (best-first fill).
+    */
+  private[graft] def runningOffsets(t: DataFrame, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cached = graft.CacheScope.persist(t) // tokenize once, 3 narrow cols
+    val cached = graft.CacheScope.persist(t) // tokenize once, narrow cols
     val bounds = cached.groupBy("source")
-      .agg(min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .agg(min("ord").as("min_ord"), max("ord").as("max_ord"))
     val sharded = cached.join(broadcast(bounds), "source")
       .withColumn("shard",
         least(lit(shards - 1),
-          floor((col("doc_id") - col("min_id")).cast("double") * shards /
-            (col("max_id") - col("min_id") + 1).cast("double"))).cast("int"))
-      .drop("min_id", "max_id")
-    val wLocal = Window.partitionBy("source", "shard").orderBy("doc_id")
+          floor((col("ord") - col("min_ord")).cast("double") * shards /
+            (col("max_ord") - col("min_ord") + 1).cast("double"))).cast("int"))
+      .drop("min_ord", "max_ord")
+    val wLocal = Window.partitionBy("source", "shard").orderBy("ord", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sharded.withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
     // per-source serial pass, but over ≤ `shards` rows per source
@@ -596,9 +613,7 @@ object CurationQueries {
     local.join(broadcast(starts), Seq("source", "shard"))
       .withColumn("start_offset",
         col("shard_start") + col("local_cum") - col("n_tokens"))
-      .withColumn("bin_id", floor(col("start_offset") / PackBudget).cast("long"))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        col("start_offset"), col("bin_id"))
+      .drop("shard", "local_cum", "shard_start")
   }
 
   // --- q57b: token-budget source capping ----------------------------------
@@ -679,6 +694,51 @@ object CurationQueries {
       CAST(count(CASE WHEN start_offset < $TokenBudgetPerSource THEN 1 END) AS BIGINT) AS n_kept,
       CAST(sum(CASE WHEN start_offset < $TokenBudgetPerSource THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
     FROM c GROUP BY source ORDER BY source"""
+
+  // --- q106: per-source quality-capped token quota ------------------------
+  // The per-domain cap every web curation applies (C4 and RefinedWeb cap a
+  // single host's share so one domain cannot dominate the mixture) —
+  // denominated in TOKENS and filled in QUALITY order: each source keeps
+  // its BEST docs (distinct-token lexical diversity, q84's integer
+  // signal; ties to the lowest doc_id) until the source's token budget is
+  // exhausted. Differs from q57b exactly where it matters: a spam-heavy
+  // domain contributes its least-spammy pages, not its first-crawled
+  // ones. Same straddle rule (kept iff the EXCLUSIVE running offset is
+  // under budget, so overshoot < one doc); same two-level prefix sum via
+  // [[runningOffsets]] with ord = -quality, so no task ever scans a whole
+  // source however skewed the domain sizes.
+  val DomainTokenCap = 1500L
+
+  def q106DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextOps.tokenize(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("quality"))
+    runningOffsets(t.withColumn("ord", -col("quality")), PackShards)
+      .withColumn("kept", col("start_offset") < DomainTokenCap)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"),
+        col("start_offset"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  val q106Sql: String =
+    s"""WITH t AS (
+      SELECT doc_id, source, ${toksSql("text")} AS toks FROM documents),
+    q AS (
+      SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS quality
+      FROM t),
+    c AS (
+      SELECT doc_id, source, n_tokens, quality,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source
+          ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING)
+          - n_tokens AS BIGINT) AS start_offset
+      FROM q)
+    SELECT doc_id, source, n_tokens, quality, start_offset,
+      start_offset < $DomainTokenCap AS kept
+    FROM c ORDER BY doc_id"""
 
   def q58SequencePacking(spark: SparkSession, dir: String): DataFrame =
     packStartOffsets(wsTokenCounted(spark, dir), PackShards)
@@ -989,6 +1049,7 @@ object CurationQueries {
     "q52b_fixed_sample" -> (q52bFixedSample _),
     "q57_source_mix" -> (q57SourceMix _),
     "q57b_token_budget" -> (q57bTokenBudget _),
+    "q106_domain_cap" -> (q106DomainCap _),
     "q57c_token_budget_bpe" -> (q57cTokenBudgetBpe _),
     "q75_temperature_mix" -> (q75TemperatureMix _),
     "q68_adaptive_length" -> (q68AdaptiveLength _),
@@ -1012,6 +1073,7 @@ object CurationQueries {
     "q52b_fixed_sample" -> q52bSql,
     "q57_source_mix" -> q57Sql,
     "q57b_token_budget" -> q57bSql,
+    "q106_domain_cap" -> q106Sql,
     "q57c_token_budget_bpe" -> q57cSql,
     "q75_temperature_mix" -> q75Sql,
     "q68_adaptive_length" -> q68Sql,
