@@ -276,6 +276,46 @@ object MultimodalOps {
       "data_size" -> f(leU32(content, 41)))
   }
 
+  /** ISO-BMFF (MP4) movie-header parse (the public MPEG-4 Part 12 box
+    * format). One step past the fixed-offset WAV/PNG parses: the box walk
+    * is DYNAMIC — the ftyp box length is read from the payload and the
+    * moov/mdat offsets computed from it (`Column.substr` accepts column
+    * offsets, so the hops stay one codegen'd expression). Still bounded:
+    * the canonical top-level order ftyp → moov(mvhd first, version 0) →
+    * mdat is parsed, and anything else reports -1s rather than a wrong
+    * parse — arbitrary-depth box recursion needs a loop, the same
+    * expression boundary as JPEG marker walking (the general walker would
+    * be a per-partition JVM pass like [[imageDimensions]]).
+    *
+    * Returns (major_brand, timescale, duration, data_size): brand '' and
+    * numerics -1 when the payload is not canonical MP4. duration is in
+    * timescale ticks — `duration * 1000 div timescale` is the exact
+    * integral milliseconds (q60f derives it downstream).
+    */
+  def mp4Header(content: Column): Seq[(String, Column)] = {
+    def beU32At(pos: Column): Column =
+      conv(hex(content.substr(pos, lit(4))), 16, 10).cast("long")
+    def typeAt(pos: Column): Column = hex(content.substr(pos, lit(4)))
+    val ftypSize = beU32At(lit(1L))
+    val moovPos = lit(1L) + ftypSize // 1-based offsets throughout
+    val mvhdPos = moovPos + lit(8L)
+    val mdatPos = moovPos + beU32At(moovPos)
+    val ok = length(content) >= 28 &&
+      typeAt(lit(5L)) === "66747970" && // 'ftyp'
+      ftypSize >= 16L && ftypSize < length(content) &&
+      typeAt(moovPos + 4) === "6D6F6F76" && // 'moov'
+      typeAt(mvhdPos + 4) === "6D766864" && // 'mvhd'
+      beU32At(mvhdPos + 8) === 0L && // version 0, flags 0
+      typeAt(mdatPos + 4) === "6D646174" // 'mdat'
+    def f(c: Column): Column = when(ok, c).otherwise(lit(-1L))
+    Seq(
+      "major_brand" -> when(ok, decode(content.substr(lit(9L), lit(4L)), "UTF-8"))
+        .otherwise(lit("")),
+      "timescale" -> f(beU32At(mvhdPos + 20)),
+      "duration" -> f(beU32At(mvhdPos + 24)),
+      "data_size" -> f(beU32At(mdatPos) - 8L))
+  }
+
   /** Column-expression twin of [[imageDimensions]] for the fixed-offset
     * containers — PNG (IHDR, big-endian u32) and GIF (logical screen,
     * little-endian u16) parse with substring/hex/conv and stay inside

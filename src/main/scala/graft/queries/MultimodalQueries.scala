@@ -342,17 +342,85 @@ object MultimodalQueries {
         AS duration_ms
     FROM g ORDER BY media_id"""
 
+  // --- q60f: video-container (ISO-BMFF / MP4) header metadata -------------
+  // The video leg: each doc becomes a REAL minimal MP4 box tree (ftyp with
+  // brand isom, moov whose first child is a version-0 mvhd carrying
+  // doc_id-derived timescale/duration, mdat over the UTF-8 text bytes).
+  // The engine walks the boxes back with MultimodalOps.mp4Header — the
+  // moov/mdat offsets are READ from the payload, not assumed, so the
+  // synthesizer's box sizes are themselves under test — and derives exact
+  // integral milliseconds; the oracle recomputes every field from the
+  // doc_id ground truth, the q60d contract.
+  private val Mp4TimescaleExpr = "600 + (doc_id % 4) * 300"
+  private val Mp4DurationExpr = "1000 + (doc_id % 7) * 500"
+
+  /** Synthesized canonical MP4 relation `(media_id, content)`. */
+  private[graft] def syntheticMp4(spark: SparkSession, dir: String): DataFrame = {
+    val be32 = (v: org.apache.spark.sql.Column) =>
+      lpad(hex(v.cast("long")), 8, "0")
+    val ts = expr(Mp4TimescaleExpr).cast("long")
+    val dur = expr(Mp4DurationExpr).cast("long")
+    val dataSize = length(encode(col("text"), "UTF-8")).cast("long")
+    // mvhd v0 payload: ver/flags, creation, modification, timescale,
+    // duration, rate 1.0, volume 1.0 + 10 reserved bytes, unity matrix,
+    // 6x4 predefined, next_track_id — 100 bytes, box 108, moov 116
+    val mvhd = concat(
+      be32(lit(108L)), lit("6D766864"), be32(lit(0L)),
+      be32(lit(0L)), be32(lit(0L)), be32(ts), be32(dur),
+      be32(lit(0x00010000L)), lit("01000000"), be32(lit(0L)), be32(lit(0L)),
+      be32(lit(0x00010000L)), be32(lit(0L)), be32(lit(0L)),
+      be32(lit(0L)), be32(lit(0x00010000L)), be32(lit(0L)),
+      be32(lit(0L)), be32(lit(0L)), be32(lit(0x40000000L)),
+      be32(lit(0L)), be32(lit(0L)), be32(lit(0L)),
+      be32(lit(0L)), be32(lit(0L)), be32(lit(0L)),
+      be32(lit(2L)))
+    val hdr = concat(
+      be32(lit(20L)), lit("66747970"), // ftyp
+      lit("69736F6D"), be32(lit(0L)), lit("69736F6D"), // isom, 0, isom
+      be32(lit(116L)), lit("6D6F6F76"), mvhd, // moov > mvhd
+      be32(dataSize + 8L), lit("6D646174")) // mdat
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        concat(unhex(hdr), encode(col("text"), "UTF-8")).as("content"))
+  }
+
+  def q60fMp4Metadata(spark: SparkSession, dir: String): DataFrame =
+    syntheticMp4(spark, dir)
+      .select(Seq(col("media_id")) ++ MultimodalOps.mp4Header(col("content"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .select(col("media_id"), col("major_brand"), col("timescale"),
+        col("duration"),
+        expr("duration * 1000 div timescale").as("duration_ms"),
+        col("data_size"))
+      .orderBy("media_id")
+
+  val q60fSql: String =
+    s"""WITH g AS (SELECT doc_id AS media_id,
+      $Mp4TimescaleExpr AS timescale,
+      $Mp4DurationExpr AS duration,
+      octet_length(encode(text)) AS data_size
+    FROM documents)
+    SELECT media_id,
+      'isom' AS major_brand,
+      CAST(timescale AS BIGINT) AS timescale,
+      CAST(duration AS BIGINT) AS duration,
+      CAST(duration * 1000 // timescale AS BIGINT) AS duration_ms,
+      CAST(data_size AS BIGINT) AS data_size
+    FROM g ORDER BY media_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_metadata" -> (q60MediaMetadata _),
     "q60b_frame_sample" -> (q60bFrameSample _),
     "q60c_phash_pairs" -> (q60cPhashPairs _),
     "q60e_phash_clusters" -> (q60ePhashClusters _),
-    "q60d_wav_metadata" -> (q60dWavMetadata _))
+    "q60d_wav_metadata" -> (q60dWavMetadata _),
+    "q60f_mp4_metadata" -> (q60fMp4Metadata _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_media_metadata" -> q60Sql,
     "q60b_frame_sample" -> q60bSql,
     "q60c_phash_pairs" -> q60cSql,
     "q60e_phash_clusters" -> q60eSql,
-    "q60d_wav_metadata" -> q60dSql)
+    "q60d_wav_metadata" -> q60dSql,
+    "q60f_mp4_metadata" -> q60fSql)
 }

@@ -41,6 +41,46 @@ class MultimodalOpsSpec extends SparkSpec {
         .forall(f => rows(id).getAs[Long](f) == -1L), id)
   }
 
+  test("mp4Header parses a hand-built canonical MP4 and rejects " +
+      "non-canonical layouts") {
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val data = "hello mp4 payload".getBytes("UTF-8")
+    val mvhdPayload = be32(0) ++ be32(0) ++ be32(0) ++ // ver/flags, times
+      be32(1200) ++ be32(3600) ++ // timescale, duration
+      be32(0x00010000L) ++ Array[Byte](1, 0) ++ Array.fill[Byte](10)(0) ++
+      (Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+        .flatMap(be32).toArray) ++
+      Array.fill[Byte](24)(0) ++ be32(2)
+    val mvhd = be32(8L + mvhdPayload.length) ++ "mvhd".getBytes ++ mvhdPayload
+    val moov = be32(8L + mvhd.length) ++ "moov".getBytes ++ mvhd
+    // a LONGER ftyp (extra compatible brand) proves the moov offset is
+    // read from the payload, not assumed at 20
+    val ftyp = be32(24) ++ "ftyp".getBytes ++ "mp42".getBytes ++ be32(0) ++
+      "mp42".getBytes ++ "isom".getBytes
+    val mdat = be32(8L + data.length) ++ "mdat".getBytes ++ data
+    val good = ftyp ++ moov ++ mdat
+    // free box between moov and mdat — legal MP4, not the canonical order
+    val freed = ftyp ++ moov ++ (be32(8) ++ "free".getBytes) ++ mdat
+    // moov whose first child is not mvhd
+    val iodsFirst = ftyp ++ (be32(8L + 8 + mvhd.length) ++ "moov".getBytes ++
+      be32(8) ++ "iods".getBytes ++ mvhd) ++ mdat
+    val rows = Seq((1L, good), (2L, freed), (3L, iodsFirst), (4L, data))
+      .toDF("id", "content")
+      .select(Seq(col("id")) ++
+        MultimodalOps.mp4Header(col("content")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[String]("major_brand") == "mp42")
+    assert(rows(1L).getAs[Long]("timescale") == 1200L)
+    assert(rows(1L).getAs[Long]("duration") == 3600L)
+    assert(rows(1L).getAs[Long]("data_size") == data.length.toLong)
+    for (id <- Seq(2L, 3L, 4L)) {
+      assert(rows(id).getAs[String]("major_brand") == "", id)
+      assert(Seq("timescale", "duration", "data_size")
+        .forall(f => rows(id).getAs[Long](f) == -1L), id)
+    }
+  }
+
   /** Encode a solid-color (or two-tone) image to real container bytes. */
   private def encode(format: String, w: Int, h: Int,
                      rgbAt: (Int, Int) => Int): Array[Byte] = {
