@@ -201,5 +201,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
       exprs => graft.functions.NfcNormalize(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[graft.functions.StripAccents].getName, "strip_accents"),
+      exprs => graft.functions.StripAccents(exprs.head)))
   }
 }

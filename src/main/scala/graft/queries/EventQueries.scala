@@ -79,6 +79,71 @@ object EventQueries {
     FROM events GROUP BY user_id ORDER BY user_id"""
   }
 
+  // --- q31d: unpivot round-trip -------------------------------------------
+  // The wide→long reshape (Spark's native `unpivot`/melt, Catalyst
+  // `Expand` under the hood — the inverse of q31c's pivot): the q31c wide
+  // matrix is melted back to (user_id, event_type, n_events) rows. Running
+  // pivot→unpivot end-to-end makes BOTH reshapes verify against one
+  // oracle: the DuckDB twin computes the long form directly, so a
+  // column/row mix-up in either direction breaks the hash. Zero-count
+  // cells survive the round-trip (coalesce in q31c), which the direct
+  // twin reproduces with a user × type scaffold — the semantic difference
+  // between "melted wide matrix" and "plain groupBy" that makes this a
+  // reshape test, not a re-aggregation.
+  def q31dUnpivot(spark: SparkSession, dir: String): DataFrame =
+    q31cPivot(spark, dir)
+      .unpivot(Array(col("user_id")),
+        EventTypes.map(t => col(s"n_$t")).toArray,
+        "event_type", "n_events")
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+      .orderBy("user_id", "event_type")
+
+  val q31dSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+    t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+    c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+    SELECT u.user_id AS user_id, t.event_type AS event_type,
+      CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM u CROSS JOIN t
+    LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+    ORDER BY u.user_id, t.event_type"""
+
+  // --- q107: retention cohorts ---------------------------------------------
+  // The other product-analytics staple beside q103's funnel: users
+  // cohorted by FIRST-ACTIVITY day, a retention cell counting how many of
+  // each cohort were active again k days later. Two aggregations and one
+  // broadcast-able join: per-user first day (groupBy min), distinct
+  // (user, active day) pairs, then (cohort_day, day_offset) countDistinct.
+  // At 100 TB both aggregations shuffle on user_id — the same key — so
+  // the pair reuses one exchange; the day-offset arithmetic is exact
+  // integer date subtraction under the UTC-pinned session.
+  def q107RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val q107Sql: String =
+    """WITH d AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+      CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+      count(DISTINCT d.user_id) AS n_users
+    FROM d JOIN c USING (user_id)
+    GROUP BY c.cohort_day, d.day - c.cohort_day
+    ORDER BY cohort_day, day_offset"""
+
   // --- q32: tumbling windows ---------------------------------------------
   def q32Tumbling(spark: SparkSession, dir: String): DataFrame =
     EventOps.tumbling(Tables.events(spark, dir))
@@ -458,6 +523,8 @@ object EventQueries {
     "q31_json_stats" -> (q31JsonStats _),
     "q31b_json_struct" -> (q31bJsonStruct _),
     "q31c_pivot" -> (q31cPivot _),
+    "q31d_unpivot" -> (q31dUnpivot _),
+    "q107_retention_cohorts" -> (q107RetentionCohorts _),
     "q32_tumbling" -> (q32Tumbling _),
     "q33_sliding" -> (q33Sliding _),
     "q34_sessions" -> (q34Sessions _),
@@ -466,6 +533,8 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q103_funnel" -> q103Sql,
+    "q31d_unpivot" -> q31dSql,
+    "q107_retention_cohorts" -> q107Sql,
     "q54_asof_enrich" -> q54Sql,
     "q77_click_attribution" -> q77Sql,
     "q64_range_join" -> q64Sql,

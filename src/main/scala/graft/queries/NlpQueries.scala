@@ -654,6 +654,27 @@ object NlpQueries {
       text <> nfc_normalize(text) AS changed
     FROM documents ORDER BY doc_id"""
 
+  // --- q101b: accent folding (native expression, §2.8) --------------------
+  // The destructive sibling of q101: NFD → drop combining marks → NFC, so
+  // "café"/"cafe" collapse for search keys, fuzzy dedup, and n-gram
+  // language profiles. Non-decomposable letters (đ, ł, ø, ß) stay — this
+  // is accent folding, not transliteration, which is exactly utf8proc's
+  // STRIPMARK rule: DuckDB's strip_accents is the oracle twin
+  // (cross-engine agreement unit-tested on accented/astral/Hangul
+  // goldens; the fixture column hash-verifies end to end).
+  def q101bStripAccents(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        graft.functions.StripAccents.stripAccents(col("text")).as("text_folded"))
+      .select(col("doc_id"), col("text_folded"),
+        (col("text") =!= col("text_folded")).as("changed"))
+      .orderBy("doc_id")
+
+  val q101bSql: String =
+    """SELECT doc_id, strip_accents(text) AS text_folded,
+      text <> strip_accents(text) AS changed
+    FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_partitioned_sink" -> (q91PartitionedSink _),
     "q94_corrupt_quarantine" -> (q94CorruptQuarantine _),
@@ -677,7 +698,8 @@ object NlpQueries {
     "q06_fallback_tags" -> (q06FallbackTags _),
     "q07_tag_frequency" -> (q07TagFrequency _),
     "q08_tag_diversity" -> (q08TagDiversity _),
-    "q101_nfc_normalize" -> (q101NfcNormalize _))
+    "q101_nfc_normalize" -> (q101NfcNormalize _),
+    "q101b_strip_accents" -> (q101bStripAccents _))
 
   val oracleSql: Map[String, String] = Map(
     "q91_partitioned_sink" -> q91Sql,
@@ -702,5 +724,6 @@ object NlpQueries {
     "q06_fallback_tags" -> q06Sql,
     "q07_tag_frequency" -> q07Sql,
     "q08_tag_diversity" -> q08Sql,
-    "q101_nfc_normalize" -> q101Sql)
+    "q101_nfc_normalize" -> q101Sql,
+    "q101b_strip_accents" -> q101bSql)
 }
