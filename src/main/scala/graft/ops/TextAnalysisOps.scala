@@ -535,6 +535,80 @@ object TextAnalysisOps {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Boilerplate-stripping HTML text extraction — the first stage of
+    * every web-corpus pipeline (CCNet/C4 extract text from crawled HTML
+    * before any quality or dedup pass), as pure codegen'd column
+    * expressions: (1) isolate the <body> region, (2) remove
+    * script/style/nav/header/footer/aside BLOCKS wholesale (content and
+    * all — scripts legally contain bare `<`, so block removal must
+    * precede tag stripping), (3) strip remaining tags, (4) decode the
+    * five predefined character entities (&lt; &gt; &quot; &#39; then
+    * &amp; LAST, so "&amp;lt;" decodes to the literal "&lt;" and not
+    * twice), (5) collapse whitespace. The title is extracted separately
+    * from <head> — it is metadata, not body text.
+    *
+    * Scope: a regex pipeline, not an HTML5 tree parser — malformed
+    * nesting degrades gracefully (unclosed blocks strip to the next
+    * close tag) rather than erroring, the right trade for a 100 TB
+    * narrow scan where a DOM parse per page would dominate the pipeline.
+    * Returns ("title", "text") column pairs.
+    */
+  def htmlTextExtract(html: Column): Seq[(String, Column)] = {
+    def dropBlocks(c: Column, tags: Seq[String]): Column =
+      tags.foldLeft(c)((acc, t) =>
+        regexp_replace(acc, s"(?is)<$t\\b[^>]*>.*?</$t>", " "))
+    def decodeEntities(c: Column): Column =
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+        .foldLeft(c) { case (acc, (e, v)) =>
+          regexp_replace(acc, java.util.regex.Pattern.quote(e),
+            java.util.regex.Matcher.quoteReplacement(v))
+        }
+    val body = regexp_extract(html, "(?is)<body[^>]*>(.*)</body>", 1)
+    val cleaned = dropBlocks(body,
+      Seq("script", "style", "nav", "header", "footer", "aside"))
+    val stripped = regexp_replace(cleaned, "<[^>]*>", " ")
+    val title = regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
+    Seq(
+      "title" -> trim(decodeEntities(title)),
+      "text" -> trim(regexp_replace(decodeEntities(stripped), "\\s+", " ")))
+  }
+
+  /** Per-GROUP exact heavy hitters — the [[heavyHitters]] sketch-then-
+    * verify run as a GROUPED aggregation: one Misra-Gries summary and one
+    * total per `keyCol` value in a single pass (the typed Aggregator
+    * lifted into the untyped groupBy via `udaf`), then an exact count of
+    * only the broadcast (key, candidate) pairs, thresholded per group.
+    * The per-source vocabulary dashboard shape: "which terms dominate
+    * EACH source" without a per-source full-vocabulary shuffle — a map
+    * task carries ≤ capacity counters per distinct key it sees, and the
+    * candidate relation is ≤ groups × capacity rows (broadcast-sized for
+    * any dashboard-grade key). Output exact for every group by the same
+    * MG guarantee as q99 (every term with count > n_g/(capacity+1) in
+    * group g survives the sketch), so the plain per-group threshold SQL
+    * is a valid oracle.
+    */
+  def heavyHittersBy(terms: DataFrame, keyCol: String, capacity: Int,
+                     den: Long): DataFrame = {
+    require(den >= 1, s"den must be >= 1, got $den")
+    require(capacity >= den - 1,
+      s"MG guarantee needs capacity >= den - 1 (got $capacity < ${den - 1})")
+    val sketchUdaf = udaf(new graft.functions.MisraGries.Sketch(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    val grouped = graft.CacheScope.persist(
+      terms.groupBy(col(keyCol))
+        .agg(sketchUdaf(col("tok")).as("cands"), count(lit(1)).as("n")))
+    val cands = grouped.select(col(keyCol), explode(col("cands")).as("tok"))
+    val totals = grouped.select(col(keyCol), col("n"))
+    terms.join(broadcast(cands), Seq(keyCol, "tok"))
+      .groupBy(col(keyCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq(keyCol))
+      .where(col("cnt") > expr(s"n div ${den}L"))
+      .select(col(keyCol), col("tok").as("token"), col("cnt"))
+      .orderBy(col(keyCol), col("cnt").desc, col("token"))
+  }
+
   /** C4-style blocklist filter: per document, how many times any blocked
     * phrase occurs (word-boundary, case-insensitive, whitespace-tolerant
     * between phrase words) and which phrases matched — `(id, n_blocked,

@@ -851,6 +851,71 @@ object AnalysisQueries {
     FROM c, tot WHERE c.cnt > tot.n // 500
     ORDER BY cnt DESC, token"""
 
+  // --- q110: HTML text extraction ------------------------------------------
+  // See TextAnalysisOps.htmlTextExtract. Each doc is wrapped into a REAL
+  // deterministic HTML page (title + style in head; nav, h1 with an
+  // &amp; entity, the text split across two <p> blocks around a script
+  // whose body contains a bare `<`, footer) and the engine must recover
+  // EXACTLY the h1 + paragraphs — the q60d synthesis contract applied to
+  // markup: the oracle rebuilds the expected title/body from the raw
+  // text, so a stripping bug (script leaking, entity double-decode,
+  // boilerplate kept) breaks the hash.
+  def q110HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val half = (length(col("text")) / 2).cast("int")
+    val p1 = substring(col("text"), lit(1), half)
+    val p2 = substring(col("text"), half + 1, length(col("text")))
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>body{font:10px}</style></head><body>"),
+      lit("<nav>home | about | contact</nav><h1>Doc "), col("doc_id"),
+      lit(" &amp; friends</h1><p>"), p1,
+      lit("</p><script>var x=1; if (x<2) { x++; }</script><p>"), p2,
+      lit("</p><footer>footer text</footer></body></html>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), html.as("html"))
+      .select(Seq(col("doc_id")) ++ TextAnalysisOps.htmlTextExtract(col("html"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .select(col("doc_id"), col("title"), col("text").as("body_text"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q110Sql: String =
+    raw"""WITH g AS (SELECT doc_id,
+      'Doc ' || doc_id AS title,
+      trim(regexp_replace(
+        'Doc ' || doc_id || ' & friends ' ||
+        substr(text, 1, CAST(length(text) // 2 AS INT)) || ' ' ||
+        substr(text, CAST(length(text) // 2 AS INT) + 1),
+        '\s+', ' ', 'g')) AS body_text
+    FROM documents)
+    SELECT doc_id, title, body_text,
+      CAST(length(body_text) AS BIGINT) AS n_chars
+    FROM g ORDER BY doc_id"""
+
+  // --- q99b: per-source exact heavy hitters --------------------------------
+  // The q99 sketch-then-verify as a GROUPED aggregation (see
+  // TextAnalysisOps.heavyHittersBy): one MG summary + total per source in
+  // a single pass, exact verification of the broadcast (source, candidate)
+  // pairs, per-source threshold. Output exact per group, so the plain
+  // per-group threshold SQL is the oracle. Smaller den than q99: a
+  // per-source stream is shorter, so a dashboard-grade threshold sits
+  // lower.
+  def q99bHeavyHittersBySource(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.heavyHittersBy(
+      Tables.documents(spark, dir).select(col("source"),
+        explode(TextOps.tokenize(coalesce(col("text"), lit("")))).as("tok")),
+      "source", capacity = 1024, den = 300L)
+
+  val q99bSql: String =
+    raw"""WITH t AS (SELECT source, ${toksSql("text")} AS toks FROM documents),
+    p AS (SELECT source, unnest(toks) AS tok FROM t),
+    tot AS (SELECT source, count(*) AS n FROM p GROUP BY source),
+    c AS (SELECT source, tok, count(*) AS cnt FROM p GROUP BY source, tok)
+    SELECT c.source, c.tok AS token, CAST(c.cnt AS BIGINT) AS cnt
+    FROM c JOIN tot ON c.source = tot.source WHERE c.cnt > tot.n // 300
+    ORDER BY c.source, cnt DESC, token"""
+
   // --- q100: C4-style blocklist filter -----------------------------------
   // See TextAnalysisOps.blocklistFilter. The list below is a stand-in (the
   // published C4 rule with a demo list; real deployments swap in their
@@ -888,6 +953,8 @@ object AnalysisQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q100_blocklist" -> (q100Blocklist _),
     "q99_heavy_hitters" -> (q99HeavyHitters _),
+    "q99b_heavy_hitters_by_source" -> (q99bHeavyHittersBySource _),
+    "q110_html_extract" -> (q110HtmlExtract _),
     "q70_unigram_rarity" -> (q70UnigramRarity _),
     "q70b_bigram_familiarity" -> (q70bBigramFamiliarity _),
     "q20_lang_id" -> (q20LangId _),
@@ -914,6 +981,8 @@ object AnalysisQueries {
   val oracleSql: Map[String, String] = Map(
     "q100_blocklist" -> q100Sql,
     "q99_heavy_hitters" -> q99Sql,
+    "q99b_heavy_hitters_by_source" -> q99bSql,
+    "q110_html_extract" -> q110Sql,
     "q70_unigram_rarity" -> q70Sql,
     "q20_lang_id" -> q20Sql,
     "q21_quality" -> q21Sql,

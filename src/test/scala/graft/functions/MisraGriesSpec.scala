@@ -96,4 +96,29 @@ class MisraGriesSpec extends SparkSpec {
       graft.ops.TextAnalysisOps.heavyHitters(Seq("a").toDF("tok"), 4, 0L)
     }
   }
+
+  test("heavyHittersBy equals the per-group brute-force threshold query, " +
+      "groups independent") {
+    // two groups with DIFFERENT sizes and distributions: the per-group MG
+    // guarantee must hold for each independently (a group's threshold is
+    // its OWN n/den), and one group's candidates must never leak into
+    // another's output
+    val den = 10L
+    val a = zipfStream.map(("srcA", _))
+    val b = (1 to 20).flatMap(i => Seq.fill(100 / i)(s"u$i")).map(("srcB", _))
+    val terms = (a ++ b).toDF("source", "tok").repartition(5)
+    val got = graft.ops.TextAnalysisOps
+      .heavyHittersBy(terms, "source", capacity = 32, den = den)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val want = Seq("srcA" -> a.map(_._2), "srcB" -> b.map(_._2))
+      .flatMap { case (src, stream) =>
+        val n = stream.size.toLong
+        stream.groupBy(identity).toSeq
+          .map { case (t, occ) => (src, t, occ.size.toLong) }
+          .filter { case (_, _, c) => c * den > n }
+      }
+      .sortBy { case (s, t, c) => (s, -c, t) }
+    assert(got == want)
+    graft.CacheScope.releaseAll()
+  }
 }
