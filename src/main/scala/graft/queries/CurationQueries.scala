@@ -927,6 +927,45 @@ object CurationQueries {
     val textBSql = "CASE WHEN doc_id % 4 = 0 THEN text || ' [rev2]' ELSE text END"
   }
 
+  // --- q111: bucket-pruned MERGE of a snapshot delta -----------------------
+  // q71 CLASSIFIES the snapshot delta; this APPLIES it to a stored
+  // corpus: snapshot A is written as a bucket-partitioned parquet tree,
+  // then B's delta (adds + updated texts as upserts, A-only ids as
+  // deletes — derived from the same Snapshots carving) merges in via
+  // DocumentSources.mergeUpsertBuckets — base scan pruned to affected
+  // buckets, staging-swap write, untouched buckets byte-identical
+  // (MergeUpsertSpec). Green means merge(base tree, delta) reads back
+  // EXACTLY snapshot B — the oracle recomputes B's full view from the
+  // carving, so a row lost, duplicated, or left stale anywhere in the
+  // tree breaks the hash.
+  val MergeBuckets = 8
+
+  def q111MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val tmp = graft.Scratch.dir("q111_tree") // fixed path + overwrite, as q91
+    docs.where(Snapshots.inA)
+      .withColumn("bucket", pmod(col("doc_id"), lit(MergeBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val inB = docs.where(Snapshots.inB)
+      .select(col("doc_id"), Snapshots.textB.as("text"))
+    // upserts: rows B adds (not in A) or rewrites; rows whose text is
+    // unchanged stay out of the delta — their buckets must not be touched
+    val upserts = inB.where(!Snapshots.inA || col("doc_id") % 4 === 0)
+    val deletes = docs.where(Snapshots.inA && !Snapshots.inB).select(col("doc_id"))
+    graft.sources.DocumentSources.mergeUpsertBuckets(
+      spark, tmp, upserts, deletes, MergeBuckets)
+    spark.read.parquet(tmp)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        col("bucket").cast("long").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val q111Sql: String =
+    s"""SELECT doc_id,
+      CAST(length(${Snapshots.textBSql}) AS BIGINT) AS n_chars,
+      CAST(doc_id % $MergeBuckets AS BIGINT) AS bucket
+    FROM documents WHERE ${Snapshots.inBSql} ORDER BY doc_id"""
+
   // --- q71: snapshot delta (incremental corpus refresh) -------------------
   // Corpora are re-crawled, not rebuilt: given yesterday's snapshot and
   // today's, classify every doc_id as added / deleted / updated / unchanged
@@ -1042,6 +1081,7 @@ object CurationQueries {
     "q89_curriculum_order" -> (q89CurriculumOrder _),
     "q69_context_chunks" -> (q69ContextChunks _),
     "q71_snapshot_delta" -> (q71SnapshotDelta _),
+    "q111_merge_upsert" -> (q111MergeUpsert _),
     "q50_curated_corpus" -> (q50CuratedCorpus _),
     "q50b_cluster_curated" -> (q50bClusterCurated _),
     "q51_split" -> (q51Split _),
@@ -1066,6 +1106,7 @@ object CurationQueries {
     "q89_curriculum_order" -> q89Sql,
     "q69_context_chunks" -> q69Sql,
     "q71_snapshot_delta" -> q71Sql,
+    "q111_merge_upsert" -> q111Sql,
     "q50_curated_corpus" -> q50Sql,
     "q50b_cluster_curated" -> q50bSql,
     "q51_split" -> q51Sql,

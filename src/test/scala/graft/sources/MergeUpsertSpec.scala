@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DocumentSources.mergeUpsertBuckets — the no-table-format MERGE:
+  * latest-wins content, untouched buckets byte-identical (file paths AND
+  * modification times), buckets emptied by deletes swept, staging tree
+  * cleaned up.
+  */
+class MergeUpsertSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val nBuckets = 4
+
+  private def fileState(path: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(path))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified).toMap
+  }
+
+  private def writeBase(path: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("doc_id", "text")
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  private def readTree(path: String): Map[Long, String] =
+    spark.read.parquet(path).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("latest-wins merge touches only affected buckets; others stay " +
+      "byte-identical") {
+    val tmp = graft.Scratch.dir("merge_spec_a")
+    // ids 0..7 cover all 4 buckets twice
+    writeBase(tmp, (0L to 7L).map(i => i -> s"v1-$i"))
+    val before = fileState(tmp)
+    // delta touches buckets 1 (update id 1, add id 9) and 2 (delete id 2)
+    val upserts = Seq((1L, "v2-1"), (9L, "v2-9")).toDF("doc_id", "text")
+    val deletes = Seq(Tuple1(2L)).toDF("doc_id")
+    val affected = DocumentSources.mergeUpsertBuckets(
+      spark, tmp, upserts, deletes, nBuckets)
+    assert(affected == Seq(1, 2))
+    val want = ((0L to 7L).filterNot(_ == 2L).map(i => i -> s"v1-$i").toMap
+      ++ Map(1L -> "v2-1", 9L -> "v2-9"))
+    assert(readTree(tmp) == want)
+    // buckets 0 and 3 were not in the delta: same files, same mtimes
+    val after = fileState(tmp)
+    def bucketFiles(m: Map[String, Long], b: Int) =
+      m.filter(_._1.contains(s"bucket=$b"))
+    for (b <- Seq(0, 3))
+      assert(bucketFiles(after, b) == bucketFiles(before, b), s"bucket $b")
+    for (b <- Seq(1, 2))
+      assert(bucketFiles(after, b) != bucketFiles(before, b), s"bucket $b")
+    // staging tree cleaned up
+    assert(!new java.io.File(s"$tmp-staging").exists)
+  }
+
+  test("a bucket emptied by deletes is swept, not left stale") {
+    val tmp = graft.Scratch.dir("merge_spec_b")
+    // bucket 1 holds exactly one row (id 1); deleting it empties the bucket
+    writeBase(tmp, Seq(0L -> "a", 1L -> "b", 2L -> "c"))
+    val affected = DocumentSources.mergeUpsertBuckets(
+      spark, tmp, Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq(Tuple1(1L)).toDF("doc_id"), nBuckets)
+    assert(affected == Seq(1))
+    assert(readTree(tmp) == Map(0L -> "a", 2L -> "c"))
+    assert(!new java.io.File(s"$tmp/bucket=1").exists)
+  }
+
+  test("empty delta is a no-op returning no affected buckets") {
+    val tmp = graft.Scratch.dir("merge_spec_c")
+    writeBase(tmp, Seq(0L -> "a"))
+    val before = fileState(tmp)
+    val affected = DocumentSources.mergeUpsertBuckets(
+      spark, tmp, Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      Seq.empty[Long].map(Tuple1(_)).toDF("doc_id"), nBuckets)
+    assert(affected.isEmpty)
+    assert(fileState(tmp) == before)
+  }
+
+  test("base scan prunes to the affected buckets (partition filter)") {
+    val tmp = graft.Scratch.dir("merge_spec_d")
+    writeBase(tmp, (0L to 7L).map(i => i -> s"v-$i"))
+    // the same filter shape the merge builds: bucket isin(affected)
+    val plan = spark.read.parquet(tmp)
+      .where(col("bucket").isin(1, 2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      plan.take(800))
+  }
+}
