@@ -513,6 +513,49 @@ object DedupQueries {
     SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
     FROM reach GROUP BY id ORDER BY doc_id"""
 
+  // --- q112: duplicate-cluster size histogram -------------------------------
+  // The dedup dashboard's shape number: how duplicate mass distributes
+  // over component sizes (a corpus whose duplicates sit in a few huge
+  // clusters needs boilerplate/template removal; many small clusters
+  // point at genuine near-copies). Two tiny aggregations over the
+  // memoized q55 cluster relation — per-cluster size, then per-size
+  // cluster and doc counts; the singleton row doubles as the
+  // unique-document count.
+  def q112ClusterSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.duplicateClusters(
+      Tables.documents(spark, dir), jpairs(spark, dir))
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (col("cluster_size") * count(lit(1))).as("n_docs"))
+      .orderBy("cluster_size")
+
+  val q112Sql: String =
+    s"""WITH RECURSIVE $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    jp AS (
+      SELECT id_a, id_b FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= $JaccardMinMicro),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION ALL SELECT id_b, id_a FROM jp),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM tok
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+    cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+      count(*) AS n_clusters,
+      CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM cs GROUP BY cluster_size ORDER BY cluster_size"""
+
   // --- q105: cluster-aware leakage-safe split -----------------------------
   // q51 splits by per-doc content hash, which keeps EXACT duplicates
   // together but lets near-duplicates straddle train/test — the classic
@@ -826,7 +869,8 @@ object DedupQueries {
     "q53b_decontaminate_bloom" -> (q53bDecontaminateBloom _),
     "q55_dup_clusters" -> (q55DupClusters _),
     "q55b_dup_clusters_star" -> (q55bDupClustersStar _),
-    "q105_cluster_split" -> (q105ClusterSplit _))
+    "q105_cluster_split" -> (q105ClusterSplit _),
+    "q112_cluster_size_histogram" -> (q112ClusterSizeHistogram _))
 
   val oracleSql: Map[String, String] = Map(
     "q61_strip_spans" -> q61Sql,
@@ -847,5 +891,6 @@ object DedupQueries {
     "q53b_decontaminate_bloom" -> q53Sql,
     "q55_dup_clusters" -> q55Sql,
     "q55b_dup_clusters_star" -> q55Sql,
-    "q105_cluster_split" -> q105Sql)
+    "q105_cluster_split" -> q105Sql,
+    "q112_cluster_size_histogram" -> q112Sql)
 }

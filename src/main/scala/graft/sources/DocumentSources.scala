@@ -136,6 +136,14 @@ object DocumentSources {
         pmod(col("doc_id"), lit(nBuckets)).cast("int").as("bucket")))
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
     if (affected.isEmpty) return Nil
+    val hRoot = new org.apache.hadoop.fs.Path(path)
+    val rootFs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!rootFs.exists(hRoot)) {
+      // bootstrap: no tree yet — the delta IS the initial content
+      up.join(deleteKeys.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      return affected
+    }
     val base = spark.read.parquet(path)
       .where(col("bucket").isin(affected.map(Int.box): _*))
     val gone = up.select(col("doc_id"))

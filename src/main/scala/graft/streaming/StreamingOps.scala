@@ -253,6 +253,36 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming twin of the q111 bucket-pruned MERGE: each micro-batch of
+    * upserts (rows keyed by `doc_id`) merges into the stored
+    * bucket-partitioned tree via
+    * [[graft.sources.DocumentSources.mergeUpsertBuckets]] inside
+    * foreachBatch — the continuous corpus-refresh shape (CDC apply
+    * without a table format). Exactly-once EFFECT without batch-id
+    * bookkeeping because the merge is IDEMPOTENT: latest-wins is
+    * anti-join ∪ upserts, so replaying a batch (foreachBatch's
+    * at-least-once contract) converges to the byte-identical tree state
+    * rather than duplicating rows — a different route to the same
+    * guarantee the `mg_batch`/`ingest_batch` partition-overwrite sinks
+    * take, available here because MERGE, unlike append, is a
+    * fixed-point. Deletes ride along as upserts with a caller-chosen
+    * tombstone convention; a delete STREAM would need the id channel
+    * threaded through the batch schema — kept out of this twin.
+    */
+  def mergeUpsertStream(upserts: DataFrame, path: String, nBuckets: Int,
+                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    upserts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.DocumentSources.mergeUpsertBuckets(
+          batch.sparkSession, path, batch,
+          // no delete channel in the stream twin — an empty keys frame
+          batch.select(col("doc_id")).limit(0),
+          nBuckets)
+        ()
+      }
+      .start()
+
   /** Streaming twin of the q80 incremental ingest dedup: each micro-batch
     * of newly-ingested documents is MinHash-signed and band-joined against
     * the STORED signature index inside `foreachBatch` — the production

@@ -81,6 +81,52 @@ class MergeUpsertSpec extends SparkSpec {
     assert(fileState(tmp) == before)
   }
 
+  test("mergeUpsertStream: chunked upsert replay converges to latest-wins; " +
+      "re-applying the final batch is a no-op (replay idempotence)") {
+    // three overlapping upsert chunks, one file per micro-batch
+    // (maxFilesPerTrigger=1, mtime-ordered), no pre-existing tree —
+    // batch 0 bootstraps it
+    val chunks = Seq(
+      (0L to 9L).map(i => i -> s"v0-$i"),
+      Seq(0L, 2L, 4L, 6L, 8L, 10L).map(i => i -> s"v1-$i"),
+      Seq(0L, 5L, 10L).map(i => i -> s"v2-$i"))
+    val streamDir = java.nio.file.Files.createTempDirectory("merge-stream")
+    val work = java.nio.file.Files.createTempDirectory("merge-stream-work")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val part = work.resolve(s"c$i")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(part.toString)
+      val src = java.nio.file.Files.list(part).iterator()
+      var f: java.nio.file.Path = null
+      while (src.hasNext) { val p = src.next(); if (p.toString.endsWith(".parquet")) f = p }
+      val dst = streamDir.resolve(f"$i%03d.parquet")
+      java.nio.file.Files.move(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val tree = graft.Scratch.dir("merge_stream_tree")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(tree))
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("merge-stream-ck").toString
+    val src = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    val q = graft.streaming.StreamingOps
+      .mergeUpsertStream(src, tree, nBuckets, checkpoint)
+    try q.processAllAvailable() finally q.stop()
+    val want = chunks.flatten.toMap // later chunks override earlier keys
+    assert(readTree(tree) == want)
+    // replay the FINAL batch (the only one foreachBatch can re-run after
+    // a crash-before-commit): the merge is a fixed point
+    DocumentSources.mergeUpsertBuckets(spark, tree,
+      chunks.last.toDF("doc_id", "text"),
+      Seq.empty[Long].map(Tuple1(_)).toDF("doc_id"), nBuckets)
+    assert(readTree(tree) == want)
+  }
+
   test("base scan prunes to the affected buckets (partition filter)") {
     val tmp = graft.Scratch.dir("merge_spec_d")
     writeBase(tmp, (0L to 7L).map(i => i -> s"v-$i"))
