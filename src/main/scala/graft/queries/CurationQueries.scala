@@ -338,6 +338,56 @@ object CurationQueries {
       1000000 * c.isqrt_tokens // t.tot_isqrt AS w_temp_micro
     FROM c, tot t ORDER BY c.source"""
 
+  // --- q113: mixture epochs under a token budget ---------------------------
+  // The q75 temperature weights turned into the number a training run
+  // actually consumes (Pile/Gopher practice): a TOTAL token budget times
+  // each source's weight gives the source's token TARGET; a source whose
+  // target exceeds its available tokens REPEATS (epochs > 1 — the
+  // published upsampling of small high-quality sources), one below
+  // samples down (epochs = 1, rate < 1). All integer: targets by
+  // floor-division of the budget, epochs by ceil-division
+  // ((a + b - 1) div b), oversample rate in micro-units.
+  val MixTokenBudget = 50000L
+
+  def q113MixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        TextAnalysisOps.wsTokenCount(col("text")).as("n_tokens"))
+      .groupBy("source")
+      .agg(sum("n_tokens").as("n_tokens"))
+      .withColumn("isqrt_tokens", isqrtExact(col("n_tokens")))
+    val totals = perSource.agg(sum("isqrt_tokens").as("tot_isqrt"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"),
+        expr(s"$MixTokenBudget * isqrt_tokens div tot_isqrt").as("target_tokens"))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        expr("(target_tokens + n_tokens - 1) div n_tokens").as("epochs"),
+        expr("1000000 * target_tokens div n_tokens").as("oversample_micro"))
+      .orderBy("source")
+  }
+
+  val q113Sql: String =
+    s"""WITH t AS (
+      SELECT source, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source),
+    i AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+      FROM s),
+    c AS (SELECT source, n_tokens,
+        CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+             WHEN s0 * s0 > n_tokens THEN s0 - 1
+             ELSE s0 END AS isqrt_tokens
+      FROM i),
+    tot AS (SELECT CAST(sum(isqrt_tokens) AS BIGINT) AS tot_isqrt FROM c),
+    g AS (SELECT c.source, c.n_tokens,
+        $MixTokenBudget * c.isqrt_tokens // t.tot_isqrt AS target_tokens
+      FROM c, tot t)
+    SELECT source, n_tokens, target_tokens,
+      (target_tokens + n_tokens - 1) // n_tokens AS epochs,
+      1000000 * target_tokens // n_tokens AS oversample_micro
+    FROM g ORDER BY source"""
+
   // --- q68: adaptive length filter (derived thresholds) -------------------
   // Curation thresholds computed FROM the corpus, not hardcoded: keep the
   // docs whose token count lies within the corpus' [p25, p75] band. The
@@ -1082,6 +1132,7 @@ object CurationQueries {
     "q69_context_chunks" -> (q69ContextChunks _),
     "q71_snapshot_delta" -> (q71SnapshotDelta _),
     "q111_merge_upsert" -> (q111MergeUpsert _),
+    "q113_mixture_epochs" -> (q113MixtureEpochs _),
     "q50_curated_corpus" -> (q50CuratedCorpus _),
     "q50b_cluster_curated" -> (q50bClusterCurated _),
     "q51_split" -> (q51Split _),
@@ -1107,6 +1158,7 @@ object CurationQueries {
     "q69_context_chunks" -> q69Sql,
     "q71_snapshot_delta" -> q71Sql,
     "q111_merge_upsert" -> q111Sql,
+    "q113_mixture_epochs" -> q113Sql,
     "q50_curated_corpus" -> q50Sql,
     "q50b_cluster_curated" -> q50bSql,
     "q51_split" -> q51Sql,

@@ -144,6 +144,48 @@ object EventQueries {
     GROUP BY c.cohort_day, d.day - c.cohort_day
     ORDER BY cohort_day, day_offset"""
 
+  // --- q114: time-series gap fill (resampling onto a dense spine) ----------
+  // Dashboards and downstream models need a row for EVERY bucket, not just
+  // the observed ones — a silent gap reads as "no data" when it means
+  // zero events. The hourly rollup is left-joined onto a dense hour spine
+  // generated from the corpus' own [min, max] bounds (sequence() over a
+  // 1-row aggregate — scalar-bound, the q68 broadcast shape), missing
+  // cells coalesce to zero. At 100 TB the spine is hours-sized
+  // (broadcast) and the rollup is the only corpus-sized aggregation.
+  def q114GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+    val spine = Tables.events(spark, dir)
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    spine.join(hourly, Seq("hour"), "left")
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("hour")
+  }
+
+  val q114Sql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM e GROUP BY 1),
+    bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      date_trunc('hour', max(ts)) AS h1 FROM e),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds)
+    SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+      CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+      coalesce(h.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+    ORDER BY hour"""
+
   // --- q32: tumbling windows ---------------------------------------------
   def q32Tumbling(spark: SparkSession, dir: String): DataFrame =
     EventOps.tumbling(Tables.events(spark, dir))
@@ -525,6 +567,7 @@ object EventQueries {
     "q31c_pivot" -> (q31cPivot _),
     "q31d_unpivot" -> (q31dUnpivot _),
     "q107_retention_cohorts" -> (q107RetentionCohorts _),
+    "q114_gap_fill" -> (q114GapFill _),
     "q32_tumbling" -> (q32Tumbling _),
     "q33_sliding" -> (q33Sliding _),
     "q34_sessions" -> (q34Sessions _),
@@ -535,6 +578,7 @@ object EventQueries {
     "q103_funnel" -> q103Sql,
     "q31d_unpivot" -> q31dSql,
     "q107_retention_cohorts" -> q107Sql,
+    "q114_gap_fill" -> q114Sql,
     "q54_asof_enrich" -> q54Sql,
     "q77_click_attribution" -> q77Sql,
     "q64_range_join" -> q64Sql,

@@ -201,6 +201,95 @@ object RelationalQueries {
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
     ORDER BY o_custkey, order_seq"""
 
+  // --- q13e: time-based RANGE window frame ---------------------------------
+  // The frame q13b's ROWS variant cannot express: "all events of this type
+  // in the trailing 10 minutes" — a RANGE frame over event-time, where the
+  // window population depends on VALUES, not row positions (bursts widen
+  // it, gaps shrink it to 1). Spark has no interval RANGE frame over
+  // timestamps directly; the engine form is rangeBetween over epoch
+  // MICROseconds — exactly DuckDB's `RANGE INTERVAL '10 minutes'
+  // PRECEDING` since both fixtures carry microsecond instants, which the
+  // hash match proves. Exact DECIMAL value sums, one final cast.
+  def q13eTimeRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts_us"))
+      .rangeBetween(-600000000L, 0L) // trailing 10 minutes in micros
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .select(col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(col("value").cast("decimal(12,2)")).over(w).cast("double")
+          .as("sum_10m"))
+      .orderBy("event_id")
+  }
+
+  val q13eSql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    SELECT event_id, event_type,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      count(*) OVER w AS n_10m,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_10m
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+      RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW)
+    ORDER BY event_id"""
+
+  // --- q16c: NOT IN vs NOT EXISTS under NULLs -------------------------------
+  // The classic tri-valued-logic trap, verified cross-engine: `x NOT IN
+  // (subquery)` is `x <> v1 AND x <> v2 AND ...` — ONE NULL in the
+  // subquery makes every conjunct UNKNOWN, so the predicate never passes
+  // and the count is 0, while NOT EXISTS (a real anti-join) is
+  // NULL-immune and keeps its rows. Both engines must agree on all four
+  // variants over the same null-injected key set; an optimizer that
+  // "fixed" NOT IN into a plain anti-join would be caught here. The
+  // engine side exercises Spark's SQL subquery planner (temp views —
+  // the DataFrame API deliberately has no NOT IN).
+  def q16cNotInNulls(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("q16c_cust")
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"))
+    ord.createOrReplaceTempView("q16c_ord")
+    ord.unionByName(
+      spark.range(1).select(lit(null).cast("long").as("o_custkey")))
+      .createOrReplaceTempView("q16c_ord_null")
+    spark.sql(
+      """SELECT variant, CAST(n AS BIGINT) AS n FROM (
+        SELECT 'in_null' AS variant,
+          (SELECT count(*) FROM q16c_cust
+           WHERE c_custkey IN (SELECT o_custkey FROM q16c_ord_null)) AS n
+        UNION ALL SELECT 'not_exists_null',
+          (SELECT count(*) FROM q16c_cust c WHERE NOT EXISTS
+            (SELECT 1 FROM q16c_ord_null o WHERE o.o_custkey = c.c_custkey))
+        UNION ALL SELECT 'not_in_clean',
+          (SELECT count(*) FROM q16c_cust
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM q16c_ord))
+        UNION ALL SELECT 'not_in_null',
+          (SELECT count(*) FROM q16c_cust
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM q16c_ord_null)))
+      ORDER BY variant""")
+  }
+
+  val q16cSql: String =
+    """WITH ord AS (SELECT o_custkey FROM orders),
+    ord_null AS (SELECT o_custkey FROM orders
+      UNION ALL SELECT NULL)
+    SELECT variant, CAST(n AS BIGINT) AS n FROM (
+      SELECT 'in_null' AS variant,
+        (SELECT count(*) FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM ord_null)) AS n
+      UNION ALL SELECT 'not_exists_null',
+        (SELECT count(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM ord_null o WHERE o.o_custkey = c.c_custkey))
+      UNION ALL SELECT 'not_in_clean',
+        (SELECT count(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM ord))
+      UNION ALL SELECT 'not_in_null',
+        (SELECT count(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM ord_null)))
+    ORDER BY variant"""
+
   // --- q13d: distribution window functions ---------------------------------
   // The §2.6 completion: ntile / percent_rank / cume_dist over supplier
   // balances within nation. The ratio functions are (k-1)/(n-1) and k/n —
@@ -629,6 +718,8 @@ object RelationalQueries {
     "q12_region_revenue" -> (q12RegionRevenue _),
     "q13_supplier_window" -> (q13SupplierWindow _),
     "q13b_analytics" -> (q13bAnalytics _),
+    "q13e_time_range_frame" -> (q13eTimeRangeFrame _),
+    "q16c_not_in_nulls" -> (q16cNotInNulls _),
     "q13c_min_cost_supplier" -> (q13cMinCostSupplier _),
     "q14_rollup" -> (q14Rollup _),
     "q14c_grouping_sets" -> (q14cGroupingSets _),
@@ -653,6 +744,8 @@ object RelationalQueries {
     "q12_region_revenue" -> q12Sql,
     "q13_supplier_window" -> q13Sql,
     "q13b_analytics" -> q13bSql,
+    "q13e_time_range_frame" -> q13eSql,
+    "q16c_not_in_nulls" -> q16cSql,
     "q13c_min_cost_supplier" -> q13cSql,
     "q14_rollup" -> q14Sql,
     "q14c_grouping_sets" -> q14cSql,
