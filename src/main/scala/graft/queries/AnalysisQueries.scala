@@ -197,7 +197,7 @@ object AnalysisQueries {
     * persisted) — cross-query by design, evicted at session end or by
     * the bench's cold pass.
     */
-  def evictAll(): Unit = trainedCache.clear()
+  def evictAll(): Unit = { trainedCache.clear(); unigramCache.clear() }
 
   def q87BpeTrain(spark: SparkSession, dir: String): DataFrame =
     spark.createDataFrame(
@@ -221,6 +221,51 @@ object AnalysisQueries {
       .select(col("doc_id"), col("n_pretokens"),
         size(col("btoks")).cast("long").as("n_trained_tokens"),
         array_join(slice(col("btoks"), 1, 12), " ").as("head_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // --- q115/q115b: unigram-LM tokenizer (SentencePiece family) -----------
+  // The OTHER production tokenizer beside BPE (Kudo 2018, public
+  // SentencePiece unigram): seed-and-prune EM over the same capped word
+  // vocabulary, Viterbi segmentation under quantized integer costs. q115
+  // emits the trained table; q115b tokenizes the corpus with it through
+  // the table-parameterized native expression (functions.UnigramEncode —
+  // the BpeEncodeWith design with integer-Viterbi instead of merge
+  // replay). Rows-only like the q87 family (EM is float-iterative, no SQL
+  // twin); UnigramLmSpec gates determinism, Viterbi optimality vs brute
+  // force, expression/driver parity, and EM likelihood monotonicity.
+  val UnigramTargetVocab: Int = 96
+
+  private val unigramCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[graft.ops.UnigramLmOps.Piece]]()
+
+  private def trainedUnigram(spark: SparkSession,
+                             dir: String): Seq[graft.ops.UnigramLmOps.Piece] = {
+    unigramCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    unigramCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) =>
+        val vocab = graft.ops.BpeTrainOps
+          .wordVocab(Tables.documents(spark, d), BpeTrainMaxVocab)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        graft.ops.UnigramLmOps.trainLocal(vocab, UnigramTargetVocab)
+      })
+  }
+
+  def q115UnigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(trainedUnigram(spark, dir).map(p => (p.piece, p.logpMicro)))
+      .toDF("piece", "logp_micro").orderBy("piece")
+  }
+
+  def q115bUnigramTokens(spark: SparkSession, dir: String): DataFrame = {
+    val table = graft.ops.UnigramLmOps.serialize(trainedUnigram(spark, dir))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysisOps.bpePreTokens(col("text")).as("pts"))
+      .select(col("doc_id"), size(col("pts")).cast("long").as("n_pretokens"),
+        graft.functions.UnigramEncode.unigramEncode(col("pts"), table).as("utoks"))
+      .select(col("doc_id"), col("n_pretokens"),
+        size(col("utoks")).cast("long").as("n_unigram_tokens"),
+        array_join(slice(col("utoks"), 1, 12), " ").as("head_pieces"))
       .orderBy("doc_id")
   }
 
@@ -955,6 +1000,8 @@ object AnalysisQueries {
     "q99_heavy_hitters" -> (q99HeavyHitters _),
     "q99b_heavy_hitters_by_source" -> (q99bHeavyHittersBySource _),
     "q110_html_extract" -> (q110HtmlExtract _),
+    "q115_unigram_train" -> (q115UnigramTrain _),
+    "q115b_unigram_tokens" -> (q115bUnigramTokens _),
     "q70_unigram_rarity" -> (q70UnigramRarity _),
     "q70b_bigram_familiarity" -> (q70bBigramFamiliarity _),
     "q20_lang_id" -> (q20LangId _),
