@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Join utilities for skewed keys at scale.
@@ -83,18 +83,68 @@ object JoinOps {
     * and the result is nondeterministic.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-               rightValCols: Seq[String]): DataFrame = {
+               rightValCols: Seq[String]): DataFrame =
+    asofJoinDir(left, right, key, tsCol, rightValCols, "backward", None)
+
+  /** [[asofJoin]] generalized to the full public `merge_asof` contract
+    * (pandas semantics): `direction` picks the LATEST right row at-or-
+    * before ("backward"), the EARLIEST at-or-after ("forward"), or the
+    * closest of the two ("nearest", ties to backward — pandas' rule);
+    * `toleranceMicros` bounds |left.ts − right.ts|, nulling the match
+    * beyond it. Same single key-shuffle as the base form: backward and
+    * forward are the same union+window scan in opposite sort orders
+    * (consecutive windows share the exchange; nearest pays both sorts),
+    * and tolerance is a post-pick filter on the carried right timestamp —
+    * never a join-condition inequality, so the plan stays linear per key.
+    */
+  def asofJoinDir(left: DataFrame, right: DataFrame, key: String,
+                  tsCol: String, rightValCols: Seq[String],
+                  direction: String,
+                  toleranceMicros: Option[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
+    toleranceMicros.foreach(t => require(t >= 0, s"negative tolerance $t"))
     val rv = right.select(col(key), col(tsCol), lit(0).as("__side"),
-      struct(rightValCols.map(col): _*).as("__rv"))
+      struct(col(tsCol).as("__rts") +: rightValCols.map(col): _*).as("__rv"))
     val rvType = rv.schema("__rv").dataType
     val lv = left.withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(rvType))
-    val w = Window.partitionBy(key)
+    val unioned = lv.unionByName(rv, allowMissingColumns = true)
+    val wB = Window.partitionBy(key)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lv.unionByName(rv, allowMissingColumns = true)
-      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+    val wF = Window.partitionBy(key)
+      .orderBy(col(tsCol).desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def within(pick: Column): Column = toleranceMicros match {
+      case None => pick
+      case Some(t) =>
+        when(pick.isNotNull &&
+          abs(unix_micros(col(tsCol)) -
+            unix_micros(pick.getField("__rts"))) <= t, pick)
+    }
+    val picked = direction match {
+      case "backward" =>
+        unioned.withColumn("__asof",
+          within(last(col("__rv"), ignoreNulls = true).over(wB)))
+      case "forward" =>
+        unioned.withColumn("__asof",
+          within(last(col("__rv"), ignoreNulls = true).over(wF)))
+      case "nearest" =>
+        val withBoth = unioned
+          .withColumn("__bwd", within(last(col("__rv"), ignoreNulls = true).over(wB)))
+          .withColumn("__fwd", within(last(col("__rv"), ignoreNulls = true).over(wF)))
+        val dB = unix_micros(col(tsCol)) - unix_micros(col("__bwd.__rts"))
+        val dF = unix_micros(col("__fwd.__rts")) - unix_micros(col(tsCol))
+        withBoth.withColumn("__asof",
+          when(col("__bwd").isNull, col("__fwd"))
+            .when(col("__fwd").isNull, col("__bwd"))
+            .when(dF < dB, col("__fwd")) // strict <: ties go backward
+            .otherwise(col("__bwd")))
+          .drop("__bwd", "__fwd")
+    }
+    picked
       .where(col("__side") === 1)
       .select(left.columns.map(col).toIndexedSeq ++
         rightValCols.map(c => col(s"__asof.$c").as(c)): _*)

@@ -354,6 +354,64 @@ object EventQueries {
       ON c.user_id = v.user_id AND v.ts <= c.ts
     ORDER BY c.event_id"""
 
+  // --- q116: as-of join directions + tolerance ------------------------------
+  // The full public merge_asof contract over the q54 relation pair:
+  // backward (latest view at-or-before the click), forward (earliest
+  // at-or-after), nearest (closest, ties backward — pandas' rule), all
+  // bounded by a 2-minute tolerance that nulls matches beyond it. Three
+  // chained asofJoinDir passes — every one shuffles on the SAME user_id
+  // key, so the exchanges line up at scale. The oracle derives each
+  // direction independently with correlated min/max subqueries and
+  // re-applies the tie rule, so a direction mix-up, an off-by-one at
+  // simultaneity, or a tolerance boundary slip breaks the hash.
+  val AsofToleranceMicros: Long = 120L * 1000000L
+
+  def q116AsofDirections(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = e.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts")).agg(count(lit(1)).as("__n"))
+      .select(col("user_id"), col("ts"), col("ts").as("view_ts"))
+    def step(in: org.apache.spark.sql.DataFrame, d: String, as: String) =
+      graft.ops.JoinOps.asofJoinDir(in, views, "user_id", "ts",
+        Seq("view_ts"), d, Some(AsofToleranceMicros))
+        .withColumnRenamed("view_ts", as)
+    val enriched = step(step(step(clicks,
+      "backward", "bwd_ts"), "forward", "fwd_ts"), "nearest", "near_ts")
+    enriched.select(col("event_id"), col("user_id"),
+      date_format(col("bwd_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("bwd_ts"),
+      date_format(col("fwd_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("fwd_ts"),
+      date_format(col("near_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("near_ts"))
+      .orderBy("event_id")
+  }
+
+  val q116Sql: String =
+    s"""WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events),
+    clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+    views AS (SELECT DISTINCT user_id, ts FROM e WHERE event_type = 'view'),
+    picked AS (
+      SELECT c.event_id, c.user_id, c.ts,
+        (SELECT max(v.ts) FROM views v WHERE v.user_id = c.user_id
+          AND v.ts <= c.ts
+          AND epoch_us(c.ts) - epoch_us(v.ts) <= $AsofToleranceMicros) AS bwd,
+        (SELECT min(v.ts) FROM views v WHERE v.user_id = c.user_id
+          AND v.ts >= c.ts
+          AND epoch_us(v.ts) - epoch_us(c.ts) <= $AsofToleranceMicros) AS fwd
+      FROM clicks c)
+    SELECT event_id, user_id,
+      strftime(bwd, '%Y-%m-%d %H:%M:%S.%f') AS bwd_ts,
+      strftime(fwd, '%Y-%m-%d %H:%M:%S.%f') AS fwd_ts,
+      strftime(CASE
+        WHEN bwd IS NULL THEN fwd
+        WHEN fwd IS NULL THEN bwd
+        WHEN epoch_us(fwd) - epoch_us(ts) < epoch_us(ts) - epoch_us(bwd)
+          THEN fwd
+        ELSE bwd END, '%Y-%m-%d %H:%M:%S.%f') AS near_ts
+    FROM picked ORDER BY event_id"""
+
   // --- q64: bucketed range join (events within anchor windows) -----------
   // Every 'error' event opens a 5-minute half-open window; count the
   // events and distinct users inside each. There is NO equi key, so the
@@ -568,6 +626,7 @@ object EventQueries {
     "q31d_unpivot" -> (q31dUnpivot _),
     "q107_retention_cohorts" -> (q107RetentionCohorts _),
     "q114_gap_fill" -> (q114GapFill _),
+    "q116_asof_directions" -> (q116AsofDirections _),
     "q32_tumbling" -> (q32Tumbling _),
     "q33_sliding" -> (q33Sliding _),
     "q34_sessions" -> (q34Sessions _),
@@ -579,6 +638,7 @@ object EventQueries {
     "q31d_unpivot" -> q31dSql,
     "q107_retention_cohorts" -> q107Sql,
     "q114_gap_fill" -> q114Sql,
+    "q116_asof_directions" -> q116Sql,
     "q54_asof_enrich" -> q54Sql,
     "q77_click_attribution" -> q77Sql,
     "q64_range_join" -> q64Sql,

@@ -40,6 +40,43 @@ class JoinCleanupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, Some("b")), (2L, None), (3L, None)))
   }
 
+  test("asofJoinDir: forward, nearest (ties backward), and tolerance nulls") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 00:10:00")), // bwd 00:08, fwd 00:13
+      (2L, 7L, ts("2024-01-01 00:02:00")), // nothing before; fwd 00:08
+      (3L, 7L, ts("2024-01-01 00:30:00")), // bwd 00:13 beyond 5m tolerance
+      (4L, 8L, ts("2024-01-01 00:05:00")), // equidistant: 00:03 / 00:07
+      (5L, 9L, ts("2024-01-01 00:05:00"))) // no right rows at all
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 00:08:00"), "a"),
+      (7L, ts("2024-01-01 00:13:00"), "b"),
+      (8L, ts("2024-01-01 00:03:00"), "c"),
+      (8L, ts("2024-01-01 00:07:00"), "d"))
+      .toDF("user_id", "ts", "tag")
+    val tol = Some(300L * 1000000L) // 5 minutes
+    def run(dir: String) =
+      JoinOps.asofJoinDir(left, right, "user_id", "ts", Seq("tag"), dir, tol)
+        .orderBy("event_id").collect()
+        .map(r => Option(r.getAs[String]("tag"))).toSeq
+    assert(run("backward") ==
+      Seq(Some("a"), None, None, Some("c"), None))
+    assert(run("forward") ==
+      Seq(Some("b"), None /* 00:08 is 6m away */, None, Some("d"), None))
+    // nearest: #1 bwd (2m) beats fwd (3m); #2 only fwd candidate is out of
+    // tolerance -> null; #4 equidistant -> backward wins (pandas rule)
+    assert(run("nearest") ==
+      Seq(Some("a"), None, None, Some("c"), None))
+    // without tolerance, the out-of-range picks come back
+    val loose = JoinOps.asofJoinDir(left, right, "user_id", "ts",
+      Seq("tag"), "nearest", None)
+      .orderBy("event_id").collect()
+      .map(r => Option(r.getAs[String]("tag"))).toSeq
+    assert(loose == Seq(Some("a"), Some("a"), Some("b"), Some("c"), None))
+  }
+
   test("rangeJoinBucketed equals the naive non-equi join, boundaries exact") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
