@@ -19,5 +19,6 @@ object SessionMemos {
     CurationQueries.evictAll()
     DedupQueries.evictAll()
     AnalysisQueries.evictAll()
+    MultimodalQueries.evictAll()
   }
 }
