@@ -237,6 +237,36 @@ object RelationalQueries {
       RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW)
     ORDER BY event_id"""
 
+  // --- q13f: LATERAL correlated subquery ------------------------------------
+  // The SQL spelling of per-group top-k (the window/T5 shape expressed as
+  // a correlated derived table): for each nation, its top-2 suppliers by
+  // balance via `LATERAL (... ORDER BY ... LIMIT 2)`. Both engines
+  // support SQL:1999 LATERAL; Spark plans it as a rewritten
+  // domain-join + window under the hood, so this also pins the
+  // decorrelation path. Balances are raw DOUBLE values (no aggregation),
+  // exact cross-engine.
+  def q13fLateralTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("q13f_nation")
+    Tables.supplier(spark, dir).createOrReplaceTempView("q13f_supplier")
+    spark.sql(
+      """SELECT n.n_name, s.s_name, s.s_acctbal
+      FROM q13f_nation n,
+      LATERAL (
+        SELECT s_name, s_acctbal FROM q13f_supplier
+        WHERE s_nationkey = n.n_nationkey
+        ORDER BY s_acctbal DESC, s_name ASC LIMIT 2) s
+      ORDER BY n.n_name, s.s_acctbal DESC, s.s_name""")
+  }
+
+  val q13fSql: String =
+    """SELECT n.n_name, s.s_name, s.s_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT s_name, s_acctbal FROM supplier
+      WHERE s_nationkey = n.n_nationkey
+      ORDER BY s_acctbal DESC, s_name ASC LIMIT 2) s
+    ORDER BY n.n_name, s.s_acctbal DESC, s.s_name"""
+
   // --- q16c: NOT IN vs NOT EXISTS under NULLs -------------------------------
   // The classic tri-valued-logic trap, verified cross-engine: `x NOT IN
   // (subquery)` is `x <> v1 AND x <> v2 AND ...` — ONE NULL in the
@@ -719,6 +749,7 @@ object RelationalQueries {
     "q13_supplier_window" -> (q13SupplierWindow _),
     "q13b_analytics" -> (q13bAnalytics _),
     "q13e_time_range_frame" -> (q13eTimeRangeFrame _),
+    "q13f_lateral_topk" -> (q13fLateralTopK _),
     "q16c_not_in_nulls" -> (q16cNotInNulls _),
     "q13c_min_cost_supplier" -> (q13cMinCostSupplier _),
     "q14_rollup" -> (q14Rollup _),
@@ -745,6 +776,7 @@ object RelationalQueries {
     "q13_supplier_window" -> q13Sql,
     "q13b_analytics" -> q13bSql,
     "q13e_time_range_frame" -> q13eSql,
+    "q13f_lateral_topk" -> q13fSql,
     "q16c_not_in_nulls" -> q16cSql,
     "q13c_min_cost_supplier" -> q13cSql,
     "q14_rollup" -> q14Sql,
