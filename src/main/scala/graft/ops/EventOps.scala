@@ -88,4 +88,37 @@ object EventOps {
       .select(col("user_id"),
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
         col("n_events"), col("sum_value"))
+
+  /** Sessionization under a PER-KEY gap — what `session_window`'s single
+    * static gap cannot express (its dynamic-gap form takes an expression,
+    * but the classic lag/flag/cumsum formulation also yields the session
+    * SEQUENCE number and stays fully oracle-portable): a new session
+    * starts where the gap to the previous event exceeds the key's own
+    * threshold; the running sum of start flags numbers the sessions. One
+    * user_id-keyed shuffle; both windows share its sort. `gapMicrosCol`
+    * is any deterministic per-row expression (typically derived from the
+    * key — a per-segment/per-tier inactivity budget).
+    */
+  def sessionsDynamicGap(events: DataFrame,
+                         gapMicros: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        gapMicros.as("__gap"))
+      .withColumn("__new",
+        when(unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(byUser)) > col("__gap"), 1L)
+          .when(lag(col("ts"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .withColumn("duration_sec",
+        expr("(unix_micros(session_end) - unix_micros(session_start)) div 1000000"))
+  }
 }

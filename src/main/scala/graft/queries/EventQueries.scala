@@ -412,6 +412,57 @@ object EventQueries {
         ELSE bwd END, '%Y-%m-%d %H:%M:%S.%f') AS near_ts
     FROM picked ORDER BY event_id"""
 
+  // --- q117: per-user dynamic-gap sessionization ----------------------------
+  // q34 sessionizes under ONE static gap; real products give different
+  // user tiers different inactivity budgets. EventOps.sessionsDynamicGap
+  // runs the lag/flag/cumsum formulation with a per-row gap expression —
+  // here 5/10/15 minutes by user_id % 3, deterministic so the oracle
+  // re-derives it — and also yields the session SEQUENCE number
+  // session_window cannot emit. One user_id shuffle; both windows share
+  // its sort. The streaming twin (StreamingOps.dynamicGapSessionStream,
+  // flatMapGroupsWithState) closes the same sessions incrementally and
+  // is file-replay-parity-gated in StreamingParitySpec.
+  def sessionGapMicros: org.apache.spark.sql.Column =
+    (lit(300L) + (col("user_id") % 3) * 300L) * 1000000L
+
+  val sessionGapMicrosSql: String =
+    "(300 + (user_id % 3) * 300) * 1000000"
+
+  def q117DynamicSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventOps.sessionsDynamicGap(
+      Tables.events(spark, dir), sessionGapMicros)
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_end"),
+        col("duration_sec"))
+      .orderBy("user_id", "session_seq")
+
+  val q117Sql: String =
+    s"""WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    f AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+               > $sessionGapMicrosSql THEN 1
+             ELSE 0 END AS nw
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+        SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM f)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      count(*) AS n_events,
+      strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+        AS duration_sec
+    FROM s GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq"""
+
   // --- q64: bucketed range join (events within anchor windows) -----------
   // Every 'error' event opens a 5-minute half-open window; count the
   // events and distinct users inside each. There is NO equi key, so the
@@ -627,6 +678,7 @@ object EventQueries {
     "q107_retention_cohorts" -> (q107RetentionCohorts _),
     "q114_gap_fill" -> (q114GapFill _),
     "q116_asof_directions" -> (q116AsofDirections _),
+    "q117_dynamic_sessions" -> (q117DynamicSessions _),
     "q32_tumbling" -> (q32Tumbling _),
     "q33_sliding" -> (q33Sliding _),
     "q34_sessions" -> (q34Sessions _),
@@ -639,6 +691,7 @@ object EventQueries {
     "q107_retention_cohorts" -> q107Sql,
     "q114_gap_fill" -> q114Sql,
     "q116_asof_directions" -> q116Sql,
+    "q117_dynamic_sessions" -> q117Sql,
     "q54_asof_enrich" -> q54Sql,
     "q77_click_attribution" -> q77Sql,
     "q64_range_join" -> q64Sql,

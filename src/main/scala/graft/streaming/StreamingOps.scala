@@ -116,6 +116,84 @@ object StreamingOps {
       }
   }
 
+  /** One closed session row of [[dynamicGapSessionStream]] — the q117
+    * batch output shape.
+    */
+  case class SessionRow(user_id: Long, session_seq: Long, n_events: Long,
+                        session_start: Timestamp, session_end: Timestamp,
+                        duration_sec: Long)
+
+  case class SessionState(seq: Long, n: Long,
+                          start: Long, last: Long) // epoch micros
+
+  /** Streaming twin of q117's per-user DYNAMIC-GAP sessionization — the
+    * custom state machine `session_window` cannot express: each user's
+    * open session lives in GroupState; an event beyond the user's OWN
+    * inactivity gap closes it (emitting the finished session row, exactly
+    * the batch operator's shape incl. the session sequence number) and
+    * opens the next. An event-time timeout at `last + gap` past the
+    * watermark flushes a user's final session, so the stream emits
+    * EVERY session the batch twin computes without waiting for that
+    * user's next event — parity is gated by file replay in
+    * StreamingParitySpec.
+    *
+    * Contract: events must arrive per-user in event-time order within
+    * the watermark (the replay harness guarantees it; out-of-order
+    * within-gap events would need a buffered variant — same state shape,
+    * sorted flush). `gapMicrosOf` derives the per-user gap
+    * deterministically, mirroring the batch query's expression.
+    */
+  def dynamicGapSessionStream(events: Dataset[UserEvent],
+                              gapMicrosOf: Long => Long): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def fromMicros(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    def row(uid: Long, s: SessionState): SessionRow =
+      SessionRow(uid, s.seq, s.n,
+        fromMicros(s.start), fromMicros(s.last),
+        (s.last - s.start) / 1000000L)
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          val gap = gapMicrosOf(uid)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session is final
+            val done = state.get
+            state.remove()
+            Iterator.single(row(uid, done))
+          } else {
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionRow]
+            var cur = state.getOption.orNull
+            rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+              val t = micros(e.ts)
+              cur match {
+                case null =>
+                  cur = SessionState(1L, 1L, t, t)
+                case s if t - s.last > gap =>
+                  closed += row(uid, s)
+                  cur = SessionState(s.seq + 1L, 1L, t, t)
+                case s =>
+                  cur = s.copy(n = s.n + 1L, last = math.max(s.last, t))
+              }
+            }
+            state.update(cur)
+            // timeout strictly after last + gap; clamp above the current
+            // watermark (setTimeoutTimestamp rejects timestamps behind it)
+            state.setTimeoutTimestamp(
+              math.max(cur.last / 1000L + gap / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            closed.iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against the
     * (slowly-changing) static dimension — the standard pattern for
     * attaching user/content metadata to an event stream. The static side

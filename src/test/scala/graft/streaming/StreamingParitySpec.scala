@@ -325,6 +325,34 @@ class StreamingParitySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q117 dynamic-gap sessions: streamed state machine matches the " +
+      "batch operator, session numbers included") {
+    import sqlImplicits._
+    val streamDir = stageChunks()
+    val src = StreamingOps.eventsFileStream(spark, streamDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[StreamingOps.UserEvent]
+    // the q117 gap rule: 5/10/15 minutes by user_id % 3, in micros
+    def gapOf(uid: Long): Long =
+      (300L + math.floorMod(uid, 3L) * 300L) * 1000000L
+    val got = runAppend(
+      StreamingOps.dynamicGapSessionStream(src, gapOf).toDF, "parity_dyn_sessions")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).toString, r.getTimestamp(4).toString, r.getLong(5)))
+      .filter(_._1 != -1L) // the flush event's own session, if ever emitted
+      .sortBy(t => (t._1, t._2))
+    val want = EventOps.sessionsDynamicGap(
+      graft.Tables.events(spark, dir),
+      (lit(300L) + pmod(col("user_id"), lit(3L)) * 300L) * 1000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).toString, r.getTimestamp(4).toString, r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.length == want.length,
+      s"streamed ${got.length} sessions vs batch ${want.length}")
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("q99 heavy-hitter stream: replayed corpus candidates cover every " +
       "exact heavy hitter (mergeable-summaries guarantee across batches)") {
     import graft.ops.TextOps
