@@ -345,6 +345,73 @@ object TextAnalysisOps {
       .limit(k)
   }
 
+  /** "More like this": sparse LEXICAL doc-to-doc similarity through the
+    * inverted index — for each query doc, the top-k most similar docs by
+    * the tf-idf-weighted token dot product, mass-normalized, in exact
+    * integer arithmetic plus ONE final IEEE division so the whole
+    * ranking hash-verifies (Lucene's MLT is this shape; complementary to
+    * the embedding kNN ladder — no model, exact, interpretable).
+    *
+    *   w(d,t)  = min(tf, tfCap) · (idfBoost·(⌊log2 N⌋−⌊log2 df⌋) + 1)
+    *   dot     = Σ_t w(a,t)·w(b,t)   (postings join keyed on term)
+    *   sim     = ⌊1e6 · dot / (mass_a · mass_b)⌋,  mass = Σ_t w(d,t)
+    *
+    * Mass, not L2 norm: the norm's sqrt would break integer exactness;
+    * mass normalization keeps the score scale-free in doc length, which
+    * is what the pair RANKING needs.
+    *
+    * Scale shape: candidates meet only through shared terms (inverted
+    * index, never an all-pairs product); stop-terms are the hot join
+    * keys AND carry near-zero idf signal, so terms with df > `dfCap`
+    * are dropped from pairing entirely — capShingleDf's escape hatch
+    * applied to retrieval (the oracle mirrors the cap, so the drop is
+    * part of the verified semantics). Per-query top-k prunes through
+    * WindowGroupLimit before the output sort.
+    */
+  def moreLikeThis(docs: DataFrame, everyNth: Int, k: Int, tfCap: Int,
+                   idfBoost: Int, dfCap: Long,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings0 = docs
+      .select(col(idCol),
+        explode(TextOps.tokenize(lower(coalesce(col(textCol), lit(""))))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val postings = graft.CacheScope.persist(postings0)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    def log2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+    val weights = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        (lit(idfBoost.toLong) * (log2len(col("n_docs")) - log2len(col("df")))
+          + 1L).as("w"))
+    val wpost = graft.CacheScope.persist(
+      postings.join(broadcast(weights), "term")
+        .select(col(idCol), col("term"),
+          (least(col("tf"), lit(tfCap.toLong)) * col("w")).as("wdt")))
+    val mass = wpost.groupBy(col(idCol)).agg(sum(col("wdt")).as("mass"))
+    val q = wpost.where(col(idCol) % everyNth === 0)
+      .toDF("query_id", "term", "qw")
+    val dots = q.join(wpost.toDF("cand_id", "term", "cw"), "term")
+      .where(col("cand_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("qw") * col("cw")).as("dot"))
+    dots
+      .join(mass.toDF("query_id", "q_mass"), "query_id")
+      .join(mass.toDF("cand_id", "c_mass"), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        floor(lit(1000000.0) * col("dot") / (col("q_mass") * col("c_mass")))
+          .cast("long").as("sim_micro"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("sim_micro").desc, col("cand_id").asc)))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("sim_micro"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Feature-hash dimensionality of the linear quality classifier. */
   val ClassifierBuckets = 4096L
 

@@ -598,6 +598,59 @@ object AnalysisQueries {
     ORDER BY score DESC, doc_id LIMIT $RankedTopK"""
   }
 
+  // --- q118: lexical more-like-this (sparse doc-to-doc similarity) ---------
+  // See TextAnalysisOps.moreLikeThis: tf-idf-weighted token dot product
+  // through the inverted index, mass-normalized, integer-exact except one
+  // final IEEE division — the Lucene-MLT shape, the lexical complement
+  // to the embedding kNN ladder (q29 family). The df cap that keeps
+  // stop-terms out of the pairing is PART of the verified semantics (the
+  // oracle mirrors it). Every 25th doc queries; top-5 neighbors each.
+  val MltEveryNth = 25
+  val MltTopK = 5
+  val MltTfCap = 8
+  val MltIdfBoost = 4
+  val MltDfCap = 450L // drop terms present in >90% of the 500-doc fixture
+
+  def q118MoreLikeThis(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.moreLikeThis(Tables.documents(spark, dir),
+      MltEveryNth, MltTopK, MltTfCap, MltIdfBoost, MltDfCap)
+      .orderBy("query_id", "rk")
+
+  val q118Sql: String =
+    raw"""WITH p AS (
+      SELECT doc_id, unnest(${toksSql("lower(coalesce(text, ''))")}) AS term
+      FROM documents),
+    g AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY doc_id, term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (SELECT d.term,
+        $MltIdfBoost * (length(format('{:b}', n.n_docs))
+          - length(format('{:b}', d.df))) + 1 AS w
+      FROM (SELECT term, count(*) AS df FROM g GROUP BY term
+            HAVING count(*) <= $MltDfCap) d, nd n),
+    wp AS (SELECT g.doc_id, g.term,
+        least(g.tf, $MltTfCap) * w.w AS wdt
+      FROM g JOIN w USING (term)),
+    mass AS (SELECT doc_id, sum(wdt) AS mass FROM wp GROUP BY doc_id),
+    dots AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+        sum(q.wdt * c.wdt) AS dot
+      FROM wp q JOIN wp c ON q.term = c.term AND q.doc_id <> c.doc_id
+      WHERE q.doc_id % $MltEveryNth = 0
+      GROUP BY q.doc_id, c.doc_id),
+    sim AS (
+      SELECT d.query_id, d.cand_id,
+        CAST(floor(1000000.0 * d.dot / (mq.mass * mc.mass)) AS BIGINT)
+          AS sim_micro
+      FROM dots d
+      JOIN mass mq ON mq.doc_id = d.query_id
+      JOIN mass mc ON mc.doc_id = d.cand_id),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY sim_micro DESC, cand_id ASC) AS rk
+      FROM sim)
+    SELECT query_id, cand_id, sim_micro, CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= $MltTopK ORDER BY query_id, rk"""
+
   // --- q83: per-source token-distribution drift between snapshots ---------
   // The mixture-monitoring query a crawl pipeline runs between snapshot
   // refreshes: has a source's token distribution moved? The snapshots are
@@ -1000,6 +1053,7 @@ object AnalysisQueries {
     "q99_heavy_hitters" -> (q99HeavyHitters _),
     "q99b_heavy_hitters_by_source" -> (q99bHeavyHittersBySource _),
     "q110_html_extract" -> (q110HtmlExtract _),
+    "q118_more_like_this" -> (q118MoreLikeThis _),
     "q115_unigram_train" -> (q115UnigramTrain _),
     "q115b_unigram_tokens" -> (q115bUnigramTokens _),
     "q70_unigram_rarity" -> (q70UnigramRarity _),
@@ -1030,6 +1084,7 @@ object AnalysisQueries {
     "q99_heavy_hitters" -> q99Sql,
     "q99b_heavy_hitters_by_source" -> q99bSql,
     "q110_html_extract" -> q110Sql,
+    "q118_more_like_this" -> q118Sql,
     "q70_unigram_rarity" -> q70Sql,
     "q20_lang_id" -> q20Sql,
     "q21_quality" -> q21Sql,

@@ -247,6 +247,31 @@ object StreamingOps {
       .drop(r(key))
   }
 
+  /** LEFT OUTER form of [[intervalJoin]] — the funnel-with-dropoff shape
+    * (every impression, with its conversion if one arrived in time, NULLs
+    * otherwise). Same dual-watermark + time-range state contract; the
+    * extra wrinkle outer adds is EMISSION TIMING: a left row's null match
+    * can only be emitted once the watermark proves no right row can still
+    * arrive in its window, so unmatched rows surface with watermark
+    * delay — the documented trade of streaming outer joins, and why the
+    * parity unit replays with a future flush event.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+                        maxDelay: String = "10 minutes",
+                        watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r0 = right.withWatermark("ts", watermark)
+    val r = r0.columns.foldLeft(r0) { (df, c) =>
+      if (c == key) df else df.withColumnRenamed(c, s"${c}_r")
+    }
+    l.join(r,
+      l(key) === r(key) &&
+        col("ts_r") >= col("ts") &&
+        col("ts_r") < col("ts") + expr(s"INTERVAL $maxDelay"),
+      "left_outer")
+      .drop(r(key))
+  }
+
   /** Idempotent micro-batch sink: write each batch's windowed rows to
     * parquet partitioned by a key column under DYNAMIC partition
     * overwrite, so replaying a batch (failure/retry — Structured

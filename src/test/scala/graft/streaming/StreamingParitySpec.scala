@@ -195,6 +195,54 @@ class StreamingParitySpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("outer interval join: unmatched left rows emit NULLs once the " +
+      "watermark proves no match can arrive") {
+    // LEFT OUTER stream-stream: every view must surface exactly once —
+    // with its click when one lands in the half-open 10-minute window,
+    // with NULLs otherwise (emitted only after the watermark passes the
+    // window, which the staged flush event guarantees for every real row)
+    val streamDir = stageChunks()
+    // the flush sentinel must SURVIVE the type filter on both sides: the
+    // watermark node sits after it, and outer-join null emission needs
+    // the watermark to pass every real window — its own (-1) row is
+    // excluded from the assertion below
+    def typed(t: String) = StreamingOps.eventsFileStream(spark, streamDir)
+      .where(col("event_type").isin(t, "flush"))
+      .select("event_id", "ts", "user_id")
+    val joined = StreamingOps.intervalJoinOuter(
+      typed("view"), typed("click"), key = "user_id",
+      maxDelay = "10 minutes", watermark = "1 hour")
+    val got = runAppend(
+      joined.select(col("event_id").as("view_id"),
+        col("event_id_r").as("click_id")), "parity_ssouter")
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .filter(_._1 != -1L) // the flush sentinel's own left row
+      .sorted.toSeq
+    // batch twin: plain left join under the same half-open condition
+    // (fixture-sized — a BNLJ is fine in a test)
+    val e = graft.Tables.events(spark, dir)
+    val views = e.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("vts"),
+        col("user_id"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"),
+        col("user_id").as("cuid"))
+    val want = views.join(clicks,
+      col("user_id") === col("cuid") &&
+        col("cts") >= col("vts") &&
+        col("cts") < col("vts") + expr("INTERVAL 10 minutes"),
+      "left_outer")
+      .select(col("view_id"), col("click_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    assert(got.length == want.length,
+      s"streamed ${got.length} rows vs batch ${want.length}")
+    assert(got == want)
+    assert(got.exists(_._2 == -1L), "expected some unmatched views")
+    assert(got.exists(_._2 != -1L), "expected some matched views")
+  }
+
   test("running user totals: final streamed state matches the batch aggregate") {
     // the flatMapGroupsWithState body over the real fixture replay: the
     // LAST emitted row per user (lifetime state at stream end) must agree
