@@ -882,6 +882,107 @@ object CurationQueries {
       CAST(sum(h) AS BIGINT) AS content_sum
     FROM c GROUP BY 1 ORDER BY shard_id"""
 
+  // --- q119: LLM-prep end to end (the training-prep capstone) ---------------
+  // q50 verifies the CURATION composite (redact → quality → dedup →
+  // near-dup); this verifies the TRAINING-PREP tail in one flow:
+  // C4 blocklist (q100's rule) → quality gate (the shared q21 battery) →
+  // exact dedup → context-window chunking (q69's windows) → equal-token
+  // SHARDING of the chunks in global (doc, chunk) order with a per-shard
+  // manifest (q102's contract at training-sequence granularity). Every
+  // stage's semantics are individually oracled elsewhere; green here
+  // means the COMPOSITION is exact — a row lost or duplicated between
+  // any two stages breaks the shard counts and the content checksum.
+  // Scale shape: stages 1-3 are narrow-filter → one text-keyed window;
+  // chunking is a narrow generate; the global running sum reuses the
+  // q58 two-level prefix sum over a synthetic monotone (doc, chunk) key,
+  // so parallelism stays PackShards at any corpus size.
+  val LlmShardTokenBudget = 1500L
+
+  def q119LlmPrep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val pats = AnalysisQueries.BlockPhrases.map(_.trim.toLowerCase.replace(" ", "\\s+"))
+    val combined = "\\b(?:" + pats.mkString("|") + ")\\b"
+    val unblocked = docs.where(
+      regexp_count(lower(coalesce(col("text"), lit(""))), lit(combined)) === 0)
+    val toked = unblocked.select(col("doc_id"), col("text"),
+      graft.ops.TextOps.tokenize(col("text")).as("toks"))
+    val quality = toked.select(
+      (Seq(col("doc_id"), col("text"), col("toks")) ++
+        TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*)
+    val passed = quality.where(TextAnalysisOps.qualityPass)
+      .select("doc_id", "text", "toks")
+    val exact = passed
+      .withColumn("cid", min(col("doc_id")).over(Window.partitionBy("text")))
+      .where(col("doc_id") === col("cid"))
+      .select("doc_id", "text")
+    val chunks = TextAnalysisOps.contextChunks(exact, ChunkSize, ChunkStride)
+    // synthetic monotone (doc, chunk) key for the global prefix sum;
+    // chunk_id < 1024 holds whenever a doc has < 1024·stride tokens
+    // (49k at the registered stride — far above any fixture/plausible doc)
+    val keyed = chunks.select(
+      (col("doc_id") * 1024 + col("chunk_id")).as("uid"),
+      col("doc_id").as("real_doc"),
+      lit("corpus").as("source"),
+      col("n_tokens"),
+      graft.ops.HashOps.charHash(col("chunk_text")).as("h"))
+      .withColumn("doc_id", col("uid"))
+      .withColumn("ord", col("uid"))
+    runningOffsets(keyed, PackShards)
+      .withColumn("shard_id",
+        floor(col("start_offset") / LlmShardTokenBudget).cast("long"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("real_doc")).as("first_doc"),
+        max(col("real_doc")).as("last_doc"),
+        sum(col("h")).as("content_sum"))
+      .orderBy("shard_id")
+  }
+
+  val q119Sql: String = {
+    val pats = AnalysisQueries.BlockPhrases
+      .map(_.trim.toLowerCase.replace(" ", "\\s+"))
+    val combined = "\\b(?:" + pats.mkString("|") + ")\\b"
+    s"""WITH nb AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(regexp_extract_all(lower(coalesce(text, '')), '$combined')) = 0),
+    t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM nb),
+    q AS (SELECT doc_id, text, toks,
+      len(toks) AS n_tokens,
+      CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS ttr,
+      CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains($stopSql, lower(x)))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio,
+      CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS non_alnum
+      FROM t),
+    passed AS (
+      SELECT doc_id, text, toks FROM q
+      WHERE ${TextAnalysisOps.qualityPassSql(
+        "n_tokens", "ttr", "non_alnum", "stop_ratio")}),
+    exact AS (
+      SELECT doc_id, toks FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY text) AS cid FROM passed)
+      WHERE doc_id = cid),
+    s AS (SELECT doc_id, toks,
+      unnest(range(0, len(toks), $ChunkStride)) AS start FROM exact),
+    c AS (SELECT doc_id,
+      CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+      toks[(CAST(start AS INT)+1):(CAST(start AS INT)+$ChunkSize)] AS chunk
+      FROM s),
+    k AS (SELECT doc_id * 1024 + chunk_id AS uid, doc_id AS real_doc,
+      CAST(len(chunk) AS BIGINT) AS n_tokens,
+      ${graft.ops.HashOps.charHashSql("array_to_string(chunk, ' ')")} AS h
+      FROM c),
+    o AS (SELECT *,
+      CAST(SUM(n_tokens) OVER (ORDER BY uid ROWS UNBOUNDED PRECEDING)
+        - n_tokens AS BIGINT) AS start_offset
+      FROM k)
+    SELECT CAST(floor(start_offset / $LlmShardTokenBudget) AS BIGINT) AS shard_id,
+      count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      min(real_doc) AS first_doc, max(real_doc) AS last_doc,
+      CAST(sum(h) AS BIGINT) AS content_sum
+    FROM o GROUP BY 1 ORDER BY shard_id"""
+  }
+
   // --- q82: deletion-impact analysis over the packed corpus ---------------
   // The right-to-be-forgotten query: given a delete list, which training
   // bins (q58's packed sequences) are contaminated and must be rebuilt,
@@ -1133,6 +1234,7 @@ object CurationQueries {
     "q71_snapshot_delta" -> (q71SnapshotDelta _),
     "q111_merge_upsert" -> (q111MergeUpsert _),
     "q113_mixture_epochs" -> (q113MixtureEpochs _),
+    "q119_llm_prep" -> (q119LlmPrep _),
     "q50_curated_corpus" -> (q50CuratedCorpus _),
     "q50b_cluster_curated" -> (q50bClusterCurated _),
     "q51_split" -> (q51Split _),
@@ -1159,6 +1261,7 @@ object CurationQueries {
     "q71_snapshot_delta" -> q71Sql,
     "q111_merge_upsert" -> q111Sql,
     "q113_mixture_epochs" -> q113Sql,
+    "q119_llm_prep" -> q119Sql,
     "q50_curated_corpus" -> q50Sql,
     "q50b_cluster_curated" -> q50bSql,
     "q51_split" -> q51Sql,

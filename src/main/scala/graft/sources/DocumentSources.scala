@@ -101,6 +101,23 @@ object DocumentSources {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
+  /** Range-partitioned, WITHIN-FILE-SORTED parquet write — the zone-map
+    * layout: `repartitionByRange(sortCol)` gives each output file a
+    * narrow, near-disjoint key range, and `sortWithinPartitions` orders
+    * rows inside it, so every parquet row group's min/max statistics
+    * become tight. At 100 TB this is what makes a point/range predicate
+    * on `sortCol` skip entire files and row groups at scan time (the
+    * reader prunes on footer stats before touching data pages) — the
+    * poor man's clustered index, no table format needed. The unit
+    * asserts the files' key ranges are pairwise disjoint; rowgroup-level
+    * skipping follows from the same stats the assertion reads.
+    */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+                  numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** MERGE INTO a bucket-partitioned parquet tree WITHOUT a table format
     * — the upsert every corpus refresh needs when Delta/Iceberg is not on
     * the classpath (with one, the body becomes a literal MERGE). The

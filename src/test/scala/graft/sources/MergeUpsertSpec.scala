@@ -127,6 +127,31 @@ class MergeUpsertSpec extends SparkSpec {
     assert(readTree(tree) == want)
   }
 
+  test("writeSorted produces pairwise-disjoint per-file key ranges " +
+      "(the zone-map layout)") {
+    val tmp = graft.Scratch.dir("sorted_write")
+    val df = spark.range(0, 10000).select(
+      (col("id") * 2654435761L % 10000).as("key"), col("id").as("payload"))
+    DocumentSources.writeSorted(df, tmp, "key", numFiles = 8)
+    val files = Option(new java.io.File(tmp).listFiles).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.size == 8, files.size)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("key"), max("key")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // near-disjoint by construction of repartitionByRange: each file's
+    // min must be >= the previous file's max (boundary keys may touch)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(bMin >= aMax, ranges)
+      case _ =>
+    }
+    // within-file sortedness: first/last row of one file bracket its range
+    val one = spark.read.parquet(files.head).select("key").collect()
+      .map(_.getLong(0))
+    assert(one.toSeq == one.sorted.toSeq)
+  }
+
   test("base scan prunes to the affected buckets (partition filter)") {
     val tmp = graft.Scratch.dir("merge_spec_d")
     writeBase(tmp, (0L to 7L).map(i => i -> s"v-$i"))
