@@ -651,6 +651,56 @@ object AnalysisQueries {
     SELECT query_id, cand_id, sim_micro, CAST(rk AS BIGINT) AS rk
     FROM rk WHERE rk <= $MltTopK ORDER BY query_id, rk"""
 
+  // --- q121: corpus datasheet (one-row data card) ---------------------------
+  // The "datasheet for datasets" summary row every corpus release ships:
+  // sizes, vocabulary, duplication, and composition in one relation.
+  // Three bounded aggregates (doc-level stats, vocabulary stats over the
+  // exploded postings, distinct-text count) crossJoined as 1-row sides —
+  // the scalar-broadcast shape; the only corpus-sized work is one scan +
+  // one token explode.
+  def q121Datasheet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(length(col("text"))).cast("long").as("n_chars"),
+      sum(size(TextOps.tokenize(col("text")))).cast("long").as("n_tokens"),
+      countDistinct(col("text")).as("n_distinct_texts"))
+    val vocab = docs
+      .select(explode(TextOps.tokenize(coalesce(col("text"), lit("")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ctf"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("ctf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    base.crossJoin(vocab)
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_chars"), col("n_tokens"),
+        (col("n_docs") - col("n_distinct_texts")).as("n_exact_dups"),
+        col("vocab_size"), col("n_hapax"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
+  }
+
+  val q121Sql: String =
+    raw"""WITH t AS (SELECT doc_id, source, lang, text,
+      ${toksSql("text")} AS toks FROM documents),
+    base AS (SELECT count(*) AS n_docs,
+      count(DISTINCT source) AS n_sources,
+      count(DISTINCT lang) AS n_langs,
+      CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+      count(DISTINCT text) AS n_distinct_texts
+      FROM t),
+    v AS (SELECT tok, count(*) AS ctf FROM
+      (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+    vocab AS (SELECT count(*) AS vocab_size,
+      CAST(sum(CASE WHEN ctf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM v)
+    SELECT n_docs, n_sources, n_langs, n_chars, n_tokens,
+      CAST(n_docs - n_distinct_texts AS BIGINT) AS n_exact_dups,
+      vocab_size, n_hapax,
+      CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens
+    FROM base, vocab"""
+
   // --- q83: per-source token-distribution drift between snapshots ---------
   // The mixture-monitoring query a crawl pipeline runs between snapshot
   // refreshes: has a source's token distribution moved? The snapshots are
@@ -1054,6 +1104,7 @@ object AnalysisQueries {
     "q99b_heavy_hitters_by_source" -> (q99bHeavyHittersBySource _),
     "q110_html_extract" -> (q110HtmlExtract _),
     "q118_more_like_this" -> (q118MoreLikeThis _),
+    "q121_datasheet" -> (q121Datasheet _),
     "q115_unigram_train" -> (q115UnigramTrain _),
     "q115b_unigram_tokens" -> (q115bUnigramTokens _),
     "q70_unigram_rarity" -> (q70UnigramRarity _),
@@ -1085,6 +1136,7 @@ object AnalysisQueries {
     "q99b_heavy_hitters_by_source" -> q99bSql,
     "q110_html_extract" -> q110Sql,
     "q118_more_like_this" -> q118Sql,
+    "q121_datasheet" -> q121Sql,
     "q70_unigram_rarity" -> q70Sql,
     "q20_lang_id" -> q20Sql,
     "q21_quality" -> q21Sql,

@@ -513,6 +513,88 @@ object DedupQueries {
     SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
     FROM reach GROUP BY id ORDER BY doc_id"""
 
+  // --- q120: integer PageRank over the near-dup graph -----------------------
+  // Centrality beyond connectivity: q55 tells you WHICH docs form a
+  // duplication component, PageRank tells you which doc is the
+  // component's HUB (the template everything copies) — the
+  // authority-based canonical-selection signal, complementing q84's
+  // quality-based retention. Restated in EXACT INTEGER arithmetic so a
+  // fixed iteration count is bit-reproducible AND oracle-portable:
+  //   r_0(v)   = 1e6
+  //   r_k+1(v) = 150000 + (85 · Σ_{u~v} (r_k(u) div deg(u))) div 100
+  // (floor-divisions at both steps; no dangling redistribution — an
+  // isolated doc settles at the 150000 base, a documented variant that
+  // keeps every operation integral). The oracle replays the SAME eight
+  // iterations as chained CTEs — no recursion, no float — so every
+  // intermediate floor must agree. Scale shape: one edge-keyed join +
+  // dst-keyed aggregate per iteration over the (tiny) near-dup edge
+  // relation; iterations localCheckpoint like the q55 contraction so
+  // lineage stays flat.
+  val PageRankIters = 8
+
+  def q120PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir).select(col("doc_id"))
+    val p = jpairs(spark, dir).select(col("id_a"), col("id_b"))
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var rank = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to PageRankIters) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("doc_id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      rank = nodes
+        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("150000 + (85 * coalesce(m, 0)) div 100").as("r"))
+        .localCheckpoint(false)
+    }
+    rank
+      .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r").as("rank_micro"),
+        coalesce(col("deg"), lit(0L)).as("degree"))
+      .orderBy("doc_id")
+  }
+
+  val q120Sql: String = {
+    val iters = (1 to PageRankIters).map { k =>
+      s"""r$k AS (SELECT n.doc_id,
+        150000 + (85 * coalesce(s.m, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, CAST(SUM(p.r // d.deg) AS BIGINT) AS m
+        FROM edges e
+        JOIN r${k - 1} p ON p.doc_id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) s ON s.dst = n.doc_id)"""
+    }.mkString(",\n    ")
+    s"""WITH $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    jp AS (
+      SELECT id_a, id_b FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= $JaccardMinMicro),
+    nodes AS (SELECT doc_id FROM documents),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION ALL SELECT id_b, id_a FROM jp),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    $iters
+    SELECT n.doc_id, CAST(r$PageRankIters.r AS BIGINT) AS rank_micro,
+      CAST(coalesce(d.deg, 0) AS BIGINT) AS degree
+    FROM nodes n
+    JOIN r$PageRankIters ON r$PageRankIters.doc_id = n.doc_id
+    LEFT JOIN deg d ON d.src = n.doc_id
+    ORDER BY n.doc_id"""
+  }
+
   // --- q112: duplicate-cluster size histogram -------------------------------
   // The dedup dashboard's shape number: how duplicate mass distributes
   // over component sizes (a corpus whose duplicates sit in a few huge
@@ -870,7 +952,8 @@ object DedupQueries {
     "q55_dup_clusters" -> (q55DupClusters _),
     "q55b_dup_clusters_star" -> (q55bDupClustersStar _),
     "q105_cluster_split" -> (q105ClusterSplit _),
-    "q112_cluster_size_histogram" -> (q112ClusterSizeHistogram _))
+    "q112_cluster_size_histogram" -> (q112ClusterSizeHistogram _),
+    "q120_pagerank" -> (q120PageRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q61_strip_spans" -> q61Sql,
@@ -892,5 +975,6 @@ object DedupQueries {
     "q55_dup_clusters" -> q55Sql,
     "q55b_dup_clusters_star" -> q55Sql,
     "q105_cluster_split" -> q105Sql,
-    "q112_cluster_size_histogram" -> q112Sql)
+    "q112_cluster_size_histogram" -> q112Sql,
+    "q120_pagerank" -> q120Sql)
 }
