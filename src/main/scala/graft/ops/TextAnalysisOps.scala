@@ -809,6 +809,46 @@ object TextAnalysisOps {
       regexp_replace(c, pat, repl)
     }
 
+  /** Invisible-codepoint class: zero-width space/non-joiner/joiner, word
+    * joiner, BOM, soft hyphen. `\x{...}` spelling parses identically in
+    * Java regex and RE2, so ONE constant serves engine and oracle.
+    */
+  val InvisibleClass: String =
+    "[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]"
+
+  /** Strip invisible/zero-width characters — the q101 normalization
+    * tier's third member (NFC composes, strip_accents folds, this
+    * REMOVES): glyphless codepoints are the classic filter-evasion
+    * trick (a blocklisted word survives matching when spelled
+    * w​o​r​d with zero-width spaces) and silently split tokens, break
+    * dedup keys, and inflate char counts. One codegen'd regex scan.
+    */
+  def scrubInvisible(text: Column): Column =
+    regexp_replace(text, InvisibleClass, "")
+
+  /** Luhn checksum validity of a digit string — the VALIDATED detector
+    * tier past [[redactPii]]'s pattern matching: a 16-digit run is only
+    * a credit-card candidate if its check digit verifies (ISO/IEC 7812,
+    * public), which cuts regex false positives by 10×. Pure integer HOF
+    * fold (double every second digit from the right, subtract 9 above
+    * 9, sum ≡ 0 mod 10) — identical `list_reduce` arithmetic in the
+    * DuckDB twin, so detection is oracle-exact.
+    */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val total = aggregate(
+      sequence(lit(1), n),
+      lit(0L),
+      (acc, i) => {
+        val d = (ascii(digits.substr(i, lit(1))) - 48).cast("long")
+        val fromRight = (n - i + 1).cast("long")
+        val dd = when(fromRight % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      })
+    total % 10 === 0
+  }
+
   // --- bigram surprisal (conditional-LM perplexity proxy) -----------------
 
   /** Per-document bigram surprisal under a corpus-trained conditional

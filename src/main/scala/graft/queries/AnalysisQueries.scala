@@ -651,6 +651,74 @@ object AnalysisQueries {
     SELECT query_id, cand_id, sim_micro, CAST(rk AS BIGINT) AS rk
     FROM rk WHERE rk <= $MltTopK ORDER BY query_id, rk"""
 
+  // --- q122: Luhn-validated credit-card detection ---------------------------
+  // The VALIDATED detector tier past q23b's regex redaction (see
+  // TextAnalysisOps.luhnValid): each doc's text gets a synthesized
+  // 16-digit run whose check digit is CORRECT exactly for even doc_ids
+  // (both engines derive the check digit from the same integer fold, so
+  // the synthesis itself is part of the verified surface); the engine
+  // re-extracts the run from the text and Luhn-validates it. Green means
+  // extraction AND the full checksum arithmetic agree digit-for-digit —
+  // a detector that would flag `4111111111111112` as a card fails here.
+  def q122LuhnCards(spark: SparkSession, dir: String): DataFrame = {
+    val base = lpad(col("doc_id").cast("string"), 15, "4")
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), base.as("b"))
+    // Luhn partial sum of the 15 payload digits at 16-digit positions:
+    // position-from-right 17-i is even (doubled) exactly when i is odd
+    val part = aggregate(sequence(lit(1), lit(15)), lit(0L),
+      (acc, i) => {
+        val d = (ascii(col("b").substr(i, lit(1))) - 48).cast("long")
+        val dd = when(i % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      })
+    val check = (lit(10L) - part % 10) % 10
+    val digit = when(col("doc_id") % 2 === 0, check)
+      .otherwise((check + 1) % 10)
+    val withCard = staged
+      .withColumn("cand_src", concat(col("b"), digit.cast("string")))
+      .withColumn("text2", concat(col("text"), lit(" card "), col("cand_src")))
+    withCard
+      .select(col("doc_id"),
+        regexp_extract(col("text2"), "[0-9]{16}", 0).as("candidate"))
+      .withColumn("luhn_valid",
+        TextAnalysisOps.luhnValid(col("candidate")))
+      .orderBy("doc_id")
+  }
+
+  val q122Sql: String =
+    raw"""WITH s AS (
+      SELECT doc_id, text, lpad(CAST(doc_id AS VARCHAR), 15, '4') AS b
+      FROM documents),
+    p AS (SELECT doc_id, text, b,
+      list_reduce(list_transform(range(1, 16), i ->
+        CASE WHEN i % 2 = 1 THEN
+          CASE WHEN (ascii(substring(b, CAST(i AS INT), 1)) - 48) * 2 > 9
+            THEN (ascii(substring(b, CAST(i AS INT), 1)) - 48) * 2 - 9
+            ELSE (ascii(substring(b, CAST(i AS INT), 1)) - 48) * 2 END
+        ELSE ascii(substring(b, CAST(i AS INT), 1)) - 48 END),
+        (x, y) -> x + y) AS part
+      FROM s),
+    c AS (SELECT doc_id,
+      text || ' card ' || b || CAST(
+        CASE WHEN doc_id % 2 = 0 THEN (10 - part % 10) % 10
+             ELSE ((10 - part % 10) % 10 + 1) % 10 END AS VARCHAR) AS text2
+      FROM p),
+    e AS (SELECT doc_id, regexp_extract(text2, '[0-9]{16}', 0) AS candidate
+      FROM c),
+    v AS (SELECT doc_id, candidate,
+      list_reduce(list_transform(range(1, 17), i ->
+        CASE WHEN (17 - i) % 2 = 0 THEN
+          CASE WHEN (ascii(substring(candidate, CAST(i AS INT), 1)) - 48) * 2 > 9
+            THEN (ascii(substring(candidate, CAST(i AS INT), 1)) - 48) * 2 - 9
+            ELSE (ascii(substring(candidate, CAST(i AS INT), 1)) - 48) * 2 END
+        ELSE ascii(substring(candidate, CAST(i AS INT), 1)) - 48 END),
+        (x, y) -> x + y) AS total
+      FROM e)
+    SELECT doc_id, candidate, total % 10 = 0 AS luhn_valid
+    FROM v ORDER BY doc_id"""
+
   // --- q121: corpus datasheet (one-row data card) ---------------------------
   // The "datasheet for datasets" summary row every corpus release ships:
   // sizes, vocabulary, duplication, and composition in one relation.
@@ -1105,6 +1173,7 @@ object AnalysisQueries {
     "q110_html_extract" -> (q110HtmlExtract _),
     "q118_more_like_this" -> (q118MoreLikeThis _),
     "q121_datasheet" -> (q121Datasheet _),
+    "q122_luhn_cards" -> (q122LuhnCards _),
     "q115_unigram_train" -> (q115UnigramTrain _),
     "q115b_unigram_tokens" -> (q115bUnigramTokens _),
     "q70_unigram_rarity" -> (q70UnigramRarity _),
@@ -1137,6 +1206,7 @@ object AnalysisQueries {
     "q110_html_extract" -> q110Sql,
     "q118_more_like_this" -> q118Sql,
     "q121_datasheet" -> q121Sql,
+    "q122_luhn_cards" -> q122Sql,
     "q70_unigram_rarity" -> q70Sql,
     "q20_lang_id" -> q20Sql,
     "q21_quality" -> q21Sql,

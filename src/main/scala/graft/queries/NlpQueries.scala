@@ -675,6 +675,47 @@ object NlpQueries {
       text <> strip_accents(text) AS changed
     FROM documents ORDER BY doc_id"""
 
+  // --- q101c: invisible-character scrub ------------------------------------
+  // The normalization tier's third member (q101 composes, q101b folds,
+  // this REMOVES — see TextAnalysisOps.scrubInvisible): zero-width
+  // codepoints are spam's classic blocklist evasion and silently split
+  // tokens and dedup keys. The fixture is ASCII, so the hazard is
+  // SYNTHESIZED (q110's contract): every doc_id % 3 == 0 text gets a
+  // ZWSP+ZWJ pair spliced in after the fifth character plus a trailing
+  // soft hyphen; the scrub must restore the original byte-for-byte —
+  // both engines derive contamination AND scrub independently.
+  def q101cScrubInvisible(spark: SparkSession, dir: String): DataFrame = {
+    val contaminated = when(col("doc_id") % 3 === 0,
+      concat(substring(col("text"), 1, 5), lit("\u200B\u200D"),
+        expr("substring(text, 6)"), lit("\u00AD")))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), contaminated.as("dirty"))
+      .select(col("doc_id"),
+        graft.ops.TextAnalysisOps.scrubInvisible(col("dirty")).as("clean"),
+        (col("dirty") =!= col("text")).as("was_dirty"),
+        length(col("dirty")).cast("long").as("dirty_len"),
+        (graft.ops.TextAnalysisOps.scrubInvisible(col("dirty")) === col("text"))
+          .as("restored"))
+      .orderBy("doc_id")
+  }
+
+  val q101cSql: String =
+    s"""WITH d AS (SELECT doc_id, text,
+      CASE WHEN doc_id % 3 = 0 THEN
+        substring(text, 1, 5) || chr(8203) || chr(8205) ||
+        substring(text, 6) || chr(173)
+      ELSE text END AS dirty
+      FROM documents)
+    SELECT doc_id,
+      regexp_replace(dirty, '${graft.ops.TextAnalysisOps.InvisibleClass}',
+        '', 'g') AS clean,
+      dirty <> text AS was_dirty,
+      CAST(length(dirty) AS BIGINT) AS dirty_len,
+      regexp_replace(dirty, '${graft.ops.TextAnalysisOps.InvisibleClass}',
+        '', 'g') = text AS restored
+    FROM d ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_partitioned_sink" -> (q91PartitionedSink _),
     "q94_corrupt_quarantine" -> (q94CorruptQuarantine _),
@@ -699,7 +740,8 @@ object NlpQueries {
     "q07_tag_frequency" -> (q07TagFrequency _),
     "q08_tag_diversity" -> (q08TagDiversity _),
     "q101_nfc_normalize" -> (q101NfcNormalize _),
-    "q101b_strip_accents" -> (q101bStripAccents _))
+    "q101b_strip_accents" -> (q101bStripAccents _),
+    "q101c_scrub_invisible" -> (q101cScrubInvisible _))
 
   val oracleSql: Map[String, String] = Map(
     "q91_partitioned_sink" -> q91Sql,
@@ -725,5 +767,6 @@ object NlpQueries {
     "q07_tag_frequency" -> q07Sql,
     "q08_tag_diversity" -> q08Sql,
     "q101_nfc_normalize" -> q101Sql,
-    "q101b_strip_accents" -> q101bSql)
+    "q101b_strip_accents" -> q101bSql,
+    "q101c_scrub_invisible" -> q101cSql)
 }
