@@ -141,6 +141,13 @@ object DocumentSources {
     * At 100 TB this is the operational shape: a day's delta rewrites
     * O(affected buckets) of data while every untouched bucket's files
     * stay byte-identical (unit-asserted). Returns the affected buckets.
+    *
+    * Contract: `upserts` must be UNIQUE by `doc_id` — a CDC batch
+    * carrying two versions of one key must be pre-collapsed to its
+    * latest (the anti-join removes the base row, but two in-batch
+    * versions would BOTH survive the union). The streaming twin's
+    * micro-batches satisfy this when the source is itself keyed; a raw
+    * change stream needs a per-batch latest-wins aggregate first.
     */
   def mergeUpsertBuckets(spark: SparkSession, path: String,
                          upserts: DataFrame, deleteKeys: DataFrame,
