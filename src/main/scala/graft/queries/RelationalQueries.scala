@@ -267,6 +267,102 @@ object RelationalQueries {
       ORDER BY s_acctbal DESC, s_name ASC LIMIT 2) s
     ORDER BY n.n_name, s.s_acctbal DESC, s.s_name"""
 
+  // --- q123: ANALYZE-style column statistics --------------------------------
+  // The optimizer-stats table every warehouse maintains (ANALYZE TABLE /
+  // dbt docs): per column of lineitem — nulls, distinct count, min/max —
+  // in ONE pass (a single wide aggregate; per-column sub-scans would
+  // read the table N times). Emitted long-form (one row per column) so
+  // the relation is schema-stable as columns are added; numeric min/max
+  // ride as DOUBLEs (raw values, no aggregation arithmetic), everything
+  // else as exact counts.
+  def q123ColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_orderkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount")
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"))): _*)
+    val rows = cols.map(c =>
+      s"SELECT '$c' AS column_name, n_rows, ${c}_nulls AS n_nulls, " +
+        s"${c}_ndv AS n_distinct, ${c}_min AS min_value, " +
+        s"${c}_max AS max_value FROM stats")
+    agg.createOrReplaceTempView("stats")
+    spark.sql(rows.mkString(" UNION ALL ") + " ORDER BY column_name")
+  }
+
+  val q123Sql: String = {
+    val cols = Seq("l_orderkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount")
+    cols.map(c =>
+      s"""SELECT '$c' AS column_name,
+        count(*) AS n_rows,
+        CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        count(DISTINCT $c) AS n_distinct,
+        CAST(min($c) AS DOUBLE) AS min_value,
+        CAST(max($c) AS DOUBLE) AS max_value
+      FROM lineitem""").mkString("\n    UNION ALL\n    ") +
+      "\n    ORDER BY column_name"
+  }
+
+  // --- q124: data-quality constraint suite ----------------------------------
+  // The dbt-test / Great-Expectations gate as one relation: per declared
+  // constraint, its violation count — uniqueness, referential integrity
+  // across the star schema, value-domain bounds. A release pipeline
+  // blocks when any row is nonzero; emitting COUNTS (not a boolean)
+  // makes the failure actionable. Anti-joins for the FK checks (never
+  // collected), one aggregate per constraint, all scalar-bound results
+  // unioned.
+  def q124DqChecks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    def cnt(name: String, d: org.apache.spark.sql.DataFrame) =
+      d.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("constraint_name"), col("violations"))
+    val dupOrders = ord.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+    val dupDocs = docs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+    val orphanLi = li.join(ord.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val orphanOrd = ord.join(cust.select(col("c_custkey")),
+      col("o_custkey") === col("c_custkey"), "left_anti")
+    val badDiscount = li.where(col("l_discount") < 0.0 || col("l_discount") > 0.1)
+    val badQty = li.where(col("l_quantity") <= 0.0)
+    cnt("orders_pk_unique", dupOrders)
+      .unionByName(cnt("documents_pk_unique", dupDocs))
+      .unionByName(cnt("lineitem_orderkey_fk", orphanLi))
+      .unionByName(cnt("orders_custkey_fk", orphanOrd))
+      .unionByName(cnt("lineitem_discount_domain", badDiscount))
+      .unionByName(cnt("lineitem_quantity_positive", badQty))
+      .orderBy("constraint_name")
+  }
+
+  val q124Sql: String =
+    """SELECT 'orders_pk_unique' AS constraint_name,
+      CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT) AS violations
+    UNION ALL SELECT 'documents_pk_unique',
+      (SELECT count(*) FROM (SELECT doc_id FROM documents
+        GROUP BY doc_id HAVING count(*) > 1))
+    UNION ALL SELECT 'lineitem_orderkey_fk',
+      (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL SELECT 'orders_custkey_fk',
+      (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL SELECT 'lineitem_discount_domain',
+      (SELECT count(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.1)
+    UNION ALL SELECT 'lineitem_quantity_positive',
+      (SELECT count(*) FROM lineitem WHERE l_quantity <= 0.0)
+    ORDER BY constraint_name"""
+
   // --- q16c: NOT IN vs NOT EXISTS under NULLs -------------------------------
   // The classic tri-valued-logic trap, verified cross-engine: `x NOT IN
   // (subquery)` is `x <> v1 AND x <> v2 AND ...` — ONE NULL in the
@@ -751,6 +847,8 @@ object RelationalQueries {
     "q13e_time_range_frame" -> (q13eTimeRangeFrame _),
     "q13f_lateral_topk" -> (q13fLateralTopK _),
     "q16c_not_in_nulls" -> (q16cNotInNulls _),
+    "q123_column_stats" -> (q123ColumnStats _),
+    "q124_dq_checks" -> (q124DqChecks _),
     "q13c_min_cost_supplier" -> (q13cMinCostSupplier _),
     "q14_rollup" -> (q14Rollup _),
     "q14c_grouping_sets" -> (q14cGroupingSets _),
@@ -778,6 +876,8 @@ object RelationalQueries {
     "q13e_time_range_frame" -> q13eSql,
     "q13f_lateral_topk" -> q13fSql,
     "q16c_not_in_nulls" -> q16cSql,
+    "q123_column_stats" -> q123Sql,
+    "q124_dq_checks" -> q124Sql,
     "q13c_min_cost_supplier" -> q13cSql,
     "q14_rollup" -> q14Sql,
     "q14c_grouping_sets" -> q14cSql,
