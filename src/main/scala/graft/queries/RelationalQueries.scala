@@ -286,12 +286,20 @@ object RelationalQueries {
         countDistinct(col(c)).as(s"${c}_ndv"),
         min(col(c)).cast("double").as(s"${c}_min"),
         max(col(c)).cast("double").as(s"${c}_max"))): _*)
-    val rows = cols.map(c =>
-      s"SELECT '$c' AS column_name, n_rows, ${c}_nulls AS n_nulls, " +
-        s"${c}_ndv AS n_distinct, ${c}_min AS min_value, " +
-        s"${c}_max AS max_value FROM stats")
-    agg.createOrReplaceTempView("stats")
-    spark.sql(rows.mkString(" UNION ALL ") + " ORDER BY column_name")
+    // ONE corpus pass: the wide aggregate collapses to a single row,
+    // collected (scalar-bound) and reshaped long-form driver-side — a
+    // per-column UNION over the live plan would re-run the scan and the
+    // distinct aggregation once per column (observed: 5 scans in the
+    // plan audit before this collect)
+    val r = agg.head()
+    import spark.implicits._
+    cols.map { c =>
+      (c, r.getAs[Long]("n_rows"), r.getAs[Long](s"${c}_nulls"),
+        r.getAs[Long](s"${c}_ndv"), r.getAs[Double](s"${c}_min"),
+        r.getAs[Double](s"${c}_max"))
+    }.toDF("column_name", "n_rows", "n_nulls", "n_distinct",
+      "min_value", "max_value")
+      .orderBy("column_name")
   }
 
   val q123Sql: String = {
