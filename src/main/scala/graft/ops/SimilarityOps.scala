@@ -933,13 +933,25 @@ object SimilarityOps {
     * force is the check (PqSpec).
     */
   def ivfPqTopK(index: IvfIndex, cb: PqCodebook, cellCoded: DataFrame,
-                everyNth: Int, k: Int, nProbe: Int, overfetch: Int): DataFrame = {
+                everyNth: Int, k: Int, nProbe: Int, overfetch: Int): DataFrame =
+    ivfPqScore(index, cb, cellCoded,
+      ivfPqProbeCells(index, cb, everyNth, nProbe), k, overfetch)
+
+  /** Probe phase of [[ivfPqTopK]]: which `nProbe` cells each query
+    * ADC-scans, carrying the query's per-subspace LUT —
+    * `(query_id, cell, lut)`, queries × nProbe rows (broadcast-sized).
+    * Split out so callers probing a STORED cell-partitioned code tree
+    * (q104c) can collect the probed-cell set FIRST and push it into the
+    * stored scan as a partition filter — the q79e pattern for PQ.
+    */
+  def ivfPqProbeCells(index: IvfIndex, cb: PqCodebook,
+                      everyNth: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = collectCodebook(cb)
     val q = index.assigned.where(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    // probe phase: nProbe nearest cells by centroid cosine (desc, ties to
-    // the lowest cell — the ivfSq8ProbeCells rule)
+    // nProbe nearest cells by centroid cosine (desc, ties to the lowest
+    // cell — the ivfSq8ProbeCells rule)
     val qCells = q.crossJoin(broadcast(index.centroids))
       .select(col("query_id"), col("cell"),
         cosineMicro(col("q_emb"), col("centroid")).as("cdist"))
@@ -949,8 +961,17 @@ object SimilarityOps {
       .select("query_id", "cell")
     val qLut = stageSub(q, "query_id", "q_emb", cb)
       .select(col("query_id"), array(lutColumns(cb, cents): _*).as("lut"))
-    // queries × nProbe rows, each carrying the query's LUT — broadcast side
-    val probes = qCells.join(qLut, "query_id")
+    qCells.join(qLut, "query_id")
+  }
+
+  /** Scoring + rerank phase of [[ivfPqTopK]] over an already-derived
+    * probe relation. `cellCoded` may be the in-memory index half OR its
+    * stored cell-partitioned layout read back (q104c) — the plan is
+    * identical either way; only the scan under it changes.
+    */
+  def ivfPqScore(index: IvfIndex, cb: PqCodebook, cellCoded: DataFrame,
+                 probes: DataFrame, k: Int, overfetch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val stage1 = cellCoded.toDF("cand_id", "cell", "codes")
       .join(broadcast(probes), Seq("cell"))
       .where(col("cand_id") =!= col("query_id"))

@@ -538,19 +538,30 @@ object DedupQueries {
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var rank = nodes.withColumn("r", lit(1000000L))
+    // the q55 checkpoint lifecycle: eager localCheckpoint truncates the
+    // iterated lineage, each superseded round's blocks are freed
+    // immediately, and the FINAL round's checkpoint is registered with
+    // CacheScope so the query boundary releases it (CacheLifecycleSpec's
+    // no-surviving-persist gate)
+    import org.apache.spark.sql.graftbridge.Bridge
+    def releaseCheckpoint(ds: DataFrame): Unit =
+      Bridge.checkpointRdd(ds).foreach(_.unpersist(blocking = false))
+    var rank = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
     for (_ <- 1 to PageRankIters) {
       val contrib = edges
         .join(rank.withColumnRenamed("doc_id", "src"), "src")
         .join(deg, "src")
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      rank = nodes
+      val next = nodes
         .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           expr("150000 + (85 * coalesce(m, 0)) div 100").as("r"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
+      releaseCheckpoint(rank)
+      rank = next
     }
+    Bridge.checkpointRdd(rank).foreach(graft.CacheScope.registerRdd)
     rank
       .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("r").as("rank_micro"),

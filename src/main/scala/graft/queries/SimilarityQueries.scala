@@ -359,6 +359,52 @@ object SimilarityQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- q104c: the STORED PQ code tree, probed with partition pruning ------
+  // ivfPqCoded's scaladoc says "at 100 TB this is the relation written
+  // partitioned by cell"; this query IS that claim executed — q79e's
+  // stored-index contract at 64× compression: the cell-partitioned code
+  // tree is written once, the probe derives its cell set BEFORE touching
+  // it (scalar-bound centroid hop), and the scan's PartitionFilters
+  // prunes to exactly the probed cells (plan-asserted in PqSpec) — a
+  // probe reads nProbe cells' 4-byte codes, never the corpus.
+  private val pqStoredCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def pqStoredPath(spark: SparkSession, dir: String): String = {
+    pqStoredCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    pqStoredCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) =>
+        val path = graft.Scratch.dir(
+          s"q104c_pq_${Integer.toHexString(d.hashCode)}")
+        val (_, coded) = pqIndex(spark, d)
+        SimilarityOps.ivfPqCoded(ivfIndex(spark, d), coded)
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        path
+      })
+  }
+
+  /** Read the stored PQ tree pruned to `cells` — split out so PqSpec can
+    * assert the pruning on exactly the relation the query scans.
+    */
+  private[graft] def storedPqCoded(spark: SparkSession, path: String,
+                                     cells: Seq[Long]): DataFrame =
+    spark.read.parquet(path)
+      .where(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("codes"))
+
+  def q104cStoredPq(spark: SparkSession, dir: String): DataFrame = {
+    val (cb, _) = pqIndex(spark, dir)
+    val idx = ivfIndex(spark, dir)
+    val probes = SimilarityOps.ivfPqProbeCells(idx, cb, QueryEveryNth, nProbe = 8)
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    SimilarityOps.ivfPqScore(idx, cb,
+      storedPqCoded(spark, pqStoredPath(spark, dir), cells),
+      probes, TopK, PqOverfetch)
+      .orderBy("query_id", "rk")
+  }
+
   /** Drop every memoized IVF index (assignment + SQ8 codes) and release
     * the persisted frames. The caches are cross-query by design (one
     * KMeans fit amortized over every probe), so they are NOT released at
@@ -376,10 +422,11 @@ object SimilarityQueries {
       ic.next().unpersist(blocking = false)
       ic.remove()
     }
-    // path memo only (no persisted frame): clearing forces the next q79e
-    // to re-write the stored layout, which is exactly what a cold
-    // measurement should charge it for
+    // path memos only (no persisted frame): clearing forces the next
+    // q79e/q104c to re-write their stored layouts, which is exactly what
+    // a cold measurement should charge them for
     ivfStoredCache.clear()
+    pqStoredCache.clear()
     val im = ivfMergedCache.values.iterator()
     while (im.hasNext) {
       im.next().assigned.unpersist(blocking = false)
@@ -602,7 +649,8 @@ object SimilarityQueries {
     "q79f_ivf_append" -> (q79fIvfAppend _),
     "q79g_ivf_drift" -> (q79gIvfDrift _),
     "q104_pq_adc" -> (q104PqAdc _),
-    "q104b_ivf_pq" -> (q104bIvfPq _))
+    "q104b_ivf_pq" -> (q104bIvfPq _),
+    "q104c_stored_pq" -> (q104cStoredPq _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,

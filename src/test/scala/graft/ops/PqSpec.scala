@@ -112,6 +112,26 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("q104c over the stored PQ tree is byte-identical to q104b over " +
+      "the in-memory codes, and the stored scan prunes to probed cells") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.SimilarityQueries.q104bIvfPq(spark, dir)
+      .collect().toSeq
+    val b = graft.queries.SimilarityQueries.q104cStoredPq(spark, dir)
+      .collect().toSeq
+    assert(b == a && a.nonEmpty)
+    // pruning: the same pruned-read helper the query scans must carry the
+    // cell partition filter
+    val path = graft.Scratch.dir(
+      s"q104c_pq_${Integer.toHexString(dir.hashCode)}")
+    val plan = graft.queries.SimilarityQueries
+      .storedPqCoded(spark, path, Seq(0L, 3L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(600))
+    graft.queries.SimilarityQueries.evictAll()
+  }
+
   test("PQ-ADC + rerank achieves >= 70% recall at the production overfetch") {
     // the q104 dial (PqOverfetch = 16): measured 0.82 on this fixture;
     // 4 measures 0.54, 8 measures 0.60 — the rationale for 16 is in
