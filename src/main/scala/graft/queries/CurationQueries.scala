@@ -882,6 +882,60 @@ object CurationQueries {
       CAST(sum(h) AS BIGINT) AS content_sum
     FROM c GROUP BY 1 ORDER BY shard_id"""
 
+  // --- q126: keyed pseudonymization with key revocation ---------------------
+  // The crypto-shredding pattern (GDPR-grade forgetting without
+  // rewriting history): raw user ids never flow downstream — each is
+  // replaced by a hash KEYED on a per-user secret from a key table, and
+  // deleting a user's key row makes every historic pseudonym permanently
+  // unlinkable. Here the key table carves user_id % 9 == 0 as revoked;
+  // their events roll up under the 'forgotten' bucket (pseudonym -1)
+  // while everyone else groups under a stable keyed pseudonym. The hash
+  // is the engine-portable polynomial over key || ':' || user (a real
+  // deployment swaps in HMAC — same join shape), so the whole relation
+  // is oracle-exact. One broadcastable key join; aggregation keys on the
+  // pseudonym, exactly as a downstream consumer would.
+  def q126Pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), col("value"))
+    val keys = e.select(col("user_id")).distinct()
+      .where(col("user_id") % 9 =!= 0)
+      .withColumn("ukey",
+        graft.ops.HashOps.charHash(
+          concat(lit("secret-"), col("user_id").cast("string"))))
+    e.join(broadcast(keys), Seq("user_id"), "left")
+      .select(
+        // explicit branch on key presence: charHash null-coalesces its
+        // input to "", so null propagation alone would give revoked
+        // users hash("") instead of the forgotten bucket
+        when(col("ukey").isNull, lit(-1L))
+          .otherwise(graft.ops.HashOps.charHash(
+            concat(col("ukey").cast("string"), lit(":"),
+              col("user_id").cast("string")))).as("pseudonym"),
+        col("value"))
+      .groupBy("pseudonym")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy("pseudonym")
+  }
+
+  val q126Sql: String = {
+    val ukey = graft.ops.HashOps.charHashSql("'secret-' || CAST(user_id AS VARCHAR)")
+    val pseudo = graft.ops.HashOps.charHashSql(
+      "CAST(ukey AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+    s"""WITH k AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 9 <> 0),
+    k2 AS (SELECT user_id, $ukey AS ukey FROM k),
+    p AS (SELECT e.value,
+        CASE WHEN k2.user_id IS NULL THEN -1
+             ELSE ${graft.ops.HashOps.charHashSql(
+               "CAST(ukey AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")}
+        END AS pseudonym
+      FROM events e LEFT JOIN k2 ON k2.user_id = e.user_id)
+    SELECT CAST(pseudonym AS BIGINT) AS pseudonym,
+      count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM p GROUP BY pseudonym ORDER BY pseudonym"""
+  }
+
   // --- q119: LLM-prep end to end (the training-prep capstone) ---------------
   // q50 verifies the CURATION composite (redact → quality → dedup →
   // near-dup); this verifies the TRAINING-PREP tail in one flow:
@@ -1235,6 +1289,7 @@ object CurationQueries {
     "q111_merge_upsert" -> (q111MergeUpsert _),
     "q113_mixture_epochs" -> (q113MixtureEpochs _),
     "q119_llm_prep" -> (q119LlmPrep _),
+    "q126_pseudonymize" -> (q126Pseudonymize _),
     "q50_curated_corpus" -> (q50CuratedCorpus _),
     "q50b_cluster_curated" -> (q50bClusterCurated _),
     "q51_split" -> (q51Split _),
@@ -1262,6 +1317,7 @@ object CurationQueries {
     "q111_merge_upsert" -> q111Sql,
     "q113_mixture_epochs" -> q113Sql,
     "q119_llm_prep" -> q119Sql,
+    "q126_pseudonymize" -> q126Sql,
     "q50_curated_corpus" -> q50Sql,
     "q50b_cluster_curated" -> q50bSql,
     "q51_split" -> q51Sql,

@@ -267,6 +267,59 @@ object RelationalQueries {
       ORDER BY s_acctbal DESC, s_name ASC LIMIT 2) s
     ORDER BY n.n_name, s.s_acctbal DESC, s.s_name"""
 
+  // --- q125: try_* error-handling semantics ---------------------------------
+  // Production SQL never lets one malformed row kill a 100 TB job: the
+  // try_ family turns cast/arithmetic errors into NULLs. This pins the
+  // NULL-on-error semantics CROSS-ENGINE over deterministic malformed
+  // inputs: unparseable casts, integer overflow, division by zero —
+  // per-class NULL counts plus the surviving sums, so an engine that
+  // errored, skipped, or saturated instead of NULLing diverges.
+  def q125TrySemantics(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        // every 7th key gets an unparseable string
+        when(col("o_orderkey") % 7 === 0, lit("not-a-number"))
+          .otherwise(col("o_orderkey").cast("string")).as("s"),
+        // every 5th key divides by zero
+        when(col("o_orderkey") % 5 === 0, lit(0L)).otherwise(lit(2L)).as("d"))
+      .select(col("o_orderkey"),
+        expr("try_cast(s AS BIGINT)").as("casted"),
+        expr("try_divide(o_orderkey, d)").as("divided"),
+        // overflow: even keys shift to ~9e18 then ×3, past Long.MaxValue
+        // → NULL; odd keys multiply by 0 — a non-overflowing control
+        expr("""try_multiply(try_add(o_orderkey, 9000000000000000000L),
+          CASE WHEN o_orderkey % 2 = 0 THEN 3L ELSE 0L END)""")
+          .as("overflowed"))
+    o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("casted").isNull, 1L).otherwise(0L)).as("null_casts"),
+      sum(when(col("divided").isNull, 1L).otherwise(0L)).as("null_divides"),
+      sum(when(col("overflowed").isNull, 1L).otherwise(0L)).as("null_overflows"),
+      sum(col("casted")).as("sum_casted"),
+      sum(col("divided").cast("decimal(20,1)")).cast("double").as("sum_divided"))
+  }
+
+  val q125Sql: String =
+    """WITH o AS (SELECT o_orderkey,
+      CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-number'
+           ELSE CAST(o_orderkey AS VARCHAR) END AS s,
+      CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE 2 END AS d
+      FROM orders),
+    t AS (SELECT o_orderkey,
+      TRY_CAST(s AS BIGINT) AS casted,
+      CASE WHEN d = 0 THEN NULL
+           ELSE CAST(o_orderkey AS DOUBLE) / d END AS divided,
+      CASE WHEN o_orderkey % 2 = 0 THEN NULL  -- (k+9e18)*3 overflows
+           ELSE 0 END AS overflowed
+      FROM o)
+    SELECT count(*) AS n_rows,
+      CAST(sum(CASE WHEN casted IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_casts,
+      CAST(sum(CASE WHEN divided IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_divides,
+      CAST(sum(CASE WHEN overflowed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_overflows,
+      CAST(sum(casted) AS BIGINT) AS sum_casted,
+      CAST(sum(CAST(divided AS DECIMAL(20,1))) AS DOUBLE) AS sum_divided
+    FROM t"""
+
   // --- q123: ANALYZE-style column statistics --------------------------------
   // The optimizer-stats table every warehouse maintains (ANALYZE TABLE /
   // dbt docs): per column of lineitem — nulls, distinct count, min/max —
@@ -856,6 +909,7 @@ object RelationalQueries {
     "q13f_lateral_topk" -> (q13fLateralTopK _),
     "q16c_not_in_nulls" -> (q16cNotInNulls _),
     "q123_column_stats" -> (q123ColumnStats _),
+    "q125_try_semantics" -> (q125TrySemantics _),
     "q124_dq_checks" -> (q124DqChecks _),
     "q13c_min_cost_supplier" -> (q13cMinCostSupplier _),
     "q14_rollup" -> (q14Rollup _),
@@ -885,6 +939,7 @@ object RelationalQueries {
     "q13f_lateral_topk" -> q13fSql,
     "q16c_not_in_nulls" -> q16cSql,
     "q123_column_stats" -> q123Sql,
+    "q125_try_semantics" -> q125Sql,
     "q124_dq_checks" -> q124Sql,
     "q13c_min_cost_supplier" -> q13cSql,
     "q14_rollup" -> q14Sql,
