@@ -188,6 +188,32 @@ class CurationPipelineSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("runningOffsets with a non-id fill order equals the naive window, " +
+      "including massive equal-key ties") {
+    // the q106 shape: ord = -quality with HEAVY ties (many rows share one
+    // quality value) — the generalized prefix sum is only correct if
+    // equal ord keys always land in one shard and the (ord, doc_id)
+    // within-shard sort matches the reference window's total order
+    val rows =
+      (0 until 400).map(i => (i.toLong, "web", (i % 7 + 1).toLong,
+        -(i % 3).toLong)) ++ // only 3 distinct ord values over 400 rows
+      (0 until 50).map(i => (1000L + i, "code", (i % 5 + 1).toLong,
+        -(i % 11).toLong))
+    val t = rows.toDF("doc_id", "source", "n_tokens", "ord")
+    val got = graft.queries.CurationQueries.runningOffsets(t, 8)
+      .select("doc_id", "source", "start_offset")
+      .orderBy("source", "doc_id").collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = t.withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select("doc_id", "source", "start_offset")
+      .orderBy("source", "doc_id").collect().map(_.toSeq).toSeq
+    CacheScope.releaseAll()
+    assert(got == want)
+  }
+
   test("packStartOffsets handles single-doc sources and shards > rows") {
     val t = Seq((42L, "solo", 7L), (1L, "pair", 3L), (9L, "pair", 5L))
       .toDF("doc_id", "source", "n_tokens")
