@@ -1086,6 +1086,104 @@ object TextAnalysisOps {
         coalesce(col("max_surprisal"), lit(0L)).as("max_surprisal"))
   }
 
+  /** Absolute discount for [[knBigramModel]], expressed as the rational
+    * 3/4 so every model probability stays exact-integer arithmetic.
+    */
+  val KnDiscountNum: Long = 3L
+  val KnDiscountDen: Long = 4L
+
+  /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    * Goodman 1998 eq. 4.27) over the corpus's own bigrams, in exact
+    * integer micro-units:
+    *
+    *   p_KN(w2|w1) = (c(w1,w2) - D)/c(w1·)
+    *                 + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(··)
+    *
+    * with D = 3/4. Every term is a count, so multiplying through by
+    * 4·c(w1·)·N1+(··) gives the exact rational
+    *
+    *   p = ((4c - 3)·T + 3·n1p·ncont) / (4·cw1·T),   T = N1+(··)
+    *
+    * and `p_micro = (1e6·num) div den` is pure BIGINT arithmetic — the
+    * same cross-engine-exact contract as the q90 log2 buckets, with real
+    * smoothing instead of buckets. Interpolated KN is the strongest
+    * closed-form n-gram smoother in the Chen–Goodman study, and its
+    * continuation counts (how many distinct contexts a word follows) are
+    * exactly the statistic a "boilerplate-y token in many contexts vs
+    * rare token in one" quality signal needs.
+    *
+    * Overflow headroom: num ≤ 4·c_max·T + 3·V², den = 4·cw1·T; at
+    * 1e6-scaling the products stay under 2^63 while c_max·T < ~9e12 —
+    * corpora past that need the same DECIMAL widening noted on q102's
+    * checksum. Plan shape: three VOCABULARY-sized aggregates/joins build
+    * the enriched model (bt ⋈ ut on w1, ⋈ ct on w2, 1-row T broadcast);
+    * no corpus-sized relation is touched after the bigram count.
+    *
+    * KnModelSpec proves Σ_{w2 ∈ vocab} p_KN(w2|w1) = 1 exactly (BigInt
+    * rationals) per context — the interpolated-KN normalization
+    * guarantee — and that `p_micro` is the floor of the exact rational.
+    */
+  def knBigramModel(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val bt = bigramPairs(docs, Seq.empty, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("btf"))
+    knModelFromCounts(bt)
+  }
+
+  /** The model arithmetic over an already-aggregated bigram-count
+    * relation `(w1, w2, btf)` — shared by [[knBigramModel]] and the
+    * scoring path so both provably apply one formula.
+    */
+  private[graft] def knModelFromCounts(bt: DataFrame): DataFrame = {
+    val ut = bt.groupBy(col("w1"))
+      .agg(sum(col("btf")).as("cw1"), count(lit(1)).as("n1p"))
+    val ct = bt.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    val tot = bt.agg(count(lit(1)).as("t_types"))
+    bt.join(ut, Seq("w1")).join(ct, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p_micro", expr(
+        s"(1000000 * (($KnDiscountDen * btf - $KnDiscountNum) * t_types + " +
+          s"$KnDiscountNum * n1p * ncont)) div " +
+          s"($KnDiscountDen * cw1 * t_types)"))
+      .select(col("w1"), col("w2"), col("btf"), col("p_micro"))
+  }
+
+  /** Per-document Kneser-Ney familiarity profile: each doc's bigrams
+    * scored under [[knBigramModel]] built from the corpus itself (the
+    * q90 self-scoring shape, so every scored bigram is in the model by
+    * construction — no OOV tier). Output `(id, n_bigrams, sum_p_micro,
+    * min_p_micro)`: high sums = stereotyped/boilerplate transitions, low
+    * minima = at least one near-unique transition. Docs with < 2 tokens
+    * carry zeros (and a 0 minimum, the "no evidence" floor).
+    *
+    * Join shape is q90's verbatim: the enriched model is vocabulary-
+    * sized, so the ONE corpus-sized join (doc-bigrams ⋈ model on
+    * (w1, w2)) is pre-salted against Zipf-hot bigrams — see
+    * [[bigramSurprisal]] for why AQE's skew split cannot fire here.
+    */
+  def knSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val pairs = bigramPairs(docs, Seq(col(idCol)), textCol)
+    // persisted: the corpus bigram-count aggregate and the scoring join
+    // both consume the doc-bigram relation (q90's lifecycle)
+    val dt = graft.CacheScope.persist(
+      pairs.groupBy(col(idCol), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k")))
+    val model = knModelFromCounts(
+      dt.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("btf")))
+    val scored = JoinOps.saltedJoinKeys(dt, model, Seq("w1", "w2"),
+        SurprisalSalts, Seq(idCol))
+      .select(col(idCol), col("k"), col("p_micro"))
+    val profile = scored.groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("p_micro")).as("sum_p_micro"),
+        min(col("p_micro")).as("min_p_micro"))
+    docs.select(col(idCol)).join(profile, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_p_micro"), lit(0L)).as("sum_p_micro"),
+        coalesce(col("min_p_micro"), lit(0L)).as("min_p_micro"))
+  }
+
   // --- Gopher document-quality rule battery (Rae et al. 2021 §A1.1) ------
 
   /** The paper's "required word" list: a document must contain at least

@@ -372,6 +372,45 @@ object AnalysisQueries {
     FROM st LEFT JOIN agg a USING (doc_id) ORDER BY st.doc_id"""
   }
 
+  // --- q90c: interpolated Kneser-Ney familiarity -------------------------
+  // See TextAnalysisOps.knBigramModel: real KN smoothing (Chen-Goodman
+  // eq. 4.27, D = 3/4) in exact integer micro-units — the continuation-
+  // count statistic q90's raw log2 buckets can't express. Self-scored,
+  // so every doc bigram is in the model by construction.
+  def q90cKneserNey(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.knSurprisal(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  val q90cSql: String = {
+    val dn = TextAnalysisOps.KnDiscountNum
+    val dd = TextAnalysisOps.KnDiscountDen
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+    dt AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY doc_id, w1, w2),
+    bt AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS btf FROM dt GROUP BY w1, w2),
+    ut AS (SELECT w1, CAST(sum(btf) AS BIGINT) AS cw1,
+      CAST(count(*) AS BIGINT) AS n1p FROM bt GROUP BY w1),
+    ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM bt GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM bt),
+    m AS (SELECT w1, w2,
+      (1000000 * (($dd * btf - $dn) * t_types + $dn * n1p * ncont)) //
+        ($dd * cw1 * t_types) AS p_micro
+      FROM bt JOIN ut USING (w1) JOIN ct USING (w2) CROSS JOIN tot),
+    sc AS (SELECT dt.doc_id, dt.k, m.p_micro
+      FROM dt JOIN m USING (w1, w2)),
+    agg AS (SELECT doc_id,
+      CAST(sum(k) AS BIGINT) AS n_bigrams,
+      CAST(sum(k * p_micro) AS BIGINT) AS sum_p_micro,
+      CAST(min(p_micro) AS BIGINT) AS min_p_micro
+      FROM sc GROUP BY doc_id)
+    SELECT t.doc_id,
+      coalesce(a.n_bigrams, 0) AS n_bigrams,
+      coalesce(a.sum_p_micro, 0) AS sum_p_micro,
+      coalesce(a.min_p_micro, 0) AS min_p_micro
+    FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id ORDER BY t.doc_id"""
+  }
+
   // --- q88: Gopher document-quality rule battery -------------------------
   // The published pretraining filter battery (Rae et al. 2021 §A1.1) as
   // one codegen'd scan: per-rule 0/1 flags + keep, every ratio rule in
@@ -1189,6 +1228,7 @@ object AnalysisQueries {
     "q88_gopher_rules" -> (q88GopherRules _),
     "q90_bigram_surprisal" -> (q90BigramSurprisal _),
     "q90b_heldout_surprisal" -> (q90bHeldoutSurprisal _),
+    "q90c_kneser_ney" -> (q90cKneserNey _),
     "q23_fingerprints" -> (q23Fingerprints _),
     "q23b_redact" -> (q23bRedact _),
     "q63_keyword_search" -> (q63KeywordSearch _),
@@ -1217,6 +1257,7 @@ object AnalysisQueries {
     "q88_gopher_rules" -> q88Sql,
     "q90_bigram_surprisal" -> q90Sql,
     "q90b_heldout_surprisal" -> q90bSql,
+    "q90c_kneser_ney" -> q90cSql,
     "q23_fingerprints" -> q23Sql,
     "q23b_redact" -> q23bSql,
     "q63_keyword_search" -> q63Sql,
