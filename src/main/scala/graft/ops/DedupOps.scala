@@ -911,4 +911,85 @@ object DedupOps {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Sketch capacity for [[sourceOverlapKmv]]: 4096 holds every pairwise
+    * shingle-set union at the oracle's sf0.01 with ~40% headroom (max
+    * measured union 2,841), making the estimate EXACT there — the q99
+    * sketch-then-verify oracle pattern — while at bench/corpus scale the
+    * same code path degrades gracefully into the (k−1)-quantile KMV
+    * estimator with relative error ~1/√k ≈ 1.6%.
+    */
+  val KmvCapacity = 4096
+
+  /** Cross-source content-overlap matrix via K-minimum-values sketches
+    * (Bar-Yossef et al. 2002; Beyer et al. 2007 "distinct-value synopses")
+    * over n-token shingle sets — "how much does source A's text overlap
+    * source B's" for every pair, WITHOUT ever joining corpus-sized
+    * relations pairwise. HLL (q17b's sketch) cannot answer this: union is
+    * its only composition; KMV sketches additionally support the
+    * INTERSECTION estimate J = |A∩B restricted to the union's k minima|/k
+    * that cross-source Jaccard needs.
+    *
+    * Plan at 100 TB: ONE distinct over (source, shingle-hash) — the only
+    * corpus-sized shuffle — then a partial-aggregable bounded-heap
+    * aggregation ([[graft.functions.TopKAggregator]], score = ~h so the
+    * k SMALLEST hashes survive; each map task ships ≤ k rows) down to
+    * sources×k rows. Everything after (pair expansion, union re-rank,
+    * membership counts) is sketch-sized: bounded by sources²·k,
+    * independent of corpus size. The pair seed join is a sources²
+    * broadcast nested loop over the per-source size relation — tiny by
+    * construction, same class as q121's datasheet crossJoins.
+    *
+    * Output per source pair (src_a < src_b): sketch sizes `n_a`/`n_b`
+    * (exact distinct counts whenever < k), `k_used` = |union sketch|
+    * (= exact |A∪B| in the exact regime), `n_inter`, and
+    * `jaccard_micro = ⌊1e6·n_inter/k_used⌋`. Hash collisions (64-bit over
+    * the shingle vocabulary) are the standard min-wise caveat; the fixture
+    * is collision-free and the estimator absorbs them at scale.
+    */
+  def sourceOverlapKmv(docs: DataFrame, n: Int = 3,
+                       k: Int = KmvCapacity): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKAggregator
+    val tokenized = docs.select(col("source"),
+      TextOps.tokenize(col("text")).as("toks"))
+    val hashed = shingles(tokenized, n, idCol = "source")
+      .select(col("source"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sketches = hashed.as[(String, Long)]
+      .map { case (s, h) => (s, TopKAggregator.Scored(h, ~h)) }
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new TopKAggregator.TopK(k).toColumn)
+      .flatMap { case (s, top) => top.iterator.map(sc => (s, sc.id)) }
+      .toDF("source", "h")
+    // persisted: the size relation and both pair-expansion sides read it
+    val e = graft.CacheScope.persist(sketches)
+    val sizes = e.groupBy("source").agg(count(lit(1)).as("n_sk"))
+    val pairs = sizes.select(col("source").as("src_a"), col("n_sk").as("n_a"))
+      .join(broadcast(
+        sizes.select(col("source").as("src_b"), col("n_sk").as("n_b"))),
+        col("src_a") < col("src_b"))
+    val ma = pairs.join(e, col("source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("h"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+    val mb = pairs.join(e, col("source") === col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("h"),
+        lit(0L).as("ia"), lit(1L).as("ib"))
+    val merged = ma.unionByName(mb)
+      .groupBy("src_a", "src_b", "n_a", "n_b", "h")
+      .agg(max("ia").as("ia"), max("ib").as("ib"))
+    // union sketch: the k smallest of A∪B under the same ~h order the
+    // per-source sketches kept — a per-pair window over ≤ 2k rows
+    val ranked = merged.withColumn("rk", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("h")))
+      .where(col("rk") <= k)
+    ranked.groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("ia") * col("ib")).as("n_inter"))
+      .withColumn("jaccard_micro", expr("(1000000 * n_inter) div k_used"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("k_used"), col("n_inter"), col("jaccard_micro"))
+  }
 }

@@ -993,4 +993,57 @@ object SimilarityOps {
         cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
     topKPerQuery(scored, k)
   }
+
+  /** Exact per-group pairwise-cosine dispersion in ONE LINEAR pass —
+    * the Σ_{i<j} uᵢ·uⱼ = (‖Σuᵢ‖² − Σ‖uᵢ‖²)/2 identity over
+    * micro-quantized unit vectors uᵢ = ⌊1e6·x/‖x‖⌋ (integers, so the
+    * identity is EXACT, not float-approximate). A quadratic semantic —
+    * "how self-similar is each label's embedding cluster" (the dial
+    * behind SemDedup-style pruning rates and per-topic diversity
+    * audits) — that the naive formulation computes with an O(n²)
+    * self-join. Here: one narrow quantize scan, one posexplode (n·d
+    * rows, the same linear cost as reading the vectors), one (group, d)
+    * sum, one d-row-per-group fold. At 100 TB the plan is two keyed
+    * aggregations; there is no pair relation at any point.
+    *
+    * Arithmetic: per-dim sums fit BIGINT (|Σu_d| ≤ n·1e6); their squares
+    * are accumulated in DECIMAL(38,0) (n = 1e6 vectors per group already
+    * overflows a BIGINT square), and the final pair sum is cast back to
+    * BIGINT — exact while n·1e12 < 2^63, i.e. up to ~9e6 vectors per
+    * group; past that emit the DECIMAL instead (q102's widening note).
+    * Output `(label, n_vecs, n_pairs, pair_dot)` with `pair_dot` in
+    * 1e-12-cosine units; the oracle recomputes it from the O(n²)
+    * pairwise formulation, proving the identity against an independent
+    * quadratic evaluation.
+    */
+  def labelDispersion(embeddings: DataFrame, groupCol: String = "label"): DataFrame = {
+    val prepared = embeddings.select(col(groupCol).cast("long").as("g"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val normed = prepared.withColumn("nrm",
+      sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+    // stage u as an attribute before the self-dot fold (expression-tree
+    // duplication inside lambdas over non-attribute arrays is O(n²))
+    val quant = normed.select(col("g"),
+      transform(col("emb"),
+        x => floor(lit(1000000.0) * (x / col("nrm"))).cast("long")).as("u"))
+    val staged = graft.CacheScope.persist(quant) // consumed by both branches
+    val perGroup = staged
+      .withColumn("self_dot",
+        aggregate(col("u"), lit(0L), (a, x) => a + x * x))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("self_dot").cast("decimal(38,0)")).as("sum_self"))
+    val dimSums = staged
+      .select(col("g"), posexplode(col("u")).as(Seq("d", "v")))
+      .groupBy("g", "d").agg(sum("v").as("s"))
+    val sumSq = dimSums.groupBy("g")
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+        .as("sum_sq"))
+    perGroup.join(sumSq, Seq("g"))
+      .select(col("g").as(groupCol), col("n_vecs"),
+        expr("(n_vecs * (n_vecs - 1)) div 2").as("n_pairs"),
+        // ‖Σu‖² − Σ‖u‖² is twice the pair sum and always even — the /2
+        // is exact; BIGINT cast holds to ~9e6 vectors/group (scaladoc)
+        ((col("sum_sq") - col("sum_self")) / 2).cast("long").as("pair_dot"))
+  }
 }

@@ -239,6 +239,50 @@ object CurationQueries {
     SELECT lang, rk, doc_id, h FROM r
     WHERE rk <= $FixedSampleK ORDER BY lang, rk"""
 
+  // --- q52c: PPS systematic sampling (probability ∝ size) ------------------
+  // The third sampling contract after q52's rate and q52b's fixed-k:
+  // probability-proportional-to-size selection — k points dropped at the
+  // exact rational positions j·W/k (j = 0..k-1) over the corpus's
+  // cumulative-weight line, each doc drawn with multiplicity = points
+  // inside its [cum, cum+w) interval. The survey-sampling classic
+  // (systematic PPS, Madow 1949): every doc's expected multiplicity is
+  // exactly k·w/W, a doc with w ≥ W/k is ALWAYS drawn, and Σmultiplicity
+  // telescopes to exactly k (ceil((cum+w)k/W) − ceil(cum·k/W) sums to
+  // ceil(Wk/W) = k) — all in pure BIGINT ceil-division, so the draw is
+  // reproducible and oracle-exact with no rand() anywhere. The cumsum is
+  // the q58 two-level prefix sum under a constant source key — no task
+  // ever scans the whole corpus serially.
+  val PpsSampleK = 64L
+
+  def q52cPpsSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("all").as("source"),
+        col("n_chars").cast("long").as("n_tokens"))
+    val off = runningOffsets(t.withColumn("ord", col("doc_id")), PackShards)
+    val tot = off.agg(sum("n_tokens").as("w_total"))
+    off.crossJoin(broadcast(tot))
+      .withColumn("multiplicity", expr(
+        s"((start_offset + n_tokens) * $PpsSampleK + w_total - 1) div w_total" +
+          s" - (start_offset * $PpsSampleK + w_total - 1) div w_total"))
+      .where(col("multiplicity") > 0)
+      .select(col("doc_id"), col("n_tokens").as("weight"), col("multiplicity"))
+      .orderBy("doc_id")
+  }
+
+  val q52cSql: String =
+    s"""WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+      FROM documents),
+    c AS (SELECT doc_id, weight,
+      CAST(sum(weight) OVER (ORDER BY doc_id) - weight AS BIGINT) AS cum
+      FROM w),
+    t AS (SELECT CAST(sum(weight) AS BIGINT) AS wt FROM w),
+    m AS (SELECT doc_id, weight,
+      ((cum + weight) * $PpsSampleK + wt - 1) // wt
+        - (cum * $PpsSampleK + wt - 1) // wt AS multiplicity
+      FROM c CROSS JOIN t)
+    SELECT doc_id, weight, CAST(multiplicity AS BIGINT) AS multiplicity
+    FROM m WHERE multiplicity > 0 ORDER BY doc_id"""
+
   // --- q57: source mixing — per-source target sampling rates --------------
   // The mixture-weighting step before training: each source keeps a
   // deterministic hash-selected fraction matching its target weight
@@ -1295,6 +1339,7 @@ object CurationQueries {
     "q51_split" -> (q51Split _),
     "q52_stratified_sample" -> (q52StratifiedSample _),
     "q52b_fixed_sample" -> (q52bFixedSample _),
+    "q52c_pps_sample" -> (q52cPpsSample _),
     "q57_source_mix" -> (q57SourceMix _),
     "q57b_token_budget" -> (q57bTokenBudget _),
     "q106_domain_cap" -> (q106DomainCap _),
@@ -1323,6 +1368,7 @@ object CurationQueries {
     "q51_split" -> q51Sql,
     "q52_stratified_sample" -> q52Sql,
     "q52b_fixed_sample" -> q52bSql,
+    "q52c_pps_sample" -> q52cSql,
     "q57_source_mix" -> q57Sql,
     "q57b_token_budget" -> q57bSql,
     "q106_domain_cap" -> q106Sql,

@@ -935,7 +935,43 @@ object DedupQueries {
     ORDER BY k.doc_id"""
   }
 
+  // --- q127: KMV cross-source overlap matrix ------------------------------
+  // See DedupOps.sourceOverlapKmv: bottom-k (K-minimum-values) sketches
+  // over 3-token shingle sets, the distinct-value synopsis that — unlike
+  // q17b's HLL — composes under INTERSECTION, giving every source pair's
+  // Jaccard from one corpus pass + sketch-sized merges. The oracle is the
+  // exact set formulation; it hash-matches because KmvCapacity bounds
+  // every pair union at sf0.01 (sketch-then-exact, q99's pattern).
+  val KmvShingleN = 3
+
+  def q127KmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.sourceOverlapKmv(
+      Tables.documents(spark, dir), KmvShingleN, DedupOps.KmvCapacity)
+      .orderBy("src_a", "src_b")
+
+  val q127Sql: String =
+    s"""WITH t AS (SELECT source, ${toksSql("text")} AS toks FROM documents),
+    s AS (SELECT source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM (SELECT source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)),
+    d AS (SELECT DISTINCT source, sh FROM s),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
+    p AS (SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+      FROM sz a JOIN sz b ON a.source < b.source),
+    m AS (SELECT p.src_a, p.src_b, p.n_a, p.n_b, d.sh,
+        max(CASE WHEN d.source = p.src_a THEN 1 ELSE 0 END) AS ia,
+        max(CASE WHEN d.source = p.src_b THEN 1 ELSE 0 END) AS ib
+      FROM p JOIN d ON d.source IN (p.src_a, p.src_b)
+      GROUP BY 1, 2, 3, 4, 5),
+    agg AS (SELECT src_a, src_b, n_a, n_b,
+        CAST(count(*) AS BIGINT) AS k_used,
+        CAST(sum(ia * ib) AS BIGINT) AS n_inter
+      FROM m GROUP BY 1, 2, 3, 4)
+    SELECT src_a, src_b, n_a, n_b, k_used, n_inter,
+      (1000000 * n_inter) // k_used AS jaccard_micro
+    FROM agg ORDER BY src_a, src_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_kmv_overlap" -> (q127KmvOverlap _),
     "q61_strip_spans" -> (q61StripSpans _),
     "q61b_variable_spans" -> (q61bVariableSpans _),
     "q61c_exact_substr" -> (q61cExactSubstr _),
@@ -967,6 +1003,7 @@ object DedupQueries {
     "q120_pagerank" -> (q120PageRank _))
 
   val oracleSql: Map[String, String] = Map(
+    "q127_kmv_overlap" -> q127Sql,
     "q61_strip_spans" -> q61Sql,
     "q61b_variable_spans" -> q61bSql,
     "q24_exact_dup" -> q24Sql,

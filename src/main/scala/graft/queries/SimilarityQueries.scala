@@ -632,8 +632,41 @@ object SimilarityQueries {
     FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
     GROUP BY d.source ORDER BY d.source"""
 
+  // --- q93b: per-label dispersion (exact pairwise cosine, linear plan) ----
+  // See SimilarityOps.labelDispersion: the Σpairs = (‖Σu‖²−Σ‖u‖²)/2
+  // identity over micro-quantized unit vectors — a quadratic semantic
+  // computed by a linear plan. The oracle BELOW is the O(n²) pairwise
+  // formulation, so a hash match proves the identity against an
+  // independent quadratic evaluation.
+  def q93bLabelDispersion(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.labelDispersion(graft.Tables.embeddings(spark, dir))
+      .orderBy("label")
+
+  val q93bSql: String = {
+    val dotInt =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_zip(a.u, b.u), p -> p[1] * p[2])), (x, y) -> x + y)"
+    s"""WITH $preparedCte,
+    u AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      list_transform(emb, x -> CAST(floor(1000000.0 * (x / nrm)) AS BIGINT)) AS u
+      FROM n JOIN (SELECT vec_id AS vid, label FROM embeddings) l
+        ON l.vid = n.vec_id),
+    pr AS (SELECT a.label, $dotInt AS pd
+      FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id),
+    agg AS (SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(coalesce(sum(pd), 0) AS BIGINT) AS pair_dot
+      FROM pr GROUP BY label),
+    cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM u GROUP BY label)
+    SELECT cnt.label, cnt.n_vecs,
+      coalesce(a.n_pairs, 0) AS n_pairs,
+      coalesce(a.pair_dot, 0) AS pair_dot
+    FROM cnt LEFT JOIN agg a USING (label) ORDER BY label"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q93_embedding_coverage" -> (q93EmbeddingCoverage _),
+    "q93b_label_dispersion" -> (q93bLabelDispersion _),
     "q72_centroid_outliers" -> (q72CentroidOutliers _),
     "q79_sq8_codes" -> (q79Sq8Codes _),
     "q79b_sq8_knn" -> (q79bSq8Knn _),
@@ -654,6 +687,7 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,
+    "q93b_label_dispersion" -> q93bSql,
     "q72_centroid_outliers" -> q72Sql,
     "q79_sq8_codes" -> q79Sql,
     "q79b_sq8_knn" -> q79bSql,
