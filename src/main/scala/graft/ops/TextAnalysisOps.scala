@@ -345,6 +345,68 @@ object TextAnalysisOps {
       .limit(k)
   }
 
+  /** Full Okapi BM25 (Robertson & Walker 1994) — [[rankedSearch]]'s hard
+    * tf knee replaced by the real saturation + document-length
+    * normalization, restated so the ranking stays integer-exact:
+    *
+    *   score(d) = Σ_t idf_w(t) · ⌊1e6 · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))⌋
+    *
+    * with the standard k1 = 1.2, b = 0.75 kept as the exact rationals
+    * 6/5 and 3/4. Substituting avgdl = L/N (L = Σ dl, N = docs) and
+    * multiplying through by 20L turns the saturation into pure BIGINT:
+    *
+    *   sat_micro = (1e6 · 44·L·tf) div (20·L·tf + 6·L + 18·dl·N)
+    *
+    * idf_w is [[rankedSearch]]'s floor-log2 bucket (idfBoost·(⌊log2 N⌋ −
+    * ⌊log2 df⌋) + 1) — Robertson's ln-idf needs libm, which the
+    * cross-engine exactness contract forbids; the bucket preserves the
+    * rarity ordering, the part of idf BM25's ranking actually uses.
+    * Length normalization is why this exists: a term hit in a short doc
+    * now outranks the same hit diluted in a long one, which the
+    * tf-cap shape is blind to.
+    *
+    * Scale shape identical to [[rankedSearch]] (pruned postings, |terms|
+    * broadcast weight rows carrying the two corpus scalars, one per-doc
+    * sum, TakeOrderedAndProject) plus one corpus-scalar aggregate.
+    * Operands grow ~1e6·44·L·tf: past ~2e17 (L·tf ≈ 4.6e9) widen to
+    * DECIMAL, q102's note.
+    */
+  def bm25Search(docs: DataFrame, terms: Seq[String], idfBoost: Int, k: Int,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one query term")
+    val folded = terms.map(_.toLowerCase).distinct
+    // staged: the corpus-length aggregate and the postings both read it
+    val staged = graft.CacheScope.persist(docs
+      .select(col(idCol),
+        TextOps.tokenize(lower(coalesce(col(textCol), lit("")))).as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).cast("long").as("dl")))
+    val postings = graft.CacheScope.persist(staged
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(folded: _*))
+      .groupBy(col(idCol), col("dl"), col("term")).agg(count(lit(1)).as("tf")))
+    val corpus = staged.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("l_total"))
+    def log2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+    val weights = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(corpus))
+      .select(col("term"),
+        (lit(idfBoost.toLong) * (log2len(col("n_docs")) - log2len(col("df")))
+          + 1L).as("w"),
+        col("n_docs"), col("l_total"))
+    postings.join(broadcast(weights), "term")
+      .withColumn("sat_micro", expr(
+        "(1000000 * 44 * l_total * tf) div " +
+          "(20 * l_total * tf + 6 * l_total + 18 * dl * n_docs)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w") * col("sat_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"), max(col("dl")).as("dl"))
+      .select(col(idCol), col("score_micro"), col("n_terms"), col("dl"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** "More like this": sparse LEXICAL doc-to-doc similarity through the
     * inverted index — for each query doc, the top-k most similar docs by
     * the tf-idf-weighted token dot product, mass-normalized, in exact

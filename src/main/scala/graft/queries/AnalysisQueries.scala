@@ -637,6 +637,44 @@ object AnalysisQueries {
     ORDER BY score DESC, doc_id LIMIT $RankedTopK"""
   }
 
+  // --- q63c: full Okapi BM25 with length normalization --------------------
+  // See TextAnalysisOps.bm25Search: q63b's ranking upgraded with the real
+  // saturation + dl/avgdl normalization as exact rationals (k1=6/5,
+  // b=3/4). Same query terms, so the two rankings are directly
+  // comparable; a short doc's hit now outranks a long doc's diluted one.
+  def q63cBm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.bm25Search(Tables.documents(spark, dir),
+      RankedTerms, RankedIdfBoost, RankedTopK)
+
+  val q63cSql: String = {
+    val folded = RankedTerms.map(_.toLowerCase).distinct
+    val inList = folded.map(t => s"'${t.replace("'", "''")}'")
+      .mkString("(", ", ", ")")
+    raw"""WITH d AS (
+      SELECT doc_id, ${toksSql("lower(coalesce(text, ''))")} AS toks
+      FROM documents),
+    dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    p AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd),
+    g AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      FROM p WHERE term IN $inList GROUP BY doc_id, dl, term),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(dl) AS BIGINT) AS l_total FROM dd),
+    w AS (SELECT f.term,
+        CAST($RankedIdfBoost * (length(format('{:b}', c.n_docs))
+          - length(format('{:b}', f.df))) + 1 AS BIGINT) AS w,
+        c.n_docs, c.l_total
+      FROM (SELECT term, count(*) AS df FROM g GROUP BY term) f, c),
+    s AS (SELECT g.doc_id,
+        CAST(sum(w.w * ((1000000 * 44 * w.l_total * g.tf) //
+          (20 * w.l_total * g.tf + 6 * w.l_total + 18 * g.dl * w.n_docs)))
+          AS BIGINT) AS score_micro,
+        CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(max(g.dl) AS BIGINT) AS dl
+      FROM g JOIN w USING (term) GROUP BY g.doc_id)
+    SELECT doc_id, score_micro, n_terms, dl FROM s
+    ORDER BY score_micro DESC, doc_id LIMIT $RankedTopK"""
+  }
+
   // --- q118: lexical more-like-this (sparse doc-to-doc similarity) ---------
   // See TextAnalysisOps.moreLikeThis: tf-idf-weighted token dot product
   // through the inverted index, mass-normalized, integer-exact except one
@@ -1233,6 +1271,7 @@ object AnalysisQueries {
     "q23b_redact" -> (q23bRedact _),
     "q63_keyword_search" -> (q63KeywordSearch _),
     "q63b_ranked_search" -> (q63bRankedSearch _),
+    "q63c_bm25" -> (q63cBm25 _),
     "q65_quality_classifier" -> (q65QualityClassifier _),
     "q67_source_health" -> (q67SourceHealth _),
     "q76_phrase_search" -> (q76PhraseSearch _),
@@ -1262,6 +1301,7 @@ object AnalysisQueries {
     "q23b_redact" -> q23bSql,
     "q63_keyword_search" -> q63Sql,
     "q63b_ranked_search" -> q63bSql,
+    "q63c_bm25" -> q63cSql,
     "q65_quality_classifier" -> q65Sql,
     "q67_source_health" -> q67Sql,
     "q76_phrase_search" -> q76Sql,

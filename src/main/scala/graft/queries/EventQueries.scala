@@ -664,7 +664,70 @@ object EventQueries {
       END AS conv_micro
     FROM steps, f ORDER BY step"""
 
+  // --- q64c: interval-overlap COUNTING without the pair join --------------
+  // Per (user, event_type) activity span [min ts, max ts], how many OTHER
+  // users' same-type spans overlap it — the co-activity/concurrency
+  // audit. The naive formulation is an interval-interval self-join
+  // (quadratic output risk, no equi-key); this uses the sweep identity
+  //
+  //   overlaps(i) = #{j : start_j <= end_i} − #{j : end_j < start_i} − 1
+  //
+  // so the whole computation is TWO prefix COUNTS over the merged
+  // timeline — no pair relation ever exists. Each count runs through
+  // CurationQueries.runningOffsets (the q58 two-level range-sharded
+  // prefix sum keyed by event_type), with the strict-vs-inclusive tie
+  // semantics encoded arithmetically: positions are 2t for starts/
+  // start-probes and 2t+1 for ends/end-probes, so "start_j <= end_i"
+  // (2t_s < 2t_e+1) and "end_j < start_i" (2t_e+1 < 2t_s) fall out of
+  // integer ordering with no boundary cases. The oracle below is the
+  // independent quadratic formulation (a true interval self-join), so a
+  // hash match proves the sweep identity against brute force.
+  val OverlapShards = 32
+
+  def q64cOverlapCount(spark: SparkSession, dir: String): DataFrame = {
+    val iv = graft.CacheScope.persist(
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(unix_micros(min(col("ts"))).as("t0"),
+          unix_micros(max(col("ts"))).as("t1"),
+          count(lit(1)).as("n_events")))
+    def probeCount(data: DataFrame, probes: DataFrame, name: String) =
+      CurationQueries.runningOffsets(data.unionByName(probes), OverlapShards)
+        .where(col("n_tokens") === 0L)
+        .select(col("source").as("event_type"), col("doc_id").as("user_id"),
+          col("start_offset").as(name))
+    def rel(tCol: String, shift: Int, isData: Boolean) =
+      iv.select(col("event_type").as("source"),
+        (col(tCol) * 2 + shift).as("ord"), col("user_id").as("doc_id"),
+        lit(if (isData) 1L else 0L).as("n_tokens"))
+    val nStartsLeEnd = probeCount(
+      rel("t0", 0, isData = true), rel("t1", 1, isData = false),
+      "n_starts_le_end")
+    val nEndsLtStart = probeCount(
+      rel("t1", 1, isData = true), rel("t0", 0, isData = false),
+      "n_ends_lt_start")
+    iv.join(nStartsLeEnd, Seq("event_type", "user_id"))
+      .join(nEndsLtStart, Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("n_events"),
+        (col("n_starts_le_end") - col("n_ends_lt_start") - 1).as("n_overlap"))
+      .orderBy("event_type", "user_id")
+  }
+
+  val q64cSql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events),
+    s AS (SELECT user_id, event_type,
+        epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1,
+        CAST(count(*) AS BIGINT) AS n_events
+      FROM e GROUP BY 1, 2)
+    SELECT a.event_type, a.user_id, a.n_events,
+      CAST(count(b.user_id) AS BIGINT) AS n_overlap
+    FROM s a LEFT JOIN s b ON a.event_type = b.event_type
+      AND a.user_id <> b.user_id AND b.t0 <= a.t1 AND b.t1 >= a.t0
+    GROUP BY 1, 2, 3 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64c_overlap_count" -> (q64cOverlapCount _),
     "q103_funnel" -> (q103Funnel _),
     "q54_asof_enrich" -> (q54AsofEnrich _),
     "q77_click_attribution" -> (q77ClickAttribution _),
@@ -686,6 +749,7 @@ object EventQueries {
     "q98_incremental_rollup" -> (q98IncrementalRollup _))
 
   val oracleSql: Map[String, String] = Map(
+    "q64c_overlap_count" -> q64cSql,
     "q103_funnel" -> q103Sql,
     "q31d_unpivot" -> q31dSql,
     "q107_retention_cohorts" -> q107Sql,
