@@ -1174,6 +1174,18 @@ object CurationQueries {
     val inASql = "doc_id % 10 < 8"
     val inBSql = "doc_id % 10 >= 2"
     val textBSql = "CASE WHEN doc_id % 4 = 0 THEN text || ' [rev2]' ELSE text END"
+
+    /** Third snapshot for q71b's SCD2 history: membership `doc_id % 5 != 0`
+      * (so some A∪B docs disappear and some A-only docs REAPPEAR after
+      * skipping B — the version-gap case), text rewritten on `% 3 == 0`
+      * (so some B-rewrites revert to the original — the change-back case).
+      */
+    def inC: Column = col("doc_id") % 5 =!= 0
+    def textC: Column =
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(" [rev3]")))
+        .otherwise(col("text"))
+    val inCSql = "doc_id % 5 <> 0"
+    val textCSql = "CASE WHEN doc_id % 3 = 0 THEN text || ' [rev3]' ELSE text END"
   }
 
   // --- q111: bucket-pruned MERGE of a snapshot delta -----------------------
@@ -1260,6 +1272,70 @@ object CurationQueries {
     FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
     ORDER BY doc_id"""
 
+  // --- q71b: SCD2 (type-2 slowly-changing-dimension) history ---------------
+  // q71 classifies ONE snapshot transition; this builds the full type-2
+  // history over the three-version Snapshots stack (A → B → C): one row
+  // per (doc, unbroken run of identical text over consecutive versions)
+  // with [valid_from, valid_to] version bounds and an is_current flag —
+  // the warehouse dimension-history contract (Kimball SCD type 2), with
+  // deletions and re-adds handled as run breaks (a version gap starts a
+  // new run even if the text returns unchanged). Plan: ONE scan of the
+  // dimension (the three versions explode from an inline struct array,
+  // not three scans), then a single doc_id-keyed shuffle whose sort both
+  // windows (lag change-detect, cumsum run numbering) and the final
+  // group-by share — the q117 lag/flag/cumsum shape applied to versions
+  // instead of time.
+  def q71bScd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val versions = docs
+      .select(col("doc_id"), explode(array(
+        struct(lit(1L).as("v"), Snapshots.inA.as("p"), col("text").as("t")),
+        struct(lit(2L).as("v"), Snapshots.inB.as("p"), Snapshots.textB.as("t")),
+        struct(lit(3L).as("v"), Snapshots.inC.as("p"), Snapshots.textC.as("t"))))
+        .as("s"))
+      .where(col("s.p"))
+      .select(col("doc_id"), col("s.v").as("v"), col("s.t").as("t"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("v")
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions
+      .withColumn("new_run",
+        when(lag(col("v"), 1).over(byDoc).isNull, 1L)
+          .when(col("v") - lag(col("v"), 1).over(byDoc) > 1, 1L)
+          .when(col("t") =!= lag(col("t"), 1).over(byDoc), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("new_run")).over(run))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(min(col("v")).as("valid_from"), max(col("v")).as("valid_to"),
+        max(length(col("t"))).cast("long").as("n_chars"))
+      .select(col("doc_id"), col("valid_from"), col("valid_to"),
+        (col("valid_to") === 3L).as("is_current"), col("n_chars"))
+      .orderBy("doc_id", "valid_from")
+  }
+
+  val q71bSql: String =
+    s"""WITH vr AS (
+      SELECT doc_id, 1 AS v, text AS t FROM documents WHERE ${Snapshots.inASql}
+      UNION ALL
+      SELECT doc_id, 2, ${Snapshots.textBSql} FROM documents
+        WHERE ${Snapshots.inBSql}
+      UNION ALL
+      SELECT doc_id, 3, ${Snapshots.textCSql} FROM documents
+        WHERE ${Snapshots.inCSql}),
+    r AS (SELECT doc_id, v, t,
+        CASE WHEN lag(v) OVER w IS NULL THEN 1
+             WHEN v - lag(v) OVER w > 1 THEN 1
+             WHEN t <> lag(t) OVER w THEN 1 ELSE 0 END AS new_run
+      FROM vr WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+    g AS (SELECT doc_id, v, t,
+        sum(new_run) OVER (PARTITION BY doc_id ORDER BY v) AS run_id FROM r)
+    SELECT doc_id,
+      CAST(min(v) AS BIGINT) AS valid_from,
+      CAST(max(v) AS BIGINT) AS valid_to,
+      max(v) = 3 AS is_current,
+      CAST(max(length(t)) AS BIGINT) AS n_chars
+    FROM g GROUP BY doc_id, run_id ORDER BY doc_id, valid_from"""
+
   // --- q89: deterministic epoch shuffle + length curriculum --------------
   // The data-ordering step before training: a REPRODUCIBLE corpus
   // permutation (order by a seeded content hash — stable across runs and
@@ -1330,6 +1406,7 @@ object CurationQueries {
     "q89_curriculum_order" -> (q89CurriculumOrder _),
     "q69_context_chunks" -> (q69ContextChunks _),
     "q71_snapshot_delta" -> (q71SnapshotDelta _),
+    "q71b_scd2_history" -> (q71bScd2History _),
     "q111_merge_upsert" -> (q111MergeUpsert _),
     "q113_mixture_epochs" -> (q113MixtureEpochs _),
     "q119_llm_prep" -> (q119LlmPrep _),
@@ -1359,6 +1436,7 @@ object CurationQueries {
     "q89_curriculum_order" -> q89Sql,
     "q69_context_chunks" -> q69Sql,
     "q71_snapshot_delta" -> q71Sql,
+    "q71b_scd2_history" -> q71bSql,
     "q111_merge_upsert" -> q111Sql,
     "q113_mixture_epochs" -> q113Sql,
     "q119_llm_prep" -> q119Sql,

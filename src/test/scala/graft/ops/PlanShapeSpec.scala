@@ -141,6 +141,41 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter injects on a big-big shuffle join with a " +
+      "selective build side (the 100 TB join-pushdown path)") {
+    // At cluster scale a fact-fact join with a selective dimension filter
+    // should semi-filter the probe side AT THE SCAN via Spark's injected
+    // runtime bloom filter. Nothing in the engine's session tuning may
+    // disable that path — this gate fails if InjectRuntimeFilter stops
+    // firing under our confs. Thresholds: creation side must be small
+    // (orders filtered, well under the 10 MB default), application side
+    // "large" (threshold forced to 0 so the fixture qualifies).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .where("o_totalprice > 400000")
+      val j = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .selectExpr("count(*) AS c")
+      assert(j.collect()(0).getLong(0) > 0)
+      // the injected filter prints as might_contain(scalar-subquery [...])
+      // over a bloom_filter_agg build — assert both halves
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain("),
+        s"no injected runtime bloom filter probe in:\n$opt")
+      assert(opt.contains("bloom_filter_agg("),
+        s"no bloom filter build aggregate in:\n$opt")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q90's bigram scoring join spreads a hot bigram across salt " +
       "partitions (AQE's skew split structurally cannot fire here)") {
     // Real text is Zipf-extreme: one dominant bigram can carry most of
