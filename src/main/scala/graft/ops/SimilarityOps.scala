@@ -994,6 +994,74 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** Output dimensionality of the Johnson-Lindenstrauss projection —
+    * 4× below the embedding's 64, the compression JL buys at this scale
+    * while keeping pairwise inner products ≈ intact (distortion
+    * ~√(ln n / dims)).
+    */
+  val JlOutDims = 16
+
+  /** Rademacher ±1 projection matrix (Achlioptas 2001, "Database-friendly
+    * random projections"): JlOutDims × 64 signs from a FIXED seed, so the
+    * matrix is a compile-time constant — embedded verbatim in both the
+    * codegen'd engine expression and the oracle SQL; no floats, no
+    * gaussian sampling, no runtime randomness.
+    */
+  val JlMatrix: IndexedSeq[IndexedSeq[Int]] = {
+    val r = new scala.util.Random(42)
+    IndexedSeq.fill(JlOutDims, 64)(if (r.nextBoolean()) 1 else -1)
+  }
+
+  /** JL-projected kNN with exact rerank — the remaining classic ANN rung
+    * beside sign-LSH (q29b), SQ8 (q79b/c), IVF (q29d) and PQ (q104):
+    * micro-quantized unit vectors are pushed through [[JlMatrix]] (a
+    * shuffle-free, broadcast-free ±1 fold INSIDE the scan projection —
+    * 16 integer sums of 64 terms, whole-stage codegen), candidates are
+    * ranked by the 16-d projected integer dot (4× cheaper per pair than
+    * the full cosine), and the top k·overfetch are reranked EXACTLY.
+    * Same contract/tie rules as [[bruteForceTopK]]; entirely integer
+    * until the rerank's one scaled division, so the whole ladder rung is
+    * oracle-exact. At cluster scale the projection composes with the
+    * IVF/stored-cell pruning (project the probe residuals) — this rung
+    * isolates the projection math.
+    */
+  def jlTopK(embeddings: DataFrame, everyNth: Int, k: Int,
+             overfetch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inDims = JlMatrix.head.length
+    val pd = embeddings.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+    val quant = pd.select(col("vec_id"),
+      transform(col("emb"),
+        x => floor(lit(1000000.0) * (x / col("nrm"))).cast("long")).as("u"))
+    // persisted: the query slice and the candidate side both read it
+    val proj = graft.CacheScope.persist(quant.select(col("vec_id"),
+      array(JlMatrix.map(row =>
+        (0 until inDims).map(d => element_at(col("u"), d + 1) * row(d))
+          .reduce(_ + _)): _*).as("y")))
+    val q = proj.where(col("vec_id") % everyNth === 0).toDF("query_id", "q_y")
+    val scoredProj = proj.toDF("cand_id", "c_y")
+      .join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (0 until JlOutDims).map(j =>
+          element_at(col("q_y"), j + 1) * element_at(col("c_y"), j + 1))
+          .reduce(_ + _).as("proj_dot"))
+    val cand = scoredProj.withColumn("prk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("proj_dot").desc, col("cand_id").asc)))
+      .where(col("prk") <= k * overfetch)
+      .select("query_id", "cand_id")
+    val full = prepared(embeddings)
+    val scored = cand
+      .join(full.toDF("query_id", "q_emb"), "query_id")
+      .join(full.toDF("cand_id", "c_emb"), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    topKPerQuery(scored, k)
+  }
+
   /** Exact per-group pairwise-cosine dispersion in ONE LINEAR pass —
     * the Σ_{i<j} uᵢ·uⱼ = (‖Σuᵢ‖² − Σ‖uᵢ‖²)/2 identity over
     * micro-quantized unit vectors uᵢ = ⌊1e6·x/‖x‖⌋ (integers, so the

@@ -632,6 +632,59 @@ object SimilarityQueries {
     FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
     GROUP BY d.source ORDER BY d.source"""
 
+  // --- q29e: Johnson-Lindenstrauss projected kNN + exact rerank -----------
+  // See SimilarityOps.jlTopK: candidates ranked by the 16-d ±1-projected
+  // integer dot, top k·overfetch reranked exactly — all-integer until the
+  // rerank, so the whole rung (projection matrix included, embedded as a
+  // literal in both engines) is oracle-exact.
+  // 20 (not the SQ8 tiers' 3-5) because the fixture is JL's WORST case:
+  // uniform-random embeddings concentrate all pairwise cosines near 0, so
+  // the top-k margin is tiny and the 16-d projection's distortion
+  // reshuffles ranks freely. Measured recall@5 vs q29 on the fixture:
+  // 0.34/0.46/0.62/0.88 at overfetch 5/10/20/40 — JlRecallSpec pins the
+  // curve. Clustered real-world embeddings sit far from this regime.
+  val JlOverfetch = 20
+
+  def q29eKnnJl(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.jlTopK(
+      graft.Tables.embeddings(spark, dir), QueryEveryNth, TopK, JlOverfetch)
+      .orderBy("query_id", "rk")
+
+  val q29eSql: String = {
+    // each projected coordinate as a signed sum over the quantized vector,
+    // rendered from the SAME matrix constant the engine folds
+    val yExprs = SimilarityOps.JlMatrix.map(row =>
+      "(0 " + row.zipWithIndex.map { case (s, d) =>
+        s"${if (s > 0) "+" else "-"} u[${d + 1}]"
+      }.mkString(" ") + ")").mkString("[", ", ", "]")
+    val projDot =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_zip(q.y, c.y), p -> p[1] * p[2])), (x, y) -> x + y)"
+    s"""WITH $preparedCte,
+    uq AS (SELECT vec_id,
+      list_transform(emb, x -> CAST(floor(1000000.0 * (x / nrm)) AS BIGINT)) AS u
+      FROM n),
+    yv AS (SELECT vec_id, $yExprs AS y FROM uq),
+    q AS (SELECT vec_id AS query_id, y FROM yv
+      WHERE vec_id % $QueryEveryNth = 0),
+    sp AS (SELECT q.query_id, c.vec_id AS cand_id, $projDot AS proj_dot
+      FROM q JOIN yv c ON c.vec_id <> q.query_id),
+    cand AS (SELECT query_id, cand_id FROM (
+      SELECT query_id, cand_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY proj_dot DESC, cand_id ASC) AS prk
+      FROM sp) WHERE prk <= ${TopK * JlOverfetch}),
+    sc AS (SELECT cand.query_id, cand.cand_id,
+        ${cosMicroSql("x.emb", "y.emb", "x.nrm", "y.nrm")} AS cos_micro
+      FROM cand
+      JOIN n x ON x.vec_id = cand.query_id
+      JOIN n y ON y.vec_id = cand.cand_id),
+    r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rk
+      FROM sc)
+    SELECT query_id, cand_id, cos_micro, rk FROM r
+    WHERE rk <= $TopK ORDER BY query_id, rk"""
+  }
+
   // --- q93b: per-label dispersion (exact pairwise cosine, linear plan) ----
   // See SimilarityOps.labelDispersion: the Σpairs = (‖Σu‖²−Σ‖u‖²)/2
   // identity over micro-quantized unit vectors — a quadratic semantic
@@ -677,6 +730,7 @@ object SimilarityQueries {
     "q29b_knn_lsh" -> (q29bKnnLsh _),
     "q29c_knn_agg" -> (q29cKnnAgg _),
     "q29d_knn_ivf" -> (q29dKnnIvf _),
+    "q29e_knn_jl" -> (q29eKnnJl _),
     "q79d_knn_ivf_sq8" -> (q79dIvfSq8 _),
     "q79e_stored_ivf" -> (q79eStoredIvf _),
     "q79f_ivf_append" -> (q79fIvfAppend _),
@@ -696,5 +750,6 @@ object SimilarityQueries {
     "q62_semantic_dedup" -> q62Sql,
     "q29_knn_brute" -> q29Sql,
     "q29b_knn_lsh" -> q29bSql,
-    "q29c_knn_agg" -> q29Sql) // identical contract to the window formulation
+    "q29c_knn_agg" -> q29Sql, // identical contract to the window formulation
+    "q29e_knn_jl" -> q29eSql)
 }
