@@ -513,6 +513,64 @@ object DedupQueries {
     SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
     FROM reach GROUP BY id ORDER BY doc_id"""
 
+  // --- q120b: triangle counting over the near-dup graph --------------------
+  // The third graph statistic after connectivity (q55) and centrality
+  // (q120): per-doc triangle participation — triangles are what separates
+  // a TEMPLATE CLUSTER (many mutually-similar copies, dense triangles)
+  // from a CHAIN of pairwise-similar revisions (few), a structure signal
+  // cluster size alone can't see. Algorithm: degree-ordered orientation
+  // (Cohen 2009's MapReduce triangle counting; Schank & Wagner 2005) —
+  // every edge points from its lower-(deg, id) endpoint, so each wedge
+  // join's fan-out is bounded by the max ORIENTED out-degree, O(√m) on
+  // any graph, instead of the raw degree of a hub doc; the closure probe
+  // is one more equi-join on the canonical pair. The oracle enumerates
+  // triangles by plain id-ordering — an INDEPENDENT enumeration scheme
+  // that must agree triangle-for-triangle with the degree-ordered one.
+  def q120bTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.CacheScope.persist(
+      jpairs(spark, dir).select(col("id_a"), col("id_b")))
+    val deg = p.select(col("id_a").as("id"))
+      .unionByName(p.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("id_a") < col("id_b"))
+    val oriented = p
+      .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+      .select(when(lowFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+        when(lowFirst, col("id_b")).otherwise(col("id_a")).as("dst"))
+    // persisted: wedge sides and the closure probe all read it
+    val ec = graft.CacheScope.persist(oriented)
+    val wedges = ec.toDF("a", "b").join(ec.toDF("a", "c"), "a")
+      .where(col("b") < col("c"))
+    val closure = ec.select(least(col("src"), col("dst")).as("b"),
+      greatest(col("src"), col("dst")).as("c"))
+    wedges.join(closure, Seq("b", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  val q120bSql: String =
+    s"""WITH $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    jpairs AS (
+      SELECT id_a, id_b FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= $JaccardMinMicro),
+    tr AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM jpairs e1
+      JOIN jpairs e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+      JOIN jpairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b),
+    x AS (SELECT unnest([a, b, c]) AS doc_id FROM tr)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM x GROUP BY doc_id ORDER BY doc_id"""
+
   // --- q120: integer PageRank over the near-dup graph -----------------------
   // Centrality beyond connectivity: q55 tells you WHICH docs form a
   // duplication component, PageRank tells you which doc is the
@@ -1000,10 +1058,12 @@ object DedupQueries {
     "q55b_dup_clusters_star" -> (q55bDupClustersStar _),
     "q105_cluster_split" -> (q105ClusterSplit _),
     "q112_cluster_size_histogram" -> (q112ClusterSizeHistogram _),
-    "q120_pagerank" -> (q120PageRank _))
+    "q120_pagerank" -> (q120PageRank _),
+    "q120b_triangles" -> (q120bTriangles _))
 
   val oracleSql: Map[String, String] = Map(
     "q127_kmv_overlap" -> q127Sql,
+    "q120b_triangles" -> q120bSql,
     "q61_strip_spans" -> q61Sql,
     "q61b_variable_spans" -> q61bSql,
     "q24_exact_dup" -> q24Sql,
