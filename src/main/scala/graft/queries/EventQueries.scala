@@ -664,6 +664,80 @@ object EventQueries {
       END AS conv_micro
     FROM steps, f ORDER BY step"""
 
+  // --- q17e: AMS (tug-of-war) F2 sketch with exact twin --------------------
+  // F2 = Σ_u c(u)² is the user-keyed SELF-JOIN SIZE — the pre-flight
+  // statistic that predicts whether a user-keyed join/groupBy needs
+  // salting (q56/q90's decision) before running it. Exact F2 needs the
+  // full per-key histogram; the AMS sketch (Alon-Matias-Szegedy 1996)
+  // needs O(buckets·reps) integers: hash every key to one of 16 buckets
+  // with a ±1 sign, keep Σ ±c per bucket, estimate Σ_b z_b² per rep
+  // (the bucketed/Count-Sketch form, Thorup-Zhang 2004 — unbiased), take
+  // the median of 5 independent repetitions. Both the sketch arithmetic
+  // (HashOps.charHash buckets/signs — portable) and the exact twin are
+  // pure BIGINT, so the ORACLE REPLAYS THE SKETCH ITSELF bit-for-bit
+  // next to the exact value: the row verifies estimator and truth
+  // together, and err_micro quantifies the estimate on the fixture.
+  // Scale shape: ONE user-keyed count aggregate (corpus-sized), then
+  // everything operates on the vocabulary-sized count relation;
+  // the sketch state is reps×buckets rows. At 100 TB the count relation
+  // itself can stay sketched by feeding events straight through the
+  // same (rep, bucket) keying — identical algebra, no per-user state.
+  val AmsReps = 5
+  val AmsBuckets = 16
+
+  def q17eAmsF2(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the exact twin and the sketch both read the count relation
+    val counts = graft.CacheScope.persist(
+      Tables.events(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c")))
+    val hashed = counts
+      .select(col("user_id"), col("c"),
+        explode(array((0 until AmsReps).map(r => lit(r.toLong)): _*)).as("rep"))
+      .withColumn("h", graft.ops.HashOps.charHash(
+        concat(lit("r"), col("rep").cast("string"), lit(":"),
+          col("user_id").cast("string"))))
+      .withColumn("b", pmod(col("h"), lit(AmsBuckets.toLong)))
+      .withColumn("s",
+        lit(1L) - lit(2L) * pmod(expr(s"h div $AmsBuckets"), lit(2L)))
+    val perRep = hashed.groupBy("rep", "b")
+      .agg(sum(col("s") * col("c")).as("z"))
+      .groupBy("rep").agg(sum(col("z") * col("z")).as("est"))
+    val med = perRep.agg(element_at(
+      sort_array(collect_list(col("est"))), (AmsReps + 1) / 2).as("ams_f2"))
+    val exact = counts.agg(sum(col("c")).as("n_events"),
+      count(lit(1)).as("n_users"),
+      sum(col("c") * col("c")).as("f2_exact"))
+    exact.crossJoin(broadcast(med))
+      .select(col("n_events"), col("n_users"), col("f2_exact"), col("ams_f2"),
+        expr("(1000000 * abs(ams_f2 - f2_exact)) div f2_exact").as("err_micro"))
+  }
+
+  val q17eSql: String = {
+    val h = graft.ops.HashOps.charHashSql(
+      "'r' || CAST(rep AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")
+    s"""WITH counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+      GROUP BY user_id),
+    hashed AS (SELECT user_id, c, rep, $h AS h
+      FROM counts, (SELECT unnest(range(0, $AmsReps)) AS rep)),
+    keyed AS (SELECT rep, h % $AmsBuckets AS b,
+        (1 - 2 * ((h // $AmsBuckets) % 2)) * c AS sc
+      FROM hashed),
+    z AS (SELECT rep, b, CAST(sum(sc) AS BIGINT) AS z
+      FROM keyed GROUP BY rep, b),
+    per_rep AS (SELECT rep, CAST(sum(z * z) AS BIGINT) AS est
+      FROM z GROUP BY rep),
+    med AS (SELECT list_sort(list(est))[${(AmsReps + 1) / 2}] AS ams_f2
+      FROM per_rep),
+    ex AS (SELECT CAST(sum(c) AS BIGINT) AS n_events,
+        CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(c * c) AS BIGINT) AS f2_exact
+      FROM counts)
+    SELECT n_events, n_users, f2_exact, CAST(ams_f2 AS BIGINT) AS ams_f2,
+      (1000000 * abs(ams_f2 - f2_exact)) // f2_exact AS err_micro
+    FROM ex CROSS JOIN med"""
+  }
+
   // --- q64c: interval-overlap COUNTING without the pair join --------------
   // Per (user, event_type) activity span [min ts, max ts], how many OTHER
   // users' same-type spans overlap it — the co-activity/concurrency
@@ -728,6 +802,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64c_overlap_count" -> (q64cOverlapCount _),
+    "q17e_ams_f2" -> (q17eAmsF2 _),
     "q103_funnel" -> (q103Funnel _),
     "q54_asof_enrich" -> (q54AsofEnrich _),
     "q77_click_attribution" -> (q77ClickAttribution _),
@@ -750,6 +825,7 @@ object EventQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q64c_overlap_count" -> q64cSql,
+    "q17e_ams_f2" -> q17eSql,
     "q103_funnel" -> q103Sql,
     "q31d_unpivot" -> q31dSql,
     "q107_retention_cohorts" -> q107Sql,
