@@ -153,6 +153,45 @@ object AnalysisQueries {
       coalesce(array_to_string(a.btoks, ' '), '') AS bpe_text
     FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
 
+  // --- q22c: WordPiece tokenization (fixed vocabulary, oracled) ----------
+  // The third tokenizer family beside BPE (q22b) and unigram-LM (q115b):
+  // greedy longest-match-first against a ##-marked piece vocabulary with
+  // whole-word [UNK] fallback — the BERT WordpieceTokenizer contract
+  // (functions.WordPiece). Like q22b's fixed merge table, the vocabulary
+  // here is a hand-authored constant, so the DuckDB twin replays every
+  // longest-match decision as a recursive CTE over the distinct pre-token
+  // vocabulary and the full token stream hash-verifies.
+  def q22cWordpieceTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysisOps.bpePreTokens(col("text")).as("pts"))
+      .select(col("doc_id"), size(col("pts")).cast("long").as("n_pretokens"),
+        graft.functions.WordPiece.wordpieceEncode(
+          col("pts"), graft.functions.WordPiece.Vocab).as("wtoks"))
+      .select(col("doc_id"), col("n_pretokens"),
+        size(col("wtoks")).cast("long").as("n_wp_tokens"),
+        size(filter(col("wtoks"),
+          t => t === graft.functions.WordPiece.Unk)).cast("long").as("n_unk"),
+        array_join(col("wtoks"), " ").as("wp_text"))
+      .orderBy("doc_id")
+
+  val q22cSql: String = {
+    val ctes = graft.functions.WordPiece.vocabCtes(
+      graft.functions.WordPiece.Vocab, bpeRegexSql)
+    s"""WITH RECURSIVE $ctes,
+    d AS (SELECT doc_id, regexp_extract_all(text, '$bpeRegexSql') AS pts
+      FROM documents),
+    ex AS (SELECT doc_id, unnest(pts) AS w,
+      unnest(range(1, len(pts) + 1)) AS i FROM d),
+    agg AS (SELECT e.doc_id, flatten(list(v.toks ORDER BY e.i)) AS wtoks
+      FROM ex e JOIN wp_vocab v USING (w) GROUP BY e.doc_id)
+    SELECT d.doc_id, CAST(len(d.pts) AS BIGINT) AS n_pretokens,
+      CAST(coalesce(len(a.wtoks), 0) AS BIGINT) AS n_wp_tokens,
+      CAST(coalesce(len(list_filter(a.wtoks, t -> t = '[UNK]')), 0)
+        AS BIGINT) AS n_unk,
+      coalesce(array_to_string(a.wtoks, ' '), '') AS wp_text
+    FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+  }
+
   // --- q87/q87b: distributed BPE vocabulary training ---------------------
   // q22b APPLIES a merge table; q87 LEARNS one from the corpus — the
   // Sennrich 2016 learn_bpe loop as Spark aggregations (ops.BpeTrainOps):
@@ -197,7 +236,9 @@ object AnalysisQueries {
     * persisted) — cross-query by design, evicted at session end or by
     * the bench's cold pass.
     */
-  def evictAll(): Unit = { trainedCache.clear(); unigramCache.clear() }
+  def evictAll(): Unit = {
+    trainedCache.clear(); unigramCache.clear(); wpCache.clear()
+  }
 
   def q87BpeTrain(spark: SparkSession, dir: String): DataFrame =
     spark.createDataFrame(
@@ -221,6 +262,57 @@ object AnalysisQueries {
       .select(col("doc_id"), col("n_pretokens"),
         size(col("btoks")).cast("long").as("n_trained_tokens"),
         array_join(slice(col("btoks"), 1, 12), " ").as("head_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // --- q87d/q87e: WordPiece vocabulary training + trained encode ----------
+  // The likelihood-scored sibling of q87's count-scored BPE loop
+  // (ops.WordPieceTrainOps): merges picked by count(l,r)/(count(l)·
+  // count(r)) with exact BigInt cross-multiplied comparisons. Sequential
+  // rounds → rows-only like the q87 family; WordPieceSpec golden-gates the
+  // merge decisions against an independent recount-every-round reference
+  // and the encoder against the training-corpus segmentation invariants.
+  val WpTrainMerges: Int = 24
+  val WpTrainMinPair: Long = 4L
+
+  private val wpCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (Seq[(String, Long)], Seq[(Int, String, String, String, Long, Long, Long)])]()
+
+  private def trainedWordPiece(spark: SparkSession, dir: String)
+      : (Seq[(String, Long)], Seq[(Int, String, String, String, Long, Long, Long)]) = {
+    wpCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    wpCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) =>
+        val vocab = graft.ops.BpeTrainOps
+          .wordVocab(Tables.documents(spark, d), BpeTrainMaxVocab)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        (vocab, graft.ops.WordPieceTrainOps.trainLocal(
+          vocab, WpTrainMerges, WpTrainMinPair))
+      })
+  }
+
+  def q87dWordpieceTrain(spark: SparkSession, dir: String): DataFrame = {
+    val rules = trainedWordPiece(spark, dir)._2
+      .map { case (k, l, r, m, n, lc, rc) =>
+        org.apache.spark.sql.Row(k, l, r, m, n, lc, rc)
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rules, 1),
+      graft.ops.WordPieceTrainOps.MergeSchema).orderBy("rank")
+  }
+
+  def q87eWordpieceTokens(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, merges) = trainedWordPiece(spark, dir)
+    val pieces = graft.ops.WordPieceTrainOps.encoderVocab(vocab, merges)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysisOps.bpePreTokens(col("text")).as("pts"))
+      .select(col("doc_id"), size(col("pts")).cast("long").as("n_pretokens"),
+        graft.functions.WordPiece.wordpieceEncode(col("pts"), pieces).as("wtoks"))
+      .select(col("doc_id"), col("n_pretokens"),
+        size(col("wtoks")).cast("long").as("n_wp_tokens"),
+        size(filter(col("wtoks"),
+          t => t === graft.functions.WordPiece.Unk)).cast("long").as("n_unk"),
+        array_join(slice(col("wtoks"), 1, 12), " ").as("head_tokens"))
       .orderBy("doc_id")
   }
 
@@ -1260,9 +1352,12 @@ object AnalysisQueries {
     "q21b_repetition" -> (q21bRepetition _),
     "q22_token_counts" -> (q22TokenCounts _),
     "q22b_bpe_tokens" -> (q22bBpeTokens _),
+    "q22c_wordpiece_tokens" -> (q22cWordpieceTokens _),
     "q87_bpe_train" -> (q87BpeTrain _),
     "q87b_bpe_pair_counts" -> (q87bPairCounts _),
     "q87c_trained_tokens" -> (q87cTrainedTokens _),
+    "q87d_wordpiece_train" -> (q87dWordpieceTrain _),
+    "q87e_wordpiece_tokens" -> (q87eWordpieceTokens _),
     "q88_gopher_rules" -> (q88GopherRules _),
     "q90_bigram_surprisal" -> (q90BigramSurprisal _),
     "q90b_heldout_surprisal" -> (q90bHeldoutSurprisal _),
@@ -1292,6 +1387,7 @@ object AnalysisQueries {
     "q21b_repetition" -> q21bSql,
     "q22_token_counts" -> q22Sql,
     "q22b_bpe_tokens" -> q22bSql,
+    "q22c_wordpiece_tokens" -> q22cSql,
     "q87b_bpe_pair_counts" -> q87bSql,
     "q88_gopher_rules" -> q88Sql,
     "q90_bigram_surprisal" -> q90Sql,
