@@ -931,14 +931,18 @@ object DedupOps {
     * that cross-source Jaccard needs.
     *
     * Plan at 100 TB: ONE distinct over (source, shingle-hash) — the only
-    * corpus-sized shuffle — then a partial-aggregable bounded-heap
-    * aggregation ([[graft.functions.TopKAggregator]], score = ~h so the
-    * k SMALLEST hashes survive; each map task ships ≤ k rows) down to
-    * sources×k rows. Everything after (pair expansion, union re-rank,
-    * membership counts) is sketch-sized: bounded by sources²·k,
-    * independent of corpus size. The pair seed join is a sources²
-    * broadcast nested loop over the per-source size relation — tiny by
-    * construction, same class as q121's datasheet crossJoins.
+    * corpus-sized shuffle — then the per-source bottom-k as a
+    * `row_number <= k` window, which Spark 4 plans through
+    * WindowGroupLimit: every map task prunes to its k smallest hashes
+    * per source BEFORE the exchange, so the sketch shuffle carries
+    * ≤ tasks×sources×k codegen'd rows (the typed TopKAggregator
+    * formulation ships the same bound as Kryo-serialized heaps — q29c
+    * keeps that path where the payload is a struct; for bare longs the
+    * window is measurably faster). Everything after (pair expansion,
+    * union re-rank, membership counts) is sketch-sized: bounded by
+    * sources²·k, independent of corpus size. The pair seed join is a
+    * sources² broadcast nested loop over the per-source size relation —
+    * tiny by construction, same class as q121's datasheet crossJoins.
     *
     * Output per source pair (src_a < src_b): sketch sizes `n_a`/`n_b`
     * (exact distinct counts whenever < k), `k_used` = |union sketch|
@@ -950,20 +954,16 @@ object DedupOps {
   def sourceOverlapKmv(docs: DataFrame, n: Int = 3,
                        k: Int = KmvCapacity): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.TopKAggregator
     val tokenized = docs.select(col("source"),
       TextOps.tokenize(col("text")).as("toks"))
     val hashed = shingles(tokenized, n, idCol = "source")
       .select(col("source"), xxhash64(col("shingle")).as("h"))
       .distinct()
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sketches = hashed.as[(String, Long)]
-      .map { case (s, h) => (s, TopKAggregator.Scored(h, ~h)) }
-      .groupByKey(_._1).mapValues(_._2)
-      .agg(new TopKAggregator.TopK(k).toColumn)
-      .flatMap { case (s, top) => top.iterator.map(sc => (s, sc.id)) }
-      .toDF("source", "h")
+    val sketches = hashed
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .where(col("srk") <= k)
+      .select(col("source"), col("h"))
     // persisted: the size relation and both pair-expansion sides read it
     val e = graft.CacheScope.persist(sketches)
     val sizes = e.groupBy("source").agg(count(lit(1)).as("n_sk"))
