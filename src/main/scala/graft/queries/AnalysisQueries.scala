@@ -980,6 +980,83 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
+  // --- q83b: two-sample Kolmogorov-Smirnov drift ---------------------------
+  // q83's L1 term drift sees VOCABULARY churn; this sees SHAPE churn in a
+  // numeric column — per source, the exact two-sample KS statistic
+  // between the snapshots' doc-length distributions:
+  //   KS = max_t |F_A(t) − F_B(t)|
+  // evaluated at every pooled observed value (where the discrete maximum
+  // must occur), kept exact by cross-multiplying the empirical CDFs:
+  //   ks_cross = max_v |cumA(v)·nB − cumB(v)·nA|,
+  //   ks_micro = (1e6 · ks_cross) div (nA·nB).
+  // The [rev2] rewrites shift B's lengths by a constant on a quarter of
+  // the docs, so the statistic is genuinely nonzero. One (source, value)
+  // count aggregate, one per-source cumsum window over DISTINCT values
+  // (value-bounded — doc lengths, not docs; a continuous metric at
+  // 100 TB would bucket first or range-shard the cumsum like q58), and
+  // a scalar-bound totals join. nA·nB caps the exact path at ~3e9 rows
+  // per source per side before DECIMAL widening (q102's note).
+  def q83bKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snaps = CurationQueries.Snapshots
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val a = docs.where(snaps.inA)
+      .select(col("source"), length(col("text")).cast("long").as("v"),
+        lit(1L).as("ca"), lit(0L).as("cb"))
+    val b = docs.where(snaps.inB)
+      .select(col("source"), length(snaps.textB).cast("long").as("v"),
+        lit(0L).as("ca"), lit(1L).as("cb"))
+    val counts = a.unionByName(b).groupBy("source", "v")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+    val totals = counts.groupBy("source")
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    cum.join(totals, "source")
+      .groupBy(col("source"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .as("ks_cross"))
+      .select(col("source"), col("n_a"), col("n_b"),
+        // KS is undefined against an empty sample (four fixture sources
+        // have every doc_id outside one snapshot's carve) — NULL, not a
+        // sentinel, so consumers must handle the no-evidence case
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("(1000000 * ks_cross) div (n_a * n_b)"))
+          .otherwise(lit(null).cast("long")).as("ks_micro"))
+      .orderBy("source")
+  }
+
+  val q83bSql: String = {
+    val snaps = CurationQueries.Snapshots
+    s"""WITH a AS (SELECT source, CAST(length(text) AS BIGINT) AS v,
+        1 AS ca, 0 AS cb
+      FROM documents WHERE ${snaps.inASql}),
+    b AS (SELECT source, CAST(length(${snaps.textBSql}) AS BIGINT) AS v,
+        0 AS ca, 1 AS cb
+      FROM documents WHERE ${snaps.inBSql}),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+    c AS (SELECT source, v, CAST(sum(ca) AS BIGINT) AS ca,
+        CAST(sum(cb) AS BIGINT) AS cb
+      FROM u GROUP BY source, v),
+    cum AS (SELECT source, v, ca, cb,
+        sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+      FROM c WINDOW w AS (PARTITION BY source ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT source, CAST(sum(ca) AS BIGINT) AS n_a,
+        CAST(sum(cb) AS BIGINT) AS n_b
+      FROM c GROUP BY source)
+    SELECT cum.source, t.n_a, t.n_b,
+      CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+        (1000000 * max(abs(cum.cum_a * t.n_b - cum.cum_b * t.n_a)))
+          // (t.n_a * t.n_b) END AS ks_micro
+    FROM cum JOIN t USING (source)
+    GROUP BY cum.source, t.n_a, t.n_b ORDER BY cum.source"""
+  }
+
   val q83Sql: String = {
     val snaps = CurationQueries.Snapshots
     s"""WITH p AS (
@@ -1371,7 +1448,8 @@ object AnalysisQueries {
     "q67_source_health" -> (q67SourceHealth _),
     "q76_phrase_search" -> (q76PhraseSearch _),
     "q81_rare_scrub" -> (q81RareScrub _),
-    "q83_distribution_drift" -> (q83DistributionDrift _))
+    "q83_distribution_drift" -> (q83DistributionDrift _),
+    "q83b_ks_drift" -> (q83bKsDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q100_blocklist" -> q100Sql,
@@ -1403,5 +1481,6 @@ object AnalysisQueries {
     "q76_phrase_search" -> q76Sql,
     "q81_rare_scrub" -> q81Sql,
     "q83_distribution_drift" -> q83Sql,
+    "q83b_ks_drift" -> q83bSql,
     "q70b_bigram_familiarity" -> q70bSql)
 }

@@ -682,8 +682,9 @@ object EventQueries {
   // the sketch state is reps×buckets rows. At 100 TB the count relation
   // itself can stay sketched by feeding events straight through the
   // same (rep, bucket) keying — identical algebra, no per-user state.
-  val AmsReps = 5
-  val AmsBuckets = 16
+  // shared with the streaming twin — one definition (ops.AmsSketch)
+  val AmsReps: Int = graft.ops.AmsSketch.Reps
+  val AmsBuckets: Int = graft.ops.AmsSketch.Buckets
 
   def q17eAmsF2(spark: SparkSession, dir: String): DataFrame = {
     // persisted: the exact twin and the sketch both read the count relation

@@ -550,6 +550,54 @@ object StreamingOps {
     }
   }
 
+  /** Streaming AMS F2 — the q17e self-join-size sketch maintained
+    * continuously over a keyed stream (`keys`' FIRST column is the key).
+    * LINEARITY is the whole design: each counter z(rep, b) is a plain
+    * SUM of ±1 row contributions ([[graft.ops.AmsSketch]]), so per-batch
+    * counter relations merge by addition — no fold order, no compaction
+    * algebra, and the standing estimate after any batch prefix is
+    * EXACTLY the batch-mode sketch of the concatenated stream
+    * (AmsSpec's identity gate), not merely guarantee-preserving like the
+    * MG candidate set. Replay/restart discipline is
+    * [[heavyHitterStream]]'s: each batch's ≤ Reps×Buckets counter rows
+    * are stored under dynamic partition overwrite keyed by `ams_batch`
+    * (replay rewrites, restart re-derives from the store); the store
+    * grows one tiny partition per batch and, because merge is addition,
+    * any committed prefix can be compacted by a plain grouped sum.
+    *
+    * Why a streaming F2 at all: F2 of the key column is the key-keyed
+    * self-join size — watching it stream-side is the earliest signal
+    * that a hot key is forming (the q56/q90 salting decision) before any
+    * batch job runs.
+    */
+  def amsF2Stream(keys: DataFrame, summaryPath: String, checkpoint: String)
+                 (onUpdate: Long => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    keys.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counters = graft.ops.AmsSketch.rowCounters(batch, batch.columns.head)
+        writeDynamicOverwrite(
+          counters.withColumn("ams_batch", lit(batchId)),
+          summaryPath, Seq("ams_batch"))
+        onUpdate(mergedAmsF2(batch.sparkSession, summaryPath))
+      }
+      .start()
+
+  /** Standing F2 estimate from the [[amsF2Stream]] counter store — a
+    * grouped SUM across batch partitions then the shared median-of-reps
+    * estimator; any consumer can run it against the store alone. An
+    * absent or partition-less store is the empty stream (estimate 0).
+    */
+  def mergedAmsF2(spark: SparkSession, summaryPath: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(summaryPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root) || !fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("ams_batch=")))
+      return 0L
+    graft.ops.AmsSketch.estimate(
+      spark.read.parquet(summaryPath).select("rep", "b", "z"))
+  }
+
   /** Convenience: the events fixture schema as a file stream — the same
     * relation Tables.events yields, but incremental (one-file-per-trigger).
     *
