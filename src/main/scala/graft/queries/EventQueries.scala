@@ -186,6 +186,62 @@ object EventQueries {
     FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
     ORDER BY hour"""
 
+  // --- q114b: LOCF — last observation carried forward ----------------------
+  // The other gap-fill semantic: q114 fills missing buckets with ZERO
+  // (right for counts); a sampled METRIC needs the last observed reading
+  // carried forward (LOCF — the standard sparse-sensor/price-series
+  // resample). Per (event_type, hour): the hour's LAST event value
+  // (max-by (ts, event_id) — deterministic under ties), joined onto the
+  // dense hour × type spine, then `last(value, ignoreNulls = true)` over
+  // an ordered running frame carries readings across gap hours; hours
+  // before a type's first observation stay NULL (no invented data). The
+  // LOCF window partitions by event_type — bounded parallelism by type
+  // cardinality; a high-cardinality key would range-shard the carry like
+  // q58 (carry = per-shard LOCF + broadcast last-of-previous-shard).
+  def q114bLocf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val hourlyLast = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max(struct(unix_micros(col("ts")), col("event_id"), col("value")))
+        .getField("value").as("lv"))
+    val spine = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+      .crossJoin(broadcast(ev.select("event_type").distinct()))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourlyLast, Seq("event_type", "hour"), "left")
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("lv").isNotNull.as("observed"),
+        last(col("lv"), ignoreNulls = true).over(w).as("value_locf"))
+      .orderBy("event_type", "hour")
+  }
+
+  val q114bSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      CAST(ts AS TIMESTAMP) AS ts FROM events),
+    hl AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        (max(struct_pack(t := epoch_us(ts), e := event_id, v := value))).v AS lv
+      FROM e GROUP BY 1, 2),
+    bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      date_trunc('hour', max(ts)) AS h1 FROM e),
+    spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds),
+    grid AS (SELECT t.event_type, s.hour
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM e) t)
+    SELECT g.event_type, strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+      hl.lv IS NOT NULL AS observed,
+      last_value(hl.lv IGNORE NULLS) OVER (
+        PARTITION BY g.event_type ORDER BY g.hour
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM grid g LEFT JOIN hl ON hl.event_type = g.event_type
+      AND hl.hour = g.hour
+    ORDER BY g.event_type, hour"""
+
   // --- q32: tumbling windows ---------------------------------------------
   def q32Tumbling(spark: SparkSession, dir: String): DataFrame =
     EventOps.tumbling(Tables.events(spark, dir))
@@ -804,6 +860,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64c_overlap_count" -> (q64cOverlapCount _),
     "q17e_ams_f2" -> (q17eAmsF2 _),
+    "q114b_locf" -> (q114bLocf _),
     "q103_funnel" -> (q103Funnel _),
     "q54_asof_enrich" -> (q54AsofEnrich _),
     "q77_click_attribution" -> (q77ClickAttribution _),
@@ -827,6 +884,7 @@ object EventQueries {
   val oracleSql: Map[String, String] = Map(
     "q64c_overlap_count" -> q64cSql,
     "q17e_ams_f2" -> q17eSql,
+    "q114b_locf" -> q114bSql,
     "q103_funnel" -> q103Sql,
     "q31d_unpivot" -> q31dSql,
     "q107_retention_cohorts" -> q107Sql,

@@ -867,6 +867,63 @@ object RelationalQueries {
       CAST(floor(quantile_cont(l_quantity, 0.75) * 1000000) AS BIGINT) AS p75_micro
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** q17f: EXACT k-th order statistic (the lower median) in TWO bounded
+    * passes — the scale path q17d's `percentile` aggregate doesn't have:
+    * Spark's exact percentile buffers every group value in one
+    * aggregation buffer (fine per returnflag at fixture scale, a
+    * single-buffer OOM on a 1e12-row global column). Classic histogram
+    * narrowing (Munro-Paterson selection, the distributed folklore
+    * variant): pass 1 aggregates min/max + a `MedianBuckets`-bucket
+    * histogram of integer cents (ONE scan, bounded state); the driver
+    * walks ≤ MedianBuckets rows to locate the bucket containing global
+    * rank k = (n+1) div 2 and the residual rank within it; pass 2 sorts
+    * ONLY that bucket's members (≈ n/buckets rows) and takes the
+    * residual rank. Every comparison is on `floor(100·x)` BIGINT cents —
+    * the paired-IEEE-expression portability rule — so the result is
+    * oracle-exact against DuckDB's direct ORDER BY/OFFSET formulation.
+    * Output: `(n, k, median_cents)`.
+    */
+  val MedianBuckets = 1024L
+
+  def q17fMedian2Pass(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
+    val staged = graft.CacheScope.persist(cents)
+    val Seq(n, lo, hi) = staged
+      .agg(count(lit(1)), min(col("v")), max(col("v")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toSeq
+    val k = (n + 1) / 2
+    val w = (hi - lo + MedianBuckets) / MedianBuckets // ceil width, >= 1
+    val hist = staged
+      .groupBy(expr(s"(v - $lo) div $w").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L
+    var bStar = -1L
+    var before = 0L
+    val it = hist.iterator
+    while (bStar < 0 && it.hasNext) {
+      val (b, c) = it.next()
+      if (cum + c >= k) { bStar = b; before = cum } else cum += c
+    }
+    val kIn = k - before // residual rank inside the target bucket
+    val median = staged
+      .where(expr(s"(v - $lo) div $w") === bStar)
+      .orderBy("v").limit(kIn.toInt)
+      .agg(max(col("v")).as("m")).head().getLong(0)
+    import spark.implicits._
+    Seq((n, k, median)).toDF("n", "k", "median_cents")
+  }
+
+  val q17fSql: String =
+    """WITH c AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      CAST((count(*) + 1) // 2 AS BIGINT) AS k FROM c),
+    m AS (SELECT v FROM c ORDER BY v
+      LIMIT 1 OFFSET (SELECT k - 1 FROM t))
+    SELECT t.n, t.k, m.v AS median_cents FROM t CROSS JOIN m"""
+
   /** q56: the salted skew join, driver-verified. Salting is semantics-
     * preserving for 1:N joins with unique keys on the replicated side, so
     * the oracle is simply the PLAIN join — the check is that the salt
@@ -898,6 +955,7 @@ object RelationalQueries {
     "q56_salted_revenue" -> (q56SaltedRevenue _),
     "q17c_stats" -> (q17cStats _),
     "q17d_percentiles" -> (q17dPercentiles _),
+    "q17f_median_2pass" -> (q17fMedian2Pass _),
     "q19b_above_global_avg" -> (q19bAboveGlobalAvg _),
     "q10_pricing_summary" -> (q10PricingSummary _),
     "q10b_revenue_by_quarter" -> (q10bRevenueByQuarter _),
@@ -928,6 +986,7 @@ object RelationalQueries {
     "q56_salted_revenue" -> q56Sql,
     "q17c_stats" -> q17cSql,
     "q17d_percentiles" -> q17dSql,
+    "q17f_median_2pass" -> q17fSql,
     "q19b_above_global_avg" -> q19bSql,
     "q10_pricing_summary" -> q10Sql,
     "q10b_revenue_by_quarter" -> q10bSql,
