@@ -491,6 +491,61 @@ object DedupQueries {
       Tables.documents(spark, dir), jpairs(spark, dir))
       .orderBy("doc_id")
 
+  // --- q55c: INCREMENTAL duplicate-cluster maintenance ---------------------
+  // q80 maintains the pair INDEX incrementally; this maintains the
+  // cluster LABELS: given yesterday's stored labels (the Snapshots.inA
+  // carve, clustered by the existing operator) and today's delta (the
+  // remaining docs plus every pair touching them), the update runs
+  // connected components over the QUOTIENT graph only — each new edge's
+  // endpoints are mapped to their stored base label (or themselves for
+  // delta docs), so the contraction's input is bounded by (affected
+  // components + delta), never the corpus. The quotient argument makes
+  // this EXACT, not approximate: components of the quotient map 1:1 onto
+  // merged full-graph components, and min-of-mins = global min, so the
+  // output must be BIT-IDENTICAL to clustering the whole corpus from
+  // scratch — which is precisely what the oracle does (q55's recursive
+  // CTE over all docs). A hash match therefore proves incremental ==
+  // full recompute. At 100 TB this is the nightly-ingest shape: base
+  // labels are a stored table, and re-clustering cost tracks delta churn
+  // instead of corpus size.
+  def q55cIncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val snaps = CurationQueries.Snapshots
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val baseDocs = docs.where(snaps.inA)
+    val deltaDocs = docs.where(!snaps.inA)
+    val allPairs = jpairs(spark, dir).select(col("id_a"), col("id_b"))
+    // pair metrics depend only on the two docs' shingle sets, so base-
+    // only pairs == whole-corpus pairs with both endpoints in the base
+    val basePairs = allPairs
+      .where((col("id_a") % 10 < 8) && (col("id_b") % 10 < 8))
+    val deltaPairs = allPairs
+      .where((col("id_a") % 10 >= 8) || (col("id_b") % 10 >= 8))
+    // "yesterday's stored table": labels from the existing operator
+    val baseLabels = graft.CacheScope.persist(
+      DedupOps.duplicateClusters(baseDocs, basePairs))
+    def rep(side: String): org.apache.spark.sql.Column =
+      coalesce(col("cluster_id"), col(side)) // base doc → its label; delta → itself
+    val e1 = deltaPairs
+      .join(baseLabels.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left")
+      .select(rep("id_a").as("ra"), col("id_b"))
+    val quotientPairs = e1
+      .join(baseLabels.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left")
+      .select(least(col("ra"), rep("id_b")).as("id_a"),
+        greatest(col("ra"), rep("id_b")).as("id_b"))
+      .where(col("id_a") =!= col("id_b")).distinct()
+    val quotientNodes = baseLabels.select(col("cluster_id").as("doc_id"))
+      .unionByName(deltaDocs).distinct()
+    val qLabels = DedupOps.duplicateClustersStar(quotientNodes, quotientPairs)
+      .select(col("doc_id").as("rep"), col("cluster_id").as("new_label"))
+    val fromBase = baseLabels
+      .join(qLabels, baseLabels("cluster_id") === qLabels("rep"))
+      .select(col("doc_id"), col("new_label").as("cluster_id"))
+    val fromDelta = deltaDocs
+      .join(qLabels, deltaDocs("doc_id") === qLabels("rep"))
+      .select(col("doc_id"), col("new_label").as("cluster_id"))
+    fromBase.unionByName(fromDelta).orderBy("doc_id")
+  }
+
   val q55Sql: String =
     s"""WITH RECURSIVE $shingleCte,
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -1056,6 +1111,7 @@ object DedupQueries {
     "q53b_decontaminate_bloom" -> (q53bDecontaminateBloom _),
     "q55_dup_clusters" -> (q55DupClusters _),
     "q55b_dup_clusters_star" -> (q55bDupClustersStar _),
+    "q55c_incremental_clusters" -> (q55cIncrementalClusters _),
     "q105_cluster_split" -> (q105ClusterSplit _),
     "q112_cluster_size_histogram" -> (q112ClusterSizeHistogram _),
     "q120_pagerank" -> (q120PageRank _),
@@ -1082,6 +1138,7 @@ object DedupQueries {
     "q53b_decontaminate_bloom" -> q53Sql,
     "q55_dup_clusters" -> q55Sql,
     "q55b_dup_clusters_star" -> q55Sql,
+    "q55c_incremental_clusters" -> q55Sql,
     "q105_cluster_split" -> q105Sql,
     "q112_cluster_size_histogram" -> q112Sql,
     "q120_pagerank" -> q120Sql)
