@@ -139,6 +139,62 @@ object CurationQueries {
     WHERE d.id_b IS NULL
     ORDER BY e.doc_id"""
 
+  // --- q50c: curation waterfall attribution --------------------------------
+  // Pipeline observability for q50: every INPUT doc attributed to the
+  // FIRST stage that dropped it ('quality' | 'exact_dup' | 'near_dup')
+  // or 'kept' — the per-doc audit a data-governance review asks for
+  // ("why is this document not in the training set?") and the monitoring
+  // surface for stage-level drop-rate drift. The waterfall re-derives
+  // stage predicates with the pipeline's own public expressions
+  // (qualityColumns/qualityPass, the exact-dedup window, the memoized
+  // near-dup pair relation), so attribution can never disagree with the
+  // pipeline it audits; precedence is the CASE order. kept-count ==
+  // q50's survivor count by construction — the oracle (the same CTE
+  // prefix as q50 plus the CASE) enforces it hash-exactly.
+  def q50cCurationAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val redacted = docs.select(col("doc_id"),
+      TextAnalysisOps.redactPii(col("text")).as("text"))
+    val toked = redacted.select(col("doc_id"), col("text"),
+      graft.ops.TextOps.tokenize(col("text")).as("toks"))
+    val flagged = toked.select(
+      (Seq(col("doc_id"), col("text"), col("toks")) ++
+        TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*)
+      .withColumn("q_pass", TextAnalysisOps.qualityPass)
+    val exactCid = flagged.where(col("q_pass"))
+      .withColumn("cid", min(col("doc_id")).over(Window.partitionBy("text")))
+      .select(col("doc_id"), col("cid"))
+    val ndDrops = pairsDf(spark, dir).select(col("id_b").as("doc_id"))
+      .distinct().withColumn("nd", lit(true))
+    flagged.select(col("doc_id"), col("q_pass"))
+      .join(exactCid, Seq("doc_id"), "left")
+      .join(ndDrops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("q_pass"), "quality")
+          .when(col("doc_id") =!= col("cid"), "exact_dup")
+          .when(col("nd"), "near_dup")
+          .otherwise("kept").as("dropped_by"))
+      .orderBy("doc_id")
+  }
+
+  val q50cSql: String =
+    s"""WITH $curationCtePrefix,
+    drops AS (SELECT DISTINCT id_b FROM pairs),
+    cids AS (SELECT doc_id, cid FROM (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cid
+      FROM passed))
+    SELECT q.doc_id,
+      CASE WHEN NOT (${graft.ops.TextAnalysisOps.qualityPassSql(
+        "n_tokens", "ttr", "non_alnum", "stop_ratio")}) THEN 'quality'
+           WHEN q.doc_id <> x.cid THEN 'exact_dup'
+           WHEN d.id_b IS NOT NULL THEN 'near_dup'
+           ELSE 'kept' END AS dropped_by
+    FROM q
+    LEFT JOIN cids x USING (doc_id)
+    LEFT JOIN drops d ON q.doc_id = d.id_b
+    ORDER BY q.doc_id"""
+
   // --- q50b: cluster-canonical near-dup retention -------------------------
   // Same stages 1-3, but stage 4 keeps exactly ONE doc per connected
   // near-dup component (the min id), resolved by the oracle's recursive
@@ -1413,6 +1469,7 @@ object CurationQueries {
     "q126_pseudonymize" -> (q126Pseudonymize _),
     "q50_curated_corpus" -> (q50CuratedCorpus _),
     "q50b_cluster_curated" -> (q50bClusterCurated _),
+    "q50c_curation_audit" -> (q50cCurationAudit _),
     "q51_split" -> (q51Split _),
     "q52_stratified_sample" -> (q52StratifiedSample _),
     "q52b_fixed_sample" -> (q52bFixedSample _),
@@ -1443,6 +1500,7 @@ object CurationQueries {
     "q126_pseudonymize" -> q126Sql,
     "q50_curated_corpus" -> q50Sql,
     "q50b_cluster_curated" -> q50bSql,
+    "q50c_curation_audit" -> q50cSql,
     "q51_split" -> q51Sql,
     "q52_stratified_sample" -> q52Sql,
     "q52b_fixed_sample" -> q52bSql,
