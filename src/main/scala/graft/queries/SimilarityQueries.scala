@@ -685,6 +685,56 @@ object SimilarityQueries {
     WHERE rk <= $TopK ORDER BY query_id, rk"""
   }
 
+  // --- q29f: FILTERED vector search (attribute-constrained kNN) -----------
+  // The capability every production vector store names outright: top-k
+  // restricted to candidates satisfying a metadata predicate (here
+  // label = FilteredLabel), with the predicate applied BEFORE scoring —
+  // pre-filtering, not post-filtering, so k results survive even when
+  // the predicate is selective (post-filtering a plain top-k can return
+  // fewer than k). In Spark the predicate is just a Filter over the
+  // candidate relation, which Catalyst pushes into the parquet scan
+  // (PlanShapeSpec asserts PushedFilters carries the label equality) —
+  // at 100 TB composed with the stored-IVF layout the same predicate
+  // rides the cell-partitioned scan. Scoring/tie rules are q29's
+  // contract; the oracle is q29's formulation plus the WHERE.
+  val FilteredLabel = 1
+
+  def q29fFilteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"))
+    val q = p.where(col("vec_id") % QueryEveryNth === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val cand = p.where(col("label") === FilteredLabel)
+      .select(col("vec_id").as("cand_id"), col("emb").as("c_emb"))
+    val scored = cand.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        SimilarityOps.cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos_micro").desc, col("cand_id").asc)).cast("long"))
+      .where(col("rk") <= TopK)
+      .orderBy("query_id", "rk")
+  }
+
+  val q29fSql: String =
+    s"""WITH $preparedCte,
+    l AS (SELECT vec_id AS lid, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+      FROM n WHERE vec_id % $QueryEveryNth = 0),
+    c AS (SELECT n.vec_id, n.emb, n.nrm FROM n
+      JOIN l ON l.lid = n.vec_id WHERE l.label = $FilteredLabel),
+    s AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+        ${cosMicroSql("q.q_emb", "c.emb", "q.q_nrm", "c.nrm")} AS cos_micro
+      FROM q JOIN c ON c.vec_id <> q.query_id),
+    r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rk
+      FROM s)
+    SELECT query_id, cand_id, cos_micro, rk FROM r
+    WHERE rk <= $TopK ORDER BY query_id, rk"""
+
   // --- q93b: per-label dispersion (exact pairwise cosine, linear plan) ----
   // See SimilarityOps.labelDispersion: the Σpairs = (‖Σu‖²−Σ‖u‖²)/2
   // identity over micro-quantized unit vectors — a quadratic semantic
@@ -731,6 +781,7 @@ object SimilarityQueries {
     "q29c_knn_agg" -> (q29cKnnAgg _),
     "q29d_knn_ivf" -> (q29dKnnIvf _),
     "q29e_knn_jl" -> (q29eKnnJl _),
+    "q29f_filtered_knn" -> (q29fFilteredKnn _),
     "q79d_knn_ivf_sq8" -> (q79dIvfSq8 _),
     "q79e_stored_ivf" -> (q79eStoredIvf _),
     "q79f_ivf_append" -> (q79fIvfAppend _),
@@ -751,5 +802,6 @@ object SimilarityQueries {
     "q29_knn_brute" -> q29Sql,
     "q29b_knn_lsh" -> q29bSql,
     "q29c_knn_agg" -> q29Sql, // identical contract to the window formulation
-    "q29e_knn_jl" -> q29eSql)
+    "q29e_knn_jl" -> q29eSql,
+    "q29f_filtered_knn" -> q29fSql)
 }

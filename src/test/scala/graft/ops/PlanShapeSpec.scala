@@ -141,6 +141,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q29f filtered search pushes the label predicate into the " +
+      "candidate parquet scan (pre-filter, not post-filter)") {
+    val df = SimilarityQueries.q29fFilteredKnn(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(label," + SimilarityQueries.FilteredLabel),
+      s"label predicate not pushed to the scan:\n${plan.take(4000)}")
+  }
+
   test("runtime bloom filter injects on a big-big shuffle join with a " +
       "selective build side (the 100 TB join-pushdown path)") {
     // At cluster scale a fact-fact join with a selective dimension filter
