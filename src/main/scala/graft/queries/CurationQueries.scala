@@ -982,6 +982,35 @@ object CurationQueries {
       CAST(sum(h) AS BIGINT) AS content_sum
     FROM c GROUP BY 1 ORDER BY shard_id"""
 
+  // --- q126b: k-anonymity audit over quasi-identifiers ---------------------
+  // The governance twin of q126's pseudonymization: pseudonyms protect
+  // DIRECT identifiers, but a row can still be re-identified through its
+  // quasi-identifier combination (Sweeney 2002 — the k-anonymity model).
+  // Per (lang, source, 100-char length bucket) equivalence class: its
+  // size and an at_risk flag (size < k ⇒ the combination narrows a
+  // person to fewer than k candidates — the release gate a privacy
+  // review applies before publishing per-document metadata). One grouped
+  // aggregation; the bucket arithmetic is integer div, so the audit is
+  // oracle-exact. At 100 TB this is the same shuffle as any groupBy and
+  // the class table it emits is quasi-identifier-cardinality-sized.
+  val KAnonymityK = 5L
+
+  def q126bKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < KAnonymityK)
+      .orderBy("lang", "source", "len_bucket")
+
+  val q126bSql: String =
+    s"""SELECT lang, source, n_chars // 100 AS len_bucket,
+      count(*) AS class_size,
+      count(*) < $KAnonymityK AS at_risk
+    FROM documents GROUP BY 1, 2, 3
+    ORDER BY lang, source, len_bucket"""
+
   // --- q126: keyed pseudonymization with key revocation ---------------------
   // The crypto-shredding pattern (GDPR-grade forgetting without
   // rewriting history): raw user ids never flow downstream — each is
@@ -1467,6 +1496,7 @@ object CurationQueries {
     "q113_mixture_epochs" -> (q113MixtureEpochs _),
     "q119_llm_prep" -> (q119LlmPrep _),
     "q126_pseudonymize" -> (q126Pseudonymize _),
+    "q126b_k_anonymity" -> (q126bKAnonymity _),
     "q50_curated_corpus" -> (q50CuratedCorpus _),
     "q50b_cluster_curated" -> (q50bClusterCurated _),
     "q50c_curation_audit" -> (q50cCurationAudit _),
@@ -1498,6 +1528,7 @@ object CurationQueries {
     "q113_mixture_epochs" -> q113Sql,
     "q119_llm_prep" -> q119Sql,
     "q126_pseudonymize" -> q126Sql,
+    "q126b_k_anonymity" -> q126bSql,
     "q50_curated_corpus" -> q50Sql,
     "q50b_cluster_curated" -> q50bSql,
     "q50c_curation_audit" -> q50cSql,

@@ -56,6 +56,29 @@ object EventQueries {
       CAST(sum(k) AS BIGINT) AS sum_k
     FROM e GROUP BY event_type, k % 10 ORDER BY event_type, k_bucket"""
 
+  // --- q31e: VARIANT-typed JSON path ---------------------------------------
+  // Spark 4's native semi-structured type: `parse_json` materializes the
+  // props column as VARIANT (a binary-encoded document — parsed ONCE,
+  // then every `variant_get` path walks the encoded form instead of
+  // re-parsing text, the columnar-JSON story at scale), and the typed
+  // extraction feeds the same aggregation contract as q31's
+  // string-path `get_json_object` formulation. Sharing q31's oracle
+  // makes the two JSON access paths (string re-parse vs VARIANT) prove
+  // each other: any divergence in null handling, numeric coercion, or
+  // path semantics breaks the hash.
+  def q31eVariantStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
   // --- q31c: pivot — per-user event-type matrix --------------------------
   // Spark's pivot() with explicit values (never leave values implicit at
   // scale: implicit pivot runs a distinct scan first). The oracle uses
@@ -861,6 +884,7 @@ object EventQueries {
     "q64c_overlap_count" -> (q64cOverlapCount _),
     "q17e_ams_f2" -> (q17eAmsF2 _),
     "q114b_locf" -> (q114bLocf _),
+    "q31e_variant_stats" -> (q31eVariantStats _),
     "q103_funnel" -> (q103Funnel _),
     "q54_asof_enrich" -> (q54AsofEnrich _),
     "q77_click_attribution" -> (q77ClickAttribution _),
@@ -885,6 +909,7 @@ object EventQueries {
     "q64c_overlap_count" -> q64cSql,
     "q17e_ams_f2" -> q17eSql,
     "q114b_locf" -> q114bSql,
+    "q31e_variant_stats" -> q31Sql, // deliberately q31's oracle: the two JSON paths must agree
     "q103_funnel" -> q103Sql,
     "q31d_unpivot" -> q31dSql,
     "q107_retention_cohorts" -> q107Sql,
