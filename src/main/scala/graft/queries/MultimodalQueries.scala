@@ -368,6 +368,62 @@ object MultimodalQueries {
         AS duration_ms
     FROM g ORDER BY media_id"""
 
+  // --- q60g: audio energy-signature fingerprint ----------------------------
+  // The audio analogue of q60c's visual pHash: the WAV payload's PCM
+  // words are decoded (16-bit little-endian, signed) straight from the
+  // binary column with the same substring/hex/conv technique as
+  // wavPcmHeader, and a 63-bit energy signature is built from the first
+  // 63 samples — bit i set iff |s_i|·take > Σ|s| (strict integer
+  // cross-multiply, no division), i.e. sample i is louder than the mean.
+  // Mean-relative bits make the signature amplitude-invariant (the same
+  // clip at a different gain fingerprints identically), which is the
+  // property audio fingerprinting actually needs; 63 bits keeps every
+  // shift below the sign bit on both engines. The oracle never parses
+  // the container — it recomputes the signature from the text bytes the
+  // synthesizer embedded as PCM, so the engine's binary slicing is what
+  // is under test (the q60d contract). Banded-Hamming pairing over this
+  // column reuses the q60c machinery unchanged.
+  val AudioFpWords = 63
+
+  def q60gAudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    syntheticWav(spark, dir)
+      .select(col("media_id"),
+        graft.functions.AudioEnergy.audioEnergyFp(
+          col("content"), skip = 44, maxWords = AudioFpWords).as("sig"))
+      .select(col("media_id"),
+        element_at(col("sig"), 1).as("n_words"),
+        element_at(col("sig"), 2).as("mean_abs"),
+        element_at(col("sig"), 3).as("energy_fp"))
+      .orderBy("media_id")
+
+  val q60gSql: String = {
+    def hb(pos: String): String =
+      s"(strpos('0123456789ABCDEF', hs[CAST($pos AS INT)]) - 1)"
+    s"""WITH hx AS (SELECT doc_id AS media_id, hex(encode(text)) AS hs,
+      octet_length(encode(text)) AS len FROM documents),
+    w AS (SELECT media_id, len // 2 AS n_words,
+      least(len // 2, $AudioFpWords) AS take, hs FROM hx),
+    u AS (SELECT media_id, n_words, take,
+      list_transform(range(0, take), i ->
+        (${hb("4*i+1")} * 16 + ${hb("4*i+2")})
+        + 256 * (${hb("4*i+3")} * 16 + ${hb("4*i+4")})) AS uv
+      FROM w),
+    v AS (SELECT media_id, n_words, take,
+      list_transform(uv, x ->
+        abs(CASE WHEN x >= 32768 THEN x - 65536 ELSE x END)) AS av
+      FROM u),
+    s AS (SELECT media_id, n_words, take, av,
+      coalesce(list_sum(av), 0) AS sum_abs FROM v)
+    SELECT media_id, CAST(n_words AS BIGINT) AS n_words,
+      CAST(CASE WHEN take > 0 THEN sum_abs // take ELSE 0 END AS BIGINT)
+        AS mean_abs,
+      CAST(coalesce(list_sum(list_transform(range(0, take), i ->
+        CASE WHEN av[CAST(i+1 AS INT)] * take > sum_abs
+          THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END)), 0)
+        AS BIGINT) AS energy_fp
+    FROM s ORDER BY media_id"""
+  }
+
   // --- q60f: video-container (ISO-BMFF / MP4) header metadata -------------
   // The video leg: each doc becomes a REAL minimal MP4 box tree (ftyp with
   // brand isom, moov whose first child is a version-0 mvhd carrying
@@ -440,6 +496,7 @@ object MultimodalQueries {
     "q60c_phash_pairs" -> (q60cPhashPairs _),
     "q60e_phash_clusters" -> (q60ePhashClusters _),
     "q60d_wav_metadata" -> (q60dWavMetadata _),
+    "q60g_audio_fingerprint" -> (q60gAudioFingerprint _),
     "q60f_mp4_metadata" -> (q60fMp4Metadata _))
 
   val oracleSql: Map[String, String] = Map(
@@ -448,5 +505,6 @@ object MultimodalQueries {
     "q60c_phash_pairs" -> q60cSql,
     "q60e_phash_clusters" -> q60eSql,
     "q60d_wav_metadata" -> q60dSql,
+    "q60g_audio_fingerprint" -> q60gSql,
     "q60f_mp4_metadata" -> q60fSql)
 }
