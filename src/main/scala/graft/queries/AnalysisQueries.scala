@@ -464,6 +464,53 @@ object AnalysisQueries {
     FROM st LEFT JOIN agg a USING (doc_id) ORDER BY st.doc_id"""
   }
 
+  // --- q65b: classifier calibration against the rule battery --------------
+  // The ML-eval step after training a quality classifier (q65) and
+  // declaring a rule battery (q88): a CALIBRATION CURVE — documents
+  // bucketed by classifier score (width-20 bins), per bin the count and
+  // the fraction the independent Gopher rules would keep. A monotone
+  // keep-rate over score bins is what "the classifier learned quality"
+  // means operationally; a flat curve says the score is noise (the
+  // fixture's hashed toy weights sit closer to the latter — the operator
+  // is the contract, the fixture is the worst case). Composition query:
+  // both legs are existing verified operators joined on doc_id; the
+  // oracle nests both legs' published SQL verbatim, so the calibration
+  // can never drift from what q65/q88 individually verify. All-integer
+  // (floor-div bins, 1e6-scaled rate).
+  val CalibrationBinWidth = 20L
+
+  def q65bCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scores = TextAnalysisOps.qualityClassify(Tables.documents(spark, dir),
+      TextAnalysisOps.classifierWeights(spark))
+      .select(col("doc_id"), col("score"))
+    val keeps = TextAnalysisOps.gopherRules(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("keep"))
+    scores.join(keeps, "doc_id")
+      // floor toward -inf so negative scores bin consistently with the
+      // oracle's // (both are floor division)
+      .select(floor(col("score").cast("double") / CalibrationBinWidth)
+        .cast("long").as("score_bin"), col("keep"))
+      .groupBy("score_bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_rule_keep"))
+      .withColumn("keep_rate_micro",
+        expr("(1000000 * n_rule_keep) div n_docs"))
+      .orderBy("score_bin")
+  }
+
+  // lazy: interpolates q65Sql/q88Sql declared further down the object —
+  // a strict val here would capture nulls (initialization order)
+  lazy val q65bSql: String =
+    s"""WITH sc AS (SELECT doc_id, score FROM ($q65Sql)),
+    kp AS (SELECT doc_id, keep FROM ($q88Sql))
+    SELECT CAST(floor(CAST(score AS DOUBLE) / $CalibrationBinWidth) AS BIGINT)
+        AS score_bin,
+      count(*) AS n_docs,
+      CAST(sum(keep) AS BIGINT) AS n_rule_keep,
+      (1000000 * CAST(sum(keep) AS BIGINT)) // count(*) AS keep_rate_micro
+    FROM sc JOIN kp USING (doc_id)
+    GROUP BY 1 ORDER BY score_bin"""
+
   // --- q90c: interpolated Kneser-Ney familiarity -------------------------
   // See TextAnalysisOps.knBigramModel: real KN smoothing (Chen-Goodman
   // eq. 4.27, D = 3/4) in exact integer micro-units — the continuation-
@@ -1445,6 +1492,7 @@ object AnalysisQueries {
     "q63b_ranked_search" -> (q63bRankedSearch _),
     "q63c_bm25" -> (q63cBm25 _),
     "q65_quality_classifier" -> (q65QualityClassifier _),
+    "q65b_calibration" -> (q65bCalibration _),
     "q67_source_health" -> (q67SourceHealth _),
     "q76_phrase_search" -> (q76PhraseSearch _),
     "q81_rare_scrub" -> (q81RareScrub _),
@@ -1477,6 +1525,7 @@ object AnalysisQueries {
     "q63b_ranked_search" -> q63bSql,
     "q63c_bm25" -> q63cSql,
     "q65_quality_classifier" -> q65Sql,
+    "q65b_calibration" -> q65bSql,
     "q67_source_health" -> q67Sql,
     "q76_phrase_search" -> q76Sql,
     "q81_rare_scrub" -> q81Sql,
