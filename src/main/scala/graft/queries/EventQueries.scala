@@ -838,13 +838,13 @@ object EventQueries {
   // hash match proves the sweep identity against brute force.
   val OverlapShards = 32
 
-  def q64cOverlapCount(spark: SparkSession, dir: String): DataFrame = {
-    val iv = graft.CacheScope.persist(
-      Tables.events(spark, dir)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(unix_micros(min(col("ts"))).as("t0"),
-          unix_micros(max(col("ts"))).as("t1"),
-          count(lit(1)).as("n_events")))
+  /** The sweep-identity core over an interval relation
+    * `(event_type, user_id, t0, t1, ...)` — factored out so the
+    * property suite can drive it with adversarial random intervals
+    * against an O(n²) reference (PropertySpec).
+    */
+  private[graft] def overlapCounts(iv0: DataFrame): DataFrame = {
+    val iv = graft.CacheScope.persist(iv0)
     def probeCount(data: DataFrame, probes: DataFrame, name: String) =
       CurationQueries.runningOffsets(data.unionByName(probes), OverlapShards)
         .where(col("n_tokens") === 0L)
@@ -862,8 +862,21 @@ object EventQueries {
       "n_ends_lt_start")
     iv.join(nStartsLeEnd, Seq("event_type", "user_id"))
       .join(nEndsLtStart, Seq("event_type", "user_id"))
-      .select(col("event_type"), col("user_id"), col("n_events"),
+      .select(col("event_type"), col("user_id"),
         (col("n_starts_le_end") - col("n_ends_lt_start") - 1).as("n_overlap"))
+  }
+
+  def q64cOverlapCount(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(unix_micros(min(col("ts"))).as("t0"),
+        unix_micros(max(col("ts"))).as("t1"),
+        count(lit(1)).as("n_events"))
+    overlapCounts(iv)
+      .join(iv.select(col("event_type"), col("user_id"), col("n_events")),
+        Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("n_events"),
+        col("n_overlap"))
       .orderBy("event_type", "user_id")
   }
 

@@ -483,4 +483,73 @@ class PropertySpec extends SparkSpec {
         s"isqrtExact($x) = $s is not the integer square root")
     }
   }
+
+  test("sweep-identity overlap counts equal the O(n²) reference on " +
+      "adversarial random intervals (ties, nesting, duplicates)") {
+    val rnd = new scala.util.Random(11)
+    // small time domain forces heavy ties — the case the 2t/2t+1
+    // position encoding exists for
+    val ivs = (0 until 240).map { i =>
+      val a = rnd.nextInt(40).toLong
+      val b = a + rnd.nextInt(12).toLong // zero-length allowed
+      (s"t${i % 3}", i.toLong, a, b)
+    }
+    val df = ivs.toDF("event_type", "user_id", "t0", "t1")
+    val got = graft.queries.EventQueries.overlapCounts(df)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    ivs.foreach { case (ty, id, a, b) =>
+      val expect = ivs.count { case (ty2, id2, a2, b2) =>
+        ty2 == ty && id2 != id && a2 <= b && b2 >= a
+      }
+      assert(got((ty, id)) == expect, s"interval ($ty,$id,[$a,$b])")
+    }
+  }
+
+  test("SCD2 run building matches a naive per-doc scan on random " +
+      "presence/text version patterns") {
+    val rnd = new scala.util.Random(23)
+    // random 3-version lifecycle per doc: present?, which text variant
+    val docs = (0 until 120).map { i =>
+      (i.toLong, (1 to 3).map(v =>
+        (rnd.nextBoolean(), s"v${rnd.nextInt(2)}")))
+    }
+    // engine-side: replay the q71b window chain over synthetic rows
+    import org.apache.spark.sql.expressions.Window
+    val rows = docs.flatMap { case (id, vs) =>
+      vs.zipWithIndex.collect { case ((true, t), vi) => (id, (vi + 1).toLong, t) }
+    }
+    val vdf = rows.toDF("doc_id", "v", "t")
+    val byDoc = Window.partitionBy("doc_id").orderBy("v")
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = vdf
+      .withColumn("new_run",
+        when(lag(col("v"), 1).over(byDoc).isNull, 1L)
+          .when(col("v") - lag(col("v"), 1).over(byDoc) > 1, 1L)
+          .when(col("t") =!= lag(col("t"), 1).over(byDoc), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("new_run")).over(run))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(min(col("v")).as("vf"), max(col("v")).as("vt"),
+        first(col("t")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSet
+    // naive reference: walk each doc's versions, break runs on gaps or
+    // text changes
+    val expect = docs.flatMap { case (id, vs) =>
+      val present = vs.zipWithIndex.collect {
+        case ((true, t), vi) => (vi + 1, t)
+      }
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      present.foreach { case (v, t) =>
+        runs.lastOption match {
+          case Some((f, l, lt)) if v == l + 1 && t == lt =>
+            runs(runs.length - 1) = (f, v, t)
+          case _ => runs += ((v, v, t))
+        }
+      }
+      runs.map { case (f, l, _) => (id, f.toLong, l.toLong) }
+    }.toSet
+    assert(got == expect)
+  }
 }
