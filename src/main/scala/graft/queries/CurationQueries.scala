@@ -982,6 +982,98 @@ object CurationQueries {
       CAST(sum(h) AS BIGINT) AS content_sum
     FROM c GROUP BY 1 ORDER BY shard_id"""
 
+  // --- q119b: eval-safe corpus composite -----------------------------------
+  // The second end-to-end composite beside q119's packing capstone, with
+  // the EVALUATION-INTEGRITY stages composed into one hash-verified
+  // flow: Gopher rule battery (q88) → cluster-canonical near-dup dedup
+  // over the survivors (q50b/q55 semantics — pairs and clusters computed
+  // on the FILTERED corpus, which no single-stage query exercises) →
+  // benchmark decontamination (q53's 5-gram contract, benchmark carved
+  // from the ORIGINAL corpus so a filtered-out bench doc still
+  // contaminates its training twin). A bench doc winning a cluster
+  // deliberately suppresses its training duplicates — they would be
+  // contaminated anyway; the oracle replays all three stages (q88's SQL
+  // nested verbatim, fresh shingle/pair/recursive-closure CTEs over the
+  // kept subset, the bench probe) so stage INTERACTIONS are verified,
+  // not just stages. Output: the surviving training docs and their
+  // token counts.
+  val EvalSafeShingleN = 5
+  val EvalSafeJaccardMinMicro = 300000L
+
+  def q119bEvalSafeCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{DedupOps, TextOps}
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val keep = TextAnalysisOps.gopherRules(Tables.documents(spark, dir))
+      .where(col("keep") === 1L).select("doc_id")
+    // persisted: shingles, clustering, contamination and the final
+    // projection all read the kept relation
+    val kept = graft.CacheScope.persist(
+      docs.join(keep, "doc_id")
+        .select(col("doc_id"), col("text"),
+          TextOps.tokenize(col("text")).as("toks")))
+    val sh = graft.CacheScope.persist(
+      DedupOps.shingles(kept.select(col("doc_id"), col("toks")),
+        EvalSafeShingleN))
+    val pairs = DedupOps.jaccardPairs(sh, EvalSafeJaccardMinMicro)
+      .select(col("id_a"), col("id_b"))
+    val canonical = DedupOps.duplicateClusters(
+        kept.select(col("doc_id")), pairs)
+      .where(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    val canonicalTrain = canonical.where(col("doc_id") % 20 =!= 0)
+    val benchSh = DedupOps.shingles(
+      docs.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks")),
+      EvalSafeShingleN)
+    val contam = DedupOps.contaminationScores(
+      canonicalTrain, sh.join(canonicalTrain, "doc_id"), benchSh, 1L)
+    kept.join(contam.where(!col("contaminated")).select("doc_id"), "doc_id")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: nests AnalysisQueries.q88Sql (cross-object, resolved on first
+  // use like q65b's composition)
+  lazy val q119bSql: String = {
+    val n = EvalSafeShingleN
+    def shSel(src: String) =
+      s"""SELECT doc_id, unnest(list_distinct(list_transform(
+        range(0, len(toks) - $n + 1),
+        i -> array_to_string(toks[(CAST(i AS INT)+1):(CAST(i AS INT)+$n)], ' ')))) AS shingle
+      FROM $src WHERE len(toks) >= $n"""
+    s"""WITH RECURSIVE
+    kp AS (SELECT doc_id FROM (${AnalysisQueries.q88Sql}) WHERE keep = 1),
+    t AS (SELECT d.doc_id, d.text, ${toksSql("d.text")} AS toks
+      FROM documents d JOIN kp USING (doc_id)),
+    sk AS (${shSel("t")}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sk GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sk a JOIN sk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    jp AS (SELECT id_a, id_b FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common))
+        >= $EvalSafeJaccardMinMicro),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+      UNION ALL SELECT id_b, id_a FROM jp),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM t
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    cl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+    canon AS (SELECT id AS doc_id FROM cl WHERE id = cluster_id),
+    bt AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents
+      WHERE doc_id % 20 = 0),
+    bsh AS (SELECT DISTINCT shingle FROM (${shSel("bt")})),
+    contam AS (SELECT DISTINCT s.doc_id FROM sk s JOIN bsh USING (shingle))
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens
+    FROM t JOIN canon USING (doc_id)
+    WHERE t.doc_id % 20 <> 0
+      AND t.doc_id NOT IN (SELECT doc_id FROM contam)
+    ORDER BY t.doc_id"""
+  }
+
   // --- q126b: k-anonymity audit over quasi-identifiers ---------------------
   // The governance twin of q126's pseudonymization: pseudonyms protect
   // DIRECT identifiers, but a row can still be re-identified through its
@@ -1497,6 +1589,7 @@ object CurationQueries {
     "q119_llm_prep" -> (q119LlmPrep _),
     "q126_pseudonymize" -> (q126Pseudonymize _),
     "q126b_k_anonymity" -> (q126bKAnonymity _),
+    "q119b_eval_safe_corpus" -> (q119bEvalSafeCorpus _),
     "q50_curated_corpus" -> (q50CuratedCorpus _),
     "q50b_cluster_curated" -> (q50bClusterCurated _),
     "q50c_curation_audit" -> (q50cCurationAudit _),
@@ -1529,6 +1622,7 @@ object CurationQueries {
     "q119_llm_prep" -> q119Sql,
     "q126_pseudonymize" -> q126Sql,
     "q126b_k_anonymity" -> q126bSql,
+    "q119b_eval_safe_corpus" -> q119bSql,
     "q50_curated_corpus" -> q50Sql,
     "q50b_cluster_curated" -> q50bSql,
     "q50c_curation_audit" -> q50cSql,
