@@ -27,20 +27,32 @@ object AmsSketch {
     */
   val Buckets = 16
 
-  /** Per-(rep, bucket) signed counters from RAW rows: each row
-    * contributes sign(key)·1 to its bucket, once per repetition. Output
-    * `(rep, b, z)`, ≤ Reps×Buckets rows — the whole sketch state.
+  /** Per-(rep, bucket) signed counters from a COUNT relation: each key
+    * contributes sign(key)·count to its bucket, once per repetition —
+    * the single hash/bucket/sign definition both the batch query (q17e,
+    * count-weighted) and [[rowCounters]] (count = 1 per row) run
+    * through. Output `(rep, b, z)`, ≤ Reps×Buckets rows — the whole
+    * sketch state.
     */
-  def rowCounters(rows: DataFrame, keyCol: String): DataFrame =
-    rows
-      .select(col(keyCol).cast("string").as("k"),
+  def countCounters(counts: DataFrame, keyCol: String,
+                    cntCol: String): DataFrame =
+    counts
+      .select(col(keyCol).cast("string").as("k"), col(cntCol).as("c"),
         explode(array((0 until Reps).map(r => lit(r.toLong)): _*)).as("rep"))
       .withColumn("h", HashOps.charHash(
         concat(lit("r"), col("rep").cast("string"), lit(":"), col("k"))))
       .withColumn("b", pmod(col("h"), lit(Buckets.toLong)))
       .withColumn("s",
         lit(1L) - lit(2L) * pmod(expr(s"h div $Buckets"), lit(2L)))
-      .groupBy("rep", "b").agg(sum(col("s")).as("z"))
+      .groupBy("rep", "b").agg(sum(col("s") * col("c")).as("z"))
+
+  /** [[countCounters]] with count 1 per raw row — the streaming-twin
+    * entry point (no per-key state needed; linearity makes the two
+    * forms the same number, AmsSpec's identity gate).
+    */
+  def rowCounters(rows: DataFrame, keyCol: String): DataFrame =
+    countCounters(rows.select(col(keyCol).as("__k"))
+      .withColumn("__c", lit(1L)), "__k", "__c")
 
   /** Median-of-reps F2 estimate from a counter relation `(rep, b, z)` —
     * counters are summed per (rep, b) first, so the input may be the

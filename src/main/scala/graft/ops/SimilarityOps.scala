@@ -773,22 +773,32 @@ object SimilarityOps {
           while (j < d) { sums(c)(j) += xs(i)(j); j += 1 }
           i += 1
         }
+        // points consumed by reseeds THIS step: two cells empty in the
+        // same update must take DISTINCT farthest points — sharing one
+        // would leave duplicate centroids that lose every strict-< argmin
+        // tie forever and waste code space
+        val taken = new java.util.BitSet(n)
         for (c <- 0 until k) {
           if (counts(c) > 0) {
             var j = 0
             while (j < d) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
           } else {
-            // deterministic empty-cell reseed: farthest point from its
-            // own centroid (max d2, ties to lowest index)
-            var far = 0
+            // deterministic empty-cell reseed: farthest UNUSED point from
+            // its own centroid (max d2, ties to lowest index)
+            var far = -1
             var farD = -1.0
             var pt = 0
             while (pt < n) {
-              val dd = d2(xs(pt), cents(assign(pt)))
-              if (dd > farD) { farD = dd; far = pt }
+              if (!taken.get(pt)) {
+                val dd = d2(xs(pt), cents(assign(pt)))
+                if (dd > farD) { farD = dd; far = pt }
+              }
               pt += 1
             }
-            xs(far).copyToArray(cents(c))
+            if (far >= 0) { // fewer points than empty cells: leave as-is
+              taken.set(far)
+              xs(far).copyToArray(cents(c))
+            }
           }
         }
       }

@@ -770,17 +770,9 @@ object EventQueries {
     val counts = graft.CacheScope.persist(
       Tables.events(spark, dir)
         .groupBy(col("user_id")).agg(count(lit(1)).as("c")))
-    val hashed = counts
-      .select(col("user_id"), col("c"),
-        explode(array((0 until AmsReps).map(r => lit(r.toLong)): _*)).as("rep"))
-      .withColumn("h", graft.ops.HashOps.charHash(
-        concat(lit("r"), col("rep").cast("string"), lit(":"),
-          col("user_id").cast("string"))))
-      .withColumn("b", pmod(col("h"), lit(AmsBuckets.toLong)))
-      .withColumn("s",
-        lit(1L) - lit(2L) * pmod(expr(s"h div $AmsBuckets"), lit(2L)))
-    val perRep = hashed.groupBy("rep", "b")
-      .agg(sum(col("s") * col("c")).as("z"))
+    // the shared sketch derivation (ops.AmsSketch) — one definition with
+    // the streaming twin, count-weighted here
+    val perRep = graft.ops.AmsSketch.countCounters(counts, "user_id", "c")
       .groupBy("rep").agg(sum(col("z") * col("z")).as("est"))
     val med = perRep.agg(element_at(
       sort_array(collect_list(col("est"))), (AmsReps + 1) / 2).as("ams_f2"))

@@ -132,11 +132,18 @@ object DocumentSources {
     *     (left-anti on upsert ∪ delete keys) ∪ the upserts — latest-wins
     *     by construction;
     *  3. the merge is written to a STAGING tree first, then swapped in
-    *     per bucket (delete old dir, rename staged dir). Never
-    *     read-while-overwrite — the self-overwrite hazard a direct
-    *     dynamic overwrite of the tree being scanned would race — and a
-    *     bucket emptied by deletes simply has no staged dir, so the
-    *     swap removes it (no stale files).
+    *     per bucket through a RECOVERABLE three-step (park the live dir
+    *     in a sibling `-old` tree, rename the staged dir in, drop the
+    *     parked dir). Never read-while-overwrite — the self-overwrite
+    *     hazard a direct dynamic overwrite of the tree being scanned
+    *     would race — and a bucket emptied by deletes simply has no
+    *     staged dir, so the swap removes it (no stale files). A crash
+    *     anywhere inside the swap leaves either the parked dir with no
+    *     live twin (restored by the NEXT call's recovery sweep before it
+    *     reads the base — the base is intact, the replay re-merges) or
+    *     both dirs (the swap completed — the leftover is dropped), so a
+    *     replayed batch converges instead of losing the bucket's
+    *     non-delta rows.
     *
     * At 100 TB this is the operational shape: a day's delta rewrites
     * O(affected buckets) of data while every untouched bucket's files
@@ -148,6 +155,8 @@ object DocumentSources {
     * versions would BOTH survive the union). The streaming twin's
     * micro-batches satisfy this when the source is itself keyed; a raw
     * change stream needs a per-batch latest-wins aggregate first.
+    * A key in BOTH `upserts` and `deleteKeys` is DELETED — the tombstone
+    * applies last, on the bootstrap and merge paths alike.
     */
   def mergeUpsertBuckets(spark: SparkSession, path: String,
                          upserts: DataFrame, deleteKeys: DataFrame,
@@ -162,28 +171,46 @@ object DocumentSources {
     if (affected.isEmpty) return Nil
     val hRoot = new org.apache.hadoop.fs.Path(path)
     val rootFs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldRoot = new org.apache.hadoop.fs.Path(s"$path-old")
+    // recovery sweep: a bucket dir parked in the -old tree with no live
+    // twin means a previous swap crashed between park and rename-in —
+    // restore it so the base scan below sees the pre-merge content; with
+    // a live twin the swap completed and the leftover is dropped
+    if (rootFs.exists(oldRoot)) {
+      rootFs.listStatus(oldRoot).foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(hRoot, st.getPath.getName)
+        if (!rootFs.exists(live)) rootFs.rename(st.getPath, live)
+        else rootFs.delete(st.getPath, true)
+      }
+      rootFs.delete(oldRoot, true)
+    }
+    // tombstone-last: a key both upserted and deleted in one delta dies
+    // on every path (the bootstrap anti-join below is the same rule)
+    val upLive = up.join(deleteKeys.select(col("doc_id")), Seq("doc_id"),
+      "left_anti")
     if (!rootFs.exists(hRoot)) {
       // bootstrap: no tree yet — the delta IS the initial content
-      up.join(deleteKeys.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      upLive.write.mode("overwrite").partitionBy("bucket").parquet(path)
       return affected
     }
     val base = spark.read.parquet(path)
       .where(col("bucket").isin(affected.map(Int.box): _*))
     val gone = up.select(col("doc_id"))
       .union(deleteKeys.select(col("doc_id")))
-    val merged = base.join(gone, Seq("doc_id"), "left_anti").unionByName(up)
+    val merged = base.join(gone, Seq("doc_id"), "left_anti").unionByName(upLive)
     val staging = s"$path-staging"
     merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = rootFs
     affected.foreach { b =>
       val dst = new org.apache.hadoop.fs.Path(path, s"bucket=$b")
       val src = new org.apache.hadoop.fs.Path(staging, s"bucket=$b")
-      fs.delete(dst, true)
+      val parked = new org.apache.hadoop.fs.Path(oldRoot, s"bucket=$b")
+      if (fs.exists(dst)) { fs.mkdirs(oldRoot); fs.rename(dst, parked) }
       if (fs.exists(src)) fs.rename(src, dst)
+      fs.delete(parked, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(oldRoot, true)
     affected
   }
 

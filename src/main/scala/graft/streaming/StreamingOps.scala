@@ -164,9 +164,17 @@ object StreamingOps {
         (uid: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
           val gap = gapMicrosOf(uid)
           if (state.hasTimedOut) {
-            // watermark passed last + gap: the open session is final
+            // watermark passed last + gap: the open session is final.
+            // Do NOT remove the state — a later event for this user
+            // (legal: only last+gap is behind the watermark, not the
+            // user's future) must continue the session NUMBERING where
+            // the batch operator would. A removed state would restart at
+            // seq 1 and emit duplicate (user, seq) keys. The n=0
+            // tombstone carries the next seq and sets no timeout, so it
+            // costs one row per seen user — the same order of state any
+            // per-key streaming aggregation holds.
             val done = state.get
-            state.remove()
+            state.update(SessionState(done.seq + 1L, 0L, 0L, 0L))
             Iterator.single(row(uid, done))
           } else {
             val closed = scala.collection.mutable.ListBuffer.empty[SessionRow]
@@ -176,6 +184,8 @@ object StreamingOps {
               cur match {
                 case null =>
                   cur = SessionState(1L, 1L, t, t)
+                case s if s.n == 0L => // tombstone: resume numbering
+                  cur = SessionState(s.seq, 1L, t, t)
                 case s if t - s.last > gap =>
                   closed += row(uid, s)
                   cur = SessionState(s.seq + 1L, 1L, t, t)
@@ -186,9 +196,10 @@ object StreamingOps {
             state.update(cur)
             // timeout strictly after last + gap; clamp above the current
             // watermark (setTimeoutTimestamp rejects timestamps behind it)
-            state.setTimeoutTimestamp(
-              math.max(cur.last / 1000L + gap / 1000L + 1L,
-                state.getCurrentWatermarkMs() + 1L))
+            if (cur.n > 0L)
+              state.setTimeoutTimestamp(
+                math.max(cur.last / 1000L + gap / 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
             closed.iterator
           }
       }

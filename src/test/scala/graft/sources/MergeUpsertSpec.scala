@@ -162,4 +162,46 @@ class MergeUpsertSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       plan.take(800))
   }
+
+  test("a key both upserted and deleted dies on the merge AND bootstrap " +
+      "paths alike (tombstone-last)") {
+    import graft.sources.DocumentSources.mergeUpsertBuckets
+    val up = Seq((5L, "v2"), (6L, "v2")).toDF("doc_id", "text")
+    val del = Seq(Tuple1(5L)).toDF("doc_id")
+    // bootstrap path
+    val boot = java.nio.file.Files.createTempDirectory("graft-mu-boot")
+      .resolve("tree").toString
+    mergeUpsertBuckets(spark, boot, up, del, nBuckets)
+    assert(readTree(boot) == Map(6L -> "v2"))
+    // merge path over an existing tree carrying the key
+    val mrg = java.nio.file.Files.createTempDirectory("graft-mu-mrg")
+      .resolve("tree").toString
+    writeBase(mrg, Seq((5L, "v1"), (6L, "v1"), (7L, "v1")))
+    mergeUpsertBuckets(spark, mrg, up, del, nBuckets)
+    assert(readTree(mrg) == Map(6L -> "v2", 7L -> "v1"),
+      "delete must win over a same-batch upsert on the merge path too")
+  }
+
+  test("recovery sweep restores a bucket parked by an interrupted swap") {
+    import graft.sources.DocumentSources.mergeUpsertBuckets
+    val root = java.nio.file.Files.createTempDirectory("graft-mu-rec")
+      .resolve("tree").toString
+    writeBase(root, Seq((1L, "a"), (2L, "b"), (5L, "c")))
+    // simulate a crash between park and rename-in for bucket=1: the live
+    // dir is gone, its content sits in the -old tree
+    val live = new java.io.File(s"$root/bucket=1")
+    val oldDir = new java.io.File(s"$root-old")
+    assert(oldDir.mkdirs())
+    assert(live.renameTo(new java.io.File(oldDir, "bucket=1")))
+    assert(!live.exists)
+    // the next merge call must first restore bucket=1 (docs 1 and 5),
+    // then apply the delta against the INTACT base
+    val up = Seq((2L, "b2")).toDF("doc_id", "text")
+    val del = spark.emptyDataFrame.selectExpr("CAST(1 AS LONG) AS doc_id")
+      .where(lit(false))
+    mergeUpsertBuckets(spark, root, up, del, nBuckets)
+    assert(readTree(root) == Map(1L -> "a", 2L -> "b2", 5L -> "c"),
+      "parked bucket content must survive the interrupted swap")
+    assert(!oldDir.exists, "recovery must clean the -old tree")
+  }
 }

@@ -540,4 +540,43 @@ class StreamingParitySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("dedicated ingest tree"))
   }
+
+  test("dynamic-gap sessions resume NUMBERING after a mid-stream " +
+      "event-time timeout (the tombstone contract)") {
+    import sqlImplicits._
+    // user 1: a session at t0, then silence while user 2's steady events
+    // push the watermark (1h) far past t0+gap — the timeout flushes user
+    // 1's session mid-stream — then user 1 returns. The batch operator
+    // numbers user 1's sessions 1 and 2; a state machine that dropped
+    // its state at timeout would emit two seq-1 sessions.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(minutes: Long) = new java.sql.Timestamp(base + minutes * 60000L)
+    val chunk1 = Seq(
+      (1L, ts(0), 1.0), (1L, ts(1), 1.0), // user 1 session 1
+      (2L, ts(0), 1.0))
+    val chunk2 = (10 to 200 by 10).map(m => (2L, ts(m.toLong), 1.0)) // watermark pusher
+    val chunk3 = Seq((1L, ts(210), 1.0), (2L, ts(400), 1.0)) // user 1 returns; flush tail
+    val work = java.nio.file.Files.createTempDirectory("graft-dyn-resume-w")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dyn-resume")
+    Seq(chunk1, chunk2, chunk3).zipWithIndex.foreach { case (rows, i) =>
+      val part = work.resolve(s"c$i")
+      rows.toDF("user_id", "ts", "value").coalesce(1).write.parquet(part.toString)
+      stage(part, streamDir, i)
+    }
+    val src = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .as[StreamingOps.UserEvent]
+    val gap = 5L * 60L * 1000000L // 5 minutes, both users
+    val got = runAppend(
+      StreamingOps.dynamicGapSessionStream(src, _ => gap).toDF,
+      "dyn_resume")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val u1 = got.filter(_._1 == 1L)
+    assert(u1.map(_._2).toSeq == Seq(1L, 2L),
+      s"user 1 sessions must number 1, 2 across the timeout; got $u1")
+    assert(u1.map(_._3).toSeq == Seq(2L, 1L)) // event counts per session
+  }
 }
