@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   * queries where median/min > 3x split into two self-report lists:
   * "rebuild" when run 1 alone is slow (the deterministic session-memo
   * rebuild a family's first query pays post-eviction) and "noisy" for
-  * divergence run 1 does not explain — true machine interference.
+  * divergence run 1 does not explain — true machine interference. A third
+  * list, "warm_inflated", cross-checks warm min against the cold control
+  * sample (warm_min/cold > 3x with cold > 0.3 s): interference windows
+  * that inflate BOTH warm runs are invisible to the run-to-run detectors
+  * but cannot hide from the cold pass, which does strictly more work.
   * Failures are never swallowed: a crashing query records its error
   * message under "errors" and counts -1 sec, so a regression can't
   * silently improve the total.
@@ -150,18 +154,33 @@ object Bench {
       case ((k, mn), (_, md)) if mn > 0 && md / mn > 3.0 &&
         !rebuilds.contains(k) => k
     }
+    // Warm-vs-cold divergence self-report (r9 finding): "noisy" compares
+    // warm runs to each other, so a contiguous interference window that
+    // inflates BOTH warm runs — r9's q31b-q33 cluster, q33 4.50 s warm min
+    // vs 0.54 s cold — reads as a silent regression. The cold pass is a
+    // free per-query control sample: cold does strictly MORE work (every
+    // memo rebuilt), so a warm min > 3x its own cold time cannot be the
+    // query's own cost and marks machine interference during the warm
+    // pass. Floor cold at 0.3 s so scheduler jitter on trivial queries
+    // doesn't flood the list.
+    val coldMap = cold.toMap
+    val warmInflated = mins.collect {
+      case (k, mn) if mn > 0 && coldMap.getOrElse(k, -1.0) > 0.3 &&
+        mn / coldMap(k) > 3.0 => k
+    }
     val qs = mins.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qsMed = medians.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qsW1 = warm1s.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qsCold = cold.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val noisyJson = noisy.map(k => s"\"$k\"").mkString("[", ",", "]")
     val rebuildJson = rebuilds.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val warmInflJson = warmInflated.map(k => s"\"$k\"").mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) =>
       s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"rebuild":$rebuildJson,"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"rebuild":$rebuildJson,"warm_inflated":$warmInflJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // target/bench.json is the durable FULL-registry round artifact; a
     // filtered local run writes a sibling file so it can never clobber

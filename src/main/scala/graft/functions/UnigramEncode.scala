@@ -33,6 +33,9 @@ case class UnigramEncode(child: Expression, table: Seq[String])
   @transient private lazy val costs: Map[String, Long] =
     UnigramEncode.parse(table)
 
+  // Size-capped (BpeMerges.MemoCap pattern): open-vocabulary input makes an
+  // uncapped per-word memo grow for the executor's lifetime; at the cap
+  // we recompute instead of evicting (pure function, deterministic).
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
 
@@ -43,10 +46,16 @@ case class UnigramEncode(child: Expression, table: Seq[String])
     while (i < n) {
       val w = parts.getUTF8String(i)
       if (w != null) {
-        val pieces = memo.computeIfAbsent(w.toString, { s =>
-          UnigramLmOps.viterbi(s, costs)
-            .map(UTF8String.fromString).toArray
-        })
+        val s = w.toString
+        val hit = memo.get(s)
+        val pieces =
+          if (hit != null) hit
+          else {
+            val enc = UnigramLmOps.viterbi(s, costs)
+              .map(UTF8String.fromString).toArray
+            if (memo.size < BpeMerges.MemoCap) memo.put(s, enc)
+            enc
+          }
         out ++= pieces
       }
       i += 1

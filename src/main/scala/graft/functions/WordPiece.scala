@@ -136,6 +136,11 @@ case class WordPieceEncode(child: Expression, vocab: Seq[String])
 
   @transient private lazy val vocabSet: Set[String] = vocab.toSet
   @transient private lazy val maxLen: Int = WordPiece.maxBodyLen(vocab)
+  // Size-capped (BpeMerges.MemoCap pattern): real corpora have an effectively
+  // unbounded distinct pre-token universe (numbers, typos, hex hashes),
+  // so an uncapped map grows for the life of the executor. Zipf repeats
+  // concentrate in short frequent words — at the cap we recompute
+  // instead of evicting (pure function, deterministic either way).
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
 
@@ -146,10 +151,17 @@ case class WordPieceEncode(child: Expression, vocab: Seq[String])
     while (i < n) {
       val w = parts.getUTF8String(i)
       if (w != null) {
-        out ++= memo.computeIfAbsent(w.toString, { s =>
-          WordPiece.encodeWord(s, vocabSet, maxLen)
-            .map(UTF8String.fromString)
-        })
+        val s = w.toString
+        val hit = memo.get(s)
+        val toks =
+          if (hit != null) hit
+          else {
+            val enc = WordPiece.encodeWord(s, vocabSet, maxLen)
+              .map(UTF8String.fromString)
+            if (memo.size < BpeMerges.MemoCap) memo.put(s, enc)
+            enc
+          }
+        out ++= toks
       }
       i += 1
     }

@@ -985,26 +985,56 @@ object CurationQueries {
   // --- q119b: eval-safe corpus composite -----------------------------------
   // The second end-to-end composite beside q119's packing capstone, with
   // the EVALUATION-INTEGRITY stages composed into one hash-verified
-  // flow: Gopher rule battery (q88) → cluster-canonical near-dup dedup
-  // over the survivors (q50b/q55 semantics — pairs and clusters computed
-  // on the FILTERED corpus, which no single-stage query exercises) →
-  // benchmark decontamination (q53's 5-gram contract, benchmark carved
-  // from the ORIGINAL corpus so a filtered-out bench doc still
-  // contaminates its training twin). A bench doc winning a cluster
-  // deliberately suppresses its training duplicates — they would be
-  // contaminated anyway; the oracle replays all three stages (q88's SQL
-  // nested verbatim, fresh shingle/pair/recursive-closure CTEs over the
-  // kept subset, the bench probe) so stage INTERACTIONS are verified,
-  // not just stages. Output: the surviving training docs and their
-  // token counts.
+  // flow: Gopher rule battery (q88's rule columns, soft ≥6-of-7 form) →
+  // cluster-canonical near-dup dedup over the survivors (q50b/q55
+  // semantics — pairs and clusters computed on the FILTERED corpus,
+  // which no single-stage query exercises) → benchmark decontamination
+  // (q53's 5-gram contract, benchmark carved from the ORIGINAL corpus so
+  // a filtered-out bench doc still contaminates its training twin). A
+  // bench doc winning a cluster deliberately suppresses its training
+  // duplicates — they would be contaminated anyway; the oracle replays
+  // all three stages (q88's SQL nested verbatim, fresh shingle/pair/
+  // recursive-closure CTEs over the kept subset, the bench probe) so
+  // stage INTERACTIONS are verified, not just stages. Output: the
+  // surviving training docs and their token counts.
+  //
+  // Why the SOFT battery (score ≥ EvalSafeMinRules of 7) instead of
+  // q88's strict all-rules keep: the fixture's synthetic text contains
+  // at most one of the eight Gopher stop words, so the strict gate keeps
+  // ZERO docs and every downstream stage — clustering, canonicalization,
+  // contamination — verified hash-equality of two EMPTY relations (the
+  // r9 advisor finding: a bug emptying both sides differently would
+  // pass). Rule-score thresholds are the battery's standard tuned form
+  // (the Gopher paper itself adjusts rules per corpus); q88 remains the
+  // strict contract. EvalSafeCorpusSpec asserts every intermediate stage
+  // is non-trivial (kept, clusters, canonical-train, survivors all > 0
+  // AND each stage actually drops rows), so the composite can never
+  // silently go vacuous again.
   val EvalSafeShingleN = 5
   val EvalSafeJaccardMinMicro = 300000L
+  val EvalSafeMinRules = 6L
 
-  def q119bEvalSafeCorpus(spark: SparkSession, dir: String): DataFrame = {
+  /** The 7 Gopher rule columns summed — shared by the Spark gate and the
+    * oracle so the soft-battery definition cannot drift.
+    */
+  private val gopherRuleCols = Seq("r_word_count", "r_mean_word_len",
+    "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+    "r_stop_words")
+
+  /** q119b's intermediate relations, exposed so EvalSafeCorpusSpec can
+    * assert every stage is NON-TRIVIAL on the fixture (the r9 advisor
+    * finding: an all-empty pipeline hash-matches an all-empty oracle).
+    */
+  final case class EvalSafeStages(kept: DataFrame, canonical: DataFrame,
+                                  canonicalTrain: DataFrame,
+                                  contaminated: DataFrame, result: DataFrame)
+
+  def q119bStages(spark: SparkSession, dir: String): EvalSafeStages = {
     import graft.ops.{DedupOps, TextOps}
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val keep = TextAnalysisOps.gopherRules(Tables.documents(spark, dir))
-      .where(col("keep") === 1L).select("doc_id")
+      .where(gopherRuleCols.map(col).reduce(_ + _) >= EvalSafeMinRules)
+      .select("doc_id")
     // persisted: shingles, clustering, contamination and the final
     // projection all read the kept relation
     val kept = graft.CacheScope.persist(
@@ -1026,10 +1056,16 @@ object CurationQueries {
       EvalSafeShingleN)
     val contam = DedupOps.contaminationScores(
       canonicalTrain, sh.join(canonicalTrain, "doc_id"), benchSh, 1L)
-    kept.join(contam.where(!col("contaminated")).select("doc_id"), "doc_id")
+    val result = kept
+      .join(contam.where(!col("contaminated")).select("doc_id"), "doc_id")
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
+    EvalSafeStages(kept, canonical, canonicalTrain,
+      contam.where(col("contaminated")), result)
   }
+
+  def q119bEvalSafeCorpus(spark: SparkSession, dir: String): DataFrame =
+    q119bStages(spark, dir).result
 
   // lazy: nests AnalysisQueries.q88Sql (cross-object, resolved on first
   // use like q65b's composition)
@@ -1041,7 +1077,8 @@ object CurationQueries {
         i -> array_to_string(toks[(CAST(i AS INT)+1):(CAST(i AS INT)+$n)], ' ')))) AS shingle
       FROM $src WHERE len(toks) >= $n"""
     s"""WITH RECURSIVE
-    kp AS (SELECT doc_id FROM (${AnalysisQueries.q88Sql}) WHERE keep = 1),
+    kp AS (SELECT doc_id FROM (${AnalysisQueries.q88Sql})
+      WHERE ${gopherRuleCols.mkString(" + ")} >= $EvalSafeMinRules),
     t AS (SELECT d.doc_id, d.text, ${toksSql("d.text")} AS toks
       FROM documents d JOIN kp USING (doc_id)),
     sk AS (${shSel("t")}),
@@ -1343,7 +1380,14 @@ object CurationQueries {
     * can never drift onto different snapshot carvings.
     */
   object Snapshots {
-    def inA: Column = col("doc_id") % 10 < 8
+    /** The A-membership predicate over an ARBITRARY key column, so
+      * derived relations keyed by something other than `doc_id` (q55c's
+      * pair endpoints `id_a`/`id_b`) share THIS definition instead of
+      * re-encoding the carve — change it here and every split moves
+      * together.
+      */
+    def inAOf(key: Column): Column = key % 10 < 8
+    def inA: Column = inAOf(col("doc_id"))
     def inB: Column = col("doc_id") % 10 >= 2
     def textB: Column =
       when(col("doc_id") % 4 === 0, concat(col("text"), lit(" [rev2]")))

@@ -517,9 +517,9 @@ object DedupQueries {
     // pair metrics depend only on the two docs' shingle sets, so base-
     // only pairs == whole-corpus pairs with both endpoints in the base
     val basePairs = allPairs
-      .where((col("id_a") % 10 < 8) && (col("id_b") % 10 < 8))
+      .where(snaps.inAOf(col("id_a")) && snaps.inAOf(col("id_b")))
     val deltaPairs = allPairs
-      .where((col("id_a") % 10 >= 8) || (col("id_b") % 10 >= 8))
+      .where(!snaps.inAOf(col("id_a")) || !snaps.inAOf(col("id_b")))
     // "yesterday's stored table": labels from the existing operator
     val baseLabels = graft.CacheScope.persist(
       DedupOps.duplicateClusters(baseDocs, basePairs))

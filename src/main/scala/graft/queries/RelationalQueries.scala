@@ -878,39 +878,66 @@ object RelationalQueries {
     * walks ≤ MedianBuckets rows to locate the bucket containing global
     * rank k = (n+1) div 2 and the residual rank within it; pass 2 sorts
     * ONLY that bucket's members (≈ n/buckets rows) and takes the
-    * residual rank. Every comparison is on `floor(100·x)` BIGINT cents —
+    * residual rank. When a bucket still holds more than `Pass2Limit`
+    * rows (the degenerate near-constant column: hi≈lo → width 1 buckets
+    * that can't split value mass, or extreme skew piling rank mass into
+    * one bucket), the narrowing RECURSES into that bucket's value range
+    * with a fresh histogram instead of handing pass 2 an unbounded —
+    * and beyond 2^31, silently Int-overflowed — TakeOrdered; each level
+    * divides the value range by MedianBuckets, so ≤ ~6 levels cover the
+    * full 64-bit cents domain, and a width-1 bucket IS the answer with
+    * no sort at all. Every comparison is on `floor(100·x)` BIGINT cents —
     * the paired-IEEE-expression portability rule — so the result is
     * oracle-exact against DuckDB's direct ORDER BY/OFFSET formulation.
     * Output: `(n, k, median_cents)`.
     */
   val MedianBuckets = 1024L
 
-  def q17fMedian2Pass(spark: SparkSession, dir: String): DataFrame = {
+  /** Max rows pass 2 may sort-and-take: 2^22 longs ≈ 32 MB on the driver
+    * via TakeOrderedAndProject — comfortably bounded, far under Int range.
+    */
+  val Pass2Limit = 1L << 22
+
+  def q17fMedian2Pass(spark: SparkSession, dir: String,
+                      pass2Limit: Long = Pass2Limit): DataFrame = {
     val cents = Tables.lineitem(spark, dir)
       .select(floor(col("l_extendedprice") * 100).cast("long").as("v"))
     val staged = graft.CacheScope.persist(cents)
-    val Seq(n, lo, hi) = staged
+    val Seq(n, lo0, hi0) = staged
       .agg(count(lit(1)), min(col("v")), max(col("v")))
       .head().toSeq.map(_.asInstanceOf[Long]).toSeq
     val k = (n + 1) / 2
-    val w = (hi - lo + MedianBuckets) / MedianBuckets // ceil width, >= 1
-    val hist = staged
-      .groupBy(expr(s"(v - $lo) div $w").as("b"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
-    var cum = 0L
-    var bStar = -1L
-    var before = 0L
-    val it = hist.iterator
-    while (bStar < 0 && it.hasNext) {
-      val (b, c) = it.next()
-      if (cum + c >= k) { bStar = b; before = cum } else cum += c
+    var lo = lo0; var hi = hi0; var kCur = k
+    var median = 0L; var done = false
+    while (!done) {
+      val w = (hi - lo + MedianBuckets) / MedianBuckets // ceil width, >= 1
+      val ranged = staged.where(col("v") >= lo && col("v") <= hi)
+      val hist = ranged
+        .groupBy(expr(s"(v - $lo) div $w").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      var cum = 0L; var bStar = -1L; var before = 0L; var inBucket = 0L
+      val it = hist.iterator
+      while (bStar < 0 && it.hasNext) {
+        val (b, c) = it.next()
+        if (cum + c >= kCur) { bStar = b; before = cum; inBucket = c }
+        else cum += c
+      }
+      val bLo = lo + bStar * w
+      val bHi = math.min(hi, bLo + w - 1)
+      val kIn = kCur - before // residual rank inside the target bucket
+      if (w == 1L) {
+        median = bLo; done = true // single-value bucket: rank irrelevant
+      } else if (inBucket <= pass2Limit) {
+        median = staged
+          .where(col("v") >= bLo && col("v") <= bHi)
+          .orderBy("v").limit(kIn.toInt)
+          .agg(max(col("v")).as("m")).head().getLong(0)
+        done = true
+      } else { // narrow into the heavy bucket and re-histogram
+        lo = bLo; hi = bHi; kCur = kIn
+      }
     }
-    val kIn = k - before // residual rank inside the target bucket
-    val median = staged
-      .where(expr(s"(v - $lo) div $w") === bStar)
-      .orderBy("v").limit(kIn.toInt)
-      .agg(max(col("v")).as("m")).head().getLong(0)
     import spark.implicits._
     Seq((n, k, median)).toDF("n", "k", "median_cents")
   }
@@ -955,7 +982,7 @@ object RelationalQueries {
     "q56_salted_revenue" -> (q56SaltedRevenue _),
     "q17c_stats" -> (q17cStats _),
     "q17d_percentiles" -> (q17dPercentiles _),
-    "q17f_median_2pass" -> (q17fMedian2Pass _),
+    "q17f_median_2pass" -> ((s, d) => q17fMedian2Pass(s, d)),
     "q19b_above_global_avg" -> (q19bAboveGlobalAvg _),
     "q10_pricing_summary" -> (q10PricingSummary _),
     "q10b_revenue_by_quarter" -> (q10bRevenueByQuarter _),

@@ -172,6 +172,15 @@ object DocumentSources {
     val hRoot = new org.apache.hadoop.fs.Path(path)
     val rootFs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oldRoot = new org.apache.hadoop.fs.Path(s"$path-old")
+    // Hadoop FileSystem.rename/delete signal failure by RETURNING FALSE,
+    // not throwing. A silently failed park would let the next rename nest
+    // the staged dir INSIDE the still-live one — duplicate rows, a
+    // corruption mode the crash-safe swap exists to prevent — so every
+    // step checks its boolean and aborts the batch on failure (the
+    // recovery sweep at the next call then restores the parked state).
+    def mustFs(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"mergeUpsertBuckets: filesystem step failed (returned false): $what")
     // recovery sweep: a bucket dir parked in the -old tree with no live
     // twin means a previous swap crashed between park and rename-in —
     // restore it so the base scan below sees the pre-merge content; with
@@ -179,10 +188,12 @@ object DocumentSources {
     if (rootFs.exists(oldRoot)) {
       rootFs.listStatus(oldRoot).foreach { st =>
         val live = new org.apache.hadoop.fs.Path(hRoot, st.getPath.getName)
-        if (!rootFs.exists(live)) rootFs.rename(st.getPath, live)
-        else rootFs.delete(st.getPath, true)
+        if (!rootFs.exists(live))
+          mustFs(rootFs.rename(st.getPath, live), s"restore ${st.getPath}")
+        else
+          mustFs(rootFs.delete(st.getPath, true), s"drop parked ${st.getPath}")
       }
-      rootFs.delete(oldRoot, true)
+      mustFs(rootFs.delete(oldRoot, true), s"drop $oldRoot")
     }
     // tombstone-last: a key both upserted and deleted in one delta dies
     // on every path (the bootstrap anti-join below is the same rule)
@@ -205,12 +216,17 @@ object DocumentSources {
       val dst = new org.apache.hadoop.fs.Path(path, s"bucket=$b")
       val src = new org.apache.hadoop.fs.Path(staging, s"bucket=$b")
       val parked = new org.apache.hadoop.fs.Path(oldRoot, s"bucket=$b")
-      if (fs.exists(dst)) { fs.mkdirs(oldRoot); fs.rename(dst, parked) }
-      if (fs.exists(src)) fs.rename(src, dst)
-      fs.delete(parked, true)
+      if (fs.exists(dst)) {
+        mustFs(fs.mkdirs(oldRoot), s"mkdirs $oldRoot")
+        mustFs(fs.rename(dst, parked), s"park $dst")
+      }
+      if (fs.exists(src)) mustFs(fs.rename(src, dst), s"swap in $src")
+      if (fs.exists(parked)) mustFs(fs.delete(parked, true), s"drop $parked")
     }
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    fs.delete(oldRoot, true)
+    mustFs(fs.delete(new org.apache.hadoop.fs.Path(staging), true),
+      s"drop $staging")
+    if (fs.exists(oldRoot))
+      mustFs(fs.delete(oldRoot, true), s"drop $oldRoot")
     affected
   }
 
