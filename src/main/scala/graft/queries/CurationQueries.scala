@@ -40,12 +40,23 @@ object CurationQueries {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  private def pairsDf(spark: SparkSession, dir: String): DataFrame = {
+  /** Bump when the curation prefix (redaction patterns, quality gate,
+    * tokenizer) or pair generation changes SEMANTICS — the stored
+    * artifact's fingerprint sees input files and these constants, not
+    * code (StoredPairsSpec row-compares store vs fresh build).
+    */
+  private val PairsStoreVersion =
+    s"1:n=${CurationPipeline.ShingleN},min=${CurationPipeline.NearDupMinMicro}," +
+      s"cap=${CurationPipeline.MaxShingleDf}"
+
+  private[graft] def pairsDf(spark: SparkSession, dir: String): DataFrame = {
     pairsCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
     pairsCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
       { case (_, d) =>
-        CurationPipeline.nearDupPairs(exactDf(spark, d),
-          CurationPipeline.MaxShingleDf)
+        graft.sources.StoredRelations.readOrBuild(spark, "curation_pairs",
+          Seq(s"$d/documents.parquet"), PairsStoreVersion)(
+          CurationPipeline.nearDupPairs(exactDf(spark, d),
+            CurationPipeline.MaxShingleDf))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
   }

@@ -56,9 +56,18 @@ object DedupQueries {
     memoIn(shingleCache, spark, dir)(d =>
       DedupOps.shingles(tokenized(spark, d), ShingleN))
 
-  private def jpairs(spark: SparkSession, dir: String): DataFrame =
+  /** Bump when [[DedupOps.jaccardPairs]]/[[DedupOps.shingles]]/
+    * [[TextOps.tokenize]] change SEMANTICS — the stored artifact's
+    * fingerprint sees input files and constants, not code
+    * (StoredPairsSpec row-compares store vs fresh build as the backstop).
+    */
+  private val JpairsStoreVersion = s"1:n=$ShingleN,min=$JaccardMinMicro"
+
+  private[graft] def jpairs(spark: SparkSession, dir: String): DataFrame =
     memoIn(jpairsCache, spark, dir)(d =>
-      DedupOps.jaccardPairs(shingled(spark, d), JaccardMinMicro))
+      graft.sources.StoredRelations.readOrBuild(spark, "dedup_jpairs",
+        Seq(s"$d/documents.parquet"), JpairsStoreVersion)(
+        DedupOps.jaccardPairs(shingled(spark, d), JaccardMinMicro)))
 
   /** Drop every memoized dedup relation and release its storage. */
   def evictAll(): Unit = {

@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ops.{DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Gates for the durable stored pair artifacts (StoredRelations).
+  *
+  * The fingerprint sees input files and version constants, not CODE — a
+  * semantic change to the tokenizer/shingler/pair thresholds with a
+  * forgotten version bump would serve stale pairs. The first two tests
+  * are the backstop: they re-derive each pair relation FROM SCRATCH
+  * (bypassing both the store and the session memos) and row-compare it
+  * to what the store serves, every test run. The infra tests pin the
+  * contract itself: mtime staleness invalidates, a torn (marker-less)
+  * write is never valid.
+  */
+class StoredPairsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("stored dedup_jpairs matches a from-scratch rebuild") {
+    val stored = graft.queries.DedupQueries.jpairs(spark, dir)
+    val fresh = DedupOps.jaccardPairs(
+      DedupOps.shingles(
+        graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks")),
+        graft.queries.DedupQueries.ShingleN),
+      graft.queries.DedupQueries.JaccardMinMicro)
+    assert(stored.columns.toSeq == fresh.columns.toSeq)
+    assert(asSet(stored) == asSet(fresh),
+      "stored dedup_jpairs diverges from a fresh build — semantics " +
+        "changed without a JpairsStoreVersion bump, or the store is corrupt")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("stored curation_pairs matches a from-scratch rebuild") {
+    val stored = graft.queries.CurationQueries.pairsDf(spark, dir)
+    val fresh = graft.CurationPipeline.nearDupPairs(
+      graft.CurationPipeline.exactStage(graft.Tables.documents(spark, dir)),
+      graft.CurationPipeline.MaxShingleDf)
+    assert(stored.columns.toSeq == fresh.columns.toSeq)
+    assert(asSet(stored) == asSet(fresh),
+      "stored curation_pairs diverges from a fresh build — semantics " +
+        "changed without a PairsStoreVersion bump, or the store is corrupt")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("input mtime change invalidates; marker-less artifact never valid") {
+    import sqlImplicits._
+    val in = java.nio.file.Files.createTempFile("graft-stored-in", ".txt")
+    java.nio.file.Files.writeString(in, "v1")
+    var builds = 0
+    def build = { builds += 1; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+    val name = s"spec_${System.nanoTime}"
+    val r1 = StoredRelations.readOrBuild(spark, name,
+      Seq(in.toString), "1")(build).collect().toSet
+    val r2 = StoredRelations.readOrBuild(spark, name,
+      Seq(in.toString), "1")(build).collect().toSet
+    assert(builds == 1 && r1 == r2, "second read should hit the artifact")
+    // touch the input: fingerprint changes, next read must rebuild
+    java.nio.file.Files.setLastModifiedTime(in,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(in).toMillis + 5000))
+    StoredRelations.readOrBuild(spark, name, Seq(in.toString), "1")(build)
+    assert(builds == 2, "stale input served without rebuild")
+    // version bump invalidates too
+    StoredRelations.readOrBuild(spark, name, Seq(in.toString), "2")(build)
+    assert(builds == 3, "version change served without rebuild")
+    // torn write: strip the marker from the live artifact — next read rebuilds
+    val path = new java.io.File(graft.Scratch.dir("stored"))
+      .listFiles().filter(_.getName.startsWith(name)).head
+    assert(new java.io.File(path, "_graft_fingerprint").delete())
+    StoredRelations.readOrBuild(spark, name, Seq(in.toString), "2")(build)
+    assert(builds == 4, "marker-less (torn) artifact treated as valid")
+    java.nio.file.Files.delete(in)
+  }
+}
