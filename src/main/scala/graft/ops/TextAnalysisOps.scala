@@ -552,7 +552,11 @@ object TextAnalysisOps {
       .select(col(idCol), col("chunk_id"), col("start_token"),
         org.apache.spark.sql.functions.size(col("chunk")).cast("long")
           .as("n_tokens"),
-        array_join(col("chunk"), " ").as("chunk_text"))
+        array_join(col("chunk"), " ").as("chunk_text"),
+        // the token array itself, for consumers that shingle WITHIN the
+        // chunk (q128's chunk-level near-dup) — re-tokenizing chunk_text
+        // would re-encode the chunking definition one transform away
+        col("chunk"))
   }
 
   /** Corpus-frequency threshold under which a token counts as "rare". */

@@ -1369,6 +1369,10 @@ object CurationQueries {
   def q69ContextChunks(spark: SparkSession, dir: String): DataFrame =
     TextAnalysisOps.contextChunks(
       Tables.documents(spark, dir), ChunkSize, ChunkStride)
+      // atomic projection: contextChunks also carries the chunk token
+      // ARRAY for in-chunk shinglers (q128); the oracled surface stays
+      // the five scalar columns
+      .select("doc_id", "chunk_id", "start_token", "n_tokens", "chunk_text")
       .orderBy("doc_id", "chunk_id")
 
   val q69Sql: String =

@@ -635,6 +635,88 @@ object DedupQueries {
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
     FROM x GROUP BY doc_id ORDER BY doc_id"""
 
+  // --- q128: chunk-level NEAR-dup (MinHash+LSH over training chunks) ------
+  // Completes the dedup matrix's last cell. Granularity × match-kind now
+  // reads: doc×exact (q24), doc×near (q25/q26/q27), chunk×exact (q86),
+  // span×exact (q61) — and chunk×near, HERE: two documents sharing a
+  // near-identical paragraph (one token edited, one inserted) produce NO
+  // byte-identical chunk, so q86 misses them, while whole-doc near-dup
+  // (q26) can miss them too when the rest of the docs differ enough to
+  // dilute doc-level Jaccard below threshold. The common real case is
+  // exactly this: a quoted/boilerplate paragraph embedded in otherwise
+  // unrelated pages.
+  //
+  // Plan shape is q26's, one level down: q69's chunk relation (same
+  // ChunkSize/ChunkStride — these ARE the training sequences) → 5-gram
+  // shingles WITHIN each chunk → 16-perm MinHash signature per chunk →
+  // 4-row LSH bands → band-bucket self-join (only chunks colliding in a
+  // band are compared; never all-pairs) → signature-agreement estimate,
+  // thresholded. Chunk count is ~tokens/stride, so every stage stays
+  // linear in corpus size; the banded join is the same skew-bounded
+  // shuffle q26 runs. Chunk key packs (doc_id, chunk_id) into one
+  // BIGINT — chunk_id < 2^20 holds whenever a doc has < 2^20·stride
+  // (~50M) tokens, far above any real document.
+  val ChunkKeyBase = 1L << 20
+
+  def q128ChunkNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import CurationQueries.{ChunkSize, ChunkStride}
+    val chunks = graft.ops.TextAnalysisOps.contextChunks(
+      Tables.documents(spark, dir), ChunkSize, ChunkStride)
+      .select((col("doc_id") * ChunkKeyBase + col("chunk_id")).as("cid"),
+        col("chunk").as("toks"))
+    val pairs = DedupOps.minhashPairs(
+      DedupOps.minhashSignatures(
+        DedupOps.shingles(chunks, ShingleN, idCol = "cid"), idCol = "cid"),
+      rowsPerBand = 4, MinhashMinMicro, idCol = "cid")
+    pairs.select(
+      expr(s"id_a div $ChunkKeyBase").as("doc_a"),
+      (col("id_a") % ChunkKeyBase).as("chunk_a"),
+      expr(s"id_b div $ChunkKeyBase").as("doc_b"),
+      (col("id_b") % ChunkKeyBase).as("chunk_b"),
+      col("est_jaccard_micro"))
+      .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+  }
+
+  val q128Sql: String = {
+    val k = HashOps.MinHashK
+    val n = ShingleN
+    val minExprs = (0 until k)
+      .map(i => s"min(${HashOps.permSql(i, "th")}) AS m$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT cid, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    c AS (SELECT doc_id * $ChunkKeyBase + (start // ${CurationQueries.ChunkStride}) AS cid,
+        toks[(CAST(start AS INT)+1):(CAST(start AS INT)+${CurationQueries.ChunkSize})] AS ctoks
+      FROM (SELECT doc_id, toks,
+          unnest(range(0, len(toks), ${CurationQueries.ChunkStride})) AS start
+        FROM t)),
+    sh AS (
+      SELECT cid, unnest(list_distinct(list_transform(
+        range(0, len(ctoks) - $n + 1),
+        i -> array_to_string(ctoks[(CAST(i AS INT)+1):(CAST(i AS INT)+$n)], ' ')))) AS shingle
+      FROM c WHERE len(ctoks) >= $n),
+    h AS (SELECT cid, ${HashOps.charHashSql("shingle")} AS th FROM sh),
+    sig AS (SELECT cid, $minExprs FROM h GROUP BY cid),
+    bands AS ($bandSelects),
+    cand AS (
+      SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.cid < b.cid)
+    SELECT id_a // $ChunkKeyBase AS doc_a, id_a % $ChunkKeyBase AS chunk_a,
+      id_b // $ChunkKeyBase AS doc_b, id_b % $ChunkKeyBase AS chunk_b,
+      CAST(floor(1000000 * ($agree) / $k) AS BIGINT) AS est_jaccard_micro
+    FROM cand
+    JOIN sig sa ON sa.cid = id_a
+    JOIN sig sb ON sb.cid = id_b
+    WHERE floor(1000000 * ($agree) / $k) >= $MinhashMinMicro
+    ORDER BY doc_a, chunk_a, doc_b, chunk_b"""
+  }
+
   // --- q120: integer PageRank over the near-dup graph -----------------------
   // Centrality beyond connectivity: q55 tells you WHICH docs form a
   // duplication component, PageRank tells you which doc is the
@@ -1124,7 +1206,8 @@ object DedupQueries {
     "q105_cluster_split" -> (q105ClusterSplit _),
     "q112_cluster_size_histogram" -> (q112ClusterSizeHistogram _),
     "q120_pagerank" -> (q120PageRank _),
-    "q120b_triangles" -> (q120bTriangles _))
+    "q120b_triangles" -> (q120bTriangles _),
+    "q128_chunk_near_dup" -> (q128ChunkNearDup _))
 
   val oracleSql: Map[String, String] = Map(
     "q127_kmv_overlap" -> q127Sql,
@@ -1150,5 +1233,6 @@ object DedupQueries {
     "q55c_incremental_clusters" -> q55Sql,
     "q105_cluster_split" -> q105Sql,
     "q112_cluster_size_histogram" -> q112Sql,
-    "q120_pagerank" -> q120Sql)
+    "q120_pagerank" -> q120Sql,
+    "q128_chunk_near_dup" -> q128Sql)
 }

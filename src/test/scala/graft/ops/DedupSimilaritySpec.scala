@@ -319,6 +319,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("est_jaccard_micro") == 1000000L)
   }
 
+  test("chunk near-dup (q128) catches a shared edited paragraph that " +
+    "chunk-exact (q86) misses") {
+    // Two docs open with the SAME 70-token paragraph except one token
+    // edited mid-way, then diverge completely. No chunk is byte-identical
+    // across docs (the edit lands in chunk 0 of both), so exact-chunk
+    // grouping finds nothing cross-doc — but chunk 0's shingle sets agree
+    // on ~55 of ~65 5-grams, so the MinHash estimate clears the q26
+    // threshold. This is the dedup-matrix cell q128 exists for.
+    import graft.queries.{CurationQueries, DedupQueries}
+    val para = (0 until 70).map(i => s"p$i")
+    val paraEdited = para.updated(35, "edited")
+    val d = docs(
+      1L -> (para ++ (0 until 50).map(i => s"a$i")).mkString(" "),
+      2L -> (paraEdited ++ (0 until 50).map(i => s"b$i")).mkString(" "))
+    val chunks = TextAnalysisOps.contextChunks(
+      d, CurationQueries.ChunkSize, CurationQueries.ChunkStride)
+    // chunk-exact: no chunk text occurs in BOTH docs
+    val crossExact = chunks.groupBy("chunk_text")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") > 1).count()
+    assert(crossExact == 0, "fixture broken: an identical cross-doc chunk exists")
+    // chunk-near: the q128 composition flags (doc 1 chunk 0, doc 2 chunk 0)
+    val keyed = chunks.select(
+      (col("doc_id") * DedupQueries.ChunkKeyBase + col("chunk_id")).as("cid"),
+      col("chunk").as("toks"))
+    val pairs = DedupOps.minhashPairs(
+      DedupOps.minhashSignatures(
+        DedupOps.shingles(keyed, DedupQueries.ShingleN, idCol = "cid"),
+        idCol = "cid"),
+      rowsPerBand = 4, DedupQueries.MinhashMinMicro, idCol = "cid")
+      .collect()
+    val cross = pairs.filter { r =>
+      r.getAs[Long]("id_a") / DedupQueries.ChunkKeyBase !=
+        r.getAs[Long]("id_b") / DedupQueries.ChunkKeyBase
+    }
+    assert(cross.exists { r =>
+      r.getAs[Long]("id_a") == 1L * DedupQueries.ChunkKeyBase &&
+        r.getAs[Long]("id_b") == 2L * DedupQueries.ChunkKeyBase &&
+        r.getAs[Long]("est_jaccard_micro") >= DedupQueries.MinhashMinMicro
+    }, s"edited shared paragraph not flagged; pairs=${cross.mkString(",")}")
+    graft.CacheScope.releaseAll()
+  }
+
   test("MLlib MinHashLSH finds the same identical-doc pair as the portable path") {
     val toked = tokenized(
       1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v")
