@@ -871,6 +871,70 @@ object SimilarityOps {
       .select(col("vec_id"), array(codeCols: _*).as("codes"))
   }
 
+  /** Codebook-drift statistic for a FROZEN product quantizer — the PQ
+    * analogue of [[ivfDriftStatsAssigned]], and the rebuild-decision
+    * signal [[pqEncode]]'s append path defers to: a PQ code tree built
+    * once and appended to forever silently degrades as the data
+    * distribution moves away from the trained codebooks (quantization
+    * error grows, ADC rankings rot), exactly like frozen IVF centroids —
+    * but per SUBSPACE, since each of the m codebooks can go stale
+    * independently (e.g. one embedding-model component shifts).
+    *
+    * Per (sub, cell): count and integer-quantized quantization-error
+    * distribution (mean, p95 of ‖subvector − assigned centroid‖² in
+    * micro-units) of the BASE corpus vs an incoming DELTA, plus the
+    * delta/base mean ratio in micro-units — ratio exactly 1e6 when the
+    * delta is drawn from the base itself (same integral arithmetic both
+    * sides), strictly above under real drift (unit-gated in PqSpec,
+    * mirroring IvfAppendSpec's contract).
+    *
+    * Scale shape: the codebook is an array literal, so each side is ONE
+    * narrow map over its vectors (m codegen'd argmin folds per row — the
+    * [[pqEncode]] expression with the distance kept) followed by a
+    * (sub, cell)-keyed aggregation to ≤ m·kSub rows; the two stats
+    * relations are broadcast into the final grid assembly, which never
+    * shuffles. Exact `percentile` buffers per-cell values; swap for
+    * `approx_percentile` at corpus scale once the dial needs only ±ε.
+    */
+  def pqDriftStats(cb: PqCodebook, base: DataFrame,
+                   delta: DataFrame): DataFrame = {
+    val cents = collectCodebook(cb)
+    require(cents.size == cb.m, s"codebook covers ${cents.size} of ${cb.m} subspaces")
+    def subStats(embeddings: DataFrame, prefix: String): DataFrame = {
+      val bestCols = (0 until cb.m).map { s =>
+        val centArr = typedlit(cents(s))
+        val dists = transform(centArr, c =>
+          struct(sqDist(col(s"sv$s"), c.getField("_2")).as("d2"),
+            c.getField("_1").as("cell")))
+        val best = aggregate(dists,
+          struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cell")),
+          (acc, pr) => when(pr.getField("d2") < acc.getField("d2"), pr)
+            .otherwise(acc))
+        struct(lit(s).as("sub"), best.getField("cell").as("cell"),
+          floor(best.getField("d2") * lit(1000000.0)).cast("long").as("d2"))
+      }
+      stagedSubvectors(embeddings, cb)
+        .select(explode(array(bestCols: _*)).as("b"))
+        .select(col("b.sub").as("sub"), col("b.cell").as("cell"),
+          col("b.d2").as("d2"))
+        .groupBy("sub", "cell")
+        .agg(count(lit(1)).as(s"n_$prefix"),
+          expr("sum(d2) DIV count(1)").as(s"${prefix}_mean_d2"),
+          expr("CAST(percentile(d2, 0.95) AS BIGINT)").as(s"${prefix}_p95_d2"))
+    }
+    cb.codebook.select(col("sub"), col("cell"))
+      .join(broadcast(subStats(base, "base")), Seq("sub", "cell"), "left")
+      .join(broadcast(subStats(delta, "delta")), Seq("sub", "cell"), "left")
+      .select(col("sub"), col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        col("base_mean_d2"), col("delta_mean_d2"),
+        col("base_p95_d2"), col("delta_p95_d2"),
+        when(col("base_mean_d2") > 0 && col("delta_mean_d2").isNotNull,
+          expr("(delta_mean_d2 * 1000000) DIV base_mean_d2"))
+          .as("drift_mean_ratio_micro"))
+  }
+
   /** PQ retrieval by asymmetric distance computation (ADC — the PQ probe
     * every production deployment runs, public in FAISS): the query stays
     * EXACT; each candidate is represented only by its m-byte code. Per

@@ -393,6 +393,27 @@ object SimilarityQueries {
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("codes"))
 
+  // --- q104d: PQ codebook-drift statistic (rows-only, q79g's twin) --------
+  // The staleness signal the stored PQ tree (q104c) was missing: q79g
+  // watches the frozen IVF centroids, but the frozen per-subspace
+  // codebooks rot independently under distribution shift — and a probe
+  // over a rotten codebook degrades SILENTLY (ADC rankings drift, recall
+  // falls, nothing errors). Per (sub, cell) quantization-error
+  // distribution of the q79f ingest carve's base vs delta, feeding the
+  // same rebuild decision (semantics, exactness contract, and scale
+  // shape in SimilarityOps.pqDriftStats). Rows-only tier like every
+  // KMeans-backed query; quantitative gates in PqSpec mirror
+  // IvfAppendSpec: self-delta reads ratio exactly 1e6, shifted delta
+  // strictly above.
+  def q104dPqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (cb, _) = pqIndex(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.pqDriftStats(cb,
+      emb.where(!isIngestDelta(col("vec_id"))),
+      emb.where(isIngestDelta(col("vec_id"))))
+      .orderBy("sub", "cell")
+  }
+
   def q104cStoredPq(spark: SparkSession, dir: String): DataFrame = {
     val (cb, _) = pqIndex(spark, dir)
     val idx = ivfIndex(spark, dir)
@@ -788,7 +809,8 @@ object SimilarityQueries {
     "q79g_ivf_drift" -> (q79gIvfDrift _),
     "q104_pq_adc" -> (q104PqAdc _),
     "q104b_ivf_pq" -> (q104bIvfPq _),
-    "q104c_stored_pq" -> (q104cStoredPq _))
+    "q104c_stored_pq" -> (q104cStoredPq _),
+    "q104d_pq_drift" -> (q104dPqDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,

@@ -145,4 +145,50 @@ class PqSpec extends SparkSpec {
     val recall = (brute & pq).size.toDouble / brute.size
     assert(recall >= 0.7, s"recall $recall")
   }
+
+  // --- pqDriftStats: the q104d contract, mirroring IvfAppendSpec's -------
+
+  test("PQ drift: a delta drawn from the base itself reads ratio exactly 1e6") {
+    val stats = SimilarityOps.pqDriftStats(cb, emb, emb).collect()
+    assert(stats.length == cb.m * cb.kSub, "grid must cover every (sub, cell)")
+    val withSignal = stats.filter(r =>
+      r.getAs[Long]("n_delta") > 0 && r.getAs[Long]("base_mean_d2") > 0)
+    assert(withSignal.nonEmpty, "degenerate fixture: no (sub, cell) with signal")
+    withSignal.foreach { r =>
+      assert(r.getAs[Long]("drift_mean_ratio_micro") == 1000000L,
+        s"(sub ${r.getAs[Int]("sub")}, cell ${r.getAs[Int]("cell")}): " +
+          "self-delta must read ratio 1e6")
+      assert(r.getAs[Long]("base_p95_d2") == r.getAs[Long]("delta_p95_d2"))
+    }
+  }
+
+  test("PQ drift: a shifted delta reads ratios strictly above the honest delta") {
+    val isDelta = col("vec_id") % 10 === 9
+    val base = emb.where(!isDelta)
+    val shifted = emb.where(isDelta)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x + lit(100.0))
+          .as("embedding"))
+    val stats = SimilarityOps.pqDriftStats(cb, base, shifted).collect()
+    val withDelta = stats.filter(_.getAs[Long]("n_delta") > 0)
+    assert(withDelta.nonEmpty)
+    withDelta.foreach { r =>
+      assert(r.getAs[Long]("drift_mean_ratio_micro") > 1000000L,
+        s"(sub ${r.getAs[Int]("sub")}, cell ${r.getAs[Int]("cell")}): " +
+          "shifted delta must drift") }
+    val honest = SimilarityOps.pqDriftStats(cb, base, emb.where(isDelta))
+      .collect().filter(_.getAs[Long]("n_delta") > 0)
+    val worstHonest = honest.map(_.getAs[Long]("drift_mean_ratio_micro")).max
+    val bestShifted = withDelta.map(_.getAs[Long]("drift_mean_ratio_micro")).min
+    assert(bestShifted > worstHonest,
+      s"shifted drift ($bestShifted) must exceed in-distribution ($worstHonest)")
+  }
+
+  test("PQ drift stats are deterministic across runs") {
+    val isDelta = col("vec_id") % 10 === 9
+    def run() = SimilarityOps.pqDriftStats(cb, emb.where(!isDelta),
+      emb.where(isDelta)).orderBy("sub", "cell")
+      .collect().map(_.toString).toSeq
+    assert(run() == run())
+  }
 }
