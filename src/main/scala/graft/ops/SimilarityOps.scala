@@ -401,14 +401,22 @@ object SimilarityOps {
           .as("drift_mean_ratio_micro"))
   }
 
-  /** Probe pass over a prebuilt index. */
-  def ivfTopK(index: IvfIndex, everyNth: Int, k: Int,
-              nProbe: Int): DataFrame = {
-    val assigned = index.assigned
-    val cents = index.centroids
-    val q = assigned.where(col("vec_id") % everyNth === 0)
+  /** Centroid-probe phase of the float IVF rung: each query's nProbe
+    * nearest cells by centroid cosine — `(query_id, q_emb, cell)`, a
+    * broadcast-sized relation (queries × nProbe rows). The
+    * [[ivfSq8ProbeCells]] split applied to the uncompressed tier, so the
+    * probe is independently derivable and [[ivfScore]] is a pure
+    * function of (assignment, probes) — the deterministic contract the
+    * rows-only q29d leans on (DedupSimilaritySpec: all cells probed ⇒
+    * byte-identical to brute force, because every candidate sits in
+    * exactly one cell and the scoring expression and tie rule are shared
+    * with [[bruteForceTopK]]).
+    */
+  def ivfProbeCells(index: IvfIndex, everyNth: Int,
+                    nProbe: Int): DataFrame = {
+    val q = index.assigned.where(col("vec_id") % everyNth === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val qCells = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(index.centroids))
       .select(col("query_id"), col("q_emb"), col("cell"),
         cosineMicro(col("q_emb"), col("centroid")).as("cdist"))
       .withColumn("rk", row_number().over(
@@ -416,6 +424,14 @@ object SimilarityOps {
           .orderBy(col("cdist").desc, col("cell").asc)))
       .where(col("rk") <= nProbe)
       .select("query_id", "q_emb", "cell")
+  }
+
+  /** Scoring phase of [[ivfTopK]] over an already-derived probe
+    * relation. `assigned` may be the in-memory index half or a stored
+    * cell-partitioned layout read back pruned to the probed cells — the
+    * plan is identical either way (the q79e contract, float tier).
+    */
+  def ivfScore(assigned: DataFrame, qCells: DataFrame, k: Int): DataFrame = {
     // broadcast the probe relation (queries × nProbe rows by construction):
     // the corpus-sized assignment must stream map-side, never shuffle on
     // cell into a sort-merge join (ivfSq8Score already does this; without
@@ -432,6 +448,11 @@ object SimilarityOps {
     // exchange in the probe path for nothing
     topKPerQuery(scored, k)
   }
+
+  /** Probe pass over a prebuilt index. */
+  def ivfTopK(index: IvfIndex, everyNth: Int, k: Int,
+              nProbe: Int): DataFrame =
+    ivfScore(index.assigned, ivfProbeCells(index, everyNth, nProbe), k)
 
   /** The stored relation of the IVF-SQ8 composed index: each vector's SQ8
     * codes co-located with its IVF cell. Build once next to

@@ -415,6 +415,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF with ALL cells probed reproduces brute force bit-exactly " +
+    "(q29d's deterministic contract)") {
+    // every candidate sits in exactly one cell, so probing all 16 cells
+    // scores every (query, cand) pair exactly once with the SAME
+    // cosineMicro expression and topKPerQuery tie rule as brute force —
+    // the composed probe-cells/score split must therefore be
+    // byte-identical, not merely high-recall. This pins q29d (rows-only:
+    // KMeans has no DuckDB twin) to a deterministic reference the way
+    // PqSpec pins q104's exhaustive-overfetch run.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rk").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+          r.getAs[Long]("cos_micro"), r.getAs[Long]("rk"))).toSeq
+    val idx = SimilarityOps.buildIvfIndex(emb, nCells = 16)
+    val all = SimilarityOps.ivfScore(idx.assigned,
+      SimilarityOps.ivfProbeCells(idx, everyNth = 50, nProbe = 16), k = 5)
+    val brute = rows(SimilarityOps.bruteForceTopK(emb, 50, 5))
+    assert(brute.nonEmpty)
+    assert(rows(all) == brute)
+    graft.CacheScope.releaseAll()
+  }
+
   test("SQ8 codes are int8-bounded and unit-scale") {
     val emb = Seq(
       (0L, Array(3.0f, 4.0f), 0),          // unit = (0.6, 0.8)
