@@ -25,8 +25,15 @@ import org.apache.spark.sql.SparkSession
   * A COLD pass runs first: every session memo cache (NLP summary, dedup
   * shingle/pair, curation prefix, IVF/LDA models) is evicted before each
   * query and one run is timed — "cold_total"/"queries_cold" report what
-  * the engine costs when nothing is shared, while the warm min-of-n
-  * headline reports the memoized steady state. Publishing both keeps the
+  * the engine costs when nothing is shared IN MEMORY, while the warm
+  * min-of-n headline reports the memoized steady state. Durable stored
+  * artifacts (StoredRelations' fingerprinted pair/exact indexes, the
+  * q79e/q104c stored ANN layouts' files) are NOT wiped between queries:
+  * cold models a fresh session against a warehouse, and a fresh session
+  * still has the warehouse's maintained stored tables — what it lost is
+  * the block cache. The first consumer of a missing/stale artifact pays
+  * its build+write inside its own cold time (self-attributing, like
+  * "rebuild" on the warm side). Publishing both keeps the
   * growing memo caches from flattering the headline: min-of-n picks the
   * cache-warm run for every memoized family. The cold pass leaves all
   * memos evicted, so the warm pass starts from the same state the bench

@@ -23,11 +23,22 @@ object CurationQueries {
   private val exactCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  private def exactDf(spark: SparkSession, dir: String): DataFrame = {
+  /** Bump when the redaction patterns, quality gate, tokenizer, or exact
+    * dedup rule change SEMANTICS (fingerprint sees files + constants,
+    * not code; StoredPairsSpec's from-scratch compare is the backstop).
+    */
+  private val ExactStoreVersion = "1"
+
+  private[graft] def exactDf(spark: SparkSession, dir: String): DataFrame = {
     exactCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
     exactCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
       { case (_, d) =>
-        CurationPipeline.exactStage(Tables.documents(spark, d))
+        // stages 1-3 ARE the "cleaned corpus" a production pipeline
+        // materializes once and serves to every downstream consumer —
+        // the same maintained-table argument as the pair indexes
+        graft.sources.StoredRelations.readOrBuild(spark, "curation_exact",
+          Seq(s"$d/documents.parquet"), ExactStoreVersion)(
+          CurationPipeline.exactStage(Tables.documents(spark, d)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
   }

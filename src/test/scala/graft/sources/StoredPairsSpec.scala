@@ -48,6 +48,18 @@ class StoredPairsSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("stored curation_exact matches a from-scratch rebuild") {
+    val stored = graft.queries.CurationQueries.exactDf(spark, dir)
+    val fresh = graft.CurationPipeline.exactStage(
+      graft.Tables.documents(spark, dir))
+    assert(stored.columns.toSeq == fresh.columns.toSeq)
+    assert(asSet(stored.select("doc_id", "text")) ==
+      asSet(fresh.select("doc_id", "text")),
+      "stored curation_exact diverges from a fresh build — semantics " +
+        "changed without an ExactStoreVersion bump, or the store is corrupt")
+    graft.CacheScope.releaseAll()
+  }
+
   test("input mtime change invalidates; marker-less artifact never valid") {
     import sqlImplicits._
     val in = java.nio.file.Files.createTempFile("graft-stored-in", ".txt")
