@@ -1519,6 +1519,58 @@ object CurationQueries {
     FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
     ORDER BY doc_id"""
 
+  // --- q130: bucket-checksum reconciliation (anti-entropy compare) --------
+  // The production way to answer "do these two 100 TB snapshots agree,
+  // and where not?": NEVER a row-by-row diff first. Each side aggregates
+  // to per-bucket (count, order-independent XOR of a per-row content
+  // hash) — O(buckets) output from one linear pass — and only buckets
+  // whose summaries differ need a row-level diff, restricted by the
+  // bucket predicate the storage layout already partitions on (q111's
+  // tree prunes that read to the dirty directories). The Merkle-tree /
+  // Dynamo anti-entropy pattern, flattened to one level. XOR is the
+  // standard order-independent, overflow-free fold; its known weakness
+  // (a pair of identical corruptions cancels) is the documented 2^-64-
+  // class trade every checksum-reconciliation scheme makes.
+  //
+  // Sides are the Snapshots A/B carvings (q71's transition); the row
+  // hash is the engine-portable charHash of "doc_id:text" so both
+  // engines fold identical strings. ReconcileSpec proves the pruning
+  // identity: every doc q71 reports changed lives in a dirty bucket,
+  // and the row-diff restricted to dirty buckets equals the full diff.
+  val ReconBuckets = 16L
+
+  def q130BucketChecksums(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    graft.ops.ReconcileOps.bucketChecksums(
+      docs.where(Snapshots.inA),
+      docs.where(Snapshots.inB)
+        .select(col("doc_id"), Snapshots.textB.as("text")),
+      ReconBuckets)
+  }
+
+  val q130Sql: String = {
+    def hashSql(textExpr: String) = graft.ops.HashOps.charHashSql(
+      s"CAST(doc_id AS VARCHAR) || ':' || ($textExpr)")
+    s"""WITH a AS (
+      SELECT doc_id % $ReconBuckets AS bucket, ${hashSql("text")} AS h
+      FROM documents WHERE ${Snapshots.inASql}),
+    b AS (
+      SELECT doc_id % $ReconBuckets AS bucket, ${hashSql(Snapshots.textBSql)} AS h
+      FROM documents WHERE ${Snapshots.inBSql}),
+    ga AS (SELECT bucket, count(*) AS n_a, bit_xor(h) AS xor_a
+      FROM a GROUP BY bucket),
+    gb AS (SELECT bucket, count(*) AS n_b, bit_xor(h) AS xor_b
+      FROM b GROUP BY bucket)
+    SELECT coalesce(ga.bucket, gb.bucket) AS bucket,
+      CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+      CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+      xor_a, xor_b,
+      (coalesce(n_a, 0) <> coalesce(n_b, 0)
+        OR xor_a IS DISTINCT FROM xor_b) AS dirty
+    FROM ga FULL OUTER JOIN gb ON ga.bucket = gb.bucket
+    ORDER BY bucket"""
+  }
+
   // --- q71b: SCD2 (type-2 slowly-changing-dimension) history ---------------
   // q71 classifies ONE snapshot transition; this builds the full type-2
   // history over the three-version Snapshots stack (A → B → C): one row
@@ -1653,6 +1705,7 @@ object CurationQueries {
     "q89_curriculum_order" -> (q89CurriculumOrder _),
     "q69_context_chunks" -> (q69ContextChunks _),
     "q71_snapshot_delta" -> (q71SnapshotDelta _),
+    "q130_bucket_checksums" -> (q130BucketChecksums _),
     "q71b_scd2_history" -> (q71bScd2History _),
     "q111_merge_upsert" -> (q111MergeUpsert _),
     "q113_mixture_epochs" -> (q113MixtureEpochs _),
@@ -1686,6 +1739,7 @@ object CurationQueries {
     "q89_curriculum_order" -> q89Sql,
     "q69_context_chunks" -> q69Sql,
     "q71_snapshot_delta" -> q71Sql,
+    "q130_bucket_checksums" -> q130Sql,
     "q71b_scd2_history" -> q71bSql,
     "q111_merge_upsert" -> q111Sql,
     "q113_mixture_epochs" -> q113Sql,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.EventOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-stream query surface over `events` (SURVEY.md §2.7 extension):
@@ -885,6 +885,63 @@ object EventQueries {
       AND a.user_id <> b.user_id AND b.t0 <= a.t1 AND b.t1 >= a.t0
     GROUP BY 1, 2, 3 ORDER BY 1, 2"""
 
+  // --- q129: Z-order (Morton) multi-column layout -------------------------
+  // writeSorted's zone-map layout generalized to TWO clustering columns
+  // (the OPTIMIZE ZORDER BY technique, no table format): events are
+  // written range-partitioned by the Morton interleave of (user_id,
+  // minute), so every parquet file carries a SMALL bounding box in BOTH
+  // dimensions and footer stats prune point/range predicates on EITHER
+  // column — a 1-D minute sort answers minute predicates but every file
+  // spans all users. Dims are LEFT-ALIGNED into the 16-bit key domain
+  // (user_id << 12 — the fixture's 4-bit user domain moved to the top
+  // bits; minute is RELATIVE to the corpus start, a 1-row scalar-bound
+  // broadcast like q114's spine bounds) because Morton discrimination
+  // happens at the top occupied bits: un-aligned, a 4-bit dim's bits sit
+  // at curve positions 0-7 where every file-sized curve interval cycles
+  // through all values and prunes nothing (quantified in
+  // ZOrderLayoutSpec). The sink round-trip follows q91/q111: write the
+  // layout, read it back, and emit each event's curve key recomputed
+  // from the READ-BACK rows — verifying the round trip row-exactly and
+  // the 32-term bit-interleave math cross-engine.
+  val ZOrderFiles = 16
+
+  /** Epoch minute of `ts` — the q129 clustering dimension. */
+  private def minuteCol: Column =
+    expr("unix_micros(ts) div 60000000")
+
+  /** The curve key as a pure column over (user_id, ts), given the corpus
+    * base minute (a scalar — one driver long, the q79e probed-cells
+    * class of bounded hop).
+    */
+  private def zKey(m0: Long): Column =
+    graft.ops.ZOrder.interleave16(
+      shiftleft(col("user_id"), 12), minuteCol - lit(m0))
+
+  def q129ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val m0 = ev.agg(min(minuteCol)).head.getLong(0)
+    val tmp = graft.Scratch.dir("q129_zorder")
+    graft.sources.DocumentSources.writeZOrdered(
+      ev.select("event_id", "user_id", "ts"), tmp, zKey(m0), ZOrderFiles)
+    // recompute the key from the READ-BACK rows: a row lost or mutated
+    // by the layout write breaks the oracle compare
+    spark.read.parquet(tmp)
+      .select(col("event_id"), zKey(m0).as("z"))
+      .orderBy("event_id")
+  }
+
+  val q129Sql: String = {
+    val zExpr = graft.ops.ZOrder.interleave16Sql(
+      "user_id << 12", "minute - m0")
+    s"""WITH e AS (
+      SELECT event_id, user_id,
+        epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS minute
+      FROM events),
+    b AS (SELECT min(minute) AS m0 FROM e)
+    SELECT event_id, $zExpr AS z
+    FROM e CROSS JOIN b ORDER BY event_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64c_overlap_count" -> (q64cOverlapCount _),
     "q17e_ams_f2" -> (q17eAmsF2 _),
@@ -904,6 +961,7 @@ object EventQueries {
     "q114_gap_fill" -> (q114GapFill _),
     "q116_asof_directions" -> (q116AsofDirections _),
     "q117_dynamic_sessions" -> (q117DynamicSessions _),
+    "q129_zorder_layout" -> (q129ZorderLayout _),
     "q32_tumbling" -> (q32Tumbling _),
     "q33_sliding" -> (q33Sliding _),
     "q34_sessions" -> (q34Sessions _),
@@ -921,6 +979,7 @@ object EventQueries {
     "q114_gap_fill" -> q114Sql,
     "q116_asof_directions" -> q116Sql,
     "q117_dynamic_sessions" -> q117Sql,
+    "q129_zorder_layout" -> q129Sql,
     "q54_asof_enrich" -> q54Sql,
     "q77_click_attribution" -> q77Sql,
     "q64_range_join" -> q64Sql,

@@ -118,6 +118,23 @@ object DocumentSources {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** [[writeSorted]] generalized to a MULTI-column clustering key: range-
+    * partition and sort by a Z-order curve key ([[graft.ops.ZOrder]]), so
+    * every output file carries a small bounding box in BOTH clustering
+    * dimensions and footer min/max stats prune predicates on EITHER
+    * column — the `OPTIMIZE ZORDER BY` layout with no table format. The
+    * curve key column is dropped before writing (it is derivable, and
+    * the layout, not the key, is the product); ZOrderLayoutSpec asserts
+    * the per-file boxes quantitatively against the 1-D layout's.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCol: org.apache.spark.sql.Column,
+                    numFiles: Int): Unit =
+    df.withColumn("__z", zCol)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** MERGE INTO a bucket-partitioned parquet tree WITHOUT a table format
     * — the upsert every corpus refresh needs when Delta/Iceberg is not on
     * the classpath (with one, the body becomes a literal MERGE). The
