@@ -28,22 +28,32 @@ object ReconcileOps {
   /** Compare two `(doc_id, text)`-shaped sides bucket-wise. Output:
     * `(bucket, n_a, n_b, xor_a, xor_b, dirty)`, one row per bucket
     * present on either side, totally ordered by bucket.
+    *
+    * Plan: both sides union into ONE bucket-keyed aggregate (side-
+    * conditional count and xor — aggregates skip the other side's NULLs,
+    * so `bit_xor(when(side, h))` IS the per-side fold), instead of two
+    * aggregates merged by a full-outer join: full outer cannot
+    * broadcast, so the join form pays a third exchange plus a
+    * sort-merge for what one shuffle of tagged rows expresses. A bucket
+    * absent on one side yields count 0 and NULL xor, exactly the
+    * full-outer semantics.
     */
   def bucketChecksums(a: DataFrame, b: DataFrame, nBuckets: Long,
                       idCol: String = "doc_id",
                       contentCol: String = "text"): DataFrame = {
-    def side(df: DataFrame, suffix: String): DataFrame =
+    def side(df: DataFrame, isA: Boolean): DataFrame =
       df.select((col(idCol) % nBuckets).as("bucket"),
-          rowHash(col(idCol), col(contentCol)).as("h"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as(s"n_$suffix"),
-          expr("bit_xor(h)").as(s"xor_$suffix"))
-    side(a, "a").join(side(b, "b"), Seq("bucket"), "full_outer")
-      .select(col("bucket"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        rowHash(col(idCol), col(contentCol)).as("h"),
+        lit(isA).as("is_a"))
+    side(a, isA = true).unionByName(side(b, isA = false))
+      .groupBy("bucket")
+      .agg(count(when(col("is_a"), 1)).as("n_a"),
+        count(when(!col("is_a"), 1)).as("n_b"),
+        expr("bit_xor(CASE WHEN is_a THEN h END)").as("xor_a"),
+        expr("bit_xor(CASE WHEN NOT is_a THEN h END)").as("xor_b"))
+      .select(col("bucket"), col("n_a"), col("n_b"),
         col("xor_a"), col("xor_b"),
-        (coalesce(col("n_a"), lit(0L)) =!= coalesce(col("n_b"), lit(0L)) ||
+        (col("n_a") =!= col("n_b") ||
           !(col("xor_a") <=> col("xor_b"))).as("dirty"))
       .orderBy("bucket")
   }

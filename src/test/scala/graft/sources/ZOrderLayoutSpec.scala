@@ -76,6 +76,29 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(sortedMinute <= 2)
   }
 
+  test("interleave16 is invertible: deinterleaving recovers both masked dims") {
+    // reference deinterleave, driver-side: curve bit 2i -> x bit i,
+    // 2i+1 -> y bit i. Recovering both inputs proves the 32-term
+    // expression places every bit (no collision, no drop) — the property
+    // the bounding-box math rests on.
+    import sqlImplicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(500)(i =>
+      (i.toLong, rnd.nextLong().abs, rnd.nextLong().abs))
+    val out = rows.toDF("id", "x", "y")
+      .select(col("id"), col("x"), col("y"),
+        ZOrder.interleave16(col("x"), col("y")).as("z"))
+      .collect()
+    out.foreach { r =>
+      val (x, y, z) = (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("z"))
+      assert(z >= 0 && z < (1L << 32))
+      val xBack = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val yBack = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(xBack == (x & ZOrder.Mask16) && yBack == (y & ZOrder.Mask16),
+        s"x=$x y=$y z=$z -> $xBack/$yBack")
+    }
+  }
+
   test("z-ordered files carry pairwise-disjoint curve-key ranges") {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
