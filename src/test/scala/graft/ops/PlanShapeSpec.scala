@@ -77,6 +77,23 @@ class PlanShapeSpec extends SparkSpec {
     assertNoQuadraticJoin("q50", CurationQueries.q50CuratedCorpus(spark, dir))
   }
 
+  test("q128 chunk near-dup stays a banded equi-join") {
+    assertNoQuadraticJoin("q128",
+      graft.queries.DedupQueries.q128ChunkNearDup(spark, dir))
+    graft.CacheScope.releaseAll()
+  }
+
+  test("q130 bucket checksums plan ZERO joins — one union aggregate") {
+    val plan = planOf(
+      graft.queries.CurationQueries.q130BucketChecksums(spark, dir))
+    assert(!plan.contains("Join"),
+      s"q130 regressed to a join formulation:\n$plan")
+    // one hashpartitioning exchange (the bucket aggregate); the range
+    // exchange is the output ORDER BY contract
+    val shuffles = "hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 2, s"q130 grew extra shuffles:\n$plan")
+  }
+
   test("q11 global top-k plans as TakeOrderedAndProject, not a full sort") {
     val plan = planOf(RelationalQueries.q11TopOrders(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"),
