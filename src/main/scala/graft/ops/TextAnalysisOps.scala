@@ -783,6 +783,51 @@ object TextAnalysisOps {
       .withColumn("keep", col("n_blocked") === 0L)
   }
 
+  /** C4's LINE-level cleaning (Raffel et al. 2020 §2.2, public) — the
+    * granularity the doc-level gates (gopherRules, blocklistFilter)
+    * deliberately don't touch: C4 retains only lines that end in
+    * terminal punctuation, contain at least `minWords` words, and don't
+    * hit the line blocklist; pages keeping fewer than `minLines`
+    * surviving lines are dropped entirely, and the KEPT lines are
+    * reassembled into the cleaned page. Per surviving doc:
+    * `(id, n_lines, n_kept, cleaned)`.
+    *
+    * ZERO-shuffle by construction: lines never explode into rows — the
+    * whole filter-and-rebuild is array higher-order functions
+    * (split → transform/trim → filter → array_join) inside one narrow
+    * projection, so at 100 TB this is a map over the scan with no
+    * exchange, no window, and no re-grouping. Order preservation is
+    * structural (arrays keep split order), where an explode/groupBy
+    * formulation would need a positional sort to rebuild the page.
+    *
+    * `lineSep` is the line delimiter REGEX; callers with real newline
+    * corpora pass "\n". The fixture has no newlines, so q131 follows
+    * the q02 convention (standalone "the" as the line break) and
+    * synthesizes terminal punctuation deterministically — the hazard-
+    * synthesis pattern q110/q101c/q122 use.
+    */
+  def c4LineFilter(docs: DataFrame, lineSep: String, blockTerm: String,
+                   minWords: Int = 5, minLines: Int = 3,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val lines0 = split(coalesce(col(textCol), lit("")), lineSep)
+    val lines = filter(transform(lines0, l => trim(l)), l => length(l) > 0)
+    docs
+      .select(col(idCol), lines.as("lines"))
+      .select(col(idCol),
+        org.apache.spark.sql.functions.size(col("lines")).cast("long")
+          .as("n_lines"),
+        filter(col("lines"), l =>
+          l.endsWith(".") &&
+            org.apache.spark.sql.functions.size(split(l, " ")) >= minWords &&
+            !l.contains(blockTerm)).as("kept"))
+      .select(col(idCol), col("n_lines"),
+        org.apache.spark.sql.functions.size(col("kept")).cast("long")
+          .as("n_kept"),
+        array_join(col("kept"), " ~ ").as("cleaned"))
+      .where(col("n_kept") >= minLines)
+  }
+
   /** Shared core of the rarity/familiarity profiles over a term-INSTANCE
     * relation `(id, tok)` — see [[unigramRarity]] for the signal and
     * scale documentation.

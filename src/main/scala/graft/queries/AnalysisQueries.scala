@@ -1459,7 +1459,55 @@ object AnalysisQueries {
     FROM lt ORDER BY doc_id"""
   }
 
+  // --- q131: C4 line-level cleaning ----------------------------------------
+  // The granularity the doc-level gates skip: C4 (Raffel et al. 2020
+  // §2.2) retains only lines ending in terminal punctuation with >= 5
+  // words and no blocklist hit, drops pages keeping < 3 lines, and
+  // reassembles the survivors into the cleaned page (semantics and the
+  // zero-shuffle array-HOF scale shape in TextAnalysisOps.c4LineFilter).
+  // Fixture synthesis, the q110/q101c/q122 hazard pattern: the corpus
+  // has no newlines or punctuation, so the frequent tokens row/scan
+  // become ".\n" — a period-terminated line break, meaning every line
+  // EXCEPT each doc's trailing one ends punctuated (exactly the line C4
+  // drops on real pages: the unterminated tail) — and every rule fires
+  // non-vacuously on the fixture: the tail line fails the punctuation
+  // rule, short lines fail the >= 5 words rule, lines containing "dup"
+  // (standing in for C4's "javascript") fail the blocklist, and docs
+  // left with < 3 lines drop entirely. C4LineFilterSpec pins those
+  // cardinalities non-trivial so the oracle row can never go vacuous
+  // (the q119b lesson).
+  val C4LineBlockTerm = "dup"
+
+  def q131C4LineFilter(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.c4LineFilter(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\\b(?:row|scan)\\b", ".\n").as("text")),
+      lineSep = "\n", blockTerm = C4LineBlockTerm)
+      .orderBy("doc_id")
+
+  val q131Sql: String =
+    raw"""WITH p AS (
+      SELECT doc_id, regexp_replace(coalesce(text, ''),
+        '\b(?:row|scan)\b', '.' || chr(10), 'g') AS t
+      FROM documents),
+    l AS (
+      SELECT doc_id, list_filter(list_transform(
+        string_split(t, chr(10)), x -> trim(x)), x -> length(x) > 0) AS lines
+      FROM p),
+    k AS (
+      SELECT doc_id, len(lines) AS n_lines,
+        list_filter(lines, x -> x LIKE '%.'
+          AND len(string_split(x, ' ')) >= 5
+          AND NOT contains(x, '$C4LineBlockTerm')) AS kept
+      FROM l)
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+      CAST(len(kept) AS BIGINT) AS n_kept,
+      array_to_string(kept, ' ~ ') AS cleaned
+    FROM k WHERE len(kept) >= 3 ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_c4_line_filter" -> (q131C4LineFilter _),
     "q100_blocklist" -> (q100Blocklist _),
     "q99_heavy_hitters" -> (q99HeavyHitters _),
     "q99b_heavy_hitters_by_source" -> (q99bHeavyHittersBySource _),
@@ -1501,6 +1549,7 @@ object AnalysisQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q100_blocklist" -> q100Sql,
+    "q131_c4_line_filter" -> q131Sql,
     "q99_heavy_hitters" -> q99Sql,
     "q99b_heavy_hitters_by_source" -> q99bSql,
     "q110_html_extract" -> q110Sql,
