@@ -552,4 +552,44 @@ class PropertySpec extends SparkSpec {
     }.toSet
     assert(got == expect)
   }
+
+  test("bucketChecksums marks EXACTLY the mutated buckets dirty on random " +
+    "corpora and mutation sets") {
+    // 20 disjoint corpora (tagged id ranges, one Spark job): random base
+    // docs, then a random mutation set per corpus — updates, deletes,
+    // inserts. dirty(bucket) must equal "some mutation touched a doc_id
+    // in that bucket" exactly: a clean bucket hiding a change is a
+    // soundness bug; a dirty bucket with no change is a completeness bug
+    // (XOR collisions could in principle cause the former at ~2^-64 —
+    // the seed is fixed, so this is deterministic, and it passes).
+    val nB = 40L  // corpora overlap in buckets; the union equality stays exact
+               // while ~a third of buckets remain clean to witness soundness
+    val cases = (0 until 20).map { g =>
+      val base = g * 1000L
+      val docsGen = for {
+        n <- Gen.choose(4, 40)
+        ids <- Gen.pick(n, 0 until 200)
+      } yield ids.map(i => (base + i, s"doc $i of corpus $g")).toSeq
+      val docs = docsGen.apply(Gen.Parameters.default, Seed(100L + g)).get
+      val mutGen = for {
+        nUp <- Gen.choose(0, 3)
+        ups <- Gen.pick(math.min(nUp, docs.size), docs.map(_._1))
+        nDel <- Gen.choose(0, 2)
+        dels <- Gen.pick(math.min(nDel, docs.size), docs.map(_._1))
+        nIns <- Gen.choose(0, 2)
+        ins <- Gen.pick(nIns, (500 until 700).map(base + _))
+      } yield (ups.toSet -- dels, dels.toSet, ins.toSet)
+      val (ups, dels, ins) = mutGen.apply(Gen.Parameters.default, Seed(200L + g)).get
+      val after = docs.filterNot(d => dels(d._1)).map { case (id, t) =>
+        (id, if (ups(id)) t + " EDITED" else t)
+      } ++ ins.map(id => (id, s"inserted $id"))
+      (docs, after, ups ++ dels ++ ins)
+    }
+    val a = cases.flatMap(_._1).toDF("doc_id", "text")
+    val b = cases.flatMap(_._2).toDF("doc_id", "text")
+    val dirty = ReconcileOps.bucketChecksums(a, b, nB).collect()
+      .filter(_.getAs[Boolean]("dirty")).map(_.getAs[Long]("bucket")).toSet
+    val expect = cases.flatMap(_._3).map(_ % nB).toSet
+    assert(dirty == expect, s"dirty=$dirty expected=$expect")
+  }
 }
