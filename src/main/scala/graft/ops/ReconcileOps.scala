@@ -57,4 +57,50 @@ object ReconcileOps {
           !(col("xor_a") <=> col("xor_b"))).as("dirty"))
       .orderBy("bucket")
   }
+
+  /** One side's per-bucket summary alone: `(bucket, n, xor)`. */
+  def sideChecksums(df: DataFrame, nBuckets: Long,
+                    idCol: String = "doc_id",
+                    contentCol: String = "text"): DataFrame =
+    df.select((col(idCol) % nBuckets).as("bucket"),
+        rowHash(col(idCol), col(contentCol)).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("xor"))
+
+  /** INCREMENTAL checksum maintenance — the reason the reconciliation
+    * hash is an XOR and not an order-sensitive fold: XOR is its own
+    * inverse, so the stored checksum table refreshes from the DELTA
+    * alone, never a rescan of the 100 TB snapshot:
+    *
+    *   n'   = n − |removed| + |added|
+    *   xor' = xor ⊕ xor(removed) ⊕ xor(added)
+    *
+    * (`removed` carries the OLD rows leaving the snapshot — deletes and
+    * the pre-images of updates; `added` the NEW rows — inserts and the
+    * post-images.) A bucket emptied by the delta reports NULL xor,
+    * matching a direct recompute's empty-group NULL; a bucket absent
+    * everywhere is dropped. The q98 merge-algebra contract: q130b's
+    * ORACLE recomputes the target snapshot's summary from scratch, so
+    * every count and every 64-bit fold of the incremental path must
+    * agree hash-exactly.
+    */
+  def applyDelta(prev: DataFrame, removed: DataFrame, added: DataFrame,
+                 nBuckets: Long,
+                 idCol: String = "doc_id",
+                 contentCol: String = "text"): DataFrame = {
+    val rem = sideChecksums(removed, nBuckets, idCol, contentCol)
+      .toDF("bucket", "n_rem", "xor_rem")
+    val add = sideChecksums(added, nBuckets, idCol, contentCol)
+      .toDF("bucket", "n_add", "xor_add")
+    prev.toDF("bucket", "n_prev", "xor_prev")
+      .join(rem, Seq("bucket"), "full_outer")
+      .join(add, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("n_prev"), lit(0L)) - coalesce(col("n_rem"), lit(0L)) +
+          coalesce(col("n_add"), lit(0L))).as("n"),
+        expr("""coalesce(xor_prev, 0) ^ coalesce(xor_rem, 0)
+                ^ coalesce(xor_add, 0)""").as("x"))
+      .where(col("n") > 0)
+      .select(col("bucket"), col("n"), col("x").as("xor"))
+  }
 }

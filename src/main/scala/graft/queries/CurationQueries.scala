@@ -1548,6 +1548,43 @@ object CurationQueries {
       ReconBuckets)
   }
 
+  // --- q130b: incremental checksum maintenance (delta-only refresh) -------
+  // The reason q130's hash is an XOR: it is its own inverse, so the
+  // stored checksum table refreshes from the DELTA alone — old⊕removed⊕
+  // added per bucket — never a rescan of the snapshot (semantics and the
+  // merge-algebra contract in ReconcileOps.applyDelta). Here snapshot
+  // A's summary plus the A→B change set must land EXACTLY on snapshot
+  // B's summary: the oracle recomputes B's per-bucket counts and 64-bit
+  // folds from scratch, so any error in the incremental algebra — a
+  // missed pre-image, a double-counted update, wrong empty-bucket
+  // handling — breaks the hash.
+  def q130bIncrementalChecksums(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ReconcileOps
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val prev = ReconcileOps.sideChecksums(
+      docs.where(Snapshots.inA), ReconBuckets)
+    // rows leaving A: deletions plus the PRE-images of updates
+    val removed = docs.where(Snapshots.inA &&
+      (!Snapshots.inB || Snapshots.textB =!= col("text")))
+    // rows entering B: insertions plus the POST-images of updates
+    val added = docs.where(Snapshots.inB &&
+      (!Snapshots.inA || Snapshots.textB =!= col("text")))
+      .select(col("doc_id"), Snapshots.textB.as("text"))
+    ReconcileOps.applyDelta(prev, removed, added, ReconBuckets)
+      .select(col("bucket"), col("n"), col("xor").as("xor_sum"))
+      .orderBy("bucket")
+  }
+
+  val q130bSql: String = {
+    val hashSql = graft.ops.HashOps.charHashSql(
+      s"CAST(doc_id AS VARCHAR) || ':' || (${Snapshots.textBSql})")
+    s"""WITH b AS (
+      SELECT doc_id % $ReconBuckets AS bucket, $hashSql AS h
+      FROM documents WHERE ${Snapshots.inBSql})
+    SELECT bucket, count(*) AS n, bit_xor(h) AS xor_sum
+    FROM b GROUP BY bucket ORDER BY bucket"""
+  }
+
   val q130Sql: String = {
     def hashSql(textExpr: String) = graft.ops.HashOps.charHashSql(
       s"CAST(doc_id AS VARCHAR) || ':' || ($textExpr)")
@@ -1706,6 +1743,7 @@ object CurationQueries {
     "q69_context_chunks" -> (q69ContextChunks _),
     "q71_snapshot_delta" -> (q71SnapshotDelta _),
     "q130_bucket_checksums" -> (q130BucketChecksums _),
+    "q130b_incremental_checksums" -> (q130bIncrementalChecksums _),
     "q71b_scd2_history" -> (q71bScd2History _),
     "q111_merge_upsert" -> (q111MergeUpsert _),
     "q113_mixture_epochs" -> (q113MixtureEpochs _),
@@ -1740,6 +1778,7 @@ object CurationQueries {
     "q69_context_chunks" -> q69Sql,
     "q71_snapshot_delta" -> q71Sql,
     "q130_bucket_checksums" -> q130Sql,
+    "q130b_incremental_checksums" -> q130bSql,
     "q71b_scd2_history" -> q71bSql,
     "q111_merge_upsert" -> q111Sql,
     "q113_mixture_epochs" -> q113Sql,

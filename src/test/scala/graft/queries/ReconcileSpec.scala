@@ -46,6 +46,23 @@ class ReconcileSpec extends SparkSpec {
     assert(pruned.count() == full.count())
   }
 
+  test("applyDelta lands exactly on a from-scratch summary of the target") {
+    val base = (0L until 200L).map(i => (i, s"content of doc $i")).toDF("doc_id", "text")
+    val changed = base
+      .where(col("doc_id") =!= 37L)
+      .withColumn("text",
+        when(col("doc_id") === 5L, lit("edited")).otherwise(col("text")))
+      .unionByName(Seq((201L, "new doc")).toDF("doc_id", "text"))
+    val removed = base.where(col("doc_id").isin(5L, 37L))
+    val added = changed.where(col("doc_id").isin(5L, 201L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket").collect().map(_.toString).toSeq
+    val incr = rows(ReconcileOps.applyDelta(
+      ReconcileOps.sideChecksums(base, 16L), removed, added, 16L))
+    val direct = rows(ReconcileOps.sideChecksums(changed, 16L))
+    assert(incr == direct)
+  }
+
   test("fixture carve: no changed doc hides in a clean bucket") {
     val sums = CurationQueries.q130BucketChecksums(spark, dir).collect()
     assert(sums.length == CurationQueries.ReconBuckets)
