@@ -60,6 +60,24 @@ class StoredPairsSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("stored dedup_labels matches a from-scratch label propagation") {
+    val stored = graft.queries.DedupQueries.jpairs(spark, dir) // warm pairs first
+    stored.count()
+    val labels = graft.queries.DedupQueries.q55DupClusters(spark, dir)
+    val fresh = DedupOps.duplicateClusters(
+      graft.Tables.documents(spark, dir),
+      DedupOps.jaccardPairs(
+        DedupOps.shingles(
+          graft.Tables.documents(spark, dir)
+            .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks")),
+          graft.queries.DedupQueries.ShingleN),
+        graft.queries.DedupQueries.JaccardMinMicro))
+    assert(asSet(labels) == asSet(fresh.orderBy("doc_id")),
+      "stored dedup_labels diverges from a fresh LP run — semantics " +
+        "changed without a LabelsStoreVersion bump, or the store is corrupt")
+    graft.CacheScope.releaseAll()
+  }
+
   test("input mtime change invalidates; marker-less artifact never valid") {
     import sqlImplicits._
     val in = java.nio.file.Files.createTempFile("graft-stored-in", ".txt")
