@@ -551,9 +551,15 @@ object DedupQueries {
       .where(snaps.inAOf(col("id_a")) && snaps.inAOf(col("id_b")))
     val deltaPairs = allPairs
       .where(!snaps.inAOf(col("id_a")) || !snaps.inAOf(col("id_b")))
-    // "yesterday's stored table": labels from the existing operator
-    val baseLabels = graft.CacheScope.persist(
-      DedupOps.duplicateClusters(baseDocs, basePairs))
+    // "yesterday's stored table" is now LITERALLY that: the base-carve
+    // labels live as a StoredRelations artifact (the query's own premise
+    // — incremental maintenance reads yesterday's table from storage,
+    // it never re-derives it), versioned on the carve + pairs semantics
+    val baseLabels = graft.CacheScope.persistIfUnpersisted(
+      graft.sources.StoredRelations.readOrBuild(spark, "dedup_labels_baseA",
+        Seq(s"$dir/documents.parquet"),
+        s"1:carve=inA,pairs=$JpairsStoreVersion")(
+        DedupOps.duplicateClusters(baseDocs, basePairs)))
     def rep(side: String): org.apache.spark.sql.Column =
       coalesce(col("cluster_id"), col(side)) // base doc → its label; delta → itself
     val e1 = deltaPairs
