@@ -220,6 +220,48 @@ object SimilarityOps {
       .toDF("query_id", "cand_id", "cos_micro", "rk")
   }
 
+  /** Hard-negative mining for contrastive training (DPR, Karpukhin et al.
+    * 2020; SimCSE — public): for each anchor, the k candidates MOST
+    * similar in embedding space that are NOT known positives of the
+    * anchor — near the decision boundary but on the negative side, the
+    * examples that actually move a contrastive loss. `exclusions` is the
+    * directed known-positive relation `(id_a, id_b)` (duplicate-cluster
+    * mates, embedding near-dup pairs — symmetrize before passing);
+    * anchors are the `everyNth` sample UNION every id appearing on the
+    * `id_a` side, so every vector with a known positive gets negatives
+    * mined (the contrastive-training anchor set) and the exclusion filter
+    * is exercised by construction, not vacuously.
+    *
+    * Ranking happens AFTER exclusion, so each anchor still receives a
+    * full k negatives rather than k minus its positive count.
+    *
+    * Scale shape: the anchor set is a broadcast against the streamed
+    * candidate table (same declared brute-force baseline as
+    * [[bruteForceTopK]] — swap the candidate generator for the IVF/LSH
+    * rungs when the corpus outgrows it); the exclusion anti-join keys on
+    * (query_id, cand_id) and stays a broadcast while the positive
+    * relation is duplicate-scale (≪ corpus at real dedup rates), degrading
+    * to a shuffled anti-join past the threshold — both shapes correct.
+    */
+  def hardNegatives(embeddings: DataFrame, everyNth: Int, k: Int,
+                    exclusions: DataFrame): DataFrame = {
+    val p = prepared(embeddings)
+    val excl = exclusions.select(col("id_a"), col("id_b"))
+    val anchors = p.select(col("vec_id"))
+      .where(col("vec_id") % everyNth === 0)
+      .union(excl.select(col("id_a").as("vec_id")))
+      .distinct()
+    val q = p.join(broadcast(anchors), "vec_id").toDF("query_id", "q_emb")
+    val scored = p.toDF("cand_id", "c_emb")
+      .join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    val negatives = scored.join(excl,
+      scored("query_id") === excl("id_a") && scored("cand_id") === excl("id_b"),
+      "left_anti")
+    topKPerQuery(negatives, k)
+  }
+
   /** IVF (inverted-file) top-k: KMeans partitions the vector space into
     * nCells centroids; each query probes only the nProbe nearest cells and
     * reranks their members exactly. The other classic ANN scale path next
@@ -1208,5 +1250,109 @@ object SimilarityOps {
         // ‖Σu‖² − Σ‖u‖² is twice the pair sum and always even — the /2
         // is exact; BIGINT cast holds to ~9e6 vectors/group (scaladoc)
         ((col("sum_sq") - col("sum_self")) / 2).cast("long").as("pair_dot"))
+  }
+
+  // --- second moments + whitening (q133) -----------------------------------
+
+  /** Exact integer second-moment matrix of the quantized embedding corpus —
+    * the sufficient statistics for covariance, PCA, and whitening, in the
+    * engine's oracle-exact integer tier: per dim pair (i ≤ j, 1-based),
+    * `n` vectors, the per-dim sums `s_i`/`s_j`, and the raw cross moment
+    * `dot_ij = Σ q_i·q_j` over `q = floor(x·QuantScale)` (the q72
+    * quantizer). Covariance reconstructs exactly as
+    * `(n·dot_ij − s_i·s_j) / (n²·QuantScale²)` — every term here is
+    * integer, so the whole statistic hash-verifies.
+    *
+    * Scale shape (MLlib `RowMatrix.computeGramianMatrix` is the public
+    * precedent — the Gramian is a fixed d(d+1)/2-size aggregate however
+    * large the corpus): one narrow generate of the d(d+1)/2 per-row
+    * products, then ONE hash aggregate keyed by (i, j) — partial map-side
+    * combine reduces every task to ≤ d(d+1)/2 rows before the only
+    * shuffle, so the exchange carries tasks × 2080 rows at d=64, never
+    * corpus-sized. The per-dim sums ride the same staged frame and join
+    * back broadcast (64 rows). |q| ≤ QuantScale keeps `dot_ij` within
+    * Int64 to ~9×10¹² vectors.
+    */
+  def secondMoments(embeddings: DataFrame): DataFrame = {
+    val p = prepared(embeddings)
+    val quant = p.select(col("vec_id"),
+      transform(col("emb"),
+        x => floor(x * QuantScale).cast("long")).as("qv"))
+    val staged = graft.CacheScope.persist(quant)
+    // (i, j, q_i·q_j) for i ≤ j — the pair list is built from sequence()
+    // over the row's own length, so d is never hardcoded; qv is a staged
+    // attribute (expression-tree duplication rule, Verify skill notes)
+    val pairs = staged.select(col("vec_id"),
+      explode(flatten(transform(sequence(lit(1), size(col("qv"))), i =>
+        transform(sequence(i, size(col("qv"))), j =>
+          struct(i.cast("long").as("dim_i"), j.cast("long").as("dim_j"),
+            (element_at(col("qv"), i) * element_at(col("qv"), j))
+              .as("prod")))))).as("p"))
+      .select(col("p.dim_i"), col("p.dim_j"), col("p.prod"))
+    val moments = pairs.groupBy("dim_i", "dim_j")
+      .agg(count(lit(1)).as("n"), sum("prod").as("dot_ij"))
+    val dimSums = staged
+      .select(posexplode(col("qv")).as(Seq("d", "v")))
+      .groupBy((col("d") + 1).cast("long").as("dim"))
+      .agg(sum("v").as("s"))
+    moments
+      .join(broadcast(dimSums.toDF("dim_i", "s_i")), Seq("dim_i"))
+      .join(broadcast(dimSums.toDF("dim_j", "s_j")), Seq("dim_j"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        col("s_i"), col("s_j"), col("dot_ij"))
+  }
+
+  /** ZCA whitening of the embedding column (Su et al. 2021, "Whitening
+    * Sentence Representations" — public practice for retrieval
+    * embeddings): y = W (x − μ) with W = V diag(1/√(λ+ε)) Vᵀ from the
+    * eigendecomposition of the corpus covariance, so the whitened corpus
+    * has identity covariance (unit-gated in WhiteningSpec). The
+    * covariance is reconstructed from [[secondMoments]]' integer
+    * statistics — a d(d+1)/2-row bounded collect whatever the corpus
+    * size (d=64 → 2080 rows) — and eigendecomposed on the driver with
+    * cyclic Jacobi ([[Eigen.jacobi]]): d³ driver flops replace any
+    * cluster work, the same bounded-collect-plus-driver-CPU contract as
+    * [[trainPq]]. Application is one narrow projection per row (the d×d
+    * matrix rides as a literal), zero shuffles.
+    *
+    * Returns `(vec_id, white ARRAY<DOUBLE>)` — float output, so this op
+    * is unit-gated rather than oracled (the identity-covariance test is
+    * the contract).
+    */
+  def whiten(embeddings: DataFrame, eps: Double = 1e-9): DataFrame = {
+    val stats = secondMoments(embeddings).collect()
+    require(stats.nonEmpty, "whiten: empty corpus")
+    val d = stats.iterator.map(_.getLong(1)).max.toInt
+    val n = stats.head.getLong(2).toDouble
+    val cov = Array.ofDim[Double](d, d)
+    val mu = new Array[Double](d)
+    stats.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1)
+      val (si, sj, dot) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val c = (n * dot - si.toDouble * sj.toDouble) /
+        (n * n * QuantScale * QuantScale)
+      cov(i)(j) = c
+      cov(j)(i) = c
+      if (i == j) mu(i) = si / (n * QuantScale)
+    }
+    val (values, vectors) = Eigen.jacobi(cov)
+    // W = V diag(1/sqrt(λ+eps)) Vᵀ — symmetric by construction
+    val w = Array.tabulate(d, d) { (r, c) =>
+      var acc = 0.0
+      var k = 0
+      while (k < d) {
+        acc += vectors(r)(k) * vectors(c)(k) / math.sqrt(values(k) + eps)
+        k += 1
+      }
+      acc
+    }
+    val wLit = typedLit(w.map(_.toSeq).toSeq)
+    val muLit = typedLit(mu.toSeq)
+    prepared(embeddings)
+      .select(col("vec_id"), col("emb"), wLit.as("w"), muLit.as("mu"))
+      .select(col("vec_id"),
+        transform(col("w"), row =>
+          aggregate(zip_with(row, zip_with(col("emb"), col("mu"), _ - _),
+            _ * _), lit(0.0), _ + _)).as("white"))
   }
 }

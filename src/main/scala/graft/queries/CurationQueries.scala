@@ -1519,6 +1519,38 @@ object CurationQueries {
     FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
     ORDER BY doc_id"""
 
+  // --- q132: small-file compaction round-trip ------------------------------
+  // The OPTIMIZE maintenance op (bin-pack semantics + crash-safe swap in
+  // DocumentSources.compactFiles scaladoc). The queries entry follows the
+  // q91/q129 sink-round-trip pattern: SEED the small-file problem — the
+  // corpus written through a 16-way shuffle into 4 partition dirs, ~16
+  // fragment files per dir — compact it, then emit a projection recomputed
+  // from the READ-BACK tree so a row lost, duplicated, or cross-partition
+  // misfiled by the rewrite breaks the oracle hash. File-count /
+  // idempotence / crash-recovery invariants (not SQL-expressible) are
+  // unit-gated in CompactionSpec.
+  val CompactParts = 4L
+
+  def q132Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.Scratch.dir("q132_compact")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(CompactParts)).cast("int").as("part"))
+      .repartition(16)
+      .write.mode("overwrite").partitionBy("part").parquet(tmp)
+    graft.sources.DocumentSources.compactFiles(
+      spark, tmp, targetBytes = 128L * 1024 * 1024)
+    spark.read.parquet(tmp)
+      .select(col("doc_id"), col("part").cast("long").as("part"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy("doc_id")
+  }
+
+  val q132Sql: String =
+    s"""SELECT doc_id, doc_id % $CompactParts AS part,
+      CAST(length(text) AS BIGINT) AS text_len
+    FROM documents ORDER BY doc_id"""
+
   // --- q130: bucket-checksum reconciliation (anti-entropy compare) --------
   // The production way to answer "do these two 100 TB snapshots agree,
   // and where not?": NEVER a row-by-row diff first. Each side aggregates
@@ -1744,6 +1776,7 @@ object CurationQueries {
     "q71_snapshot_delta" -> (q71SnapshotDelta _),
     "q130_bucket_checksums" -> (q130BucketChecksums _),
     "q130b_incremental_checksums" -> (q130bIncrementalChecksums _),
+    "q132_compaction" -> (q132Compaction _),
     "q71b_scd2_history" -> (q71bScd2History _),
     "q111_merge_upsert" -> (q111MergeUpsert _),
     "q113_mixture_epochs" -> (q113MixtureEpochs _),
@@ -1779,6 +1812,7 @@ object CurationQueries {
     "q71_snapshot_delta" -> q71Sql,
     "q130_bucket_checksums" -> q130Sql,
     "q130b_incremental_checksums" -> q130bSql,
+    "q132_compaction" -> q132Sql,
     "q71b_scd2_history" -> q71bSql,
     "q111_merge_upsert" -> q111Sql,
     "q113_mixture_epochs" -> q113Sql,

@@ -86,7 +86,7 @@ object DedupQueries {
   private val labelsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  private def dupLabels(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def dupLabels(spark: SparkSession, dir: String): DataFrame =
     memoIn(labelsCache, spark, dir)(d =>
       graft.sources.StoredRelations.readOrBuild(spark, "dedup_labels",
         Seq(s"$d/documents.parquet"), LabelsStoreVersion)(
@@ -583,8 +583,15 @@ object DedupQueries {
     fromBase.unionByName(fromDelta).orderBy("doc_id")
   }
 
-  val q55Sql: String =
-    s"""WITH RECURSIVE $shingleCte,
+  /** q55's full label chain as a reusable CTE fragment (no leading WITH;
+    * callers must prepend `WITH RECURSIVE`): shingles → Jaccard pairs →
+    * symmetric edges → recursive reachability → `labs (doc_id,
+    * cluster_id)`. Factored out so composite oracles (q134's
+    * hard-negative exclusion) replay the identical closure instead of
+    * restating it.
+    */
+  private[queries] val labelsCtes: String =
+    s"""$shingleCte,
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -601,9 +608,14 @@ object DedupQueries {
     reach(id, lab) AS (
       SELECT doc_id, doc_id FROM tok
       UNION
-      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
-    SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY id ORDER BY doc_id"""
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    labs AS (
+      SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id)"""
+
+  val q55Sql: String =
+    s"""WITH RECURSIVE $labelsCtes
+    SELECT doc_id, cluster_id FROM labs ORDER BY doc_id"""
 
   // --- q120b: triangle counting over the near-dup graph --------------------
   // The third graph statistic after connectivity (q55) and centrality

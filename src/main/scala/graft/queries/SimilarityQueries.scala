@@ -491,6 +491,115 @@ object SimilarityQueries {
     ORDER BY e.vec_id"""
   }
 
+  // --- q134: hard-negative mining ------------------------------------------
+  // Contrastive-training negatives (semantics + scale shape in
+  // SimilarityOps.hardNegatives scaladoc): per anchor, the top-k most
+  // cosine-similar vectors that are NOT known positives. The known-positive
+  // relation is everything the engine already knows is "the same content":
+  // text near-dup cluster mates (q55's stored labels — vec_id and doc_id
+  // are the same key, TESTDATA.md's embeddings are one-per-document) and
+  // embedding near-dup pairs (q28's banded relation, symmetrized). Both
+  // relations replay in the oracle verbatim (labelsCtes / the q28
+  // fragment), so the whole composite — closure, bands, exclusion,
+  // ranking — hash-verifies end-to-end: a single pair lost between stages
+  // changes some anchor's rank list.
+  //
+  // Oracle gotcha (observed on DuckDB 1.0.0): inside a WITH RECURSIVE
+  // list, a NON-recursive CTE written as `A UNION B` does not deduplicate
+  // (45 ∪ {45,45} came back with two 45s), silently duplicating anchors
+  // and shifting every rank below them. Every set-union in this oracle is
+  // therefore an explicit SELECT DISTINCT over UNION ALL.
+  private def q134Exclusions(spark: SparkSession, dir: String): DataFrame = {
+    val labels = DedupQueries.dupLabels(spark, dir)
+    val mates = labels.toDF("id_a", "cl")
+      .join(labels.toDF("id_b", "cl"), Seq("cl"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+    val nd = SimilarityOps.cosineNearDupPairs(
+      Tables.embeddings(spark, dir), NearDupBits, NearDupBands, NearDupMinMicro)
+      .select("id_a", "id_b")
+    val sym = nd.union(nd.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    mates.unionByName(sym).distinct()
+  }
+
+  def q134HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.hardNegatives(
+      Tables.embeddings(spark, dir), QueryEveryNth, TopK,
+      q134Exclusions(spark, dir))
+      .orderBy("query_id", "rk")
+
+  val q134Sql: String = {
+    val bandSelects = (0 until NearDupBands).map(t =>
+      s"SELECT vec_id, $t AS band, ${bucketSql(NearDupBits, t * NearDupBits)} AS key FROM n")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${DedupQueries.labelsCtes},
+    $preparedCte,
+    b AS ($bandSelects),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+        AND a.vec_id < c.vec_id),
+    nd AS (
+      SELECT cand.id_a, cand.id_b FROM cand
+      JOIN n x ON x.vec_id = cand.id_a
+      JOIN n y ON y.vec_id = cand.id_b
+      WHERE ${cosMicroSql("x.emb", "y.emb", "x.nrm", "y.nrm")} >= $NearDupMinMicro),
+    excl AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM labs a JOIN labs c
+          ON a.cluster_id = c.cluster_id AND a.doc_id <> c.doc_id
+        UNION ALL SELECT id_a, id_b FROM nd
+        UNION ALL SELECT id_b, id_a FROM nd) eu),
+    anchors AS (
+      SELECT DISTINCT vec_id FROM (
+        SELECT vec_id FROM n WHERE vec_id % $QueryEveryNth = 0
+        UNION ALL SELECT id_a AS vec_id FROM excl) au),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        ${cosMicroSql("q.emb", "c.emb", "q.nrm", "c.nrm")} AS cos_micro
+      FROM n q JOIN anchors a ON q.vec_id = a.vec_id
+      JOIN n c ON c.vec_id <> q.vec_id),
+    f AS (
+      SELECT * FROM s
+      WHERE NOT EXISTS (SELECT 1 FROM excl e
+        WHERE e.id_a = s.query_id AND e.id_b = s.cand_id)),
+    r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rk
+      FROM f)
+    SELECT query_id, cand_id, cos_micro, rk FROM r
+    WHERE rk <= $TopK ORDER BY query_id, rk"""
+  }
+
+  // --- q133: embedding second-moment matrix --------------------------------
+  // Exact integer sufficient statistics for covariance/PCA/whitening
+  // (shape + overflow bounds in SimilarityOps.secondMoments scaladoc; the
+  // float continuation — Jacobi eigendecomposition and ZCA whitening — is
+  // SimilarityOps.whiten, unit-gated in WhiteningSpec because float output
+  // can't hash-verify).
+  def q133SecondMoments(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.secondMoments(Tables.embeddings(spark, dir))
+      .orderBy("dim_i", "dim_j")
+
+  val q133Sql: String = {
+    val scale = SimilarityOps.QuantScale
+    s"""WITH q AS (
+      SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS qv
+      FROM embeddings),
+    e AS (SELECT vec_id, unnest(qv) AS v,
+      unnest(range(1, len(qv) + 1)) AS dim FROM q),
+    s AS (SELECT dim, CAST(sum(v) AS BIGINT) AS sv FROM e GROUP BY dim),
+    d AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j,
+        CAST(count(*) AS BIGINT) AS n, CAST(sum(a.v * b.v) AS BIGINT) AS dot_ij
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY 1, 2)
+    SELECT d.dim_i, d.dim_j, d.n, si.sv AS s_i, sj.sv AS s_j, d.dot_ij
+    FROM d JOIN s si ON si.dim = d.dim_i JOIN s sj ON sj.dim = d.dim_j
+    ORDER BY dim_i, dim_j"""
+  }
+
   // --- q72: per-label centroid-distance outliers --------------------------
   // See SimilarityOps.centroidOutliers — integer-quantized prototypicality
   // pruning. All arithmetic after the per-element quantize is exact Int64
@@ -810,7 +919,9 @@ object SimilarityQueries {
     "q104_pq_adc" -> (q104PqAdc _),
     "q104b_ivf_pq" -> (q104bIvfPq _),
     "q104c_stored_pq" -> (q104cStoredPq _),
-    "q104d_pq_drift" -> (q104dPqDrift _))
+    "q104d_pq_drift" -> (q104dPqDrift _),
+    "q134_hard_negatives" -> (q134HardNegatives _),
+    "q133_second_moments" -> (q133SecondMoments _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,
@@ -825,5 +936,7 @@ object SimilarityQueries {
     "q29b_knn_lsh" -> q29bSql,
     "q29c_knn_agg" -> q29Sql, // identical contract to the window formulation
     "q29e_knn_jl" -> q29eSql,
-    "q29f_filtered_knn" -> q29fSql)
+    "q29f_filtered_knn" -> q29fSql,
+    "q134_hard_negatives" -> q134Sql,
+    "q133_second_moments" -> q133Sql)
 }

@@ -247,6 +247,112 @@ object DocumentSources {
     affected
   }
 
+  /** OPTIMIZE-style small-file compaction of a partitioned parquet tree
+    * (the Delta Lake `OPTIMIZE` / Hive concatenate maintenance shape,
+    * public semantics; no table format — pure filesystem). Streaming
+    * ingest and frequent MERGEs fragment partition dirs into thousands of
+    * KB-size files; scan parallelism then degrades to file-open overhead.
+    * Per `key=value` partition dir: first-fit-decreasing bin-pack the data
+    * files by size into bins ≤ `targetBytes` (an oversized file keeps its
+    * own bin — never split, never rewritten alone), then rebuild only the
+    * dirs where packing reduces the file count: multi-file bins are read
+    * and rewritten as ONE file each; single-file bins are byte-copied
+    * (with a manifest-based table format this copy becomes a metadata
+    * move — the filesystem engine pays it for crash safety, see below).
+    *
+    * Crash safety reuses [[mergeUpsertBuckets]]' proven park/swap/restore
+    * protocol verbatim: the replacement dir is FULLY built in a staging
+    * sibling before the live dir is touched, then park → rename-in → drop,
+    * every rename/delete boolean checked; a recovery sweep at call start
+    * restores parked dirs with no live twin. The live tree is never in a
+    * mixed state.
+    *
+    * Scale shape: bin assignment is driver-side over the LISTING only
+    * (names + lengths — the same metadata any planner reads; no data
+    * moves to the driver), one rewrite job per multi-file bin reading
+    * exactly that bin's files with `coalesce(1)` (no shuffle — a
+    * file-granularity concatenation), dirs already compact are untouched,
+    * so a re-run is a listing-only no-op (idempotence unit-gated in
+    * CompactionSpec).
+    *
+    * Returns the compaction manifest: one row per partition dir —
+    * `(partition, files_in, bytes_in, files_out)`, `files_out = files_in`
+    * marking untouched dirs.
+    */
+  def compactFiles(spark: SparkSession, path: String,
+                   targetBytes: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mustFs(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"compactFiles: filesystem step failed (returned false): $what")
+    val oldRoot = new Path(s"$path-old")
+    if (fs.exists(oldRoot)) { // recovery sweep — see mergeUpsertBuckets
+      fs.listStatus(oldRoot).foreach { st =>
+        val live = new Path(root, st.getPath.getName)
+        if (!fs.exists(live))
+          mustFs(fs.rename(st.getPath, live), s"restore ${st.getPath}")
+        else mustFs(fs.delete(st.getPath, true), s"drop parked ${st.getPath}")
+      }
+      mustFs(fs.delete(oldRoot, true), s"drop $oldRoot")
+    }
+    val partDirs = fs.listStatus(root).filter(st =>
+      st.isDirectory && st.getPath.getName.contains("=")).sortBy(_.getPath.getName)
+    require(partDirs.nonEmpty,
+      s"compactFiles: no key=value partition dirs under $path")
+    val staging = new Path(s"$path-staging")
+    if (fs.exists(staging))
+      mustFs(fs.delete(staging, true), s"drop stale $staging")
+    val manifest = partDirs.map { dirSt =>
+      val dir = dirSt.getPath
+      val files = fs.listStatus(dir)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith("."))
+        .sortBy(st => (-st.getLen, st.getPath.getName)) // FFD: biggest first
+      val bytesIn = files.map(_.getLen).sum
+      // first-fit-decreasing: deterministic given (length, name) order
+      val bins = scala.collection.mutable.ArrayBuffer
+        .empty[(scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus], Long)]
+      files.foreach { f =>
+        bins.indexWhere(_._2 + f.getLen <= targetBytes) match {
+          case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), f.getLen))
+          case i  => bins(i) = ((bins(i)._1 += f, bins(i)._2 + f.getLen))
+        }
+      }
+      if (bins.length < files.length) {
+        val stagedDir = new Path(staging, dir.getName)
+        mustFs(fs.mkdirs(stagedDir), s"mkdirs $stagedDir")
+        bins.zipWithIndex.foreach { case ((binFiles, _), _) =>
+          if (binFiles.length == 1) {
+            val f = binFiles.head.getPath
+            mustFs(org.apache.hadoop.fs.FileUtil.copy(
+              fs, f, fs, new Path(stagedDir, f.getName), false, false,
+              spark.sparkContext.hadoopConfiguration), s"copy $f")
+          } else {
+            spark.read.parquet(binFiles.map(_.getPath.toString).toSeq: _*)
+              .coalesce(1)
+              .write.mode("append").parquet(stagedDir.toString)
+          }
+        }
+        // swap: park live, staged in, drop parked (all booleans checked)
+        mustFs(fs.mkdirs(oldRoot), s"mkdirs $oldRoot")
+        val parked = new Path(oldRoot, dir.getName)
+        mustFs(fs.rename(dir, parked), s"park $dir")
+        mustFs(fs.rename(stagedDir, dir), s"swap in $stagedDir")
+        mustFs(fs.delete(parked, true), s"drop $parked")
+        (dir.getName, files.length.toLong, bytesIn, bins.length.toLong)
+      } else (dir.getName, files.length.toLong, bytesIn, files.length.toLong)
+    }
+    if (fs.exists(staging)) mustFs(fs.delete(staging, true), s"drop $staging")
+    if (fs.exists(oldRoot)) mustFs(fs.delete(oldRoot, true), s"drop $oldRoot")
+    import spark.implicits._
+    manifest.toSeq
+      .toDF("partition", "files_in", "bytes_in", "files_out")
+      .orderBy("partition")
+  }
+
   /** P13: the reference's timestamped export name
     * (`datetime.now().strftime('%Y%m%d_%H%M%S')`, nlp_data_tagging.py:533)
     * as a column expression.
