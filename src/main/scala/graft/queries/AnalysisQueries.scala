@@ -153,6 +153,60 @@ object AnalysisQueries {
       coalesce(array_to_string(a.btoks, ' '), '') AS bpe_text
     FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
 
+  // --- q135: tokenizer fertility / compression by source -------------------
+  // The tokenizer-evaluation statistic every multilingual/ domain corpus
+  // report publishes (fertility — subword tokens per word — Ács 2019's
+  // metric for mBERT, and chars-per-token compression, the vocabulary-fit
+  // signal tokenizer-training ablations optimize): per source, counts of
+  // words (whitespace), REAL merged BPE tokens (q22b's encoder, not the
+  // pre-token proxy), chars, and the two ratios in exact integer micro
+  // (the q131 floor-div convention — a single `div` per group keeps the
+  // DuckDB twin bit-identical). High fertility flags a source the
+  // vocabulary fits poorly (OOV-ish scripts, code, noise) — a routing
+  // signal for retraining or per-source budgets. One narrow codegen'd
+  // encode per row, one group-by-source aggregate: no joins, no second
+  // corpus pass.
+  def q135TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("chars"),
+        TextAnalysisOps.wsTokenCount(col("text")).as("words"),
+        TextAnalysisOps.bpePreTokens(col("text")).as("pts"))
+      .select(col("source"), col("chars"), col("words"),
+        size(graft.functions.BpeMerges.bpeEncode(col("pts")))
+          .cast("long").as("bpe"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("words").as("total_words"),
+        sum("bpe").as("total_bpe_tokens"),
+        sum("chars").as("total_chars"))
+      .select(col("source"), col("n_docs"), col("total_words"),
+        col("total_bpe_tokens"), col("total_chars"),
+        when(col("total_words") > 0,
+          expr("(1000000 * total_bpe_tokens) div total_words"))
+          .as("fertility_micro"),
+        when(col("total_bpe_tokens") > 0,
+          expr("(1000000 * total_chars) div total_bpe_tokens"))
+          .as("chars_per_token_micro"))
+      .orderBy("source")
+  }
+
+  val q135Sql: String =
+    s"""WITH RECURSIVE $bpeCountCtes,
+    w AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS chars,
+      CAST(len(${toksSql("text")}) AS BIGINT) AS words FROM documents),
+    a AS (SELECT w.source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(w.words) AS BIGINT) AS total_words,
+      CAST(sum(t.n_tokens) AS BIGINT) AS total_bpe_tokens,
+      CAST(sum(w.chars) AS BIGINT) AS total_chars
+      FROM w JOIN t USING (doc_id) GROUP BY w.source)
+    SELECT source, n_docs, total_words, total_bpe_tokens, total_chars,
+      CASE WHEN total_words > 0
+        THEN (1000000 * total_bpe_tokens) // total_words END AS fertility_micro,
+      CASE WHEN total_bpe_tokens > 0
+        THEN (1000000 * total_chars) // total_bpe_tokens END AS chars_per_token_micro
+    FROM a ORDER BY source"""
+
   // --- q22c: WordPiece tokenization (fixed vocabulary, oracled) ----------
   // The third tokenizer family beside BPE (q22b) and unigram-LM (q115b):
   // greedy longest-match-first against a ##-marked piece vocabulary with
@@ -1525,6 +1579,7 @@ object AnalysisQueries {
     "q22_token_counts" -> (q22TokenCounts _),
     "q22b_bpe_tokens" -> (q22bBpeTokens _),
     "q22c_wordpiece_tokens" -> (q22cWordpieceTokens _),
+    "q135_tokenizer_fertility" -> (q135TokenizerFertility _),
     "q87_bpe_train" -> (q87BpeTrain _),
     "q87b_bpe_pair_counts" -> (q87bPairCounts _),
     "q87c_trained_tokens" -> (q87cTrainedTokens _),
@@ -1562,6 +1617,7 @@ object AnalysisQueries {
     "q21b_repetition" -> q21bSql,
     "q22_token_counts" -> q22Sql,
     "q22b_bpe_tokens" -> q22bSql,
+    "q135_tokenizer_fertility" -> q135Sql,
     "q22c_wordpiece_tokens" -> q22cSql,
     "q87b_bpe_pair_counts" -> q87bSql,
     "q88_gopher_rules" -> q88Sql,

@@ -600,6 +600,33 @@ object SimilarityQueries {
     ORDER BY dim_i, dim_j"""
   }
 
+  // --- q133b: incremental moment maintenance (delta-only refresh) ----------
+  // The reason q133 publishes RAW integer moments rather than finished
+  // covariance: raw moments merge additively — n' = n + nΔ, s' = s + sΔ,
+  // dot' = dot + dotΔ — so the stored statistic refreshes from an ingest
+  // delta alone, never a corpus rescan (q130b's maintenance-algebra
+  // contract, applied to the covariance stats; finished covariance does
+  // NOT merge this way because the mean term couples the sides — the
+  // classic parallel-variance pitfall, sidestepped by storing sufficient
+  // statistics). Carve mirrors q79f's append-only ingest: base =
+  // vec_id%10 < 8, delta = the rest. The oracle recomputes the FULL
+  // corpus from scratch, so a row double-counted or lost in the merge
+  // breaks the hash.
+  def q133bIncrementalMoments(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = SimilarityOps.secondMoments(
+      emb.where(pmod(col("vec_id"), lit(10)) < 8))
+    val delta = SimilarityOps.secondMoments(
+      emb.where(pmod(col("vec_id"), lit(10)) >= 8))
+    base.unionByName(delta)
+      .groupBy("dim_i", "dim_j")
+      .agg(sum("n").as("n"), sum("s_i").as("s_i"),
+        sum("s_j").as("s_j"), sum("dot_ij").as("dot_ij"))
+      .orderBy("dim_i", "dim_j")
+  }
+  // same contract as the from-scratch statistic — the identity IS the test
+  def q133bSql: String = q133Sql
+
   // --- q72: per-label centroid-distance outliers --------------------------
   // See SimilarityOps.centroidOutliers — integer-quantized prototypicality
   // pruning. All arithmetic after the per-element quantize is exact Int64
@@ -921,7 +948,8 @@ object SimilarityQueries {
     "q104c_stored_pq" -> (q104cStoredPq _),
     "q104d_pq_drift" -> (q104dPqDrift _),
     "q134_hard_negatives" -> (q134HardNegatives _),
-    "q133_second_moments" -> (q133SecondMoments _))
+    "q133_second_moments" -> (q133SecondMoments _),
+    "q133b_incremental_moments" -> (q133bIncrementalMoments _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,
@@ -938,5 +966,6 @@ object SimilarityQueries {
     "q29e_knn_jl" -> q29eSql,
     "q29f_filtered_knn" -> q29fSql,
     "q134_hard_negatives" -> q134Sql,
-    "q133_second_moments" -> q133Sql)
+    "q133_second_moments" -> q133Sql,
+    "q133b_incremental_moments" -> q133bSql)
 }

@@ -397,6 +397,43 @@ object StreamingOps {
       }
       .start()
 
+  /** [[mergeUpsertStream]] with post-merge auto-compaction (Delta Lake's
+    * `autoCompact` shape, public semantics): every merged bucket is
+    * rewritten through a shuffle, so each micro-batch can leave up to
+    * shuffle-partition-count fragment files per bucket dir — continuous
+    * ingest fragments the tree even though each merge is clean. After
+    * each batch's merge, dirs whose data-file count exceeds
+    * `maxFilesPerDir` are compacted via
+    * [[graft.sources.DocumentSources.compactFiles]] (bin-packed, crash
+    * safe). The threshold check is a LISTING-only probe, so quiet batches
+    * pay one directory scan and nothing else; compaction is idempotent
+    * and the merge is a fixed-point, so foreachBatch's at-least-once
+    * replay still converges to byte-identical tree content.
+    */
+  def mergeUpsertStreamCompacting(upserts: DataFrame, path: String,
+                                  nBuckets: Int, checkpoint: String,
+                                  maxFilesPerDir: Int,
+                                  targetBytes: Long = 128L * 1024 * 1024)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    upserts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.sources.DocumentSources.mergeUpsertBuckets(
+          spark, path, batch, batch.select(col("doc_id")).limit(0), nBuckets)
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fragmented = fs.exists(root) && fs.listStatus(root).exists(st =>
+          st.isDirectory && st.getPath.getName.contains("=") &&
+            fs.listStatus(st.getPath).count(f => f.isFile &&
+              !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith(".")) > maxFilesPerDir)
+        if (fragmented)
+          graft.sources.DocumentSources.compactFiles(spark, path, targetBytes)
+        ()
+      }
+      .start()
+
   /** Streaming twin of the q80 incremental ingest dedup: each micro-batch
     * of newly-ingested documents is MinHash-signed and band-joined against
     * the STORED signature index inside `foreachBatch` — the production

@@ -85,6 +85,51 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(root).count() === 100L)
   }
 
+  test("streaming merge with auto-compaction: same content, bounded files") {
+    import sqlImplicits._
+    val chunks = Seq(
+      (0L to 9L).map(i => i -> s"v0-$i"),
+      Seq(0L, 2L, 4L, 6L, 8L, 10L).map(i => i -> s"v1-$i"),
+      Seq(0L, 5L, 10L).map(i => i -> s"v2-$i"))
+    val streamDir = java.nio.file.Files.createTempDirectory("compact-stream")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val work = java.nio.file.Files
+        .createTempDirectory(s"compact-src-$i").resolve("out")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(work.toString)
+      val f = java.nio.file.Files.list(work).iterator()
+      var p: java.nio.file.Path = null
+      while (f.hasNext) { val c = f.next(); if (c.toString.endsWith(".parquet")) p = c }
+      val dst = streamDir.resolve(f"$i%03d.parquet")
+      java.nio.file.Files.move(p, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    def run(compacting: Boolean): (Map[Long, String], Int) = {
+      val tree = graft.Scratch.dir(s"compact_stream_$compacting")
+      fs.delete(new Path(tree), true)
+      val ck = java.nio.file.Files.createTempDirectory("compact-ck").toString
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      val q =
+        if (compacting) graft.streaming.StreamingOps.mergeUpsertStreamCompacting(
+          src, tree, nBuckets = 4, ck, maxFilesPerDir = 1)
+        else graft.streaming.StreamingOps.mergeUpsertStream(src, tree, 4, ck)
+      try q.processAllAvailable() finally q.stop()
+      val content = spark.read.parquet(tree).select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val maxFiles = fs.listStatus(new Path(tree))
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map(st => dataFiles(st.getPath.toString).length).max
+      (content, maxFiles)
+    }
+    val (plain, plainMax) = run(compacting = false)
+    val (auto, autoMax) = run(compacting = true)
+    assert(auto === plain, "compaction must not change merged content")
+    assert(auto === chunks.flatten.toMap)
+    assert(autoMax === 1, s"auto-compacted dirs must be single-file, got $autoMax")
+    assert(plainMax > 1, "fixture must actually fragment without compaction")
+  }
+
   test("recovery sweep restores a parked dir with no live twin") {
     val root = seed("compact_spec_d")
     val before = content(root)
