@@ -600,6 +600,72 @@ object SimilarityQueries {
     ORDER BY dim_i, dim_j"""
   }
 
+  // --- q136: NN-Descent k-NN graph construction -----------------------------
+  // The graph rung of the ANN ladder (semantics + scale shape in
+  // SimilarityOps.nnDescentTopK scaladoc): cheap LSH init over EVERY
+  // vector, then NnRounds general-neighborhood refinement rounds with
+  // exact cosine keeps. Deliberately weak init (8 bits × 4 tables) so the
+  // rounds demonstrably do the work — recall improvement is gated in
+  // NnDescentSpec; the oracle unrolls init + every round as plain CTEs
+  // (q120's unrolled-iteration pattern) and hash-verifies every keep
+  // decision.
+  val NnInitBits = 8
+  val NnInitTables = 4
+  val NnRounds = 3
+
+  def q136NnDescent(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.nnDescentTopK(
+      Tables.embeddings(spark, dir), TopK, NnInitBits, NnInitTables, NnRounds)
+      .orderBy("query_id", "rk")
+
+  val q136Sql: String = {
+    val bandSelects = (0 until NnInitTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(NnInitBits, t * NnInitBits)} AS bucket FROM n")
+      .mkString(" UNION ALL ")
+    // scored + exact top-k keep over candidate CTE `c<idx>` → graph `g<idx>`
+    def keep(idx: Int): String =
+      s"""s$idx AS (
+      SELECT cd.query_id, cd.cand_id,
+        ${cosMicroSql("q.emb", "c.emb", "q.nrm", "c.nrm")} AS cos_micro
+      FROM c$idx cd
+      JOIN n q ON q.vec_id = cd.query_id
+      JOIN n c ON c.vec_id = cd.cand_id),
+    g$idx AS (
+      SELECT * FROM (
+        SELECT query_id, cand_id, cos_micro, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rk
+        FROM s$idx) WHERE rk <= $TopK)"""
+    // round r: U[m] = forward nbrs ∪ k-capped reverse nbrs; proposals =
+    // ordered pairs within U[m]; candidates = incumbents ∪ proposals
+    def round(idx: Int): String =
+      s"""u$idx AS (
+      SELECT DISTINCT m, x FROM (
+        SELECT query_id AS m, cand_id AS x FROM g${idx - 1}
+        UNION ALL
+        SELECT cand_id AS m, query_id AS x FROM (
+          SELECT query_id, cand_id, row_number() OVER (
+            PARTITION BY cand_id ORDER BY query_id ASC) AS rrk
+          FROM g${idx - 1}) WHERE rrk <= $TopK) uu),
+    c$idx AS (
+      SELECT DISTINCT query_id, cand_id FROM (
+        SELECT query_id, cand_id FROM g${idx - 1}
+        UNION ALL
+        SELECT a.x AS query_id, b.x AS cand_id
+        FROM u$idx a JOIN u$idx b ON a.m = b.m
+        WHERE a.x <> b.x) cc),
+    ${keep(idx)}"""
+    s"""WITH $preparedCte,
+    bb AS ($bandSelects),
+    c0 AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM bb q JOIN bb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        AND c.vec_id <> q.vec_id),
+    ${keep(0)},
+    ${(1 to NnRounds).map(round).mkString(",\n    ")}
+    SELECT query_id, cand_id, cos_micro, rk FROM g$NnRounds
+    ORDER BY query_id, rk"""
+  }
+
   // --- q133b: incremental moment maintenance (delta-only refresh) ----------
   // The reason q133 publishes RAW integer moments rather than finished
   // covariance: raw moments merge additively — n' = n + nΔ, s' = s + sΔ,
@@ -949,7 +1015,8 @@ object SimilarityQueries {
     "q104d_pq_drift" -> (q104dPqDrift _),
     "q134_hard_negatives" -> (q134HardNegatives _),
     "q133_second_moments" -> (q133SecondMoments _),
-    "q133b_incremental_moments" -> (q133bIncrementalMoments _))
+    "q133b_incremental_moments" -> (q133bIncrementalMoments _),
+    "q136_nn_descent" -> (q136NnDescent _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,
@@ -967,5 +1034,6 @@ object SimilarityQueries {
     "q29f_filtered_knn" -> q29fSql,
     "q134_hard_negatives" -> q134Sql,
     "q133_second_moments" -> q133Sql,
-    "q133b_incremental_moments" -> q133bSql)
+    "q133b_incremental_moments" -> q133bSql,
+    "q136_nn_descent" -> q136Sql)
 }
