@@ -788,6 +788,67 @@ object CurationQueries {
       .drop("shard", "local_cum", "shard_start")
   }
 
+  // --- q137: deterministic epoch shuffling ---------------------------------
+  // The training-order primitive q89's curriculum deliberately is not:
+  // UNIFORM per-epoch reshuffling. Every epoch e orders the corpus by a
+  // keyed permutation of the doc hash — deterministic, seedable,
+  // resume-friendly (position in epoch e is a pure function of the corpus
+  // and e: no materialized shuffle state, a restarted job recomputes its
+  // cursor) — the standard sort-by-keyed-hash epoch shuffle of
+  // large-scale training pipelines.
+  //
+  // The epoch key is HashOps.perm(e, charHash(doc_id)) — the MinHash
+  // permutation family (a_e·h + b_e mod P, large xorshift-derived
+  // multipliers) — NOT charHash("e:doc_id"): a polynomial string hash
+  // with a varying prefix is ORDER-PRESERVING across same-length
+  // suffixes (the prefix contributes Δ·31^len, a near-constant shift),
+  // so every epoch came out in the same order — an output-level
+  // vacuity the hash-exact oracle structurally cannot catch, caught and
+  // gated by EpochShuffleSpec's cross-epoch fixed-point ceiling.
+  //
+  // Global positions come from runningOffsets with weight 1 and
+  // ord = key (epoch as the partition key), NOT a single-partition
+  // row_number window: the two-level prefix sum keeps position
+  // assignment parallel at any corpus size — the q58 scale argument,
+  // instantiated for ordering rather than packing.
+  val ShuffleEpochs = 3
+
+  def q137EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.HashOps
+    val e = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(ShuffleEpochs - 1))).as("epoch"))
+    val h = HashOps.charHash(col("doc_id").cast("string"))
+    val key = (0 until ShuffleEpochs).foldLeft(lit(-1L)) { (acc, i) =>
+      when(col("epoch") === i, HashOps.perm(i, h)).otherwise(acc)
+    }
+    val t = e.select(
+      col("epoch").cast("long").as("source"),
+      col("doc_id"),
+      lit(1L).as("n_tokens"),
+      key.as("ord"))
+    runningOffsets(t, shards = 8)
+      .select(col("source").as("epoch"), col("doc_id"),
+        col("start_offset").cast("long").as("pos"))
+      .orderBy("epoch", "pos")
+  }
+
+  val q137Sql: String = {
+    import graft.ops.HashOps
+    val h = HashOps.charHashSql("CAST(doc_id AS VARCHAR)")
+    val key = (0 until ShuffleEpochs).map(i =>
+      s"WHEN epoch = $i THEN ${HashOps.permSql(i, "h")}")
+      .mkString("CASE ", " ", " END")
+    s"""WITH ep AS (
+      SELECT doc_id, unnest(range(0, $ShuffleEpochs)) AS epoch FROM documents),
+    hh AS (SELECT epoch, doc_id, $h AS h FROM ep),
+    kk AS (SELECT epoch, doc_id, $key AS k FROM hh)
+    SELECT epoch, doc_id,
+      CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) - 1
+        AS BIGINT) AS pos
+    FROM kk ORDER BY epoch, pos"""
+  }
+
   // --- q57b: token-budget source capping ----------------------------------
   // The other half of data mixing: q57 keeps a RATE per source, this keeps
   // each source's greedy doc_id-order prefix until a TOKEN budget fills —
@@ -1777,6 +1838,7 @@ object CurationQueries {
     "q130_bucket_checksums" -> (q130BucketChecksums _),
     "q130b_incremental_checksums" -> (q130bIncrementalChecksums _),
     "q132_compaction" -> (q132Compaction _),
+    "q137_epoch_shuffle" -> (q137EpochShuffle _),
     "q71b_scd2_history" -> (q71bScd2History _),
     "q111_merge_upsert" -> (q111MergeUpsert _),
     "q113_mixture_epochs" -> (q113MixtureEpochs _),
@@ -1813,6 +1875,7 @@ object CurationQueries {
     "q130_bucket_checksums" -> q130Sql,
     "q130b_incremental_checksums" -> q130bSql,
     "q132_compaction" -> q132Sql,
+    "q137_epoch_shuffle" -> q137Sql,
     "q71b_scd2_history" -> q71bSql,
     "q111_merge_upsert" -> q111Sql,
     "q113_mixture_epochs" -> q113Sql,
