@@ -1332,6 +1332,67 @@ object SimilarityOps {
     cur
   }
 
+  /** Greedy beam search over a k-NN graph — the SEARCH half of graph ANN
+    * (the query procedure of HNSW/NSG, public; [[nnDescentTopK]] is the
+    * build half): each query starts from a fixed entry set, and every
+    * hop expands the current beam through the graph's neighbor lists,
+    * exact-rescores, and keeps the best `beam` candidates; the final
+    * top-k is read off the last beam. Per-query work is O(hops · beam ·
+    * k) graph-edge lookups + rescores — INDEPENDENT of corpus size,
+    * which is the entire point of paying for the graph build: q29's
+    * brute force scans n candidates per query, this touches a few dozen.
+    *
+    * Deterministic by construction (fixed entry rule: the `beam` lowest
+    * vec_ids; fixed tie rule; re-scoring is exact), so the whole search
+    * — entries, every hop's beam, the final ranks — oracle-replays on
+    * top of the graph CTEs. Hops localCheckpoint like the build.
+    *
+    * At scale the graph is a STORED artifact (built once by q136's
+    * operator, fingerprinted like the dedup pair indexes) and the hop
+    * join keys on node — the stored layout's natural bucketing key.
+    */
+  def graphSearchTopK(embeddings: DataFrame, graph: DataFrame,
+                      everyNth: Int, k: Int, beam: Int,
+                      hops: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def releaseCheckpoint(ds: DataFrame): Unit =
+      Bridge.checkpointRdd(ds).foreach(_.unpersist(blocking = false))
+    val p = graft.CacheScope.persist(prepared(embeddings))
+    val q = graft.CacheScope.persist(
+      p.where(col("vec_id") % everyNth === 0).toDF("query_id", "q_emb"))
+    val g = graft.CacheScope.persist(
+      graph.select(col("query_id").as("node"), col("cand_id").as("nbr")))
+    def scoreKeep(cands: DataFrame, width: Int): DataFrame =
+      topKPerQuery(
+        cands
+          .join(q, "query_id")
+          .join(p.toDF("cand_id", "c_emb"), "cand_id")
+          .select(col("query_id"), col("cand_id"),
+            cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro")),
+        width)
+    val entries = p.select(col("vec_id").as("cand_id"))
+      .orderBy("cand_id").limit(beam)
+    var frontier = scoreKeep(
+      q.select(col("query_id")).crossJoin(broadcast(entries))
+        .where(col("cand_id") =!= col("query_id")), beam)
+      .localCheckpoint(true)
+    var h = 0
+    while (h < hops) {
+      val exp = frontier.select(col("query_id"), col("cand_id").as("node"))
+        .join(g, Seq("node"))
+        .select(col("query_id"), col("nbr").as("cand_id"))
+        .where(col("cand_id") =!= col("query_id"))
+      val cands = frontier.select("query_id", "cand_id")
+        .unionByName(exp).distinct()
+      val next = scoreKeep(cands, beam).localCheckpoint(true)
+      releaseCheckpoint(frontier)
+      frontier = next
+      h += 1
+    }
+    Bridge.checkpointRdd(frontier).foreach(graft.CacheScope.registerRdd)
+    frontier.where(col("rk") <= k)
+  }
+
   // --- second moments + whitening (q133) -----------------------------------
 
   /** Exact integer second-moment matrix of the quantized embedding corpus —

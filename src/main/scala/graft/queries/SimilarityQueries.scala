@@ -618,7 +618,13 @@ object SimilarityQueries {
       Tables.embeddings(spark, dir), TopK, NnInitBits, NnInitTables, NnRounds)
       .orderBy("query_id", "rk")
 
-  val q136Sql: String = {
+  /** The full q136 construction as a CTE fragment (prepared vectors →
+    * banded init → all NnRounds refinement rounds), ending at
+    * `g<NnRounds> (query_id, cand_id, cos_micro, rk)` — factored out so
+    * q138's search oracle replays the IDENTICAL graph build instead of
+    * restating it (the labelsCtes pattern). No leading WITH.
+    */
+  private[queries] val nnGraphCtes: String = {
     val bandSelects = (0 until NnInitTables).map(t =>
       s"SELECT vec_id, $t AS tbl, ${bucketSql(NnInitBits, t * NnInitBits)} AS bucket FROM n")
       .mkString(" UNION ALL ")
@@ -654,16 +660,82 @@ object SimilarityQueries {
         FROM u$idx a JOIN u$idx b ON a.m = b.m
         WHERE a.x <> b.x) cc),
     ${keep(idx)}"""
-    s"""WITH $preparedCte,
+    s"""$preparedCte,
     bb AS ($bandSelects),
     c0 AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
       FROM bb q JOIN bb c ON q.tbl = c.tbl AND q.bucket = c.bucket
         AND c.vec_id <> q.vec_id),
     ${keep(0)},
-    ${(1 to NnRounds).map(round).mkString(",\n    ")}
+    ${(1 to NnRounds).map(round).mkString(",\n    ")}"""
+  }
+
+  val q136Sql: String =
+    s"""WITH $nnGraphCtes
     SELECT query_id, cand_id, cos_micro, rk FROM g$NnRounds
     ORDER BY query_id, rk"""
+
+  // --- q138: graph-ANN beam search over the stored k-NN graph ---------------
+  // The SEARCH half of graph ANN (op semantics + per-query cost bound in
+  // SimilarityOps.graphSearchTopK scaladoc). The graph is a DURABLE
+  // stored artifact (StoredRelations, the dedup_labels pattern):
+  // q136 proves the construction against its oracle every round, q138
+  // READS the maintained table — the production split where the build
+  // is a scheduled job and searches amortize it. The oracle replays the
+  // identical build (nnGraphCtes) and then every hop's beam, so a stale
+  // or corrupted stored graph hash-breaks here too.
+  val SearchBeam = 8
+  val SearchHops = 3
+
+  /** Version prefix: bump when graph-build semantics change. */
+  private val NnGraphVersion =
+    s"1:k=$TopK,bits=$NnInitBits,tables=$NnInitTables,rounds=$NnRounds"
+
+  private[queries] def nnGraphStored(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StoredRelations.readOrBuild(spark, "nn_graph",
+      Seq(s"$dir/embeddings.parquet"), NnGraphVersion)(
+      SimilarityOps.nnDescentTopK(
+        Tables.embeddings(spark, dir), TopK, NnInitBits, NnInitTables, NnRounds))
+
+  def q138GraphSearch(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.graphSearchTopK(
+      Tables.embeddings(spark, dir), nnGraphStored(spark, dir),
+      QueryEveryNth, TopK, SearchBeam, SearchHops)
+      .orderBy("query_id", "rk")
+
+  val q138Sql: String = {
+    // beam keep over candidate CTE `fc<h>` → frontier `f<h>` (width = beam)
+    def beamKeep(idx: Int): String =
+      s"""fs$idx AS (
+      SELECT fc.query_id, fc.cand_id,
+        ${cosMicroSql("q.emb", "c.emb", "q.nrm", "c.nrm")} AS cos_micro
+      FROM fc$idx fc
+      JOIN n q ON q.vec_id = fc.query_id
+      JOIN n c ON c.vec_id = fc.cand_id),
+    f$idx AS (
+      SELECT * FROM (
+        SELECT query_id, cand_id, cos_micro, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rk
+        FROM fs$idx) WHERE rk <= $SearchBeam)"""
+    def hop(idx: Int): String =
+      s"""fc$idx AS (
+      SELECT DISTINCT query_id, cand_id FROM (
+        SELECT query_id, cand_id FROM f${idx - 1}
+        UNION ALL
+        SELECT f.query_id, gg.cand_id
+        FROM f${idx - 1} f JOIN g$NnRounds gg ON gg.query_id = f.cand_id
+        WHERE gg.cand_id <> f.query_id) hh),
+    ${beamKeep(idx)}"""
+    s"""WITH $nnGraphCtes,
+    ent AS (SELECT vec_id AS cand_id FROM n ORDER BY vec_id LIMIT $SearchBeam),
+    fc0 AS (
+      SELECT q.vec_id AS query_id, e.cand_id
+      FROM n q CROSS JOIN ent e
+      WHERE q.vec_id % $QueryEveryNth = 0 AND e.cand_id <> q.vec_id),
+    ${beamKeep(0)},
+    ${(1 to SearchHops).map(hop).mkString(",\n    ")}
+    SELECT query_id, cand_id, cos_micro, rk FROM f$SearchHops
+    WHERE rk <= $TopK ORDER BY query_id, rk"""
   }
 
   // --- q133b: incremental moment maintenance (delta-only refresh) ----------
@@ -1016,7 +1088,8 @@ object SimilarityQueries {
     "q134_hard_negatives" -> (q134HardNegatives _),
     "q133_second_moments" -> (q133SecondMoments _),
     "q133b_incremental_moments" -> (q133bIncrementalMoments _),
-    "q136_nn_descent" -> (q136NnDescent _))
+    "q136_nn_descent" -> (q136NnDescent _),
+    "q138_graph_search" -> (q138GraphSearch _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,
@@ -1035,5 +1108,6 @@ object SimilarityQueries {
     "q134_hard_negatives" -> q134Sql,
     "q133_second_moments" -> q133Sql,
     "q133b_incremental_moments" -> q133bSql,
-    "q136_nn_descent" -> q136Sql)
+    "q136_nn_descent" -> q136Sql,
+    "q138_graph_search" -> q138Sql)
 }
