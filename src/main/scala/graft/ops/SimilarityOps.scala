@@ -179,6 +179,46 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** Multi-probe sign-LSH top-k (Lv et al. 2007, public — the standard
+    * recall lever that does NOT multiply index size): identical contract
+    * to [[bucketedTopK]], but each query probes its exact bucket PLUS
+    * every bucket at Hamming distance 1 in each table (for sign LSH the
+    * most-likely-miss perturbations are single flipped hyperplane
+    * signs). Same index, bits+1 probes per table instead of 1 —
+    * candidates grow ~(bits+1)×, recall rises measurably
+    * (DedupSimilaritySpec gates multi-probe > single-probe on the
+    * fixture), where the alternative recall lever — more tables —
+    * multiplies the stored index itself. Only the QUERY side explodes
+    * probes; the candidate side still carries one bucket row per vector
+    * per table, so the index layout and its bucketing key are unchanged.
+    */
+  def multiProbeTopK(embeddings: DataFrame, everyNth: Int, k: Int,
+                     bits: Int, tables: Int): DataFrame = {
+    val p = prepared(embeddings)
+    val withBuckets = p.select(col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          signBucketAt(col("emb"), t * bits, bits).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val probes = withBuckets.where(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("tbl"),
+        explode(array(col("bucket") +:
+          (0 until bits).map(b =>
+            col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+    val cand = withBuckets
+      .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
+      .join(broadcast(probes), Seq("tbl", "bucket"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+    val scored = cand
+      .join(p.toDF("query_id", "q_emb"), "query_id")
+      .join(p.toDF("cand_id", "c_emb"), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    topKPerQuery(scored, k)
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")

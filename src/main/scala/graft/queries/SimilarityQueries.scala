@@ -134,6 +134,45 @@ object SimilarityQueries {
     WHERE rk <= $TopK ORDER BY query_id, rk"""
   }
 
+  // --- q29g: multi-probe sign-LSH top-k ------------------------------------
+  // The recall lever that leaves the index unchanged (semantics + cost
+  // trade in SimilarityOps.multiProbeTopK scaladoc): q29b's exact-bucket
+  // probe plus every Hamming-1 perturbation per table. Same config as
+  // q29b, so the recall lift is directly attributable to multi-probing
+  // (gated in DedupSimilaritySpec).
+  def q29gMultiProbe(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.multiProbeTopK(
+      Tables.embeddings(spark, dir), QueryEveryNth, TopK, TopKBits, TopKTables)
+      .orderBy("query_id", "rk")
+
+  val q29gSql: String = {
+    val tableSelects = (0 until TopKTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(TopKBits, t * TopKBits)} AS bucket FROM n")
+      .mkString(" UNION ALL ")
+    val perturb = (Seq("bucket") ++
+      (0 until TopKBits).map(b => s"xor(bucket, ${1L << b})")).mkString(", ")
+    s"""WITH $preparedCte,
+    b AS ($tableSelects),
+    pr AS (
+      SELECT vec_id AS query_id, tbl, unnest([$perturb]) AS bucket
+      FROM b WHERE vec_id % $QueryEveryNth = 0),
+    cand AS (
+      SELECT DISTINCT pr.query_id, c.vec_id AS cand_id
+      FROM pr JOIN b c ON pr.tbl = c.tbl AND pr.bucket = c.bucket
+      WHERE c.vec_id <> pr.query_id),
+    s AS (
+      SELECT cand.query_id, cand.cand_id,
+        ${cosMicroSql("q.emb", "c.emb", "q.nrm", "c.nrm")} AS cos_micro
+      FROM cand
+      JOIN n q ON q.vec_id = cand.query_id
+      JOIN n c ON c.vec_id = cand.cand_id),
+    r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rk
+      FROM s)
+    SELECT query_id, cand_id, cos_micro, rk FROM r
+    WHERE rk <= $TopK ORDER BY query_id, rk"""
+  }
+
   // --- q29c: aggregator-based kNN (same semantics, partial-aggregable) ---
   def q29cKnnAgg(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.bruteForceTopKAgg(
@@ -1089,7 +1128,8 @@ object SimilarityQueries {
     "q133_second_moments" -> (q133SecondMoments _),
     "q133b_incremental_moments" -> (q133bIncrementalMoments _),
     "q136_nn_descent" -> (q136NnDescent _),
-    "q138_graph_search" -> (q138GraphSearch _))
+    "q138_graph_search" -> (q138GraphSearch _),
+    "q29g_multiprobe" -> (q29gMultiProbe _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,
@@ -1109,5 +1149,6 @@ object SimilarityQueries {
     "q133_second_moments" -> q133Sql,
     "q133b_incremental_moments" -> q133bSql,
     "q136_nn_descent" -> q136Sql,
-    "q138_graph_search" -> q138Sql)
+    "q138_graph_search" -> q138Sql,
+    "q29g_multiprobe" -> q29gSql)
 }

@@ -404,6 +404,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("multi-probe LSH recall strictly exceeds single-probe on the same index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = keys(SimilarityOps.bruteForceTopK(emb, 50, 5))
+    val single = keys(SimilarityOps.bucketedTopK(emb, 50, 5, bits = 4, tables = 16))
+    val multi = keys(SimilarityOps.multiProbeTopK(emb, 50, 5, bits = 4, tables = 16))
+    val rs = (brute & single).size.toDouble / brute.size
+    val rm = (brute & multi).size.toDouble / brute.size
+    info(s"recall single=$rs multi=$rm")
+    assert(rm > rs, s"multi-probe must lift recall: single $rs, multi $rm")
+    assert(rm >= 0.9, s"multi-probe recall floor: $rm")
+  }
+
   test("IVF top-k achieves >= 60% recall of brute force on the fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keys(df: org.apache.spark.sql.DataFrame) =
