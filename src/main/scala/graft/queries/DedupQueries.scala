@@ -617,6 +617,69 @@ object DedupQueries {
     s"""WITH RECURSIVE $labelsCtes
     SELECT doc_id, cluster_id FROM labs ORDER BY doc_id"""
 
+  // --- q139: dedup savings report (tokens removed per tier) -----------------
+  // The number every curation run actually reports upward: not which docs
+  // are duplicates (q24/q55) but how much TRAINING BUDGET each dedup tier
+  // recovers — per tier (exact text match; near-dup cluster non-canonical
+  // members), doc and REAL merged-BPE token counts removed, plus the
+  // integer-permille share. Composes three already-verified relations
+  // (q24's groups, q55's stored labels, q22b's encoder) into one
+  // two-row report — and because the oracle replays all three chains
+  // (bpeCountCtes + labelsCtes + the exact-group CTE) under one WITH
+  // RECURSIVE, a drift in ANY of them shifts a token sum and breaks the
+  // hash. One corpus encode pass + two tiny flag joins; aggregates are
+  // scalar-bound.
+  def q139DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextAnalysisOps
+    val docs = Tables.documents(spark, dir)
+    val toks = graft.CacheScope.persist(
+      docs.select(col("doc_id"), TextAnalysisOps.bpePreTokens(col("text")).as("pts"))
+        .select(col("doc_id"),
+          size(graft.functions.BpeMerges.bpeEncode(col("pts")))
+            .cast("long").as("n_tokens")))
+    val exact = DedupOps.exactDuplicates(docs)
+      .select(col("doc_id"), col("is_duplicate").as("removed"))
+    val near = dupLabels(spark, dir)
+      .select(col("doc_id"), (col("cluster_id") =!= col("doc_id")).as("removed"))
+    def tier(name: String, flags: DataFrame): DataFrame =
+      toks.join(flags, "doc_id")
+        .agg(count(lit(1)).as("docs_total"),
+          sum(when(col("removed"), 1L).otherwise(0L)).as("docs_removed"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("removed"), col("n_tokens")).otherwise(0L))
+            .as("tokens_removed"))
+        .select(lit(name).as("tier"), col("docs_total"), col("docs_removed"),
+          col("tokens_total"), col("tokens_removed"),
+          when(col("tokens_total") > 0,
+            expr("(1000 * tokens_removed) div tokens_total"))
+            .as("removed_permille"))
+    tier("exact", exact).unionByName(tier("near", near)).orderBy("tier")
+  }
+
+  val q139Sql: String =
+    s"""WITH RECURSIVE ${SqlDefs.bpeCountCtes},
+    $labelsCtes,
+    eg AS (SELECT text, min(doc_id) AS canonical_id FROM documents GROUP BY text),
+    ef AS (SELECT d.doc_id, d.doc_id <> eg.canonical_id AS removed
+      FROM documents d JOIN eg ON d.text = eg.text),
+    nf AS (SELECT doc_id, doc_id <> cluster_id AS removed FROM labs),
+    one AS (
+      SELECT 'exact' AS tier, CAST(count(*) AS BIGINT) AS docs_total,
+        CAST(sum(CASE WHEN ef.removed THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+        CAST(sum(t.n_tokens) AS BIGINT) AS tokens_total,
+        CAST(sum(CASE WHEN ef.removed THEN t.n_tokens ELSE 0 END) AS BIGINT) AS tokens_removed
+      FROM t JOIN ef USING (doc_id)
+      UNION ALL
+      SELECT 'near', CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN nf.removed THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(sum(t.n_tokens) AS BIGINT),
+        CAST(sum(CASE WHEN nf.removed THEN t.n_tokens ELSE 0 END) AS BIGINT)
+      FROM t JOIN nf USING (doc_id))
+    SELECT tier, docs_total, docs_removed, tokens_total, tokens_removed,
+      CASE WHEN tokens_total > 0
+        THEN (1000 * tokens_removed) // tokens_total END AS removed_permille
+    FROM one ORDER BY tier"""
+
   // --- q120b: triangle counting over the near-dup graph --------------------
   // The third graph statistic after connectivity (q55) and centrality
   // (q120): per-doc triangle participation — triangles are what separates
@@ -1245,7 +1308,8 @@ object DedupQueries {
     "q112_cluster_size_histogram" -> (q112ClusterSizeHistogram _),
     "q120_pagerank" -> (q120PageRank _),
     "q120b_triangles" -> (q120bTriangles _),
-    "q128_chunk_near_dup" -> (q128ChunkNearDup _))
+    "q128_chunk_near_dup" -> (q128ChunkNearDup _),
+    "q139_dedup_savings" -> (q139DedupSavings _))
 
   val oracleSql: Map[String, String] = Map(
     "q127_kmv_overlap" -> q127Sql,
@@ -1272,5 +1336,6 @@ object DedupQueries {
     "q105_cluster_split" -> q105Sql,
     "q112_cluster_size_histogram" -> q112Sql,
     "q120_pagerank" -> q120Sql,
-    "q128_chunk_near_dup" -> q128Sql)
+    "q128_chunk_near_dup" -> q128Sql,
+    "q139_dedup_savings" -> q139Sql)
 }
