@@ -1517,12 +1517,16 @@ object SimilarityOps {
       if (i == j) mu(i) = si / (n * QuantScale)
     }
     val (values, vectors) = Eigen.jacobi(cov)
-    // W = V diag(1/sqrt(λ+eps)) Vᵀ — symmetric by construction
+    // W = V diag(1/sqrt(λ+eps)) Vᵀ — symmetric by construction. λ is
+    // clamped at 0 first: a PSD covariance can come out of Jacobi with
+    // eigenvalues a few ulps NEGATIVE (rank-deficient input — duplicated
+    // dims), and sqrt(λ+eps) must never see a negative radicand.
     val w = Array.tabulate(d, d) { (r, c) =>
       var acc = 0.0
       var k = 0
       while (k < d) {
-        acc += vectors(r)(k) * vectors(c)(k) / math.sqrt(values(k) + eps)
+        acc += vectors(r)(k) * vectors(c)(k) /
+          math.sqrt(math.max(values(k), 0.0) + eps)
         k += 1
       }
       acc

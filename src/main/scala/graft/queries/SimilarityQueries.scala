@@ -549,9 +549,13 @@ object SimilarityQueries {
   // and shifting every rank below them. Every set-union in this oracle is
   // therefore an explicit SELECT DISTINCT over UNION ALL.
   private def q134Exclusions(spark: SparkSession, dir: String): DataFrame = {
+    // name the columns explicitly — the stored labels relation's column
+    // ORDER is a serialization detail a positional toDF would silently
+    // depend on
     val labels = DedupQueries.dupLabels(spark, dir)
-    val mates = labels.toDF("id_a", "cl")
-      .join(labels.toDF("id_b", "cl"), Seq("cl"))
+      .select(col("doc_id"), col("cluster_id").as("cl"))
+    val mates = labels.select(col("doc_id").as("id_a"), col("cl"))
+      .join(labels.select(col("doc_id").as("id_b"), col("cl")), Seq("cl"))
       .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
     val nd = SimilarityOps.cosineNearDupPairs(

@@ -80,6 +80,19 @@ class WhiteningSpec extends SparkSpec {
     }
   }
 
+  test("rank-deficient input (duplicated dim) whitens without NaN") {
+    import sqlImplicits._
+    // dim 2 == dim 1 exactly: covariance is singular, one eigenvalue ~0
+    // (possibly a few ulps negative out of Jacobi) — the λ clamp keeps
+    // the scale finite
+    val dup = raw.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Seq(v(0).toFloat, v(1).toFloat, v(1).toFloat, v(3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val white = SimilarityOps.whiten(dup).collect()
+      .flatMap(_.getSeq[Double](1))
+    assert(white.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
   test("whitening preserves row identity and dimensionality") {
     val white = SimilarityOps.whiten(df)
     assert(white.count() === N.toLong)
