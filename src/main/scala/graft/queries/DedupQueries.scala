@@ -680,6 +680,61 @@ object DedupQueries {
         THEN (1000 * tokens_removed) // tokens_total END AS removed_permille
     FROM one ORDER BY tier"""
 
+  // --- q140: vocabulary growth curve (Heaps' law profile) -------------------
+  // The corpus-saturation signal beside q139's savings report: walking the
+  // corpus in doc_id order, how many NEW distinct shingles does each
+  // corpus slice introduce? A flattening curve (Heaps 1978) says more of
+  // the same data buys little vocabulary — the empirical basis for "dedup
+  // and diversify before scaling up". Exact and integer throughout: each
+  // shingle's first occurrence is min(doc_id) — ONE shuffle keyed by
+  // shingle over the shared per-doc-distinct relation, map-side combined;
+  // bucket membership is a pure integer function of (doc_id, corpus
+  // min/max) riding as a 1-row broadcast, so no corpus-sized join or
+  // sort anywhere; the cumulative window runs over NBuckets=20 rows.
+  val GrowthBuckets = 20
+
+  def q140VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bounds = docs.agg(min(col("doc_id")).cast("long").as("lo"),
+      max(col("doc_id")).cast("long").as("hi"))
+    // integer division: all operands non-negative by construction
+    val bucketed = (df: DataFrame, idc: String) =>
+      df.crossJoin(broadcast(bounds))
+        .select(expr(s"(($idc - lo) * $GrowthBuckets) div (hi - lo + 1)")
+          .as("bucket"))
+    val docsPerBucket = bucketed(docs.select(col("doc_id")), "doc_id")
+      .groupBy("bucket").agg(count(lit(1)).as("docs"))
+    val firstSeen = shingled(spark, dir)
+      .groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+    val newPerBucket = bucketed(firstSeen, "first_doc")
+      .groupBy("bucket").agg(count(lit(1)).as("new_shingles"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(Long.MinValue, 0)
+    docsPerBucket.join(newPerBucket, Seq("bucket"), "left")
+      .select(col("bucket"), col("docs"),
+        coalesce(col("new_shingles"), lit(0L)).as("new_shingles"))
+      .withColumn("cum_vocab", sum(col("new_shingles")).over(w))
+      .orderBy("bucket")
+  }
+
+  val q140Sql: String =
+    s"""WITH $shingleCte,
+    b AS (SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+      CAST(max(doc_id) AS BIGINT) AS hi FROM documents),
+    db AS (SELECT ((d.doc_id - b.lo) * $GrowthBuckets) // (b.hi - b.lo + 1)
+        AS bucket FROM documents d, b),
+    dc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS docs
+      FROM db GROUP BY bucket),
+    fo AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    nv AS (SELECT ((fo.first_doc - b.lo) * $GrowthBuckets) // (b.hi - b.lo + 1)
+        AS bucket, CAST(count(*) AS BIGINT) AS new_shingles
+      FROM fo, b GROUP BY 1)
+    SELECT dc.bucket, dc.docs,
+      COALESCE(nv.new_shingles, 0) AS new_shingles,
+      CAST(sum(COALESCE(nv.new_shingles, 0)) OVER
+        (ORDER BY dc.bucket) AS BIGINT) AS cum_vocab
+    FROM dc LEFT JOIN nv ON dc.bucket = nv.bucket ORDER BY dc.bucket"""
+
   // --- q120b: triangle counting over the near-dup graph --------------------
   // The third graph statistic after connectivity (q55) and centrality
   // (q120): per-doc triangle participation — triangles are what separates
@@ -1309,7 +1364,8 @@ object DedupQueries {
     "q120_pagerank" -> (q120PageRank _),
     "q120b_triangles" -> (q120bTriangles _),
     "q128_chunk_near_dup" -> (q128ChunkNearDup _),
-    "q139_dedup_savings" -> (q139DedupSavings _))
+    "q139_dedup_savings" -> (q139DedupSavings _),
+    "q140_vocab_growth" -> (q140VocabGrowth _))
 
   val oracleSql: Map[String, String] = Map(
     "q127_kmv_overlap" -> q127Sql,
@@ -1337,5 +1393,6 @@ object DedupQueries {
     "q112_cluster_size_histogram" -> q112Sql,
     "q120_pagerank" -> q120Sql,
     "q128_chunk_near_dup" -> q128Sql,
-    "q139_dedup_savings" -> q139Sql)
+    "q139_dedup_savings" -> q139Sql,
+    "q140_vocab_growth" -> q140Sql)
 }
