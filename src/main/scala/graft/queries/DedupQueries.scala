@@ -735,6 +735,43 @@ object DedupQueries {
         (ORDER BY dc.bucket) AS BIGINT) AS cum_vocab
     FROM dc LEFT JOIN nv ON dc.bucket = nv.bucket ORDER BY dc.bucket"""
 
+  // --- q140b: per-source vocabulary uniqueness ------------------------------
+  // q140 asks WHEN the corpus saturates; this asks WHO still contributes:
+  // per source, its shingle vocabulary size, how much of it NO other
+  // source has, and the unique share in permille — the source-pruning
+  // signal (a source whose vocabulary is fully covered elsewhere adds
+  // redundancy, not diversity). Shapes: the shared shingle relation joins
+  // `documents` on doc_id (equi-join, no new corpus pass), then two
+  // map-side-combined aggregates — (source, shingle) distinct, then
+  // shingle-keyed source counts — and a 20-row per-source rollup.
+  def q140bSourceVocab(spark: SparkSession, dir: String): DataFrame = {
+    val srcOf = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val ss = shingled(spark, dir).join(srcOf, "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+    val spread = ss.groupBy("shingle").agg(count(lit(1)).as("n_sources"))
+    ss.join(spread, "shingle")
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("unique_vocab"))
+      .select(col("source"), col("vocab"), col("unique_vocab"),
+        expr("(1000 * unique_vocab) div vocab").as("unique_permille"))
+      .orderBy("source")
+  }
+
+  val q140bSql: String =
+    s"""WITH $shingleCte,
+    ss AS (SELECT DISTINCT d.source, sh.shingle
+      FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+    spread AS (SELECT shingle, CAST(count(*) AS BIGINT) AS n_sources
+      FROM ss GROUP BY shingle)
+    SELECT ss.source, CAST(count(*) AS BIGINT) AS vocab,
+      CAST(sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS unique_vocab,
+      (1000 * CAST(sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT))
+        // CAST(count(*) AS BIGINT) AS unique_permille
+    FROM ss JOIN spread ON ss.shingle = spread.shingle
+    GROUP BY ss.source ORDER BY ss.source"""
+
   // --- q120b: triangle counting over the near-dup graph --------------------
   // The third graph statistic after connectivity (q55) and centrality
   // (q120): per-doc triangle participation — triangles are what separates
@@ -1365,7 +1402,8 @@ object DedupQueries {
     "q120b_triangles" -> (q120bTriangles _),
     "q128_chunk_near_dup" -> (q128ChunkNearDup _),
     "q139_dedup_savings" -> (q139DedupSavings _),
-    "q140_vocab_growth" -> (q140VocabGrowth _))
+    "q140_vocab_growth" -> (q140VocabGrowth _),
+    "q140b_source_vocab" -> (q140bSourceVocab _))
 
   val oracleSql: Map[String, String] = Map(
     "q127_kmv_overlap" -> q127Sql,
@@ -1394,5 +1432,6 @@ object DedupQueries {
     "q120_pagerank" -> q120Sql,
     "q128_chunk_near_dup" -> q128Sql,
     "q139_dedup_savings" -> q139Sql,
-    "q140_vocab_growth" -> q140Sql)
+    "q140_vocab_growth" -> q140Sql,
+    "q140b_source_vocab" -> q140bSql)
 }

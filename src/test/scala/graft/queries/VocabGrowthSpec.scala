@@ -35,6 +35,27 @@ class VocabGrowthSpec extends SparkSpec {
     assert(out.last.getLong(3) === distinctShingles)
   }
 
+  test("per-source uniqueness conserves the vocabulary partition") {
+    val out = DedupQueries.q140bSourceVocab(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (vocab, unique, pm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(unique >= 0 && unique <= vocab)
+      assert(pm === 1000L * unique / vocab)
+    }
+    // source-unique shingles across all sources == shingles with exactly
+    // one source — counted independently from the raw relation
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val singletons = DedupOps.shingles(
+      docs.select(col("doc_id"),
+        graft.ops.TextOps.tokenize(col("text")).as("toks")),
+      DedupQueries.ShingleN)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+      .groupBy("shingle").count().where(col("count") === 1).count()
+    assert(out.map(_.getLong(2)).sum === singletons)
+  }
+
   test("first-occurrence credit: a re-seen shingle adds nothing") {
     import sqlImplicits._
     // docs 0/1 share the identical 5-token window; doc 2 introduces a
