@@ -859,6 +859,59 @@ object TextAnalysisOps {
         coalesce(col("sum_log2_ctf"), lit(0L)).as("sum_log2_ctf"))
   }
 
+  /** Per-source Zipf rank-frequency slope — the DIVERSITY twin of the
+    * rarity profile: fit log2(freq) against log2(rank) by exact integer
+    * least squares over a source's token-frequency table. A natural-text
+    * source sits near slope −1 (Zipf 1949); templated/boilerplate-heavy
+    * sources flatten toward 0 (few distinct tokens, all frequent) and
+    * generated word-salad steepens — a per-source redundancy signal that
+    * complements q140b's unique-vocabulary share.
+    *
+    * Exactness: ranks are `row_number` over (freq DESC, token) — the tie
+    * break makes the rank assignment deterministic across engines even
+    * though tied frequencies are interchangeable (any tie order yields
+    * the same multiset of (x, y) points, but determinism keeps the
+    * intermediate relation replayable); x/y are floor-log2 buckets via
+    * binary-string length (no libm); the slope is the exact rational
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) published as numerator/denominator
+    * plus a micro-unit quotient with EXPLICIT sign handling — Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors, so the
+    * quotient is computed on the negated-positive numerator and re-negated,
+    * making both engines agree on negative slopes.
+    *
+    * Scale shape: one (source, token) count aggregate (map-side combined),
+    * one rank window partitioned by source — per-source vocabulary is
+    * Heaps-sublinear in corpus size, and the window carries only the
+    * S-source frequency table, not the corpus — then an S-row least-squares
+    * aggregate. No joins, no driver materialization.
+    */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(col("source"),
+        explode(TextOps.tokenize(coalesce(col("text"), lit("")))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+    val ranked = freq.withColumn("rank",
+      row_number().over(
+        Window.partitionBy("source").orderBy(col("freq").desc, col("tok"))))
+    def log2len(c: Column): Column = (length(conv(c, 10, 2)) - 1).cast("long")
+    val pts = ranked.select(col("source"),
+      log2len(col("rank")).as("x"), log2len(col("freq")).as("y"))
+    pts.groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_terms"),
+        (col("n_terms") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_terms") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope_micro",
+        when(col("slope_den") === 0, lit(null).cast("long"))
+          .when(col("slope_num") >= 0,
+            expr("(1000000 * slope_num) div slope_den"))
+          .otherwise(-expr("(1000000 * (-slope_num)) div slope_den")))
+  }
+
   /** Rare-token scrubbing — the long-tail privacy pass that complements
     * pattern-based [[redactPii]]: a token occurring fewer than `minCtf`
     * times in the WHOLE corpus is statistically identifying (names, ids,

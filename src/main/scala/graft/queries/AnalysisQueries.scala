@@ -436,6 +436,102 @@ object AnalysisQueries {
     SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count
     FROM pr GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 50"""
 
+  // --- q142: per-source Zipf rank-frequency slope -------------------------
+  // See TextAnalysisOps.zipfSlope: exact integer least squares of
+  // log2(freq) on log2(rank) per source — natural text sits near −1,
+  // boilerplate flattens, word-salad steepens. Slope published as exact
+  // rational (num, den) plus a sign-explicit micro quotient (Spark `div`
+  // truncates, DuckDB `//` floors — identical only on non-negatives, so
+  // the negative branch negates-divides-negates).
+  def q142ZipfSlope(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysisOps.zipfSlope(Tables.documents(spark, dir))
+      .orderBy("source")
+
+  val q142Sql: String =
+    raw"""WITH t AS (SELECT source, ${toksSql("text")} AS toks FROM documents),
+    p AS (SELECT source, unnest(toks) AS tok FROM t),
+    f AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS freq
+      FROM p GROUP BY source, tok),
+    r AS (SELECT source, freq, row_number() OVER
+        (PARTITION BY source ORDER BY freq DESC, tok) AS rank FROM f),
+    pt AS (SELECT source,
+      CAST(length(format('{:b}', rank)) - 1 AS BIGINT) AS x,
+      CAST(length(format('{:b}', freq)) - 1 AS BIGINT) AS y FROM r),
+    a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pt GROUP BY source),
+    s AS (SELECT source, n_terms,
+      n_terms * sxy - sx * sy AS slope_num,
+      n_terms * sxx - sx * sx AS slope_den FROM a)
+    SELECT source, n_terms, slope_num, slope_den,
+      CASE WHEN slope_den = 0 THEN NULL
+        WHEN slope_num >= 0 THEN (1000000 * slope_num) // slope_den
+        ELSE -((1000000 * (-slope_num)) // slope_den) END AS slope_micro
+    FROM s ORDER BY source"""
+
+  // --- q145: mojibake / encoding-damage detection --------------------------
+  // The normalization tier (q101 NFC, q101b accents, q101c invisibles)
+  // assumes the bytes were DECODED correctly; this detects the case where
+  // they were not — latin1-read-UTF-8 double encoding ("é" → "Ã©",
+  // smart quotes → "â€œ"-class trigraphs) and decoder-inserted U+FFFD
+  // replacement chars, the three commonest corruption signatures in web
+  // crawls (all public knowledge: the UTF-8 byte layout). The fixture is
+  // clean, so the query plants deterministic damage first (the q131
+  // non-vacuity pattern): doc_id mod 7 picks the damage class, then the
+  // detector counts each marker via length-difference under literal
+  // replace — pure narrow string expressions, zero shuffles, and immune
+  // to codepoint-vs-grapheme length divergence because the undamaged
+  // remainder cancels in the difference. Per-doc output keeps the hash
+  // strong; flagged = any marker present.
+  val MojiLatin1 = "Ã©" // "Ã©": é double-encoded
+  val MojiPunct = "â€œ" // "â€œ": left smart quote double-encoded
+  val MojiRepl = "�" // decoder replacement char
+
+  def q145Mojibake(spark: SparkSession, dir: String): DataFrame = {
+    val dmg = when(pmod(col("doc_id"), lit(7L)) === 3,
+        replace(col("text"), lit("e"), lit(MojiLatin1)))
+      .when(pmod(col("doc_id"), lit(7L)) === 5,
+        concat(col("text"), lit(s" ${MojiPunct}quote$MojiPunct")))
+      .when(pmod(col("doc_id"), lit(7L)) === 6,
+        concat(col("text"), lit(s" $MojiRepl")))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), dmg.as("dmg"))
+      .select(col("doc_id"), length(col("dmg")).as("l0"),
+        length(replace(col("dmg"), lit(MojiLatin1))).as("l1"),
+        length(replace(col("dmg"), lit(MojiPunct))).as("l2"),
+        length(replace(col("dmg"), lit(MojiRepl))).as("l3"))
+      .select(col("doc_id"),
+        expr(s"CAST((l0 - l1) div ${MojiLatin1.length} AS BIGINT)")
+          .as("n_latin1"),
+        expr(s"CAST((l0 - l2) div ${MojiPunct.length} AS BIGINT)")
+          .as("n_punct"),
+        expr(s"CAST((l0 - l3) div ${MojiRepl.length} AS BIGINT)")
+          .as("n_repl"))
+      .withColumn("flagged",
+        col("n_latin1") + col("n_punct") + col("n_repl") > 0)
+      .orderBy("doc_id")
+  }
+
+  val q145Sql: String =
+    s"""WITH dmg AS (SELECT doc_id,
+      CASE WHEN doc_id % 7 = 3 THEN replace(text, 'e', '$MojiLatin1')
+        WHEN doc_id % 7 = 5 THEN text || ' ${MojiPunct}quote$MojiPunct'
+        WHEN doc_id % 7 = 6 THEN text || ' $MojiRepl'
+        ELSE text END AS t FROM documents),
+    l AS (SELECT doc_id, length(t) AS l0,
+      length(replace(t, '$MojiLatin1', '')) AS l1,
+      length(replace(t, '$MojiPunct', '')) AS l2,
+      length(replace(t, '$MojiRepl', '')) AS l3 FROM dmg),
+    c AS (SELECT doc_id,
+      CAST((l0 - l1) // ${MojiLatin1.length} AS BIGINT) AS n_latin1,
+      CAST((l0 - l2) // ${MojiPunct.length} AS BIGINT) AS n_punct,
+      CAST((l0 - l3) // ${MojiRepl.length} AS BIGINT) AS n_repl FROM l)
+    SELECT doc_id, n_latin1, n_punct, n_repl,
+      (n_latin1 + n_punct + n_repl > 0) AS flagged
+    FROM c ORDER BY doc_id"""
+
   // --- q90: bigram surprisal (conditional-LM perplexity proxy) -----------
   // See TextAnalysisOps.bigramSurprisal: -log2 p(w2|w1) in integer log2
   // buckets under the corpus's own bigram counts — the sequence-level
@@ -1580,6 +1676,8 @@ object AnalysisQueries {
     "q22b_bpe_tokens" -> (q22bBpeTokens _),
     "q22c_wordpiece_tokens" -> (q22cWordpieceTokens _),
     "q135_tokenizer_fertility" -> (q135TokenizerFertility _),
+    "q142_zipf_slope" -> (q142ZipfSlope _),
+    "q145_mojibake" -> (q145Mojibake _),
     "q87_bpe_train" -> (q87BpeTrain _),
     "q87b_bpe_pair_counts" -> (q87bPairCounts _),
     "q87c_trained_tokens" -> (q87cTrainedTokens _),
@@ -1618,6 +1716,8 @@ object AnalysisQueries {
     "q22_token_counts" -> q22Sql,
     "q22b_bpe_tokens" -> q22bSql,
     "q135_tokenizer_fertility" -> q135Sql,
+    "q142_zipf_slope" -> q142Sql,
+    "q145_mojibake" -> q145Sql,
     "q22c_wordpiece_tokens" -> q22cSql,
     "q87b_bpe_pair_counts" -> q87bSql,
     "q88_gopher_rules" -> q88Sql,

@@ -772,6 +772,152 @@ object DedupQueries {
     FROM ss JOIN spread ON ss.shingle = spread.shingle
     GROUP BY ss.source ORDER BY ss.source"""
 
+  // --- q141: source-pair vocabulary overlap matrix ---------------------------
+  // q140b scores each source's UNIQUE share against everyone else at once;
+  // this resolves the pairwise structure — WHICH sources duplicate each
+  // other (shingle-set Jaccard per source pair), the signal behind "drop
+  // the second crawl of the same site" source pruning. Shapes: the
+  // (source, shingle) distinct relation is one map-side-combined
+  // aggregate; the pair intersection is the q25 inverted-index self-join
+  // keyed by shingle, whose fan-out per shingle is bounded by S², S the
+  // SOURCE count — independent of corpus size, unlike a doc-keyed
+  // self-join — so the join output is ≤ |vocab|·S(S−1)/2 rows with the
+  // aggregate combining map-side; the size join is a broadcast of the
+  // S-row relation. Pairs with an empty intersection are absent by
+  // construction (the q25 convention): a missing row IS the zero.
+  def q141SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val srcOf = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val ss = shingled(spark, dir).join(srcOf, "doc_id")
+      .select(col("source"), col("shingle")).distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = ss.as("a").join(ss.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sz_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("sz_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("sz_a"), col("sz_b"), col("inter"),
+        expr("(1000000 * inter) div (sz_a + sz_b - inter)").as("jaccard_micro"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q141Sql: String =
+    s"""WITH $shingleCte,
+    ss AS (SELECT DISTINCT d.source, sh.shingle
+      FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+      FROM ss GROUP BY source),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+        CAST(count(*) AS BIGINT) AS inter
+      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT c.src_a, c.src_b, sa.sz AS sz_a, sb.sz AS sz_b, c.inter,
+      (1000000 * c.inter) // (sa.sz + sb.sz - c.inter) AS jaccard_micro
+    FROM common c
+    JOIN sizes sa ON sa.source = c.src_a
+    JOIN sizes sb ON sb.source = c.src_b
+    ORDER BY c.src_a, c.src_b"""
+
+  // --- q144: LSH blocking confusion audit ------------------------------------
+  // The near-dup tiers ship with analytic collision guarantees (banding
+  // theory), but a production pipeline also wants the MEASURED confusion
+  // of its blocking stage against exact ground truth: of the banded
+  // candidate pairs, how many are true >=0.3-Jaccard pairs (precision),
+  // and what fraction of the true pairs did banding surface at all
+  // (recall — a banding miss is an UNDEDUPABLE pair downstream, the error
+  // that silently survives to training). Two tiers: the raw band-collision
+  // set, and q26's signature-estimate-thresholded subset. Shapes: the
+  // candidate relation is q26's banded join (linear in collisions); truth
+  // is the STORED exact-pairs artifact (the q25 relation the cluster
+  // family already reads); the confusion join is candidate-keyed — never
+  // corpus-quadratic — and each tier folds to ONE row, so the report is a
+  // 2-row frame. Both engines re-derive truth from scratch under the
+  // oracle compare, so the stored artifact is re-verified here too.
+  def q144LshConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cand = graft.CacheScope.persist(
+      DedupOps.minhashPairs(
+        DedupOps.minhashSignatures(shingled(spark, dir)),
+        rowsPerBand = 4, minEstMicro = 0L))
+    val truth = jpairs(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1L).as("is_true"))
+    val truthN = truth.agg(count(lit(1)).as("truth_pairs"))
+    def tier(name: String, pairs: DataFrame): DataFrame =
+      pairs.join(truth, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("candidates"),
+          coalesce(sum(coalesce(col("is_true"), lit(0L))), lit(0L))
+            .as("true_positives"))
+        .crossJoin(broadcast(truthN)) // 1-row scalar
+        .select(lit(name).as("tier"), col("candidates"), col("truth_pairs"),
+          col("true_positives"),
+          when(col("candidates") > 0,
+            expr("(1000000 * true_positives) div candidates"))
+            .as("precision_micro"),
+          when(col("truth_pairs") > 0,
+            expr("(1000000 * true_positives) div truth_pairs"))
+            .as("recall_micro"))
+    tier("banding", cand.select("id_a", "id_b"))
+      .unionByName(tier("thresholded",
+        cand.where(col("est_jaccard_micro") >= MinhashMinMicro)
+          .select("id_a", "id_b")))
+      .orderBy("tier")
+  }
+
+  val q144Sql: String = {
+    val k = HashOps.MinHashK
+    val minExprs = (0 until k)
+      .map(i => s"min(${HashOps.permSql(i, "th")}) AS m$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleCte,
+    h AS (SELECT doc_id, ${HashOps.charHashSql("shingle")} AS th FROM sh),
+    sig AS (SELECT doc_id, $minExprs FROM h GROUP BY doc_id),
+    bands AS ($bandSelects),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    candj AS (
+      SELECT id_a, id_b,
+        CAST(floor(1000000 * ($agree) / $k) AS BIGINT) AS est
+      FROM cand
+      JOIN sig sa ON sa.doc_id = id_a
+      JOIN sig sb ON sb.doc_id = id_b),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    truth AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= $JaccardMinMicro),
+    tn AS (SELECT CAST(count(*) AS BIGINT) AS truth_pairs FROM truth),
+    pb AS (SELECT CAST(count(*) AS BIGINT) AS candidates,
+      CAST(coalesce(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS true_positives
+      FROM candj c LEFT JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b),
+    pt AS (SELECT CAST(count(*) AS BIGINT) AS candidates,
+      CAST(coalesce(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS true_positives
+      FROM candj c LEFT JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b
+      WHERE c.est >= $MinhashMinMicro),
+    per AS (SELECT 'banding' AS tier, candidates, true_positives FROM pb
+      UNION ALL SELECT 'thresholded', candidates, true_positives FROM pt)
+    SELECT per.tier, per.candidates, tn.truth_pairs, per.true_positives,
+      CASE WHEN per.candidates > 0
+        THEN (1000000 * per.true_positives) // per.candidates END AS precision_micro,
+      CASE WHEN tn.truth_pairs > 0
+        THEN (1000000 * per.true_positives) // tn.truth_pairs END AS recall_micro
+    FROM per, tn ORDER BY per.tier"""
+  }
+
   // --- q120b: triangle counting over the near-dup graph --------------------
   // The third graph statistic after connectivity (q55) and centrality
   // (q120): per-doc triangle participation — triangles are what separates
@@ -1403,7 +1549,9 @@ object DedupQueries {
     "q128_chunk_near_dup" -> (q128ChunkNearDup _),
     "q139_dedup_savings" -> (q139DedupSavings _),
     "q140_vocab_growth" -> (q140VocabGrowth _),
-    "q140b_source_vocab" -> (q140bSourceVocab _))
+    "q140b_source_vocab" -> (q140bSourceVocab _),
+    "q141_source_overlap" -> (q141SourceOverlap _),
+    "q144_lsh_confusion" -> (q144LshConfusion _))
 
   val oracleSql: Map[String, String] = Map(
     "q127_kmv_overlap" -> q127Sql,
@@ -1433,5 +1581,7 @@ object DedupQueries {
     "q128_chunk_near_dup" -> q128Sql,
     "q139_dedup_savings" -> q139Sql,
     "q140_vocab_growth" -> q140Sql,
-    "q140b_source_vocab" -> q140bSql)
+    "q140b_source_vocab" -> q140bSql,
+    "q141_source_overlap" -> q141Sql,
+    "q144_lsh_confusion" -> q144Sql)
 }
