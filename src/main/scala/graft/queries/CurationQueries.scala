@@ -1612,6 +1612,101 @@ object CurationQueries {
       CAST(length(text) AS BIGINT) AS text_len
     FROM documents ORDER BY doc_id"""
 
+  // --- q143: deletion-vector soft delete + density-gated compaction --------
+  // The maintenance op q111 (rewrite-on-merge) and q132 (bin-pack) stop
+  // short of: deletes that DON'T rewrite data files. The table is laid
+  // out by source-hash bucket (a takedown then concentrates where its
+  // source's data lives — how a real domain-partitioned corpus behaves);
+  // two delete batches land as deletion vectors (a GDPR-style source
+  // takedown, then a short-doc quality purge — they OVERLAP, so the DV
+  // merge's de-dup is exercised); the compactor rewrites only buckets at
+  // >= DvCompactPermille density and clears their DVs. The emitted state
+  // is recomputed from the READ-BACK tree + DV + decision manifest, so a
+  // row lost by the rewrite, a DV row left behind, or a wrong density
+  // decision each breaks the oracle hash (the fixture yields compacted
+  // AND uncompacted AND zero-delete buckets at both unit and verify SFs
+  // — the q119b non-vacuity lesson). Semantics + scale shape in
+  // DocumentSources.softDelete/readVisible/applyDeletionVectors.
+  val DvBuckets = 8
+  val DvMinToks = 15
+  val DvCompactPermille = 300L
+  val DvTakedownSources = Seq("src8", "src9", "src18", "src19")
+
+  def q143DeletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.HashOps
+    val tmp = graft.Scratch.dir("q143_dv")
+    val basePath = s"$tmp/base"
+    val dvPath = s"$tmp/dv"
+    // a re-run must start from the seeded state, not a previous run's
+    // compacted one (Verify and Bench share the scratch namespace)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dvPath), true)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val bucket = pmod(HashOps.charHash(col("source")), lit(DvBuckets.toLong))
+      .cast("int")
+    docs.select(col("doc_id"), col("text"), bucket.as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(basePath)
+    val keyed = docs.select(col("doc_id"), bucket.as("bucket"), col("source"),
+      graft.ops.TextOps.tokenize(col("text")).as("toks"))
+    graft.sources.DocumentSources.softDelete(spark, basePath, dvPath,
+      keyed.where(col("source").isin(DvTakedownSources: _*))
+        .select("bucket", "doc_id"))
+    graft.sources.DocumentSources.softDelete(spark, basePath, dvPath,
+      keyed.where(size(col("toks")) < DvMinToks).select("bucket", "doc_id"))
+    val manifest = graft.sources.DocumentSources.applyDeletionVectors(
+      spark, basePath, dvPath, DvCompactPermille)
+    val disk = spark.read.parquet(basePath)
+      .groupBy("bucket").agg(count(lit(1)).as("rows_on_disk"))
+    val dvRows = spark.read.parquet(dvPath)
+      .groupBy("bucket").agg(count(lit(1)).as("dv_rows"))
+    val vis = graft.sources.DocumentSources
+      .readVisible(spark, basePath, dvPath)
+      .select(col("bucket"),
+        graft.ops.ReconcileOps.rowHash(col("doc_id"), col("text")).as("h"))
+      .groupBy("bucket").agg(count(lit(1)).as("visible_rows"),
+        expr("bit_xor(h)").as("live_xor"))
+    disk.join(vis, Seq("bucket"))
+      .join(dvRows, Seq("bucket"), "left")
+      .join(manifest.select(col("bucket"), col("rewritten").as("compacted")),
+        Seq("bucket"))
+      .select(col("bucket").cast("long").as("bucket"), col("rows_on_disk"),
+        coalesce(col("dv_rows"), lit(0L)).as("dv_rows"),
+        col("visible_rows"), col("live_xor"), col("compacted"))
+      .orderBy("bucket")
+  }
+
+  val q143Sql: String = {
+    val h = graft.ops.HashOps.charHashSql("d.source")
+    val rowHash = graft.ops.HashOps.charHashSql(
+      "CAST(j.doc_id AS VARCHAR) || ':' || (j.text)")
+    val srcList = DvTakedownSources.mkString("('", "', '", "')")
+    s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    b AS (SELECT d.doc_id, d.text, d.source, ($h) % $DvBuckets AS bucket,
+        len(t.toks) AS nt
+      FROM documents d JOIN tok t ON d.doc_id = t.doc_id),
+    del AS (SELECT DISTINCT doc_id FROM (
+      SELECT doc_id FROM b WHERE source IN $srcList
+      UNION ALL SELECT doc_id FROM b WHERE nt < $DvMinToks)),
+    j AS (SELECT b.bucket, b.doc_id, b.text,
+        (del.doc_id IS NOT NULL) AS deleted
+      FROM b LEFT JOIN del ON b.doc_id = del.doc_id),
+    per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS total,
+      CAST(sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT) AS ndel,
+      CAST(count(CASE WHEN NOT deleted THEN 1 END) AS BIGINT) AS visible_rows,
+      bit_xor(CASE WHEN NOT deleted THEN $rowHash END) AS live_xor
+      FROM j GROUP BY bucket)
+    SELECT bucket,
+      CASE WHEN ndel > 0 AND (1000 * ndel) // total >= $DvCompactPermille
+        THEN total - ndel ELSE total END AS rows_on_disk,
+      CASE WHEN ndel > 0 AND (1000 * ndel) // total >= $DvCompactPermille
+        THEN 0 ELSE ndel END AS dv_rows,
+      visible_rows, live_xor,
+      (ndel > 0 AND (1000 * ndel) // total >= $DvCompactPermille) AS compacted
+    FROM per ORDER BY bucket"""
+  }
+
   // --- q130: bucket-checksum reconciliation (anti-entropy compare) --------
   // The production way to answer "do these two 100 TB snapshots agree,
   // and where not?": NEVER a row-by-row diff first. Each side aggregates
@@ -1838,6 +1933,7 @@ object CurationQueries {
     "q130_bucket_checksums" -> (q130BucketChecksums _),
     "q130b_incremental_checksums" -> (q130bIncrementalChecksums _),
     "q132_compaction" -> (q132Compaction _),
+    "q143_deletion_vectors" -> (q143DeletionVectors _),
     "q137_epoch_shuffle" -> (q137EpochShuffle _),
     "q71b_scd2_history" -> (q71bScd2History _),
     "q111_merge_upsert" -> (q111MergeUpsert _),
@@ -1875,6 +1971,7 @@ object CurationQueries {
     "q130_bucket_checksums" -> q130Sql,
     "q130b_incremental_checksums" -> q130bSql,
     "q132_compaction" -> q132Sql,
+    "q143_deletion_vectors" -> q143Sql,
     "q137_epoch_shuffle" -> q137Sql,
     "q71b_scd2_history" -> q71bSql,
     "q111_merge_upsert" -> q111Sql,

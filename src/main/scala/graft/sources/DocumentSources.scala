@@ -385,4 +385,161 @@ object DocumentSources {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  // --- deletion vectors: soft delete without rewriting data files ----------
+  // The lakehouse deletion-vector pattern (Delta Lake DVs / Iceberg
+  // position deletes — public semantics, no table format): a delete
+  // touches ONLY a small per-bucket side artifact; the base parquet stays
+  // byte-identical until a compaction decides the bucket's delete density
+  // justifies a rewrite. At 100 TB this is the difference between a
+  // GDPR takedown costing O(deleted keys) and costing a full-corpus
+  // rewrite. This engine's DV is the id-set equivalent of a position
+  // bitmap: a parquet relation `(bucket, doc_id)` partitioned by bucket,
+  // tiny relative to data, whose read-path application is one
+  // bucket-local anti-join (AQE broadcasts it when it fits).
+
+  /** Merge `deleteKeys` (`bucket`, `doc_id`) into the DV tree at `dvPath`.
+    * Keys are intersected with the live base (a DV row for a nonexistent
+    * key would be an anti-join no-op but would corrupt density math),
+    * unioned with the existing DV, de-duplicated, and swapped in whole —
+    * the DV is O(deleted keys), so a full rewrite of it is the cheap
+    * path; the park/rename/drop root swap (booleans checked, recovery
+    * sweep at next read) reuses [[mergeUpsertBuckets]]' protocol at root
+    * granularity. The base tree is NOT touched.
+    */
+  def softDelete(spark: SparkSession, basePath: String, dvPath: String,
+                 deleteKeys: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dvPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mustFs(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"softDelete: filesystem step failed (returned false): $what")
+    recoverRootSwap(fs, dvPath)
+    val base = spark.read.parquet(basePath).select("bucket", "doc_id")
+    val incoming = deleteKeys.select("bucket", "doc_id")
+      .join(base, Seq("bucket", "doc_id"), "left_semi")
+    val merged =
+      if (fs.exists(new Path(dvPath)))
+        spark.read.parquet(dvPath).select("bucket", "doc_id")
+          .unionByName(incoming).distinct()
+      else incoming.distinct()
+    val staging = s"$dvPath-staging"
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    val live = new Path(dvPath)
+    val parked = new Path(s"$dvPath-old")
+    if (fs.exists(live)) mustFs(fs.rename(live, parked), s"park $live")
+    mustFs(fs.rename(new Path(staging), live), s"swap in $staging")
+    if (fs.exists(parked)) mustFs(fs.delete(parked, true), s"drop $parked")
+  }
+
+  /** Visible rows of a DV-carrying table: base scan minus the DV — ONE
+    * bucket-keyed anti-join, never a rewrite. Missing DV tree = nothing
+    * deleted.
+    */
+  def readVisible(spark: SparkSession, basePath: String,
+                  dvPath: String): DataFrame = {
+    val base = spark.read.parquet(basePath)
+    val fs = new org.apache.hadoop.fs.Path(dvPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRootSwap(fs, dvPath)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dvPath))) base
+    else base.join(
+      spark.read.parquet(dvPath).select("bucket", "doc_id"),
+      Seq("bucket", "doc_id"), "left_anti")
+  }
+
+  /** Compaction decision + execution: buckets whose delete density
+    * reaches `minPermille` are rewritten with visible rows only (the
+    * read prunes to exactly those bucket dirs) and their DV rows
+    * dropped; sparse buckets keep carrying their DV. Per-bucket
+    * park/swap/restore as in [[mergeUpsertBuckets]]. Returns the
+    * decision manifest `(bucket, rows, deleted, rewritten)` — one row
+    * per live bucket.
+    */
+  def applyDeletionVectors(spark: SparkSession, basePath: String,
+                           dvPath: String, minPermille: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mustFs(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"applyDeletionVectors: filesystem step failed (returned false): $what")
+    recoverRootSwap(fs, dvPath)
+    val totals = spark.read.parquet(basePath)
+      .groupBy("bucket").agg(count(lit(1)).as("rows"))
+    val dvExists = fs.exists(new Path(dvPath))
+    val deleted =
+      if (dvExists)
+        spark.read.parquet(dvPath)
+          .groupBy("bucket").agg(count(lit(1)).as("deleted"))
+      else totals.select(col("bucket"), lit(0L).as("deleted")).limit(0)
+    val manifest = totals.join(deleted, Seq("bucket"), "left")
+      .select(col("bucket"), col("rows"),
+        coalesce(col("deleted"), lit(0L)).as("deleted"))
+      .withColumn("rewritten",
+        col("deleted") > 0 &&
+          expr("(1000 * deleted) div rows") >= minPermille)
+      .orderBy("bucket")
+      // scalar-bounded: one row per bucket, and nBuckets is a layout
+      // constant (the same bound mergeUpsertBuckets' affected-set collect
+      // carries)
+      .collect()
+    val dense = manifest.filter(_.getBoolean(3)).map(_.getInt(0)).toSeq
+    if (dense.nonEmpty) {
+      val visible = readVisible(spark, basePath, dvPath)
+        .where(col("bucket").isin(dense.map(Int.box): _*))
+      val staging = s"$basePath-staging"
+      visible.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      val oldRoot = new Path(s"$basePath-old")
+      dense.foreach { b =>
+        val dst = new Path(basePath, s"bucket=$b")
+        val src = new Path(staging, s"bucket=$b")
+        val parked = new Path(oldRoot, s"bucket=$b")
+        mustFs(fs.mkdirs(oldRoot), s"mkdirs $oldRoot")
+        mustFs(fs.rename(dst, parked), s"park $dst")
+        if (fs.exists(src)) mustFs(fs.rename(src, dst), s"swap in $src")
+        mustFs(fs.delete(parked, true), s"drop $parked")
+      }
+      mustFs(fs.delete(new Path(staging), true), s"drop $staging")
+      if (fs.exists(oldRoot)) mustFs(fs.delete(oldRoot, true), s"drop $oldRoot")
+      // the compacted buckets' DV rows are now applied — drop them
+      val remaining = spark.read.parquet(dvPath).select("bucket", "doc_id")
+        .where(!col("bucket").isin(dense.map(Int.box): _*))
+      val dvStaging = s"$dvPath-staging"
+      remaining.write.mode("overwrite").partitionBy("bucket").parquet(dvStaging)
+      val live = new Path(dvPath)
+      val dvParked = new Path(s"$dvPath-old")
+      mustFs(fs.rename(live, dvParked), s"park $live")
+      mustFs(fs.rename(new Path(dvStaging), live), s"swap in $dvStaging")
+      mustFs(fs.delete(dvParked, true), s"drop $dvParked")
+    }
+    import spark.implicits._
+    manifest.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getBoolean(3))).toSeq
+      .toDF("bucket", "rows", "deleted", "rewritten")
+      .orderBy("bucket")
+  }
+
+  /** Root-granularity recovery sweep for the DV swap: a `-old` sibling
+    * with no live root means the swap crashed between park and rename-in
+    * — restore it; with a live root the swap completed — drop it. Shared
+    * by every DV entry point so ANY next touch heals a crashed swap.
+    */
+  private def recoverRootSwap(fs: org.apache.hadoop.fs.FileSystem,
+                              path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def mustFs(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"recoverRootSwap: filesystem step failed (returned false): $what")
+    val live = new Path(path)
+    val parked = new Path(s"$path-old")
+    val staging = new Path(s"$path-staging")
+    if (fs.exists(parked)) {
+      if (!fs.exists(live)) mustFs(fs.rename(parked, live), s"restore $parked")
+      else mustFs(fs.delete(parked, true), s"drop parked $parked")
+    }
+    if (fs.exists(staging))
+      mustFs(fs.delete(staging, true), s"drop stale $staging")
+  }
 }

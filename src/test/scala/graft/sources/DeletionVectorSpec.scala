@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Deletion-vector maintenance invariants (q143's filesystem semantics —
+  * not SQL-expressible, so unit-gated here; the oracle verifies the
+  * density math and visible content): soft delete never touches base
+  * files, the DV merge de-duplicates and drops unknown keys, compaction
+  * rewrites exactly the dense buckets and clears exactly their DV rows,
+  * and a crashed DV swap heals on the next touch.
+  */
+class DeletionVectorSpec extends SparkSpec {
+
+  import sqlImplicits._
+
+  private def freshTable(name: String): (String, String) = {
+    val tmp = graft.Scratch.dir(name)
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(tmp), true)
+    (s"$tmp/base", s"$tmp/dv")
+  }
+
+  private def seed(basePath: String): Unit =
+    (0 until 20).map(i => (i.toLong, s"text$i", i % 2))
+      .toDF("doc_id", "text", "bucket")
+      .write.mode("overwrite").partitionBy("bucket").parquet(basePath)
+
+  private def baseFileState(basePath: String): Map[String, (Long, Long)] = {
+    val fs = new Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(basePath)).filter(_.isDirectory).flatMap(d =>
+      fs.listStatus(d.getPath).filter(_.isFile).map(f =>
+        f.getPath.toString -> (f.getLen, f.getModificationTime))).toMap
+  }
+
+  test("soft delete records keys without touching base files; unknown keys dropped") {
+    val (base, dv) = freshTable("dvspec_soft")
+    seed(base)
+    val before = baseFileState(base)
+    DocumentSources.softDelete(spark, base, dv,
+      Seq((0, 0L), (0, 2L), (1, 999L)).toDF("bucket", "doc_id"))
+    assert(baseFileState(base) === before, "base files byte-identical")
+    val dvRows = spark.read.parquet(dv).select("bucket", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(dvRows === Set((0, 0L), (0, 2L)), "unknown key 999 not recorded")
+    val vis = DocumentSources.readVisible(spark, base, dv)
+    assert(vis.count() === 18)
+    assert(vis.where(col("doc_id").isin(0L, 2L)).count() === 0)
+  }
+
+  test("overlapping second batch de-duplicates in the DV") {
+    val (base, dv) = freshTable("dvspec_merge")
+    seed(base)
+    DocumentSources.softDelete(spark, base, dv,
+      Seq((0, 0L), (0, 2L)).toDF("bucket", "doc_id"))
+    DocumentSources.softDelete(spark, base, dv,
+      Seq((0, 2L), (0, 4L)).toDF("bucket", "doc_id"))
+    assert(spark.read.parquet(dv).count() === 3)
+    assert(DocumentSources.readVisible(spark, base, dv).count() === 17)
+  }
+
+  test("compaction rewrites dense buckets only, clears their DVs, and is idempotent") {
+    val (base, dv) = freshTable("dvspec_compact")
+    seed(base)
+    // bucket 0: 6/10 deleted (600 permille, dense); bucket 1: 1/10 (sparse)
+    DocumentSources.softDelete(spark, base, dv,
+      (Seq(0L, 2L, 4L, 6L, 8L, 10L).map(i => (0, i)) :+ ((1, 1L)))
+        .toDF("bucket", "doc_id"))
+    val sparseBefore = baseFileState(base).filter(_._1.contains("bucket=1"))
+    val manifest = DocumentSources
+      .applyDeletionVectors(spark, base, dv, minPermille = 300L)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(manifest(0) === ((10L, 6L, true)))
+    assert(manifest(1) === ((10L, 1L, false)))
+    assert(baseFileState(base).filter(_._1.contains("bucket=1"))
+      === sparseBefore, "sparse bucket files untouched")
+    val disk = spark.read.parquet(base)
+    assert(disk.where(col("bucket") === 0).count() === 4,
+      "dense bucket holds only visible rows")
+    assert(disk.where(col("bucket") === 1).count() === 10,
+      "sparse bucket still carries its deleted row on disk")
+    val dvLeft = spark.read.parquet(dv).select("bucket", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(dvLeft === Set((1, 1L)), "compacted bucket's DV rows dropped")
+    assert(DocumentSources.readVisible(spark, base, dv).count() === 13)
+    // idempotence: nothing dense remains, second run changes nothing
+    val state = baseFileState(base)
+    val again = DocumentSources
+      .applyDeletionVectors(spark, base, dv, minPermille = 300L)
+      .collect().map(r => r.getBoolean(3))
+    assert(again.forall(!_))
+    assert(baseFileState(base) === state)
+  }
+
+  test("a crashed DV swap (parked, no live root) heals on the next touch") {
+    val (base, dv) = freshTable("dvspec_crash")
+    seed(base)
+    DocumentSources.softDelete(spark, base, dv,
+      Seq((0, 0L)).toDF("bucket", "doc_id"))
+    val fs = new Path(dv).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between park and rename-in
+    assert(fs.rename(new Path(dv), new Path(s"$dv-old")))
+    val vis = DocumentSources.readVisible(spark, base, dv)
+    assert(vis.count() === 19, "recovery restored the parked DV")
+    assert(fs.exists(new Path(dv)) && !fs.exists(new Path(s"$dv-old")))
+  }
+}
