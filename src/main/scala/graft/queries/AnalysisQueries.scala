@@ -532,6 +532,130 @@ object AnalysisQueries {
       (n_latin1 + n_punct + n_repl > 0) AS flagged
     FROM c ORDER BY doc_id"""
 
+  // --- q146: data-mixture weights from quality × uniqueness ----------------
+  // A DoReMi-flavored (Xie et al. 2023's domain-reweighting QUESTION, not
+  // its proxy-model algorithm — no training loop in an engine) static
+  // mixture policy from two signals the engine already owns: a source
+  // earns sampling weight for passing the quality battery (q21) AND for
+  // contributing vocabulary nobody else has (q140b) — redundant or
+  // low-quality sources are down-weighted before q75's temperature
+  // machinery ever samples. All-integer: weight_raw = pass_permille ×
+  // unique_permille per source, normalized to permille by the corpus
+  // total (floored division — Σ weights ≤ 1000, gap < S, unit-gated).
+  // Shapes: the per-doc quality relation (narrow, zero shuffles) folds to
+  // S rows; the uniqueness relation reuses the memoized shingle index;
+  // the normalizer is a 1-row broadcast.
+  def q146MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val pass = q21Quality(spark, dir)
+      .select(col("doc_id"), col("quality_pass"))
+      .join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("quality_pass"), 1L).otherwise(0L)).as("npass"))
+      .select(col("source"), col("docs"),
+        expr("(1000 * npass) div docs").as("pass_permille"))
+    val uniq = DedupQueries.q140bSourceVocab(spark, dir)
+      .select(col("source"), col("unique_permille"))
+    val raw = pass.join(uniq, "source")
+      .withColumn("weight_raw", col("pass_permille") * col("unique_permille"))
+    val tot = raw.agg(sum(col("weight_raw")).as("tot"))
+    raw.crossJoin(broadcast(tot)) // 1-row scalar
+      .select(col("source"), col("docs"), col("pass_permille"),
+        col("unique_permille"),
+        when(col("tot") > 0, expr("(1000 * weight_raw) div tot"))
+          .otherwise(lit(0L)).as("weight_permille"))
+      .orderBy("source")
+  }
+
+  // lazy: composes DedupQueries.shingleCte, and DedupQueries' own init
+  // chain reaches back into this object (via CurationQueries) — an eager
+  // val here would deadlock-NPE the clinit cycle. Shared by q146 (the
+  // policy) and q149 (its realization).
+  private lazy val mixtureCtes: String =
+    s"""t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+    q AS (SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      $typeTokenRatioSql AS type_token_ratio,
+      $stopwordRatioSql AS stopword_ratio,
+      $nonAlnumRatioSql AS non_alnum_ratio
+      FROM t),
+    qp AS (SELECT doc_id, ${TextAnalysisOps.qualityPassSql()} AS quality_pass FROM q),
+    ps AS (SELECT d.source, CAST(count(*) AS BIGINT) AS docs,
+      (1000 * CAST(sum(CASE WHEN qp.quality_pass THEN 1 ELSE 0 END) AS BIGINT))
+        // CAST(count(*) AS BIGINT) AS pass_permille
+      FROM qp JOIN documents d ON qp.doc_id = d.doc_id GROUP BY d.source),
+    ${DedupQueries.shingleCte},
+    ss AS (SELECT DISTINCT d.source, sh.shingle
+      FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+    spread AS (SELECT shingle, CAST(count(*) AS BIGINT) AS n_sources
+      FROM ss GROUP BY shingle),
+    uq AS (SELECT ss.source,
+      (1000 * CAST(sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT))
+        // CAST(count(*) AS BIGINT) AS unique_permille
+      FROM ss JOIN spread ON ss.shingle = spread.shingle GROUP BY ss.source),
+    raw AS (SELECT ps.source, ps.docs, ps.pass_permille, uq.unique_permille,
+      ps.pass_permille * uq.unique_permille AS weight_raw
+      FROM ps JOIN uq ON ps.source = uq.source),
+    tot AS (SELECT CAST(sum(weight_raw) AS BIGINT) AS tot FROM raw),
+    w AS (SELECT raw.source, raw.docs, raw.pass_permille, raw.unique_permille,
+      CASE WHEN tot.tot > 0 THEN (1000 * raw.weight_raw) // tot.tot
+        ELSE 0 END AS weight_permille
+      FROM raw, tot)"""
+
+  lazy val q146Sql: String =
+    s"""WITH $mixtureCtes
+    SELECT source, docs, pass_permille, unique_permille, weight_permille
+    FROM w ORDER BY source"""
+
+  // --- q149: mixture realization (policy → sampled corpus) -----------------
+  // q146 computes the weight VECTOR; this materializes it: each source's
+  // floored quota of the MixTargetDocs budget (quota = weight·N div 1000)
+  // is filled by the first quota docs in the source's DETERMINISTIC
+  // pseudo-random order — q137's keyed permutation (perm 0 of
+  // charHash(doc_id)), so the realized corpus is a pure function of
+  // (corpus, policy), resume- and replay-stable with no RNG state. One
+  // rank window per source over the doc relation + an S-row quota
+  // broadcast join; Σ quota ≤ N by flooring (the gap < S — documented,
+  // unit-gated). Per-doc output keeps the oracle hash strong.
+  val MixTargetDocs = 200L
+
+  def q149MixtureRealization(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.HashOps
+    val quotas = q146MixtureWeights(spark, dir)
+      .select(col("source"),
+        expr(s"(weight_permille * $MixTargetDocs) div 1000").as("quota"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        HashOps.perm(0, HashOps.charHash(col("doc_id").cast("string")))
+          .as("k"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("k"), col("doc_id"))).cast("long"))
+    ranked.join(broadcast(quotas), "source")
+      .where(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  lazy val q149Sql: String = {
+    import graft.ops.HashOps
+    val h = HashOps.charHashSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH $mixtureCtes,
+    quotas AS (SELECT source,
+      (weight_permille * $MixTargetDocs) // 1000 AS quota FROM w),
+    hh AS (SELECT doc_id, source, $h AS h FROM documents),
+    kk AS (SELECT doc_id, source, ${HashOps.permSql(0, "h")} AS k FROM hh),
+    ranked AS (SELECT source, doc_id,
+      CAST(row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+        AS BIGINT) AS rk
+      FROM kk)
+    SELECT ranked.source, ranked.doc_id, ranked.rk
+    FROM ranked JOIN quotas ON ranked.source = quotas.source
+    WHERE ranked.rk <= quotas.quota
+    ORDER BY ranked.source, ranked.rk"""
+  }
+
   // --- q90: bigram surprisal (conditional-LM perplexity proxy) -----------
   // See TextAnalysisOps.bigramSurprisal: -log2 p(w2|w1) in integer log2
   // buckets under the corpus's own bigram counts — the sequence-level
@@ -1678,6 +1802,8 @@ object AnalysisQueries {
     "q135_tokenizer_fertility" -> (q135TokenizerFertility _),
     "q142_zipf_slope" -> (q142ZipfSlope _),
     "q145_mojibake" -> (q145Mojibake _),
+    "q146_mixture_weights" -> (q146MixtureWeights _),
+    "q149_mixture_realization" -> (q149MixtureRealization _),
     "q87_bpe_train" -> (q87BpeTrain _),
     "q87b_bpe_pair_counts" -> (q87bPairCounts _),
     "q87c_trained_tokens" -> (q87cTrainedTokens _),
@@ -1700,7 +1826,8 @@ object AnalysisQueries {
     "q83_distribution_drift" -> (q83DistributionDrift _),
     "q83b_ks_drift" -> (q83bKsDrift _))
 
-  val oracleSql: Map[String, String] = Map(
+  // lazy for the same clinit-cycle reason as q146Sql (which this forces)
+  lazy val oracleSql: Map[String, String] = Map(
     "q100_blocklist" -> q100Sql,
     "q131_c4_line_filter" -> q131Sql,
     "q99_heavy_hitters" -> q99Sql,
@@ -1718,6 +1845,8 @@ object AnalysisQueries {
     "q135_tokenizer_fertility" -> q135Sql,
     "q142_zipf_slope" -> q142Sql,
     "q145_mojibake" -> q145Sql,
+    "q146_mixture_weights" -> q146Sql,
+    "q149_mixture_realization" -> q149Sql,
     "q22c_wordpiece_tokens" -> q22cSql,
     "q87b_bpe_pair_counts" -> q87bSql,
     "q88_gopher_rules" -> q88Sql,

@@ -142,7 +142,9 @@ object DedupQueries {
     FROM c JOIN g ON c.canon = g.canon ORDER BY c.doc_id"""
 
   // --- shared oracle CTEs: tokens → shingles → hashes --------------------
-  private val shingleCte: String =
+  // package-visible: q146's mixture-weight oracle composes the q140b
+  // uniqueness body on top of the identical shingle relation
+  private[queries] val shingleCte: String =
     s"""tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
     sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
@@ -918,6 +920,49 @@ object DedupQueries {
     FROM per, tn ORDER BY per.tier"""
   }
 
+  // --- q148: cross-source near-dup pair matrix --------------------------------
+  // q141 measures VOCABULARY overlap between sources; this measures the
+  // realized DOC-level duplication: the verified >=0.3-Jaccard pair
+  // relation bucketed by (source, source) — the diagonal is intra-source
+  // template mass, off-diagonal entries are mirror/syndication evidence
+  // between specific source pairs (the takedown-one-of-them signal q141's
+  // vocabulary view can only suggest). Shapes: the STORED pair artifact
+  // (re-verified from scratch by the oracle) joins the S-row doc→source
+  // lookup twice — both joins keyed by doc id — and least/greatest
+  // canonicalizes the pair so (a,b) and (b,a) fold together; the output
+  // is ≤ S(S+1)/2 rows.
+  def q148CrossSourcePairs(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    jpairs(spark, dir)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val q148Sql: String =
+    s"""WITH $shingleCte,
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) >= $JaccardMinMicro)
+    SELECT least(da.source, db.source) AS src_a,
+      greatest(da.source, db.source) AS src_b,
+      CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.id_a
+    JOIN documents db ON db.doc_id = pairs.id_b
+    GROUP BY 1, 2 ORDER BY src_a, src_b"""
+
   // --- q120b: triangle counting over the near-dup graph --------------------
   // The third graph statistic after connectivity (q55) and centrality
   // (q120): per-doc triangle participation — triangles are what separates
@@ -1551,7 +1596,8 @@ object DedupQueries {
     "q140_vocab_growth" -> (q140VocabGrowth _),
     "q140b_source_vocab" -> (q140bSourceVocab _),
     "q141_source_overlap" -> (q141SourceOverlap _),
-    "q144_lsh_confusion" -> (q144LshConfusion _))
+    "q144_lsh_confusion" -> (q144LshConfusion _),
+    "q148_cross_source_pairs" -> (q148CrossSourcePairs _))
 
   val oracleSql: Map[String, String] = Map(
     "q127_kmv_overlap" -> q127Sql,
@@ -1583,5 +1629,6 @@ object DedupQueries {
     "q140_vocab_growth" -> q140Sql,
     "q140b_source_vocab" -> q140bSql,
     "q141_source_overlap" -> q141Sql,
-    "q144_lsh_confusion" -> q144Sql)
+    "q144_lsh_confusion" -> q144Sql,
+    "q148_cross_source_pairs" -> q148Sql)
 }

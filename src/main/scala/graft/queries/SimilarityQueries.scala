@@ -84,6 +84,57 @@ object SimilarityQueries {
     ORDER BY id_a, id_b"""
   }
 
+  // --- q147: near-dup threshold calibration curve -------------------------
+  // q28's 0.4 threshold is a dial someone has to SET; this is the evidence
+  // they set it with — the distribution of banded-candidate cosine scores
+  // in decile micro-buckets, with the survivors-at-or-above running total
+  // (read bottom-up, the curve's knee separates the near-dup mass from
+  // the background and is where the threshold belongs). Same banded
+  // relation as q28 with the threshold released to 0 (negative-cosine
+  // collisions are background by definition and excluded — also keeping
+  // the floored bucket division on non-negative operands, where Spark
+  // `div` and DuckDB `//` agree); the histogram folds the pair relation
+  // to ≤ 11 rows, and the running total is a window over those rows,
+  // so the report costs one aggregate more than q28 itself.
+  def q147ThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = SimilarityOps.cosineNearDupPairs(
+      Tables.embeddings(spark, dir), NearDupBits, NearDupBands, 0L)
+      .where(col("cos_micro") >= 0)
+    val hist = pairs
+      .select(expr("cos_micro div 100000").as("bucket_lo_decile"))
+      .groupBy("bucket_lo_decile").agg(count(lit(1)).as("n_pairs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_lo_decile").desc)
+      .rowsBetween(Long.MinValue, 0)
+    hist.withColumn("pairs_at_or_above", sum(col("n_pairs")).over(w))
+      .orderBy("bucket_lo_decile")
+  }
+
+  val q147Sql: String = {
+    val bandSelects = (0 until NearDupBands).map(t =>
+      s"SELECT vec_id, $t AS band, ${bucketSql(NearDupBits, t * NearDupBits)} AS key FROM n")
+      .mkString(" UNION ALL ")
+    s"""WITH $preparedCte,
+    b AS ($bandSelects),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+        AND a.vec_id < c.vec_id),
+    scored AS (
+      SELECT ${cosMicroSql("x.emb", "y.emb", "x.nrm", "y.nrm")} AS cos_micro
+      FROM cand
+      JOIN n x ON x.vec_id = cand.id_a
+      JOIN n y ON y.vec_id = cand.id_b),
+    hist AS (
+      SELECT cos_micro // 100000 AS bucket_lo_decile,
+        CAST(count(*) AS BIGINT) AS n_pairs
+      FROM scored WHERE cos_micro >= 0 GROUP BY 1)
+    SELECT bucket_lo_decile, n_pairs,
+      CAST(sum(n_pairs) OVER (ORDER BY bucket_lo_decile DESC) AS BIGINT)
+        AS pairs_at_or_above
+    FROM hist ORDER BY bucket_lo_decile"""
+  }
+
   // --- q29: brute-force cosine top-k -------------------------------------
   def q29KnnBrute(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.bruteForceTopK(
@@ -1113,6 +1164,7 @@ object SimilarityQueries {
     "q79b_sq8_knn" -> (q79bSq8Knn _),
     "q79c_sq8_rerank" -> (q79cSq8Rerank _),
     "q28_cosine_near_dup" -> (q28CosineNearDup _),
+    "q147_threshold_curve" -> (q147ThresholdCurve _),
     "q62_semantic_dedup" -> (q62SemanticDedup _),
     "q29_knn_brute" -> (q29KnnBrute _),
     "q29b_knn_lsh" -> (q29bKnnLsh _),
@@ -1143,6 +1195,7 @@ object SimilarityQueries {
     "q79b_sq8_knn" -> q79bSql,
     "q79c_sq8_rerank" -> q79cSql,
     "q28_cosine_near_dup" -> q28Sql,
+    "q147_threshold_curve" -> q147Sql,
     "q62_semantic_dedup" -> q62Sql,
     "q29_knn_brute" -> q29Sql,
     "q29b_knn_lsh" -> q29bSql,

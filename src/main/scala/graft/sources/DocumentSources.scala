@@ -421,7 +421,7 @@ object DocumentSources {
       .join(base, Seq("bucket", "doc_id"), "left_semi")
     val merged =
       if (fs.exists(new Path(dvPath)))
-        spark.read.parquet(dvPath).select("bucket", "doc_id")
+        readDv(spark, dvPath)
           .unionByName(incoming).distinct()
       else incoming.distinct()
     val staging = s"$dvPath-staging"
@@ -432,6 +432,15 @@ object DocumentSources {
     mustFs(fs.rename(new Path(staging), live), s"swap in $staging")
     if (fs.exists(parked)) mustFs(fs.delete(parked, true), s"drop $parked")
   }
+
+  /** DV tree scan with the schema pinned: once a compaction applies EVERY
+    * outstanding delete, the tree holds only _SUCCESS (an empty
+    * partitioned write) and parquet schema inference fails — the
+    * fully-applied state must read as an empty relation, not throw.
+    */
+  private def readDv(spark: SparkSession, dvPath: String): DataFrame =
+    spark.read.schema("doc_id LONG, bucket INT").parquet(dvPath)
+      .select("bucket", "doc_id")
 
   /** Visible rows of a DV-carrying table: base scan minus the DV — ONE
     * bucket-keyed anti-join, never a rewrite. Missing DV tree = nothing
@@ -444,8 +453,7 @@ object DocumentSources {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverRootSwap(fs, dvPath)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dvPath))) base
-    else base.join(
-      spark.read.parquet(dvPath).select("bucket", "doc_id"),
+    else base.join(readDv(spark, dvPath),
       Seq("bucket", "doc_id"), "left_anti")
   }
 
@@ -471,7 +479,7 @@ object DocumentSources {
     val dvExists = fs.exists(new Path(dvPath))
     val deleted =
       if (dvExists)
-        spark.read.parquet(dvPath)
+        readDv(spark, dvPath)
           .groupBy("bucket").agg(count(lit(1)).as("deleted"))
       else totals.select(col("bucket"), lit(0L).as("deleted")).limit(0)
     val manifest = totals.join(deleted, Seq("bucket"), "left")
@@ -504,7 +512,7 @@ object DocumentSources {
       mustFs(fs.delete(new Path(staging), true), s"drop $staging")
       if (fs.exists(oldRoot)) mustFs(fs.delete(oldRoot, true), s"drop $oldRoot")
       // the compacted buckets' DV rows are now applied — drop them
-      val remaining = spark.read.parquet(dvPath).select("bucket", "doc_id")
+      val remaining = readDv(spark, dvPath)
         .where(!col("bucket").isin(dense.map(Int.box): _*))
       val dvStaging = s"$dvPath-staging"
       remaining.write.mode("overwrite").partitionBy("bucket").parquet(dvStaging)

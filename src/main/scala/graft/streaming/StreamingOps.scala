@@ -434,6 +434,36 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming twin of the q143 deletion-vector soft delete: a takedown /
+    * right-to-erasure key stream lands each micro-batch as DV rows via
+    * [[graft.sources.DocumentSources.softDelete]], with an optional
+    * density-gated compaction sweep after each batch — so deletes become
+    * VISIBLE at micro-batch latency (the anti-join read path sees the new
+    * DV immediately) while data files are rewritten only when a bucket's
+    * delete density crosses `compactPermille`. foreachBatch replay safety:
+    * softDelete's DV merge is a set union (re-applying a batch is a
+    * no-op) and applyDeletionVectors is idempotent once a bucket is
+    * rewritten (its DV rows are gone, density drops to whatever later
+    * batches add), so at-least-once delivery converges. Pass
+    * `compactPermille = None` for pure soft-delete streaming.
+    */
+  def softDeleteStream(deleteKeys: DataFrame, basePath: String,
+                       dvPath: String, checkpoint: String,
+                       compactPermille: Option[Long] = None)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    deleteKeys.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.sources.DocumentSources.softDelete(
+          spark, basePath, dvPath, batch)
+        compactPermille.foreach(p =>
+          graft.sources.DocumentSources.applyDeletionVectors(
+            spark, basePath, dvPath, p))
+        ()
+      }
+      .start()
+
   /** Streaming twin of the q80 incremental ingest dedup: each micro-batch
     * of newly-ingested documents is MinHash-signed and band-joined against
     * the STORED signature index inside `foreachBatch` — the production

@@ -42,6 +42,26 @@ class PlanShapeSpec extends SparkSpec {
     assertNoQuadraticJoin("q28", SimilarityQueries.q28CosineNearDup(spark, dir))
   }
 
+  test("q141 source overlap stays an inverted-index equi-join") {
+    assertNoQuadraticJoin("q141", DedupQueries.q141SourceOverlap(spark, dir))
+  }
+
+  test("q144 confusion audit: pair joins stay equi; only the two declared " +
+      "1-row truth-count broadcasts are nested-loop") {
+    val plan = planOf(DedupQueries.q144LshConfusion(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"q144 plan regressed to a cartesian product:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2,
+      s"q144 grew nested-loop joins beyond the two scalar truth-count " +
+        s"broadcasts:\n$plan")
+  }
+
+  test("q147 threshold curve stays a bucketed equi-join") {
+    assertNoQuadraticJoin("q147",
+      SimilarityQueries.q147ThresholdCurve(spark, dir))
+  }
+
   test("q53b probes the Bloom filter in a Filter before the confirm join") {
     val df = DedupQueries.q53bDecontaminateBloom(spark, dir)
     val plan = planOf(df)

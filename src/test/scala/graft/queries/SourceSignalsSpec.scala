@@ -74,6 +74,57 @@ class SourceSignalsSpec extends SparkSpec {
       "at least one source has a strictly descending curve")
   }
 
+  test("q146: mixture weights are a floored probability vector tied to its factors") {
+    val out = AnalysisQueries.q146MixtureWeights(spark, dir).collect()
+    assert(out.nonEmpty)
+    val weights = out.map(_.getLong(4))
+    out.foreach { r =>
+      val (pp, up, w) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pp >= 0 && pp <= 1000 && up >= 0 && up <= 1000)
+      assert(w >= 0 && w <= 1000)
+      if (pp * up == 0) assert(w === 0, "a zero factor kills the weight")
+    }
+    val total = weights.sum
+    assert(total <= 1000 && total > 1000 - out.length,
+      s"floored normalization: sum $total within one floor per source")
+  }
+
+  test("q148: the source matrix conserves the pair relation and stays canonical") {
+    val out = DedupQueries.q148CrossSourcePairs(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getString(0) <= r.getString(1)))
+    val totalPairs = DedupQueries.q25NgramJaccard(spark, dir).count()
+    assert(out.map(_.getLong(2)).sum === totalPairs,
+      "every verified pair lands in exactly one matrix cell")
+  }
+
+  test("q149: realization fills exactly each source's floored quota, in " +
+      "deterministic permutation order") {
+    val picks = AnalysisQueries.q149MixtureRealization(spark, dir).collect()
+    val quotas = AnalysisQueries.q146MixtureWeights(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(4) * AnalysisQueries.MixTargetDocs / 1000)).toMap
+    val bySource = picks.groupBy(_.getString(0))
+    quotas.foreach { case (s, q) =>
+      val got = bySource.get(s).map(_.length.toLong).getOrElse(0L)
+      assert(got === math.min(q,
+        spark.read.parquet(s"$dir/documents.parquet")
+          .where(col("source") === s).count()), s"source $s quota")
+    }
+    bySource.values.foreach { rows =>
+      val rks = rows.map(_.getLong(2)).sorted
+      assert(rks.sameElements(1L to rks.length), "ranks are a 1..quota prefix")
+    }
+    val total = picks.length.toLong
+    assert(total <= AnalysisQueries.MixTargetDocs,
+      "floored quotas never overshoot the budget")
+    val expectedTotal = quotas.map { case (s, q) =>
+      math.min(q, spark.read.parquet(s"$dir/documents.parquet")
+        .where(col("source") === s).count())
+    }.sum
+    assert(total === expectedTotal, "total is exactly the sum of capped quotas")
+  }
+
   test("q142: single-term source degenerates to a null slope, not a crash") {
     import sqlImplicits._
     val docs = Seq((0L, "mono", "same same same")).toDF("doc_id", "source", "text")

@@ -95,6 +95,47 @@ class DeletionVectorSpec extends SparkSpec {
     assert(baseFileState(base) === state)
   }
 
+  test("the compaction rewrite's base scan prunes to the dense bucket dirs") {
+    val (base, dv) = freshTable("dvspec_prune")
+    seed(base)
+    DocumentSources.softDelete(spark, base, dv,
+      Seq((0, 0L)).toDF("bucket", "doc_id"))
+    val plan = DocumentSources.readVisible(spark, base, dv)
+      .where(col("bucket").isin(0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"dense-bucket rewrite must prune the base scan by partition:\n$plan")
+  }
+
+  test("softDeleteStream: deletes visible at micro-batch latency; the " +
+      "density gate compacts only once crossed") {
+    val (base, dv) = freshTable("dvspec_stream")
+    seed(base)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, Long)]
+    val ck = java.nio.file.Files.createTempDirectory("dv-stream-ck").toString
+    val q = graft.streaming.StreamingOps.softDeleteStream(
+      mem.toDF.toDF("bucket", "doc_id"), base, dv, ck,
+      compactPermille = Some(300L))
+    try {
+      mem.addData((0, 0L), (0, 2L)); q.processAllAvailable()
+      // 2/10 = 200 permille: soft-deleted but NOT compacted
+      assert(DocumentSources.readVisible(spark, base, dv).count() === 18)
+      assert(spark.read.parquet(base).where(col("bucket") === 0)
+        .count() === 10, "below the gate: base files untouched")
+      mem.addData((0, 4L), (0, 6L)); q.processAllAvailable()
+      // 4/10 = 400 permille: the sweep compacts bucket 0, clears its DV
+      assert(DocumentSources.readVisible(spark, base, dv).count() === 16)
+      assert(spark.read.parquet(base).where(col("bucket") === 0)
+        .count() === 6, "gate crossed: bucket rewritten to visible rows")
+      // fully-applied DV tree is EMPTY parquet (no data files) — the
+      // schema-pinned read is the contract (readDv); raw inference throws
+      assert(spark.read.schema("doc_id LONG, bucket INT").parquet(dv)
+        .count() === 0)
+    } finally q.stop()
+  }
+
   test("a crashed DV swap (parked, no live root) heals on the next touch") {
     val (base, dv) = freshTable("dvspec_crash")
     seed(base)
