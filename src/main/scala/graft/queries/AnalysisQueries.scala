@@ -656,6 +656,81 @@ object AnalysisQueries {
     ORDER BY ranked.source, ranked.rk"""
   }
 
+  // --- q150: realized-mixture decontamination report ------------------------
+  // The last gate before q149's corpus ships: per source, how much of the
+  // REALIZED mix is eval-unsafe — picks that ARE benchmark docs (the q53
+  // carve leaking wholesale: mixture sampling ignores eval membership
+  // unless told) and train picks sharing >= ContaminationMinShared
+  // shingles with the benchmark. The three relations composed (picks,
+  // carve, contamination) are each independently oracle-verified
+  // (q149/q53); this report is where their interaction is verified —
+  // a pick wrongly classified on EITHER axis shifts a permille and
+  // breaks the hash. Shapes: picks (<= budget rows) left-join the
+  // contamination scores by doc id; the rollup is S rows.
+  def q150MixtureDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val picks = q149MixtureRealization(spark, dir)
+      .select(col("source"), col("doc_id"))
+    val contaminated = DedupQueries.q53Decontaminate(spark, dir)
+      .where(col("contaminated"))
+      .select(col("doc_id"), lit(1L).as("is_contam"))
+    picks.join(contaminated, Seq("doc_id"), "left")
+      .select(col("source"),
+        (col("doc_id") % 20 === 0).as("is_bench"),
+        coalesce(col("is_contam"), lit(0L)).as("is_contam"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("picked"),
+        sum(when(col("is_bench"), 1L).otherwise(0L)).as("picked_bench"),
+        sum(when(!col("is_bench"), col("is_contam")).otherwise(0L))
+          .as("picked_contaminated"))
+      .select(col("source"), col("picked"), col("picked_bench"),
+        col("picked_contaminated"),
+        (col("picked") - col("picked_bench") - col("picked_contaminated"))
+          .as("clean"),
+        expr("(1000 * (picked - picked_bench - picked_contaminated)) div picked")
+          .as("clean_permille"))
+      .orderBy("source")
+  }
+
+  lazy val q150Sql: String = {
+    import graft.ops.HashOps
+    val h = HashOps.charHashSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH $mixtureCtes,
+    quotas AS (SELECT source,
+      (weight_permille * $MixTargetDocs) // 1000 AS quota FROM w),
+    hh AS (SELECT doc_id, source, $h AS h FROM documents),
+    kk AS (SELECT doc_id, source, ${HashOps.permSql(0, "h")} AS k FROM hh),
+    ranked AS (SELECT source, doc_id,
+      CAST(row_number() OVER (PARTITION BY source ORDER BY k, doc_id)
+        AS BIGINT) AS rk
+      FROM kk),
+    picks AS (SELECT ranked.source, ranked.doc_id
+      FROM ranked JOIN quotas ON ranked.source = quotas.source
+      WHERE ranked.rk <= quotas.quota),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+    shared AS (
+      SELECT t2.doc_id, count(*) AS n_shared
+      FROM train t2 JOIN bench b ON t2.shingle = b.shingle
+      GROUP BY t2.doc_id),
+    contam AS (SELECT doc_id FROM shared
+      WHERE n_shared >= ${DedupQueries.ContaminationMinShared}),
+    flags AS (SELECT p.source, p.doc_id % 20 = 0 AS is_bench,
+        (c.doc_id IS NOT NULL) AS is_contam
+      FROM picks p LEFT JOIN contam c ON p.doc_id = c.doc_id)
+    SELECT source, CAST(count(*) AS BIGINT) AS picked,
+      CAST(sum(CASE WHEN is_bench THEN 1 ELSE 0 END) AS BIGINT) AS picked_bench,
+      CAST(sum(CASE WHEN NOT is_bench AND is_contam THEN 1 ELSE 0 END) AS BIGINT)
+        AS picked_contaminated,
+      CAST(count(*) - sum(CASE WHEN is_bench THEN 1 ELSE 0 END)
+        - sum(CASE WHEN NOT is_bench AND is_contam THEN 1 ELSE 0 END) AS BIGINT)
+        AS clean,
+      (1000 * (CAST(count(*) AS BIGINT)
+        - CAST(sum(CASE WHEN is_bench THEN 1 ELSE 0 END) AS BIGINT)
+        - CAST(sum(CASE WHEN NOT is_bench AND is_contam THEN 1 ELSE 0 END) AS BIGINT)))
+        // CAST(count(*) AS BIGINT) AS clean_permille
+    FROM flags GROUP BY source ORDER BY source"""
+  }
+
   // --- q90: bigram surprisal (conditional-LM perplexity proxy) -----------
   // See TextAnalysisOps.bigramSurprisal: -log2 p(w2|w1) in integer log2
   // buckets under the corpus's own bigram counts — the sequence-level
@@ -1804,6 +1879,7 @@ object AnalysisQueries {
     "q145_mojibake" -> (q145Mojibake _),
     "q146_mixture_weights" -> (q146MixtureWeights _),
     "q149_mixture_realization" -> (q149MixtureRealization _),
+    "q150_mixture_decontamination" -> (q150MixtureDecontamination _),
     "q87_bpe_train" -> (q87BpeTrain _),
     "q87b_bpe_pair_counts" -> (q87bPairCounts _),
     "q87c_trained_tokens" -> (q87cTrainedTokens _),
@@ -1847,6 +1923,7 @@ object AnalysisQueries {
     "q145_mojibake" -> q145Sql,
     "q146_mixture_weights" -> q146Sql,
     "q149_mixture_realization" -> q149Sql,
+    "q150_mixture_decontamination" -> q150Sql,
     "q22c_wordpiece_tokens" -> q22cSql,
     "q87b_bpe_pair_counts" -> q87bSql,
     "q88_gopher_rules" -> q88Sql,

@@ -127,4 +127,46 @@ object StoredRelations {
     }
     rm(new java.io.File(graft.Scratch.dir("stored")))
   }
+
+  /** Garbage-collect the artifact store: the janitor a long-lived
+    * deployment schedules beside the maintenance jobs. Drops exactly the
+    * dirs that can never again be read as valid —
+    *
+    *   - `*.tmp-<pid>` staging siblings whose builder process is dead
+    *     (a crashed build; a LIVE pid's staging dir is left alone, it is
+    *     mid-write),
+    *   - artifact dirs with no fingerprint marker or no _SUCCESS (torn
+    *     writes — `isValid` already refuses them, this reclaims the
+    *     bytes).
+    *
+    * Deliberately does NOT age out valid artifacts: validity is
+    * fingerprint-checked on every read, so a "stale" artifact is dropped
+    * the moment a reader sees new inputs — age adds nothing the
+    * fingerprint doesn't already know. Returns (path, reason) for each
+    * dropped dir.
+    */
+  def gc(): Seq[(String, String)] = {
+    val root = new java.io.File(graft.Scratch.dir("stored"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Option(root.listFiles).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory).sortBy(_.getName).flatMap { d =>
+        val name = d.getName
+        val tmpPid = "\\.tmp-(\\d+)$".r.findFirstMatchIn(name)
+          .map(_.group(1).toLong)
+        val reason: Option[String] = tmpPid match {
+          case Some(pid) =>
+            val alive = java.lang.ProcessHandle.of(pid)
+              .map[Boolean](_.isAlive).orElse(false)
+            if (alive) None else Some("dead-builder staging dir")
+          case None =>
+            val torn =
+              !java.nio.file.Files.exists(d.toPath.resolve(MarkerFile)) ||
+                !java.nio.file.Files.exists(d.toPath.resolve("_SUCCESS"))
+            if (torn) Some("torn write (no marker/_SUCCESS)") else None
+        }
+        reason.map { r => rm(d); (d.getPath, r) }
+      }
+  }
 }

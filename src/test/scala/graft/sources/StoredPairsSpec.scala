@@ -107,4 +107,37 @@ class StoredPairsSpec extends SparkSpec {
     assert(builds == 4, "marker-less (torn) artifact treated as valid")
     java.nio.file.Files.delete(in)
   }
+
+  test("gc reclaims dead-builder staging and torn artifacts, keeps the valid") {
+    import sqlImplicits._
+    val in = java.nio.file.Files.createTempFile("graft-gc-in", ".txt")
+    java.nio.file.Files.writeString(in, "v1")
+    val name = s"gcspec_${System.nanoTime}"
+    StoredRelations.readOrBuild(spark, name, Seq(in.toString), "1")(
+      Seq((1L, "a")).toDF("id", "v"))
+    val storedRoot = new java.io.File(graft.Scratch.dir("stored"))
+    val valid = storedRoot.listFiles().filter(_.getName.startsWith(name)).head
+    // plant a dead-builder staging dir (pid 1 is init — never a builder
+    // of ours, but ALIVE, so use an impossible pid instead) and a torn
+    // artifact (dir with parquet-ish content but no marker)
+    val deadTmp = new java.io.File(storedRoot, s"$name-zz.tmp-999999999")
+    assert(deadTmp.mkdirs())
+    val torn = new java.io.File(storedRoot, s"$name-torn")
+    assert(torn.mkdirs())
+    val swept = StoredRelations.gc()
+    val sweptPaths = swept.map(_._1).toSet
+    assert(sweptPaths.contains(deadTmp.getPath), s"dead staging kept: $swept")
+    assert(sweptPaths.contains(torn.getPath), s"torn artifact kept: $swept")
+    assert(!sweptPaths.contains(valid.getPath), "valid artifact swept")
+    assert(valid.exists && !deadTmp.exists && !torn.exists)
+    // a LIVE builder's staging dir is mid-write — must survive the sweep
+    val liveTmp = new java.io.File(storedRoot,
+      s"$name-live.tmp-${java.lang.ProcessHandle.current.pid}")
+    assert(liveTmp.mkdirs())
+    try {
+      assert(!StoredRelations.gc().map(_._1).contains(liveTmp.getPath))
+      assert(liveTmp.exists)
+    } finally { liveTmp.delete(); () }
+    java.nio.file.Files.delete(in)
+  }
 }
