@@ -292,6 +292,7 @@ object AnalysisQueries {
     */
   def evictAll(): Unit = {
     trainedCache.clear(); unigramCache.clear(); wpCache.clear()
+    mixtureCache.clear()
   }
 
   def q87BpeTrain(spark: SparkSession, dir: String): DataFrame =
@@ -545,7 +546,7 @@ object AnalysisQueries {
   // Shapes: the per-doc quality relation (narrow, zero shuffles) folds to
   // S rows; the uniqueness relation reuses the memoized shingle index;
   // the normalizer is a 1-row broadcast.
-  def q146MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+  private def mixtureWeightsLive(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     val pass = q21Quality(spark, dir)
       .select(col("doc_id"), col("quality_pass"))
@@ -565,6 +566,39 @@ object AnalysisQueries {
         col("unique_permille"),
         when(col("tot") > 0, expr("(1000 * weight_raw) div tot"))
           .otherwise(lit(0L)).as("weight_permille"))
+      .orderBy("source")
+  }
+
+  /** Session memo for the weight vector: THREE registry queries consume
+    * it (q146 emits it, q149 realizes it, q150 audits the realization) —
+    * as independent programs each re-derived the full quality + shingle-
+    * uniqueness chain (~4 s each at sf0.1). The memo holds the S
+    * collected rows driver-side (scalar-bounded: one row per source, the
+    * trainedCache precedent); [[evictAll]] clears it so the bench's cold
+    * pass genuinely re-derives.
+    */
+  private val mixtureCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[org.apache.spark.sql.Row]]()
+
+  private val MixtureSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("docs",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("pass_permille",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("unique_permille",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("weight_permille",
+      org.apache.spark.sql.types.LongType, nullable = true)))
+
+  def q146MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    mixtureCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    val rows = mixtureCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      { case (_, d) => mixtureWeightsLive(spark, d).collect().toSeq })
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), MixtureSchema)
       .orderBy("source")
   }
 
