@@ -1103,6 +1103,169 @@ object DedupQueries {
     ORDER BY doc_a, chunk_a, doc_b, chunk_b"""
   }
 
+  // --- q151: chunk-level duplicate clusters (canonical chunk selection) ------
+  // q128 finds chunk near-dup PAIRS; this closes the chunk tier to match
+  // the doc tier's pairs→clusters→canonical ladder (q25→q55→q84): label
+  // propagation over the chunk near-dup graph, min-cid canonical per
+  // component — the relation a chunk-granular dedup pass actually
+  // consumes (drop every chunk whose cluster canonical lives elsewhere,
+  // keeping ONE copy of a paragraph syndicated across documents). Same
+  // diameter-independent LP as q55 (converges in O(component diameter)
+  // rounds with eager checkpoint truncation); the oracle replays the
+  // full MinHash chain + a recursive-CTE closure over chunk ids, so a
+  // banding, estimation, or propagation drift all break the hash.
+  def q151ChunkClusters(spark: SparkSession, dir: String): DataFrame = {
+    import CurationQueries.{ChunkSize, ChunkStride}
+    val chunks = graft.ops.TextAnalysisOps.contextChunks(
+      Tables.documents(spark, dir), ChunkSize, ChunkStride)
+      .select((col("doc_id") * ChunkKeyBase + col("chunk_id")).as("cid"),
+        col("chunk").as("toks"))
+    val pairs = DedupOps.minhashPairs(
+      DedupOps.minhashSignatures(
+        DedupOps.shingles(chunks, ShingleN, idCol = "cid"), idCol = "cid"),
+      rowsPerBand = 4, MinhashMinMicro, idCol = "cid")
+    DedupOps.duplicateClusters(chunks.select(col("cid")), pairs, idCol = "cid")
+      .select(expr(s"cid div $ChunkKeyBase").as("doc_id"),
+        (col("cid") % ChunkKeyBase).as("chunk_id"),
+        expr(s"cluster_id div $ChunkKeyBase").as("cluster_doc"),
+        (col("cluster_id") % ChunkKeyBase).as("cluster_chunk"),
+        (col("cid") =!= col("cluster_id")).as("is_duplicate"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val q151Sql: String = {
+    val k = HashOps.MinHashK
+    val n = ShingleN
+    val minExprs = (0 until k)
+      .map(i => s"min(${HashOps.permSql(i, "th")}) AS m$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT cid, $b AS band, $key AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH RECURSIVE t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    c AS (SELECT doc_id * $ChunkKeyBase + (start // ${CurationQueries.ChunkStride}) AS cid,
+        toks[(CAST(start AS INT)+1):(CAST(start AS INT)+${CurationQueries.ChunkSize})] AS ctoks
+      FROM (SELECT doc_id, toks,
+          unnest(range(0, len(toks), ${CurationQueries.ChunkStride})) AS start
+        FROM t)),
+    sh AS (
+      SELECT cid, unnest(list_distinct(list_transform(
+        range(0, len(ctoks) - $n + 1),
+        i -> array_to_string(ctoks[(CAST(i AS INT)+1):(CAST(i AS INT)+$n)], ' ')))) AS shingle
+      FROM c WHERE len(ctoks) >= $n),
+    h AS (SELECT cid, ${HashOps.charHashSql("shingle")} AS th FROM sh),
+    sig AS (SELECT cid, $minExprs FROM h GROUP BY cid),
+    bands AS ($bandSelects),
+    cand AS (
+      SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.cid < b.cid),
+    cpairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sig sa ON sa.cid = id_a
+      JOIN sig sb ON sb.cid = id_b
+      WHERE floor(1000000 * ($agree) / $k) >= $MinhashMinMicro),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cpairs
+      UNION ALL SELECT id_b, id_a FROM cpairs),
+    reach(id, lab) AS (
+      SELECT cid, cid FROM c
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    labs AS (
+      SELECT id AS cid, CAST(min(lab) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id)
+    SELECT cid // $ChunkKeyBase AS doc_id, cid % $ChunkKeyBase AS chunk_id,
+      cluster_id // $ChunkKeyBase AS cluster_doc,
+      cluster_id % $ChunkKeyBase AS cluster_chunk,
+      cid <> cluster_id AS is_duplicate
+    FROM labs ORDER BY doc_id, chunk_id"""
+  }
+
+  // --- q152: incremental vocabulary maintenance (delta-only refresh) ---------
+  // The q130b maintenance algebra applied to the q140b vocabulary stats:
+  // at 100 TB nobody re-tokenizes the corpus to refresh "per-source
+  // vocabulary and unique share" after a daily delta — the maintained
+  // state is the per-(source, shingle) PRESENCE COUNT (#docs of that
+  // source containing the shingle; Heaps-sublinear in corpus size), and
+  // a delta updates it additively: removed/changed-old docs subtract
+  // their presences, added/changed-new docs add theirs, rows at zero
+  // drop out. vocab = rows with count > 0, uniqueness = the cross-source
+  // spread of the surviving rows — all O(state + delta), never O(corpus).
+  // Snapshot A's state is built live here (standing in for the stored
+  // table, the q130b precedent); the ORACLE computes snapshot B's stats
+  // FROM SCRATCH, so any error in the merge algebra — a missed pre-image,
+  // a double-subtracted changed doc, wrong zero-row handling — breaks
+  // the hash.
+  def q152IncrementalVocab(spark: SparkSession, dir: String): DataFrame = {
+    import CurationQueries.Snapshots
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    def presences(df: DataFrame): DataFrame =
+      DedupOps.shingles(
+        df.select(col("doc_id"), TextOps.tokenize(col("text")).as("toks")),
+        ShingleN)
+        .join(df.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source", "shingle").agg(count(lit(1)).as("cnt"))
+    val a = docs.where(Snapshots.inA)
+    val b = docs.where(Snapshots.inB)
+      .select(col("doc_id"), col("source"), Snapshots.textB.as("text"))
+    val changedIds = a.select(col("doc_id"), col("text").as("ta"))
+      .join(b.select(col("doc_id"), col("text").as("tb")), "doc_id")
+      .where(col("ta") =!= col("tb")).select("doc_id")
+    val minus = presences(
+      a.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(a.join(changedIds, "doc_id")))
+    val plus = presences(
+      b.join(a.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(b.join(changedIds, "doc_id")))
+    val state = presences(a)
+      .select(col("source"), col("shingle"), col("cnt"), lit(0L).as("d"))
+      .unionByName(minus.select(col("source"), col("shingle"),
+        lit(0L).as("cnt"), (-col("cnt")).as("d")))
+      .unionByName(plus.select(col("source"), col("shingle"),
+        lit(0L).as("cnt"), col("cnt").as("d")))
+      .groupBy("source", "shingle")
+      .agg((sum(col("cnt")) + sum(col("d"))).as("cnt"))
+      .where(col("cnt") > 0)
+    val ss = state.select(col("source"), col("shingle"))
+    val spread = ss.groupBy("shingle").agg(count(lit(1)).as("n_sources"))
+    ss.join(spread, "shingle")
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("unique_vocab"))
+      .select(col("source"), col("vocab"), col("unique_vocab"),
+        expr("(1000 * unique_vocab) div vocab").as("unique_permille"))
+      .orderBy("source")
+  }
+
+  val q152Sql: String = {
+    import CurationQueries.Snapshots
+    val n = ShingleN
+    s"""WITH bd AS (SELECT doc_id, source, ${Snapshots.textBSql} AS btext
+      FROM documents WHERE ${Snapshots.inBSql}),
+    tok AS (SELECT doc_id, ${toksSql("btext")} AS toks FROM bd),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(0, len(toks) - $n + 1),
+        i -> array_to_string(toks[(CAST(i AS INT)+1):(CAST(i AS INT)+$n)], ' ')))) AS shingle
+      FROM tok WHERE len(toks) >= $n),
+    ss AS (SELECT DISTINCT bd.source, sh.shingle
+      FROM sh JOIN bd ON sh.doc_id = bd.doc_id),
+    spread AS (SELECT shingle, CAST(count(*) AS BIGINT) AS n_sources
+      FROM ss GROUP BY shingle)
+    SELECT ss.source, CAST(count(*) AS BIGINT) AS vocab,
+      CAST(sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS unique_vocab,
+      (1000 * CAST(sum(CASE WHEN spread.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT))
+        // CAST(count(*) AS BIGINT) AS unique_permille
+    FROM ss JOIN spread ON ss.shingle = spread.shingle
+    GROUP BY ss.source ORDER BY ss.source"""
+  }
+
   // --- q120: integer PageRank over the near-dup graph -----------------------
   // Centrality beyond connectivity: q55 tells you WHICH docs form a
   // duplication component, PageRank tells you which doc is the
@@ -1597,7 +1760,9 @@ object DedupQueries {
     "q140b_source_vocab" -> (q140bSourceVocab _),
     "q141_source_overlap" -> (q141SourceOverlap _),
     "q144_lsh_confusion" -> (q144LshConfusion _),
-    "q148_cross_source_pairs" -> (q148CrossSourcePairs _))
+    "q148_cross_source_pairs" -> (q148CrossSourcePairs _),
+    "q151_chunk_clusters" -> (q151ChunkClusters _),
+    "q152_incremental_vocab" -> (q152IncrementalVocab _))
 
   val oracleSql: Map[String, String] = Map(
     "q127_kmv_overlap" -> q127Sql,
@@ -1630,5 +1795,7 @@ object DedupQueries {
     "q140b_source_vocab" -> q140bSql,
     "q141_source_overlap" -> q141Sql,
     "q144_lsh_confusion" -> q144Sql,
-    "q148_cross_source_pairs" -> q148Sql)
+    "q148_cross_source_pairs" -> q148Sql,
+    "q151_chunk_clusters" -> q151Sql,
+    "q152_incremental_vocab" -> q152Sql)
 }
