@@ -135,6 +135,55 @@ object SimilarityQueries {
     FROM hist ORDER BY bucket_lo_decile"""
   }
 
+  // --- q153: ANN recall dashboard (rungs vs brute force) --------------------
+  // The recall numbers the specs gate (JlRecallSpec, DedupSimilaritySpec)
+  // promoted to an ORACLED artifact row: per approximate rung — sign-LSH
+  // (q29b), JL projection (q29e), multi-probe LSH (q29g) — the fraction
+  // of the brute-force top-k it returns, in permille. Every input
+  // relation is itself hash-verified, and the dashboard's oracle replays
+  // all four chains in one statement, so the published recall number is
+  // exactly as trustworthy as the rungs themselves — the "is the index
+  // good enough" evidence a deployment reads before routing queries to
+  // the approximate path. Cost: the rungs' own plans plus pair-keyed
+  // joins and a 3-row rollup.
+  def q153AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = q29KnnBrute(spark, dir).select("query_id", "cand_id")
+    val possible = brute.agg(count(lit(1)).as("possible"))
+    def rung(name: String, df: DataFrame): DataFrame =
+      df.select("query_id", "cand_id")
+        .join(brute, Seq("query_id", "cand_id"), "left_semi")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("hits"))
+        .crossJoin(broadcast(possible)) // 1-row scalar
+        .select(lit(name).as("rung"), col("hits"), col("possible"),
+          expr("(1000 * hits) div possible").as("recall_permille"))
+    rung("jl", q29eKnnJl(spark, dir))
+      .unionByName(rung("lsh", q29bKnnLsh(spark, dir)))
+      .unionByName(rung("multiprobe", q29gMultiProbe(spark, dir)))
+      .orderBy("rung")
+  }
+
+  // lazy: interpolates the rung SQL vals declared LATER in this object —
+  // an eager val here reads them as null mid-clinit
+  lazy val q153Sql: String =
+    s"""WITH brute AS (SELECT query_id, cand_id FROM ($q29Sql) x),
+    r_lsh AS (SELECT query_id, cand_id FROM ($q29bSql) x),
+    r_jl AS (SELECT query_id, cand_id FROM ($q29eSql) x),
+    r_mp AS (SELECT query_id, cand_id FROM ($q29gSql) x),
+    tagged AS (
+      SELECT 'jl' AS rung, query_id, cand_id FROM r_jl
+      UNION ALL SELECT 'lsh', query_id, cand_id FROM r_lsh
+      UNION ALL SELECT 'multiprobe', query_id, cand_id FROM r_mp),
+    per AS (
+      SELECT rung, CAST(coalesce(sum(CASE WHEN b.query_id IS NOT NULL
+        THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+      FROM tagged t LEFT JOIN brute b
+        ON t.query_id = b.query_id AND t.cand_id = b.cand_id
+      GROUP BY rung),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM brute)
+    SELECT per.rung, per.hits, tot.possible,
+      (1000 * per.hits) // tot.possible AS recall_permille
+    FROM per, tot ORDER BY per.rung"""
+
   // --- q29: brute-force cosine top-k -------------------------------------
   def q29KnnBrute(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.bruteForceTopK(
@@ -1165,6 +1214,7 @@ object SimilarityQueries {
     "q79c_sq8_rerank" -> (q79cSq8Rerank _),
     "q28_cosine_near_dup" -> (q28CosineNearDup _),
     "q147_threshold_curve" -> (q147ThresholdCurve _),
+    "q153_ann_recall" -> (q153AnnRecall _),
     "q62_semantic_dedup" -> (q62SemanticDedup _),
     "q29_knn_brute" -> (q29KnnBrute _),
     "q29b_knn_lsh" -> (q29bKnnLsh _),
@@ -1196,6 +1246,7 @@ object SimilarityQueries {
     "q79c_sq8_rerank" -> q79cSql,
     "q28_cosine_near_dup" -> q28Sql,
     "q147_threshold_curve" -> q147Sql,
+    "q153_ann_recall" -> q153Sql,
     "q62_semantic_dedup" -> q62Sql,
     "q29_knn_brute" -> q29Sql,
     "q29b_knn_lsh" -> q29bSql,
