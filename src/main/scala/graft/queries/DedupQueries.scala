@@ -1266,6 +1266,61 @@ object DedupQueries {
     GROUP BY ss.source ORDER BY ss.source"""
   }
 
+  // --- q154: chunk-tier dedup savings ----------------------------------------
+  // q139 reports the doc-tier budget recovery (exact, near); this adds
+  // the CHUNK tier — the savings only paragraph-granular dedup can see
+  // (two long documents sharing one syndicated section lose nothing at
+  // doc granularity, q151 reclaims exactly the duplicated chunks).
+  // Tokens here are chunk token counts (the unit q69's packing budget is
+  // denominated in); the report is one row: chunks/tokens total, removed
+  // (q151's non-canonical members), and the permille recovered.
+  def q154ChunkSavings(spark: SparkSession, dir: String): DataFrame = {
+    import CurationQueries.{ChunkSize, ChunkStride}
+    val chunks = graft.ops.TextAnalysisOps.contextChunks(
+      Tables.documents(spark, dir), ChunkSize, ChunkStride)
+      .select((col("doc_id") * ChunkKeyBase + col("chunk_id")).as("cid"),
+        org.apache.spark.sql.functions.size(col("chunk")).cast("long")
+          .as("n_tokens"))
+    val labels = q151ChunkClusters(spark, dir)
+      .select((col("doc_id") * ChunkKeyBase + col("chunk_id")).as("cid"),
+        col("is_duplicate"))
+    chunks.join(labels, "cid")
+      .agg(count(lit(1)).as("chunks_total"),
+        sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("chunks_removed"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("is_duplicate"), col("n_tokens")).otherwise(0L))
+          .as("tokens_removed"))
+      .select(col("chunks_total"), col("chunks_removed"),
+        col("tokens_total"), col("tokens_removed"),
+        when(col("tokens_total") > 0,
+          expr("(1000 * tokens_removed) div tokens_total"))
+          .as("removed_permille"))
+  }
+
+  lazy val q154Sql: String = {
+    // the q151 statement nested whole (its ORDER BY is inert inside the
+    // subquery); lazy for the same declaration-order reason as q153Sql
+    s"""WITH labs AS (
+      SELECT doc_id * $ChunkKeyBase + chunk_id AS cid, is_duplicate
+      FROM ($q151Sql) x),
+    t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    c AS (SELECT doc_id * $ChunkKeyBase + (start // ${CurationQueries.ChunkStride}) AS cid,
+        CAST(len(toks[(CAST(start AS INT)+1):(CAST(start AS INT)+${CurationQueries.ChunkSize})]) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, toks,
+          unnest(range(0, len(toks), ${CurationQueries.ChunkStride})) AS start
+        FROM t))
+    SELECT CAST(count(*) AS BIGINT) AS chunks_total,
+      CAST(sum(CASE WHEN labs.is_duplicate THEN 1 ELSE 0 END) AS BIGINT)
+        AS chunks_removed,
+      CAST(sum(c.n_tokens) AS BIGINT) AS tokens_total,
+      CAST(sum(CASE WHEN labs.is_duplicate THEN c.n_tokens ELSE 0 END) AS BIGINT)
+        AS tokens_removed,
+      CASE WHEN sum(c.n_tokens) > 0
+        THEN (1000 * CAST(sum(CASE WHEN labs.is_duplicate THEN c.n_tokens ELSE 0 END) AS BIGINT))
+          // CAST(sum(c.n_tokens) AS BIGINT) END AS removed_permille
+    FROM c JOIN labs ON c.cid = labs.cid"""
+  }
+
   // --- q120: integer PageRank over the near-dup graph -----------------------
   // Centrality beyond connectivity: q55 tells you WHICH docs form a
   // duplication component, PageRank tells you which doc is the
@@ -1762,7 +1817,8 @@ object DedupQueries {
     "q144_lsh_confusion" -> (q144LshConfusion _),
     "q148_cross_source_pairs" -> (q148CrossSourcePairs _),
     "q151_chunk_clusters" -> (q151ChunkClusters _),
-    "q152_incremental_vocab" -> (q152IncrementalVocab _))
+    "q152_incremental_vocab" -> (q152IncrementalVocab _),
+    "q154_chunk_savings" -> (q154ChunkSavings _))
 
   val oracleSql: Map[String, String] = Map(
     "q127_kmv_overlap" -> q127Sql,
@@ -1797,5 +1853,6 @@ object DedupQueries {
     "q144_lsh_confusion" -> q144Sql,
     "q148_cross_source_pairs" -> q148Sql,
     "q151_chunk_clusters" -> q151Sql,
-    "q152_incremental_vocab" -> q152Sql)
+    "q152_incremental_vocab" -> q152Sql,
+    "q154_chunk_savings" -> q154Sql)
 }

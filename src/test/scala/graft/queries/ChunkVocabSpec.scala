@@ -67,6 +67,17 @@ class ChunkVocabSpec extends SparkSpec {
     }, "the disjoint doc stays in its own clusters")
   }
 
+  test("q154: the savings report conserves q151's label relation") {
+    val report = DedupQueries.q154ChunkSavings(spark, dir).collect().head
+    val labels = DedupQueries.q151ChunkClusters(spark, dir).collect()
+    assert(report.getLong(0) === labels.length.toLong, "chunks_total")
+    assert(report.getLong(1) === labels.count(_.getBoolean(4)).toLong,
+      "chunks_removed == duplicate-labeled chunks")
+    assert(report.getLong(3) <= report.getLong(2))
+    assert(report.getLong(4) ===
+      1000L * report.getLong(3) / report.getLong(2))
+  }
+
   test("q152: incremental algebra agrees with a from-scratch Spark computation") {
     import CurationQueries.Snapshots
     val incremental = DedupQueries.q152IncrementalVocab(spark, dir).collect()
