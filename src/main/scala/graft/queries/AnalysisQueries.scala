@@ -765,6 +765,66 @@ object AnalysisQueries {
     FROM flags GROUP BY source ORDER BY source"""
   }
 
+  // --- q155: per-source quality drift across snapshots ----------------------
+  // The ops-monitoring twin of q83's distribution drift, aimed at the
+  // quality gate: per source, the q21 battery's pass rate in snapshot A
+  // vs snapshot B (same carve + text rewrite as the q71/q130 family) and
+  // the drift in permille POINTS — the "did this source's latest crawl
+  // degrade" alarm a recurring ingest reads before the mixture weights
+  // (q146) are recomputed. Drift is a plain BIGINT subtraction (may be
+  // negative — no division, so no floor-semantics hazard). Two narrow
+  // battery passes + two S-row aggregates.
+  def q155QualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    import CurationQueries.Snapshots
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    def passRate(df: DataFrame, suffix: String): DataFrame = {
+      val toked = df.select(col("doc_id"), col("source"), col("text"),
+        TextOps.tokenize(col("text")).as("toks"))
+      val q = toked.select(
+        (Seq(col("doc_id"), col("source")) ++
+          TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*)
+      q.withColumn("p", TextAnalysisOps.qualityPass)
+        .groupBy("source")
+        .agg(count(lit(1)).as(s"docs_$suffix"),
+          expr("(1000 * sum(CASE WHEN p THEN 1 ELSE 0 END)) div count(1)")
+            .as(s"pass_${suffix}_permille"))
+    }
+    val a = passRate(docs.where(Snapshots.inA), "a")
+    val b = passRate(docs.where(Snapshots.inB)
+      .select(col("doc_id"), col("source"), Snapshots.textB.as("text")), "b")
+    a.join(b, Seq("source"))
+      .withColumn("drift_pm",
+        col("pass_b_permille") - col("pass_a_permille"))
+      .orderBy("source")
+  }
+
+  val q155Sql: String = {
+    import CurationQueries.Snapshots
+    def battery(fromCte: String): String =
+      s"""(SELECT source,
+        CAST(count(*) AS BIGINT) AS docs,
+        (1000 * CAST(sum(CASE WHEN ${TextAnalysisOps.qualityPassSql()}
+          THEN 1 ELSE 0 END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS pp
+      FROM (SELECT source,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          $typeTokenRatioSql AS type_token_ratio,
+          $stopwordRatioSql AS stopword_ratio,
+          $nonAlnumRatioSql AS non_alnum_ratio
+        FROM (SELECT source, text, ${toksSql("text")} AS toks FROM $fromCte) z)
+      GROUP BY source)"""
+    s"""WITH ad AS (SELECT doc_id, source, text FROM documents
+      WHERE ${Snapshots.inASql}),
+    bd AS (SELECT doc_id, source, ${Snapshots.textBSql} AS text
+      FROM documents WHERE ${Snapshots.inBSql}),
+    pa AS ${battery("ad")},
+    pb AS ${battery("bd")}
+    SELECT pa.source, pa.docs AS docs_a, pa.pp AS pass_a_permille,
+      pb.docs AS docs_b, pb.pp AS pass_b_permille,
+      pb.pp - pa.pp AS drift_pm
+    FROM pa JOIN pb ON pa.source = pb.source ORDER BY pa.source"""
+  }
+
   // --- q90: bigram surprisal (conditional-LM perplexity proxy) -----------
   // See TextAnalysisOps.bigramSurprisal: -log2 p(w2|w1) in integer log2
   // buckets under the corpus's own bigram counts — the sequence-level
@@ -1914,6 +1974,7 @@ object AnalysisQueries {
     "q146_mixture_weights" -> (q146MixtureWeights _),
     "q149_mixture_realization" -> (q149MixtureRealization _),
     "q150_mixture_decontamination" -> (q150MixtureDecontamination _),
+    "q155_quality_drift" -> (q155QualityDrift _),
     "q87_bpe_train" -> (q87BpeTrain _),
     "q87b_bpe_pair_counts" -> (q87bPairCounts _),
     "q87c_trained_tokens" -> (q87cTrainedTokens _),
@@ -1958,6 +2019,7 @@ object AnalysisQueries {
     "q146_mixture_weights" -> q146Sql,
     "q149_mixture_realization" -> q149Sql,
     "q150_mixture_decontamination" -> q150Sql,
+    "q155_quality_drift" -> q155Sql,
     "q22c_wordpiece_tokens" -> q22cSql,
     "q87b_bpe_pair_counts" -> q87bSql,
     "q88_gopher_rules" -> q88Sql,

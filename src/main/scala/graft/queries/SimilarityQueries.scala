@@ -184,6 +184,79 @@ object SimilarityQueries {
       (1000 * per.hits) // tot.possible AS recall_permille
     FROM per, tot ORDER BY per.rung"""
 
+  // --- q156: embedding-table DQ constraint battery ---------------------------
+  // q124's constraint suite covers the relational tables; this is the
+  // vector-side battery every ANN index build should gate on — a single
+  // NaN or zero-norm vector silently poisons cosine math (NaN propagates
+  // through dot products; zero norm divides by zero), and a wrong-dims
+  // row breaks codegen'd folds. One row per constraint, exact violation
+  // counts: pk uniqueness, dims == 64, NaN elements, null elements, null
+  // embeddings, exact-zero norm (the left-fold sum-of-squares both
+  // engines compute in the same order), label domain. Each check is one
+  // narrow pass; the fixture is clean, so the non-vacuity lives in the
+  // unit's dirty hand table where every rule fires.
+  def q156EmbeddingDq(spark: SparkSession, dir: String): DataFrame =
+    embeddingDqBattery(Tables.embeddings(spark, dir))
+
+  /** The battery over any (vec_id, embedding, label) frame — factored so
+    * the unit can drive it with a dirty hand table (the fixture is clean,
+    * so every fixture row is a zero; the unit is where each rule FIRES).
+    */
+  def embeddingDqBattery(e: DataFrame): DataFrame = {
+    def cnt(name: String, d: DataFrame) =
+      d.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("constraint_name"), col("violations"))
+    val dupIds = e.groupBy("vec_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+    val badDims = e.where(col("embedding").isNotNull &&
+      org.apache.spark.sql.functions.size(col("embedding")) =!= 64)
+    val nanElems = e.where(col("embedding").isNotNull &&
+      exists(col("embedding"), x => isnan(x)))
+    val nullElems = e.where(col("embedding").isNotNull &&
+      exists(col("embedding"), x => x.isNull))
+    val nullEmb = e.where(col("embedding").isNull)
+    val zeroNorm = e.where(col("embedding").isNotNull &&
+      !exists(col("embedding"), x => x.isNull || isnan(x)) &&
+      aggregate(col("embedding").cast("array<double>"), lit(0.0),
+        (a, x) => a + x * x) === 0.0)
+    val badLabel = e.where(col("label").isNull || col("label") < 0)
+    cnt("embedding_not_null", nullEmb)
+      .unionByName(cnt("dims_64", badDims))
+      .unionByName(cnt("label_domain", badLabel))
+      .unionByName(cnt("no_nan_elements", nanElems))
+      .unionByName(cnt("no_null_elements", nullElems))
+      .unionByName(cnt("no_zero_norm", zeroNorm))
+      .unionByName(cnt("vec_pk_unique", dupIds))
+      .orderBy("constraint_name")
+  }
+
+  val q156Sql: String =
+    s"""SELECT 'embedding_not_null' AS constraint_name,
+      CAST((SELECT count(*) FROM embeddings WHERE embedding IS NULL) AS BIGINT)
+        AS violations
+    UNION ALL SELECT 'dims_64',
+      CAST((SELECT count(*) FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) <> 64) AS BIGINT)
+    UNION ALL SELECT 'label_domain',
+      CAST((SELECT count(*) FROM embeddings
+        WHERE label IS NULL OR label < 0) AS BIGINT)
+    UNION ALL SELECT 'no_nan_elements',
+      CAST((SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> isnan(x))) > 0) AS BIGINT)
+    UNION ALL SELECT 'no_null_elements',
+      CAST((SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) > 0) AS BIGINT)
+    UNION ALL SELECT 'no_zero_norm',
+      CAST((SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
+        AND list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+          (a, b) -> a + b) = 0.0) AS BIGINT)
+    UNION ALL SELECT 'vec_pk_unique',
+      CAST((SELECT count(*) FROM (SELECT vec_id FROM embeddings
+        GROUP BY vec_id HAVING count(*) > 1)) AS BIGINT)
+    ORDER BY constraint_name"""
+
   // --- q29: brute-force cosine top-k -------------------------------------
   def q29KnnBrute(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.bruteForceTopK(
@@ -1215,6 +1288,7 @@ object SimilarityQueries {
     "q28_cosine_near_dup" -> (q28CosineNearDup _),
     "q147_threshold_curve" -> (q147ThresholdCurve _),
     "q153_ann_recall" -> (q153AnnRecall _),
+    "q156_embedding_dq" -> (q156EmbeddingDq _),
     "q62_semantic_dedup" -> (q62SemanticDedup _),
     "q29_knn_brute" -> (q29KnnBrute _),
     "q29b_knn_lsh" -> (q29bKnnLsh _),
@@ -1247,6 +1321,7 @@ object SimilarityQueries {
     "q28_cosine_near_dup" -> q28Sql,
     "q147_threshold_curve" -> q147Sql,
     "q153_ann_recall" -> q153Sql,
+    "q156_embedding_dq" -> q156Sql,
     "q62_semantic_dedup" -> q62Sql,
     "q29_knn_brute" -> q29Sql,
     "q29b_knn_lsh" -> q29bSql,

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q155 drift and q156 DQ non-vacuity: the fixture is clean (every q156
+  * violation count is zero) and its drift is whatever the carve yields —
+  * these units plant KNOWN degradation and KNOWN violations so each rule
+  * is proven to fire.
+  */
+class DriftDqSpec extends SparkSpec {
+
+  test("q155: fixture drift rows are arithmetic-consistent and cover shared sources") {
+    val out = AnalysisQueries.q155QualityDrift(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000)
+      assert(r.getLong(5) === r.getLong(4) - r.getLong(2), "drift_pm identity")
+    }
+  }
+
+  test("q156: every constraint fires on a dirty hand table, zero on a clean one") {
+    import sqlImplicits._
+    val good = (1 to 64).map(_.toFloat)
+    val dirty = Seq(
+      (1L, good, 0),                                   // clean row
+      (1L, good, 1),                                   // duplicate pk
+      (2L, (1 to 63).map(_.toFloat), 0),               // wrong dims
+      (3L, null.asInstanceOf[Seq[Float]], 0),          // null embedding
+      (4L, Seq.fill(64)(Float.NaN), 0),                // NaN elements
+      (6L, Seq.fill(64)(0.0f), 0),                     // zero norm
+      (7L, good, -5)                                   // label domain
+    ).toDF("vec_id", "embedding", "label")
+      // a null ELEMENT can't ride through a Scala Seq[Float]; splice it in
+      .union(Seq((5L, good, 0)).toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"),
+          concat(slice(col("embedding"), 1, 63),
+            array(lit(null).cast("float"))).as("embedding"),
+          col("label")))
+    val counts = SimilarityQueries.embeddingDqBattery(dirty)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map(
+      "embedding_not_null" -> 1L,
+      "dims_64" -> 1L,
+      "label_domain" -> 1L,
+      "no_nan_elements" -> 1L,
+      "no_null_elements" -> 1L,
+      "no_zero_norm" -> 1L,
+      "vec_pk_unique" -> 1L), s"got $counts")
+    val clean = SimilarityQueries
+      .q156EmbeddingDq(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(1))
+    assert(clean.forall(_ === 0L), "the fixture is certified clean")
+  }
+
+  test("q155: a degraded snapshot-B source shows negative drift") {
+    import sqlImplicits._
+    // source 'sA': A-side text passes the battery; its B rewrite (doc_id
+    // % 4 == 0 gets the [rev2] suffix — irrelevant here) stays passing,
+    // but we synthesize degradation by checking the battery DIRECTLY:
+    // q21's gate needs >= 5 tokens; 'bad' is a 2-token doc.
+    val goodText = "the quick brown fox jumps over a lazy dog again and again"
+    val battery = graft.ops.TextAnalysisOps
+    val docs = Seq((0L, goodText), (1L, "ha ha")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        graft.ops.TextOps.tokenize(col("text")).as("toks"))
+    val q = docs.select((Seq(col("doc_id")) ++
+      battery.qualityColumns(col("text"), col("toks"))): _*)
+      .withColumn("p", battery.qualityPass)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.length - 1)).toMap
+    assert(q(0L), "the good doc passes")
+    assert(!q(1L), "the degraded doc fails - drift would go negative")
+  }
+}
