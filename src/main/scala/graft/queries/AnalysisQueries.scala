@@ -799,7 +799,9 @@ object AnalysisQueries {
       .orderBy("source")
   }
 
-  val q155Sql: String = {
+  // lazy: references CurationQueries.Snapshots — the cross-object clinit
+  // hazard class (oracleSql is lazy, so this is forced post-init)
+  lazy val q155Sql: String = {
     import CurationQueries.Snapshots
     def battery(fromCte: String): String =
       s"""(SELECT source,
@@ -824,6 +826,58 @@ object AnalysisQueries {
       pb.pp - pa.pp AS drift_pm
     FROM pa JOIN pb ON pa.source = pb.source ORDER BY pa.source"""
   }
+
+  // --- q157: source-pruning recommendations ----------------------------------
+  // The decision composite the redundancy signals exist FOR: a source
+  // pair is a pruning candidate when its vocabulary overlap (q141) meets
+  // the threshold AND at least one realized near-dup doc pair (q148)
+  // confirms the overlap is actual duplication, not shared topic; the
+  // recommendation drops the side with the LOWER mixture weight (q146 —
+  // quality × uniqueness), ties to the lexicographically larger name.
+  // Three verified S-bounded relations joined on the canonical pair key
+  // plus two S-row weight lookups — the report is ≤ S(S−1)/2 rows and
+  // every number in it is independently hash-verified upstream.
+  val PruneOverlapMicro = 20000L
+
+  def q157PruneCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val overlap = DedupQueries.q141SourceOverlap(spark, dir)
+      .where(col("jaccard_micro") >= PruneOverlapMicro)
+      .select(col("src_a"), col("src_b"), col("jaccard_micro"))
+    val realized = DedupQueries.q148CrossSourcePairs(spark, dir)
+      .where(col("src_a") =!= col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"))
+    val w = q146MixtureWeights(spark, dir)
+      .select(col("source"), col("weight_permille"))
+    overlap.join(realized, Seq("src_a", "src_b"))
+      .join(broadcast(w.select(col("source").as("src_a"),
+        col("weight_permille").as("weight_a"))), "src_a")
+      .join(broadcast(w.select(col("source").as("src_b"),
+        col("weight_permille").as("weight_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("jaccard_micro"),
+        col("n_pairs"), col("weight_a"), col("weight_b"),
+        when(col("weight_a") < col("weight_b"), col("src_a"))
+          .when(col("weight_b") < col("weight_a"), col("src_b"))
+          .otherwise(greatest(col("src_a"), col("src_b"))).as("drop_source"))
+      .orderBy("src_a", "src_b")
+  }
+
+  lazy val q157Sql: String =
+    s"""WITH ov AS (SELECT src_a, src_b, jaccard_micro
+      FROM (${DedupQueries.q141Sql}) x
+      WHERE jaccard_micro >= $PruneOverlapMicro),
+    rz AS (SELECT src_a, src_b, n_pairs FROM (${DedupQueries.q148Sql}) x
+      WHERE src_a <> src_b),
+    w AS (SELECT source, weight_permille FROM ($q146Sql) x)
+    SELECT ov.src_a, ov.src_b, ov.jaccard_micro, rz.n_pairs,
+      wa.weight_permille AS weight_a, wb.weight_permille AS weight_b,
+      CASE WHEN wa.weight_permille < wb.weight_permille THEN ov.src_a
+        WHEN wb.weight_permille < wa.weight_permille THEN ov.src_b
+        ELSE greatest(ov.src_a, ov.src_b) END AS drop_source
+    FROM ov
+    JOIN rz ON ov.src_a = rz.src_a AND ov.src_b = rz.src_b
+    JOIN w wa ON wa.source = ov.src_a
+    JOIN w wb ON wb.source = ov.src_b
+    ORDER BY ov.src_a, ov.src_b"""
 
   // --- q90: bigram surprisal (conditional-LM perplexity proxy) -----------
   // See TextAnalysisOps.bigramSurprisal: -log2 p(w2|w1) in integer log2
@@ -1975,6 +2029,7 @@ object AnalysisQueries {
     "q149_mixture_realization" -> (q149MixtureRealization _),
     "q150_mixture_decontamination" -> (q150MixtureDecontamination _),
     "q155_quality_drift" -> (q155QualityDrift _),
+    "q157_prune_candidates" -> (q157PruneCandidates _),
     "q87_bpe_train" -> (q87BpeTrain _),
     "q87b_bpe_pair_counts" -> (q87bPairCounts _),
     "q87c_trained_tokens" -> (q87cTrainedTokens _),
@@ -2020,6 +2075,7 @@ object AnalysisQueries {
     "q149_mixture_realization" -> q149Sql,
     "q150_mixture_decontamination" -> q150Sql,
     "q155_quality_drift" -> q155Sql,
+    "q157_prune_candidates" -> q157Sql,
     "q22c_wordpiece_tokens" -> q22cSql,
     "q87b_bpe_pair_counts" -> q87bSql,
     "q88_gopher_rules" -> q88Sql,

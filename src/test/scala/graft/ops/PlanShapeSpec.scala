@@ -62,6 +62,11 @@ class PlanShapeSpec extends SparkSpec {
       SimilarityQueries.q147ThresholdCurve(spark, dir))
   }
 
+  test("q151 chunk clusters stays a banded equi-join end to end") {
+    assertNoQuadraticJoin("q151",
+      DedupQueries.q151ChunkClusters(spark, dir))
+  }
+
   test("q53b probes the Bloom filter in a Filter before the confirm join") {
     val df = DedupQueries.q53bDecontaminateBloom(spark, dir)
     val plan = planOf(df)

@@ -125,6 +125,21 @@ class SourceSignalsSpec extends SparkSpec {
     assert(total === expectedTotal, "total is exactly the sum of capped quotas")
   }
 
+  test("q157: recommendations obey the weight rule and drop a member of the pair") {
+    val out = AnalysisQueries.q157PruneCandidates(spark, dir).collect()
+    assert(out.nonEmpty, "the fixture yields pruning candidates")
+    out.foreach { r =>
+      val (a, b, drop) = (r.getString(0), r.getString(1), r.getString(6))
+      val (wa, wb) = (r.getLong(4), r.getLong(5))
+      assert(drop === a || drop === b)
+      if (wa < wb) assert(drop === a)
+      else if (wb < wa) assert(drop === b)
+      else assert(drop === (if (a > b) a else b), "tie: lexicographic")
+      assert(r.getLong(2) >= AnalysisQueries.PruneOverlapMicro)
+      assert(r.getLong(3) >= 1, "realized doc-pair evidence required")
+    }
+  }
+
   test("q142: single-term source degenerates to a null slope, not a crash") {
     import sqlImplicits._
     val docs = Seq((0L, "mono", "same same same")).toDF("doc_id", "source", "text")
