@@ -434,6 +434,31 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming twin of the q155 quality-drift monitor: an incoming
+    * document stream scored through the q21 battery per micro-batch,
+    * aggregated to per-source (docs, passed, pass_permille) — complete
+    * mode keeps the running totals, so the sink always holds each
+    * source's lifetime pass rate and a reader diffs consecutive emissions
+    * for drift. The battery is the SAME column expressions as the batch
+    * path (narrow, codegen'd), so streaming parity is structural, not
+    * re-implemented; the permille is the q155 integer form. Documents
+    * need no watermark: the aggregate is keyed by source (bounded
+    * cardinality), not by event time.
+    */
+  def qualityRateStream(docs: DataFrame): DataFrame = {
+    val battery = graft.ops.TextAnalysisOps
+    val toked = docs.select(col("source"), col("text"),
+      graft.ops.TextOps.tokenize(col("text")).as("toks"))
+    toked.select((Seq(col("source")) ++
+      battery.qualityColumns(col("text"), col("toks"))): _*)
+      .withColumn("p", battery.qualityPass)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("passed"))
+      .select(col("source"), col("docs"), col("passed"),
+        expr("(1000 * passed) div docs").as("pass_permille"))
+  }
+
   /** Streaming twin of the q143 deletion-vector soft delete: a takedown /
     * right-to-erasure key stream lands each micro-batch as DV rows via
     * [[graft.sources.DocumentSources.softDelete]], with an optional

@@ -55,6 +55,35 @@ class DriftDqSpec extends SparkSpec {
     assert(clean.forall(_ === 0L), "the fixture is certified clean")
   }
 
+  test("qualityRateStream: streamed running totals match the batch battery") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy dog again and again"
+    val batch1 = Seq(("s1", good), ("s1", "ha ha"), ("s2", good))
+    val batch2 = Seq(("s1", good), ("s2", "zz"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingOps
+      .qualityRateStream(mem.toDF.toDF("source", "text"))
+      .writeStream.format("memory").queryName("quality_rate_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("quality_rate_test")
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val batch = graft.streaming.StreamingOps.qualityRateStream(
+        (batch1 ++ batch2).toDF("source", "text"))
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(streamed.sameElements(batch),
+        s"streamed ${streamed.toSeq} != batch ${batch.toSeq}")
+      assert(batch.exists(_._3 > 0) && batch.exists(r => r._3 < r._2),
+        "the hand corpus exercises both pass and fail")
+    } finally q.stop()
+  }
+
   test("q155: a degraded snapshot-B source shows negative drift") {
     import sqlImplicits._
     // source 'sA': A-side text passes the battery; its B rewrite (doc_id
