@@ -1,9 +1,59 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Truncation-durability contract (round-10 postmortem): the round-10
+  * driver artifact shipped as literal `{}` because this program used to
+  * write oracle_sql.json AFTER the query loop — any kill/timeout at query
+  * 235 of 236 zeroed the entire round's correctness signal. The oracle
+  * JSON depends only on SparkEntry.oracleSql, so it is now written BEFORE
+  * the first query runs, and a per-query progress line is appended to
+  * verify_progress.jsonl as each result lands. A verify run killed at any
+  * point therefore leaves (a) the full oracle map, (b) parquet for every
+  * completed query, (c) a line-per-query progress log — the downstream
+  * compare produces partial correctness rows instead of an empty object.
+  * VerifyDurabilitySpec gates the ordering.
+  */
 object Verify {
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Writes outDir/oracle_sql.json from SparkEntry.oracleSql alone.
+    * Must be called (and is called) before any query executes, so a
+    * truncated run still yields a complete oracle map. */
+  def writeOracleJson(outDir: String): Unit = {
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+  }
+
+  /** Appends one status line to outDir/verify_progress.jsonl. Each line is
+    * a self-contained JSON object so a mid-write kill corrupts at most the
+    * final line; CREATE+APPEND makes the call crash-safe and idempotent
+    * across reruns into a fresh outDir. */
+  def appendProgress(outDir: String, name: String, ok: Boolean,
+                     secs: Double, err: Option[String]): Unit = {
+    val e = err.map(m => s""","error":${q(m.take(300))}""").getOrElse("")
+    val line =
+      f"""{"query":${q(name)},"ok":$ok,"secs":$secs%.3f$e}%n"""
+    Files.write(Paths.get(s"$outDir/verify_progress.jsonl"),
+      line.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated name substrings — local iteration
@@ -25,9 +75,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle map FIRST: it gates the entire downstream compare and needs
+    // no query execution — a killed run must never lose it
+    writeOracleJson(outDir)
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        appendProgress(outDir, name, ok = true,
+          (System.nanoTime() - t0) / 1e9, None)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a crashed query must never present a previous run's parquet as
@@ -36,26 +94,14 @@ object Verify {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
         }
         rm(new java.io.File(s"$outDir/$name"))
+        appendProgress(outDir, name, ok = false,
+          (System.nanoTime() - t0) / 1e9,
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"))
       }
       // each query is an independent program: release its operator-internal
       // persists at the boundary (memoized model caches deliberately survive)
       finally CacheScope.releaseAll()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

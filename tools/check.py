@@ -12,6 +12,7 @@ Driver-side tooling only — never imported by the Scala engine.
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -62,6 +63,10 @@ def compare(name, spark_df, duck_df):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # DuckDB defaults to 1 thread on some builds; the heavy replay oracles
+    # (BPE training CTEs, banded joins) are embarrassingly parallel and a
+    # single-threaded pass once took ~25 min — use the machine.
+    con.execute(f"PRAGMA threads={os.cpu_count() or 4}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
