@@ -18,6 +18,14 @@ import org.apache.spark.sql.SparkSession
   * sample (warm_min/cold > 3x with cold > 0.3 s): interference windows
   * that inflate BOTH warm runs are invisible to the run-to-run detectors
   * but cannot hide from the cold pass, which does strictly more work.
+  * The cold pass gets the symmetric control, "cold_inflated": each cold
+  * time is compared against the previous durable clean run's cold vector
+  * (committed as BENCH_REF.json; > 3x with cold > 0.3 s flags), because
+  * the cold pass has no second in-process sample of its own — r10's
+  * driver artifact carried a 2.2x-inflated cold total with nothing in
+  * the artifact marking it. Full runs also write a timestamped
+  * target/bench-&lt;n&gt;q-&lt;millis&gt;.json archive so a later run can
+  * never clobber a clean reference vector.
   * Failures are never swallowed: a crashing query records its error
   * message under "errors" and counts -1 sec, so a regression can't
   * silently improve the total.
@@ -49,6 +57,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val RunsPerQuery = 2
+
+  /** Extracts the `queries_cold` map from a bench JSON line (our own
+    * single-line format — a regex pull, not a JSON library, keeps the
+    * bench dependency-free). Returns empty on any malformed input. */
+  private[graft] def parseQueriesCold(txt: String): Map[String, Double] =
+    try {
+      val m = """"queries_cold":\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(m)
+        .map(x => x.group(1) -> x.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
+  /** The cold_inflated rule: a cold time above 0.3 s that is > 3x the
+    * reference run's cold for the same query. Queries absent from the
+    * reference (new since the ref was cut) are never flagged. */
+  private[graft] def coldInflatedOf(cold: Seq[(String, Double)],
+                                    ref: Map[String, Double]): Seq[String] =
+    cold.collect {
+      case (k, t) if t > 0.3 &&
+        ref.get(k).exists(r => r > 0 && t / math.max(r, 0.05) > 3.0) => k
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -175,6 +204,27 @@ object Bench {
       case (k, mn) if mn > 0 && coldMap.getOrElse(k, -1.0) > 0.3 &&
         mn / coldMap(k) > 3.0 => k
     }
+    // Cold-side divergence self-report (r10 finding): warm_inflated uses
+    // the cold pass as its control, but nothing controlled the COLD pass
+    // itself — r10's driver artifact carried a 927.9 s cold total (q127
+    // 111.9 s vs 3.2 s on a clean same-code run) with no in-artifact
+    // marker. The control here is the previous durable clean run's cold
+    // vector, committed as BENCH_REF.json: cold > 3x the reference cold
+    // for the same query (floored at 0.3 s, same as warm_inflated)
+    // cannot be the query's own cost without a code change to it, and
+    // code changes are visible in the diff while interference is not.
+    // Queries absent from the reference (new this round) are skipped —
+    // they get a reference row the next time the ref is refreshed.
+    val refColdMap: Map[String, Double] = {
+      val f = new java.io.File("BENCH_REF.json")
+      if (!f.exists) Map.empty
+      else parseQueriesCold(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    }
+    val coldInflated = coldInflatedOf(cold, refColdMap)
+    val coldRefDesc =
+      if (refColdMap.isEmpty) "none"
+      else s"BENCH_REF.json (${refColdMap.size} queries)"
     val qs = mins.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qsMed = medians.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qsW1 = warm1s.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
@@ -187,7 +237,8 @@ object Bench {
     val errJson = errors.map { case (k, v) =>
       s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"rebuild":$rebuildJson,"warm_inflated":$warmInflJson,"errors":$errJson,"sf":"$sfDir"}"""
+    val coldInflJson = coldInflated.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"rebuild":$rebuildJson,"warm_inflated":$warmInflJson,"cold_inflated":$coldInflJson,"cold_ref":"$coldRefDesc","errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // target/bench.json is the durable FULL-registry round artifact; a
     // filtered local run writes a sibling file so it can never clobber
@@ -198,6 +249,16 @@ object Bench {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(benchFile), line + "\n")
+      // every full run ALSO lands in a timestamped archive: the r10
+      // driver run overwrote the builder's clean durable reference, and
+      // the only surviving copy was a /tmp file. Archives make clean and
+      // polluted runs diff-able after the fact; bench.json stays the
+      // "latest full run" pointer.
+      if (args.isEmpty)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(
+            s"target/bench-${selected.size}q-${System.currentTimeMillis}.json"),
+          line + "\n")
     } catch { case _: Throwable => () } // file copy is best-effort
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
