@@ -201,17 +201,10 @@ object DocumentSources {
     // recovery sweep: a bucket dir parked in the -old tree with no live
     // twin means a previous swap crashed between park and rename-in —
     // restore it so the base scan below sees the pre-merge content; with
-    // a live twin the swap completed and the leftover is dropped
-    if (rootFs.exists(oldRoot)) {
-      rootFs.listStatus(oldRoot).foreach { st =>
-        val live = new org.apache.hadoop.fs.Path(hRoot, st.getPath.getName)
-        if (!rootFs.exists(live))
-          mustFs(rootFs.rename(st.getPath, live), s"restore ${st.getPath}")
-        else
-          mustFs(rootFs.delete(st.getPath, true), s"drop parked ${st.getPath}")
-      }
-      mustFs(rootFs.delete(oldRoot, true), s"drop $oldRoot")
-    }
+    // a live twin the swap completed and the leftover is dropped. Shared
+    // with the DV entry points (recoverBucketSwap) so every bucket-swap
+    // writer heals the same way.
+    recoverBucketSwap(rootFs, path, "mergeUpsertBuckets")
     // tombstone-last: a key both upserted and deleted in one delta dies
     // on every path (the bootstrap anti-join below is the same rule)
     val upLive = up.join(deleteKeys.select(col("doc_id")), Seq("doc_id"),
@@ -416,6 +409,9 @@ object DocumentSources {
       if (!ok) throw new java.io.IOException(
         s"softDelete: filesystem step failed (returned false): $what")
     recoverRootSwap(fs, dvPath)
+    recoverBucketSwap(new Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      basePath, "softDelete")
     val base = spark.read.parquet(basePath).select("bucket", "doc_id")
     val incoming = deleteKeys.select("bucket", "doc_id")
       .join(base, Seq("bucket", "doc_id"), "left_semi")
@@ -448,10 +444,13 @@ object DocumentSources {
     */
   def readVisible(spark: SparkSession, basePath: String,
                   dvPath: String): DataFrame = {
-    val base = spark.read.parquet(basePath)
     val fs = new org.apache.hadoop.fs.Path(dvPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverRootSwap(fs, dvPath)
+    recoverBucketSwap(new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      basePath, "readVisible")
+    val base = spark.read.parquet(basePath)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dvPath))) base
     else base.join(readDv(spark, dvPath),
       Seq("bucket", "doc_id"), "left_anti")
@@ -474,6 +473,7 @@ object DocumentSources {
       if (!ok) throw new java.io.IOException(
         s"applyDeletionVectors: filesystem step failed (returned false): $what")
     recoverRootSwap(fs, dvPath)
+    recoverBucketSwap(fs, basePath, "applyDeletionVectors")
     val totals = spark.read.parquet(basePath)
       .groupBy("bucket").agg(count(lit(1)).as("rows"))
     val dvExists = fs.exists(new Path(dvPath))
@@ -527,6 +527,43 @@ object DocumentSources {
       r.getBoolean(3))).toSeq
       .toDF("bucket", "rows", "deleted", "rewritten")
       .orderBy("bucket")
+  }
+
+  /** Bucket-granularity recovery sweep for a parked `$path-old` tree:
+    * a `bucket=b` dir parked there with no live twin under `path` means a
+    * per-bucket swap crashed between park and rename-in — restore it
+    * (for the DV base tree the bucket's DV rows are still live, since the
+    * DV swap runs after the base swap, so visibility stays correct and
+    * the next compaction re-applies); with a live twin the swap completed
+    * — drop the leftover. Stale `$path-staging` from a crashed writer is
+    * dropped too. Shared by [[mergeUpsertBuckets]] and every DV entry
+    * point ([[softDelete]]/[[readVisible]]/[[applyDeletionVectors]]) so
+    * ANY next touch of the table heals a crashed base-bucket swap — the
+    * gap a round-10 review found: the base tree's parked buckets
+    * previously had no sweeper, so a crash there silently dropped the
+    * bucket from every later read.
+    */
+  private def recoverBucketSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String, who: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    def mustFs(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"$who: filesystem step failed (returned false): $what")
+    val root = new Path(path)
+    val oldRoot = new Path(s"$path-old")
+    if (fs.exists(oldRoot)) {
+      fs.listStatus(oldRoot).foreach { st =>
+        val live = new Path(root, st.getPath.getName)
+        if (!fs.exists(live))
+          mustFs(fs.rename(st.getPath, live), s"restore ${st.getPath}")
+        else
+          mustFs(fs.delete(st.getPath, true), s"drop parked ${st.getPath}")
+      }
+      mustFs(fs.delete(oldRoot, true), s"drop $oldRoot")
+    }
+    val staging = new Path(s"$path-staging")
+    if (fs.exists(staging))
+      mustFs(fs.delete(staging, true), s"drop stale $staging")
   }
 
   /** Root-granularity recovery sweep for the DV swap: a `-old` sibling

@@ -57,22 +57,39 @@ object StoredRelations {
   private val MarkerFile = "_graft_fingerprint"
 
   /** Fingerprint of the artifact's derivation inputs. Input paths may be
-    * single parquet files or directories of part files; directories
-    * fold every regular file's (name, length, mtime) in sorted order.
+    * single parquet files or directories of part files; directories fold
+    * every regular file's (path RELATIVE to the input root, length,
+    * mtime) in sorted order — basenames alone would let two nested trees
+    * with identically-named leaves (every `part-00000.parquet`-style
+    * layout) fingerprint alike. A nonexistent input is an ERROR, not an
+    * empty fold: silently fingerprinting it as absent would cache an
+    * empty/invalid relation as valid and serve it forever.
     */
   private[sources] def fingerprint(inputPaths: Seq[String],
                                    version: String): String = {
-    def fileStats(f: java.io.File): Seq[String] =
+    def fileStats(root: java.nio.file.Path, f: java.io.File): Seq[String] =
       if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).toSeq.flatMap(fileStats)
-      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
-    val body = inputPaths.sorted.flatMap(p => fileStats(new java.io.File(p)))
-      .mkString("|")
+        f.listFiles().sortBy(_.getName).toSeq.flatMap(fileStats(root, _))
+      else Seq(s"${root.relativize(f.toPath)}:${f.length}:${f.lastModified}")
+    val body = inputPaths.sorted.flatMap { p =>
+      val f = new java.io.File(p)
+      require(f.exists,
+        s"StoredRelations: fingerprint input does not exist: $p")
+      // relativize from the input's PARENT so the entry keeps the input's
+      // own name plus any nested path under it
+      fileStats(f.toPath.toAbsolutePath.getParent, f.getAbsoluteFile)
+    }.mkString("|")
     s"v=$version|$body"
   }
 
   private def artifactPath(name: String, inputPaths: Seq[String]): String = {
-    val key = Integer.toHexString(inputPaths.sorted.mkString(";").hashCode)
+    // 64-bit SHA-256 prefix, not String.hashCode: a 32-bit collision
+    // between two input-path sets of the same artifact name would point
+    // both at one store dir, and same-named same-size inputs could then
+    // validate the wrong content
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(inputPaths.sorted.mkString(";").getBytes("UTF-8"))
+    val key = digest.take(8).map(b => f"$b%02x").mkString
     graft.Scratch.dir(s"stored/$name-$key")
   }
 

@@ -95,6 +95,26 @@ class DeletionVectorSpec extends SparkSpec {
     assert(baseFileState(base) === state)
   }
 
+  test("a 100%-deleted bucket compacts away but keeps its manifest row") {
+    // the q143-report shape: the decision manifest is the one relation
+    // that still has a row for a bucket whose every row was deleted —
+    // the rewrite legitimately leaves no bucket=b dir on disk
+    val (base, dv) = freshTable("dvspec_alldel")
+    seed(base)
+    DocumentSources.softDelete(spark, base, dv,
+      (0 until 20 by 2).map(i => (0, i.toLong)).toDF("bucket", "doc_id"))
+    val manifest = DocumentSources
+      .applyDeletionVectors(spark, base, dv, minPermille = 300L)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(manifest(0) === ((10L, 10L, true)), "all-deleted bucket decided")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$base/bucket=0")),
+      "fully-applied bucket dir removed from disk")
+    assert(DocumentSources.readVisible(spark, base, dv)
+      .where(col("bucket") === 0).count() === 0)
+  }
+
   test("the compaction rewrite's base scan prunes to the dense bucket dirs") {
     val (base, dv) = freshTable("dvspec_prune")
     seed(base)
@@ -134,6 +154,42 @@ class DeletionVectorSpec extends SparkSpec {
       assert(spark.read.schema("doc_id LONG, bucket INT").parquet(dv)
         .count() === 0)
     } finally q.stop()
+  }
+
+  test("a crashed BASE bucket swap (parked, no live twin) heals on the next touch") {
+    // the round-10 review gap: applyDeletionVectors parks live base
+    // buckets into $base-old during its per-bucket swap, and a crash
+    // between park and rename-in used to leave the bucket ONLY in the
+    // parked tree — every later read silently lost it. Simulate exactly
+    // that state and assert any DV entry point restores it.
+    val (base, dv) = freshTable("dvspec_basecrash")
+    seed(base)
+    DocumentSources.softDelete(spark, base, dv,
+      Seq((0, 0L)).toDF("bucket", "doc_id"))
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash simulation: bucket 0 parked, no live twin, stale staging left
+    assert(fs.mkdirs(new Path(s"$base-old")))
+    assert(fs.rename(new Path(s"$base/bucket=0"),
+      new Path(s"$base-old/bucket=0")))
+    assert(fs.mkdirs(new Path(s"$base-staging/bucket=0")))
+    val vis = DocumentSources.readVisible(spark, base, dv)
+    assert(vis.count() === 19, "recovery restored the parked base bucket")
+    assert(vis.where(col("bucket") === 0).count() === 9,
+      "restored bucket minus its still-live DV row")
+    assert(fs.exists(new Path(s"$base/bucket=0")))
+    assert(!fs.exists(new Path(s"$base-old")), "parked root swept")
+    assert(!fs.exists(new Path(s"$base-staging")), "stale staging swept")
+    // a completed swap's leftover (parked WITH a live twin) is dropped,
+    // and the live content wins
+    assert(fs.mkdirs(new Path(s"$base-old")))
+    assert(fs.rename(new Path(s"$base/bucket=1"),
+      new Path(s"$base-old/bucket=1")))
+    assert(fs.mkdirs(new Path(s"$base/bucket=1"))) // empty live twin
+    DocumentSources.softDelete(spark, base, dv,
+      Seq((0, 2L)).toDF("bucket", "doc_id"))
+    assert(!fs.exists(new Path(s"$base-old")))
+    assert(spark.read.parquet(base).where(col("bucket") === 1).count() === 0,
+      "live twin (even empty) wins over the parked leftover")
   }
 
   test("a crashed DV swap (parked, no live root) heals on the next touch") {

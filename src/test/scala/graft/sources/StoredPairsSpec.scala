@@ -108,6 +108,34 @@ class StoredPairsSpec extends SparkSpec {
     java.nio.file.Files.delete(in)
   }
 
+  test("fingerprint errors on missing inputs and sees nested paths") {
+    // a nonexistent input must be an ERROR: silently folding it as
+    // absent would cache an empty relation as valid forever
+    intercept[IllegalArgumentException] {
+      StoredRelations.fingerprint(Seq("/nonexistent/graft-input"), "1")
+    }
+    // nested trees with identically-named LEAVES must fingerprint apart:
+    // the fold carries the path relative to the input root, not basenames
+    val root = java.nio.file.Files.createTempDirectory("graft-fp")
+    def mk(sub: String): java.nio.file.Path = {
+      val d = root.resolve(sub)
+      java.nio.file.Files.createDirectories(d.resolve("a"))
+      val f = d.resolve("a/part-00000.parquet")
+      java.nio.file.Files.writeString(f, "xx")
+      d
+    }
+    val d1 = mk("t1"); val d2 = mk("t2")
+    // equalize leaf mtimes so only the relative path can distinguish them
+    val t = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    Seq(d1, d2).foreach { d =>
+      java.nio.file.Files.setLastModifiedTime(
+        d.resolve("a/part-00000.parquet"), t)
+    }
+    val f1 = StoredRelations.fingerprint(Seq(d1.toString), "1")
+    val f2 = StoredRelations.fingerprint(Seq(d2.toString), "1")
+    assert(f1 != f2, "same-named leaves under different roots collided")
+  }
+
   test("gc reclaims dead-builder staging and torn artifacts, keeps the valid") {
     import sqlImplicits._
     val in = java.nio.file.Files.createTempFile("graft-gc-in", ".txt")
