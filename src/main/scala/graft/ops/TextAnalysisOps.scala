@@ -817,8 +817,12 @@ object TextAnalysisOps {
       .select(col(idCol),
         org.apache.spark.sql.functions.size(col("lines")).cast("long")
           .as("n_lines"),
+        // C4's END_MARKS: period, question/exclamation mark, or closing
+        // quote (Raffel et al. §2.2) — not '.' alone, which would
+        // over-drop dialogue/questions on real newline corpora
         filter(col("lines"), l =>
-          l.endsWith(".") &&
+          (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+            l.endsWith("\"")) &&
             org.apache.spark.sql.functions.size(split(l, " ")) >= minWords &&
             !l.contains(blockTerm)).as("kept"))
       .select(col(idCol), col("n_lines"),

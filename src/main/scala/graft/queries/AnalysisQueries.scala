@@ -1994,7 +1994,8 @@ object AnalysisQueries {
       FROM p),
     k AS (
       SELECT doc_id, len(lines) AS n_lines,
-        list_filter(lines, x -> x LIKE '%.'
+        list_filter(lines, x -> (x LIKE '%.' OR x LIKE '%!'
+            OR x LIKE '%?' OR x LIKE '%"')
           AND len(string_split(x, ' ')) >= 5
           AND NOT contains(x, '$C4LineBlockTerm')) AS kept
       FROM l)

@@ -32,6 +32,22 @@ class C4LineFilterSpec extends SparkSpec {
         "the closing line also has plenty of words here.")
   }
 
+  test("the full C4 END_MARKS set is accepted: . ! ? and closing quote") {
+    val page = Seq(
+      "a question line with plenty of words, yes?",        // keep (?)
+      "an exclamation line with plenty of words now!",     // keep (!)
+      "\"a quoted line with plenty of words inside.\"",    // keep (")
+      "a comma-ended line with plenty of words here,",     // drop (,)
+      "a colon-ended line with plenty of words here:").mkString("\n")
+    val out = TextAnalysisOps.c4LineFilter(
+      Seq((1L, page)).toDF("doc_id", "text"),
+      lineSep = "\n", blockTerm = "javascript", minWords = 5, minLines = 1)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_kept") == 3,
+      "?, !, and closing quote must all count as terminal punctuation")
+  }
+
   test("null and empty pages drop without error") {
     val out = TextAnalysisOps.c4LineFilter(
       Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "\n\n"))
