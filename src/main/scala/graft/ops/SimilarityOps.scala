@@ -451,6 +451,92 @@ object SimilarityOps {
     ivfDriftStatsAssigned(index.assigned,
       assignToCells(delta, index.centroids), index.centroids)
 
+  /** Per-bucket occupancy drift of a multi-table sign-LSH index between
+    * the already-indexed base and an ingest delta — the staleness signal
+    * for the LSH retrieval rungs (q26/q29b/q29g), twin to
+    * [[ivfDriftStats]] (IVF) and [[pqDriftStats]] (PQ) but fully
+    * engine-portable: buckets are deterministic sign patterns, so the
+    * whole statistic (and any decision over it) hash-verifies against
+    * the oracle, where the KMeans-backed twins cannot.
+    *
+    * One row per (tbl, bucket) seen on either side:
+    * `(tbl, bucket, n_base, n_delta, drift_ratio_micro)` where the ratio
+    * is the delta's occupancy share normalized by the base's —
+    * `(n_delta * base_total * 1e6) div (n_base * delta_total)` — exactly
+    * 1e6 when the delta distributes like the base. A bucket the base
+    * never populated (`n_base = 0`) scores with the denominator floored
+    * at one occupant — NOVEL mass is maximal drift, not unscorable
+    * (otherwise a delta hashing entirely into virgin buckets would read
+    * as healthy); NULL only when the delta side is empty.
+    *
+    * Scale shape: two bucket-keyed aggregations (each input scanned
+    * once, tables unrolled as an array explode — no joins until the
+    * ≤ tables·2^bits-row summaries meet) + a broadcast of the two 1-row
+    * totals. Output is layout-bounded, never corpus-bounded.
+    */
+  def lshOccupancyDrift(base: DataFrame, delta: DataFrame,
+                        bits: Int, tables: Int): DataFrame = {
+    def occ(emb: DataFrame, n: String): DataFrame =
+      prepared(emb)
+        .select(explode(array((0 until tables).map(t =>
+          struct(lit(t.toLong).as("tbl"),
+            signBucketAt(col("emb"), t * bits, bits).as("bucket"))): _*))
+          .as("tb"))
+        .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        .groupBy("tbl", "bucket").agg(count(lit(1)).as(n))
+    val totals = broadcast(
+      prepared(base).agg(count(lit(1)).as("base_total")).crossJoin(
+        prepared(delta).agg(count(lit(1)).as("delta_total"))))
+    occ(base, "n_base")
+      .join(occ(delta, "n_delta"), Seq("tbl", "bucket"), "full_outer")
+      .select(col("tbl"), col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      .crossJoin(totals)
+      .select(col("tbl"), col("bucket"), col("n_base"), col("n_delta"),
+        when(col("delta_total") === 0, lit(null).cast("long"))
+          .when(col("n_base") > 0,
+            expr("(n_delta * base_total * 1000000) DIV (n_base * delta_total)"))
+          .otherwise(
+            expr("(n_delta * base_total * 1000000) DIV delta_total"))
+          .as("drift_ratio_micro"))
+  }
+
+  /** The rebuild/keep decision over ANY per-group drift relation — the
+    * consumer [[ivfDriftStats]]/[[pqDriftStats]]/[[lshOccupancyDrift]]
+    * exist for, shared by all three index families so the decision logic
+    * is verified once (hash-exact through the portable LSH instantiation,
+    * q158) and reused verbatim by the KMeans-backed rows-only twins
+    * (q158b). Input contract: one row per drift group carrying a
+    * nullable `drift_ratio_micro` (1e6 = no drift). Emits ONE row:
+    * `(index_name, n_groups, n_scored, n_drifted, max_ratio_micro,
+    * rebuild)` with `rebuild` when at least `driftedPermille` of the
+    * scored groups exceed `ratioThresholdMicro` OR any single group
+    * reaches `hardCapMicro` — the second trigger exists because a
+    * distribution COLLAPSE concentrates in few groups (every new vector
+    * hashing to one bucket, one cell absorbing the whole delta) and a
+    * breadth gate alone would read that catastrophic state as healthy.
+    * Pure integer math — no float crosses the decision boundary.
+    */
+  def rebuildDecision(drift: DataFrame, indexName: String,
+                      ratioThresholdMicro: Long,
+                      driftedPermille: Long,
+                      hardCapMicro: Long): DataFrame =
+    drift.agg(
+      count(lit(1)).as("n_groups"),
+      count(col("drift_ratio_micro")).as("n_scored"),
+      sum(when(col("drift_ratio_micro") > ratioThresholdMicro, 1L)
+        .otherwise(0L)).as("n_drifted"),
+      max(col("drift_ratio_micro")).as("max_ratio_micro"))
+      .select(lit(indexName).as("index_name"),
+        col("n_groups"), col("n_scored"), col("n_drifted"),
+        coalesce(col("max_ratio_micro"), lit(0L)).as("max_ratio_micro"),
+        (col("n_scored") > 0 &&
+          (col("n_drifted") * lit(1000L) >=
+            lit(driftedPermille) * col("n_scored") ||
+            coalesce(col("max_ratio_micro"), lit(0L)) >= hardCapMicro))
+          .as("rebuild"))
+
   /** [[ivfDriftStats]] over ALREADY-ASSIGNED relations — the shape a
     * stored index (q79e) or an ingest tree
     * ([[graft.streaming.StreamingOps.ivfIngestStream]]) reads back
@@ -478,10 +564,25 @@ object SimilarityOps {
         coalesce(col("n_delta"), lit(0L)).as("n_delta"),
         col("base_mean_d2"), col("delta_mean_d2"),
         col("base_p95_d2"), col("delta_p95_d2"),
-        when(col("base_mean_d2") > 0 && col("delta_mean_d2").isNotNull,
-          expr("(delta_mean_d2 * 1000000) DIV base_mean_d2"))
-          .as("drift_mean_ratio_micro"))
+        driftRatio(col("base_mean_d2"), col("delta_mean_d2")))
   }
+
+  /** Shared ratio rule of the d2-based drift statistics: NULL only when
+    * the delta never reached the group; a ZERO-dispersion base group
+    * (every base member exactly at its centroid — singleton cells do
+    * this) absorbing real delta dispersion reads as MAXIMAL drift
+    * (denominator floored at 1 micro-unit), not unscorable — a round-11
+    * fix: the old `base > 0` guard nulled exactly the most-drifted cell
+    * when a collapsed delta landed in a degenerate one, and the rebuild
+    * decision then read the catastrophe as healthy. Both-zero reads
+    * exactly 1e6 (a degenerate group matched perfectly is no drift).
+    */
+  private def driftRatio(baseMean: Column, deltaMean: Column): Column =
+    when(deltaMean.isNull, lit(null).cast("long"))
+      .when(baseMean > 0, expr("(delta_mean_d2 * 1000000) DIV base_mean_d2"))
+      .when(deltaMean === 0, lit(1000000L))
+      .otherwise(deltaMean * lit(1000000L))
+      .as("drift_mean_ratio_micro")
 
   /** Centroid-probe phase of the float IVF rung: each query's nProbe
     * nearest cells by centroid cosine — `(query_id, q_emb, cell)`, a
@@ -1033,9 +1134,7 @@ object SimilarityOps {
         coalesce(col("n_delta"), lit(0L)).as("n_delta"),
         col("base_mean_d2"), col("delta_mean_d2"),
         col("base_p95_d2"), col("delta_p95_d2"),
-        when(col("base_mean_d2") > 0 && col("delta_mean_d2").isNotNull,
-          expr("(delta_mean_d2 * 1000000) DIV base_mean_d2"))
-          .as("drift_mean_ratio_micro"))
+        driftRatio(col("base_mean_d2"), col("delta_mean_d2")))
   }
 
   /** PQ retrieval by asymmetric distance computation (ADC — the PQ probe

@@ -358,6 +358,12 @@ object SimilarityQueries {
   // training pass amortized over every probe, not repeated per query.
   // Keyed by applicationId like TopicQueries' LDA cache so a restarted
   // session never sees another session's persisted frames.
+  // Deterministic contract (DedupSimilaritySpec, two identity units):
+  // all-cells-probed ≡ brute force bit-exactly, and the q79e-class
+  // stored tier — the assignment written partitioned by cell, read back
+  // pruned to the probe's cells, scores byte-identically to the
+  // in-memory path at this query's own (everyNth, nProbe) point with a
+  // scan that reads exactly the probed partitions.
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), SimilarityOps.IvfIndex]()
 
@@ -626,6 +632,175 @@ object SimilarityQueries {
       .orderBy("sub", "cell")
   }
 
+  // --- q158: index-rebuild decision over LSH occupancy drift (oracled) ----
+  // The consumer the drift statistics exist FOR — closes the
+  // drift→rebuild loop (q157's decision-composite shape, applied to
+  // index maintenance): per-bucket occupancy drift of the sign-LSH
+  // index between the q79f ingest carve's base and delta, thresholded
+  // into ONE rebuild/keep row (semantics and the two-trigger rule in
+  // SimilarityOps.lshOccupancyDrift/rebuildDecision). The LSH
+  // instantiation is deliberately the ORACLED one: buckets are
+  // deterministic sign patterns, so every count, ratio, and the decision
+  // itself hash-verify — and the SAME rebuildDecision code path then
+  // serves the KMeans-backed IVF/PQ drift inputs in the rows-only twin
+  // q158b, whose decision logic is therefore already verified here.
+  val LshDriftBits = 5
+  val LshDriftTables = 4
+  /** 2x over-occupancy flags a bucket; >= 20% of scored buckets flagged
+    * (or any single bucket at 10x — the collapse trigger) ⇒ rebuild. */
+  val DriftRatioThresholdMicro = 2000000L
+  val DriftedPermille = 200L
+  val DriftHardCapMicro = 10000000L
+
+  def q158RebuildDecision(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.rebuildDecision(
+      SimilarityOps.lshOccupancyDrift(
+        emb.where(!isIngestDelta(col("vec_id"))),
+        emb.where(isIngestDelta(col("vec_id"))),
+        LshDriftBits, LshDriftTables),
+      "lsh", DriftRatioThresholdMicro, DriftedPermille, DriftHardCapMicro)
+      .orderBy("index_name")
+  }
+
+  val q158Sql: String = {
+    def bands(src: String): String = (0 until LshDriftTables).map(t =>
+      s"SELECT $t AS tbl, ${bucketSql(LshDriftBits, t * LshDriftBits)} AS bucket FROM $src")
+      .mkString(" UNION ALL ")
+    s"""WITH p AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    base AS (SELECT vec_id, emb FROM p WHERE vec_id % 10 <> 9),
+    delta AS (SELECT vec_id, emb FROM p WHERE vec_id % 10 = 9),
+    ob AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_base
+      FROM (${bands("base")}) bb GROUP BY tbl, bucket),
+    od AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_delta
+      FROM (${bands("delta")}) db GROUP BY tbl, bucket),
+    tot AS (SELECT (SELECT count(*) FROM base) AS base_total,
+      (SELECT count(*) FROM delta) AS delta_total),
+    j AS (SELECT coalesce(ob.tbl, od.tbl) AS tbl,
+        coalesce(ob.bucket, od.bucket) AS bucket,
+        coalesce(n_base, 0) AS n_base, coalesce(n_delta, 0) AS n_delta
+      FROM ob FULL OUTER JOIN od
+        ON ob.tbl = od.tbl AND ob.bucket = od.bucket),
+    r AS (SELECT j.*, CASE WHEN delta_total = 0 THEN NULL
+        WHEN n_base > 0
+        THEN (n_delta * base_total * 1000000) // (n_base * delta_total)
+        ELSE (n_delta * base_total * 1000000) // delta_total
+        END AS ratio
+      FROM j CROSS JOIN tot),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(count(ratio) AS BIGINT) AS n_scored,
+        CAST(coalesce(sum(CASE WHEN ratio > $DriftRatioThresholdMicro
+          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_drifted,
+        CAST(coalesce(max(ratio), 0) AS BIGINT) AS max_ratio_micro
+      FROM r)
+    SELECT 'lsh' AS index_name, n_groups, n_scored, n_drifted,
+      max_ratio_micro,
+      (n_scored > 0 AND (n_drifted * 1000 >= $DriftedPermille * n_scored
+        OR max_ratio_micro >= $DriftHardCapMicro)) AS rebuild
+    FROM a ORDER BY index_name"""
+  }
+
+  // --- q158b: the same decision over the IVF + PQ drift statistics --------
+  // q79g and q104d emit the drift signals; this routes BOTH through the
+  // rebuildDecision code path q158 just hash-verified — one decision
+  // rule for every index family. Rows-only tier (the inputs are
+  // KMeans-derived); the directional gates live in RebuildDecisionSpec:
+  // a self-identical delta decides keep, a shifted delta decides
+  // rebuild, on both families.
+  def q158bAnnRebuild(spark: SparkSession, dir: String): DataFrame = {
+    def route(drift: DataFrame, name: String): DataFrame =
+      SimilarityOps.rebuildDecision(
+        drift.withColumnRenamed("drift_mean_ratio_micro", "drift_ratio_micro"),
+        name, DriftRatioThresholdMicro, DriftedPermille, DriftHardCapMicro)
+    route(q79gIvfDrift(spark, dir), "ivf")
+      .unionByName(route(q104dPqDrift(spark, dir), "pq"))
+      .orderBy("index_name")
+  }
+
+  // --- q160: hybrid lexical→semantic retrieval -----------------------------
+  // The retrieval composite a decontamination/search surface actually
+  // runs: exact-rational BM25 (q63c's scorer, same terms) nominates the
+  // top-m lexical candidates, the best-scored candidate WITH an embedding
+  // anchors a semantic rerank, and the candidates re-rank by exact cosine
+  // micro-units to that anchor — lexical recall, semantic precision.
+  // Candidates without an embedding drop at the rerank join (q93 measures
+  // exactly that coverage gap). Everything is integer/paired-IEEE exact,
+  // so the whole composite hash-verifies — the lexical complement of the
+  // q29 ANN ladder joined to it through the doc_id = vec_id key.
+  //
+  // Scale shape: the BM25 scorer is the q63c inverted-postings plan
+  // (term-filtered map-side, never corpus²); the rerank is an m-row
+  // relation joined to embeddings on the key, then one 1-row anchor
+  // broadcast (the single declared nested-loop, PlanShapeSpec-gated)
+  // over m rows. Corpus cost = BM25's postings scan; the semantic stage
+  // is candidate-bounded, never corpus-bounded.
+  val HybridCandidates = 25
+  val HybridTopK = 10
+
+  def q160HybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val cands = graft.ops.TextAnalysisOps.bm25Search(
+      Tables.documents(spark, dir), AnalysisQueries.RankedTerms,
+      AnalysisQueries.RankedIdfBoost, HybridCandidates)
+      .select(col("doc_id"), col("score_micro").as("bm25_micro"))
+    // persisted: the anchor selection and the rerank both read this
+    // m-row relation — unpersisted, the anchor branch would replay the
+    // whole BM25 aggregate (and its corpus-totals broadcast) a second time
+    val withEmb = graft.CacheScope.persist(cands.join(
+      SimilarityOps.prepared(Tables.embeddings(spark, dir)),
+      cands("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("bm25_micro"), col("emb")))
+    val anchor = broadcast(withEmb
+      .orderBy(col("bm25_micro").desc, col("doc_id")).limit(1)
+      .select(col("doc_id").as("anchor_id"), col("emb").as("a_emb")))
+    withEmb.crossJoin(anchor)
+      .where(col("doc_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("doc_id"), col("bm25_micro"),
+        SimilarityOps.cosineMicro(col("a_emb"), col("emb")).as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("doc_id"))
+      .limit(HybridTopK)
+  }
+
+  // lazy: interpolates AnalysisQueries vals — eager evaluation here would
+  // re-enter the cross-object clinit chain (the q146 lesson)
+  lazy val q160Sql: String = {
+    val inList = AnalysisQueries.RankedTerms.map(_.toLowerCase).distinct
+      .map(t => s"'${t.replace("'", "''")}'").mkString("(", ", ", ")")
+    val boost = AnalysisQueries.RankedIdfBoost
+    raw"""WITH d AS (
+      SELECT doc_id, ${SqlDefs.toksSql("lower(coalesce(text, ''))")} AS toks
+      FROM documents),
+    dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    pt AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd),
+    g AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pt WHERE term IN $inList GROUP BY doc_id, dl, term),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(dl) AS BIGINT) AS l_total FROM dd),
+    w AS (SELECT f.term,
+        CAST($boost * (length(format('{:b}', c.n_docs))
+          - length(format('{:b}', f.df))) + 1 AS BIGINT) AS w,
+        c.n_docs, c.l_total
+      FROM (SELECT term, count(*) AS df FROM g GROUP BY term) f, c),
+    s AS (SELECT g.doc_id,
+        CAST(sum(w.w * ((1000000 * 44 * w.l_total * g.tf) //
+          (20 * w.l_total * g.tf + 6 * w.l_total + 18 * g.dl * w.n_docs)))
+          AS BIGINT) AS bm25_micro
+      FROM g JOIN w USING (term) GROUP BY g.doc_id),
+    cand AS (SELECT doc_id, bm25_micro FROM s
+      ORDER BY bm25_micro DESC, doc_id LIMIT $HybridCandidates),
+    p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) AS nrm FROM p),
+    ce AS (SELECT cand.doc_id, cand.bm25_micro, n.emb, n.nrm
+      FROM cand JOIN n ON n.vec_id = cand.doc_id),
+    anchor AS (SELECT doc_id AS anchor_id, emb AS a_emb, nrm AS a_nrm
+      FROM ce ORDER BY bm25_micro DESC, doc_id LIMIT 1)
+    SELECT a.anchor_id, ce.doc_id, ce.bm25_micro,
+      ${cosMicroSql("a.a_emb", "ce.emb", "a.a_nrm", "ce.nrm")} AS cos_micro
+    FROM ce CROSS JOIN anchor a
+    WHERE ce.doc_id <> a.anchor_id
+    ORDER BY cos_micro DESC, ce.doc_id LIMIT $HybridTopK"""
+  }
+
   def q104cStoredPq(spark: SparkSession, dir: String): DataFrame = {
     val (cb, _) = pqIndex(spark, dir)
     val idx = ivfIndex(spark, dir)
@@ -886,10 +1061,13 @@ object SimilarityQueries {
     ${(1 to NnRounds).map(round).mkString(",\n    ")}"""
   }
 
-  val q136Sql: String =
+  // materializeCtes: the unrolled rounds reference their predecessor
+  // multiple times — inlined, the build prefix re-expands at every
+  // reference (see SqlDefs.materializeCtes; 10.9 s → 0.3 s, same rows)
+  val q136Sql: String = SqlDefs.materializeCtes(
     s"""WITH $nnGraphCtes
     SELECT query_id, cand_id, cos_micro, rk FROM g$NnRounds
-    ORDER BY query_id, rk"""
+    ORDER BY query_id, rk""")
 
   // --- q138: graph-ANN beam search over the stored k-NN graph ---------------
   // The SEARCH half of graph ANN (op semantics + per-query cost bound in
@@ -942,7 +1120,14 @@ object SimilarityQueries {
         FROM f${idx - 1} f JOIN g$NnRounds gg ON gg.query_id = f.cand_id
         WHERE gg.cand_id <> f.query_id) hh),
     ${beamKeep(idx)}"""
-    s"""WITH $nnGraphCtes,
+    // materializeCtes is LOAD-BEARING here: each beam hop references the
+    // graph CTE and the previous frontier — inlined, the whole NN-Descent
+    // build replays inside every hop (~15 min / 420 s at 16 threads for
+    // this one statement; 1.9 s materialized, identical rows). The oracle
+    // stays END-TO-END — build replay + every hop's beam — rather than
+    // trusting the stored artifact it searches.
+    SqlDefs.materializeCtes(
+      s"""WITH $nnGraphCtes,
     ent AS (SELECT vec_id AS cand_id FROM n ORDER BY vec_id LIMIT $SearchBeam),
     fc0 AS (
       SELECT q.vec_id AS query_id, e.cand_id
@@ -951,7 +1136,7 @@ object SimilarityQueries {
     ${beamKeep(0)},
     ${(1 to SearchHops).map(hop).mkString(",\n    ")}
     SELECT query_id, cand_id, cos_micro, rk FROM f$SearchHops
-    WHERE rk <= $TopK ORDER BY query_id, rk"""
+    WHERE rk <= $TopK ORDER BY query_id, rk""")
   }
 
   // --- q133b: incremental moment maintenance (delta-only refresh) ----------
@@ -1309,7 +1494,10 @@ object SimilarityQueries {
     "q133b_incremental_moments" -> (q133bIncrementalMoments _),
     "q136_nn_descent" -> (q136NnDescent _),
     "q138_graph_search" -> (q138GraphSearch _),
-    "q29g_multiprobe" -> (q29gMultiProbe _))
+    "q29g_multiprobe" -> (q29gMultiProbe _),
+    "q158_rebuild_decision" -> (q158RebuildDecision _),
+    "q158b_ann_rebuild" -> (q158bAnnRebuild _),
+    "q160_hybrid_retrieval" -> (q160HybridRetrieval _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,
@@ -1333,5 +1521,7 @@ object SimilarityQueries {
     "q133b_incremental_moments" -> q133bSql,
     "q136_nn_descent" -> q136Sql,
     "q138_graph_search" -> q138Sql,
-    "q29g_multiprobe" -> q29gSql)
+    "q29g_multiprobe" -> q29gSql,
+    "q158_rebuild_decision" -> q158Sql,
+    "q160_hybrid_retrieval" -> q160Sql)
 }

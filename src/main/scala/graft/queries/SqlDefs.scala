@@ -39,6 +39,24 @@ object SqlDefs {
   val bpeRegexSql: String =
     graft.ops.TextAnalysisOps.BpeTokenRegex.replace("\\", "\\\\")
 
+  /** Rewrites every CTE definition `name AS (` in a DuckDB oracle to
+    * `name AS MATERIALIZED (` — an execution HINT, not a semantic change
+    * (verified bit-identical on every rewritten oracle).
+    *
+    * Why it exists: DuckDB 1.0 INLINES each CTE reference by default, so
+    * an unrolled-iteration oracle whose round r references round r-1
+    * several times (NN-Descent's forward/reverse/incumbent uses, a beam
+    * hop's frontier) re-expands the ENTIRE prefix at every reference —
+    * multiplicative blowup that turned q138's 9 KB oracle into a ~15 min
+    * single statement (420 s even at 16 DuckDB threads; 1.9 s
+    * materialized, same rows). Applied per-oracle to the iterative
+    * shapes, NOT globally: a `WINDOW w AS (...)` named-window clause
+    * (used by q13b/q103/q117 and others) matches the same text pattern
+    * but cannot take MATERIALIZED, hence the lookbehind guard.
+    */
+  def materializeCtes(sql: String): String =
+    sql.replaceAll("(?<!WINDOW\\s)\\b(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+
   /** Recursive-CTE replay of the engine's merge-table BPE
     * ([[graft.functions.BpeMerges]]) over the DISTINCT pre-token
     * vocabulary of `documents.text` — each recursion step merges the

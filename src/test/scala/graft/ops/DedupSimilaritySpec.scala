@@ -453,6 +453,49 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("q29d's float index stored partitioned-by-cell: the probe prunes " +
+      "to the probed cells and scoring the pruned scan is byte-identical " +
+      "to the in-memory path at q29d's own operating point") {
+    // the q79e contract, float tier — q29d's last missing deterministic
+    // unit: the SAME probe-cells/score split that serves the in-memory
+    // index must serve its stored cell-partitioned layout with (a)
+    // byte-identical rows and (b) a scan that reads only the probed
+    // cells' partitions. With this, every IVF rung (float q29d, SQ8
+    // q79d/e) carries a stored-layout identity, not just recall floors.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = SimilarityOps.buildIvfIndex(emb, nCells = 16)
+    val path = graft.Scratch.dir("test_ivf_float_stored")
+    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    // q29d's operating point: everyNth = QueryEveryNth, nProbe = 4
+    val qCells = SimilarityOps.ivfProbeCells(index,
+      graft.queries.SimilarityQueries.QueryEveryNth, nProbe = 4)
+    val cells = qCells.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(cells.nonEmpty && cells.size < 16,
+      s"probe must select a strict subset of cells, got $cells")
+    val stored = spark.read.parquet(path)
+      .where(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("emb"), col("cell").cast("long").as("cell"))
+    val disk = SimilarityOps.ivfScore(
+      stored.select("vec_id", "emb", "cell"), qCells, k = 5)
+      .orderBy("query_id", "rk").collect().toSeq
+    val mem = SimilarityOps.ivfScore(
+      index.assigned.select("vec_id", "emb", "cell"), qCells, k = 5)
+      .orderBy("query_id", "rk").collect().toSeq
+    assert(disk == mem, "stored-pruned path diverged from in-memory path")
+    assert(mem.nonEmpty)
+    val scan = stored.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      scan.partitionFilters.toString)
+    val scanned = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil).size
+    assert(scanned == cells.size,
+      s"scan read $scanned of 16 cell partitions, expected ${cells.size}")
+    graft.CacheScope.releaseAll()
+  }
+
   test("SQ8 codes are int8-bounded and unit-scale") {
     val emb = Seq(
       (0L, Array(3.0f, 4.0f), 0),          // unit = (0.6, 0.8)

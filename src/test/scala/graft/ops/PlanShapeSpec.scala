@@ -57,6 +57,22 @@ class PlanShapeSpec extends SparkSpec {
         s"broadcasts:\n$plan")
   }
 
+  test("q160 hybrid retrieval: BM25 postings stay equi; only the two " +
+      "declared 1-row broadcasts (corpus totals, rerank anchor) are " +
+      "nested-loop") {
+    val plan = planOf(SimilarityQueries.q160HybridRetrieval(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      s"q160 plan regressed to a cartesian product:\n$plan")
+    // 2 executed (corpus-totals scalar inside the BM25 scorer, 1-row
+    // anchor broadcast) + 1 textual echo: the persisted candidate
+    // relation's InMemoryRelation prints its build plan — which contains
+    // the totals BNLJ — again inside this plan string
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 3,
+      s"q160 grew nested-loop joins beyond the BM25 corpus-totals scalar " +
+        s"and the 1-row anchor broadcast:\n$plan")
+  }
+
   test("q147 threshold curve stays a bucketed equi-join") {
     assertNoQuadraticJoin("q147",
       SimilarityQueries.q147ThresholdCurve(spark, dir))
