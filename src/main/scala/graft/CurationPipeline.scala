@@ -154,4 +154,40 @@ object CurationPipeline {
       .select(col("doc_id"), col("text"),
         size(col("toks")).cast("long").as("n_tokens"))
   }
+
+  /** Quality-aware canonical selection: one row per near-dup cluster,
+    * keeping the RICHEST member — max distinct tokens, then max tokens,
+    * then min doc_id — instead of [[curateClusterDedupFromPairs]]'s
+    * arbitrary min-id convention. When near-duplicates differ (one copy
+    * truncated, one boilerplate-padded, one intact), the min-id rule
+    * keeps whichever was crawled first; this rule keeps the most
+    * informative copy — the retention policy a training corpus actually
+    * wants. Emits `(doc_id, cluster_id, cluster_size, n_tokens,
+    * n_distinct_tokens)` — cluster_id stays the min-id LABEL (stable
+    * across policy changes), doc_id is the kept member.
+    *
+    * Scale shape: the label-propagation clusters plus one window pass
+    * partitioned by cluster_id over the exact-survivor relation — no
+    * new corpus-sized join beyond what the clusters already cost.
+    */
+  def curateBestInCluster(exact: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = DedupOps.duplicateClusters(
+      exact.select("doc_id"), pairs.select("id_a", "id_b"))
+    val scored = exact.join(clusters, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long")
+          .as("n_distinct_tokens"))
+    val byRichness = Window.partitionBy("cluster_id")
+      .orderBy(col("n_distinct_tokens").desc, col("n_tokens").desc,
+        col("doc_id").asc)
+    scored
+      .withColumn("rk", row_number().over(byRichness))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_tokens"), col("n_distinct_tokens"))
+  }
 }

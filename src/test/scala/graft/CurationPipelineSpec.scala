@@ -141,6 +141,26 @@ class CurationPipelineSpec extends SparkSpec {
     CacheScope.releaseAll()
   }
 
+  test("curateBestInCluster keeps the richest member, labels by min id") {
+    // chain 1-2-3 is one cluster (label 1); doc 2 has the most DISTINCT
+    // tokens so it is kept over the earlier-crawled doc 1; doc 4 is a
+    // singleton; docs 5/6 tie on richness -> min id wins
+    def toks(s: String) = s.split(" ").toSeq
+    val exact = Seq(
+      (1L, "a b a b", toks("a b a b")),
+      (2L, "a b c d", toks("a b c d")),
+      (3L, "a b c", toks("a b c")),
+      (4L, "solo doc", toks("solo doc")),
+      (5L, "x y", toks("x y")),
+      (6L, "y x", toks("y x")))
+      .toDF("doc_id", "text", "toks")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = CurationPipeline.curateBestInCluster(exact, pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(kept === Seq((2L, 1L, 3L), (4L, 4L, 1L), (5L, 5L, 2L)))
+  }
+
   test("curate keeps near-duplicate-free corpora intact") {
     val docs = Seq(
       (1L, "aa bb cc dd ee ff gg"),
