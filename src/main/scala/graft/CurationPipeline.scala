@@ -171,23 +171,12 @@ object CurationPipeline {
     * new corpus-sized join beyond what the clusters already cost.
     */
   def curateBestInCluster(exact: DataFrame, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val clusters = DedupOps.duplicateClusters(
       exact.select("doc_id"), pairs.select("id_a", "id_b"))
-    val scored = exact.join(clusters, Seq("doc_id"))
+    DedupOps.richestCanonical(exact.join(clusters, Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long")
-          .as("n_distinct_tokens"))
-    val byRichness = Window.partitionBy("cluster_id")
-      .orderBy(col("n_distinct_tokens").desc, col("n_tokens").desc,
-        col("doc_id").asc)
-    scored
-      .withColumn("rk", row_number().over(byRichness))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .where(col("rk") === 1)
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        col("n_tokens"), col("n_distinct_tokens"))
+          .as("n_distinct_tokens")))
   }
 }

@@ -511,6 +511,30 @@ object DedupOps {
     * tree grows exponentially and the optimizer, not the data, becomes
     * the bottleneck.
     */
+  /** Richest-member election over a labeled membership relation —
+    * `(doc_id, cluster_id, n_tokens, n_distinct_tokens)` in, ONE row per
+    * cluster out (`doc_id` = the elected member, plus `cluster_size`):
+    * max distinct tokens, then max tokens, then min doc_id. The shared
+    * decision rule of the quality-aware retention tier — the batch
+    * policy ([[graft.CurationPipeline.curateBestInCluster]], q159) and
+    * its incremental maintenance (q159b) both route here, so the
+    * election semantics are defined once. One window pass partitioned by
+    * cluster_id; no joins.
+    */
+  def richestCanonical(members: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byRichness = Window.partitionBy("cluster_id")
+      .orderBy(col("n_distinct_tokens").desc, col("n_tokens").desc,
+        col("doc_id").asc)
+    members
+      .withColumn("rk", row_number().over(byRichness))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_tokens"), col("n_distinct_tokens"))
+  }
+
   def duplicateClusters(docs: DataFrame, pairs: DataFrame,
                         maxIters: Int = 20,
                         idCol: String = "doc_id"): DataFrame = {

@@ -585,6 +585,100 @@ object DedupQueries {
     fromBase.unionByName(fromDelta).orderBy("doc_id")
   }
 
+  // --- q159b: INCREMENTAL canonical maintenance ----------------------------
+  // q55c maintains cluster LABELS incrementally; this maintains the
+  // quality-aware CANONICAL table (q159's richest-member election, the
+  // shared rule in DedupOps.richestCanonical) the same way. Yesterday's
+  // canonical rows live as a stored artifact over the base carve; today's
+  // delta arrives, and only TOUCHED clusters re-elect. The touch
+  // argument makes the untouched carry-over exact, not approximate:
+  // every quotient edge has at least one delta endpoint (base-base pairs
+  // are already inside the base clustering), so a multi-node quotient
+  // component must contain a delta doc — a base cluster is untouched iff
+  // its component gained no delta member, and then its membership, its
+  // min-id label, AND its election inputs are all bit-identical to
+  // yesterday's, so the stored row IS the answer. Touched clusters
+  // re-elect over their (pruned) membership only. The oracle is the
+  // FROM-SCRATCH election over the whole corpus (q55's recursive closure
+  // + the q159 window), so a hash match proves incremental == full
+  // recompute. At 100 TB: re-election cost tracks delta churn, the
+  // corpus-sized richness relation is only read through the touched
+  // semi-join, and the canonical table persists as a fingerprinted
+  // artifact between ingests.
+  val CanonicalStoreVersion = s"1:carve=inA,pairs=$JpairsStoreVersion,elect=richest"
+
+  def q159bIncrementalCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val snaps = CurationQueries.Snapshots
+    val toked = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.ops.TextOps.tokenize(col("text")).as("toks"))
+    val richness = toked.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"))
+    // yesterday's canonical table: a stored artifact over the base carve,
+    // derived by the SAME election the batch tier uses
+    val baseCanonical = graft.CacheScope.persistIfUnpersisted(
+      graft.sources.StoredRelations.readOrBuild(spark, "dedup_canonical_baseA",
+        Seq(s"$dir/documents.parquet"), CanonicalStoreVersion) {
+        val baseDocs = toked.select(col("doc_id")).where(snaps.inA)
+        val basePairs = jpairs(spark, dir).select(col("id_a"), col("id_b"))
+          .where(snaps.inAOf(col("id_a")) && snaps.inAOf(col("id_b")))
+        DedupOps.richestCanonical(
+          DedupOps.duplicateClusters(baseDocs, basePairs)
+            .join(richness, Seq("doc_id")))
+      })
+    // today's membership under the new labels — q55c's quotient algebra
+    val membership = q55cIncrementalClusters(spark, dir)
+    val touched = membership
+      .join(toked.select(col("doc_id")).where(!snaps.inA), Seq("doc_id"),
+        "left_semi")
+      .select(col("cluster_id")).distinct()
+    // a stored row is stale when its cluster's NEW label is touched — the
+    // anti-join must run on new labels, not stored ones: a touched
+    // cluster's label can CHANGE (a smaller-id delta doc joins and
+    // becomes the new min, or two base clusters merge through a delta
+    // doc), and then the old label appears nowhere in the touched set —
+    // an old-label anti-join would leak the stale stored row alongside
+    // the re-election (measured: 4 leaked rows at sf0.01 pre-fix). The
+    // elected member's membership row maps old → new (all members of a
+    // base cluster share one new label).
+    val touchedOld = baseCanonical.select(col("doc_id"), col("cluster_id"))
+      .join(membership.select(col("doc_id"),
+        col("cluster_id").as("new_label")), Seq("doc_id"))
+      .join(touched.select(col("cluster_id").as("new_label")),
+        Seq("new_label"), "left_semi")
+      .select(col("cluster_id"))
+    val untouched = baseCanonical
+      .join(touchedOld, Seq("cluster_id"), "left_anti")
+    val reElected = DedupOps.richestCanonical(
+      membership.join(touched, Seq("cluster_id"), "left_semi")
+        .join(richness, Seq("doc_id")))
+    // re-pin column order: the cluster_id-keyed anti-join moved the join
+    // key first, and unionByName would propagate that order
+    untouched.unionByName(reElected)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_tokens"), col("n_distinct_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // materializeCtes: the recursive closure references `edges` per step.
+  // lazy: interpolates labelsCtes, declared LATER in this object — an
+  // eager val here would fold a null into the SQL at clinit
+  lazy val q159bSql: String = graft.queries.SqlDefs.materializeCtes(
+    s"""WITH RECURSIVE $labelsCtes,
+    sc AS (SELECT t.doc_id, l.cluster_id,
+        CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(t.toks)) AS BIGINT) AS n_distinct_tokens
+      FROM tok t JOIN labs l ON t.doc_id = l.doc_id),
+    r AS (SELECT sc.*,
+        row_number() OVER (PARTITION BY cluster_id
+          ORDER BY n_distinct_tokens DESC, n_tokens DESC, doc_id ASC) AS rk,
+        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+          AS cluster_size
+      FROM sc)
+    SELECT doc_id, cluster_id, cluster_size, n_tokens, n_distinct_tokens
+    FROM r WHERE rk = 1
+    ORDER BY doc_id""")
+
   /** q55's full label chain as a reusable CTE fragment (no leading WITH;
     * callers must prepend `WITH RECURSIVE`): shingles → Jaccard pairs →
     * symmetric edges → recursive reachability → `labs (doc_id,
@@ -1805,6 +1899,7 @@ object DedupQueries {
     "q55_dup_clusters" -> (q55DupClusters _),
     "q55b_dup_clusters_star" -> (q55bDupClustersStar _),
     "q55c_incremental_clusters" -> (q55cIncrementalClusters _),
+    "q159b_incremental_canonical" -> (q159bIncrementalCanonical _),
     "q105_cluster_split" -> (q105ClusterSplit _),
     "q112_cluster_size_histogram" -> (q112ClusterSizeHistogram _),
     "q120_pagerank" -> (q120PageRank _),
@@ -1842,6 +1937,7 @@ object DedupQueries {
     "q55_dup_clusters" -> q55Sql,
     "q55b_dup_clusters_star" -> q55Sql,
     "q55c_incremental_clusters" -> q55Sql,
+    "q159b_incremental_canonical" -> q159bSql,
     "q105_cluster_split" -> q105Sql,
     "q112_cluster_size_histogram" -> q112Sql,
     "q120_pagerank" -> q120Sql,

@@ -496,6 +496,51 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("q159b incremental canonical == from-scratch election, and the " +
+      "fixture exercises the base-cluster label-change case") {
+    // from-scratch: cluster the WHOLE corpus, elect richest per cluster —
+    // the oracle's definition, here in Spark so the unit needs no DuckDB
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toked = docs.select(col("doc_id"),
+      graft.ops.TextOps.tokenize(col("text")).as("toks"))
+    val richness = toked.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"))
+    val pairs = graft.queries.DedupQueries.q25NgramJaccard(spark, dir)
+      .select("id_a", "id_b")
+    val full = DedupOps.richestCanonical(
+      DedupOps.duplicateClusters(toked.select("doc_id"), pairs)
+        .join(richness, Seq("doc_id")))
+      .orderBy("doc_id").collect().toSeq
+    val incr = graft.queries.DedupQueries
+      .q159bIncrementalCanonical(spark, dir).collect().toSeq
+    assert(incr == full, "incremental diverged from from-scratch election")
+    // non-vacuity: the DRIVER-GATE fixture (sf0.01 — sf0.001 has no such
+    // component) must exercise a LABEL CHANGE: a base cluster whose new
+    // label differs from its stored one (a smaller-id delta doc joins,
+    // or two base clusters merge through a delta doc) — the class whose
+    // stale-row leak an old-label anti-join would miss (it did, pre-fix:
+    // 4 leaked rows at sf0.01).
+    val snaps = graft.queries.CurationQueries.Snapshots
+    val dir01 = "/root/testdata/sf0.01"
+    val docs01 = spark.read.parquet(s"$dir01/documents.parquet")
+      .select("doc_id")
+    val pairs01 = graft.queries.DedupQueries.q25NgramJaccard(spark, dir01)
+      .select("id_a", "id_b")
+    val baseLabels = DedupOps.duplicateClusters(
+      docs01.where(snaps.inA),
+      pairs01.where(snaps.inAOf(col("id_a")) && snaps.inAOf(col("id_b"))))
+    val fullLabels = DedupOps.duplicateClusters(docs01, pairs01)
+    val relabeled = fullLabels.join(baseLabels
+        .withColumnRenamed("cluster_id", "base_label"), Seq("doc_id"))
+      .where(col("cluster_id") =!= col("base_label")).count()
+    assert(relabeled >= 1,
+      "driver-gate fixture never changes a base cluster's label through " +
+        "a delta doc — the stale-row case is untested")
+    graft.CacheScope.releaseAll()
+  }
+
   test("SQ8 codes are int8-bounded and unit-scale") {
     val emb = Seq(
       (0L, Array(3.0f, 4.0f), 0),          // unit = (0.6, 0.8)
