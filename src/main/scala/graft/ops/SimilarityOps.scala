@@ -475,20 +475,44 @@ object SimilarityOps {
     * totals. Output is layout-bounded, never corpus-bounded.
     */
   def lshOccupancyDrift(base: DataFrame, delta: DataFrame,
-                        bits: Int, tables: Int): DataFrame = {
-    def occ(emb: DataFrame, n: String): DataFrame =
-      prepared(emb)
-        .select(explode(array((0 until tables).map(t =>
-          struct(lit(t.toLong).as("tbl"),
-            signBucketAt(col("emb"), t * bits, bits).as("bucket"))): _*))
-          .as("tb"))
-        .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-        .groupBy("tbl", "bucket").agg(count(lit(1)).as(n))
-    val totals = broadcast(
-      prepared(base).agg(count(lit(1)).as("base_total")).crossJoin(
-        prepared(delta).agg(count(lit(1)).as("delta_total"))))
-    occ(base, "n_base")
-      .join(occ(delta, "n_delta"), Seq("tbl", "bucket"), "full_outer")
+                        bits: Int, tables: Int): DataFrame =
+    lshOccupancyDriftFromCounts(
+      lshOccupancy(base, bits, tables, "n_base"),
+      lshOccupancy(delta, bits, tables, "n_delta"))
+
+  /** The per-(table, bucket) occupancy histogram of a multi-table
+    * sign-LSH layout — ≤ tables·2^bits rows, one corpus scan. LINEAR in
+    * the input rows (plain counts), so per-batch histograms merge by
+    * addition — the property [[graft.streaming.StreamingOps
+    * .lshDriftStream]] builds its summary store on.
+    */
+  def lshOccupancy(emb: DataFrame, bits: Int, tables: Int,
+                   n: String): DataFrame =
+    prepared(emb)
+      .select(explode(array((0 until tables).map(t =>
+        struct(lit(t.toLong).as("tbl"),
+          signBucketAt(col("emb"), t * bits, bits).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .groupBy("tbl", "bucket").agg(count(lit(1)).as(n))
+
+  /** [[lshOccupancyDrift]] over ALREADY-AGGREGATED occupancy histograms
+    * — the shape the streaming monitor's merged summary store yields.
+    * Side totals are recovered from the histograms themselves: every
+    * vector lands in exactly ONE bucket of table 0 (signBucketAt never
+    * yields null — a null/NaN component folds to the 0 branch), so
+    * `sum(n) where tbl = 0` IS the side's vector count, and the batch
+    * and streaming paths stay bit-identical.
+    */
+  def lshOccupancyDriftFromCounts(baseOcc: DataFrame,
+                                  deltaOcc: DataFrame): DataFrame = {
+    def totalOf(occ: DataFrame, n: String, as: String): DataFrame =
+      occ.where(col("tbl") === 0)
+        .agg(coalesce(sum(col(n)), lit(0L)).as(as))
+    val totals = broadcast(totalOf(baseOcc, "n_base", "base_total")
+      .crossJoin(totalOf(deltaOcc, "n_delta", "delta_total")))
+    baseOcc
+      .join(deltaOcc, Seq("tbl", "bucket"), "full_outer")
       .select(col("tbl"), col("bucket"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_delta"), lit(0L)).as("n_delta"))

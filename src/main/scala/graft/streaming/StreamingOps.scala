@@ -653,6 +653,73 @@ object StreamingOps {
     }
   }
 
+  /** Streaming twin of the q158 index-drift monitor: each micro-batch of
+    * ingest vectors is bucketed by the SAME multi-table sign-LSH layout
+    * the index uses ([[graft.ops.SimilarityOps.lshOccupancy]]) and its
+    * ≤ tables·2^bits-row occupancy histogram lands in a summary store
+    * under dynamic partition overwrite keyed by `lsh_batch`
+    * ([[amsF2Stream]]'s replay/restart discipline — replay rewrites the
+    * same partition, restart re-derives from the store). Occupancy is
+    * LINEAR (plain counts), so the merged store is a grouped sum and the
+    * standing decision after any batch prefix is EXACTLY the batch-mode
+    * q158 decision over the concatenated delta — bit-identical, not
+    * merely guarantee-preserving (DriftDqSpec's parity gate). After each
+    * batch `onUpdate` receives the standing rebuild/keep decision — the
+    * index-maintenance trigger watching ingest as it happens instead of
+    * at the next nightly batch.
+    */
+  def lshDriftStream(delta: DataFrame, baseOcc: DataFrame,
+                     summaryPath: String, checkpoint: String,
+                     bits: Int, tables: Int,
+                     ratioThresholdMicro: Long, driftedPermille: Long,
+                     hardCapMicro: Long)
+                    (onUpdate: org.apache.spark.sql.Row => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    delta.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        writeDynamicOverwrite(
+          graft.ops.SimilarityOps.lshOccupancy(batch, bits, tables, "n")
+            .withColumn("lsh_batch", lit(batchId)),
+          summaryPath, Seq("lsh_batch"))
+        onUpdate(graft.ops.SimilarityOps.rebuildDecision(
+          graft.ops.SimilarityOps.lshOccupancyDriftFromCounts(
+            baseOcc.withColumnRenamed("n", "n_base"),
+            mergedLshOccupancy(spark, summaryPath)
+              .withColumnRenamed("n", "n_delta")),
+          "lsh", ratioThresholdMicro, driftedPermille, hardCapMicro)
+          .head())
+      }
+      .start()
+
+  /** Standing occupancy histogram from the [[lshDriftStream]] summary
+    * store — a grouped SUM across batch partitions; an absent or
+    * partition-less store is the empty delta. Any consumer can run the
+    * drift + decision fold against the store alone: see
+    * [[graft.ops.SimilarityOps.lshOccupancyDriftFromCounts]] /
+    * [[graft.ops.SimilarityOps.rebuildDecision]].
+    */
+  def mergedLshOccupancy(spark: SparkSession,
+                         summaryPath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(summaryPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root) || !fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("lsh_batch=")))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tbl",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+    spark.read.parquet(summaryPath)
+      .groupBy("tbl", "bucket")
+      .agg(sum(col("n")).as("n"))
+  }
+
   /** Streaming AMS F2 — the q17e self-join-size sketch maintained
     * continuously over a keyed stream (`keys`' FIRST column is the key).
     * LINEARITY is the whole design: each counter z(rep, b) is a plain

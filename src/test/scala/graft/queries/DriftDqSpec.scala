@@ -84,6 +84,57 @@ class DriftDqSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshDriftStream: standing decision after streamed batches is " +
+      "bit-identical to the batch q158 decision, and the store is " +
+      "replay-keyed") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ops = graft.ops.SimilarityOps
+    val (bits, tables) = (SimilarityQueries.LshDriftBits,
+      SimilarityQueries.LshDriftTables)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.where(col("vec_id") % 10 =!= 9)
+    val deltaRows = emb.where(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(deltaRows.length >= 2)
+    val (b1, b2) = deltaRows.splitAt(deltaRows.length / 2)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val summary = java.nio.file.Files
+      .createTempDirectory("graft-lshdrift-sums").toString
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-lshdrift-ckpt").toString
+    @volatile var last: org.apache.spark.sql.Row = null
+    val q = graft.streaming.StreamingOps.lshDriftStream(
+      mem.toDF.toDF("vec_id", "embedding"),
+      ops.lshOccupancy(base, bits, tables, "n_base"),
+      summary, checkpoint, bits, tables,
+      SimilarityQueries.DriftRatioThresholdMicro,
+      SimilarityQueries.DriftedPermille,
+      SimilarityQueries.DriftHardCapMicro)(r => last = r)
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // occupancy is linear, so the standing decision over the summed
+    // per-batch histograms must equal the batch path over the whole delta
+    val batchDecision = ops.rebuildDecision(
+      ops.lshOccupancyDrift(base, emb.where(col("vec_id") % 10 === 9),
+        bits, tables),
+      "lsh", SimilarityQueries.DriftRatioThresholdMicro,
+      SimilarityQueries.DriftedPermille,
+      SimilarityQueries.DriftHardCapMicro).head()
+    assert(last == batchDecision,
+      s"streamed $last != batch $batchDecision")
+    // replay safety: one lsh_batch partition per processed batch —
+    // a replayed batch rewrites its own partition, never double-merges
+    val storedBatches = spark.read.parquet(summary)
+      .select("lsh_batch").distinct().count()
+    assert(storedBatches == 2, s"expected 2 stored batches, got $storedBatches")
+  }
+
   test("q155: a degraded snapshot-B source shows negative drift") {
     import sqlImplicits._
     // source 'sA': A-side text passes the battery; its B rewrite (doc_id
