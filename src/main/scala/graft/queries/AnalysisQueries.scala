@@ -1116,6 +1116,56 @@ object AnalysisQueries {
     FROM s ORDER BY doc_id"""
   }
 
+  // --- q162: exact per-source length quantiles -----------------------------
+  // The context-window / packing-config evidence (q69's chunk size,
+  // q58's shard budget, q89's curriculum bins are all dials someone sets
+  // from a length distribution): per source, the EXACT p10/p50/p90
+  // token counts by rank selection — rank `floor((n-1)*p/100) + 1` in
+  // (n_tokens, doc_id) order, the deterministic discrete quantile both
+  // engines compute identically (approximate-percentile sketches don't
+  // hash-verify; exact rank selection does). One window pass partitioned
+  // by source; at scale each source sorts independently, and the output
+  // is S rows.
+  def q162LengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_tokens").asc, col("doc_id").asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(graft.ops.TextOps.tokenize(col("text"))).cast("long")
+          .as("n_tokens"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(cw))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("rn"))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(
+        max(when(col("rn") === expr("(n_docs - 1) * 10 DIV 100 + 1"),
+          col("n_tokens"))).as("p10_tokens"),
+        max(when(col("rn") === expr("(n_docs - 1) * 50 DIV 100 + 1"),
+          col("n_tokens"))).as("p50_tokens"),
+        max(when(col("rn") === expr("(n_docs - 1) * 90 DIV 100 + 1"),
+          col("n_tokens"))).as("p90_tokens"))
+      .orderBy("source")
+  }
+
+  val q162Sql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+      CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens
+      FROM documents),
+    r AS (SELECT source, n_tokens,
+      row_number() OVER (PARTITION BY source
+        ORDER BY n_tokens ASC, doc_id ASC) AS rn,
+      CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+      FROM t)
+    SELECT source, n_docs,
+      max(CASE WHEN rn = (n_docs - 1) * 10 // 100 + 1 THEN n_tokens END)
+        AS p10_tokens,
+      max(CASE WHEN rn = (n_docs - 1) * 50 // 100 + 1 THEN n_tokens END)
+        AS p50_tokens,
+      max(CASE WHEN rn = (n_docs - 1) * 90 // 100 + 1 THEN n_tokens END)
+        AS p90_tokens
+    FROM r GROUP BY source, n_docs ORDER BY source"""
+
   // --- q23: document fingerprints (rolling hash) -------------------------
   def q23Fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -2021,6 +2071,7 @@ object AnalysisQueries {
     "q21_quality" -> (q21Quality _),
     "q21b_repetition" -> (q21bRepetition _),
     "q22_token_counts" -> (q22TokenCounts _),
+    "q162_length_quantiles" -> (q162LengthQuantiles _),
     "q22b_bpe_tokens" -> (q22bBpeTokens _),
     "q22c_wordpiece_tokens" -> (q22cWordpieceTokens _),
     "q135_tokenizer_fertility" -> (q135TokenizerFertility _),
@@ -2068,6 +2119,7 @@ object AnalysisQueries {
     "q21_quality" -> q21Sql,
     "q21b_repetition" -> q21bSql,
     "q22_token_counts" -> q22Sql,
+    "q162_length_quantiles" -> q162Sql,
     "q22b_bpe_tokens" -> q22bSql,
     "q135_tokenizer_fertility" -> q135Sql,
     "q142_zipf_slope" -> q142Sql,

@@ -283,6 +283,71 @@ object CurationQueries {
     FROM r WHERE rk = 1
     ORDER BY doc_id""")
 
+  // --- q161: canonical-policy impact report --------------------------------
+  // The evidence for ADOPTING q159 over q50b: one row per cluster where
+  // the richest-member election picked a DIFFERENT doc than the min-id
+  // convention, with the token/distinct-token delta the switch buys.
+  // Exact-duplicate clusters never appear (identical members tie and the
+  // tie-break IS min id), so every row is a genuine content difference
+  // between near-duplicates — the decision-evidence pattern (q147/q157):
+  // the engine carries the operator AND the measurement that justifies
+  // choosing it. Cost: the q159 relations it already shares via the
+  // session memos, plus one cluster-keyed join.
+  def q161CanonicalImpact(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactDf(spark, dir)
+    val clusters = graft.ops.DedupOps.duplicateClusters(
+      exact.select("doc_id"), pairsDf(spark, dir).select("id_a", "id_b"))
+    val sc = exact.join(clusters, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long")
+          .as("n_distinct_tokens"))
+    val best = graft.ops.DedupOps.richestCanonical(sc)
+    val minId = sc.where(col("doc_id") === col("cluster_id"))
+      .select(col("cluster_id"), col("n_tokens").as("min_tokens"),
+        col("n_distinct_tokens").as("min_distinct"))
+    best.where(col("doc_id") =!= col("cluster_id"))
+      .join(minId, Seq("cluster_id"))
+      .select(col("cluster_id"), col("doc_id").as("best_doc"),
+        col("min_tokens"), col("n_tokens").as("best_tokens"),
+        (col("n_tokens") - col("min_tokens")).as("tokens_gained"),
+        (col("n_distinct_tokens") - col("min_distinct"))
+          .as("distinct_gained"))
+      .orderBy("cluster_id")
+  }
+
+  // lazy: shares q159Sql's CTE chain (materializeCtes applied there)
+  lazy val q161Sql: String = SqlDefs.materializeCtes(
+    s"""WITH RECURSIVE $curationCtePrefix,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM exact
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    cl AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+    sc AS (SELECT e.doc_id, c.cluster_id,
+        CAST(len(e.toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(e.toks)) AS BIGINT) AS n_distinct_tokens
+      FROM exact e JOIN cl c ON e.doc_id = c.id),
+    r AS (SELECT sc.*,
+        row_number() OVER (PARTITION BY cluster_id
+          ORDER BY n_distinct_tokens DESC, n_tokens DESC, doc_id ASC) AS rk
+      FROM sc),
+    best AS (SELECT doc_id AS best_doc, cluster_id,
+        n_tokens AS best_tokens, n_distinct_tokens AS best_distinct
+      FROM r WHERE rk = 1),
+    mi AS (SELECT cluster_id, n_tokens AS min_tokens,
+        n_distinct_tokens AS min_distinct
+      FROM sc WHERE doc_id = cluster_id)
+    SELECT b.cluster_id, b.best_doc, m.min_tokens, b.best_tokens,
+      b.best_tokens - m.min_tokens AS tokens_gained,
+      b.best_distinct - m.min_distinct AS distinct_gained
+    FROM best b JOIN mi m ON b.cluster_id = m.cluster_id
+    WHERE b.best_doc <> b.cluster_id
+    ORDER BY b.cluster_id""")
+
   // --- q51: deterministic hash-based train/val/test split ----------------
   // Splitting on a content hash (not doc_id, not rand()) keeps assignment
   // stable under re-ingestion and reshuffling — the reproducible-split
@@ -1996,6 +2061,7 @@ object CurationQueries {
     "q50_curated_corpus" -> (q50CuratedCorpus _),
     "q50b_cluster_curated" -> (q50bClusterCurated _),
     "q159_best_in_cluster" -> (q159BestInCluster _),
+    "q161_canonical_impact" -> (q161CanonicalImpact _),
     "q50c_curation_audit" -> (q50cCurationAudit _),
     "q51_split" -> (q51Split _),
     "q52_stratified_sample" -> (q52StratifiedSample _),
@@ -2035,6 +2101,7 @@ object CurationQueries {
     "q50_curated_corpus" -> q50Sql,
     "q50b_cluster_curated" -> q50bSql,
     "q159_best_in_cluster" -> q159Sql,
+    "q161_canonical_impact" -> q161Sql,
     "q50c_curation_audit" -> q50cSql,
     "q51_split" -> q51Sql,
     "q52_stratified_sample" -> q52Sql,

@@ -713,6 +713,62 @@ object DedupQueries {
     s"""WITH RECURSIVE $labelsCtes
     SELECT doc_id, cluster_id FROM labs ORDER BY doc_id"""
 
+  // --- q163: duplicate-cluster cohesion audit -------------------------------
+  // Label propagation certifies CONNECTIVITY, not similarity strength —
+  // a transitive chain a~b~c can collapse docs whose endpoints share
+  // almost nothing (the chaining pathology every production near-dup
+  // pipeline audits for). One row per multi-member cluster: member and
+  // edge counts, the WEAKEST in-cluster edge, and the integer mean edge
+  // strength — min_jaccard_micro far below the pairing threshold's
+  // neighborhood flags a chained cluster worth splitting (the evidence
+  // behind choosing q55b-style star contraction caps or a higher
+  // threshold). Edges are within-cluster by construction (a pair IS an
+  // edge of the component), so the audit is one label join over the
+  // already-bounded pair relation plus a cluster-keyed aggregate —
+  // no corpus-sized work beyond the shared jpairs/labels memos.
+  def q163ClusterCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jpairs(spark, dir)
+      .select(col("id_a"), col("id_b"), col("jaccard_micro"))
+    val labels = dupLabels(spark, dir)
+    val clusterSizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    pairs.join(labels.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("jaccard_micro")).as("min_jaccard_micro"),
+        expr("sum(jaccard_micro) DIV count(1)").as("mean_jaccard_micro"))
+      .join(clusterSizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("n_edges"),
+        col("min_jaccard_micro"), col("mean_jaccard_micro"))
+      .orderBy("cluster_id")
+  }
+
+  // lazy: interpolates labelsCtes, declared above but this val sits in
+  // the same late-init family — and the recursive closure needs
+  // materializeCtes like every labelsCtes consumer
+  lazy val q163Sql: String = graft.queries.SqlDefs.materializeCtes(
+    s"""WITH RECURSIVE $labelsCtes,
+    jm AS (SELECT c.id_a, c.id_b,
+        CAST(floor(1000000 * c.common / (sa.sz + sb.sz - c.common)) AS BIGINT)
+          AS jaccard_micro
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE floor(1000000 * c.common / (sa.sz + sb.sz - c.common))
+        >= $JaccardMinMicro),
+    cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM labs GROUP BY cluster_id),
+    e AS (SELECT l.cluster_id, jm.jaccard_micro
+      FROM jm JOIN labs l ON jm.id_a = l.doc_id),
+    a AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+        min(jaccard_micro) AS min_jaccard_micro,
+        CAST(sum(jaccard_micro) // count(*) AS BIGINT) AS mean_jaccard_micro
+      FROM e GROUP BY cluster_id)
+    SELECT a.cluster_id, cs.n_members, a.n_edges,
+      a.min_jaccard_micro, a.mean_jaccard_micro
+    FROM a JOIN cs USING (cluster_id)
+    ORDER BY cluster_id""")
+
   // --- q139: dedup savings report (tokens removed per tier) -----------------
   // The number every curation run actually reports upward: not which docs
   // are duplicates (q24/q55) but how much TRAINING BUDGET each dedup tier
@@ -1900,6 +1956,7 @@ object DedupQueries {
     "q55b_dup_clusters_star" -> (q55bDupClustersStar _),
     "q55c_incremental_clusters" -> (q55cIncrementalClusters _),
     "q159b_incremental_canonical" -> (q159bIncrementalCanonical _),
+    "q163_cluster_cohesion" -> (q163ClusterCohesion _),
     "q105_cluster_split" -> (q105ClusterSplit _),
     "q112_cluster_size_histogram" -> (q112ClusterSizeHistogram _),
     "q120_pagerank" -> (q120PageRank _),
@@ -1938,6 +1995,7 @@ object DedupQueries {
     "q55b_dup_clusters_star" -> q55Sql,
     "q55c_incremental_clusters" -> q55Sql,
     "q159b_incremental_canonical" -> q159bSql,
+    "q163_cluster_cohesion" -> q163Sql,
     "q105_cluster_split" -> q105Sql,
     "q112_cluster_size_histogram" -> q112Sql,
     "q120_pagerank" -> q120Sql,
