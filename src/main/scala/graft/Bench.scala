@@ -63,9 +63,11 @@ object Bench {
     * bench dependency-free). Returns empty on any malformed input. */
   private[graft] def parseQueriesCold(txt: String): Map[String, Double] =
     try {
-      val m = """"queries_cold":\{([^}]*)\}""".r
+      // \s* after the colon: the reference file may be rewritten by a
+      // JSON library that puts a space there (json.dumps default)
+      val m = """"queries_cold":\s*\{([^}]*)\}""".r
         .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      """"([^"]+)":(-?[0-9.eE+]+)""".r.findAllMatchIn(m)
+      """"([^"]+)":\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(m)
         .map(x => x.group(1) -> x.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
 

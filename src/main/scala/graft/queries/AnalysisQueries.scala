@@ -533,6 +533,75 @@ object AnalysisQueries {
       (n_latin1 + n_punct + n_repl > 0) AS flagged
     FROM c ORDER BY doc_id"""
 
+  // --- q164: script / character-class composition profile ------------------
+  // The signal BETWEEN language-ID (q20: which language) and mojibake
+  // detection (q145: was the decode broken): what character classes is
+  // each doc actually made of. Mixed-script spam, digit-dominated dumps,
+  // and stray non-ASCII in an ASCII corpus all surface here before any
+  // tokenizer runs. Counts via regexp-removal length differences (the
+  // q145 arithmetic — both engines count CHARACTERS, so the differences
+  // are portable); ASCII-range classes only, spelled as explicit hex
+  // ranges both regex engines (Java, RE2) accept identically. The
+  // fixture is pure ASCII, so the query plants deterministic non-ASCII
+  // damage first (doc_id mod 9 picks Greek-letter injection, single-char
+  // substitution, or full-letter substitution — the last guarantees the
+  // nonascii-dominant branch fires; the q131/q145 non-vacuity pattern);
+  // dominant class by a fixed >=-comparison chain, ascii_permille
+  // guarded for empty docs.
+  // One narrow scan, zero shuffles, zero joins.
+  def q164ScriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    val dmg = when(pmod(col("doc_id"), lit(9L)) === 4,
+        concat(col("text"), lit(" Ωπλφζ")))
+      .when(pmod(col("doc_id"), lit(9L)) === 7,
+        replace(col("text"), lit("o"), lit("ο")))
+      .when(pmod(col("doc_id"), lit(9L)) === 1,
+        regexp_replace(col("text"), "[a-zA-Z]", "λ"))
+      .otherwise(col("text"))
+    def removed(c: org.apache.spark.sql.Column,
+                cls: String): org.apache.spark.sql.Column =
+      length(c) - length(regexp_replace(c, cls, ""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), dmg.as("t"))
+      .select(col("doc_id"),
+        length(col("t")).as("n_chars"),
+        removed(col("t"), "[a-zA-Z]").as("n_alpha"),
+        removed(col("t"), "[0-9]").as("n_digit"),
+        removed(col("t"), "[\\x09\\x0a\\x0d\\x20]").as("n_space"),
+        removed(col("t"), "[^\\x09\\x0a\\x0d\\x20-\\x7e]").as("n_nonascii"))
+      .select(col("doc_id"), col("n_chars"), col("n_alpha"), col("n_digit"),
+        col("n_space"), col("n_nonascii"),
+        (col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space")
+          - col("n_nonascii")).as("n_punct"),
+        when(col("n_chars") === 0, "empty")
+          .when(col("n_nonascii") >= col("n_alpha"), "nonascii")
+          .otherwise("ascii_text").as("dominant"),
+        when(col("n_chars") > 0,
+          expr("(1000 * (n_chars - n_nonascii)) div n_chars"))
+          .otherwise(lit(1000L)).as("ascii_permille"))
+      .orderBy("doc_id")
+  }
+
+  val q164Sql: String =
+    s"""WITH dmg AS (SELECT doc_id,
+      CASE WHEN doc_id % 9 = 4 THEN text || ' Ωπλφζ'
+        WHEN doc_id % 9 = 7 THEN replace(text, 'o', 'ο')
+        WHEN doc_id % 9 = 1 THEN regexp_replace(text, '[a-zA-Z]', 'λ', 'g')
+        ELSE text END AS t FROM documents),
+    l AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+      CAST(length(t) - length(regexp_replace(t, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+      CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      CAST(length(t) - length(regexp_replace(t, '[\\x09\\x0a\\x0d\\x20]', '', 'g')) AS BIGINT) AS n_space,
+      CAST(length(t) - length(regexp_replace(t, '[^\\x09\\x0a\\x0d\\x20-\\x7e]', '', 'g')) AS BIGINT) AS n_nonascii
+      FROM dmg)
+    SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_nonascii,
+      n_chars - n_alpha - n_digit - n_space - n_nonascii AS n_punct,
+      CASE WHEN n_chars = 0 THEN 'empty'
+        WHEN n_nonascii >= n_alpha THEN 'nonascii'
+        ELSE 'ascii_text' END AS dominant,
+      CASE WHEN n_chars > 0 THEN (1000 * (n_chars - n_nonascii)) // n_chars
+        ELSE 1000 END AS ascii_permille
+    FROM l ORDER BY doc_id"""
+
   // --- q146: data-mixture weights from quality × uniqueness ----------------
   // A DoReMi-flavored (Xie et al. 2023's domain-reweighting QUESTION, not
   // its proxy-model algorithm — no training loop in an engine) static
@@ -606,7 +675,13 @@ object AnalysisQueries {
   // chain reaches back into this object (via CurationQueries) — an eager
   // val here would deadlock-NPE the clinit cycle. Shared by q146 (the
   // policy) and q149 (its realization).
-  private lazy val mixtureCtes: String =
+  /** The mixture chain MINUS the shingle CTEs — so composites that
+    * already carry `DedupQueries.labelsCtes` (whose prefix IS the same
+    * `tok`/`sh` pair) can append this without duplicate CTE names
+    * (q165). [[mixtureCtes]] re-adds the shingle prefix for standalone
+    * use.
+    */
+  private[queries] lazy val mixtureCoreCtes: String =
     s"""t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
     q AS (SELECT doc_id,
       CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -619,7 +694,6 @@ object AnalysisQueries {
       (1000 * CAST(sum(CASE WHEN qp.quality_pass THEN 1 ELSE 0 END) AS BIGINT))
         // CAST(count(*) AS BIGINT) AS pass_permille
       FROM qp JOIN documents d ON qp.doc_id = d.doc_id GROUP BY d.source),
-    ${DedupQueries.shingleCte},
     ss AS (SELECT DISTINCT d.source, sh.shingle
       FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
     spread AS (SELECT shingle, CAST(count(*) AS BIGINT) AS n_sources
@@ -636,6 +710,10 @@ object AnalysisQueries {
       CASE WHEN tot.tot > 0 THEN (1000 * raw.weight_raw) // tot.tot
         ELSE 0 END AS weight_permille
       FROM raw, tot)"""
+
+  private lazy val mixtureCtes: String =
+    s"""${DedupQueries.shingleCte},
+    $mixtureCoreCtes"""
 
   lazy val q146Sql: String =
     s"""WITH $mixtureCtes
@@ -826,6 +904,75 @@ object AnalysisQueries {
       pb.pp - pa.pp AS drift_pm
     FROM pa JOIN pb ON pa.source = pb.source ORDER BY pa.source"""
   }
+
+  // --- q165: dedup-aware effective mixture -----------------------------------
+  // q146 weights sources by quality × uniqueness of the RAW corpus — but
+  // the tokens a source actually contributes to training are its
+  // POST-DEDUP survivors (q55's canonical retention): a source that is
+  // 40% internal duplicates delivers 40% less than its weight implies.
+  // This composes the two verified relations: per source, total vs
+  // canonical-surviving token mass (effective_permille), then the q146
+  // weight re-scaled by it and re-normalized — the weight vector a
+  // budget-accurate sampler should actually use. S-row output; the
+  // corpus-sized inputs are the shared labels store and one narrow token
+  // count, joined at source granularity (the q157 composition shape).
+  def q165EffectiveMixture(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.ops.TextOps.tokenize(col("text"))).cast("long")
+          .as("n_tokens"))
+    val kept = DedupQueries.dupLabels(spark, dir)
+      .select(col("doc_id"), (col("cluster_id") === col("doc_id")).as("kept"))
+    val eff = toks.join(kept, Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+          .as("tokens_surviving"))
+      .select(col("source"), col("tokens_total"), col("tokens_surviving"),
+        when(col("tokens_total") > 0,
+          expr("(1000 * tokens_surviving) div tokens_total"))
+          .otherwise(lit(0L)).as("effective_permille"))
+    val adj = eff.join(q146MixtureWeights(spark, dir)
+        .select(col("source"), col("weight_permille")), Seq("source"))
+      .withColumn("adj_raw", col("weight_permille") * col("effective_permille"))
+    val tot = adj.agg(sum(col("adj_raw")).as("tot"))
+    adj.crossJoin(broadcast(tot)) // 1-row scalar
+      .select(col("source"), col("tokens_total"), col("tokens_surviving"),
+        col("effective_permille"), col("weight_permille"),
+        when(col("tot") > 0, expr("(1000 * adj_raw) div tot"))
+          .otherwise(lit(0L)).as("adjusted_weight_permille"))
+      .orderBy("source")
+  }
+
+  // lazy: composes DedupQueries.labelsCtes (whose prefix already defines
+  // tok/sh) with mixtureCoreCtes — the shingle-free mixture chain — so
+  // no CTE name collides; WITH RECURSIVE + materializeCtes per the
+  // labelsCtes consumer rules
+  lazy val q165Sql: String = graft.queries.SqlDefs.materializeCtes(
+    s"""WITH RECURSIVE ${DedupQueries.labelsCtes},
+    $mixtureCoreCtes,
+    tc AS (SELECT t.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS n_tokens
+      FROM tok t JOIN documents d ON t.doc_id = d.doc_id),
+    eff AS (SELECT tc.source,
+        CAST(sum(tc.n_tokens) AS BIGINT) AS tokens_total,
+        CAST(sum(CASE WHEN labs.cluster_id = labs.doc_id THEN tc.n_tokens
+          ELSE 0 END) AS BIGINT) AS tokens_surviving
+      FROM tc JOIN labs ON tc.doc_id = labs.doc_id
+      GROUP BY tc.source),
+    ep AS (SELECT source, tokens_total, tokens_surviving,
+        CASE WHEN tokens_total > 0
+          THEN (1000 * tokens_surviving) // tokens_total ELSE 0 END
+          AS effective_permille
+      FROM eff),
+    adj AS (SELECT ep.*, w.weight_permille,
+        w.weight_permille * ep.effective_permille AS adj_raw
+      FROM ep JOIN w ON ep.source = w.source),
+    tot2 AS (SELECT CAST(sum(adj_raw) AS BIGINT) AS tot FROM adj)
+    SELECT adj.source, adj.tokens_total, adj.tokens_surviving,
+      adj.effective_permille, adj.weight_permille,
+      CASE WHEN tot2.tot > 0 THEN (1000 * adj.adj_raw) // tot2.tot
+        ELSE 0 END AS adjusted_weight_permille
+    FROM adj, tot2 ORDER BY adj.source""")
 
   // --- q157: source-pruning recommendations ----------------------------------
   // The decision composite the redundancy signals exist FOR: a source
@@ -2077,6 +2224,8 @@ object AnalysisQueries {
     "q135_tokenizer_fertility" -> (q135TokenizerFertility _),
     "q142_zipf_slope" -> (q142ZipfSlope _),
     "q145_mojibake" -> (q145Mojibake _),
+    "q164_script_profile" -> (q164ScriptProfile _),
+    "q165_effective_mixture" -> (q165EffectiveMixture _),
     "q146_mixture_weights" -> (q146MixtureWeights _),
     "q149_mixture_realization" -> (q149MixtureRealization _),
     "q150_mixture_decontamination" -> (q150MixtureDecontamination _),
@@ -2124,6 +2273,8 @@ object AnalysisQueries {
     "q135_tokenizer_fertility" -> q135Sql,
     "q142_zipf_slope" -> q142Sql,
     "q145_mojibake" -> q145Sql,
+    "q164_script_profile" -> q164Sql,
+    "q165_effective_mixture" -> q165Sql,
     "q146_mixture_weights" -> q146Sql,
     "q149_mixture_realization" -> q149Sql,
     "q150_mixture_decontamination" -> q150Sql,

@@ -769,6 +769,58 @@ object DedupQueries {
     FROM a JOIN cs USING (cluster_id)
     ORDER BY cluster_id""")
 
+  // --- q166: chunk-vs-doc tier consistency audit -----------------------------
+  // The cross-tier question behind running dedup at MULTIPLE
+  // granularities: which doc PAIRS share byte-identical training chunks
+  // (q86's windows) while NOT being doc-level near-duplicates — the
+  // partial duplication that escapes whole-doc dedup and is exactly why
+  // the chunk tier exists. One row per doc pair sharing at least one
+  // exact-duplicate chunk: shared-chunk count plus `same_cluster` from
+  // the stored labels — `same_cluster = false` rows are the escape
+  // population, and their count is the measured evidence for the chunk
+  // tier's marginal value over q55. The pair join is chunk-content-keyed
+  // (fan-out bounded by duplicate density, the q86/q128 argument), then
+  // two label joins on the bounded pair relation.
+  def q166TierConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val cq = graft.queries.CurationQueries
+    val cd = graft.ops.TextAnalysisOps.contextChunks(
+      Tables.documents(spark, dir), cq.ChunkSize, cq.ChunkStride)
+      .select(col("doc_id"), col("chunk_text")).distinct()
+    val shared = cd.toDF("id_a", "chunk_text")
+      .join(cd.toDF("id_b", "btext"),
+        col("chunk_text") === col("btext") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_chunks"))
+    val labs = dupLabels(spark, dir)
+    shared
+      .join(labs.toDF("id_a", "cl_a"), Seq("id_a"))
+      .join(labs.toDF("id_b", "cl_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared_chunks"),
+        (col("cl_a") === col("cl_b")).as("same_cluster"))
+      .orderBy("id_a", "id_b")
+  }
+
+  lazy val q166Sql: String = graft.queries.SqlDefs.materializeCtes(
+    s"""WITH RECURSIVE $labelsCtes,
+    ck AS (SELECT doc_id,
+        array_to_string(toks[(CAST(s AS INT)+1):(CAST(s AS INT)+${graft.queries.CurationQueries.ChunkSize})], ' ')
+          AS chunk_text
+      FROM (SELECT doc_id, toks,
+          unnest(range(0, len(toks), ${graft.queries.CurationQueries.ChunkStride})) AS s
+        FROM tok)),
+    cd AS (SELECT DISTINCT doc_id, chunk_text FROM ck),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(count(*) AS BIGINT) AS n_shared_chunks
+      FROM cd a JOIN cd b
+        ON a.chunk_text = b.chunk_text AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT p.id_a, p.id_b, p.n_shared_chunks,
+      (la.cluster_id = lb.cluster_id) AS same_cluster
+    FROM p
+    JOIN labs la ON p.id_a = la.doc_id
+    JOIN labs lb ON p.id_b = lb.doc_id
+    ORDER BY p.id_a, p.id_b""")
+
   // --- q139: dedup savings report (tokens removed per tier) -----------------
   // The number every curation run actually reports upward: not which docs
   // are duplicates (q24/q55) but how much TRAINING BUDGET each dedup tier
@@ -1957,6 +2009,7 @@ object DedupQueries {
     "q55c_incremental_clusters" -> (q55cIncrementalClusters _),
     "q159b_incremental_canonical" -> (q159bIncrementalCanonical _),
     "q163_cluster_cohesion" -> (q163ClusterCohesion _),
+    "q166_tier_consistency" -> (q166TierConsistency _),
     "q105_cluster_split" -> (q105ClusterSplit _),
     "q112_cluster_size_histogram" -> (q112ClusterSizeHistogram _),
     "q120_pagerank" -> (q120PageRank _),
@@ -1996,6 +2049,7 @@ object DedupQueries {
     "q55c_incremental_clusters" -> q55Sql,
     "q159b_incremental_canonical" -> q159bSql,
     "q163_cluster_cohesion" -> q163Sql,
+    "q166_tier_consistency" -> q166Sql,
     "q105_cluster_split" -> q105Sql,
     "q112_cluster_size_histogram" -> q112Sql,
     "q120_pagerank" -> q120Sql,

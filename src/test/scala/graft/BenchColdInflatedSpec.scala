@@ -18,6 +18,11 @@ class BenchColdInflatedSpec extends AnyFunSuite {
     assert(m === Map("qa" -> 0.5, "qb" -> 3.25, "qc" -> -1.0))
     assert(Bench.parseQueriesCold("not json at all") === Map.empty)
     assert(Bench.parseQueriesCold("""{"queries_cold":{}}""") === Map.empty)
+    // json.dumps-style spacing (the reference file may be rewritten by a
+    // JSON library, not only by Bench itself)
+    assert(Bench.parseQueriesCold(
+      """{"queries_cold": {"qa": 0.5, "qb": 3.25}}""") ===
+      Map("qa" -> 0.5, "qb" -> 3.25))
   }
 
   test("replaying the r10 driver cold numbers against the clean run flags " +
