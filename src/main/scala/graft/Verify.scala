@@ -42,17 +42,26 @@ object Verify {
   /** Appends one status line to outDir/verify_progress.jsonl. Each line is
     * a self-contained JSON object so a mid-write kill corrupts at most the
     * final line; CREATE+APPEND makes the call crash-safe and idempotent
-    * across reruns into a fresh outDir. */
+    * across reruns into a fresh outDir. The seconds field is formatted
+    * under Locale.ROOT (a comma-decimal default locale would emit invalid
+    * JSON), and a failed progress write is swallowed — the log is
+    * diagnostic, and losing a line must never abort the queries whose
+    * parquet output is the round's actual signal. */
   def appendProgress(outDir: String, name: String, ok: Boolean,
-                     secs: Double, err: Option[String]): Unit = {
-    val e = err.map(m => s""","error":${q(m.take(300))}""").getOrElse("")
-    val line =
-      f"""{"query":${q(name)},"ok":$ok,"secs":$secs%.3f$e}%n"""
-    Files.write(Paths.get(s"$outDir/verify_progress.jsonl"),
-      line.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-    ()
-  }
+                     secs: Double, err: Option[String]): Unit =
+    try {
+      val e = err.map(m => s""","error":${q(m.take(300))}""").getOrElse("")
+      val s = String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(secs))
+      val line = s"""{"query":${q(name)},"ok":$ok,"secs":$s$e}""" +
+        System.lineSeparator()
+      Files.write(Paths.get(s"$outDir/verify_progress.jsonl"),
+        line.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      ()
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] progress log write failed: $e")
+    }
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
