@@ -64,11 +64,19 @@ object Bench {
   private[graft] def parseQueriesCold(txt: String): Map[String, Double] =
     try {
       // \s* after the colon: the reference file may be rewritten by a
-      // JSON library that puts a space there (json.dumps default)
+      // JSON library that puts a space there (json.dumps default). The
+      // number pattern must accept scientific notation WITH a negative
+      // exponent ("5.0E-4" is how a sub-millisecond Double prints), and
+      // an unparseable entry is SKIPPED rather than discarding the whole
+      // map — an all-or-nothing parse silently disables the entire
+      // cold_inflated channel on one bad value.
       val m = """"queries_cold":\s*\{([^}]*)\}""".r
         .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      """"([^"]+)":\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(m)
-        .map(x => x.group(1) -> x.group(2).toDouble).toMap
+      """"([^"]+)":\s*(-?[0-9][0-9.]*(?:[eE][-+]?[0-9]+)?)""".r
+        .findAllMatchIn(m)
+        .flatMap(x =>
+          scala.util.Try(x.group(1) -> x.group(2).toDouble).toOption)
+        .toMap
     } catch { case _: Throwable => Map.empty }
 
   /** The cold_inflated rule: a cold time above 0.3 s that is > 3x the

@@ -170,13 +170,22 @@ object CurationPipeline {
     * partitioned by cluster_id over the exact-survivor relation — no
     * new corpus-sized join beyond what the clusters already cost.
     */
-  def curateBestInCluster(exact: DataFrame, pairs: DataFrame): DataFrame = {
+  def curateBestInCluster(exact: DataFrame, pairs: DataFrame): DataFrame =
+    DedupOps.richestCanonical(scoredClusterMembers(exact, pairs))
+
+  /** The labeled, richness-scored membership relation under the election
+    * — `(doc_id, cluster_id, n_tokens, n_distinct_tokens)`. ONE
+    * definition shared by the policy ([[curateBestInCluster]], q159) and
+    * the report that justifies it (q161): a richness-semantics change in
+    * one can never silently diverge from the other.
+    */
+  def scoredClusterMembers(exact: DataFrame, pairs: DataFrame): DataFrame = {
     val clusters = DedupOps.duplicateClusters(
       exact.select("doc_id"), pairs.select("id_a", "id_b"))
-    DedupOps.richestCanonical(exact.join(clusters, Seq("doc_id"))
+    exact.join(clusters, Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long")
-          .as("n_distinct_tokens")))
+          .as("n_distinct_tokens"))
   }
 }

@@ -518,11 +518,19 @@ object SimilarityOps {
         coalesce(col("n_delta"), lit(0L)).as("n_delta"))
       .crossJoin(totals)
       .select(col("tbl"), col("bucket"), col("n_base"), col("n_delta"),
+        // 128-bit intermediates (DECIMAL(38,0) here, HUGEINT in the
+        // DuckDB twin): the three-factor product n_delta·base_total·1e6
+        // overflows Long once n_delta × base_total passes ~9.2e12 —
+        // reachable by a collapsed delta on a 10M-vector base, exactly
+        // when the hard-cap trigger matters. DIV on positive decimals
+        // floors identically in both engines, so exactness is preserved.
         when(col("delta_total") === 0, lit(null).cast("long"))
           .when(col("n_base") > 0,
-            expr("(n_delta * base_total * 1000000) DIV (n_base * delta_total)"))
+            expr("(CAST(n_delta AS DECIMAL(38,0)) * base_total * 1000000)" +
+              " DIV (CAST(n_base AS DECIMAL(38,0)) * delta_total)"))
           .otherwise(
-            expr("(n_delta * base_total * 1000000) DIV delta_total"))
+            expr("(CAST(n_delta AS DECIMAL(38,0)) * base_total * 1000000)" +
+              " DIV delta_total"))
           .as("drift_ratio_micro"))
   }
 

@@ -572,8 +572,11 @@ object AnalysisQueries {
         col("n_space"), col("n_nonascii"),
         (col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space")
           - col("n_nonascii")).as("n_punct"),
+        // n_nonascii > 0 required: a letterless pure-ASCII doc (digits/
+        // punctuation only) has n_alpha = 0 and must not read 'nonascii'
         when(col("n_chars") === 0, "empty")
-          .when(col("n_nonascii") >= col("n_alpha"), "nonascii")
+          .when(col("n_nonascii") > 0 &&
+            col("n_nonascii") >= col("n_alpha"), "nonascii")
           .otherwise("ascii_text").as("dominant"),
         when(col("n_chars") > 0,
           expr("(1000 * (n_chars - n_nonascii)) div n_chars"))
@@ -596,7 +599,7 @@ object AnalysisQueries {
     SELECT doc_id, n_chars, n_alpha, n_digit, n_space, n_nonascii,
       n_chars - n_alpha - n_digit - n_space - n_nonascii AS n_punct,
       CASE WHEN n_chars = 0 THEN 'empty'
-        WHEN n_nonascii >= n_alpha THEN 'nonascii'
+        WHEN n_nonascii > 0 AND n_nonascii >= n_alpha THEN 'nonascii'
         ELSE 'ascii_text' END AS dominant,
       CASE WHEN n_chars > 0 THEN (1000 * (n_chars - n_nonascii)) // n_chars
         ELSE 1000 END AS ascii_permille

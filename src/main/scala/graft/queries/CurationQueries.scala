@@ -294,14 +294,13 @@ object CurationQueries {
   // choosing it. Cost: the q159 relations it already shares via the
   // session memos, plus one cluster-keyed join.
   def q161CanonicalImpact(spark: SparkSession, dir: String): DataFrame = {
-    val exact = exactDf(spark, dir)
-    val clusters = graft.ops.DedupOps.duplicateClusters(
-      exact.select("doc_id"), pairsDf(spark, dir).select("id_a", "id_b"))
-    val sc = exact.join(clusters, Seq("doc_id"))
-      .select(col("doc_id"), col("cluster_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long")
-          .as("n_distinct_tokens"))
+    // the SAME scored-membership relation the q159 policy elects over
+    // (one shared definition — see CurationPipeline.scoredClusterMembers);
+    // persisted because the election window and the min-id projection
+    // both consume it, and unpersisted each would re-run the label
+    // propagation
+    val sc = graft.CacheScope.persist(CurationPipeline.scoredClusterMembers(
+      exactDf(spark, dir), pairsDf(spark, dir)))
     val best = graft.ops.DedupOps.richestCanonical(sc)
     val minId = sc.where(col("doc_id") === col("cluster_id"))
       .select(col("cluster_id"), col("n_tokens").as("min_tokens"),

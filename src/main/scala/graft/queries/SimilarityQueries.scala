@@ -684,8 +684,10 @@ object SimilarityQueries {
         ON ob.tbl = od.tbl AND ob.bucket = od.bucket),
     r AS (SELECT j.*, CASE WHEN delta_total = 0 THEN NULL
         WHEN n_base > 0
-        THEN (n_delta * base_total * 1000000) // (n_base * delta_total)
-        ELSE (n_delta * base_total * 1000000) // delta_total
+        THEN CAST((CAST(n_delta AS HUGEINT) * base_total * 1000000)
+          // (CAST(n_base AS HUGEINT) * delta_total) AS BIGINT)
+        ELSE CAST((CAST(n_delta AS HUGEINT) * base_total * 1000000)
+          // delta_total AS BIGINT)
         END AS ratio
       FROM j CROSS JOIN tot),
     a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,

@@ -54,8 +54,17 @@ object SqlDefs {
     * (used by q13b/q103/q117 and others) matches the same text pattern
     * but cannot take MATERIALIZED, hence the lookbehind guard.
     */
-  def materializeCtes(sql: String): String =
+  def materializeCtes(sql: String): String = {
+    // the lookbehind only protects the FIRST window name after a literal
+    // "WINDOW " — a multi-window clause's second name follows ", " and
+    // would be rewritten into invalid SQL. None of the wrapped oracles
+    // uses a WINDOW clause; fail LOUDLY at construction time if one ever
+    // does, instead of corrupting the oracle silently.
+    require(!sql.toUpperCase.contains("WINDOW "),
+      "materializeCtes cannot safely rewrite SQL containing a WINDOW " +
+        "clause — restructure the oracle or extend the guard")
     sql.replaceAll("(?<!WINDOW\\s)\\b(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+  }
 
   /** Recursive-CTE replay of the engine's merge-table BPE
     * ([[graft.functions.BpeMerges]]) over the DISTINCT pre-token

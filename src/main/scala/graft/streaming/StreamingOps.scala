@@ -674,7 +674,21 @@ object StreamingOps {
                      ratioThresholdMicro: Long, driftedPermille: Long,
                      hardCapMicro: Long)
                     (onUpdate: org.apache.spark.sql.Row => Unit)
-  : org.apache.spark.sql.streaming.StreamingQuery =
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    // materialize the base histogram ONCE at stream start: it is
+    // immutable and at most tables·2^bits rows, but as a live plan
+    // subtree it would re-scan and re-hash the whole base corpus inside
+    // EVERY micro-batch's decision fold
+    val baseRows = baseOcc.withColumnRenamed("n", "n_base")
+      .select(col("tbl").cast("long"), col("bucket").cast("long"),
+        col("n_base").cast("long")).collect().toSeq
+    val baseSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tbl",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_base",
+        org.apache.spark.sql.types.LongType)))
     delta.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -683,15 +697,18 @@ object StreamingOps {
           graft.ops.SimilarityOps.lshOccupancy(batch, bits, tables, "n")
             .withColumn("lsh_batch", lit(batchId)),
           summaryPath, Seq("lsh_batch"))
+        val baseLocal = spark.createDataFrame(
+          spark.sparkContext.parallelize(baseRows, 1), baseSchema)
         onUpdate(graft.ops.SimilarityOps.rebuildDecision(
           graft.ops.SimilarityOps.lshOccupancyDriftFromCounts(
-            baseOcc.withColumnRenamed("n", "n_base"),
+            baseLocal,
             mergedLshOccupancy(spark, summaryPath)
               .withColumnRenamed("n", "n_delta")),
           "lsh", ratioThresholdMicro, driftedPermille, hardCapMicro)
           .head())
       }
       .start()
+  }
 
   /** Standing occupancy histogram from the [[lshDriftStream]] summary
     * store — a grouped SUM across batch partitions; an absent or

@@ -23,6 +23,12 @@ class BenchColdInflatedSpec extends AnyFunSuite {
     assert(Bench.parseQueriesCold(
       """{"queries_cold": {"qa": 0.5, "qb": 3.25}}""") ===
       Map("qa" -> 0.5, "qb" -> 3.25))
+    // scientific notation with negative exponents (Double.toString of a
+    // sub-millisecond time) parses, and one bad value skips that entry
+    // instead of zeroing the whole map
+    assert(Bench.parseQueriesCold(
+      """{"queries_cold":{"qa":5.0E-4,"qb":1e-05,"qc":2.0}}""") ===
+      Map("qa" -> 5.0e-4, "qb" -> 1e-5, "qc" -> 2.0))
   }
 
   test("replaying the r10 driver cold numbers against the clean run flags " +
