@@ -40,9 +40,13 @@ object CurationPipeline {
     * consistent (a doc's size is its count of surviving shingles).
     */
   /** Stages 1-3: redact (narrow) → quality gate (narrow) → exact dedup
-    * (one text-keyed window). Shared by both stage-4 retention policies;
-    * public so a session can materialize it ONCE and feed both (see
-    * CurationQueries' memoized relation).
+    * (one window keyed by the 62-bit content key, NOT the raw text: the
+    * text/toks still ride the exchange as payload — the survivors need
+    * them — but the partitioning/sort key is 8 bytes, so the shuffle
+    * writers never compare or hash corpus-sized strings; see
+    * HashOps.contentKey for the collision stance). Shared by both
+    * stage-4 retention policies; public so a session can materialize it
+    * ONCE and feed both (see CurationQueries' memoized relation).
     */
   def exactStage(docs: DataFrame): DataFrame = {
     val redacted = docs.select(col("doc_id"),
@@ -55,9 +59,10 @@ object CurationPipeline {
     val passed = quality.where(TextAnalysisOps.qualityPass)
       .select("doc_id", "text", "toks")
     passed
+      .withColumn("content_key", graft.ops.HashOps.contentKey(col("text")))
       .withColumn("canonical_id",
         min(col("doc_id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("text")))
+          org.apache.spark.sql.expressions.Window.partitionBy("content_key")))
       .where(col("doc_id") === col("canonical_id"))
       .select("doc_id", "text", "toks")
   }

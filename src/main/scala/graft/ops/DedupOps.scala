@@ -28,17 +28,23 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   /** Exact duplicates: every doc labeled with its group's canonical (min)
-    * id and the group size. `groupBy(text)` not `dropDuplicates` so the
+    * id and the group size — window form, not `dropDuplicates`, so the
     * lineage (which doc survives, who its duplicates are) is kept — what a
     * curation pipeline actually needs.
+    *
+    * Scale shape: the text is reduced to [[HashOps.contentKey]] (62-bit,
+    * two independent folds — collision stance documented there) BEFORE
+    * the shuffle, so the single exchange carries (id, key) = 16 bytes per
+    * row instead of the corpus bytes; min/count over the key partition
+    * replace the old group-then-join-back pair of text-keyed exchanges.
     */
   def exactDuplicates(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    val groups = docs.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("canonical_id"),
-        count(lit(1)).as("group_size"))
-    docs.select(col(idCol), col(textCol))
-      .join(groups, Seq(textCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_key")
+    docs.select(col(idCol), HashOps.contentKey(col(textCol)).as("content_key"))
+      .select(col(idCol),
+        min(col(idCol)).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
       .select(col(idCol), col("canonical_id"), col("group_size"),
         (col(idCol) =!= col("canonical_id")).as("is_duplicate"))
   }

@@ -61,6 +61,27 @@ object HashOps {
     aggregate(chars, lit(Seed), (h, ch) => (h * 31 + ascii(ch)) % P)
   }
 
+  /** 62-bit content key for exact-dedup grouping: two independent
+    * polynomial folds (multipliers 31/131, seeds 7/13) combined as
+    * `h1*P + h2` in ONE fused byte walk — see
+    * [[graft.functions.ContentKey64]] for the collision stance. Group /
+    * window / join keys over document or chunk TEXT must use this, never
+    * the raw string: at 100 TB a text-keyed exchange ships the corpus as
+    * its own key; this ships 8 bytes per row.
+    */
+  def contentKey(c: Column): Column =
+    graft.functions.ContentKey64.contentKey64(coalesce(c, lit("")))
+
+  /** [[contentKey]]'s higher-order-function reference formulation (the
+    * agreement target of the fused native expression).
+    */
+  def contentKeyHof(c: Column): Column = {
+    val chars = filter(split(coalesce(c, lit("")), ""), s => length(s) > 0)
+    val h1 = aggregate(chars, lit(Seed), (h, ch) => (h * 31 + ascii(ch)) % P)
+    val h2 = aggregate(chars, lit(13L), (h, ch) => (h * 131 + ascii(ch)) % P)
+    h1 * lit(P) + h2
+  }
+
   /** Rolling fingerprint of a token-array column: left fold of the per-token
     * char hashes with multiplier 131 (a second-level polynomial hash, so the
     * fingerprint is order-sensitive — "a b" != "b a").
@@ -86,11 +107,23 @@ object HashOps {
     * seed-only result — unreachable for the non-empty tokens/shingles the
     * dedup operators hash, but the twins should agree on every input.
     */
-  def charHashSql(c: String): String =
-    s"CASE WHEN coalesce($c, '') = '' THEN CAST($Seed AS BIGINT) ELSE " +
-      s"list_reduce(list_prepend(CAST($Seed AS BIGINT), " +
+  def charHashSql(c: String): String = polyHashSql(c, 31L, Seed)
+
+  /** DuckDB SQL for one polynomial code-point fold with the given
+    * multiplier and seed — the shared body of [[charHashSql]] and
+    * [[contentKeySql]]'s two folds.
+    */
+  private def polyHashSql(c: String, mult: Long, seed: Long): String =
+    s"CASE WHEN coalesce($c, '') = '' THEN CAST($seed AS BIGINT) ELSE " +
+      s"list_reduce(list_prepend(CAST($seed AS BIGINT), " +
       s"list_transform(string_split(coalesce($c, ''), ''), " +
-      s"ch -> CAST(ascii(ch) AS BIGINT))), (h, ch) -> (h*31 + ch) % $P) END"
+      s"ch -> CAST(ascii(ch) AS BIGINT))), (h, ch) -> (h*$mult + ch) % $P) END"
+
+  /** DuckDB SQL twin of [[contentKey]]: the two folds as two list_reduce
+    * passes, combined `h1*P + h2` (all < 2^62, exact in BIGINT).
+    */
+  def contentKeySql(c: String): String =
+    s"(${polyHashSql(c, 31L, Seed)} * $P + ${polyHashSql(c, 131L, 13L)})"
 
   /** DuckDB SQL for `rollingFingerprint` of a list expression `toks`. */
   def rollingFingerprintSql(toks: String): String =

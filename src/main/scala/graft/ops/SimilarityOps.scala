@@ -561,13 +561,85 @@ object SimilarityOps {
         .otherwise(0L)).as("n_drifted"),
       max(col("drift_ratio_micro")).as("max_ratio_micro"))
       .select(lit(indexName).as("index_name"),
-        col("n_groups"), col("n_scored"), col("n_drifted"),
+        col("n_groups"), col("n_scored"),
+        // empty drift relation: sum over zero rows is NULL in Spark but
+        // the q158 oracle coalesces to 0 — pin the parity here (rebuild
+        // was already false either way via the n_scored > 0 guard)
+        coalesce(col("n_drifted"), lit(0L)).as("n_drifted"),
         coalesce(col("max_ratio_micro"), lit(0L)).as("max_ratio_micro"),
         (col("n_scored") > 0 &&
-          (col("n_drifted") * lit(1000L) >=
+          (coalesce(col("n_drifted"), lit(0L)) * lit(1000L) >=
             lit(driftedPermille) * col("n_scored") ||
             coalesce(col("max_ratio_micro"), lit(0L)) >= hardCapMicro))
           .as("rebuild"))
+
+  /** Execute-or-keep step of the index-maintenance loop — the operator
+    * that CLOSES the rebuild cycle [[rebuildDecision]] opens (r11
+    * verdict item 3: q158/q158b decide, nothing executed). Collects the
+    * single decision row (1-row bounded — the scalar-broadcast class),
+    * and when it says rebuild: heals any crashed prior swap, writes the
+    * retrained tree into `$storePath-staging` via `writeStaging`, and
+    * swaps it in through the proven park/rename protocol
+    * ([[graft.sources.StoreSwap]] — the same root swap the DV store
+    * uses, crash-recoverable at the next touch). The keep path never
+    * touches the store. Returns whether a rebuild executed.
+    */
+  def executeRebuild(storePath: String, decision: DataFrame)
+                    (writeStaging: String => Unit): Boolean = {
+    import graft.sources.StoreSwap
+    val rows = decision.select(col("rebuild")).collect()
+    require(rows.length == 1,
+      s"executeRebuild expects exactly one decision row, got ${rows.length}")
+    val doRebuild = rows(0).getBoolean(0)
+    if (doRebuild) {
+      val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(
+        decision.sparkSession.sparkContext.hadoopConfiguration)
+      StoreSwap.recover(fs, storePath, "executeRebuild")
+      writeStaging(StoreSwap.stagingPath(storePath))
+      StoreSwap.swapIn(fs, storePath, "executeRebuild")
+    }
+    doRebuild
+  }
+
+  /** IVF rebuild gated on a [[rebuildDecision]] row: retrain the index
+    * on base ∪ delta ([[buildIvfIndex]] — seeded KMeans, so the retrain
+    * is deterministic for a given corpus) and rewrite the stored
+    * SQ8-coded cell tree (the q79e layout: partitioned by cell) through
+    * [[executeRebuild]]'s staged swap. Returns the retrained index when
+    * a rebuild ran, None when the decision said keep. At 100 TB the
+    * retrain is the expensive, RARE branch — which is exactly why it
+    * hides behind the drift gate — and the swap cost is two renames,
+    * with probes reading the old tree until the rename lands.
+    */
+  def ivfRebuild(storePath: String, base: DataFrame, delta: DataFrame,
+                 decision: DataFrame, nCells: Int): Option[IvfIndex] = {
+    lazy val retrained = buildIvfIndex(base.unionByName(delta), nCells)
+    val rebuilt = executeRebuild(storePath, decision) { staging =>
+      ivfSq8Coded(retrained, base.unionByName(delta))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    }
+    if (rebuilt) Some(retrained) else None
+  }
+
+  /** PQ rebuild gated on a [[rebuildDecision]] row: retrain BOTH the
+    * coarse IVF cells and the sub-space codebooks on base ∪ delta (a PQ
+    * drift verdict indicts the codebook geometry, and the q104c tree
+    * keys its files by the coarse cell — both must move together), then
+    * rewrite the stored code tree (q104c layout) through the staged
+    * swap. Returns (index, codebook) when a rebuild ran.
+    */
+  def pqRebuild(storePath: String, base: DataFrame, delta: DataFrame,
+                decision: DataFrame, nCells: Int, m: Int, kSub: Int)
+      : Option[(IvfIndex, PqCodebook)] = {
+    lazy val merged = base.unionByName(delta)
+    lazy val retrainedIvf = buildIvfIndex(merged, nCells)
+    lazy val retrainedCb = trainPq(merged, m, kSub)
+    val rebuilt = executeRebuild(storePath, decision) { staging =>
+      ivfPqCoded(retrainedIvf, pqEncode(merged, retrainedCb))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    }
+    if (rebuilt) Some((retrainedIvf, retrainedCb)) else None
+  }
 
   /** [[ivfDriftStats]] over ALREADY-ASSIGNED relations — the shape a
     * stored index (q79e) or an ingest tree
@@ -610,10 +682,17 @@ object SimilarityOps {
     * exactly 1e6 (a degenerate group matched perfectly is no drift).
     */
   private def driftRatio(baseMean: Column, deltaMean: Column): Column =
+    // 128-bit intermediates (DECIMAL(38,0)), the same widening the LSH
+    // sibling got: delta_mean_d2 * 1000000 wraps Long once the mean
+    // squared distance passes ~9.2e12 micro-units — unnormalized
+    // embeddings at scale reach that exactly in the collapse regime the
+    // hard-cap trigger exists for
     when(deltaMean.isNull, lit(null).cast("long"))
-      .when(baseMean > 0, expr("(delta_mean_d2 * 1000000) DIV base_mean_d2"))
+      .when(baseMean > 0,
+        expr("(CAST(delta_mean_d2 AS DECIMAL(38,0)) * 1000000)" +
+          " DIV base_mean_d2"))
       .when(deltaMean === 0, lit(1000000L))
-      .otherwise(deltaMean * lit(1000000L))
+      .otherwise(expr("CAST(delta_mean_d2 AS DECIMAL(38,0)) * 1000000"))
       .as("drift_mean_ratio_micro")
 
   /** Centroid-probe phase of the float IVF rung: each query's nProbe

@@ -27,7 +27,7 @@ object CurationQueries {
     * dedup rule change SEMANTICS (fingerprint sees files + constants,
     * not code; StoredPairsSpec's from-scratch compare is the backstop).
     */
-  private val ExactStoreVersion = "1"
+  private val ExactStoreVersion = "2" // r12: exact stage keyed on contentKey
 
   private[graft] def exactDf(spark: SparkSession, dir: String): DataFrame = {
     exactCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
@@ -130,7 +130,9 @@ object CurationQueries {
         "n_tokens", "ttr", "non_alnum", "stop_ratio")}),
     exact AS (
       SELECT doc_id, text, toks FROM (
-        SELECT *, min(doc_id) OVER (PARTITION BY text) AS cid FROM passed)
+        SELECT *, min(doc_id) OVER (
+          PARTITION BY ${graft.ops.HashOps.contentKeySql("text")}) AS cid
+        FROM passed)
       WHERE doc_id = cid),
     sh0 AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
@@ -185,7 +187,8 @@ object CurationQueries {
         TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*)
       .withColumn("q_pass", TextAnalysisOps.qualityPass)
     val exactCid = flagged.where(col("q_pass"))
-      .withColumn("cid", min(col("doc_id")).over(Window.partitionBy("text")))
+      .withColumn("ck", graft.ops.HashOps.contentKey(col("text")))
+      .withColumn("cid", min(col("doc_id")).over(Window.partitionBy("ck")))
       .select(col("doc_id"), col("cid"))
     val ndDrops = pairsDf(spark, dir).select(col("id_b").as("doc_id"))
       .distinct().withColumn("nd", lit(true))
@@ -204,7 +207,8 @@ object CurationQueries {
     s"""WITH $curationCtePrefix,
     drops AS (SELECT DISTINCT id_b FROM pairs),
     cids AS (SELECT doc_id, cid FROM (
-      SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cid
+      SELECT doc_id, min(doc_id) OVER (
+        PARTITION BY ${graft.ops.HashOps.contentKeySql("text")}) AS cid
       FROM passed))
     SELECT q.doc_id,
       CASE WHEN NOT (${graft.ops.TextAnalysisOps.qualityPassSql(
@@ -781,13 +785,17 @@ object CurationQueries {
   // 1e6-scaled. One content-keyed shuffle over the
   // chunk relation, one per-doc roll-up — q24's shape, one level down.
   def q86ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    // chunk text reduced to the 62-bit content key at the scan, so the
+    // frequency shuffle and the back-join exchange 16-byte rows, never
+    // the 64-token chunk strings (HashOps.contentKey collision stance)
     val chunks = TextAnalysisOps.contextChunks(
       Tables.documents(spark, dir), ChunkSize, ChunkStride)
-      .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      .select(col("doc_id"), col("chunk_id"),
+        graft.ops.HashOps.contentKey(col("chunk_text")).as("ck"))
     // two consumers: the frequency aggregate and the roll-up join
     val cached = graft.CacheScope.persist(chunks)
-    val freq = cached.groupBy("chunk_text").agg(count(lit(1)).as("n_occ"))
-    cached.join(freq, "chunk_text")
+    val freq = cached.groupBy("ck").agg(count(lit(1)).as("n_occ"))
+    cached.join(freq, "ck")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         count(when(col("n_occ") > 1, 1)).as("n_dup_chunks"))
@@ -800,18 +808,21 @@ object CurationQueries {
   val q86Sql: String =
     s"""WITH t AS (
       SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-    c AS (
+    c0 AS (
       SELECT doc_id,
         array_to_string(toks[(CAST(s AS INT)+1):(CAST(s AS INT)+$ChunkSize)], ' ')
           AS chunk_text
       FROM (SELECT doc_id, toks,
           unnest(range(0, len(toks), $ChunkStride)) AS s
         FROM t)),
-    f AS (SELECT chunk_text, count(*) AS n_occ FROM c GROUP BY chunk_text),
+    c AS (
+      SELECT doc_id, ${graft.ops.HashOps.contentKeySql("chunk_text")} AS ck
+      FROM c0),
+    f AS (SELECT ck, count(*) AS n_occ FROM c GROUP BY ck),
     r AS (
       SELECT c.doc_id, count(*) AS n_chunks,
         CAST(count(CASE WHEN f.n_occ > 1 THEN 1 END) AS BIGINT) AS n_dup_chunks
-      FROM c JOIN f USING (chunk_text) GROUP BY c.doc_id)
+      FROM c JOIN f USING (ck) GROUP BY c.doc_id)
     SELECT doc_id, n_chunks, n_dup_chunks,
       CAST(floor(1000000 * n_dup_chunks / n_chunks) AS BIGINT) AS dup_chunk_micro
     FROM r ORDER BY doc_id"""
@@ -1414,7 +1425,8 @@ object CurationQueries {
     val passed = quality.where(TextAnalysisOps.qualityPass)
       .select("doc_id", "text", "toks")
     val exact = passed
-      .withColumn("cid", min(col("doc_id")).over(Window.partitionBy("text")))
+      .withColumn("ck", graft.ops.HashOps.contentKey(col("text")))
+      .withColumn("cid", min(col("doc_id")).over(Window.partitionBy("ck")))
       .where(col("doc_id") === col("cid"))
       .select("doc_id", "text")
     val chunks = TextAnalysisOps.contextChunks(exact, ChunkSize, ChunkStride)
@@ -1461,7 +1473,9 @@ object CurationQueries {
         "n_tokens", "ttr", "non_alnum", "stop_ratio")}),
     exact AS (
       SELECT doc_id, toks FROM (
-        SELECT *, min(doc_id) OVER (PARTITION BY text) AS cid FROM passed)
+        SELECT *, min(doc_id) OVER (
+          PARTITION BY ${graft.ops.HashOps.contentKeySql("text")}) AS cid
+        FROM passed)
       WHERE doc_id = cid),
     s AS (SELECT doc_id, toks,
       unnest(range(0, len(toks), $ChunkStride)) AS start FROM exact),

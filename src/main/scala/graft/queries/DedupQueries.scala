@@ -109,12 +109,16 @@ object DedupQueries {
     DedupOps.exactDuplicates(Tables.documents(spark, dir)).orderBy("doc_id")
 
   val q24Sql: String =
-    """WITH g AS (
-      SELECT text, min(doc_id) AS canonical_id, count(*) AS group_size
-      FROM documents GROUP BY text)
-    SELECT d.doc_id, g.canonical_id, g.group_size,
-      d.doc_id <> g.canonical_id AS is_duplicate
-    FROM documents d JOIN g ON d.text = g.text ORDER BY d.doc_id"""
+    s"""WITH c AS (
+      SELECT doc_id, ${HashOps.contentKeySql("text")} AS ck FROM documents),
+    w AS (
+      SELECT doc_id,
+        min(doc_id) OVER (PARTITION BY ck) AS canonical_id,
+        count(*) OVER (PARTITION BY ck) AS group_size
+      FROM c)
+    SELECT doc_id, canonical_id, group_size,
+      doc_id <> canonical_id AS is_duplicate
+    FROM w ORDER BY doc_id"""
 
   // --- q24b: canonical-form exact dedup ----------------------------------
   // The "fuzzy-exact" dedup every web pipeline runs before anything
@@ -134,12 +138,16 @@ object DedupQueries {
   val q24bSql: String =
     s"""WITH c AS (
       SELECT doc_id, ${preprocessSql("text")} AS canon FROM documents),
-    g AS (
-      SELECT canon, min(doc_id) AS canonical_id, count(*) AS group_size
-      FROM c GROUP BY canon)
-    SELECT c.doc_id, g.canonical_id, g.group_size,
-      c.doc_id <> g.canonical_id AS is_duplicate
-    FROM c JOIN g ON c.canon = g.canon ORDER BY c.doc_id"""
+    k AS (
+      SELECT doc_id, ${HashOps.contentKeySql("canon")} AS ck FROM c),
+    w AS (
+      SELECT doc_id,
+        min(doc_id) OVER (PARTITION BY ck) AS canonical_id,
+        count(*) OVER (PARTITION BY ck) AS group_size
+      FROM k)
+    SELECT doc_id, canonical_id, group_size,
+      doc_id <> canonical_id AS is_duplicate
+    FROM w ORDER BY doc_id"""
 
   // --- shared oracle CTEs: tokens → shingles → hashes --------------------
   // package-visible: q146's mixture-weight oracle composes the q140b
@@ -783,12 +791,16 @@ object DedupQueries {
   // two label joins on the bounded pair relation.
   def q166TierConsistency(spark: SparkSession, dir: String): DataFrame = {
     val cq = graft.queries.CurationQueries
+    // chunk text reduced to the 62-bit content key BEFORE the distinct and
+    // the self-join: both exchanges carry 16-byte rows, never chunk bytes
     val cd = graft.ops.TextAnalysisOps.contextChunks(
       Tables.documents(spark, dir), cq.ChunkSize, cq.ChunkStride)
-      .select(col("doc_id"), col("chunk_text")).distinct()
-    val shared = cd.toDF("id_a", "chunk_text")
-      .join(cd.toDF("id_b", "btext"),
-        col("chunk_text") === col("btext") && col("id_a") < col("id_b"))
+      .select(col("doc_id"),
+        graft.ops.HashOps.contentKey(col("chunk_text")).as("ck"))
+      .distinct()
+    val shared = cd.toDF("id_a", "ck")
+      .join(cd.toDF("id_b", "bck"),
+        col("ck") === col("bck") && col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared_chunks"))
     val labs = dupLabels(spark, dir)
@@ -808,11 +820,12 @@ object DedupQueries {
       FROM (SELECT doc_id, toks,
           unnest(range(0, len(toks), ${graft.queries.CurationQueries.ChunkStride})) AS s
         FROM tok)),
-    cd AS (SELECT DISTINCT doc_id, chunk_text FROM ck),
+    cd AS (SELECT DISTINCT doc_id,
+        ${graft.ops.HashOps.contentKeySql("chunk_text")} AS chk FROM ck),
     p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(count(*) AS BIGINT) AS n_shared_chunks
       FROM cd a JOIN cd b
-        ON a.chunk_text = b.chunk_text AND a.doc_id < b.doc_id
+        ON a.chk = b.chk AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT p.id_a, p.id_b, p.n_shared_chunks,
       (la.cluster_id = lb.cluster_id) AS same_cluster
@@ -863,9 +876,9 @@ object DedupQueries {
   val q139Sql: String =
     s"""WITH RECURSIVE ${SqlDefs.bpeCountCtes},
     $labelsCtes,
-    eg AS (SELECT text, min(doc_id) AS canonical_id FROM documents GROUP BY text),
-    ef AS (SELECT d.doc_id, d.doc_id <> eg.canonical_id AS removed
-      FROM documents d JOIN eg ON d.text = eg.text),
+    eg AS (SELECT doc_id, ${HashOps.contentKeySql("text")} AS ck FROM documents),
+    ef AS (SELECT doc_id,
+      doc_id <> min(doc_id) OVER (PARTITION BY ck) AS removed FROM eg),
     nf AS (SELECT doc_id, doc_id <> cluster_id AS removed FROM labs),
     one AS (
       SELECT 'exact' AS tier, CAST(count(*) AS BIGINT) AS docs_total,
@@ -1397,21 +1410,44 @@ object DedupQueries {
   // their presences, added/changed-new docs add theirs, rows at zero
   // drop out. vocab = rows with count > 0, uniqueness = the cross-source
   // spread of the surviving rows — all O(state + delta), never O(corpus).
-  // Snapshot A's state is built live here (standing in for the stored
-  // table, the q130b precedent); the ORACLE computes snapshot B's stats
-  // FROM SCRATCH, so any error in the merge algebra — a missed pre-image,
-  // a double-subtracted changed doc, wrong zero-row handling — breaks
-  // the hash.
+  // Snapshot A's state is a STORED fingerprinted artifact
+  // (vocab_presence_baseA via StoredRelations.readOrBuild, the q159b
+  // pattern — r11 verdict item 2: the transient recompute made the
+  // O(state+delta) claim false in the live plan); the ORACLE computes
+  // snapshot B's stats FROM SCRATCH, so any error in the merge algebra —
+  // a missed pre-image, a double-subtracted changed doc, wrong zero-row
+  // handling — breaks the hash. StoredPairsSpec row-compares the
+  // artifact against a from-scratch build.
+  val VocabPresenceStoreVersion = s"1:carve=inA,n=$ShingleN"
+
+  /** Per-(source, shingle) presence counts of a `(doc_id, source, text)`
+    * relation — q152's maintained state shape, shared by the live query,
+    * the delta sides, and the spec's from-scratch compare.
+    */
+  private[graft] def vocabPresences(df: DataFrame): DataFrame =
+    DedupOps.shingles(
+      df.select(col("doc_id"), TextOps.tokenize(col("text")).as("toks")),
+      ShingleN)
+      .join(df.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source", "shingle").agg(count(lit(1)).as("cnt"))
+
+  /** Snapshot A's stored presence state (the q159b stored-artifact
+    * pattern) — package-visible so the spec reads the same store.
+    */
+  private[graft] def vocabPresenceBase(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StoredRelations.readOrBuild(spark, "vocab_presence_baseA",
+      Seq(s"$dir/documents.parquet"), VocabPresenceStoreVersion) {
+      import CurationQueries.Snapshots
+      vocabPresences(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .where(Snapshots.inA))
+    }
+
   def q152IncrementalVocab(spark: SparkSession, dir: String): DataFrame = {
     import CurationQueries.Snapshots
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
-    def presences(df: DataFrame): DataFrame =
-      DedupOps.shingles(
-        df.select(col("doc_id"), TextOps.tokenize(col("text")).as("toks")),
-        ShingleN)
-        .join(df.select(col("doc_id"), col("source")), "doc_id")
-        .groupBy("source", "shingle").agg(count(lit(1)).as("cnt"))
+    def presences(df: DataFrame): DataFrame = vocabPresences(df)
     val a = docs.where(Snapshots.inA)
     val b = docs.where(Snapshots.inB)
       .select(col("doc_id"), col("source"), Snapshots.textB.as("text"))
@@ -1424,7 +1460,7 @@ object DedupQueries {
     val plus = presences(
       b.join(a.select("doc_id"), Seq("doc_id"), "left_anti")
         .unionByName(b.join(changedIds, "doc_id")))
-    val state = presences(a)
+    val state = vocabPresenceBase(spark, dir)
       .select(col("source"), col("shingle"), col("cnt"), lit(0L).as("d"))
       .unionByName(minus.select(col("source"), col("shingle"),
         lit(0L).as("cnt"), (-col("cnt")).as("d")))
@@ -1764,15 +1800,17 @@ object DedupQueries {
     members AS (
       SELECT DISTINCT doc_id FROM (
         SELECT id_a AS doc_id FROM jp UNION ALL SELECT id_b FROM jp)),
-    g AS (SELECT text, min(doc_id) AS canonical_id FROM documents GROUP BY text)
-    SELECT d.source, count(*) AS n_docs,
-      CAST(count(CASE WHEN d.doc_id <> g.canonical_id THEN 1 END) AS BIGINT)
+    g AS (SELECT doc_id, source,
+      doc_id <> min(doc_id) OVER (PARTITION BY ${HashOps.contentKeySql("text")})
+        AS is_dup
+      FROM documents)
+    SELECT g.source, count(*) AS n_docs,
+      CAST(count(CASE WHEN g.is_dup THEN 1 END) AS BIGINT)
         AS n_exact_dups,
       CAST(count(m.doc_id) AS BIGINT) AS n_near_members
-    FROM documents d
-    JOIN g ON d.text = g.text
-    LEFT JOIN members m ON d.doc_id = m.doc_id
-    GROUP BY d.source ORDER BY d.source"""
+    FROM g
+    LEFT JOIN members m ON g.doc_id = m.doc_id
+    GROUP BY g.source ORDER BY g.source"""
 
   // --- q84: quality-aware cluster retention --------------------------------
   // q50b/q55 keep each near-dup cluster's MIN-ID doc; real fuzzy-dedup

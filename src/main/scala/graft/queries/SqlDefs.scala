@@ -55,15 +55,59 @@ object SqlDefs {
     * but cannot take MATERIALIZED, hence the lookbehind guard.
     */
   def materializeCtes(sql: String): String = {
-    // the lookbehind only protects the FIRST window name after a literal
+    // literal-aware: the SQL is split at single-quote boundaries (with
+    // the '' escape) and both the guard and the rewrite see only the
+    // text OUTSIDE string literals — so an oracle whose regex/data
+    // literal happens to contain "x AS (" or "WINDOW " is neither
+    // corrupted nor spuriously rejected.
+    //
+    // The lookbehind only protects the FIRST window name after a literal
     // "WINDOW " — a multi-window clause's second name follows ", " and
     // would be rewritten into invalid SQL. None of the wrapped oracles
     // uses a WINDOW clause; fail LOUDLY at construction time if one ever
     // does, instead of corrupting the oracle silently.
-    require(!sql.toUpperCase.contains("WINDOW "),
+    val parts = splitOnLiterals(sql)
+    require(!parts.exists { case (t, inLit) =>
+      !inLit && t.toUpperCase.matches("(?s).*\\bWINDOW\\s.*") },
       "materializeCtes cannot safely rewrite SQL containing a WINDOW " +
         "clause — restructure the oracle or extend the guard")
-    sql.replaceAll("(?<!WINDOW\\s)\\b(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+    parts.map {
+      case (t, true) => t
+      case (t, false) =>
+        t.replaceAll("(?<!WINDOW\\s)\\b(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+    }.mkString
+  }
+
+  /** Alternating (segment, isStringLiteral) split of a SQL text; a
+    * literal segment includes its surrounding quotes and keeps the ''
+    * escape intact, so `parts.mkString == sql`. A `name AS (` header can
+    * never straddle a boundary (it contains no quote), so per-segment
+    * rewriting is safe.
+    */
+  private def splitOnLiterals(sql: String): Vector[(String, Boolean)] = {
+    val out = Vector.newBuilder[(String, Boolean)]
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr) {
+        if (c == '\'') {
+          if (sb.nonEmpty) { out += ((sb.toString, false)); sb.clear() }
+          sb.append(c); inStr = true
+        } else sb.append(c)
+      } else {
+        sb.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            sb.append('\''); i += 1
+          } else { out += ((sb.toString, true)); sb.clear(); inStr = false }
+        }
+      }
+      i += 1
+    }
+    if (sb.nonEmpty) out += ((sb.toString, inStr))
+    out.result()
   }
 
   /** Recursive-CTE replay of the engine's merge-table BPE

@@ -420,13 +420,9 @@ object DocumentSources {
         readDv(spark, dvPath)
           .unionByName(incoming).distinct()
       else incoming.distinct()
-    val staging = s"$dvPath-staging"
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    val live = new Path(dvPath)
-    val parked = new Path(s"$dvPath-old")
-    if (fs.exists(live)) mustFs(fs.rename(live, parked), s"park $live")
-    mustFs(fs.rename(new Path(staging), live), s"swap in $staging")
-    if (fs.exists(parked)) mustFs(fs.delete(parked, true), s"drop $parked")
+    merged.write.mode("overwrite").partitionBy("bucket")
+      .parquet(StoreSwap.stagingPath(dvPath))
+    StoreSwap.swapIn(fs, dvPath, "softDelete")
   }
 
   /** DV tree scan with the schema pinned: once a compaction applies EVERY
@@ -446,10 +442,16 @@ object DocumentSources {
                   dvPath: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(dvPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverRootSwap(fs, dvPath)
+    // read-only entry: restore crashed swaps (correctness), but never
+    // delete a staging tree a concurrent writer may own. The park/restore
+    // renames themselves still assume the table's SINGLE-WRITER contract
+    // (mergeUpsertBuckets/softDelete/applyDeletionVectors serialize
+    // writes); a reader racing an in-flight swap between park and
+    // rename-in would restore the bucket the writer just parked.
+    recoverRootSwap(fs, dvPath, sweepStaging = false)
     recoverBucketSwap(new org.apache.hadoop.fs.Path(basePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration),
-      basePath, "readVisible")
+      basePath, "readVisible", sweepStaging = false)
     val base = spark.read.parquet(basePath)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dvPath))) base
     else base.join(readDv(spark, dvPath),
@@ -544,7 +546,8 @@ object DocumentSources {
     * bucket from every later read.
     */
   private def recoverBucketSwap(fs: org.apache.hadoop.fs.FileSystem,
-                                path: String, who: String): Unit = {
+                                path: String, who: String,
+                                sweepStaging: Boolean = true): Unit = {
     import org.apache.hadoop.fs.Path
     def mustFs(ok: Boolean, what: String): Unit =
       if (!ok) throw new java.io.IOException(
@@ -561,8 +564,13 @@ object DocumentSources {
       }
       mustFs(fs.delete(oldRoot, true), s"drop $oldRoot")
     }
+    // read-only entry points pass sweepStaging = false: the parked-bucket
+    // restore is required for a correct read after a crashed swap, but a
+    // stale staging tree is harmless to readers — and under any writer
+    // CONCURRENT with the read, deleting $path-staging here would destroy
+    // that writer's in-flight work
     val staging = new Path(s"$path-staging")
-    if (fs.exists(staging))
+    if (sweepStaging && fs.exists(staging))
       mustFs(fs.delete(staging, true), s"drop stale $staging")
   }
 
@@ -570,21 +578,12 @@ object DocumentSources {
     * with no live root means the swap crashed between park and rename-in
     * — restore it; with a live root the swap completed — drop it. Shared
     * by every DV entry point so ANY next touch heals a crashed swap.
+    * The protocol itself lives in [[StoreSwap]] (one definition, also
+    * the ANN index rebuild's swap); readers pass sweepStaging = false —
+    * see recoverBucketSwap.
     */
   private def recoverRootSwap(fs: org.apache.hadoop.fs.FileSystem,
-                              path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    def mustFs(ok: Boolean, what: String): Unit =
-      if (!ok) throw new java.io.IOException(
-        s"recoverRootSwap: filesystem step failed (returned false): $what")
-    val live = new Path(path)
-    val parked = new Path(s"$path-old")
-    val staging = new Path(s"$path-staging")
-    if (fs.exists(parked)) {
-      if (!fs.exists(live)) mustFs(fs.rename(parked, live), s"restore $parked")
-      else mustFs(fs.delete(parked, true), s"drop parked $parked")
-    }
-    if (fs.exists(staging))
-      mustFs(fs.delete(staging, true), s"drop stale $staging")
-  }
+                              path: String,
+                              sweepStaging: Boolean = true): Unit =
+    StoreSwap.recover(fs, path, "recoverRootSwap", sweepStaging)
 }

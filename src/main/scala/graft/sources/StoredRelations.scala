@@ -68,16 +68,27 @@ object StoredRelations {
   private[sources] def fingerprint(inputPaths: Seq[String],
                                    version: String): String = {
     def fileStats(root: java.nio.file.Path, f: java.io.File): Seq[String] =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).toSeq.flatMap(fileStats(root, _))
-      else Seq(s"${root.relativize(f.toPath)}:${f.length}:${f.lastModified}")
+      if (f.isDirectory) {
+        // listFiles returns null on a transient IO error (not just on
+        // missing dirs) — folding that as empty would fingerprint a
+        // half-listed tree as a valid, smaller input
+        val children = f.listFiles()
+        if (children == null) throw new java.io.IOException(
+          s"StoredRelations: could not list fingerprint input dir: $f")
+        children.sortBy(_.getName).toSeq.flatMap(fileStats(root, _))
+      } else Seq(s"${root.relativize(f.toPath)}:${f.length}:${f.lastModified}")
     val body = inputPaths.sorted.flatMap { p =>
       val f = new java.io.File(p)
       require(f.exists,
         s"StoredRelations: fingerprint input does not exist: $p")
       // relativize from the input's PARENT so the entry keeps the input's
-      // own name plus any nested path under it
-      fileStats(f.toPath.toAbsolutePath.getParent, f.getAbsoluteFile)
+      // own name plus any nested path under it. A filesystem ROOT has no
+      // parent — and a root as a derivation input is a caller bug, not a
+      // fold-from-nowhere case
+      val abs = f.toPath.toAbsolutePath
+      require(abs.getParent != null,
+        s"StoredRelations: fingerprint input must not be a filesystem root: $p")
+      fileStats(abs.getParent, f.getAbsoluteFile)
     }.mkString("|")
     s"v=$version|$body"
   }
@@ -86,7 +97,11 @@ object StoredRelations {
     // 64-bit SHA-256 prefix, not String.hashCode: a 32-bit collision
     // between two input-path sets of the same artifact name would point
     // both at one store dir, and same-named same-size inputs could then
-    // validate the wrong content
+    // validate the wrong content. NOTE: the r11 switch from hashCode to
+    // this keying orphaned any pre-switch store dirs on disk — harmless
+    // (they are rebuilt under the new key and the old dirs are plain
+    // marker-carrying parquet dirs), and StoredRelations.gc()/`rm -rf
+    // /tmp/graft-scratch/stored` reclaims them
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(inputPaths.sorted.mkString(";").getBytes("UTF-8"))
     val key = digest.take(8).map(b => f"$b%02x").mkString

@@ -306,4 +306,56 @@ class PlanShapeSpec extends SparkSpec {
       }
     }
   }
+
+  test("exact-dedup family: no exchange is keyed by document/chunk text") {
+    // the r11 verdict's one scale-killer: a text-keyed exchange ships the
+    // corpus as its own shuffle key. Every exact-tier group/window/join
+    // now keys on HashOps.contentKey; this gate walks the physical plans
+    // (descending into AQE stages) and fails if any hash partitioning
+    // carries an unbounded text attribute again. Bounded string keys
+    // (source enum, 5-gram shingles) are legitimate and not listed.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.StringType
+    val forbidden = Set("text", "canon", "chunk_text", "btext", "text_dedup")
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    def textKeyedExchanges(df: DataFrame): Seq[String] =
+      walk(df.queryExecution.executedPlan).flatMap {
+        case e: ShuffleExchangeLike => e.outputPartitioning match {
+          case h: HashPartitioning =>
+            val bad = h.expressions.flatMap(_.collect {
+              case a: AttributeReference
+                  if a.dataType == StringType && forbidden(a.name) => a.name
+            })
+            if (bad.nonEmpty) Seq(s"${bad.mkString(",")} in $h") else Nil
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    val dir2 = dir
+    val cases: Seq[(String, DataFrame)] = Seq(
+      "q24" -> DedupQueries.q24ExactDup(spark, dir2),
+      "q24b" -> DedupQueries.q24bCanonicalDup(spark, dir2),
+      "exactStage" -> graft.CurationPipeline.exactStage(
+        graft.Tables.documents(spark, dir2)),
+      "q86" -> CurationQueries.q86ChunkDedup(spark, dir2),
+      "q119" -> CurationQueries.q119LlmPrep(spark, dir2),
+      "q139" -> DedupQueries.q139DedupSavings(spark, dir2),
+      "q166" -> DedupQueries.q166TierConsistency(spark, dir2))
+    cases.foreach { case (name, df) =>
+      val bad = textKeyedExchanges(df)
+      assert(bad.isEmpty,
+        s"$name shuffles raw text as a key: ${bad.mkString("; ")}")
+    }
+  }
 }

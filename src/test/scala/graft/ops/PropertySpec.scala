@@ -212,6 +212,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fused contentKey agrees with the two-fold HOF across unicode planes") {
+    val unicodeGen = for {
+      n <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar.map(_.toString), Gen.oneOf("é", "ß", "汉", "字",
+          "é", "你", new String(Character.toChars(0x1D11E)),
+          new String(Character.toChars(0x1F600)), " ")))
+    } yield cs.mkString
+    val texts = sample(unicodeGen) ++ Seq("", "mixed é汉𝄞 tail")
+    val rows = texts.toDF("t")
+      .select(HashOps.contentKey(col("t")).as("native"),
+        HashOps.contentKeyHof(col("t")).as("hof"),
+        HashOps.charHash(col("t")).as("h1"))
+      .collect()
+    texts.zip(rows).foreach { case (t, r) =>
+      assert(r.getLong(0) == r.getLong(1), s"text=<$t>")
+      // the key's high fold IS charHash: key div P == h1
+      assert(r.getLong(0) / HashOps.P == r.getLong(2), s"text=<$t>")
+    }
+  }
+
   test("duplicateClusters agrees with a union-find model on random graphs") {
     // one Spark job over 30 disjoint random graphs (25 nodes each, tagged
     // into separate id ranges) vs a pure-Scala union-find

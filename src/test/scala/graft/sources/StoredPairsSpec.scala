@@ -78,6 +78,20 @@ class StoredPairsSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("stored vocab_presence_baseA matches a from-scratch rebuild") {
+    val stored = graft.queries.DedupQueries.vocabPresenceBase(spark, dir)
+    val fresh = graft.queries.DedupQueries.vocabPresences(
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .where(graft.queries.CurationQueries.Snapshots.inA))
+    assert(stored.columns.toSeq == fresh.columns.toSeq)
+    assert(asSet(stored) == asSet(fresh),
+      "stored vocab_presence_baseA diverges from a fresh build — " +
+        "semantics changed without a VocabPresenceStoreVersion bump, or " +
+        "the store is corrupt")
+    graft.CacheScope.releaseAll()
+  }
+
   test("input mtime change invalidates; marker-less artifact never valid") {
     import sqlImplicits._
     val in = java.nio.file.Files.createTempFile("graft-stored-in", ".txt")
