@@ -62,7 +62,9 @@ object Census {
     "q115b_unigram_tokens" -> ("Viterbi encode under the q115 model",
       "UnigramLmSpec: Viterbi ≡ exhaustive best segmentation; round-trip restores every corpus word"),
     "q158b_ann_rebuild" -> ("decision over KMeans-backed drift inputs",
-      "RebuildDecisionSpec: directional gates both families; the decision RULE itself is hash-verified through q158's LSH instantiation"))
+      "RebuildDecisionSpec: directional gates both families; the decision RULE itself is hash-verified through q158's LSH instantiation"),
+    "q167_index_rebuild" -> ("rebuild execution over KMeans-retrained trees",
+      "IndexRebuildSpec: rebuilt tree ≡ from-scratch build on base ∪ delta; probe over the swapped store ≡ fresh in-memory probe; keep leaves the store byte-identical; crash-planted staging/park states recover"))
 
   def renderTable(): String = {
     val all = SparkEntry.queries.keySet

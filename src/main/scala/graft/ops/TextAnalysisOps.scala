@@ -50,6 +50,60 @@ object TextAnalysisOps {
     }
   }
 
+  // --- hashed-n-gram language classifier (the production-scale tier) -----
+  // The q20 profile scorer is the ORACLED baseline; this is the
+  // fastText-class shape (Joulin et al. 2016; Bojanowski et al. 2017 —
+  // both public) the r11 verdict asked for: per token, the word itself
+  // plus its boundary-marked character trigrams hash into
+  // [[ClassifierBuckets]] buckets, a broadcast (bucket, lang, weight)
+  // relation scores them, and the label is the per-language-sum argmax.
+  // The weight table here is DERIVED from the public LangProfiles seed
+  // lists (a few hundred rows — counts of each profile feature), standing
+  // in for trained parameters exactly like [[classifierWeights]] does for
+  // the quality model: swap in a real table (same schema) and every plan
+  // property is unchanged. All-integer scoring, so the whole classifier
+  // hash-verifies against the DuckDB twin.
+
+  /** Boundary-marked feature list of one token, as a column expression:
+    * `[ltok] ++ trigrams(padded)` where `ltok` = lower(tok) and `padded`
+    * = "<" + ltok + ">". BOTH must be staged attribute refs (a nested
+    * expression would re-evaluate per trigram inside the lambda — the
+    * q06-class duplication trap).
+    */
+  def langFeatures(ltok: Column, padded: Column): Column = {
+    val tris = when(length(padded) >= 3,
+      transform(sequence(lit(1), length(padded) - 2),
+        i => padded.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    concat(array(ltok), tris)
+  }
+
+  /** Driver-side twin of [[langFeatures]] (code-point trigrams — the
+    * same units both engines' substr/length count), used to expand the
+    * profile words into the weight relation.
+    */
+  private[graft] def langFeaturesOf(tok: String): Seq[String] = {
+    val w = tok.toLowerCase(java.util.Locale.ROOT)
+    val cps = s"<$w>".codePoints().toArray
+    w +: (0 to cps.length - 3).map(i => new String(cps, i, 3))
+  }
+
+  /** The classifier's weight relation as data: one row per
+    * (bucket, lang) a profile feature hashes into, weight = how many of
+    * that language's profile features land there. ~hundreds of rows —
+    * broadcast-sized at any corpus scale, and embedded verbatim into the
+    * oracle's VALUES list so both engines score the identical model.
+    */
+  lazy val langWeightRows: Seq[(Long, String, Long)] =
+    LangProfiles.flatMap { case (lang, words) =>
+      words.flatMap(langFeaturesOf)
+        .groupBy(f => math.floorMod(
+          graft.functions.PolyCharHash.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(f)),
+          ClassifierBuckets))
+        .toSeq.map { case (b, fs) => (b, lang, fs.size.toLong) }
+    }.sortBy(r => (r._1, r._2))
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column =
     size(TextOps.tokenize(text)).cast("long")

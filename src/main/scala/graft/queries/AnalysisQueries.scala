@@ -67,6 +67,121 @@ object AnalysisQueries {
     FROM s ORDER BY doc_id"""
   }
 
+  // --- q168: hashed-n-gram language classifier (production tier) ----------
+  // q20's profile scorer matches 10 whole words per language; this is the
+  // fastText-class shape a 100 TB pipeline actually deploys (machinery in
+  // TextAnalysisOps.langFeatures/langWeightRows): every token contributes
+  // its word + boundary-marked char trigrams, hashed into 4096 buckets,
+  // scored by a broadcast weight RELATION (model-as-data, the q65
+  // argument), label = per-language-sum argmax, q20's tie rule. The
+  // weight table is derived from the same public profile lists, embedded
+  // verbatim in the oracle's VALUES — all-integer scoring, hash-exact.
+  // Scale shape: one token explode + one feature explode (narrow), one
+  // broadcast join, one doc-keyed aggregate — scan-bound like q65.
+  private val langCodes = TextAnalysisOps.LangProfiles.map(_._1)
+
+  /** The per-doc hashed-classifier scores — shared by q168 and the q168b
+    * confusion roll-up.
+    */
+  private def hashedLangScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weights = spark.createDataset(TextAnalysisOps.langWeightRows)
+      .toDF("bucket", "wlang", "weight")
+    val docs = Tables.documents(spark, dir)
+    val feats = docs
+      .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("ltok"))
+      .select(col("doc_id"), col("ltok"),
+        concat(lit("<"), col("ltok"), lit(">")).as("p"))
+      .select(col("doc_id"),
+        explode(TextAnalysisOps.langFeatures(col("ltok"), col("p"))).as("f"))
+      .select(col("doc_id"),
+        (graft.ops.HashOps.charHash(col("f")) %
+          TextAnalysisOps.ClassifierBuckets).as("bucket"))
+    val sums = langCodes.map(l =>
+      sum(when(col("wlang") === l, col("weight")).otherwise(0L))
+        .as(s"score_$l"))
+    val scored = feats
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        langCodes.map(l => coalesce(col(s"score_$l"), lit(0L))
+          .as(s"score_$l")): _*)
+      .withColumn("pred_lang", TextAnalysisOps.predLang(
+        langCodes.map(l => l -> col(s"score_$l"))))
+  }
+
+  def q168LangIdHashed(spark: SparkSession, dir: String): DataFrame =
+    hashedLangScores(spark, dir).orderBy("doc_id")
+
+  /** Oracle CTE chain shared by q168/q168b: weights as a VALUES list
+    * generated from the SAME Scala constant the engine broadcasts, so
+    * both engines score the identical model.
+    */
+  private val hashedLangCtes: String = {
+    val values = TextAnalysisOps.langWeightRows
+      .map { case (b, l, w) => s"($b, '$l', $w)" }.mkString(", ")
+    val scoreSums = langCodes.map(l =>
+      s"CAST(sum(CASE WHEN wlang = '$l' THEN weight ELSE 0 END) AS BIGINT) AS score_$l")
+      .mkString(",\n        ")
+    val coalesced = langCodes.map(l =>
+      s"coalesce(score_$l, 0) AS score_$l").mkString(", ")
+    s"""w (bucket, wlang, weight) AS (VALUES $values),
+    hl_tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+    hl_pad AS (SELECT doc_id, lower(tok) AS ltok,
+      '<' || lower(tok) || '>' AS p FROM hl_tok),
+    hl_f AS (SELECT doc_id, unnest(list_concat([ltok],
+      CASE WHEN length(p) >= 3
+        THEN list_transform(range(1, length(p) - 1),
+          i -> substr(p, CAST(i AS INT), 3))
+        ELSE [] END)) AS f FROM hl_pad),
+    hl_b AS (SELECT doc_id,
+      ${graft.ops.HashOps.charHashSql("f")} % ${TextAnalysisOps.ClassifierBuckets}
+        AS bucket FROM hl_f),
+    hl_s AS (SELECT doc_id,
+        $scoreSums
+      FROM hl_b LEFT JOIN w USING (bucket) GROUP BY doc_id),
+    hl AS (SELECT d.doc_id, $coalesced
+      FROM documents d LEFT JOIN hl_s ON d.doc_id = hl_s.doc_id)"""
+  }
+
+  val q168Sql: String =
+    s"""WITH $hashedLangCtes
+    SELECT doc_id, ${langCodes.map(l => s"score_$l").mkString(", ")},
+      $predLangSql AS pred_lang
+    FROM hl ORDER BY doc_id"""
+
+  // --- q168b: hashed-vs-profile confusion table ---------------------------
+  // The promotion evidence for q168: per (profile label, hashed label)
+  // cell, how many fixture docs land there — the agreement diagonal and
+  // every off-diagonal disagreement, joined doc-by-doc from the two
+  // already-defined per-doc relations. Both sides integer-exact, so the
+  // confusion table itself hash-verifies.
+  def q168bLangIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val profile = q20LangId(spark, dir)
+      .select(col("doc_id"), col("pred_lang").as("profile_lang"))
+    hashedLangScores(spark, dir)
+      .select(col("doc_id"), col("pred_lang").as("hashed_lang"))
+      .join(profile, "doc_id")
+      .groupBy("profile_lang", "hashed_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("profile_lang", "hashed_lang")
+  }
+
+  val q168bSql: String =
+    s"""WITH $hashedLangCtes,
+    hashed AS (SELECT doc_id, $predLangSql AS hashed_lang FROM hl),
+    pt AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    ps AS (SELECT doc_id, $langScoreExprsSql FROM pt),
+    prof AS (SELECT doc_id, $predLangSql AS profile_lang FROM ps)
+    SELECT p.profile_lang, h.hashed_lang, count(*) AS n_docs
+    FROM prof p JOIN hashed h ON p.doc_id = h.doc_id
+    GROUP BY p.profile_lang, h.hashed_lang
+    ORDER BY p.profile_lang, h.hashed_lang"""
+
   // --- q21: quality-signal scoring ---------------------------------------
   def q21Quality(spark: SparkSession, dir: String): DataFrame = {
     val toked = Tables.documents(spark, dir)
@@ -1647,7 +1762,11 @@ object AnalysisQueries {
       countDistinct(col("lang")).as("n_langs"),
       sum(length(col("text"))).cast("long").as("n_chars"),
       sum(size(TextOps.tokenize(col("text")))).cast("long").as("n_tokens"),
-      countDistinct(col("text")).as("n_distinct_texts"))
+      // distinct over the 62-bit content key, not the raw text: the
+      // distinct-aggregate exchange carries 8 bytes per row, not the
+      // corpus (HashOps.contentKey collision stance)
+      countDistinct(graft.ops.HashOps.contentKey(col("text")))
+        .as("n_distinct_texts"))
     val vocab = docs
       .select(explode(TextOps.tokenize(coalesce(col("text"), lit("")))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("ctf"))
@@ -1669,7 +1788,8 @@ object AnalysisQueries {
       count(DISTINCT lang) AS n_langs,
       CAST(sum(length(text)) AS BIGINT) AS n_chars,
       CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
-      count(DISTINCT text) AS n_distinct_texts
+      count(DISTINCT ${graft.ops.HashOps.contentKeySql("text")})
+        AS n_distinct_texts
       FROM t),
     v AS (SELECT tok, count(*) AS ctf FROM
       (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
@@ -2218,6 +2338,8 @@ object AnalysisQueries {
     "q70_unigram_rarity" -> (q70UnigramRarity _),
     "q70b_bigram_familiarity" -> (q70bBigramFamiliarity _),
     "q20_lang_id" -> (q20LangId _),
+    "q168_langid_hashed" -> (q168LangIdHashed _),
+    "q168b_langid_confusion" -> (q168bLangIdConfusion _),
     "q21_quality" -> (q21Quality _),
     "q21b_repetition" -> (q21bRepetition _),
     "q22_token_counts" -> (q22TokenCounts _),
@@ -2268,6 +2390,8 @@ object AnalysisQueries {
     "q122_luhn_cards" -> q122Sql,
     "q70_unigram_rarity" -> q70Sql,
     "q20_lang_id" -> q20Sql,
+    "q168_langid_hashed" -> q168Sql,
+    "q168b_langid_confusion" -> q168bSql,
     "q21_quality" -> q21Sql,
     "q21b_repetition" -> q21bSql,
     "q22_token_counts" -> q22Sql,

@@ -720,6 +720,85 @@ object SimilarityQueries {
       .orderBy("index_name")
   }
 
+  // --- q167: index rebuild EXECUTION (the decision loop closed) -----------
+  // q158/q158b DECIDE rebuild-or-keep; this query EXECUTES the decision
+  // (r11 verdict item 3) and reports the maintenance manifest. Per index
+  // family (IVF cell tree, IVF-PQ code tree), two scenarios against a
+  // freshly seeded "yesterday's store" (base-trained, base-only coded,
+  // the q79e/q104c layouts):
+  //   keep   — the q79f ingest delta (drawn from the base distribution)
+  //            decides keep; SimilarityOps.executeRebuild must leave the
+  //            stored tree byte-untouched;
+  //   rebuild— the RebuildDecisionSpec shift (+10 on every component)
+  //            decides rebuild; ivfRebuild/pqRebuild retrain on
+  //            base ∪ delta and swap the new tree in via the
+  //            StoreSwap park/rename protocol.
+  // The manifest row carries the ACTUAL decision and the store's
+  // post-step vector/cell counts, so a wrong keep (store mutated) or a
+  // wrong rebuild (old counts survive) breaks the row. Rows-only tier
+  // (KMeans-backed); the equals-from-scratch and probe-identity proofs
+  // live in IndexRebuildSpec.
+  def q167IndexRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = all.where(!isIngestDelta(col("vec_id")))
+    val deltaSelf = all.where(isIngestDelta(col("vec_id")))
+    val deltaShift = deltaSelf.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+    def decide(drift: DataFrame, name: String): DataFrame =
+      SimilarityOps.rebuildDecision(
+        drift.withColumnRenamed("drift_mean_ratio_micro", "drift_ratio_micro"),
+        name, DriftRatioThresholdMicro, DriftedPermille, DriftHardCapMicro)
+    def storeStats(path: String): (Long, Long) = {
+      val t = spark.read.parquet(path)
+      (t.count(), t.select("cell").distinct().count())
+    }
+    // ---- IVF family (q79e layout): centroids/assignment reuse the q79f
+    // memo — zero extra KMeans outside the rebuild branch itself
+    val merged = ivfMerged(spark, dir)
+    val baseIdx = SimilarityOps.IvfIndex(
+      merged.assigned.where(!isIngestDelta(col("vec_id"))), merged.centroids)
+    val ivfStore = graft.Scratch.dir(
+      s"q167_ivf_${Integer.toHexString(dir.hashCode)}")
+    SimilarityOps.ivfSq8Coded(baseIdx, base)
+      .write.mode("overwrite").partitionBy("cell").parquet(ivfStore)
+    val ivfKeep = SimilarityOps.ivfRebuild(ivfStore, base, deltaSelf,
+      decide(SimilarityOps.ivfDriftStatsAssigned(
+        baseIdx.assigned,
+        merged.assigned.where(isIngestDelta(col("vec_id"))),
+        merged.centroids), "ivf"),
+      nCells = 16)
+    val (ivfKeepVecs, ivfKeepCells) = storeStats(ivfStore)
+    val ivfReb = SimilarityOps.ivfRebuild(ivfStore, base, deltaShift,
+      decide(SimilarityOps.ivfDriftStats(baseIdx, deltaShift), "ivf"),
+      nCells = 16)
+    val (ivfRebVecs, ivfRebCells) = storeStats(ivfStore)
+    // ---- PQ family (q104c layout): codebook reuses the q104 memo
+    val (cb, _) = pqIndex(spark, dir)
+    val pqStore = graft.Scratch.dir(
+      s"q167_pq_${Integer.toHexString(dir.hashCode)}")
+    SimilarityOps.ivfPqCoded(baseIdx, SimilarityOps.pqEncode(base, cb))
+      .write.mode("overwrite").partitionBy("cell").parquet(pqStore)
+    val pqKeep = SimilarityOps.pqRebuild(pqStore, base, deltaSelf,
+      decide(SimilarityOps.pqDriftStats(cb, base, deltaSelf), "pq"),
+      nCells = 16, m = PqSubspaces, kSub = PqCellsPerSub)
+    val (pqKeepVecs, pqKeepCells) = storeStats(pqStore)
+    val pqReb = SimilarityOps.pqRebuild(pqStore, base, deltaShift,
+      decide(SimilarityOps.pqDriftStats(cb, base, deltaShift), "pq"),
+      nCells = 16, m = PqSubspaces, kSub = PqCellsPerSub)
+    val (pqRebVecs, pqRebCells) = storeStats(pqStore)
+    // bounded manifest: 4 rows of already-collected scalars
+    Seq(
+      ("ivf", "keep", ivfKeep.isDefined, ivfKeepVecs, ivfKeepCells),
+      ("ivf", "rebuild", ivfReb.isDefined, ivfRebVecs, ivfRebCells),
+      ("pq", "keep", pqKeep.isDefined, pqKeepVecs, pqKeepCells),
+      ("pq", "rebuild", pqReb.isDefined, pqRebVecs, pqRebCells))
+      .toDF("index_name", "scenario", "rebuild", "store_vectors",
+        "store_cells")
+      .orderBy("index_name", "scenario")
+  }
+
   // --- q160: hybrid lexical→semantic retrieval -----------------------------
   // The retrieval composite a decontamination/search surface actually
   // runs: exact-rational BM25 (q63c's scorer, same terms) nominates the
@@ -1499,6 +1578,7 @@ object SimilarityQueries {
     "q29g_multiprobe" -> (q29gMultiProbe _),
     "q158_rebuild_decision" -> (q158RebuildDecision _),
     "q158b_ann_rebuild" -> (q158bAnnRebuild _),
+    "q167_index_rebuild" -> (q167IndexRebuild _),
     "q160_hybrid_retrieval" -> (q160HybridRetrieval _))
 
   val oracleSql: Map[String, String] = Map(

@@ -312,4 +312,78 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysisOps.blocklistFilter(df, Seq.empty)
     }
   }
+
+  test("langFeatures column expression agrees with the driver twin, " +
+      "including multi-byte profile words") {
+    // every profile word of every language (zh exercises 3-byte code
+    // points), plus casing and a 1-char token (no trigram window)
+    val toks = TextAnalysisOps.LangProfiles.flatMap(_._2) ++
+      Seq("The", "Über", "a")
+    val staged = toks.toDF("tok")
+      .select(lower(col("tok")).as("ltok"))
+      .select(col("ltok"),
+        concat(lit("<"), col("ltok"), lit(">")).as("p"))
+    val rows = staged
+      .select(col("ltok"),
+        TextAnalysisOps.langFeatures(col("ltok"), col("p")).as("fs"))
+      .collect()
+    rows.foreach { r =>
+      val got = r.getSeq[String](1)
+      val want = TextAnalysisOps.langFeaturesOf(r.getString(0))
+      assert(got == want, s"tok=<${r.getString(0)}>")
+    }
+  }
+
+  test("hashed classifier weight rows are deterministic, bounded, and " +
+      "bucket-consistent with the engine hash") {
+    val rows = TextAnalysisOps.langWeightRows
+    assert(rows.nonEmpty && rows.size < 1000,
+      s"weight relation must stay broadcast-tiny, got ${rows.size}")
+    assert(rows == TextAnalysisOps.langWeightRows) // stable
+    assert(rows.forall { case (b, _, w) =>
+      b >= 0 && b < TextAnalysisOps.ClassifierBuckets && w > 0 })
+    // one spot bucket recomputed through the SQL-side fold
+    val f = TextAnalysisOps.langFeaturesOf("the").head
+    val viaCol = Seq(f).toDF("f")
+      .select((HashOps.charHash(col("f")) %
+        TextAnalysisOps.ClassifierBuckets).as("b"))
+      .head().getLong(0)
+    assert(rows.exists { case (b, l, _) => b == viaCol && l == "en" })
+  }
+
+  test("hashed classifier separates profile-built sentences by language") {
+    // sentences stitched from each language's own profile words must
+    // argmax to that language — the directional gate for q168 (its
+    // hash-exactness is the oracle's job, its discrimination is this)
+    val docs = TextAnalysisOps.LangProfiles.zipWithIndex.map {
+      case ((lang, words), i) => (i.toLong, lang, words.mkString(" "))
+    }.toDF("doc_id", "want", "text")
+    import org.apache.spark.sql.functions.{broadcast, explode}
+    val weights = spark.createDataset(TextAnalysisOps.langWeightRows)
+      .toDF("bucket", "wlang", "weight")
+    val feats = docs
+      .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("ltok"))
+      .select(col("doc_id"), col("ltok"),
+        concat(lit("<"), col("ltok"), lit(">")).as("p"))
+      .select(col("doc_id"),
+        explode(TextAnalysisOps.langFeatures(col("ltok"), col("p"))).as("f"))
+      .select(col("doc_id"),
+        (HashOps.charHash(col("f")) %
+          TextAnalysisOps.ClassifierBuckets).as("bucket"))
+    val langs = TextAnalysisOps.LangProfiles.map(_._1)
+    val sums = langs.map(l =>
+      sum(when(col("wlang") === l, col("weight")).otherwise(0L))
+        .as(s"score_$l"))
+    val pred = feats.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .withColumn("pred", TextAnalysisOps.predLang(
+        langs.map(l => l -> col(s"score_$l"))))
+      .select("doc_id", "pred")
+    val got = pred.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.select("doc_id", "want").collect().foreach { r =>
+      assert(got(r.getLong(0)) == r.getString(1),
+        s"doc ${r.getLong(0)} want ${r.getString(1)} got ${got(r.getLong(0))}")
+    }
+  }
 }
