@@ -63,6 +63,8 @@ object Census {
       "UnigramLmSpec: Viterbi ≡ exhaustive best segmentation; round-trip restores every corpus word"),
     "q158b_ann_rebuild" -> ("decision over KMeans-backed drift inputs",
       "RebuildDecisionSpec: directional gates both families; the decision RULE itself is hash-verified through q158's LSH instantiation"),
+    "q162b_length_quantiles_approx" -> ("Greenwald-Khanna sketch (approximate by construction)",
+      "MedianNarrowingSpec: every source/percentile within the published n/accuracy rank-error window of the exact q162 selection"),
     "q167_index_rebuild" -> ("rebuild execution over KMeans-retrained trees",
       "IndexRebuildSpec: rebuilt tree ≡ from-scratch build on base ∪ delta; probe over the swapped store ≡ fresh in-memory probe; keep leaves the store byte-identical; crash-planted staging/park states recover"))
 

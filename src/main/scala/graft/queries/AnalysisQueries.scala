@@ -1431,6 +1431,30 @@ object AnalysisQueries {
         AS p90_tokens
     FROM r GROUP BY source, n_docs ORDER BY source"""
 
+  // --- q162b: the same quantile dial via approx_percentile ----------------
+  // q162's routed-AT-SCALE rung (the q68/q68b two-rung pattern applied
+  // to the packing dial): exact rank selection sorts every source's
+  // slice; the Greenwald-Khanna sketch reads the same p10/p50/p90 in one
+  // aggregation pass with NO per-source sort and a bounded rank-error
+  // guarantee (<= n/accuracy, unit-gated in MedianNarrowingSpec's
+  // sibling test for this query). Rows-only tier — a sketch result is
+  // approximate by construction, so its contract is the error bound, not
+  // a hash.
+  def q162bLengthQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(graft.ops.TextOps.tokenize(col("text"))).cast("long")
+          .as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_tokens"), lit(0.1),
+          lit(CurationQueries.PctAccuracy)).as("p10_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.5),
+          lit(CurationQueries.PctAccuracy)).as("p50_tokens"),
+        percentile_approx(col("n_tokens"), lit(0.9),
+          lit(CurationQueries.PctAccuracy)).as("p90_tokens"))
+      .orderBy("source")
+
   // --- q23: document fingerprints (rolling hash) -------------------------
   def q23Fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -2344,6 +2368,7 @@ object AnalysisQueries {
     "q21b_repetition" -> (q21bRepetition _),
     "q22_token_counts" -> (q22TokenCounts _),
     "q162_length_quantiles" -> (q162LengthQuantiles _),
+    "q162b_length_quantiles_approx" -> (q162bLengthQuantilesApprox _),
     "q22b_bpe_tokens" -> (q22bBpeTokens _),
     "q22c_wordpiece_tokens" -> (q22cWordpieceTokens _),
     "q135_tokenizer_fertility" -> (q135TokenizerFertility _),

@@ -18,8 +18,11 @@ import java.util.zip.{DataFormatException, Inflater}
   *     (literal and hex strings) and `TJ` arrays, with PDF escape and
   *     octal sequences decoded; Td, TD, T-star, Tm, BT and ET break lines;
   *   - single-byte standard/WinAnsi-style encodings are assumed (bytes
-  *     read as Latin-1). CID/Type0 composite fonts, encrypted files and
-  *     object streams (/ObjStm) are out of scope and simply yield
+  *     read as Latin-1) for literal strings; hex strings additionally
+  *     try the document's ToUnicode CMap (bfchar/bfrange blocks, merged
+  *     document-wide) and use it when every code unit maps — the common
+  *     CID/Identity-H case. Per-font CMap routing, encrypted files and
+  *     object streams (/ObjStm) remain out of scope and simply yield
   *     whatever simple text the file also contains.
   *
   * Everything here is per-document CPU work on an opaque binary payload —
@@ -32,6 +35,18 @@ object PdfText {
 
   /** Extracted text, or None when the payload is not a PDF. A PDF with no
     * extractable simple text yields Some("").
+    *
+    * Two passes over the document's decoded streams: pass 1 collects
+    * ToUnicode CMaps (`beginbfchar`/`beginbfrange` blocks — the mapping
+    * table every CID/Identity-H PDF that WANTS its text extractable
+    * ships, and the one PyPDF2 consults for composite fonts); pass 2
+    * walks the content streams, decoding hex show-strings through the
+    * merged CMap when every code unit maps (the common CID case writes
+    * CID text as hex strings), falling back to the single-byte reading
+    * otherwise. Per-font CMap routing (mixed simple + composite fonts in
+    * one document) stays out of scope — it needs the object-graph
+    * resource walk; the all-units-map gate keeps the fallback lossless
+    * for simple-font hex strings.
     */
   def extract(pdf: Array[Byte]): Option[String] = {
     if (pdf == null || pdf.length < 4 ||
@@ -39,7 +54,7 @@ object PdfText {
       return None
     // Latin-1 view: one char per byte, lossless round-trip for scanning
     val s = new String(pdf, ISO_8859_1)
-    val out = new StringBuilder
+    val decoded = Vector.newBuilder[String]
     var idx = s.indexOf("stream")
     while (idx >= 0) {
       if (idx >= 3 && s.regionMatches(idx - 3, "end", 0, 3)) {
@@ -63,13 +78,132 @@ object PdfText {
             if (dict.contains("/FlateDecode")) inflate(raw)
             else if (dict.contains("/Filter")) None // unsupported filter
             else Some(raw)
-          data.map(new String(_, ISO_8859_1)).filter(_.contains("BT"))
-            .foreach(appendContentText(_, out))
+          data.map(new String(_, ISO_8859_1)).foreach(decoded += _)
           idx = s.indexOf("stream", e + "endstream".length)
         }
       }
     }
+    val streams = decoded.result()
+    val cmap = mergeCmaps(streams.filter(c =>
+      c.contains("beginbfchar") || c.contains("beginbfrange")))
+    val out = new StringBuilder
+    streams.filter(_.contains("BT")).foreach(appendContentText(_, out, cmap))
     Some(out.toString.trim)
+  }
+
+  /** A merged ToUnicode mapping: code byte width + code → text. */
+  private[sources] case class ToUnicode(codeBytes: Int, map: Map[Int, String])
+
+  private def mergeCmaps(cmaps: Seq[String]): Option[ToUnicode] =
+    if (cmaps.isEmpty) None
+    else {
+      val parsed = cmaps.map(parseCmap)
+      // one code width per document in the common case; mixed widths
+      // would need per-font routing, so take the widest (Identity-H = 2)
+      Some(ToUnicode(parsed.map(_.codeBytes).max,
+        parsed.map(_.map).reduce(_ ++ _)))
+    }
+
+  /** Parses one CMap stream's bfchar/bfrange blocks. Code width comes
+    * from the first codespacerange bound's digit count (default 2 bytes,
+    * the Identity-H width).
+    */
+  private[sources] def parseCmap(cs: String): ToUnicode = {
+    val hexTok = "<([0-9a-fA-F]+)>".r
+    def utf16(hex: String): String = {
+      val padded = if (hex.length % 4 == 0) hex else hex.reverse.padTo(
+        (hex.length + 3) / 4 * 4, '0').reverse.toString
+      val bytes = padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    val codeBytes = {
+      val cr = cs.indexOf("begincodespacerange")
+      if (cr < 0) 2
+      else hexTok.findFirstMatchIn(cs.substring(cr))
+        .map(m => math.max(1, m.group(1).length / 2)).getOrElse(2)
+    }
+    val map = Map.newBuilder[Int, String]
+    def block(begin: String, end: String)(body: String => Unit): Unit = {
+      var i = cs.indexOf(begin)
+      while (i >= 0) {
+        val e = cs.indexOf(end, i)
+        if (e < 0) { i = -1 }
+        else { body(cs.substring(i + begin.length, e))
+          i = cs.indexOf(begin, e) }
+      }
+    }
+    block("beginbfchar", "endbfchar") { b =>
+      hexTok.findAllMatchIn(b).map(_.group(1)).grouped(2).foreach {
+        case Seq(src, dst) => map += Integer.parseInt(src, 16) -> utf16(dst)
+        case _ => ()
+      }
+    }
+    block("beginbfrange", "endbfrange") { b =>
+      // two forms: `<lo> <hi> <dstStart>` and `<lo> <hi> [<d0> <d1> ...]`
+      val toks = tokenizeRange(b)
+      var j = 0
+      while (j < toks.length) {
+        toks(j) match {
+          case RangeTok.Hex(lo) if j + 2 < toks.length =>
+            (toks(j + 1), toks(j + 2)) match {
+              case (RangeTok.Hex(hi), RangeTok.Hex(dst)) =>
+                val l = Integer.parseInt(lo, 16)
+                val h = Integer.parseInt(hi, 16)
+                val base = utf16(dst)
+                var c = l
+                while (c <= h) {
+                  val t = if (base.isEmpty) "" else
+                    base.dropRight(1) + (base.last + (c - l)).toChar
+                  map += c -> t
+                  c += 1
+                }
+                j += 3
+              case (RangeTok.Hex(hi), RangeTok.Arr(ds)) =>
+                val l = Integer.parseInt(lo, 16)
+                val h = Integer.parseInt(hi, 16)
+                var c = l
+                var k = 0
+                while (c <= h && k < ds.length) {
+                  map += c -> utf16(ds(k)); c += 1; k += 1
+                }
+                j += 3
+              case _ => j += 1
+            }
+          case _ => j += 1
+        }
+      }
+    }
+    ToUnicode(codeBytes, map.result())
+  }
+
+  private[sources] sealed trait RangeTok
+  private[sources] object RangeTok {
+    case class Hex(digits: String) extends RangeTok
+    case class Arr(items: Seq[String]) extends RangeTok
+  }
+
+  /** bfrange body → hex / array-of-hex tokens. */
+  private def tokenizeRange(b: String): Vector[RangeTok] = {
+    val out = Vector.newBuilder[RangeTok]
+    val hexTok = "<([0-9a-fA-F]+)>".r
+    var i = 0
+    while (i < b.length) {
+      b.charAt(i) match {
+        case '[' =>
+          val e = b.indexOf(']', i)
+          val end = if (e < 0) b.length else e
+          out += RangeTok.Arr(
+            hexTok.findAllMatchIn(b.substring(i, end)).map(_.group(1)).toSeq)
+          i = end + 1
+        case '<' =>
+          hexTok.findPrefixMatchOf(b.substring(i)) match {
+            case Some(m) => out += RangeTok.Hex(m.group(1)); i += m.end
+            case None => i += 1
+          }
+        case _ => i += 1
+      }
+    }
+    out.result()
   }
 
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
@@ -91,7 +225,8 @@ object PdfText {
   }
 
   /** Walks a decoded content stream and appends shown text to `out`. */
-  private def appendContentText(cs: String, out: StringBuilder): Unit = {
+  private def appendContentText(cs: String, out: StringBuilder,
+                                cmap: Option[ToUnicode] = None): Unit = {
     val pending = new StringBuilder // operand strings since the last operator
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out += '\n'
@@ -106,7 +241,7 @@ object PdfText {
         case '<' if i + 1 < n && cs.charAt(i + 1) == '<' =>
           i = skipDict(cs, i)
         case '<' =>
-          i = parseHex(cs, i, pending)
+          i = parseHex(cs, i, pending, cmap)
         case '%' =>
           while (i < n && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1
         case '/' =>
@@ -168,8 +303,15 @@ object PdfText {
     i
   }
 
-  /** `<48656c6c6f>` hex string; odd digit counts get a trailing zero. */
-  private def parseHex(cs: String, start: Int, sb: StringBuilder): Int = {
+  /** `<48656c6c6f>` hex string; odd digit counts get a trailing zero.
+    * With a ToUnicode CMap present, the string is first read as CID
+    * codes (codeBytes-wide units) — the common CID case writes its text
+    * as hex strings — and the mapped text is used when EVERY unit maps;
+    * otherwise (a simple-font hex string, or unmapped codes) the
+    * single-byte reading applies unchanged.
+    */
+  private def parseHex(cs: String, start: Int, sb: StringBuilder,
+                       cmap: Option[ToUnicode] = None): Int = {
     var i = start + 1
     val digits = new StringBuilder
     val n = cs.length
@@ -179,10 +321,24 @@ object PdfText {
       i += 1
     }
     if (digits.length % 2 == 1) digits += '0'
-    var j = 0
-    while (j < digits.length) {
-      sb += Integer.parseInt(digits.substring(j, j + 2), 16).toChar
-      j += 2
+    val mapped = cmap.flatMap { tu =>
+      val w = tu.codeBytes * 2
+      if (digits.isEmpty || digits.length % w != 0) None
+      else {
+        val codes = digits.toString.grouped(w)
+          .map(Integer.parseInt(_, 16)).toSeq
+        if (codes.forall(tu.map.contains)) Some(codes.map(tu.map).mkString)
+        else None
+      }
+    }
+    mapped match {
+      case Some(t) => sb ++= t
+      case None =>
+        var j = 0
+        while (j < digits.length) {
+          sb += Integer.parseInt(digits.substring(j, j + 2), 16).toChar
+          j += 2
+        }
     }
     i + 1
   }

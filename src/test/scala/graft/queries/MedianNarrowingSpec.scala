@@ -24,4 +24,39 @@ class MedianNarrowingSpec extends SparkSpec {
     assert(normal.head == forced.head,
       s"narrowed ${forced.head} != two-pass ${normal.head}")
   }
+
+  test("q162b approx quantiles land within the GK rank-error window of " +
+      "the exact q162 rank selection (every source, every percentile)") {
+    // the covering unit for q162b's rows-only tier: for each source the
+    // sketch's value must occupy a rank within n/accuracy (+1 discrete
+    // slack) of the exact target rank in that source's sorted lengths
+    val dir01 = "/root/testdata/sf0.01"
+    val exactBySource = graft.Tables.documents(spark, dir01)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.size(
+          graft.ops.TextOps.tokenize(
+            org.apache.spark.sql.functions.col("text"))).cast("long")
+          .as("n"))
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rows) => s -> rows.map(_.getLong(1)).sorted }
+    val approx = AnalysisQueries.q162bLengthQuantilesApprox(spark, dir01)
+      .collect()
+    graft.CacheScope.releaseAll()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val sorted = exactBySource(r.getString(0))
+      val n = sorted.length
+      val slack = n / CurationQueries.PctAccuracy + 1
+      for ((p, got) <- Seq(10 -> r.getLong(2), 50 -> r.getLong(3),
+          90 -> r.getLong(4))) {
+        val target = (n - 1) * p / 100 // 0-based exact rank
+        val lo = sorted.indexOf(got)
+        val hi = sorted.lastIndexOf(got)
+        assert(lo >= 0, s"source ${r.getString(0)} p$p value $got not in data")
+        assert(target >= lo - slack && target <= hi + slack,
+          s"source ${r.getString(0)} p$p: value $got holds ranks [$lo,$hi], " +
+            s"target $target, slack $slack")
+      }
+    }
+  }
 }

@@ -79,6 +79,42 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(docs.head.getString(1) == "from disk")
   }
 
+  test("PDF extraction maps CID hex strings through the ToUnicode CMap") {
+    // an Identity-H-style page: the font's ToUnicode CMap ships as its
+    // own (compressed) stream; the content stream shows 2-byte CID codes
+    // as hex strings. bfchar maps single codes, bfrange covers both the
+    // increment form and the array form.
+    val cmap = """/CIDInit /ProcSet findresource begin
+      begincmap
+      1 begincodespacerange
+      <0000> <FFFF>
+      endcodespacerange
+      2 beginbfchar
+      <0003> <0020>
+      <0044> <0044>
+      endbfchar
+      2 beginbfrange
+      <0010> <0015> <0061>
+      <0020> <0021> [<00480069> <0021>]
+      endbfrange
+      endcmap"""
+    // codes: 0044("D") 0010("a") 0011("b") 0003(" ") 0020("Hi") 0021("!")
+    val content = "BT /F1 12 Tf <00440010 0011> Tj <0003> Tj " +
+      "[<0020> <0021>] TJ ET"
+    val pdf = buildPdf(Seq((content, false), (cmap, true)))
+    assert(PdfText.extract(pdf).contains("Dab Hi!"))
+    // the SAME content without the CMap falls back to single-byte chars
+    // (garbage NULs trimmed away by the caller's cleaning, but crucially
+    // no crash and no partial mapping)
+    val noCmap = PdfText.extract(buildPdf(Seq((content, false))))
+    assert(noCmap.isDefined && !noCmap.get.contains("Dab"))
+    // simple-font hex strings in a CMAP-CARRYING doc stay single-byte
+    // when any unit fails to map (the all-units gate)
+    val mixed = buildPdf(Seq(
+      ("BT <48656c6c6f> Tj ET", false), (cmap, true)))
+    assert(PdfText.extract(mixed).contains("Hello"))
+  }
+
   test("PdfText handles octal escapes, hex padding and non-PDF payloads") {
     // octal \101 = 'A'; \t escape; odd-length hex <4120> = "A "
     assert(PdfText.extract(buildPdf(Seq(("BT (oct \\101\\tz) Tj <4120> Tj ET", false))))
