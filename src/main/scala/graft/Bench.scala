@@ -118,7 +118,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         args.isEmpty || args.exists(name.contains) }
-    val cold = selected.map { case (name, fn) =>
+    val cold0 = selected.map { case (name, fn) =>
       evictMemos()
       val t0 = System.nanoTime()
       val t =
@@ -136,6 +136,42 @@ object Bench {
         }
       CacheScope.releaseAll()
       name -> t
+    }
+    // Reference cold vector (also the retry trigger below): the previous
+    // durable clean run's per-query cold times, committed as
+    // BENCH_REF.json. Queries absent from the reference (new this round)
+    // are skipped — they get a row the next time the ref is refreshed.
+    val refColdMap: Map[String, Double] = {
+      val f = new java.io.File("BENCH_REF.json")
+      if (!f.exists) Map.empty
+      else parseQueriesCold(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    }
+    // Cold auto-retry (r11 verdict item 7): a saturated host window
+    // during the cold pass used to ship inflated rows into the durable
+    // artifact with only the cold_inflated self-attribution. Every row
+    // the reference control flags gets ONE immediate re-measurement
+    // under the same cold contract (memos evicted, operator caches
+    // released — the OS page cache is warmer, but cold here has always
+    // meant "no engine state", and the reference it is compared against
+    // was measured mid-run with a warm page cache too); the published
+    // cold is the min of the two. A genuine regression reproduces and
+    // stays flagged; a transient interference window clears.
+    val fnByName = selected.toMap
+    val cold = cold0.map { case (name, t) =>
+      if (!coldInflatedOf(Seq(name -> t), refColdMap).contains(name)) name -> t
+      else {
+        evictMemos()
+        val t0 = System.nanoTime()
+        val retry =
+          try {
+            fnByName(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+        CacheScope.releaseAll()
+        name -> (if (retry > 0) math.min(t, retry) else t)
+      }
     }
     // leave no memo from the cold pass: the warm pass must start exactly
     // where the pre-cold-pass bench did
@@ -218,19 +254,13 @@ object Bench {
     // the cold pass as its control, but nothing controlled the COLD pass
     // itself — r10's driver artifact carried a 927.9 s cold total (q127
     // 111.9 s vs 3.2 s on a clean same-code run) with no in-artifact
-    // marker. The control here is the previous durable clean run's cold
-    // vector, committed as BENCH_REF.json: cold > 3x the reference cold
-    // for the same query (floored at 0.3 s, same as warm_inflated)
-    // cannot be the query's own cost without a code change to it, and
-    // code changes are visible in the diff while interference is not.
-    // Queries absent from the reference (new this round) are skipped —
-    // they get a reference row the next time the ref is refreshed.
-    val refColdMap: Map[String, Double] = {
-      val f = new java.io.File("BENCH_REF.json")
-      if (!f.exists) Map.empty
-      else parseQueriesCold(new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-    }
+    // marker. The control is the previous durable clean run's cold
+    // vector (refColdMap above, which also triggers the in-run retry):
+    // cold > 3x the reference cold for the same query (floored at
+    // 0.3 s, same as warm_inflated) cannot be the query's own cost
+    // without a code change to it, and code changes are visible in the
+    // diff while interference is not. Surviving the retry, an entry
+    // here is either a real regression or a full-run-length window.
     val coldInflated = coldInflatedOf(cold, refColdMap)
     val coldRefDesc =
       if (refColdMap.isEmpty) "none"

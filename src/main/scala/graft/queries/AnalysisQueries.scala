@@ -80,14 +80,17 @@ object AnalysisQueries {
   // broadcast join, one doc-keyed aggregate — scan-bound like q65.
   private val langCodes = TextAnalysisOps.LangProfiles.map(_._1)
 
-  /** The per-doc hashed-classifier scores — shared by q168 and the q168b
-    * confusion roll-up.
+  /** The per-doc hashed-classifier scores — shared by q168, the q168b
+    * confusion roll-up, and q170's per-snapshot sides.
     */
-  private def hashedLangScores(spark: SparkSession, dir: String): DataFrame = {
+  private def hashedLangScores(spark: SparkSession, dir: String): DataFrame =
+    hashedLangScoresOf(spark, Tables.documents(spark, dir))
+
+  private def hashedLangScoresOf(spark: SparkSession,
+                                 docs: DataFrame): DataFrame = {
     import spark.implicits._
     val weights = spark.createDataset(TextAnalysisOps.langWeightRows)
       .toDF("bucket", "wlang", "weight")
-    val docs = Tables.documents(spark, dir)
     val feats = docs
       .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("tok"))
       .select(col("doc_id"), lower(col("tok")).as("ltok"))
@@ -117,36 +120,49 @@ object AnalysisQueries {
   def q168LangIdHashed(spark: SparkSession, dir: String): DataFrame =
     hashedLangScores(spark, dir).orderBy("doc_id")
 
-  /** Oracle CTE chain shared by q168/q168b: weights as a VALUES list
-    * generated from the SAME Scala constant the engine broadcasts, so
-    * both engines score the identical model.
+  /** The weight relation as an oracle VALUES CTE (named `w`), generated
+    * from the SAME Scala constant the engine broadcasts, so both engines
+    * score the identical model.
     */
-  private val hashedLangCtes: String = {
+  private val hashedLangWeightsCte: String = {
     val values = TextAnalysisOps.langWeightRows
       .map { case (b, l, w) => s"($b, '$l', $w)" }.mkString(", ")
+    s"w (bucket, wlang, weight) AS (VALUES $values)"
+  }
+
+  /** One side's oracle chain over a `(doc_id, text)` relation `src`:
+    * defines `${p}_res(doc_id, score_<lang>...)`. Prefixed so q170 can
+    * instantiate it once per snapshot in one statement.
+    */
+  private def hashedLangSideCtes(p: String, src: String): String = {
     val scoreSums = langCodes.map(l =>
       s"CAST(sum(CASE WHEN wlang = '$l' THEN weight ELSE 0 END) AS BIGINT) AS score_$l")
       .mkString(",\n        ")
     val coalesced = langCodes.map(l =>
       s"coalesce(score_$l, 0) AS score_$l").mkString(", ")
-    s"""w (bucket, wlang, weight) AS (VALUES $values),
-    hl_tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
-    hl_pad AS (SELECT doc_id, lower(tok) AS ltok,
-      '<' || lower(tok) || '>' AS p FROM hl_tok),
-    hl_f AS (SELECT doc_id, unnest(list_concat([ltok],
+    s"""${p}_tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM $src),
+    ${p}_pad AS (SELECT doc_id, lower(tok) AS ltok,
+      '<' || lower(tok) || '>' AS p FROM ${p}_tok),
+    ${p}_f AS (SELECT doc_id, unnest(list_concat([ltok],
       CASE WHEN length(p) >= 3
         THEN list_transform(range(1, length(p) - 1),
           i -> substr(p, CAST(i AS INT), 3))
-        ELSE [] END)) AS f FROM hl_pad),
-    hl_b AS (SELECT doc_id,
+        ELSE [] END)) AS f FROM ${p}_pad),
+    ${p}_b AS (SELECT doc_id,
       ${graft.ops.HashOps.charHashSql("f")} % ${TextAnalysisOps.ClassifierBuckets}
-        AS bucket FROM hl_f),
-    hl_s AS (SELECT doc_id,
+        AS bucket FROM ${p}_f),
+    ${p}_s AS (SELECT doc_id,
         $scoreSums
-      FROM hl_b LEFT JOIN w USING (bucket) GROUP BY doc_id),
-    hl AS (SELECT d.doc_id, $coalesced
-      FROM documents d LEFT JOIN hl_s ON d.doc_id = hl_s.doc_id)"""
+      FROM ${p}_b LEFT JOIN w USING (bucket) GROUP BY doc_id),
+    ${p}_res AS (SELECT d.doc_id, $coalesced
+      FROM $src d LEFT JOIN ${p}_s ON d.doc_id = ${p}_s.doc_id)"""
   }
+
+  /** Oracle CTE chain shared by q168/q168b: final relation `hl`. */
+  private val hashedLangCtes: String =
+    s"""$hashedLangWeightsCte,
+    ${hashedLangSideCtes("hl0", "documents")},
+    hl AS (SELECT * FROM hl0_res)"""
 
   val q168Sql: String =
     s"""WITH $hashedLangCtes
@@ -181,6 +197,69 @@ object AnalysisQueries {
     FROM prof p JOIN hashed h ON p.doc_id = h.doc_id
     GROUP BY p.profile_lang, h.hashed_lang
     ORDER BY p.profile_lang, h.hashed_lang"""
+
+  // --- q170: language-mix drift between snapshots --------------------------
+  // The composition monitor a multilingual crawl pipeline runs per
+  // refresh: the hashed classifier (q168) labels snapshot A and
+  // snapshot B (the same carve every snapshot-delta query uses), and
+  // the report is per predicted language: doc counts, integer-permille
+  // corpus shares, and the SIGNED share drift — the number that says
+  // "this refresh shifted the corpus toward X". One tagged-union
+  // aggregate over the two per-doc label relations (the ReconcileOps
+  // shape — no full-outer join), scalar totals broadcast back;
+  // everything integer, so the drift hash-verifies.
+  def q170LangMixDrift(spark: SparkSession, dir: String): DataFrame = {
+    import CurationQueries.Snapshots
+    val docs = Tables.documents(spark, dir)
+    val a = hashedLangScoresOf(spark,
+      docs.where(Snapshots.inA).select(col("doc_id"), col("text")))
+    val b = hashedLangScoresOf(spark,
+      docs.where(Snapshots.inB)
+        .select(col("doc_id"), Snapshots.textB.as("text")))
+    val tagged = a.select(col("pred_lang"), lit(true).as("is_a"))
+      .unionByName(b.select(col("pred_lang"), lit(false).as("is_a")))
+    val counts = tagged.groupBy("pred_lang")
+      .agg(count(when(col("is_a"), 1)).as("n_a"),
+        count(when(!col("is_a"), 1)).as("n_b"))
+    val totals = broadcast(counts.agg(
+      sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb")))
+    val shareA = when(col("ta") > 0,
+      expr("(1000 * n_a) DIV ta")).otherwise(lit(0L))
+    val shareB = when(col("tb") > 0,
+      expr("(1000 * n_b) DIV tb")).otherwise(lit(0L))
+    counts.crossJoin(totals)
+      .select(col("pred_lang"), col("n_a"), col("n_b"),
+        shareA.as("share_a_permille"), shareB.as("share_b_permille"),
+        (shareB - shareA).as("drift_permille"))
+      .orderBy("pred_lang")
+  }
+
+  val q170Sql: String = {
+    import CurationQueries.Snapshots
+    s"""WITH $hashedLangWeightsCte,
+    sa AS (SELECT doc_id, text FROM documents WHERE ${Snapshots.inASql}),
+    sb AS (SELECT doc_id, ${Snapshots.textBSql} AS text
+      FROM documents WHERE ${Snapshots.inBSql}),
+    ${hashedLangSideCtes("la", "sa")},
+    ${hashedLangSideCtes("lb", "sb")},
+    pa AS (SELECT doc_id, $predLangSql AS pred_lang FROM la_res),
+    pb AS (SELECT doc_id, $predLangSql AS pred_lang FROM lb_res),
+    tagged AS (SELECT pred_lang, true AS is_a FROM pa
+      UNION ALL SELECT pred_lang, false AS is_a FROM pb),
+    c AS (SELECT pred_lang,
+        CAST(count(CASE WHEN is_a THEN 1 END) AS BIGINT) AS n_a,
+        CAST(count(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS n_b
+      FROM tagged GROUP BY pred_lang),
+    t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+    SELECT pred_lang, n_a, n_b,
+      CASE WHEN ta > 0 THEN (1000 * n_a) // ta ELSE 0 END AS share_a_permille,
+      CASE WHEN tb > 0 THEN (1000 * n_b) // tb ELSE 0 END AS share_b_permille,
+      (CASE WHEN tb > 0 THEN (1000 * n_b) // tb ELSE 0 END)
+        - (CASE WHEN ta > 0 THEN (1000 * n_a) // ta ELSE 0 END)
+        AS drift_permille
+    FROM c CROSS JOIN t ORDER BY pred_lang"""
+  }
 
   // --- q21: quality-signal scoring ---------------------------------------
   def q21Quality(spark: SparkSession, dir: String): DataFrame = {
@@ -2364,6 +2443,7 @@ object AnalysisQueries {
     "q20_lang_id" -> (q20LangId _),
     "q168_langid_hashed" -> (q168LangIdHashed _),
     "q168b_langid_confusion" -> (q168bLangIdConfusion _),
+    "q170_langmix_drift" -> (q170LangMixDrift _),
     "q21_quality" -> (q21Quality _),
     "q21b_repetition" -> (q21bRepetition _),
     "q22_token_counts" -> (q22TokenCounts _),
@@ -2417,6 +2497,7 @@ object AnalysisQueries {
     "q20_lang_id" -> q20Sql,
     "q168_langid_hashed" -> q168Sql,
     "q168b_langid_confusion" -> q168bSql,
+    "q170_langmix_drift" -> q170Sql,
     "q21_quality" -> q21Sql,
     "q21b_repetition" -> q21bSql,
     "q22_token_counts" -> q22Sql,

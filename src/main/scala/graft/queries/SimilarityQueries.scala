@@ -720,6 +720,107 @@ object SimilarityQueries {
       .orderBy("index_name")
   }
 
+  // --- q169: semantic-diversity pruning (SemDeDup-shaped, oracled) --------
+  // SemDeDup (Abbas et al. 2023, public): cluster the embedding space,
+  // and within each cluster drop the REDUNDANT member of every
+  // high-cosine pair — keeping the member farther from the cluster
+  // centroid, so the pruned corpus preserves each cluster's diversity
+  // tail instead of its typical core. The paper clusters with KMeans;
+  // this instantiation uses the deterministic sign-LSH buckets (the q28
+  // machinery) so every step — bucket, integer-micro centroid, squared
+  // centroid distance, pair cosine, the keep/drop rule — hash-verifies
+  // against the DuckDB twin; swapping KMeans cells in changes constants,
+  // not plan shape. Components are quantized to micro-units SHIFTED BY
+  // +1 (all non-negative) so the centroid's sum-DIV-count matches
+  // DuckDB's floor division; d2 is shift-invariant.
+  //
+  // Scale shape: one narrow quantize+bucket pass, a (cluster, dim)-keyed
+  // centroid aggregate whose output (clusters × dims rows) broadcasts
+  // back, the q28 cluster-bounded pair join, and one anti-join — never
+  // all-pairs; the bits dial caps cluster fan-out exactly as in q28.
+  val SemBits = 6
+  val SemThrMicro = 350000L
+
+  def q169SemanticPrune(spark: SparkSession, dir: String): DataFrame = {
+    val base = SimilarityOps.prepared(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("emb"),
+        transform(col("emb"), x => floor(lit(1000000.0) * (x + lit(1.0)))
+          .cast("long")).as("micro"),
+        SimilarityOps.signBucket(col("emb"), SemBits).as("cluster"))
+    val members = graft.CacheScope.persist(base)
+    val dims = members.select(col("vec_id"), col("cluster"),
+      posexplode(col("micro")).as(Seq("dim", "m")))
+    val centroids = dims.groupBy("cluster", "dim")
+      .agg(sum(col("m")).as("sm"), count(lit(1)).as("cnt"))
+      .select(col("cluster"), col("dim"), expr("sm DIV cnt").as("c"))
+    val d2 = dims.join(broadcast(centroids), Seq("cluster", "dim"))
+      .groupBy("vec_id")
+      .agg(sum((col("m") - col("c")) * (col("m") - col("c")))
+        .as("d2_centroid"))
+    val scored = graft.CacheScope.persist(
+      members.select(col("vec_id"), col("cluster"), col("emb"))
+        .join(d2, "vec_id"))
+    val pairs = scored.toDF("id_a", "cluster", "emb_a", "d2_a")
+      .join(scored.toDF("id_b", "cl_b", "emb_b", "d2_b"),
+        col("cluster") === col("cl_b") && col("id_a") < col("id_b"))
+      .where(SimilarityOps.cosineMicro(col("emb_a"), col("emb_b"))
+        >= SemThrMicro)
+    // the redundant side of each pair: closer to the centroid (smaller
+    // d2), ties to the LARGER id so the kept member is deterministic
+    val drops = pairs.select(
+      when(col("d2_a") < col("d2_b"), col("id_a"))
+        .when(col("d2_b") < col("d2_a"), col("id_b"))
+        .otherwise(greatest(col("id_a"), col("id_b"))).as("vec_id"))
+      .distinct()
+    val sizes = members.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    scored.select(col("vec_id"), col("cluster"), col("d2_centroid"))
+      .join(sizes, "cluster")
+      .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("n_members"),
+        col("d2_centroid"), coalesce(col("dropped"), lit(false))
+          .as("is_dropped"))
+      .orderBy("vec_id")
+  }
+
+  val q169Sql: String = {
+    val bucket = bucketSql(SemBits)
+    s"""WITH $preparedCte,
+    mem AS (SELECT vec_id, emb,
+      list_transform(emb, x -> CAST(floor(1000000.0 * (x + 1.0)) AS BIGINT))
+        AS micro,
+      $bucket AS cluster, nrm FROM n),
+    dims AS (SELECT vec_id, cluster,
+        CAST(i AS INT) AS dim, micro[CAST(i AS INT) + 1] AS m
+      FROM (SELECT vec_id, cluster, micro,
+        unnest(range(0, len(micro))) AS i FROM mem)),
+    cent AS (SELECT cluster, dim,
+        CAST(sum(m) // count(*) AS BIGINT) AS c
+      FROM dims GROUP BY cluster, dim),
+    d2 AS (SELECT d.vec_id,
+        CAST(sum((d.m - c.c) * (d.m - c.c)) AS BIGINT) AS d2_centroid
+      FROM dims d JOIN cent c ON d.cluster = c.cluster AND d.dim = c.dim
+      GROUP BY d.vec_id),
+    sc AS (SELECT mem.vec_id, mem.cluster, mem.emb, mem.nrm, d2.d2_centroid
+      FROM mem JOIN d2 ON mem.vec_id = d2.vec_id),
+    prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        a.d2_centroid AS d2_a, b.d2_centroid AS d2_b
+      FROM sc a JOIN sc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ${cosMicroSql("a.emb", "b.emb", "a.nrm", "b.nrm")}
+        >= $SemThrMicro),
+    drops AS (SELECT DISTINCT CASE
+        WHEN d2_a < d2_b THEN id_a
+        WHEN d2_b < d2_a THEN id_b
+        ELSE greatest(id_a, id_b) END AS vec_id
+      FROM prs),
+    sizes AS (SELECT cluster, count(*) AS n_members FROM mem GROUP BY cluster)
+    SELECT sc.vec_id, sc.cluster, sizes.n_members, sc.d2_centroid,
+      (drops.vec_id IS NOT NULL) AS is_dropped
+    FROM sc
+    JOIN sizes ON sc.cluster = sizes.cluster
+    LEFT JOIN drops ON sc.vec_id = drops.vec_id
+    ORDER BY sc.vec_id"""
+  }
+
   // --- q167: index rebuild EXECUTION (the decision loop closed) -----------
   // q158/q158b DECIDE rebuild-or-keep; this query EXECUTES the decision
   // (r11 verdict item 3) and reports the maintenance manifest. Per index
@@ -1579,6 +1680,7 @@ object SimilarityQueries {
     "q158_rebuild_decision" -> (q158RebuildDecision _),
     "q158b_ann_rebuild" -> (q158bAnnRebuild _),
     "q167_index_rebuild" -> (q167IndexRebuild _),
+    "q169_semantic_prune" -> (q169SemanticPrune _),
     "q160_hybrid_retrieval" -> (q160HybridRetrieval _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1589,6 +1691,7 @@ object SimilarityQueries {
     "q79b_sq8_knn" -> q79bSql,
     "q79c_sq8_rerank" -> q79cSql,
     "q28_cosine_near_dup" -> q28Sql,
+    "q169_semantic_prune" -> q169Sql,
     "q147_threshold_curve" -> q147Sql,
     "q153_ann_recall" -> q153Sql,
     "q156_embedding_dq" -> q156Sql,
