@@ -89,6 +89,25 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming twin of the hash-keyed exact-dedup tier
+    * (DedupOps.exactDuplicates, r12 re-keying): the first arrival per
+    * 62-bit content key survives; re-ingested byte-identical documents
+    * within the watermark horizon drop. The state store holds the 8-byte
+    * key ONLY — never document text — the same argument that moved the
+    * batch tier's shuffle key off the raw corpus, applied to streaming
+    * state (text-keyed dedup state at ingest rate IS the corpus, again).
+    * Collision stance as in HashOps.contentKey. Expects a `ts` event-time
+    * column and a `text` column; parity with the batch tier is unit-gated
+    * (survivor keys == the batch canonical groups' keys).
+    */
+  def exactDedupStream(docs: DataFrame,
+                       watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_key",
+        graft.ops.HashOps.contentKey(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("content_key"))
+
   /** Running per-user event counter with custom state — the
     * KeyValueGroupedDataset.flatMapGroupsWithState pattern for semantics
     * windows can't express (emit an update row per micro-batch with the

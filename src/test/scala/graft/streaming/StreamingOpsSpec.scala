@@ -108,6 +108,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup survivors match the batch tier's canonical groups") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF.toDF("doc_id", "ts", "text")
+    val q = StreamingOps.exactDedupStream(df)
+      .writeStream.format("memory").queryName("exact_dedup_stream")
+      .outputMode("append").start()
+    val t0 = ts("2024-01-01 00:00:00")
+    try {
+      // three content groups; duplicates both within one batch and
+      // redelivered across batches
+      mem.addData((1L, t0, "alpha beta"), (2L, t0, "gamma"),
+        (3L, t0, "alpha beta"))
+      q.processAllAvailable()
+      mem.addData((4L, ts("2024-01-01 00:10:00"), "gamma"),
+        (5L, ts("2024-01-01 00:10:00"), "delta"))
+      q.processAllAvailable()
+      val survivors = spark.table("exact_dedup_stream")
+      assert(survivors.count() == 3, "one survivor per content group")
+      val streamKeys = survivors.select("content_key")
+        .collect().map(_.getLong(0)).toSet
+      // the batch tier's groups, keyed identically
+      val batchKeys = Seq("alpha beta", "gamma", "delta").toDF("text")
+        .select(graft.ops.HashOps.contentKey(col("text")))
+        .collect().map(_.getLong(0)).toSet
+      assert(streamKeys == batchKeys)
+    } finally q.stop()
+  }
+
   test("file stream over the events fixture matches the batch relation") {
     val dir = "/root/testdata/sf0.001"
     // file streams read directories: stage the fixture file into one
