@@ -118,7 +118,13 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         args.isEmpty || args.exists(name.contains) }
-    val cold0 = selected.map { case (name, fn) =>
+    // ONE cold-measurement contract shared by the cold pass and the
+    // inflation retry below — two hand-maintained copies would let the
+    // contracts drift (r12 review). Failures key by `errKey` so a
+    // cold-only failure, a warm failure, and a retry failure stay
+    // tellable apart in the artifact.
+    def measureCold(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, errKey: String): Double = {
       evictMemos()
       val t0 = System.nanoTime()
       val t =
@@ -127,15 +133,15 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
-            // cold-pass failures get their own key: a query that fails
-            // only cold (or fails differently warm) must be tellable
-            // apart from a warm failure in the artifact
-            errors.getOrElseUpdate(s"cold:$name",
+            errors.getOrElseUpdate(errKey,
               s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
             -1.0
         }
       CacheScope.releaseAll()
-      name -> t
+      t
+    }
+    val cold0 = selected.map { case (name, fn) =>
+      name -> measureCold(name, fn, s"cold:$name")
     }
     // Reference cold vector (also the retry trigger below): the previous
     // durable clean run's per-query cold times, committed as
@@ -161,15 +167,7 @@ object Bench {
     val cold = cold0.map { case (name, t) =>
       if (!coldInflatedOf(Seq(name -> t), refColdMap).contains(name)) name -> t
       else {
-        evictMemos()
-        val t0 = System.nanoTime()
-        val retry =
-          try {
-            fnByName(name)(spark, sfDir)
-              .write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case _: Throwable => -1.0 }
-        CacheScope.releaseAll()
+        val retry = measureCold(name, fnByName(name), s"coldretry:$name")
         name -> (if (retry > 0) math.min(t, retry) else t)
       }
     }

@@ -591,10 +591,15 @@ object SimilarityOps {
     require(rows.length == 1,
       s"executeRebuild expects exactly one decision row, got ${rows.length}")
     val doRebuild = rows(0).getBoolean(0)
+    // recovery runs on BOTH branches (an r12 review fix: a keep decision
+    // after a crashed swap would otherwise leave the parked tree dead
+    // until some later cycle happened to rebuild); only the rebuild
+    // branch — the writer — sweeps a stale staging tree
+    val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(
+      decision.sparkSession.sparkContext.hadoopConfiguration)
+    StoreSwap.recover(fs, storePath, "executeRebuild",
+      sweepStaging = doRebuild)
     if (doRebuild) {
-      val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(
-        decision.sparkSession.sparkContext.hadoopConfiguration)
-      StoreSwap.recover(fs, storePath, "executeRebuild")
       writeStaging(StoreSwap.stagingPath(storePath))
       StoreSwap.swapIn(fs, storePath, "executeRebuild")
     }
@@ -681,18 +686,35 @@ object SimilarityOps {
     * decision then read the catastrophe as healthy. Both-zero reads
     * exactly 1e6 (a degenerate group matched perfectly is no drift).
     */
+  /** Saturation ceiling of the drift ratio: 1e15 micro-units = a 1e9×
+    * ratio, eight orders of magnitude beyond any decision gate — ratios
+    * past it carry no additional information, and the clamp is what
+    * keeps every branch in Int64 (see [[driftRatio]]).
+    */
+  val DriftRatioSaturationMicro = 1000000000000000L
+
   private def driftRatio(baseMean: Column, deltaMean: Column): Column =
     // 128-bit intermediates (DECIMAL(38,0)), the same widening the LSH
     // sibling got: delta_mean_d2 * 1000000 wraps Long once the mean
     // squared distance passes ~9.2e12 micro-units — unnormalized
     // embeddings at scale reach that exactly in the collapse regime the
-    // hard-cap trigger exists for
+    // hard-cap trigger exists for. The DIVIDEND is clamped to
+    // saturation × divisor BEFORE the integral divide (decimal multiply,
+    // ≤ 1e34 < 10^38), and the no-base branch is clamped directly, so
+    // every branch lands back in BIGINT: the column type stays LongType
+    // for the getAs[Long] consumers (IvfAppendSpec/PqSpec) and no ANSI
+    // overflow is reachable — an r12 review fix: the first widening cut
+    // changed the column to DECIMAL and left the 1-micro-base DIV branch
+    // able to exceed Long.
     when(deltaMean.isNull, lit(null).cast("long"))
       .when(baseMean > 0,
-        expr("(CAST(delta_mean_d2 AS DECIMAL(38,0)) * 1000000)" +
-          " DIV base_mean_d2"))
+        expr("CAST(LEAST(CAST(delta_mean_d2 AS DECIMAL(38,0)) * 1000000, " +
+          s"CAST($DriftRatioSaturationMicro AS DECIMAL(38,0)) * base_mean_d2)" +
+          " DIV base_mean_d2 AS BIGINT)"))
       .when(deltaMean === 0, lit(1000000L))
-      .otherwise(expr("CAST(delta_mean_d2 AS DECIMAL(38,0)) * 1000000"))
+      .otherwise(
+        expr("CAST(LEAST(CAST(delta_mean_d2 AS DECIMAL(38,0)) * 1000000, " +
+          s"CAST($DriftRatioSaturationMicro AS DECIMAL(38,0))) AS BIGINT)"))
       .as("drift_mean_ratio_micro")
 
   /** Centroid-probe phase of the float IVF rung: each query's nProbe

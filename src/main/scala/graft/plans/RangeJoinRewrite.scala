@@ -189,6 +189,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("poly_char_hash"),
       new ExpressionInfo(classOf[graft.functions.PolyCharHash].getName, "poly_char_hash"),
       exprs => graft.functions.PolyCharHash(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("content_key64"),
+      new ExpressionInfo(classOf[graft.functions.ContentKey64].getName, "content_key64"),
+      exprs => graft.functions.ContentKey64(exprs.head)))
     ext.injectFunction((FunctionIdentifier("int_dot"),
       new ExpressionInfo(classOf[graft.functions.IntDot].getName, "int_dot"),
       exprs => graft.functions.IntDot(exprs(0), exprs(1))))

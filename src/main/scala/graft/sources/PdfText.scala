@@ -84,12 +84,36 @@ object PdfText {
       }
     }
     val streams = decoded.result()
-    val cmap = mergeCmaps(streams.filter(c =>
-      c.contains("beginbfchar") || c.contains("beginbfrange")))
+    // defensive: extract() was total before the CMap pass existed; a
+    // malformed CMap must degrade to "no mapping", never fail the scan
+    // task (extractPdfText has no catch of its own)
+    val cmap =
+      try mergeCmaps(streams.filter(c =>
+        c.contains("beginbfchar") || c.contains("beginbfrange")))
+      catch { case scala.util.control.NonFatal(_) => None }
     val out = new StringBuilder
     streams.filter(_.contains("BT")).foreach(appendContentText(_, out, cmap))
     Some(out.toString.trim)
   }
+
+  /** Bounded hex-code parse: CMap codes wider than 4 bytes (or past
+    * Int.MaxValue) are skipped, not crashed on — real UCS-4 codespaces
+    * carry up-to-8-digit tokens that overflowed the original
+    * Integer.parseInt (r12 review fix).
+    */
+  private def hexCode(d: String): Option[Int] =
+    if (d.isEmpty || d.length > 8) None
+    else {
+      val v = java.lang.Long.parseLong(d, 16)
+      if (v <= Int.MaxValue) Some(v.toInt) else None
+    }
+
+  /** Widest bfrange a single entry may expand to; wider (usually
+    * corrupt) ranges are skipped so one adversarial PDF cannot
+    * materialize a multi-million-entry map per stream — skipped codes
+    * just fall back to the single-byte reading (lossless contract).
+    */
+  private val MaxBfRangeSpan = 65535
 
   /** A merged ToUnicode mapping: code byte width + code → text. */
   private[sources] case class ToUnicode(codeBytes: Int, map: Map[Int, String])
@@ -120,7 +144,8 @@ object PdfText {
       val cr = cs.indexOf("begincodespacerange")
       if (cr < 0) 2
       else hexTok.findFirstMatchIn(cs.substring(cr))
-        .map(m => math.max(1, m.group(1).length / 2)).getOrElse(2)
+        .map(m => math.min(4, math.max(1, m.group(1).length / 2)))
+        .getOrElse(2)
     }
     val map = Map.newBuilder[Int, String]
     def block(begin: String, end: String)(body: String => Unit): Unit = {
@@ -134,7 +159,7 @@ object PdfText {
     }
     block("beginbfchar", "endbfchar") { b =>
       hexTok.findAllMatchIn(b).map(_.group(1)).grouped(2).foreach {
-        case Seq(src, dst) => map += Integer.parseInt(src, 16) -> utf16(dst)
+        case Seq(src, dst) => hexCode(src).foreach(map += _ -> utf16(dst))
         case _ => ()
       }
     }
@@ -145,10 +170,11 @@ object PdfText {
       while (j < toks.length) {
         toks(j) match {
           case RangeTok.Hex(lo) if j + 2 < toks.length =>
-            (toks(j + 1), toks(j + 2)) match {
-              case (RangeTok.Hex(hi), RangeTok.Hex(dst)) =>
-                val l = Integer.parseInt(lo, 16)
-                val h = Integer.parseInt(hi, 16)
+            (hexCode(lo), toks(j + 1), toks(j + 2)) match {
+              case (Some(l), RangeTok.Hex(hi), RangeTok.Hex(dst))
+                  if hexCode(hi).exists(h =>
+                    h >= l && h - l <= MaxBfRangeSpan) =>
+                val h = hexCode(hi).get
                 val base = utf16(dst)
                 var c = l
                 while (c <= h) {
@@ -158,15 +184,17 @@ object PdfText {
                   c += 1
                 }
                 j += 3
-              case (RangeTok.Hex(hi), RangeTok.Arr(ds)) =>
-                val l = Integer.parseInt(lo, 16)
-                val h = Integer.parseInt(hi, 16)
+              case (Some(l), RangeTok.Hex(hi), RangeTok.Arr(ds))
+                  if hexCode(hi).exists(h =>
+                    h >= l && h - l <= MaxBfRangeSpan) =>
+                val h = hexCode(hi).get
                 var c = l
                 var k = 0
                 while (c <= h && k < ds.length) {
                   map += c -> utf16(ds(k)); c += 1; k += 1
                 }
                 j += 3
+              case (_, _: RangeTok.Hex, _) => j += 3 // skipped entry
               case _ => j += 1
             }
           case _ => j += 1
@@ -325,9 +353,11 @@ object PdfText {
       val w = tu.codeBytes * 2
       if (digits.isEmpty || digits.length % w != 0) None
       else {
-        val codes = digits.toString.grouped(w)
-          .map(Integer.parseInt(_, 16)).toSeq
-        if (codes.forall(tu.map.contains)) Some(codes.map(tu.map).mkString)
+        // hexCode (not parseInt): a 4-byte code above 0x7FFFFFFF must
+        // fall back to the single-byte reading, never throw
+        val codes = digits.toString.grouped(w).map(hexCode).toSeq
+        if (codes.forall(c => c.exists(tu.map.contains)))
+          Some(codes.map(c => tu.map(c.get)).mkString)
         else None
       }
     }

@@ -115,6 +115,32 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(PdfText.extract(mixed).contains("Hello"))
   }
 
+  test("CMap hardening: oversized codes and corrupt-wide ranges skip, never crash") {
+    // a UCS-4 codespace with an above-Int.MaxValue bfchar code, a
+    // bfrange wider than the expansion cap, and a valid 2-byte entry —
+    // the valid entry must still map while the bad ones fall back
+    val cmap = """begincmap
+      1 begincodespacerange
+      <00000000> <FFFFFFFF>
+      endcodespacerange
+      2 beginbfchar
+      <FFFFFFF0> <0041>
+      <00000044> <0044>
+      endbfchar
+      1 beginbfrange
+      <00000000> <00FFFFFF> <0061>
+      endbfrange
+      endcmap"""
+    val content = "BT <00000044> Tj <FFFFFFF0> Tj ET"
+    val pdf = buildPdf(Seq((content, false), (cmap, true)))
+    val out = PdfText.extract(pdf)
+    assert(out.isDefined, "hardened CMap path must not throw")
+    // the valid 4-byte code maps; the oversized one forces that hex
+    // string back to the single-byte reading (all-units gate)
+    assert(out.get.contains("D"))
+    assert(!out.get.contains("a"), "capped bfrange must not have expanded")
+  }
+
   test("PdfText handles octal escapes, hex padding and non-PDF payloads") {
     // octal \101 = 'A'; \t escape; odd-length hex <4120> = "A "
     assert(PdfText.extract(buildPdf(Seq(("BT (oct \\101\\tz) Tj <4120> Tj ET", false))))
