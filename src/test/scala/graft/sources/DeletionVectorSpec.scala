@@ -178,7 +178,16 @@ class DeletionVectorSpec extends SparkSpec {
       "restored bucket minus its still-live DV row")
     assert(fs.exists(new Path(s"$base/bucket=0")))
     assert(!fs.exists(new Path(s"$base-old")), "parked root swept")
-    assert(!fs.exists(new Path(s"$base-staging")), "stale staging swept")
+    // r12: READ entry points restore parked buckets (correctness) but
+    // never sweep a staging tree — under a concurrent writer mid-swap,
+    // deleting $base-staging would destroy that writer's in-flight work
+    assert(fs.exists(new Path(s"$base-staging")),
+      "reader must leave the staging tree for its (possibly live) writer")
+    // the next WRITER entry point owns the table and sweeps it
+    DocumentSources.softDelete(spark, base, dv,
+      Seq((0, 1L)).toDF("bucket", "doc_id"))
+    assert(!fs.exists(new Path(s"$base-staging")),
+      "writer entry sweeps the stale staging")
     // a completed swap's leftover (parked WITH a live twin) is dropped,
     // and the live content wins
     assert(fs.mkdirs(new Path(s"$base-old")))
