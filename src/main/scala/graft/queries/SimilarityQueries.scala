@@ -720,6 +720,128 @@ object SimilarityQueries {
       .orderBy("index_name")
   }
 
+  // --- q171: LSH rebuild EXECUTION, hash-verified end to end ---------------
+  // q167 executes the KMeans families' rebuilds (rows-only by nature);
+  // this closes the SAME loop in the oracled family: decision → new
+  // layout → post-rebuild occupancy, every number DuckDB-exact. An LSH
+  // "rebuild" re-instantiates the index one bit wider (2× buckets — the
+  // standard response to over-occupancy; random-rotation re-draws are
+  // the same plumbing with different constants). Two scenarios, like
+  // q167: the ingest-carve delta (q158's own input) and a collapsed
+  // delta (every component |x| — RebuildDecisionSpec's hard-cap case).
+  // The layout choice is DECLARATIVE: both candidate layouts' occupancy
+  // summaries are computed (two bounded aggregates) and the 1-row
+  // decision relation selects the matching row — no driver-side branch,
+  // so the whole decide-then-rebuild flow is one verifiable dataflow.
+  // Summary columns: buckets touched across all tables, the hottest
+  // bucket, and the table-0 total (= vector count, the q158 convention).
+  def q171LshRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.where(!isIngestDelta(col("vec_id")))
+    val deltaSelf = emb.where(isIngestDelta(col("vec_id")))
+    val deltaCollapsed = deltaSelf.select(col("vec_id"),
+      transform(col("embedding"), x => abs(x)).as("embedding"))
+    def summary(docs: DataFrame, bits: Int): DataFrame =
+      SimilarityOps.lshOccupancy(docs, bits, LshDriftTables, "n")
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("n")).as("max_occupancy"),
+          sum(when(col("tbl") === 0, col("n"))).as("total"))
+        .select(lit(bits.toLong).as("bits_after"), col("n_buckets"),
+          col("max_occupancy"), col("total"))
+    def scenario(name: String, delta: DataFrame): DataFrame = {
+      val merged = base.unionByName(delta)
+      val decision = SimilarityOps.rebuildDecision(
+        SimilarityOps.lshOccupancyDrift(base, delta,
+          LshDriftBits, LshDriftTables),
+        name, DriftRatioThresholdMicro, DriftedPermille, DriftHardCapMicro)
+        .select(col("rebuild"))
+      val candidates = summary(merged, LshDriftBits)
+        .withColumn("cand_rebuild", lit(false))
+        .unionByName(summary(merged, LshDriftBits + 1)
+          .withColumn("cand_rebuild", lit(true)))
+      candidates.crossJoin(broadcast(decision))
+        .where(col("cand_rebuild") === col("rebuild"))
+        .select(lit(name).as("scenario"), col("rebuild"),
+          col("bits_after"), col("n_buckets"), col("max_occupancy"),
+          col("total"))
+    }
+    scenario("carve", deltaSelf)
+      .unionByName(scenario("collapsed", deltaCollapsed))
+      .orderBy("scenario")
+  }
+
+  lazy val q171Sql: String = {
+    def bands(src: String, bits: Int): String = (0 until LshDriftTables)
+      .map(t =>
+        s"SELECT $t AS tbl, ${bucketSql(bits, t * bits)} AS bucket FROM $src")
+      .mkString(" UNION ALL ")
+    // the q158 decision block, prefixed so both scenarios fit one WITH
+    def decisionCtes(p: String, deltaRel: String): String =
+      s"""${p}_ob AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_base
+        FROM (${bands("base", LshDriftBits)}) bb GROUP BY tbl, bucket),
+      ${p}_od AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_delta
+        FROM (${bands(deltaRel, LshDriftBits)}) db GROUP BY tbl, bucket),
+      ${p}_tot AS (SELECT (SELECT count(*) FROM base) AS base_total,
+        (SELECT count(*) FROM $deltaRel) AS delta_total),
+      ${p}_j AS (SELECT coalesce(ob.tbl, od.tbl) AS tbl,
+          coalesce(ob.bucket, od.bucket) AS bucket,
+          coalesce(n_base, 0) AS n_base, coalesce(n_delta, 0) AS n_delta
+        FROM ${p}_ob ob FULL OUTER JOIN ${p}_od od
+          ON ob.tbl = od.tbl AND ob.bucket = od.bucket),
+      ${p}_r AS (SELECT j.*, CASE WHEN delta_total = 0 THEN NULL
+          WHEN n_base > 0
+          THEN CAST((CAST(n_delta AS HUGEINT) * base_total * 1000000)
+            // (CAST(n_base AS HUGEINT) * delta_total) AS BIGINT)
+          ELSE CAST((CAST(n_delta AS HUGEINT) * base_total * 1000000)
+            // delta_total AS BIGINT)
+          END AS ratio
+        FROM ${p}_j j CROSS JOIN ${p}_tot),
+      ${p}_dec AS (SELECT
+          (CAST(count(ratio) AS BIGINT) > 0 AND
+            (CAST(coalesce(sum(CASE WHEN ratio > $DriftRatioThresholdMicro
+              THEN 1 ELSE 0 END), 0) AS BIGINT) * 1000
+              >= $DriftedPermille * CAST(count(ratio) AS BIGINT)
+            OR CAST(coalesce(max(ratio), 0) AS BIGINT)
+              >= $DriftHardCapMicro)) AS rebuild
+        FROM ${p}_r)"""
+    def summaryCtes(p: String, mergedRel: String): String = {
+      def one(tag: String, bits: Int, cand: String): String =
+        s"""${p}_occ_$tag AS (SELECT tbl, bucket, count(*) AS n
+          FROM (${bands(mergedRel, bits)}) x GROUP BY tbl, bucket),
+        ${p}_sum_$tag AS (SELECT CAST($bits AS BIGINT) AS bits_after,
+            CAST(count(*) AS BIGINT) AS n_buckets,
+            CAST(max(n) AS BIGINT) AS max_occupancy,
+            CAST(sum(CASE WHEN tbl = 0 THEN n END) AS BIGINT) AS total,
+            $cand AS cand_rebuild
+          FROM ${p}_occ_$tag)"""
+      s"""${one("keep", LshDriftBits, "false")},
+      ${one("reb", LshDriftBits + 1, "true")}"""
+    }
+    def scenarioSelect(name: String, p: String): String =
+      s"""SELECT '$name' AS scenario, d.rebuild, c.bits_after, c.n_buckets,
+        c.max_occupancy, c.total
+      FROM (SELECT * FROM ${p}_sum_keep UNION ALL SELECT * FROM ${p}_sum_reb) c
+      CROSS JOIN ${p}_dec d
+      WHERE c.cand_rebuild = d.rebuild"""
+    s"""WITH p AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    base AS (SELECT vec_id, emb FROM p WHERE vec_id % 10 <> 9),
+    dself AS (SELECT vec_id, emb FROM p WHERE vec_id % 10 = 9),
+    dcoll AS (SELECT vec_id,
+      list_transform(emb, x -> abs(x)) AS emb FROM dself),
+    mself AS (SELECT * FROM base UNION ALL SELECT * FROM dself),
+    mcoll AS (SELECT * FROM base UNION ALL SELECT * FROM dcoll),
+    ${decisionCtes("s1", "dself")},
+    ${decisionCtes("s2", "dcoll")},
+    ${summaryCtes("s1", "mself")},
+    ${summaryCtes("s2", "mcoll")}
+    ${scenarioSelect("carve", "s1")}
+    UNION ALL
+    ${scenarioSelect("collapsed", "s2")}
+    ORDER BY scenario"""
+  }
+
   // --- q169: semantic-diversity pruning (SemDeDup-shaped, oracled) --------
   // SemDeDup (Abbas et al. 2023, public): cluster the embedding space,
   // and within each cluster drop the REDUNDANT member of every
@@ -1705,6 +1827,7 @@ object SimilarityQueries {
     "q158b_ann_rebuild" -> (q158bAnnRebuild _),
     "q167_index_rebuild" -> (q167IndexRebuild _),
     "q169_semantic_prune" -> (q169SemanticPrune _),
+    "q171_lsh_rebuild" -> (q171LshRebuild _),
     "q160_hybrid_retrieval" -> (q160HybridRetrieval _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1716,6 +1839,7 @@ object SimilarityQueries {
     "q79c_sq8_rerank" -> q79cSql,
     "q28_cosine_near_dup" -> q28Sql,
     "q169_semantic_prune" -> q169Sql,
+    "q171_lsh_rebuild" -> q171Sql,
     "q147_threshold_curve" -> q147Sql,
     "q153_ann_recall" -> q153Sql,
     "q156_embedding_dq" -> q156Sql,
