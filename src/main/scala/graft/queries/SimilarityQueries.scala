@@ -663,45 +663,55 @@ object SimilarityQueries {
       .orderBy("index_name")
   }
 
-  val q158Sql: String = {
+  /** Prefixed oracle CTE chain for the per-bucket LSH occupancy drift:
+    * defines `${p}_r(tbl, bucket, n_base, n_delta, ratio)` over the
+    * given base/delta relations under the 5-bit layout — ONE generator
+    * shared by q158 and q171 (an r12 review fix: a second hand-inlined
+    * copy of the ratio rule could silently desync the two oracles).
+    */
+  private def lshDriftCtes(p: String, baseRel: String,
+                           deltaRel: String): String = {
     def bands(src: String): String = (0 until LshDriftTables).map(t =>
       s"SELECT $t AS tbl, ${bucketSql(LshDriftBits, t * LshDriftBits)} AS bucket FROM $src")
       .mkString(" UNION ALL ")
-    s"""WITH p AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-    base AS (SELECT vec_id, emb FROM p WHERE vec_id % 10 <> 9),
-    delta AS (SELECT vec_id, emb FROM p WHERE vec_id % 10 = 9),
-    ob AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_base
-      FROM (${bands("base")}) bb GROUP BY tbl, bucket),
-    od AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_delta
-      FROM (${bands("delta")}) db GROUP BY tbl, bucket),
-    tot AS (SELECT (SELECT count(*) FROM base) AS base_total,
-      (SELECT count(*) FROM delta) AS delta_total),
-    j AS (SELECT coalesce(ob.tbl, od.tbl) AS tbl,
+    s"""${p}_ob AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_base
+      FROM (${bands(baseRel)}) bb GROUP BY tbl, bucket),
+    ${p}_od AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_delta
+      FROM (${bands(deltaRel)}) db GROUP BY tbl, bucket),
+    ${p}_tot AS (SELECT (SELECT count(*) FROM $baseRel) AS base_total,
+      (SELECT count(*) FROM $deltaRel) AS delta_total),
+    ${p}_j AS (SELECT coalesce(ob.tbl, od.tbl) AS tbl,
         coalesce(ob.bucket, od.bucket) AS bucket,
         coalesce(n_base, 0) AS n_base, coalesce(n_delta, 0) AS n_delta
-      FROM ob FULL OUTER JOIN od
+      FROM ${p}_ob ob FULL OUTER JOIN ${p}_od od
         ON ob.tbl = od.tbl AND ob.bucket = od.bucket),
-    r AS (SELECT j.*, CASE WHEN delta_total = 0 THEN NULL
+    ${p}_r AS (SELECT j.*, CASE WHEN delta_total = 0 THEN NULL
         WHEN n_base > 0
         THEN CAST((CAST(n_delta AS HUGEINT) * base_total * 1000000)
           // (CAST(n_base AS HUGEINT) * delta_total) AS BIGINT)
         ELSE CAST((CAST(n_delta AS HUGEINT) * base_total * 1000000)
           // delta_total AS BIGINT)
         END AS ratio
-      FROM j CROSS JOIN tot),
+      FROM ${p}_j j CROSS JOIN ${p}_tot)"""
+  }
+
+  val q158Sql: String =
+    s"""WITH p AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    base AS (SELECT vec_id, emb FROM p WHERE vec_id % 10 <> 9),
+    delta AS (SELECT vec_id, emb FROM p WHERE vec_id % 10 = 9),
+    ${lshDriftCtes("d", "base", "delta")},
     a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
         CAST(count(ratio) AS BIGINT) AS n_scored,
         CAST(coalesce(sum(CASE WHEN ratio > $DriftRatioThresholdMicro
           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_drifted,
         CAST(coalesce(max(ratio), 0) AS BIGINT) AS max_ratio_micro
-      FROM r)
+      FROM d_r)
     SELECT 'lsh' AS index_name, n_groups, n_scored, n_drifted,
       max_ratio_micro,
       (n_scored > 0 AND (n_drifted * 1000 >= $DriftedPermille * n_scored
         OR max_ratio_micro >= $DriftHardCapMicro)) AS rebuild
     FROM a ORDER BY index_name"""
-  }
 
   // --- q158b: the same decision over the IVF + PQ drift statistics --------
   // q79g and q104d emit the drift signals; this routes BOTH through the
@@ -749,11 +759,19 @@ object SimilarityQueries {
           sum(when(col("tbl") === 0, col("n"))).as("total"))
         .select(lit(bits.toLong).as("bits_after"), col("n_buckets"),
           col("max_occupancy"), col("total"))
+    // the base-side histogram is scenario-independent: build it ONCE and
+    // feed the pre-aggregated entry point (lshOccupancyDriftFromCounts
+    // exists for exactly this) instead of re-scanning the base corpus
+    // per scenario
+    val baseOcc = graft.CacheScope.persist(
+      SimilarityOps.lshOccupancy(base, LshDriftBits, LshDriftTables,
+        "n_base"))
     def scenario(name: String, delta: DataFrame): DataFrame = {
       val merged = base.unionByName(delta)
       val decision = SimilarityOps.rebuildDecision(
-        SimilarityOps.lshOccupancyDrift(base, delta,
-          LshDriftBits, LshDriftTables),
+        SimilarityOps.lshOccupancyDriftFromCounts(baseOcc,
+          SimilarityOps.lshOccupancy(delta, LshDriftBits, LshDriftTables,
+            "n_delta")),
         name, DriftRatioThresholdMicro, DriftedPermille, DriftHardCapMicro)
         .select(col("rebuild"))
       val candidates = summary(merged, LshDriftBits)
@@ -776,27 +794,10 @@ object SimilarityQueries {
       .map(t =>
         s"SELECT $t AS tbl, ${bucketSql(bits, t * bits)} AS bucket FROM $src")
       .mkString(" UNION ALL ")
-    // the q158 decision block, prefixed so both scenarios fit one WITH
+    // the shared drift chain (lshDriftCtes — same generator as q158Sql)
+    // plus the decision fold, prefixed so both scenarios fit one WITH
     def decisionCtes(p: String, deltaRel: String): String =
-      s"""${p}_ob AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_base
-        FROM (${bands("base", LshDriftBits)}) bb GROUP BY tbl, bucket),
-      ${p}_od AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_delta
-        FROM (${bands(deltaRel, LshDriftBits)}) db GROUP BY tbl, bucket),
-      ${p}_tot AS (SELECT (SELECT count(*) FROM base) AS base_total,
-        (SELECT count(*) FROM $deltaRel) AS delta_total),
-      ${p}_j AS (SELECT coalesce(ob.tbl, od.tbl) AS tbl,
-          coalesce(ob.bucket, od.bucket) AS bucket,
-          coalesce(n_base, 0) AS n_base, coalesce(n_delta, 0) AS n_delta
-        FROM ${p}_ob ob FULL OUTER JOIN ${p}_od od
-          ON ob.tbl = od.tbl AND ob.bucket = od.bucket),
-      ${p}_r AS (SELECT j.*, CASE WHEN delta_total = 0 THEN NULL
-          WHEN n_base > 0
-          THEN CAST((CAST(n_delta AS HUGEINT) * base_total * 1000000)
-            // (CAST(n_base AS HUGEINT) * delta_total) AS BIGINT)
-          ELSE CAST((CAST(n_delta AS HUGEINT) * base_total * 1000000)
-            // delta_total AS BIGINT)
-          END AS ratio
-        FROM ${p}_j j CROSS JOIN ${p}_tot),
+      s"""${lshDriftCtes(p, "base", deltaRel)},
       ${p}_dec AS (SELECT
           (CAST(count(ratio) AS BIGINT) > 0 AND
             (CAST(coalesce(sum(CASE WHEN ratio > $DriftRatioThresholdMicro
