@@ -146,6 +146,36 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** Eval→train semantic leakage probe: for every held-out vector
+    * (`vec_id % evalEveryNth == 0`, the q53/q73 bench-split convention
+    * lifted to the embedding table), the single nearest TRAINING vector
+    * by exact cosine, ties to the smaller train id. The broadcast side is
+    * the EVAL set — the small side by construction: eval benches are
+    * fixed-size while the training corpus grows, so the 100 TB train side
+    * streams map-side with no shuffle, exactly [[bruteForceTopK]]'s
+    * shape. The audit only needs "is max-cos ≥ θ", so at scales where
+    * even one exact pass per eval vector is too hot, the q28 banded-LSH
+    * machinery answers the thresholded question with candidates bounded
+    * by collision density; this exact form is the oracle-checkable tier
+    * the approximate one is measured against (the q153 pattern).
+    */
+  def splitLeakTop1(embeddings: DataFrame, evalEveryNth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = prepared(embeddings)
+    val q = p.where(col("vec_id") % evalEveryNth === 0)
+      .toDF("eval_id", "q_emb")
+    val scored = p.where(col("vec_id") % evalEveryNth =!= 0)
+      .toDF("train_id", "c_emb")
+      .crossJoin(broadcast(q))
+      .select(col("eval_id"), col("train_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    val w = Window.partitionBy("eval_id")
+      .orderBy(col("cos_micro").desc, col("train_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .drop("rk")
+  }
+
   /** Multi-table sign-LSH top-k: identical contract to bruteForceTopK but
     * candidates are the union of same-bucket vectors across `tables` hash
     * tables (table t buckets on dims [t*bits, (t+1)*bits)), then exact

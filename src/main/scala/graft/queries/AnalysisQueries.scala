@@ -486,7 +486,7 @@ object AnalysisQueries {
     */
   def evictAll(): Unit = {
     trainedCache.clear(); unigramCache.clear(); wpCache.clear()
-    mixtureCache.clear()
+    mixtureCache.clear(); bucketsCache.clear()
   }
 
   def q87BpeTrain(spark: SparkSession, dir: String): DataFrame =
@@ -1267,11 +1267,17 @@ object AnalysisQueries {
       .orderBy("doc_id")
   }
 
-  val q90bSql: String = {
+  /** q90b's CTE chain through `agg`, with the SCORED set parameterized:
+    * q90b scores the odd content-hash half (pure held-out), q172 scores
+    * the whole corpus under the same even-half model. The model side and
+    * the smoothing ladder are shared verbatim so the two oracles cannot
+    * drift apart (the q158/q171 shared-drift-CTE precedent).
+    */
+  private def crossSurprisalCtes(scoredWhere: String): String = {
     val h = graft.ops.HashOps.charHashSql("text")
-    s"""WITH d AS (SELECT doc_id, text, $h AS h FROM documents),
+    s"""d AS (SELECT doc_id, text, $h AS h FROM documents),
     mt AS (SELECT ${toksSql("text")} AS toks FROM d WHERE h % 2 = 0),
-    st AS (SELECT doc_id, ${toksSql("text")} AS toks FROM d WHERE h % 2 <> 0),
+    st AS (SELECT doc_id, ${toksSql("text")} AS toks FROM d$scoredWhere),
     mb AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
       FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM mt)),
     bt AS (SELECT w1, w2, count(*) AS btf FROM mb GROUP BY w1, w2),
@@ -1295,7 +1301,11 @@ object AnalysisQueries {
         AS n_unknown_ctx,
       CAST(sum(k * s) AS BIGINT) AS sum_surprisal,
       CAST(max(s) AS BIGINT) AS max_surprisal
-      FROM sc GROUP BY doc_id)
+      FROM sc GROUP BY doc_id)"""
+  }
+
+  val q90bSql: String =
+    s"""WITH ${crossSurprisalCtes(" WHERE h % 2 <> 0")}
     SELECT st.doc_id,
       coalesce(a.n_bigrams, 0) AS n_bigrams,
       coalesce(a.n_unseen, 0) AS n_unseen,
@@ -1303,7 +1313,138 @@ object AnalysisQueries {
       coalesce(a.sum_surprisal, 0) AS sum_surprisal,
       coalesce(a.max_surprisal, 0) AS max_surprisal
     FROM st LEFT JOIN agg a USING (doc_id) ORDER BY st.doc_id"""
+
+  // --- q172: CCNet-style perplexity buckets (head / middle / tail) --------
+  // CCNet (Wenzek et al. 2020, public) buckets a crawl by the perplexity
+  // of an LM trained on a trusted reference corpus, then keeps the fluent
+  // head/middle as training data. Model = the content-hash-even half (the
+  // q90b stable split, standing in for the trusted reference); EVERY doc
+  // — model half included — is scored under it via q90b's integer
+  // smoothing ladder, so the bucketing covers the whole corpus. The
+  // per-source tercile CUTS are value-based: the smallest mean-surprisal
+  // whose cumulative doc count reaches ceil(n/3) / ceil(2n/3), computed
+  // on the (source, distinct mean) HISTOGRAM — a per-source window over
+  // distinct values, never a corpus-wide NTILE sort — then broadcast back
+  // (S×2 cut rows) for a map-side bucket assignment. Ties share a bucket
+  // (threshold semantics: the dial a 100 TB run re-applies shard-locally),
+  // so tercile sizes are only ~n/3 under ties — the honest semantics of a
+  // value cut. Output is ≤ 3S rows: docs, bigram mass, and doc share per
+  // (source, tier). Docs with < 2 tokens carry mean 0 and land in `head`.
+  // Session memo for the bucket table: TWO registry queries consume it
+  // (q172 emits it, q175's datasheet restates its shares) and each would
+  // re-run the corpus-scoring chain as an independent program. ≤ 3S
+  // collected rows, the mixtureCache bound; evictAll clears it so the
+  // bench's cold pass genuinely re-scores.
+  private val bucketsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[org.apache.spark.sql.Row]]()
+
+  private val BucketsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("tier",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("n_docs",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("n_bigrams",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("doc_share_permille",
+      org.apache.spark.sql.types.LongType, nullable = true)))
+
+  def q172PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    bucketsCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    val rows = bucketsCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      { case (_, d) => perplexityBucketsLive(spark, d).collect().toSeq })
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), BucketsSchema)
+      .orderBy("source", "bucket")
   }
+
+  private[graft] def perplexityBucketsLive(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .withColumn("h", HashOps.charHash(col("text")))
+    val scored = TextAnalysisOps.crossSurprisal(
+      docs.where(col("h") % 2 === 0), docs)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_surprisal"))
+    // persisted: the histogram/cuts pass and the bucket assignment both
+    // consume the per-doc mean relation
+    val means = graft.CacheScope.persist(scored
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          expr("(1000000 * sum_surprisal) div n_bigrams"))
+          .otherwise(lit(0L)).as("mean_micro")))
+    val hist = means.groupBy("source", "mean_micro")
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("source").orderBy("mean_micro")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+    val cuts = cum.groupBy("source").agg(
+      min(when(col("cum") * 3 >= col("n"), col("mean_micro"))).as("cut1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("mean_micro"))).as("cut2"))
+    val bucketed = means.join(broadcast(cuts), "source")
+      .withColumn("bucket",
+        when(col("mean_micro") <= col("cut1"), 1L)
+          .when(col("mean_micro") <= col("cut2"), 2L).otherwise(3L))
+    bucketed.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
+      .withColumn("tier",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+      .withColumn("src_docs",
+        sum(col("n_docs")).over(Window.partitionBy("source")))
+      .select(col("source"), col("bucket"), col("tier"), col("n_docs"),
+        col("n_bigrams"), expr("(1000 * n_docs) div src_docs")
+          .as("doc_share_permille"))
+      .orderBy("source", "bucket")
+  }
+
+  // materializeCtes: `mm` (whose prefix is the whole scoring chain) is
+  // referenced by both the histogram path and the bucket assignment —
+  // DuckDB's default inlining would re-run the corpus scoring per
+  // reference (the q138 lesson).
+  lazy val q172Sql: String = graft.queries.SqlDefs.materializeCtes(
+    s"""WITH ${crossSurprisalCtes("")},
+    sm AS (SELECT st.doc_id,
+      coalesce(a.n_bigrams, 0) AS n_bigrams,
+      coalesce(a.sum_surprisal, 0) AS sum_surprisal
+      FROM st LEFT JOIN agg a USING (doc_id)),
+    mm AS (SELECT ds.source, sm.doc_id, sm.n_bigrams,
+      CASE WHEN sm.n_bigrams > 0
+        THEN (1000000 * sm.sum_surprisal) // sm.n_bigrams
+        ELSE 0 END AS mean_micro
+      FROM sm JOIN documents ds ON sm.doc_id = ds.doc_id),
+    hist AS (SELECT source, mean_micro, CAST(count(*) AS BIGINT) AS c
+      FROM mm GROUP BY source, mean_micro),
+    cum AS (SELECT source, mean_micro,
+      CAST(sum(c) OVER (PARTITION BY source ORDER BY mean_micro) AS BIGINT)
+        AS cum,
+      CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM hist),
+    cuts AS (SELECT source,
+      min(CASE WHEN cum * 3 >= n THEN mean_micro END) AS cut1,
+      min(CASE WHEN cum * 3 >= n * 2 THEN mean_micro END) AS cut2
+      FROM cum GROUP BY source),
+    bk AS (SELECT mm.source,
+      CASE WHEN mm.mean_micro <= cuts.cut1 THEN 1
+        WHEN mm.mean_micro <= cuts.cut2 THEN 2 ELSE 3 END AS bucket,
+      mm.n_bigrams
+      FROM mm JOIN cuts ON mm.source = cuts.source),
+    ag AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
+      FROM bk GROUP BY source, bucket)
+    SELECT source, CAST(bucket AS BIGINT) AS bucket,
+      CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        ELSE 'tail' END AS tier,
+      n_docs, n_bigrams,
+      (1000 * n_docs) //
+        CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+        AS doc_share_permille
+    FROM ag ORDER BY source, bucket""")
 
   // --- q65b: classifier calibration against the rule battery --------------
   // The ML-eval step after training a quality classifier (q65) and
@@ -2469,6 +2610,7 @@ object AnalysisQueries {
     "q88_gopher_rules" -> (q88GopherRules _),
     "q90_bigram_surprisal" -> (q90BigramSurprisal _),
     "q90b_heldout_surprisal" -> (q90bHeldoutSurprisal _),
+    "q172_perplexity_buckets" -> (q172PerplexityBuckets _),
     "q90c_kneser_ney" -> (q90cKneserNey _),
     "q23_fingerprints" -> (q23Fingerprints _),
     "q23b_redact" -> (q23bRedact _),
@@ -2518,6 +2660,7 @@ object AnalysisQueries {
     "q88_gopher_rules" -> q88Sql,
     "q90_bigram_surprisal" -> q90Sql,
     "q90b_heldout_surprisal" -> q90bSql,
+    "q172_perplexity_buckets" -> q172Sql,
     "q90c_kneser_ney" -> q90cSql,
     "q23_fingerprints" -> q23Sql,
     "q23b_redact" -> q23bSql,

@@ -99,6 +99,7 @@ object CurationQueries {
         it.remove()
       }
     }
+    mwCache.clear()
   }
 
   def q50CuratedCorpus(spark: SparkSession, dir: String): DataFrame =
@@ -2055,6 +2056,179 @@ object CurationQueries {
     FROM b ORDER BY pos"""
   }
 
+  // --- q174: excess-loss domain reweighting (multiplicative weights) ------
+  // The DoReMi-shaped step (Xie et al. 2023, public) after the mixture
+  // family's static policies: domains whose text the corpus's own bigram
+  // LM finds SURPRISING (high excess loss over the easiest domain) get
+  // upweighted multiplicatively, the exact opposite dial from q146's
+  // quality×uniqueness — DoReMi's point is that hard domains are
+  // undertrained. One round of multiplicative weights over a STATIC
+  // per-source excess-loss vector (the proxy-model loss here is q90's
+  // hash-verified corpus surprisal, aggregated per source), T = MwIters
+  // steps with per-step floored renormalization so the published trace
+  // shows the trajectory a tuner would inspect. All-integer: excess is
+  // normalized to 0..1000, the per-step multiplier is
+  // (1e6 + eta·excess_norm) / 1e6 in micro-units, every division is a
+  // floor on non-negative operands (Spark div ≡ DuckDB //).
+  //
+  // Scale shape: the corpus-sized work is exactly q90's scored aggregate
+  // (one salted corpus join, see TextAnalysisOps.bigramSurprisal) folded
+  // to ONE ROW PER SOURCE; the MW iteration runs driver-side on those S
+  // rows (bounded collect, the q146-memo/whitening precedent) — iterating
+  // S-row Spark jobs would add T scheduler rounds for no data-parallel
+  // gain. Output: (T+1)·S rows, the full weight trajectory.
+  val MwIters = 4
+  val MwEtaPermille = 500L
+
+  /** Session memo for the MW trace: q174 emits it and q175's datasheet
+    * restates its final iteration; (T+1)·S collected rows, the
+    * mixtureCache bound. [[evictAll]] clears it for the cold pass.
+    */
+  private val mwCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[(Long, String, Long, Long)]]()
+
+  def q174DomainReweight(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mwCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    mwCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) => mwTraceLive(spark, d) })
+      .toDF("iter", "source", "excess_norm", "weight_permille")
+      .orderBy("iter", "source")
+  }
+
+  private def mwTraceLive(spark: SparkSession,
+                          dir: String): Seq[(Long, String, Long, Long)] = {
+    val docs = Tables.documents(spark, dir)
+    val perSource = TextAnalysisOps.bigramSurprisal(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(sum(col("sum_surprisal")).as("ssum"),
+        sum(col("n_bigrams")).as("nbg"))
+      .select(col("source"),
+        when(col("nbg") > 0, expr("(1000000 * ssum) div nbg"))
+          .otherwise(lit(0L)).as("mean_micro"))
+    // bounded collect: one row per source (q146's documented bound)
+    val means = perSource.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val minMean = if (means.isEmpty) 0L else means.map(_._2).min
+    val maxExcess = if (means.isEmpty) 0L else means.map(_._2 - minMean).max
+    val exn: Seq[(String, Long)] = means.map { case (s, m) =>
+      (s, if (maxExcess > 0) 1000L * (m - minMean) / maxExcess else 0L)
+    }
+    def normalize(raw: Seq[Long]): Seq[Long] = {
+      val t = raw.sum
+      raw.map(r => if (t > 0) 1000L * r / t else 0L)
+    }
+    val trace = Seq.newBuilder[(Long, String, Long, Long)]
+    var w = normalize(exn.map(_ => 1000L))
+    exn.zip(w).foreach { case ((s, e), ww) => trace += ((0L, s, e, ww)) }
+    (1 to MwIters).foreach { it =>
+      w = normalize(exn.zip(w).map { case ((_, e), ww) =>
+        ww * (1000000L + MwEtaPermille * e) })
+      exn.zip(w).foreach { case ((s, e), ww) =>
+        trace += ((it.toLong, s, e, ww)) }
+    }
+    trace.result()
+  }
+
+  lazy val q174Sql: String = {
+    val iterCtes = (1 to MwIters).map { i =>
+      s"""w$i AS (SELECT source, excess_norm,
+      w * (1000000 + $MwEtaPermille * excess_norm) AS raw FROM w${i - 1}n),
+    w${i}n AS (SELECT source, excess_norm,
+      CASE WHEN (SELECT CAST(sum(raw) AS BIGINT) FROM w$i) > 0
+        THEN (1000 * raw) // (SELECT CAST(sum(raw) AS BIGINT) FROM w$i)
+        ELSE 0 END AS w FROM w$i)"""
+    }.mkString(",\n    ")
+    val unions = (0 to MwIters).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS iter, source, excess_norm,
+        w AS weight_permille FROM w${i}n""").mkString("\n      UNION ALL ")
+    // materializeCtes: every w{i}n references w{i} twice (the zero-sum
+    // guard and the divide) and each w{i} references w{i-1}n — DuckDB's
+    // default inlining re-expands the ENTIRE prefix (q90's corpus chain
+    // included) per reference, a 2^T blowup (the q138 lesson).
+    SqlDefs.materializeCtes(
+    s"""WITH src AS (SELECT d.source,
+      CAST(sum(s.sum_surprisal) AS BIGINT) AS ssum,
+      CAST(sum(s.n_bigrams) AS BIGINT) AS nbg
+      FROM (${AnalysisQueries.q90Sql}) s
+      JOIN documents d ON s.doc_id = d.doc_id
+      GROUP BY d.source),
+    m AS (SELECT source,
+      CASE WHEN nbg > 0 THEN (1000000 * ssum) // nbg ELSE 0 END AS mean_micro
+      FROM src),
+    ex AS (SELECT source,
+      mean_micro - (SELECT min(mean_micro) FROM m) AS excess FROM m),
+    exn AS (SELECT source,
+      CASE WHEN (SELECT max(excess) FROM ex) > 0
+        THEN (1000 * excess) // (SELECT max(excess) FROM ex)
+        ELSE 0 END AS excess_norm FROM ex),
+    w0 AS (SELECT source, excess_norm, CAST(1000 AS BIGINT) AS raw FROM exn),
+    w0n AS (SELECT source, excess_norm,
+      CASE WHEN (SELECT CAST(sum(raw) AS BIGINT) FROM w0) > 0
+        THEN (1000 * raw) // (SELECT CAST(sum(raw) AS BIGINT) FROM w0)
+        ELSE 0 END AS w FROM w0),
+    $iterCtes
+    SELECT * FROM ($unions) ORDER BY iter, source""")
+  }
+
+  // --- q175: release-policy datasheet (the r12 signals, one table) --------
+  // The decision table a data-release review actually reads: per source,
+  // size, the quality pass rate and shingle uniqueness behind the static
+  // mixture weight (q146), the fluency mix (q172's head/tail shares — is
+  // this source mostly reference-like or mostly tail noise), the
+  // excess-loss signal and the MW-reweighted weight (q174). Composition
+  // query over hash-verified parts, the q157/q165 pattern: every number
+  // is independently verified upstream, the oracle nests the published
+  // SQLs verbatim so the datasheet can never drift from what q146/q172/
+  // q174 individually certify. All joins are S-row broadcast joins.
+  // A source with no tail bucket (all means tied at one value) reports 0.
+  def q175ReleaseAudit(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = AnalysisQueries.q172PerplexityBuckets(spark, dir)
+    def share(tier: String, as: String) =
+      buckets.where(col("tier") === tier)
+        .select(col("source"), col("doc_share_permille").as(as))
+    val w = q174DomainReweight(spark, dir)
+      .where(col("iter") === MwIters)
+      .select(col("source"), col("excess_norm"), col("weight_permille")
+        .as("mw_weight_permille"))
+    AnalysisQueries.q146MixtureWeights(spark, dir)
+      .select(col("source"), col("docs"), col("pass_permille"),
+        col("unique_permille"), col("weight_permille")
+          .as("static_weight_permille"))
+      .join(broadcast(share("head", "head_share_permille")), Seq("source"), "left")
+      .join(broadcast(share("tail", "tail_share_permille")), Seq("source"), "left")
+      .join(broadcast(w), Seq("source"))
+      .select(col("source"), col("docs"), col("pass_permille"),
+        col("unique_permille"), col("static_weight_permille"),
+        coalesce(col("head_share_permille"), lit(0L)).as("head_share_permille"),
+        coalesce(col("tail_share_permille"), lit(0L)).as("tail_share_permille"),
+        col("excess_norm"), col("mw_weight_permille"))
+      .orderBy("source")
+  }
+
+  lazy val q175Sql: String =
+    s"""WITH b AS (SELECT * FROM (${AnalysisQueries.q172Sql})),
+    hd AS (SELECT source, doc_share_permille AS head_share_permille
+      FROM b WHERE tier = 'head'),
+    tl AS (SELECT source, doc_share_permille AS tail_share_permille
+      FROM b WHERE tier = 'tail'),
+    mw AS (SELECT source, excess_norm, weight_permille AS mw_weight_permille
+      FROM ($q174Sql) WHERE iter = $MwIters),
+    sq AS (SELECT source, docs, pass_permille, unique_permille,
+      weight_permille AS static_weight_permille
+      FROM (${AnalysisQueries.q146Sql}))
+    SELECT sq.source, sq.docs, sq.pass_permille, sq.unique_permille,
+      sq.static_weight_permille,
+      coalesce(hd.head_share_permille, 0) AS head_share_permille,
+      coalesce(tl.tail_share_permille, 0) AS tail_share_permille,
+      mw.excess_norm, mw.mw_weight_permille
+    FROM sq
+    LEFT JOIN hd ON sq.source = hd.source
+    LEFT JOIN tl ON sq.source = tl.source
+    JOIN mw ON sq.source = mw.source
+    ORDER BY sq.source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_curriculum_order" -> (q89CurriculumOrder _),
     "q69_context_chunks" -> (q69ContextChunks _),
@@ -2093,7 +2267,9 @@ object CurationQueries {
     "q58b_packing_bpe" -> (q58bPackingBpe _),
     "q82_deletion_impact" -> (q82DeletionImpact _),
     "q86_chunk_dedup" -> (q86ChunkDedup _),
-    "q102_export_manifest" -> (q102ExportManifest _))
+    "q102_export_manifest" -> (q102ExportManifest _),
+    "q174_domain_reweight" -> (q174DomainReweight _),
+    "q175_release_audit" -> (q175ReleaseAudit _))
 
   val oracleSql: Map[String, String] = Map(
     "q89_curriculum_order" -> q89Sql,
@@ -2132,5 +2308,7 @@ object CurationQueries {
     "q58b_packing_bpe" -> q58bSql,
     "q82_deletion_impact" -> q82Sql,
     "q86_chunk_dedup" -> q86Sql,
-    "q102_export_manifest" -> q102Sql)
+    "q102_export_manifest" -> q102Sql,
+    "q174_domain_reweight" -> q174Sql,
+    "q175_release_audit" -> q175Sql)
 }

@@ -135,6 +135,39 @@ object SimilarityQueries {
     FROM hist ORDER BY bucket_lo_decile"""
   }
 
+  // --- q173: eval→train semantic leakage audit ----------------------------
+  // The embedding-space twin of the n-gram decontamination family
+  // (q53/q73/q105): paraphrased or lightly-reworded eval contamination
+  // survives exact n-gram screens, but not a cosine probe. Split = the
+  // q53/q73 bench convention (`% 20 == 0` is the held-out set); for each
+  // eval vector, the nearest TRAINING vector by exact cosine and a
+  // `leaked` verdict at the q28 near-dup threshold — one shared dial, so
+  // "leaked" here and "near-duplicate" there mean the same geometry.
+  // Output is one row per eval vector (the eval set is the small, fixed
+  // side). Plan shape in SimilarityOps.splitLeakTop1's scaladoc.
+  val LeakEveryNth = 20
+
+  def q173SemanticLeakage(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.splitLeakTop1(Tables.embeddings(spark, dir), LeakEveryNth)
+      .withColumn("leaked", col("cos_micro") >= NearDupMinMicro)
+      .orderBy("eval_id")
+
+  val q173Sql: String =
+    s"""WITH $preparedCte,
+    q AS (SELECT vec_id AS eval_id, emb AS q_emb, nrm AS q_nrm
+      FROM n WHERE vec_id % $LeakEveryNth = 0),
+    c AS (SELECT vec_id AS train_id, emb AS c_emb, nrm AS c_nrm
+      FROM n WHERE vec_id % $LeakEveryNth <> 0),
+    s AS (SELECT q.eval_id, c.train_id,
+      ${cosMicroSql("q.q_emb", "c.c_emb", "q.q_nrm", "c.c_nrm")} AS cos_micro
+      FROM q CROSS JOIN c),
+    r AS (SELECT *, row_number() OVER (
+        PARTITION BY eval_id ORDER BY cos_micro DESC, train_id ASC) AS rk
+      FROM s)
+    SELECT eval_id, train_id, cos_micro,
+      cos_micro >= $NearDupMinMicro AS leaked
+    FROM r WHERE rk = 1 ORDER BY eval_id"""
+
   // --- q153: ANN recall dashboard (rungs vs brute force) --------------------
   // The recall numbers the specs gate (JlRecallSpec, DedupSimilaritySpec)
   // promoted to an ORACLED artifact row: per approximate rung — sign-LSH
@@ -1829,7 +1862,8 @@ object SimilarityQueries {
     "q167_index_rebuild" -> (q167IndexRebuild _),
     "q169_semantic_prune" -> (q169SemanticPrune _),
     "q171_lsh_rebuild" -> (q171LshRebuild _),
-    "q160_hybrid_retrieval" -> (q160HybridRetrieval _))
+    "q160_hybrid_retrieval" -> (q160HybridRetrieval _),
+    "q173_semantic_leakage" -> (q173SemanticLeakage _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,
@@ -1857,5 +1891,6 @@ object SimilarityQueries {
     "q138_graph_search" -> q138Sql,
     "q29g_multiprobe" -> q29gSql,
     "q158_rebuild_decision" -> q158Sql,
-    "q160_hybrid_retrieval" -> q160Sql)
+    "q160_hybrid_retrieval" -> q160Sql,
+    "q173_semantic_leakage" -> q173Sql)
 }

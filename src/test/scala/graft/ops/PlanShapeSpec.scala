@@ -358,4 +358,37 @@ class PlanShapeSpec extends SparkSpec {
         s"$name shuffles raw text as a key: ${bad.mkString("; ")}")
     }
   }
+
+  test("q172 perplexity buckets: equi-joins only, cuts broadcast back") {
+    // the tercile cuts must come back as an S-row broadcast hash join;
+    // a nested-loop (or cartesian) here would re-scan the corpus per cut.
+    // The LIVE plan — the registry entry serves the session memo. The
+    // smoothing ladder's 1-row `total` broadcast (crossSurprisal's
+    // declared scalar bound, same as q90b) is the only nested loop
+    // allowed through.
+    val plan = planOf(
+      graft.queries.AnalysisQueries.perplexityBucketsLive(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2,
+      s"only the scalar `total` broadcast may nest ($bnlj found):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cuts should broadcast back onto the mean relation:\n$plan")
+  }
+
+  test("q173 semantic leakage: top-1 folds map-side via WindowGroupLimit") {
+    // the eval×train scan is intentionally a broadcast nested loop (the
+    // q29 brute contract); the gate is that rk=1 collapses BEFORE the
+    // eval_id exchange, so the shuffle carries one row per (partition,
+    // eval) — not the full similarity matrix
+    val plan = planOf(
+      SimilarityQueries.q173SemanticLeakage(spark, dir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-1 should fold map-side, not sort the score matrix:\n$plan")
+  }
+
+  test("q175 release datasheet composes S-row relations without quadratic joins") {
+    assertNoQuadraticJoin("q175",
+      CurationQueries.q175ReleaseAudit(spark, dir))
+  }
 }
