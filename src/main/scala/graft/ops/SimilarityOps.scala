@@ -176,6 +176,54 @@ object SimilarityOps {
       .drop("rk")
   }
 
+  /** The at-scale rung of [[splitLeakTop1]]: candidates come from the
+    * banded sign-LSH index ([[cosineNearDupPairs]]'s layout) instead of
+    * the full train side, so per-eval cost scales with collision density,
+    * not corpus size — the same exact→banded dial as q162/q162b. The
+    * audit's one-sided error is structural: the banded top-1 cosine is a
+    * lower bound on the true max, so a `leaked` verdict here implies the
+    * exact tier's verdict (never the reverse); recall of true leaks is
+    * what the banded family trades, measured in CorpusPolicySpec. Evals
+    * with an empty candidate set surface with NULL neighbor and
+    * n_candidates = 0 — silence must be visible, not dropped.
+    */
+  def splitLeakTop1Lsh(embeddings: DataFrame, evalEveryNth: Int,
+                       bits: Int, bands: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = graft.CacheScope.persist(prepared(embeddings))
+    val banded = graft.CacheScope.persist(
+      p.select(col("vec_id"),
+        explode(array((0 until bands).map(t =>
+          struct(lit(t).as("band"),
+            signBucketAt(col("emb"), t * bits, bits).as("key"))): _*)).as("bk"))
+        .select(col("vec_id"),
+          col("bk.band").as("band"), col("bk.key").as("key")))
+    val evalB = banded.where(col("vec_id") % evalEveryNth === 0)
+      .select(col("vec_id").as("eval_id"), col("band"), col("key"))
+    val trainB = banded.where(col("vec_id") % evalEveryNth =!= 0)
+      .select(col("vec_id").as("train_id"), col("band"), col("key"))
+    val cand = graft.CacheScope.persist(
+      trainB.join(broadcast(evalB), Seq("band", "key"))
+        .select("eval_id", "train_id").distinct())
+    val scored = cand
+      .join(p.toDF("eval_id", "q_emb"), "eval_id")
+      .join(p.toDF("train_id", "c_emb"), "train_id")
+      .select(col("eval_id"), col("train_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    val w = Window.partitionBy("eval_id")
+      .orderBy(col("cos_micro").desc, col("train_id").asc)
+    val top1 = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1).drop("rk")
+    val counts = cand.groupBy("eval_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    p.where(col("vec_id") % evalEveryNth === 0)
+      .select(col("vec_id").as("eval_id"))
+      .join(top1, Seq("eval_id"), "left")
+      .join(counts, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("train_id"), col("cos_micro"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+  }
+
   /** Multi-table sign-LSH top-k: identical contract to bruteForceTopK but
     * candidates are the union of same-bucket vectors across `tables` hash
     * tables (table t buckets on dims [t*bits, (t+1)*bits)), then exact

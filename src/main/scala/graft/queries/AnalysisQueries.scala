@@ -1267,26 +1267,28 @@ object AnalysisQueries {
       .orderBy("doc_id")
   }
 
-  /** q90b's CTE chain through `agg`, with the SCORED set parameterized:
-    * q90b scores the odd content-hash half (pure held-out), q172 scores
-    * the whole corpus under the same even-half model. The model side and
-    * the smoothing ladder are shared verbatim so the two oracles cannot
-    * drift apart (the q158/q171 shared-drift-CTE precedent).
+  /** q90b's smoothing-ladder CTE chain through `agg`, fully
+    * parameterized: the base relation `d` (must expose `text` plus the
+    * key), the model carve, the scored carve, and the scored-side key
+    * column. q90b scores the odd content-hash half, q172 scores the
+    * whole corpus, q172b scores a two-snapshot union under snapshot A's
+    * model (key = fused snapshot/doc key). ONE ladder so none of the
+    * oracles can drift apart (the q158/q171 shared-drift-CTE precedent).
     */
-  private def crossSurprisalCtes(scoredWhere: String): String = {
-    val h = graft.ops.HashOps.charHashSql("text")
-    s"""d AS (SELECT doc_id, text, $h AS h FROM documents),
-    mt AS (SELECT ${toksSql("text")} AS toks FROM d WHERE h % 2 = 0),
-    st AS (SELECT doc_id, ${toksSql("text")} AS toks FROM d$scoredWhere),
+  private[queries] def crossSurprisalLadder(dCte: String, mtWhere: String,
+      stWhere: String, key: String): String =
+    s"""d AS ($dCte),
+    mt AS (SELECT ${toksSql("text")} AS toks FROM d$mtWhere),
+    st AS (SELECT $key, ${toksSql("text")} AS toks FROM d$stWhere),
     mb AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
       FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM mt)),
     bt AS (SELECT w1, w2, count(*) AS btf FROM mb GROUP BY w1, w2),
     ut AS (SELECT w1, CAST(sum(btf) AS BIGINT) AS ctf1 FROM bt GROUP BY w1),
     tot AS (SELECT CAST(sum(ctf1) AS BIGINT) AS b_total FROM ut),
-    sb AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM st)),
-    dt AS (SELECT doc_id, w1, w2, count(*) AS k FROM sb GROUP BY doc_id, w1, w2),
-    sc AS (SELECT dt.doc_id, dt.k,
+    sb AS (SELECT $key, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT $key, toks, unnest(range(1, len(toks))) AS i FROM st)),
+    dt AS (SELECT $key, w1, w2, count(*) AS k FROM sb GROUP BY $key, w1, w2),
+    sc AS (SELECT dt.$key, dt.k,
       bt.btf IS NULL AS unseen, ut.ctf1 IS NULL AS unknown_ctx,
       CASE WHEN bt.btf IS NOT NULL THEN
           length(format('{:b}', ut.ctf1)) - length(format('{:b}', bt.btf))
@@ -1294,14 +1296,21 @@ object AnalysisQueries {
         ELSE length(format('{:b}', tot.b_total)) + 1 END AS s
       FROM dt LEFT JOIN bt USING (w1, w2) LEFT JOIN ut USING (w1)
         CROSS JOIN tot),
-    agg AS (SELECT doc_id,
+    agg AS (SELECT $key,
       CAST(sum(k) AS BIGINT) AS n_bigrams,
       CAST(sum(CASE WHEN unseen THEN k ELSE 0 END) AS BIGINT) AS n_unseen,
       CAST(sum(CASE WHEN unknown_ctx THEN k ELSE 0 END) AS BIGINT)
         AS n_unknown_ctx,
       CAST(sum(k * s) AS BIGINT) AS sum_surprisal,
       CAST(max(s) AS BIGINT) AS max_surprisal
-      FROM sc GROUP BY doc_id)"""
+      FROM sc GROUP BY $key)"""
+
+  /** The q90b/q172 instantiation: whole-corpus base, even-hash model. */
+  private def crossSurprisalCtes(scoredWhere: String): String = {
+    val h = graft.ops.HashOps.charHashSql("text")
+    crossSurprisalLadder(
+      s"SELECT doc_id, text, $h AS h FROM documents",
+      " WHERE h % 2 = 0", scoredWhere, "doc_id")
   }
 
   val q90bSql: String =
@@ -1445,6 +1454,139 @@ object AnalysisQueries {
         CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
         AS doc_share_permille
     FROM ag ORDER BY source, bucket""")
+
+  // --- q172b: stored-cut bucket drift → recut decision ---------------------
+  // The operational loop around q172's dial: CCNet-style thresholds are
+  // computed ONCE on a reference snapshot and then applied to every new
+  // crawl — nobody re-sorts the corpus per ingest. Snapshot A (the
+  // q71/q155 carve) trains the model (its even-content-hash half) and
+  // fixes the per-source tercile cuts; snapshot B's docs are scored
+  // under A's model and bucketed with A's STORED cuts. If B's head/tail
+  // shares drift past RecutDriftPermille, the cuts no longer carve
+  // terciles and the decision row says recut — the q158 drift→decision
+  // shape applied to the quality dial instead of an index. The two
+  // snapshots ride ONE scoring pass via a fused key (skey = doc_id·2 +
+  // snapshot bit), so the ladder runs once, not twice. Shares are pivot-
+  // by-conditional-sum over the ≤ 6S (snap, source, bucket) rows.
+  val RecutDriftPermille = 50L
+
+  def q172bBucketDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import CurationQueries.Snapshots
+    val docs = Tables.documents(spark, dir)
+    val a = docs.where(Snapshots.inA)
+      .select((col("doc_id") * 2).as("skey"), col("text"), col("source"))
+    val b = docs.where(Snapshots.inB)
+      .select((col("doc_id") * 2 + 1).as("skey"),
+        Snapshots.textB.as("text"), col("source"))
+    val all = a.unionByName(b)
+    val model = a.where(HashOps.charHash(col("text")) % 2 === 0)
+    val scored = TextAnalysisOps.crossSurprisal(model, all, idCol = "skey")
+      .select(col("skey"), col("n_bigrams"), col("sum_surprisal"))
+    // persisted: A's rows feed the cut derivation, all rows the bucketing
+    val means = graft.CacheScope.persist(scored
+      .join(all.select(col("skey"), col("source")), "skey")
+      .select(col("skey"), (col("skey") % 2).as("snap"), col("source"),
+        when(col("n_bigrams") > 0,
+          expr("(1000000 * sum_surprisal) div n_bigrams"))
+          .otherwise(lit(0L)).as("mean_micro")))
+    val histA = means.where(col("snap") === 0)
+      .groupBy("source", "mean_micro").agg(count(lit(1)).as("c"))
+    val cum = histA
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("source").orderBy("mean_micro")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+    val cuts = cum.groupBy("source").agg(
+      min(when(col("cum") * 3 >= col("n"), col("mean_micro"))).as("cut1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("mean_micro"))).as("cut2"))
+    val bucketed = means.join(broadcast(cuts), "source")
+      .withColumn("bucket",
+        when(col("mean_micro") <= col("cut1"), 1L)
+          .when(col("mean_micro") <= col("cut2"), 2L).otherwise(3L))
+    val ag = bucketed.groupBy("snap", "source", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("snap_docs",
+        sum(col("n_docs")).over(Window.partitionBy("snap", "source")))
+      .select(col("snap"), col("source"), col("bucket"),
+        expr("(1000 * n_docs) div snap_docs").as("share"))
+    def shareOf(snap: Int, bucket: Int) =
+      sum(when(col("snap") === snap && col("bucket") === bucket,
+        col("share")).otherwise(0L))
+    ag.groupBy("source").agg(
+      shareOf(0, 1).as("head_a_permille"),
+      shareOf(0, 3).as("tail_a_permille"),
+      shareOf(1, 1).as("head_b_permille"),
+      shareOf(1, 3).as("tail_b_permille"))
+      .withColumn("drift_permille",
+        abs(col("head_b_permille") - col("head_a_permille")) +
+          abs(col("tail_b_permille") - col("tail_a_permille")))
+      .withColumn("recut", col("drift_permille") >= RecutDriftPermille)
+      .orderBy("source")
+  }
+
+  lazy val q172bSql: String = {
+    import CurationQueries.Snapshots
+    val h = graft.ops.HashOps.charHashSql("text")
+    val hb = graft.ops.HashOps.charHashSql("text2")
+    graft.queries.SqlDefs.materializeCtes(
+    s"""WITH ${crossSurprisalLadder(
+      s"""SELECT doc_id * 2 AS skey, text, source, $h AS h
+        FROM documents WHERE ${Snapshots.inASql}
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS skey, text2 AS text, source, $hb AS h
+        FROM (SELECT doc_id, ${Snapshots.textBSql} AS text2, source
+          FROM documents WHERE ${Snapshots.inBSql})""",
+      " WHERE h % 2 = 0 AND skey % 2 = 0", "", "skey")},
+    sm AS (SELECT st.skey,
+      coalesce(a.n_bigrams, 0) AS n_bigrams,
+      coalesce(a.sum_surprisal, 0) AS sum_surprisal
+      FROM st LEFT JOIN agg a USING (skey)),
+    mm AS (SELECT d.source, sm.skey, sm.skey % 2 AS snap,
+      CASE WHEN sm.n_bigrams > 0
+        THEN (1000000 * sm.sum_surprisal) // sm.n_bigrams
+        ELSE 0 END AS mean_micro
+      FROM sm JOIN d ON sm.skey = d.skey),
+    hist AS (SELECT source, mean_micro, CAST(count(*) AS BIGINT) AS c
+      FROM mm WHERE snap = 0 GROUP BY source, mean_micro),
+    cum AS (SELECT source, mean_micro,
+      CAST(sum(c) OVER (PARTITION BY source ORDER BY mean_micro) AS BIGINT)
+        AS cum,
+      CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM hist),
+    cuts AS (SELECT source,
+      min(CASE WHEN cum * 3 >= n THEN mean_micro END) AS cut1,
+      min(CASE WHEN cum * 3 >= n * 2 THEN mean_micro END) AS cut2
+      FROM cum GROUP BY source),
+    bk AS (SELECT mm.snap, mm.source,
+      CASE WHEN mm.mean_micro <= cuts.cut1 THEN 1
+        WHEN mm.mean_micro <= cuts.cut2 THEN 2 ELSE 3 END AS bucket
+      FROM mm JOIN cuts ON mm.source = cuts.source),
+    ag AS (SELECT snap, source, bucket, CAST(count(*) AS BIGINT) AS n_docs
+      FROM bk GROUP BY snap, source, bucket),
+    sh AS (SELECT snap, source, bucket,
+      (1000 * n_docs) //
+        CAST(sum(n_docs) OVER (PARTITION BY snap, source) AS BIGINT)
+        AS share
+      FROM ag),
+    pv AS (SELECT source,
+      CAST(sum(CASE WHEN snap = 0 AND bucket = 1 THEN share ELSE 0 END)
+        AS BIGINT) AS head_a_permille,
+      CAST(sum(CASE WHEN snap = 0 AND bucket = 3 THEN share ELSE 0 END)
+        AS BIGINT) AS tail_a_permille,
+      CAST(sum(CASE WHEN snap = 1 AND bucket = 1 THEN share ELSE 0 END)
+        AS BIGINT) AS head_b_permille,
+      CAST(sum(CASE WHEN snap = 1 AND bucket = 3 THEN share ELSE 0 END)
+        AS BIGINT) AS tail_b_permille
+      FROM sh GROUP BY source)
+    SELECT source, head_a_permille, tail_a_permille,
+      head_b_permille, tail_b_permille,
+      abs(head_b_permille - head_a_permille) +
+        abs(tail_b_permille - tail_a_permille) AS drift_permille,
+      abs(head_b_permille - head_a_permille) +
+        abs(tail_b_permille - tail_a_permille) >= $RecutDriftPermille
+        AS recut
+    FROM pv ORDER BY source""")
+  }
 
   // --- q65b: classifier calibration against the rule battery --------------
   // The ML-eval step after training a quality classifier (q65) and
@@ -2611,6 +2753,7 @@ object AnalysisQueries {
     "q90_bigram_surprisal" -> (q90BigramSurprisal _),
     "q90b_heldout_surprisal" -> (q90bHeldoutSurprisal _),
     "q172_perplexity_buckets" -> (q172PerplexityBuckets _),
+    "q172b_bucket_drift" -> (q172bBucketDrift _),
     "q90c_kneser_ney" -> (q90cKneserNey _),
     "q23_fingerprints" -> (q23Fingerprints _),
     "q23b_redact" -> (q23bRedact _),
@@ -2661,6 +2804,7 @@ object AnalysisQueries {
     "q90_bigram_surprisal" -> q90Sql,
     "q90b_heldout_surprisal" -> q90bSql,
     "q172_perplexity_buckets" -> q172Sql,
+    "q172b_bucket_drift" -> q172bSql,
     "q90c_kneser_ney" -> q90cSql,
     "q23_fingerprints" -> q23Sql,
     "q23b_redact" -> q23bSql,

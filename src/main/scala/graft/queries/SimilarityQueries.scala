@@ -168,6 +168,62 @@ object SimilarityQueries {
       cos_micro >= $NearDupMinMicro AS leaked
     FROM r WHERE rk = 1 ORDER BY eval_id"""
 
+  // --- q173b: banded-LSH rung of the leakage audit --------------------------
+  // q173's exact pass touches every train vector per eval; at 100 TB the
+  // audit runs off a banded sign-LSH layout (the q28 machinery). The
+  // band dial is the audit's own — 8 bits × 8 bands, not the near-dup
+  // family's 16×4 — because the regimes differ: sign collision per
+  // hyperplane is p = 1 − θ/π, so 16-bit bands only surface cos ≳ 0.95
+  // pairs, while the 8-bit band catches the near-verbatim contamination
+  // regime (cos ≥ 0.9: per-band p^8 ≈ 0.29, eight bands ≈ 0.93 recall)
+  // and still prunes ~7× at the fixture's background cosine. One-sided
+  // by construction: a banded `leaked` implies the exact verdict (the
+  // banded max is a lower bound); what banding trades is recall of
+  // BORDERLINE leaks near the 0.4 threshold — CorpusPolicySpec gates the
+  // identical-vector law (an exact duplicate collides in EVERY band) and
+  // measures fixture recall rather than asserting fixture luck (the q144
+  // stance). Empty candidate sets are first-class output (NULL neighbor,
+  // n_candidates = 0), not dropped rows.
+  val LeakBits = 8
+  val LeakBands = 8
+
+  def q173bLeakageLsh(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.splitLeakTop1Lsh(Tables.embeddings(spark, dir),
+      LeakEveryNth, LeakBits, LeakBands)
+      .withColumn("leaked",
+        coalesce(col("cos_micro") >= NearDupMinMicro, lit(false)))
+      .orderBy("eval_id")
+
+  val q173bSql: String = {
+    val bandSelects = (0 until LeakBands).map(t =>
+      s"SELECT vec_id, $t AS band, ${bucketSql(LeakBits, t * LeakBits)} AS key FROM n")
+      .mkString(" UNION ALL ")
+    s"""WITH $preparedCte,
+    b AS ($bandSelects),
+    cand AS (
+      SELECT DISTINCT e.vec_id AS eval_id, t.vec_id AS train_id
+      FROM b e JOIN b t ON e.band = t.band AND e.key = t.key
+      WHERE e.vec_id % $LeakEveryNth = 0 AND t.vec_id % $LeakEveryNth <> 0),
+    cnt AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY eval_id),
+    s AS (SELECT cand.eval_id, cand.train_id,
+      ${cosMicroSql("x.emb", "y.emb", "x.nrm", "y.nrm")} AS cos_micro
+      FROM cand
+      JOIN n x ON x.vec_id = cand.eval_id
+      JOIN n y ON y.vec_id = cand.train_id),
+    r AS (SELECT *, row_number() OVER (
+        PARTITION BY eval_id ORDER BY cos_micro DESC, train_id ASC) AS rk
+      FROM s),
+    e AS (SELECT vec_id AS eval_id FROM n WHERE vec_id % $LeakEveryNth = 0)
+    SELECT e.eval_id, r1.train_id, r1.cos_micro,
+      coalesce(cnt.n_candidates, 0) AS n_candidates,
+      coalesce(r1.cos_micro >= $NearDupMinMicro, FALSE) AS leaked
+    FROM e
+    LEFT JOIN (SELECT * FROM r WHERE rk = 1) r1 ON e.eval_id = r1.eval_id
+    LEFT JOIN cnt ON e.eval_id = cnt.eval_id
+    ORDER BY e.eval_id"""
+  }
+
   // --- q153: ANN recall dashboard (rungs vs brute force) --------------------
   // The recall numbers the specs gate (JlRecallSpec, DedupSimilaritySpec)
   // promoted to an ORACLED artifact row: per approximate rung — sign-LSH
@@ -1863,7 +1919,8 @@ object SimilarityQueries {
     "q169_semantic_prune" -> (q169SemanticPrune _),
     "q171_lsh_rebuild" -> (q171LshRebuild _),
     "q160_hybrid_retrieval" -> (q160HybridRetrieval _),
-    "q173_semantic_leakage" -> (q173SemanticLeakage _))
+    "q173_semantic_leakage" -> (q173SemanticLeakage _),
+    "q173b_leakage_lsh" -> (q173bLeakageLsh _))
 
   val oracleSql: Map[String, String] = Map(
     "q93_embedding_coverage" -> q93Sql,
@@ -1892,5 +1949,6 @@ object SimilarityQueries {
     "q29g_multiprobe" -> q29gSql,
     "q158_rebuild_decision" -> q158Sql,
     "q160_hybrid_retrieval" -> q160Sql,
-    "q173_semantic_leakage" -> q173Sql)
+    "q173_semantic_leakage" -> q173Sql,
+    "q173b_leakage_lsh" -> q173bSql)
 }
