@@ -224,6 +224,36 @@ object SimilarityOps {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
   }
 
+  /** Ingest-time decontamination screen: every incoming vector is checked
+    * against a FIXED eval set via the q173b banded layout, emitting one
+    * evidence row per (incoming, eval, band) collision whose exact cosine
+    * clears `minMicro`. Deliberately stateless — the banding is a narrow
+    * explode (the embedding rides along, so no self-join back to the
+    * incoming side), the eval side is the small fixed broadcast, and the
+    * confirm is row-local — so the SAME operator body runs batch or under
+    * Structured Streaming with no watermark, no state, append mode (the
+    * enrichByInterval precedent; parity in StreamingParitySpec).
+    * Per-band evidence is the contract (a `distinct` would be a stateful
+    * streaming aggregation); band multiplicity is collision strength.
+    */
+  def leakEvidence(incoming: DataFrame, evalVecs: DataFrame, bits: Int,
+                   bands: Int, minMicro: Long): DataFrame = {
+    def banded(df: DataFrame, idName: String, embName: String) =
+      prepared(df)
+        .select(col("vec_id").as(idName), col("emb").as(embName),
+          explode(array((0 until bands).map(t =>
+            struct(lit(t).as("band"),
+              signBucketAt(col("emb"), t * bits, bits).as("key"))): _*)).as("bk"))
+        .select(col(idName), col(embName),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    val ev = broadcast(banded(evalVecs, "eval_id", "e_emb"))
+    banded(incoming, "vec_id", "i_emb")
+      .join(ev, Seq("band", "key"))
+      .select(col("vec_id"), col("eval_id"), col("band"),
+        cosineMicro(col("i_emb"), col("e_emb")).as("cos_micro"))
+      .where(col("cos_micro") >= minMicro)
+  }
+
   /** Multi-table sign-LSH top-k: identical contract to bruteForceTopK but
     * candidates are the union of same-bucket vectors across `tables` hash
     * tables (table t buckets on dims [t*bits, (t+1)*bits)), then exact

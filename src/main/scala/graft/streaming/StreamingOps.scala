@@ -464,6 +464,21 @@ object StreamingOps {
     * need no watermark: the aggregate is keyed by source (bounded
     * cardinality), not by event time.
     */
+  /** q173b's streaming twin: screen a continuous embedding INGEST against
+    * the fixed eval set, emitting leak-evidence rows as data arrives —
+    * decontamination at the door instead of a post-hoc audit. Delegates
+    * to [[graft.ops.SimilarityOps.leakEvidence]], which is stateless by
+    * design (narrow band explode with the embedding riding along, small
+    * static broadcast eval side, row-local cosine confirm): the batch
+    * operator IS the streaming operator — no watermark, no state, append
+    * mode (the enrichByInterval precedent). File-replay parity in
+    * StreamingParitySpec.
+    */
+  def leakScreenStream(incoming: DataFrame, evalVecs: DataFrame, bits: Int,
+                       bands: Int, minMicro: Long): DataFrame =
+    graft.ops.SimilarityOps.leakEvidence(
+      incoming, evalVecs, bits, bands, minMicro)
+
   def qualityRateStream(docs: DataFrame): DataFrame = {
     val battery = graft.ops.TextAnalysisOps
     val toked = docs.select(col("source"), col("text"),

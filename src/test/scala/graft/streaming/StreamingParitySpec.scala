@@ -579,4 +579,33 @@ class StreamingParitySpec extends SparkSpec {
       s"user 1 sessions must number 1, 2 across the timeout; got $u1")
     assert(u1.map(_._3).toSeq == Seq(2L, 1L)) // event counts per session
   }
+
+  test("leak screen: streamed embedding ingest emits exactly the batch evidence") {
+    import graft.queries.SimilarityQueries.{LeakBands, LeakBits, NearDupMinMicro}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val evalSet = emb.where(col("vec_id") % 20 === 0)
+    val incoming = emb.where(col("vec_id") % 20 =!= 0)
+    val batch = graft.ops.SimilarityOps.leakEvidence(
+      incoming, evalSet, LeakBits, LeakBands, NearDupMinMicro)
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty, "the fixture yields screen evidence")
+    // replay the ingest as 3 parquet micro-batches — stateless screen,
+    // so no event-time ordering or flush sentinel is needed
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-leak")
+    val work = java.nio.file.Files.createTempDirectory("graft-leak-work")
+    (0 until 3).foreach { i =>
+      val part = work.resolve(s"c$i")
+      incoming.where(pmod(col("vec_id"), lit(3)) === i)
+        .coalesce(1).write.parquet(part.toString)
+      stage(part, streamDir, i)
+    }
+    val src = spark.readStream.schema(emb.schema).parquet(streamDir.toString)
+    val got = runAppend(
+      StreamingOps.leakScreenStream(src, evalSet,
+        LeakBits, LeakBands, NearDupMinMicro),
+      "leak_screen")
+      .map(_.toString).sorted.toSeq
+    assert(got == batch,
+      s"streamed evidence diverged: got ${got.size} rows, want ${batch.size}")
+  }
 }
