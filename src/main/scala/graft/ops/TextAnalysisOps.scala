@@ -613,6 +613,71 @@ object TextAnalysisOps {
         col("chunk"))
   }
 
+  /** Sentence-boundary context chunks: CONSECUTIVE sentences greedily
+    * packed into chunks of at most `targetTokens` whitespace tokens — a
+    * chunk always takes at least one sentence, so an oversized sentence
+    * becomes its own chunk. The chunker a retrieval/pretraining pipeline
+    * wants when [[contextChunks]]' fixed token windows would cut
+    * mid-sentence. Sentence split is the reference rule ([.!?]+, trim,
+    * keep length > 10 — [[SummarizeOps.sentences]] semantics).
+    *
+    * Deliberately narrow: split, filter, per-sentence token counts, and
+    * the greedy fold all run inside per-row higher-order functions (one
+    * `aggregate` whose accumulator carries the chunks built so far as
+    * parallel text/token/sentence-count arrays, merging into the LAST
+    * chunk while the budget holds) — ZERO pre-output shuffles, and each
+    * derived array is staged in its own projection (the q06
+    * lambda-duplication lesson). Docs with no kept sentence emit nothing.
+    * Output: `(id, chunk_id, n_sentences, n_tokens, chunk_text)`.
+    */
+  def sentenceChunks(docs: DataFrame, targetTokens: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(targetTokens > 0, "sentenceChunks needs a positive budget")
+    import org.apache.spark.sql.functions.{size => asize}
+    val sentsArr = filter(
+      transform(split(coalesce(col(textCol), lit("")), "[.!?]+"),
+        s => trim(s)),
+      s => length(s) > 10)
+    val staged = docs.select(col(idCol), sentsArr.as("sents"))
+      .select(col(idCol), col("sents"),
+        transform(col("sents"),
+          s => asize(split(s, "\\s+")).cast("long")).as("cnts"))
+      .select(col(idCol),
+        zip_with(col("sents"), col("cnts"),
+          (s, c) => struct(s.as("s"), c.as("c"))).as("sc"))
+    val t = lit(targetTokens.toLong)
+    val zero = struct(
+      array().cast("array<string>").as("texts"),
+      array().cast("array<bigint>").as("ntoks"),
+      array().cast("array<bigint>").as("nsents"))
+    val packed = staged.select(col(idCol),
+      aggregate(col("sc"), zero, (acc, x) =>
+        when(asize(acc("texts")) > 0 &&
+            element_at(acc("ntoks"), -1) + x("c") <= t,
+          struct(
+            concat(slice(acc("texts"), lit(1), asize(acc("texts")) - 1),
+              array(concat(element_at(acc("texts"), -1), lit(" "), x("s"))))
+              .as("texts"),
+            concat(slice(acc("ntoks"), lit(1), asize(acc("ntoks")) - 1),
+              array(element_at(acc("ntoks"), -1) + x("c"))).as("ntoks"),
+            concat(slice(acc("nsents"), lit(1), asize(acc("nsents")) - 1),
+              array(element_at(acc("nsents"), -1) + 1L)).as("nsents")))
+        .otherwise(struct(
+          concat(acc("texts"), array(x("s"))).as("texts"),
+          concat(acc("ntoks"), array(x("c"))).as("ntoks"),
+          concat(acc("nsents"), array(lit(1L))).as("nsents")))).as("p"))
+    packed
+      .select(col(idCol), col("p.texts").as("texts"),
+        col("p.ntoks").as("ntoks"), col("p.nsents").as("nsents"))
+      .select(col(idCol),
+        posexplode(arrays_zip(col("texts"), col("nsents"), col("ntoks")))
+          .as(Seq("chunk_id", "z")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("z.nsents").as("n_sentences"), col("z.ntoks").as("n_tokens"),
+        col("z.texts").as("chunk_text"))
+  }
+
   /** Corpus-frequency threshold under which a token counts as "rare". */
   val RareMaxCtf = 3L
 

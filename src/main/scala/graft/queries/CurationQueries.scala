@@ -1581,6 +1581,58 @@ object CurationQueries {
       array_to_string(chunk, ' ') AS chunk_text
     FROM c ORDER BY doc_id, chunk_id"""
 
+  // --- q176: sentence-boundary chunk packing --------------------------------
+  // q69's fixed token windows cut mid-sentence; retrieval and
+  // pretraining chunkers usually pack WHOLE sentences greedily up to a
+  // token budget instead (an oversized sentence becomes its own chunk).
+  // Sentences are the q02 relation (same standalone-"the" → "."
+  // punctuation transform, same reference split rule — the oracle nests
+  // NlpQueries.punctSentsCte verbatim); the Spark side is one narrow
+  // higher-order-function fold per doc, zero pre-output shuffles (see
+  // TextAnalysisOps.sentenceChunks). The oracle replays the greedy fold
+  // as a recursive CTE walking each doc's sentences in order, emitting a
+  // chunk at every boundary the running budget forces — sequential
+  // semantics a window cannot express, hash-exact via the walk's final
+  // per-chunk state rows.
+  val SentChunkTokens = 24
+
+  def q176SentenceChunks(spark: SparkSession, dir: String): DataFrame = {
+    val punctuated = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "\\bthe\\b", ".").as("text"))
+    TextAnalysisOps.sentenceChunks(punctuated, SentChunkTokens)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  lazy val q176Sql: String = SqlDefs.materializeCtes(
+    raw"""WITH RECURSIVE ${NlpQueries.punctSentsCte},
+    sc AS (SELECT doc_id, sentence_id, sentence,
+      CAST(len(string_split_regex(sentence, '\s+')) AS BIGINT) AS c
+      FROM psents),
+    walk AS (
+      SELECT doc_id, sentence_id, sentence AS chunk_text, c AS n_tokens,
+        CAST(1 AS BIGINT) AS n_sentences, CAST(0 AS BIGINT) AS chunk_id
+      FROM sc WHERE sentence_id = 0
+      UNION ALL
+      SELECT sc.doc_id, sc.sentence_id,
+        CASE WHEN w.n_tokens + sc.c <= $SentChunkTokens
+          THEN w.chunk_text || ' ' || sc.sentence ELSE sc.sentence END,
+        CASE WHEN w.n_tokens + sc.c <= $SentChunkTokens
+          THEN w.n_tokens + sc.c ELSE sc.c END,
+        CASE WHEN w.n_tokens + sc.c <= $SentChunkTokens
+          THEN w.n_sentences + 1 ELSE CAST(1 AS BIGINT) END,
+        CASE WHEN w.n_tokens + sc.c <= $SentChunkTokens
+          THEN w.chunk_id ELSE w.chunk_id + 1 END
+      FROM walk w JOIN sc
+        ON sc.doc_id = w.doc_id AND sc.sentence_id = w.sentence_id + 1),
+    fin AS (SELECT *,
+      lead(chunk_id) OVER (PARTITION BY doc_id ORDER BY sentence_id)
+        AS next_chunk
+      FROM walk)
+    SELECT doc_id, chunk_id, n_sentences, n_tokens, chunk_text
+    FROM fin WHERE next_chunk IS NULL OR next_chunk <> chunk_id
+    ORDER BY doc_id, chunk_id""")
+
   /** The snapshot-pair convention SHARED by q71 (delta classification) and
     * q83 (distribution drift): A = yesterday (`doc_id % 10 < 8`, original
     * text), B = today (`doc_id % 10 >= 2`, docs with `doc_id % 4 == 0`
@@ -2269,7 +2321,8 @@ object CurationQueries {
     "q86_chunk_dedup" -> (q86ChunkDedup _),
     "q102_export_manifest" -> (q102ExportManifest _),
     "q174_domain_reweight" -> (q174DomainReweight _),
-    "q175_release_audit" -> (q175ReleaseAudit _))
+    "q175_release_audit" -> (q175ReleaseAudit _),
+    "q176_sentence_chunks" -> (q176SentenceChunks _))
 
   val oracleSql: Map[String, String] = Map(
     "q89_curriculum_order" -> q89Sql,
@@ -2310,5 +2363,6 @@ object CurationQueries {
     "q86_chunk_dedup" -> q86Sql,
     "q102_export_manifest" -> q102Sql,
     "q174_domain_reweight" -> q174Sql,
-    "q175_release_audit" -> q175Sql)
+    "q175_release_audit" -> q175Sql,
+    "q176_sentence_chunks" -> q176Sql)
 }

@@ -71,7 +71,9 @@ object NlpQueries {
     * their reference-split sentence relation `(doc_id, sentence_id,
     * sentence)` — the base of q02/q03b/q03c.
     */
-  private val punctSentsCte: String =
+  // private[queries]: q176's sentence-packing oracle reuses the exact
+  // same punctuated-sentence relation, so the two cannot drift apart
+  private[queries] val punctSentsCte: String =
     raw"""pdocs AS (
       SELECT doc_id, regexp_replace(coalesce(text, ''), '\bthe\b', '.', 'g') AS text
       FROM documents),

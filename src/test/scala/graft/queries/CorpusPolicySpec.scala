@@ -196,6 +196,40 @@ class CorpusPolicySpec extends SparkSpec {
     }
   }
 
+  test("q176: the HOF fold matches an independent driver-side greedy replay") {
+    val got = CurationQueries.q176SentenceChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // independent replay: the q02 sentence relation + plain Scala greedy
+    val sents = graft.ops.SummarizeOps.sentences(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\\bthe\\b", ".").as("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    val want = sents.toSeq.flatMap { case (docId, rows) =>
+      val ordered = rows.sortBy(_._2).map(_._3)
+      val chunks = scala.collection.mutable.Buffer[(String, Long, Long)]()
+      ordered.foreach { s =>
+        val c = s.split("\\s+").length.toLong
+        chunks.lastOption match {
+          case Some((txt, tk, ns)) if tk + c <= CurationQueries.SentChunkTokens =>
+            chunks(chunks.length - 1) = (txt + " " + s, tk + c, ns + 1)
+          case _ => chunks += ((s, c, 1L))
+        }
+      }
+      chunks.zipWithIndex.map { case ((txt, tk, ns), i) =>
+        (docId, i.toLong, ns, tk, txt) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+    assert(got.exists(_._3 > 1), "some chunk packs multiple sentences")
+    got.foreach { case (_, _, ns, tk, _) =>
+      assert(tk <= CurationQueries.SentChunkTokens || ns === 1L,
+        "only a single oversized sentence may exceed the budget")
+    }
+  }
+
   test("q174: excess ladder on a designed corpus upweights the surprising domain") {
     import sqlImplicits._
     // surprisal is RELATIVE within a context (s = bitlen(ctf1)-bitlen(btf)),
