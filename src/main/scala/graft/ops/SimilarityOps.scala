@@ -40,6 +40,27 @@ object SimilarityOps {
   /** Single-table bucket over the first `bits` dims. */
   def signBucket(a: Column, bits: Int): Column = signBucketAt(a, 0, bits)
 
+  /** THE banded sign-LSH key layout (band t buckets dims
+    * [t·bits, (t+1)·bits)) over a [[prepared]] frame — one definition so
+    * every consumer of the q28 index layout (near-dup pairs, the q173b
+    * leakage probe, the streaming ingest screen) banding-matches by
+    * construction. `carryEmb` names a column to carry the embedding
+    * through the explode — the stateless-streaming shape, where a join
+    * back to the stream for the vector is not possible.
+    */
+  private[ops] def bandedKeys(p: DataFrame, bits: Int, bands: Int,
+                              idName: String = "vec_id",
+                              carryEmb: Option[String] = None): DataFrame = {
+    val bk = explode(array((0 until bands).map(t =>
+      struct(lit(t).as("band"),
+        signBucketAt(col("emb"), t * bits, bits).as("key"))): _*)).as("bk")
+    val outNames = idName +: carryEmb.toSeq
+    p.select((col("vec_id").as(idName) +:
+        carryEmb.map(e => col("emb").as(e)).toSeq) :+ bk: _*)
+      .select(outNames.map(col) ++
+        Seq(col("bk.band").as("band"), col("bk.key").as("key")): _*)
+  }
+
   /** `(vec_id, emb ARRAY<DOUBLE>)` staged projection of an embeddings
     * table — downstream lambdas/buckets must see attribute refs, not
     * nested expressions.
@@ -191,13 +212,7 @@ object SimilarityOps {
                        bits: Int, bands: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = graft.CacheScope.persist(prepared(embeddings))
-    val banded = graft.CacheScope.persist(
-      p.select(col("vec_id"),
-        explode(array((0 until bands).map(t =>
-          struct(lit(t).as("band"),
-            signBucketAt(col("emb"), t * bits, bits).as("key"))): _*)).as("bk"))
-        .select(col("vec_id"),
-          col("bk.band").as("band"), col("bk.key").as("key")))
+    val banded = graft.CacheScope.persist(bandedKeys(p, bits, bands))
     val evalB = banded.where(col("vec_id") % evalEveryNth === 0)
       .select(col("vec_id").as("eval_id"), col("band"), col("key"))
     val trainB = banded.where(col("vec_id") % evalEveryNth =!= 0)
@@ -239,13 +254,7 @@ object SimilarityOps {
   def leakEvidence(incoming: DataFrame, evalVecs: DataFrame, bits: Int,
                    bands: Int, minMicro: Long): DataFrame = {
     def banded(df: DataFrame, idName: String, embName: String) =
-      prepared(df)
-        .select(col("vec_id").as(idName), col("emb").as(embName),
-          explode(array((0 until bands).map(t =>
-            struct(lit(t).as("band"),
-              signBucketAt(col("emb"), t * bits, bits).as("key"))): _*)).as("bk"))
-        .select(col(idName), col(embName),
-          col("bk.band").as("band"), col("bk.key").as("key"))
+      bandedKeys(prepared(df), bits, bands, idName, Some(embName))
     val ev = broadcast(banded(evalVecs, "eval_id", "e_emb"))
     banded(incoming, "vec_id", "i_emb")
       .join(ev, Seq("band", "key"))
@@ -989,12 +998,7 @@ object SimilarityOps {
     // and the sign-bucket keys (bits-per-band hyperplane dot signs) are
     // the expensive part — 12 bytes a row cached vs recomputing the
     // projections twice
-    val banded = graft.CacheScope.persist(
-      p.select(col("vec_id"),
-        explode(array((0 until bands).map(t =>
-          struct(lit(t).as("band"),
-            signBucketAt(col("emb"), t * bits, bits).as("key"))): _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key")))
+    val banded = graft.CacheScope.persist(bandedKeys(p, bits, bands))
     val cand = banded.toDF("id_a", "band", "key")
       .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
       .where(col("id_a") < col("id_b"))

@@ -1386,19 +1386,9 @@ object AnalysisQueries {
         when(col("n_bigrams") > 0,
           expr("(1000000 * sum_surprisal) div n_bigrams"))
           .otherwise(lit(0L)).as("mean_micro")))
-    val hist = means.groupBy("source", "mean_micro")
-      .agg(count(lit(1)).as("c"))
-    val cum = hist
-      .withColumn("cum",
-        sum(col("c")).over(Window.partitionBy("source").orderBy("mean_micro")))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
-    val cuts = cum.groupBy("source").agg(
-      min(when(col("cum") * 3 >= col("n"), col("mean_micro"))).as("cut1"),
-      min(when(col("cum") * 3 >= col("n") * 2, col("mean_micro"))).as("cut2"))
-    val bucketed = means.join(broadcast(cuts), "source")
-      .withColumn("bucket",
-        when(col("mean_micro") <= col("cut1"), 1L)
-          .when(col("mean_micro") <= col("cut2"), 2L).otherwise(3L))
+    val cuts = tercileCuts(means.select(col("source"), col("mean_micro")))
+    val bucketed = assignBucket(
+      means.join(broadcast(cuts), Seq("source"), "left"))
     bucketed.groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
       .withColumn("tier",
@@ -1411,6 +1401,62 @@ object AnalysisQueries {
           .as("doc_share_permille"))
       .orderBy("source", "bucket")
   }
+
+  /** Per-source value-based tercile cuts from a `(source, mean_micro)`
+    * relation — the smallest mean whose cumulative doc count reaches
+    * ceil(n/3) / ceil(2n/3), computed on the distinct-value histogram.
+    * ONE definition (Column and SQL twins below) serving the dial (q172)
+    * and its stored-cut monitor (q172b), so the monitor can never bucket
+    * with a different rule than the dial it watches — the
+    * crossSurprisalLadder argument applied to the cut rule.
+    */
+  private def tercileCuts(means: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = means.groupBy("source", "mean_micro")
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("source").orderBy("mean_micro")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+    cum.groupBy("source").agg(
+      min(when(col("cum") * 3 >= col("n"), col("mean_micro"))).as("cut1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("mean_micro"))).as("cut2"))
+  }
+
+  /** Bucket assignment under possibly-ABSENT cuts: a source with no
+    * reference histogram (brand-new in the scored snapshot — the
+    * maximal-drift case a monitor exists to catch) has NULL cuts after
+    * the left join and lands wholesale in bucket 3, so its share shift
+    * is 1000‰ and the recut decision fires instead of the source
+    * silently vanishing from the report.
+    */
+  private def assignBucket(withCuts: DataFrame): DataFrame =
+    withCuts.withColumn("bucket",
+      when(col("cut1").isNull, 3L)
+        .when(col("mean_micro") <= col("cut1"), 1L)
+        .when(col("mean_micro") <= col("cut2"), 2L).otherwise(3L))
+
+  /** [[tercileCuts]]' SQL twin: hist→cum→cuts CTEs over the
+    * `(source, mean_micro)` rows of `$src`.
+    */
+  private def tercileCutCtes(src: String): String =
+    s"""hist AS (SELECT source, mean_micro, CAST(count(*) AS BIGINT) AS c
+      FROM $src GROUP BY source, mean_micro),
+    cum AS (SELECT source, mean_micro,
+      CAST(sum(c) OVER (PARTITION BY source ORDER BY mean_micro) AS BIGINT)
+        AS cum,
+      CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM hist),
+    cuts AS (SELECT source,
+      min(CASE WHEN cum * 3 >= n THEN mean_micro END) AS cut1,
+      min(CASE WHEN cum * 3 >= n * 2 THEN mean_micro END) AS cut2
+      FROM cum GROUP BY source)"""
+
+  /** [[assignBucket]]'s SQL twin (over aliases `mm` LEFT JOIN `cuts`). */
+  private val bucketCaseSql: String =
+    """CASE WHEN cuts.cut1 IS NULL THEN 3
+      WHEN mm.mean_micro <= cuts.cut1 THEN 1
+      WHEN mm.mean_micro <= cuts.cut2 THEN 2 ELSE 3 END"""
 
   // materializeCtes: `mm` (whose prefix is the whole scoring chain) is
   // referenced by both the histogram path and the bucket assignment —
@@ -1427,22 +1473,11 @@ object AnalysisQueries {
         THEN (1000000 * sm.sum_surprisal) // sm.n_bigrams
         ELSE 0 END AS mean_micro
       FROM sm JOIN documents ds ON sm.doc_id = ds.doc_id),
-    hist AS (SELECT source, mean_micro, CAST(count(*) AS BIGINT) AS c
-      FROM mm GROUP BY source, mean_micro),
-    cum AS (SELECT source, mean_micro,
-      CAST(sum(c) OVER (PARTITION BY source ORDER BY mean_micro) AS BIGINT)
-        AS cum,
-      CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
-      FROM hist),
-    cuts AS (SELECT source,
-      min(CASE WHEN cum * 3 >= n THEN mean_micro END) AS cut1,
-      min(CASE WHEN cum * 3 >= n * 2 THEN mean_micro END) AS cut2
-      FROM cum GROUP BY source),
+    ${tercileCutCtes("mm")},
     bk AS (SELECT mm.source,
-      CASE WHEN mm.mean_micro <= cuts.cut1 THEN 1
-        WHEN mm.mean_micro <= cuts.cut2 THEN 2 ELSE 3 END AS bucket,
+      $bucketCaseSql AS bucket,
       mm.n_bigrams
-      FROM mm JOIN cuts ON mm.source = cuts.source),
+      FROM mm LEFT JOIN cuts ON mm.source = cuts.source),
     ag AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
       FROM bk GROUP BY source, bucket)
@@ -1468,6 +1503,11 @@ object AnalysisQueries {
   // snapshots ride ONE scoring pass via a fused key (skey = doc_id·2 +
   // snapshot bit), so the ladder runs once, not twice. Shares are pivot-
   // by-conditional-sum over the ≤ 6S (snap, source, bucket) rows.
+  // Asymmetric sources stay IN the report: a source new in B has no
+  // stored cuts, so assignBucket's NULL branch tails its whole mass —
+  // drift 1000‰, recut fires (the maximal-drift case a monitor exists
+  // for); a source that vanished in B keeps its A shares against zero B
+  // shares, which also clears the threshold.
   val RecutDriftPermille = 50L
 
   def q172bBucketDrift(spark: SparkSession, dir: String): DataFrame = {
@@ -1490,19 +1530,13 @@ object AnalysisQueries {
         when(col("n_bigrams") > 0,
           expr("(1000000 * sum_surprisal) div n_bigrams"))
           .otherwise(lit(0L)).as("mean_micro")))
-    val histA = means.where(col("snap") === 0)
-      .groupBy("source", "mean_micro").agg(count(lit(1)).as("c"))
-    val cum = histA
-      .withColumn("cum",
-        sum(col("c")).over(Window.partitionBy("source").orderBy("mean_micro")))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
-    val cuts = cum.groupBy("source").agg(
-      min(when(col("cum") * 3 >= col("n"), col("mean_micro"))).as("cut1"),
-      min(when(col("cum") * 3 >= col("n") * 2, col("mean_micro"))).as("cut2"))
-    val bucketed = means.join(broadcast(cuts), "source")
-      .withColumn("bucket",
-        when(col("mean_micro") <= col("cut1"), 1L)
-          .when(col("mean_micro") <= col("cut2"), 2L).otherwise(3L))
+    // the cuts come from snapshot A ONLY (the stored reference); the
+    // LEFT join + assignBucket's NULL branch keep B-only sources in the
+    // report with maximal drift instead of dropping them
+    val cuts = tercileCuts(means.where(col("snap") === 0)
+      .select(col("source"), col("mean_micro")))
+    val bucketed = assignBucket(
+      means.join(broadcast(cuts), Seq("source"), "left"))
     val ag = bucketed.groupBy("snap", "source", "bucket")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("snap_docs",
@@ -1546,21 +1580,10 @@ object AnalysisQueries {
         THEN (1000000 * sm.sum_surprisal) // sm.n_bigrams
         ELSE 0 END AS mean_micro
       FROM sm JOIN d ON sm.skey = d.skey),
-    hist AS (SELECT source, mean_micro, CAST(count(*) AS BIGINT) AS c
-      FROM mm WHERE snap = 0 GROUP BY source, mean_micro),
-    cum AS (SELECT source, mean_micro,
-      CAST(sum(c) OVER (PARTITION BY source ORDER BY mean_micro) AS BIGINT)
-        AS cum,
-      CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
-      FROM hist),
-    cuts AS (SELECT source,
-      min(CASE WHEN cum * 3 >= n THEN mean_micro END) AS cut1,
-      min(CASE WHEN cum * 3 >= n * 2 THEN mean_micro END) AS cut2
-      FROM cum GROUP BY source),
+    ${tercileCutCtes("(SELECT source, mean_micro FROM mm WHERE snap = 0)")},
     bk AS (SELECT mm.snap, mm.source,
-      CASE WHEN mm.mean_micro <= cuts.cut1 THEN 1
-        WHEN mm.mean_micro <= cuts.cut2 THEN 2 ELSE 3 END AS bucket
-      FROM mm JOIN cuts ON mm.source = cuts.source),
+      $bucketCaseSql AS bucket
+      FROM mm LEFT JOIN cuts ON mm.source = cuts.source),
     ag AS (SELECT snap, source, bucket, CAST(count(*) AS BIGINT) AS n_docs
       FROM bk GROUP BY snap, source, bucket),
     sh AS (SELECT snap, source, bucket,

@@ -176,7 +176,8 @@ object SimilarityQueries {
   // hyperplane is p = 1 − θ/π, so 16-bit bands only surface cos ≳ 0.95
   // pairs, while the 8-bit band catches the near-verbatim contamination
   // regime (cos ≥ 0.9: per-band p^8 ≈ 0.29, eight bands ≈ 0.93 recall)
-  // and still prunes ~7× at the fixture's background cosine. One-sided
+  // while pruning the fixture's candidate volume ~34× (measured: mean
+  // 14 banded candidates per eval vs 475 train vectors). One-sided
   // by construction: a banded `leaked` implies the exact verdict (the
   // banded max is a lower bound); what banding trades is recall of
   // BORDERLINE leaks near the 0.4 threshold — CorpusPolicySpec gates the

@@ -369,9 +369,14 @@ class PlanShapeSpec extends SparkSpec {
     val plan = planOf(
       graft.queries.AnalysisQueries.perplexityBucketsLive(spark, dir))
     assert(!plan.contains("CartesianProduct"), plan)
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    assert(bnlj <= 2,
-      s"only the scalar `total` broadcast may nest ($bnlj found):\n$plan")
+    // the scalar `total` broadcast prints as a CROSS nested loop (and
+    // may print twice through the persisted relation's branches); a
+    // regressed cuts join would surface as an INNER nested loop — gate
+    // on the join type, which survives print duplication
+    val bnljLines = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnljLines.forall(_.contains("Cross")),
+      s"a non-Cross nested loop appeared (the cuts join regressed?):\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"cuts should broadcast back onto the mean relation:\n$plan")
   }

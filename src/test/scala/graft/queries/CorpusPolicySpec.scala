@@ -160,14 +160,27 @@ class CorpusPolicySpec extends SparkSpec {
 
   test("q172b: stored cuts carve snapshot A into terciles and the decision follows the drift") {
     val out = AnalysisQueries.q172bBucketDrift(spark, dir).collect()
-    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(out.map(_.getString(0)).toSet ===
+      docs.select("source").distinct().collect().map(_.getString(0)).toSet,
+      "EVERY source appears — including ones only one snapshot carries")
+    import graft.queries.CurationQueries.Snapshots
+    val aSources = docs.where(Snapshots.inA)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
     out.foreach { r =>
-      val (ha, ta, hb, tb) =
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (src, ha, ta, hb, tb) = (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       Seq(ha, ta, hb, tb).foreach(s => assert(s >= 0 && s <= 1000))
-      // A is bucketed by its OWN cuts: the head must hold at least a
-      // third (value cuts can only overshoot)
-      assert(3 * ha >= 1000 - 3, s"head_a $ha under a third")
+      if (aSources(src))
+        // A is bucketed by its OWN cuts: the head must hold at least a
+        // third (value cuts can only overshoot)
+        assert(3 * ha >= 1000 - 3, s"head_a $ha under a third for $src")
+      else {
+        // B-only source: no stored cuts — whole mass tails, recut fires
+        assert(ha === 0 && ta === 0 && hb === 0 && tb === 1000,
+          s"B-only source $src must tail wholesale")
+        assert(r.getBoolean(6), s"B-only source $src must demand a recut")
+      }
       assert(r.getLong(5) === math.abs(hb - ha) + math.abs(tb - ta))
       assert(r.getBoolean(6) ===
         (r.getLong(5) >= AnalysisQueries.RecutDriftPermille))
