@@ -1321,24 +1321,46 @@ object TextAnalysisOps {
     */
   def crossSurprisal(modelDocs: DataFrame, scoredDocs: DataFrame,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
-    // persisted: the context aggregate (and through it the total) and the
-    // scoring join all consume the model's bigram counts
+                     textCol: String = "text"): DataFrame =
+    crossSurprisalUnder(bigramModel(modelDocs, textCol), scoredDocs,
+      idCol, textCol)
+
+  /** The trained bigram model as ONE enriched relation
+    * `(w1, w2, btf, ctf1)` — each bigram's count plus its left-context
+    * mass. This is the storable model shape: [[crossSurprisalUnder]]
+    * scores any corpus under it without touching the model's training
+    * documents, and the context relation / total mass derive from it
+    * exactly (distinct `(w1, ctf1)` rows ARE the context aggregate).
+    */
+  def bigramModel(modelDocs: DataFrame, textCol: String = "text"): DataFrame = {
+    // persisted: the context aggregate consumes the bigram counts
     val bt = graft.CacheScope.persist(bigramPairs(modelDocs, Seq.empty, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("btf")))
     val ut = bt.groupBy(col("w1")).agg(sum(col("btf")).as("ctf1"))
+    bt.join(ut, Seq("w1"))
+  }
+
+  /** [[crossSurprisal]] under a PREBUILT [[bigramModel]] relation — the
+    * stored-model path (q172b reads the model from a StoredRelations
+    * artifact, so scoring a new snapshot never re-reads the reference
+    * corpus). Same smoothing ladder, same join shape, same output.
+    */
+  def crossSurprisalUnder(model: DataFrame, scoredDocs: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val ut = model.select(col("w1"), col("ctf1")).distinct()
     val total = ut.agg(sum(col("ctf1")).as("b_total"))
     def log2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
     val dt = bigramPairs(scoredDocs, Seq(col(idCol)), textCol)
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
-    // Join shape (the q90 lesson applied to the smoothing ladder): enrich
-    // the MODEL first (bt ⋈ ut is model-sized), so the corpus-sized `dt`
+    // Join shape (the q90 lesson applied to the smoothing ladder): the
+    // model arrives pre-enriched (model-sized), so the corpus-sized `dt`
     // shuffles ONCE on (w1, w2). Rows that miss the enriched model — the
     // unseen-bigram tier — are the only ones that need the context
     // lookup, so the second join on w1 carries just that subset instead
     // of re-shuffling the whole corpus; the branch arithmetic and the
     // profile are unchanged (oracle-gated).
-    val enriched = bt.join(ut, Seq("w1"))
+    val enriched = model
     // persisted: BOTH tier branches read the joined relation, and Catalyst
     // recomputes unshared subtrees per branch
     val j1 = graft.CacheScope.persist(

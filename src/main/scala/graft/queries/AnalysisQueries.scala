@@ -1371,21 +1371,29 @@ object AnalysisQueries {
       .orderBy("source", "bucket")
   }
 
+  /** `(id, source, n_bigrams, mean_micro)` of `docs` scored under a
+    * prebuilt [[TextAnalysisOps.bigramModel]] — the shared means
+    * derivation of the dial (q172) and its monitor (q172b).
+    */
+  private def surprisalMeans(model: DataFrame, docs: DataFrame,
+                             idCol: String = "doc_id"): DataFrame =
+    TextAnalysisOps.crossSurprisalUnder(model, docs, idCol = idCol)
+      .select(col(idCol), col("n_bigrams"), col("sum_surprisal"))
+      .join(docs.select(col(idCol), col("source")), idCol)
+      .select(col(idCol), col("source"), col("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          expr("(1000000 * sum_surprisal) div n_bigrams"))
+          .otherwise(lit(0L)).as("mean_micro"))
+
   private[graft] def perplexityBucketsLive(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-      .withColumn("h", HashOps.charHash(col("text")))
-    val scored = TextAnalysisOps.crossSurprisal(
-      docs.where(col("h") % 2 === 0), docs)
-      .select(col("doc_id"), col("n_bigrams"), col("sum_surprisal"))
+    val model = TextAnalysisOps.bigramModel(
+      docs.where(HashOps.charHash(col("text")) % 2 === 0))
     // persisted: the histogram/cuts pass and the bucket assignment both
     // consume the per-doc mean relation
-    val means = graft.CacheScope.persist(scored
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("doc_id"), col("source"), col("n_bigrams"),
-        when(col("n_bigrams") > 0,
-          expr("(1000000 * sum_surprisal) div n_bigrams"))
-          .otherwise(lit(0L)).as("mean_micro")))
+    val means = graft.CacheScope.persist(surprisalMeans(model,
+      docs.select(col("doc_id"), col("source"), col("text"))))
     val cuts = tercileCuts(means.select(col("source"), col("mean_micro")))
     val bucketed = assignBucket(
       means.join(broadcast(cuts), Seq("source"), "left"))
@@ -1494,23 +1502,115 @@ object AnalysisQueries {
   // The operational loop around q172's dial: CCNet-style thresholds are
   // computed ONCE on a reference snapshot and then applied to every new
   // crawl — nobody re-sorts the corpus per ingest. Snapshot A (the
-  // q71/q155 carve) trains the model (its even-content-hash half) and
-  // fixes the per-source tercile cuts; snapshot B's docs are scored
-  // under A's model and bucketed with A's STORED cuts. If B's head/tail
-  // shares drift past RecutDriftPermille, the cuts no longer carve
-  // terciles and the decision row says recut — the q158 drift→decision
-  // shape applied to the quality dial instead of an index. The two
-  // snapshots ride ONE scoring pass via a fused key (skey = doc_id·2 +
-  // snapshot bit), so the ladder runs once, not twice. Shares are pivot-
-  // by-conditional-sum over the ≤ 6S (snap, source, bucket) rows.
+  // q71/q155 carve) trains the bigram model (its even-content-hash
+  // half), fixes the per-source tercile cuts, and records its own
+  // head/tail shares — and all three are DURABLE StoredRelations
+  // artifacts (the q159b/q152 pattern), so the LIVE path touches only
+  // snapshot B: score B under the stored model, bucket with the stored
+  // cuts, compare against the stored A shares. O(B + model), never
+  // O(A∪B); the ORACLE recomputes the whole thing from scratch in one
+  // fused-key ladder pass, so a stale artifact, a model/cut drift, or a
+  // share mismatch anywhere breaks the hash (and CorpusPolicySpec
+  // row-compares the stored path against the fused from-scratch twin).
+  // If B's head/tail shares drift past RecutDriftPermille the decision
+  // row says recut — the q158 drift→decision shape applied to the
+  // quality dial instead of an index.
   // Asymmetric sources stay IN the report: a source new in B has no
   // stored cuts, so assignBucket's NULL branch tails its whole mass —
   // drift 1000‰, recut fires (the maximal-drift case a monitor exists
-  // for); a source that vanished in B keeps its A shares against zero B
-  // shares, which also clears the threshold.
+  // for); a source that vanished in B keeps its stored A shares against
+  // zero B shares, which also clears the threshold.
   val RecutDriftPermille = 50L
 
+  /** Version for the three stored reference-snapshot artifacts — bump
+    * when the carve, model rule, or cut rule changes semantics.
+    */
+  private val PplStoreVersion = "1:carve=inA,model=evenCharHash,cuts=terciles"
+
+  /** Snapshot A's trained bigram model, stored `(w1, w2, btf, ctf1)`. */
+  private[graft] def pplModelBase(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StoredRelations.readOrBuild(spark, "ppl_model_baseA",
+      Seq(s"$dir/documents.parquet"), PplStoreVersion) {
+      import CurationQueries.Snapshots
+      val a = Tables.documents(spark, dir).where(Snapshots.inA)
+      TextAnalysisOps.bigramModel(
+        a.where(HashOps.charHash(col("text")) % 2 === 0))
+    }
+
+  private def snapshotA(spark: SparkSession, dir: String): DataFrame = {
+    import CurationQueries.Snapshots
+    Tables.documents(spark, dir).where(Snapshots.inA)
+      .select(col("doc_id"), col("source"), col("text"))
+  }
+
+  /** Snapshot A's stored tercile cuts `(source, cut1, cut2)`. */
+  private[graft] def pplCutsBase(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StoredRelations.readOrBuild(spark, "ppl_cuts_baseA",
+      Seq(s"$dir/documents.parquet"), PplStoreVersion) {
+      tercileCuts(
+        surprisalMeans(pplModelBase(spark, dir), snapshotA(spark, dir))
+          .select(col("source"), col("mean_micro")))
+    }
+
+  /** Snapshot A's stored `(source, bucket, share)` doc shares under its
+    * own cuts — the reference vector the drift is measured against.
+    */
+  private[graft] def pplSharesBase(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.StoredRelations.readOrBuild(spark, "ppl_shares_baseA",
+      Seq(s"$dir/documents.parquet"), PplStoreVersion) {
+      bucketShares(
+        surprisalMeans(pplModelBase(spark, dir), snapshotA(spark, dir)),
+        pplCutsBase(spark, dir))
+    }
+
+  /** `(source, bucket, share)` of a means relation under given cuts —
+    * shared by the stored A-side builder and the live B-side scoring.
+    */
+  private def bucketShares(means: DataFrame, cuts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    assignBucket(means.join(broadcast(cuts), Seq("source"), "left"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("src_docs",
+        sum(col("n_docs")).over(Window.partitionBy("source")))
+      .select(col("source"), col("bucket"),
+        expr("(1000 * n_docs) div src_docs").as("share"))
+  }
+
+  private def pivotShares(shares: DataFrame, side: String): DataFrame =
+    shares.groupBy("source").agg(
+      sum(when(col("bucket") === 1, col("share")).otherwise(0L))
+        .as(s"head_${side}_permille"),
+      sum(when(col("bucket") === 3, col("share")).otherwise(0L))
+        .as(s"tail_${side}_permille"))
+
   def q172bBucketDrift(spark: SparkSession, dir: String): DataFrame = {
+    import CurationQueries.Snapshots
+    val b = Tables.documents(spark, dir).where(Snapshots.inB)
+      .select(col("doc_id"), col("source"), Snapshots.textB.as("text"))
+    val sharesB = bucketShares(
+      surprisalMeans(pplModelBase(spark, dir), b), pplCutsBase(spark, dir))
+    pivotShares(pplSharesBase(spark, dir), "a")
+      .join(pivotShares(sharesB, "b"), Seq("source"), "full")
+      .select(col("source"),
+        coalesce(col("head_a_permille"), lit(0L)).as("head_a_permille"),
+        coalesce(col("tail_a_permille"), lit(0L)).as("tail_a_permille"),
+        coalesce(col("head_b_permille"), lit(0L)).as("head_b_permille"),
+        coalesce(col("tail_b_permille"), lit(0L)).as("tail_b_permille"))
+      .withColumn("drift_permille",
+        abs(col("head_b_permille") - col("head_a_permille")) +
+          abs(col("tail_b_permille") - col("tail_a_permille")))
+      .withColumn("recut", col("drift_permille") >= RecutDriftPermille)
+      .orderBy("source")
+  }
+
+  /** The fused-key from-scratch twin of [[q172bBucketDrift]] — both
+    * snapshots through ONE scoring-ladder pass with nothing stored.
+    * CorpusPolicySpec row-compares the stored path against this (the
+    * StoredPairsSpec merge≡recompute pattern); it is not a registry
+    * entry.
+    */
+  private[graft] def bucketDriftScratch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import CurationQueries.Snapshots
     val docs = Tables.documents(spark, dir)
@@ -1521,18 +1621,10 @@ object AnalysisQueries {
         Snapshots.textB.as("text"), col("source"))
     val all = a.unionByName(b)
     val model = a.where(HashOps.charHash(col("text")) % 2 === 0)
-    val scored = TextAnalysisOps.crossSurprisal(model, all, idCol = "skey")
-      .select(col("skey"), col("n_bigrams"), col("sum_surprisal"))
-    // persisted: A's rows feed the cut derivation, all rows the bucketing
-    val means = graft.CacheScope.persist(scored
-      .join(all.select(col("skey"), col("source")), "skey")
-      .select(col("skey"), (col("skey") % 2).as("snap"), col("source"),
-        when(col("n_bigrams") > 0,
-          expr("(1000000 * sum_surprisal) div n_bigrams"))
-          .otherwise(lit(0L)).as("mean_micro")))
-    // the cuts come from snapshot A ONLY (the stored reference); the
-    // LEFT join + assignBucket's NULL branch keep B-only sources in the
-    // report with maximal drift instead of dropping them
+    val means = graft.CacheScope.persist(
+      surprisalMeans(TextAnalysisOps.bigramModel(model), all, idCol = "skey")
+        .select(col("skey"), (col("skey") % 2).as("snap"), col("source"),
+          col("mean_micro")))
     val cuts = tercileCuts(means.where(col("snap") === 0)
       .select(col("source"), col("mean_micro")))
     val bucketed = assignBucket(

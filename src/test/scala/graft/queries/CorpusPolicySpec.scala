@@ -190,6 +190,17 @@ class CorpusPolicySpec extends SparkSpec {
     assert(out.exists(_.getLong(5) > 0), "no drift measured anywhere")
   }
 
+  test("q172b: the stored-artifact path equals the fused from-scratch recompute") {
+    // merge ≡ recompute, the StoredPairsSpec pattern: the live path reads
+    // the stored model/cuts/A-shares and scores ONLY snapshot B; the
+    // scratch twin re-derives everything in one fused-key ladder pass
+    val stored = AnalysisQueries.q172bBucketDrift(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+    val scratch = AnalysisQueries.bucketDriftScratch(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+    assert(stored === scratch)
+  }
+
   test("q175: the datasheet is one row per source and restates its verified parts") {
     val out = CurationQueries.q175ReleaseAudit(spark, dir).collect()
     val weights = AnalysisQueries.q146MixtureWeights(spark, dir).collect()
