@@ -2229,7 +2229,10 @@ object CurationQueries {
   // size, the quality pass rate and shingle uniqueness behind the static
   // mixture weight (q146), the fluency mix (q172's head/tail shares — is
   // this source mostly reference-like or mostly tail noise), the
-  // excess-loss signal and the MW-reweighted weight (q174). Composition
+  // excess-loss signal and the MW-reweighted weight (q174), and the
+  // stored-cut drift verdict (q172b: is this source's fluency profile
+  // still the one the cuts were carved on, or does it demand a recut
+  // before the next release). Composition
   // query over hash-verified parts, the q157/q165 pattern: every number
   // is independently verified upstream, the oracle nests the published
   // SQLs verbatim so the datasheet can never drift from what q146/q172/
@@ -2244,6 +2247,8 @@ object CurationQueries {
       .where(col("iter") === MwIters)
       .select(col("source"), col("excess_norm"), col("weight_permille")
         .as("mw_weight_permille"))
+    val drift = AnalysisQueries.q172bBucketDrift(spark, dir)
+      .select(col("source"), col("drift_permille"), col("recut"))
     AnalysisQueries.q146MixtureWeights(spark, dir)
       .select(col("source"), col("docs"), col("pass_permille"),
         col("unique_permille"), col("weight_permille")
@@ -2251,11 +2256,13 @@ object CurationQueries {
       .join(broadcast(share("head", "head_share_permille")), Seq("source"), "left")
       .join(broadcast(share("tail", "tail_share_permille")), Seq("source"), "left")
       .join(broadcast(w), Seq("source"))
+      .join(broadcast(drift), Seq("source"))
       .select(col("source"), col("docs"), col("pass_permille"),
         col("unique_permille"), col("static_weight_permille"),
         coalesce(col("head_share_permille"), lit(0L)).as("head_share_permille"),
         coalesce(col("tail_share_permille"), lit(0L)).as("tail_share_permille"),
-        col("excess_norm"), col("mw_weight_permille"))
+        col("excess_norm"), col("mw_weight_permille"),
+        col("drift_permille"), col("recut"))
       .orderBy("source")
   }
 
@@ -2267,6 +2274,8 @@ object CurationQueries {
       FROM b WHERE tier = 'tail'),
     mw AS (SELECT source, excess_norm, weight_permille AS mw_weight_permille
       FROM ($q174Sql) WHERE iter = $MwIters),
+    dr AS (SELECT source, drift_permille, recut
+      FROM (${AnalysisQueries.q172bSql})),
     sq AS (SELECT source, docs, pass_permille, unique_permille,
       weight_permille AS static_weight_permille
       FROM (${AnalysisQueries.q146Sql}))
@@ -2274,11 +2283,13 @@ object CurationQueries {
       sq.static_weight_permille,
       coalesce(hd.head_share_permille, 0) AS head_share_permille,
       coalesce(tl.tail_share_permille, 0) AS tail_share_permille,
-      mw.excess_norm, mw.mw_weight_permille
+      mw.excess_norm, mw.mw_weight_permille,
+      dr.drift_permille, dr.recut
     FROM sq
     LEFT JOIN hd ON sq.source = hd.source
     LEFT JOIN tl ON sq.source = tl.source
     JOIN mw ON sq.source = mw.source
+    JOIN dr ON sq.source = dr.source
     ORDER BY sq.source"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

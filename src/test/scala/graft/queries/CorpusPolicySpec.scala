@@ -209,11 +209,15 @@ class CorpusPolicySpec extends SparkSpec {
     val mwFinal = CurationQueries.q174DomainReweight(spark, dir)
       .where(col("iter") === CurationQueries.MwIters).collect()
       .map(r => r.getString(1) -> r.getLong(3)).toMap
+    val driftRows = AnalysisQueries.q172bBucketDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(5), r.getBoolean(6))).toMap
     out.foreach { r =>
       val src = r.getString(0)
       assert(r.getLong(1) === weights(src)._1, "docs restates q146")
       assert(r.getLong(4) === weights(src)._2, "static weight restates q146")
       assert(r.getLong(8) === mwFinal(src), "MW weight restates q174's last iter")
+      assert((r.getLong(9), r.getBoolean(10)) === driftRows(src),
+        "drift verdict restates q172b")
       val (head, tail) = (r.getLong(5), r.getLong(6))
       assert(head >= 0 && tail >= 0 && head + tail <= 1000,
         "tercile shares leave room for the middle")
