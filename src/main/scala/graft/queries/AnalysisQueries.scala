@@ -486,7 +486,7 @@ object AnalysisQueries {
     */
   def evictAll(): Unit = {
     trainedCache.clear(); unigramCache.clear(); wpCache.clear()
-    mixtureCache.clear(); bucketsCache.clear()
+    mixtureCache.clear(); bucketsCache.clear(); driftCache.clear()
   }
 
   def q87BpeTrain(spark: SparkSession, dir: String): DataFrame =
@@ -1584,7 +1584,36 @@ object AnalysisQueries {
       sum(when(col("bucket") === 3, col("share")).otherwise(0L))
         .as(s"tail_${side}_permille"))
 
+  /** Session memo for the drift report: q172b emits it and q175's
+    * datasheet restates its verdict; S collected rows, the mixtureCache
+    * bound. [[evictAll]] clears it for the cold pass (the stored
+    * artifacts deliberately survive — they are the warehouse).
+    */
+  private val driftCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[org.apache.spark.sql.Row]]()
+
+  private val DriftSchema = org.apache.spark.sql.types.StructType(
+    Seq("source" -> org.apache.spark.sql.types.StringType,
+      "head_a_permille" -> org.apache.spark.sql.types.LongType,
+      "tail_a_permille" -> org.apache.spark.sql.types.LongType,
+      "head_b_permille" -> org.apache.spark.sql.types.LongType,
+      "tail_b_permille" -> org.apache.spark.sql.types.LongType,
+      "drift_permille" -> org.apache.spark.sql.types.LongType,
+      "recut" -> org.apache.spark.sql.types.BooleanType
+    ).map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t, nullable = true) })
+
   def q172bBucketDrift(spark: SparkSession, dir: String): DataFrame = {
+    driftCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    val rows = driftCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir),
+      { case (_, d) => bucketDriftLive(spark, d).collect().toSeq })
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), DriftSchema)
+      .orderBy("source")
+  }
+
+  private def bucketDriftLive(spark: SparkSession, dir: String): DataFrame = {
     import CurationQueries.Snapshots
     val b = Tables.documents(spark, dir).where(Snapshots.inB)
       .select(col("doc_id"), col("source"), Snapshots.textB.as("text"))
