@@ -171,10 +171,13 @@ object SimilarityOps {
     * (`vec_id % evalEveryNth == 0`, the q53/q73 bench-split convention
     * lifted to the embedding table), the single nearest TRAINING vector
     * by exact cosine, ties to the smaller train id. The broadcast side is
-    * the EVAL set — the small side by construction: eval benches are
-    * fixed-size while the training corpus grows, so the 100 TB train side
-    * streams map-side with no shuffle, exactly [[bruteForceTopK]]'s
-    * shape. The audit only needs "is max-cos ≥ θ", so at scales where
+    * the EVAL set — small RELATIVE to train under this fixture's modulo
+    * carve (~1/evalEveryNth of the same table, so it grows with the
+    * corpus, unlike a true fixed eval bench); a production audit passes
+    * a genuinely fixed eval-set relation instead (the [[leakEvidence]]
+    * contract), which restores a constant-size broadcast while the
+    * train side streams map-side with no shuffle, exactly
+    * [[bruteForceTopK]]'s shape. The audit only needs "is max-cos ≥ θ", so at scales where
     * even one exact pass per eval vector is too hot, the q28 banded-LSH
     * machinery answers the thresholded question with candidates bounded
     * by collision density; this exact form is the oracle-checkable tier
@@ -250,14 +253,25 @@ object SimilarityOps {
     * enrichByInterval precedent; parity in StreamingParitySpec).
     * Per-band evidence is the contract (a `distinct` would be a stateful
     * streaming aggregation); band multiplicity is collision strength.
+    *
+    * Only the INCOMING side carries its embedding through the band
+    * explode (that side must stay stateless — there is no joining back
+    * into a stream). The static eval side broadcasts two small relations
+    * instead of one fat one: `(eval_id, band, key)` for the collision
+    * join plus `(eval_id, e_emb)` joined back AFTER it by eval_id —
+    * carrying the eval embedding through its own banding would replicate
+    * every eval vector once per band inside the broadcast (bands× the
+    * bytes for zero information; r12 ADVICE). Both joins are
+    * broadcast-static, so the streaming twin stays append-mode legal.
     */
   def leakEvidence(incoming: DataFrame, evalVecs: DataFrame, bits: Int,
                    bands: Int, minMicro: Long): DataFrame = {
-    def banded(df: DataFrame, idName: String, embName: String) =
-      bandedKeys(prepared(df), bits, bands, idName, Some(embName))
-    val ev = broadcast(banded(evalVecs, "eval_id", "e_emb"))
-    banded(incoming, "vec_id", "i_emb")
+    val ev = broadcast(bandedKeys(prepared(evalVecs), bits, bands, "eval_id"))
+    val evEmb = broadcast(prepared(evalVecs)
+      .select(col("vec_id").as("eval_id"), col("emb").as("e_emb")))
+    bandedKeys(prepared(incoming), bits, bands, "vec_id", Some("i_emb"))
       .join(ev, Seq("band", "key"))
+      .join(evEmb, Seq("eval_id"))
       .select(col("vec_id"), col("eval_id"), col("band"),
         cosineMicro(col("i_emb"), col("e_emb")).as("cos_micro"))
       .where(col("cos_micro") >= minMicro)

@@ -578,6 +578,77 @@ object TextAnalysisOps {
         (coalesce(col("score"), lit(0L)) >= 0).as("quality_label"))
   }
 
+  /** `(id, toks, good)` — every document with its token array and the
+    * q21 battery verdict as a boolean label. The SUPERVISION relation of
+    * the in-engine classifier trainers ([[nbTrainedWeights]], the q178
+    * perceptron): the published curation practice trains the cheap
+    * deployed classifier on labels from an expensive/heuristic source
+    * (rule batteries, a reference corpus), and the battery is this
+    * engine's own oracled label source (q21/q67/q155). One narrow pass,
+    * no shuffle.
+    */
+  def batteryLabeled(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val staged = docs.select(col(idCol), col(textCol).as("text"),
+      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
+    staged
+      .select((Seq(col(idCol), col("toks")) ++
+        qualityColumns(col("text"), col("toks"))): _*)
+      .select(col(idCol), col("toks"), qualityPass.as("good"))
+  }
+
+  /** TRAIN the [[qualityClassify]] weight table in-engine — closing the
+    * r12 gap where q65/q168 scored under fixed surrogate weights but
+    * nothing learned weights from labeled data. Multinomial Naive Bayes
+    * over the SAME hashed-unigram feature space q65 scores with
+    * (charHash % [[ClassifierBuckets]]), supervised by the battery
+    * labels ([[batteryLabeled]]): per bucket, count token instances in
+    * good vs bad documents, and the weight is the Laplace-smoothed
+    * log-odds quantized to the engine's integer floor-log2 convention
+    * (the q70 `sum_log2_ctf` / surprisal quantization — binary-string
+    * length, no libm):
+    *
+    *   weight(b) = ⌊log2(n_good_b + 1)⌋ − ⌊log2(n_bad_b + 1)⌋
+    *             − ⌊log2(T_good + D)⌋ + ⌊log2(T_bad + D)⌋
+    *
+    * with T_* the class token-instance masses and D = ClassifierBuckets
+    * the smoothing denominator's bucket count. NB training is pure
+    * counting — ONE feature aggregation (bucket-keyed, D-bounded) plus a
+    * 1-row totals broadcast — so unlike the iterative trainers (q87's
+    * BPE loop, the q178 perceptron) the whole train is dataflow, stays
+    * in the engine at any corpus size, and hash-verifies end-to-end
+    * against a SQL oracle. The class prior is deliberately NOT folded
+    * into the per-feature weights (it is per-document, not per-feature);
+    * consumers wanting MAP scoring add ⌊log2 n_good_docs⌋ −
+    * ⌊log2 n_bad_docs⌋ once per doc — the fixture registry publishes
+    * likelihood-odds scores, the q65 contract.
+    *
+    * Output `(bucket, n_good, n_bad, weight)` for every bucket with any
+    * training mass — `(bucket, weight)` is drop-in for
+    * [[qualityClassify]]'s weight relation (model-as-data, exactly the
+    * swap its scaladoc promises).
+    */
+  def nbTrainedWeights(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val inst = batteryLabeled(docs, idCol, textCol)
+      .select(col("good"), explode(col("toks")).as("tok"))
+      .select(col("good"),
+        (HashOps.charHash(col("tok")) % ClassifierBuckets).as("bucket"))
+    val counts = inst.groupBy(col("bucket"))
+      .agg(sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(!col("good"), 1L).otherwise(0L)).as("n_bad"))
+    val totals = broadcast(counts.agg(
+      sum(col("n_good")).as("tg"), sum(col("n_bad")).as("tb")))
+    // floor(log2 x) = length(binary string) - 1; the four -1s cancel in
+    // the two differences, so raw lengths are exact here
+    def l2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
+    counts.crossJoin(totals)
+      .select(col("bucket"), col("n_good"), col("n_bad"),
+        (l2len(col("n_good") + 1L) - l2len(col("n_bad") + 1L)
+          - l2len(col("tg") + lit(ClassifierBuckets))
+          + l2len(col("tb") + lit(ClassifierBuckets))).as("weight"))
+  }
+
   /** Context-window chunking: each document cut into token windows of
     * `size` starting every `stride` tokens (windows overlap by
     * `size - stride`; tail windows may be partial). The doc →
@@ -629,6 +700,16 @@ object TextAnalysisOps {
     * derived array is staged in its own projection (the q06
     * lambda-duplication lesson). Docs with no kept sentence emit nothing.
     * Output: `(id, chunk_id, n_sentences, n_tokens, chunk_text)`.
+    *
+    * CPU note (r12 ADVICE): each fold step rebuilds the accumulator's
+    * arrays (slice+concat, plus the growing last-chunk text concat), so
+    * per-doc cost is O(S²) in kept-sentence count — row-local and
+    * shuffle-free, irrelevant at fixture sentence counts (≤ tens per
+    * doc), but hot on book-length documents. The scale escape is to fold
+    * only chunk-BOUNDARY indices (an O(S) accumulator of ints) and
+    * materialize each chunk's text in a second slice/array_join pass —
+    * same semantics, adopted if a corpus with thousand-sentence docs
+    * ever lands here.
     */
   def sentenceChunks(docs: DataFrame, targetTokens: Int,
                      idCol: String = "doc_id",

@@ -169,7 +169,12 @@ object StoredRelations {
     *     mid-write),
     *   - artifact dirs with no fingerprint marker or no _SUCCESS (torn
     *     writes — `isValid` already refuses them, this reclaims the
-    *     bytes).
+    *     bytes),
+    *   - legacy-keyed artifact dirs from before the SHA-256 path keying
+    *     (r12 verdict #3): their suffix is `Integer.toHexString(…)` of a
+    *     32-bit hashCode — 1-8 hex chars, while every current key is
+    *     exactly 16 — so `artifactPath` can never resolve to them again
+    *     and they leak disk forever however valid their marker looks.
     *
     * Deliberately does NOT age out valid artifacts: validity is
     * fingerprint-checked on every read, so a "stale" artifact is dropped
@@ -196,7 +201,14 @@ object StoredRelations {
             val torn =
               !java.nio.file.Files.exists(d.toPath.resolve(MarkerFile)) ||
                 !java.nio.file.Files.exists(d.toPath.resolve("_SUCCESS"))
-            if (torn) Some("torn write (no marker/_SUCCESS)") else None
+            // current keys are exactly 16 lowercase hex chars (8-byte
+            // SHA-256 prefix); a shorter hex suffix is the pre-r11
+            // hashCode keying — unreachable by any current read path
+            val legacyKey = "-([0-9a-f]{1,15})$".r
+              .findFirstMatchIn(name).isDefined
+            if (torn) Some("torn write (no marker/_SUCCESS)")
+            else if (legacyKey) Some("legacy pre-SHA keyed artifact")
+            else None
         }
         reason.map { r => rm(d); (d.getPath, r) }
       }

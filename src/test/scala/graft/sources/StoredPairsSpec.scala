@@ -182,4 +182,30 @@ class StoredPairsSpec extends SparkSpec {
     } finally { liveTmp.delete(); () }
     java.nio.file.Files.delete(in)
   }
+
+  test("gc reclaims legacy pre-SHA keyed artifacts, even fully valid ones") {
+    import sqlImplicits._
+    val in = java.nio.file.Files.createTempFile("graft-gc-legacy", ".txt")
+    java.nio.file.Files.writeString(in, "v1")
+    val name = s"gclegacy_${System.nanoTime}"
+    StoredRelations.readOrBuild(spark, name, Seq(in.toString), "1")(
+      Seq((1L, "a")).toDF("id", "v"))
+    val storedRoot = new java.io.File(graft.Scratch.dir("stored"))
+    val valid = storedRoot.listFiles().filter(_.getName.startsWith(name)).head
+    // plant a legacy hashCode-keyed artifact (1-8 hex chars, here 7) that
+    // LOOKS valid — marker and _SUCCESS both present — but is unreachable
+    // by the SHA-256 artifactPath and would leak disk forever
+    val legacy = new java.io.File(storedRoot, s"$name-1a2b3c4")
+    assert(legacy.mkdirs())
+    java.nio.file.Files.writeString(
+      legacy.toPath.resolve("_graft_fingerprint"), "v=1|whatever")
+    java.nio.file.Files.writeString(legacy.toPath.resolve("_SUCCESS"), "")
+    val swept = StoredRelations.gc()
+    val byPath = swept.toMap
+    assert(byPath.get(legacy.getPath).contains("legacy pre-SHA keyed artifact"),
+      s"legacy artifact not swept with the right reason: $swept")
+    assert(!byPath.contains(valid.getPath), "current-keyed valid artifact swept")
+    assert(valid.exists && !legacy.exists)
+    java.nio.file.Files.delete(in)
+  }
 }
