@@ -66,7 +66,11 @@ object Census {
     "q162b_length_quantiles_approx" -> ("Greenwald-Khanna sketch (approximate by construction)",
       "MedianNarrowingSpec: every source/percentile within the published n/accuracy rank-error window of the exact q162 selection"),
     "q167_index_rebuild" -> ("rebuild execution over KMeans-retrained trees",
-      "IndexRebuildSpec: rebuilt tree ≡ from-scratch build on base ∪ delta; probe over the swapped store ≡ fresh in-memory probe; keep leaves the store byte-identical; crash-planted staging/park states recover"))
+      "IndexRebuildSpec: rebuilt tree ≡ from-scratch build on base ∪ delta; probe over the swapped store ≡ fresh in-memory probe; keep leaves the store byte-identical; crash-planted staging/park states recover"),
+    "q178_perceptron_train" -> ("averaged-perceptron training (sequential updates — each step's prediction depends on all prior updates, the q87 argument)",
+      "ClassifierTrainSpec: independent step-by-step replay equality; bit-determinism across runs; learns a designed separable problem the surrogate cannot"),
+    "q178b_perceptron_eval" -> ("promotion row under the q178 runtime-trained table",
+      "ClassifierTrainSpec: trained accuracy beats the fixed surrogate on the fixture; row restates oracled battery labels (q21 family)"))
 
   def renderTable(): String = {
     val all = SparkEntry.queries.keySet

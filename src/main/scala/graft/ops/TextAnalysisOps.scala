@@ -531,6 +531,20 @@ object TextAnalysisOps {
   /** Feature-hash dimensionality of the linear quality classifier. */
   val ClassifierBuckets = 4096L
 
+  /** Feature-hash dimensionality of the TRAINED classifier tier
+    * (q177/q178). Wider than [[ClassifierBuckets]] deliberately: at 4096
+    * buckets the fixture's vocabulary packs ~5 distinct tokens per
+    * bucket, mixing languages inside single counters, and the floor-log2
+    * weight quantization then erases the diluted per-bucket odds
+    * (measured: NB accuracy collapsed to the 386‰ base rate). At 2^15
+    * collisions are rare for the fixture vocabulary and the published
+    * practice is the same dial (fastText defaults to 2M bins for exactly
+    * this reason). The fixed-surrogate tier keeps 4096 — its weights are
+    * arbitrary, so collisions cost it nothing, and its oracles embed the
+    * 4096-row VALUES table.
+    */
+  val TrainedBuckets = 1L << 15
+
   /** The classifier's weight RELATION: bucket → integer weight. This
     * surrogate (`(bucket % 17) - 8`, zero-mean over the bucket space)
     * stands in for learned fasttext-style parameters — swap in a real
@@ -556,7 +570,8 @@ object TextAnalysisOps {
     */
   def qualityClassify(docs: DataFrame, weights: DataFrame,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      buckets: Long = ClassifierBuckets): DataFrame = {
     val staged = docs.select(col(idCol),
       TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
     // LEFT join, not inner: a real (sparse) weight table stores only
@@ -565,7 +580,7 @@ object TextAnalysisOps {
     val scored = staged
       .select(col(idCol), explode(col("toks")).as("tok"))
       .select(col(idCol),
-        (HashOps.charHash(col("tok")) % ClassifierBuckets).as("bucket"))
+        (HashOps.charHash(col("tok")) % buckets).as("bucket"))
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(sum(coalesce(col("weight"), lit(0L))).as("score"),
@@ -597,13 +612,38 @@ object TextAnalysisOps {
       .select(col(idCol), col("toks"), qualityPass.as("good"))
   }
 
+  /** `(id, toks, good)` under REFERENCE-CORPUS membership supervision:
+    * `good` = the document's `lang` equals the target — the
+    * WebText/CCNet discriminator shape, where "quality" is operationally
+    * "looks like the curated in-domain corpus" and the cheap linear
+    * model is trained to reproduce that membership. This is the registry
+    * trainers' supervision (q177/q178): the battery label
+    * ([[batteryLabeled]]) is a degenerate one-class problem on the
+    * fixture (all 500 docs pass the q21 gate — measured, sf0.001 and
+    * sf0.01), while the language carve at least has two-class 193/307
+    * structure. Fixture honesty (measured): the five languages draw
+    * from ONE shared 31-word vocabulary, so even a full-vocabulary
+    * float-NB fit caps at 0.594 on this label — the registry rows
+    * demonstrate the exact-verified plumbing at near-base-rate
+    * accuracy, and ClassifierTrainSpec's designed corpora carry the
+    * learning proof where signal exists.
+    */
+  def langLabeled(docs: DataFrame, targetLang: String,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"),
+      (col("lang") === targetLang).as("good"))
+
   /** TRAIN the [[qualityClassify]] weight table in-engine — closing the
     * r12 gap where q65/q168 scored under fixed surrogate weights but
     * nothing learned weights from labeled data. Multinomial Naive Bayes
     * over the SAME hashed-unigram feature space q65 scores with
-    * (charHash % [[ClassifierBuckets]]), supervised by the battery
-    * labels ([[batteryLabeled]]): per bucket, count token instances in
-    * good vs bad documents, and the weight is the Laplace-smoothed
+    * (charHash % [[ClassifierBuckets]]), supervised by any
+    * `(toks, good)`-shaped labeled relation ([[batteryLabeled]],
+    * [[langLabeled]], or a curated set): per bucket, count token
+    * instances in good vs bad documents, and the weight is the
+    * Laplace-smoothed
     * log-odds quantized to the engine's integer floor-log2 convention
     * (the q70 `sum_log2_ctf` / surprisal quantization — binary-string
     * length, no libm):
@@ -611,8 +651,8 @@ object TextAnalysisOps {
     *   weight(b) = ⌊log2(n_good_b + 1)⌋ − ⌊log2(n_bad_b + 1)⌋
     *             − ⌊log2(T_good + D)⌋ + ⌊log2(T_bad + D)⌋
     *
-    * with T_* the class token-instance masses and D = ClassifierBuckets
-    * the smoothing denominator's bucket count. NB training is pure
+    * with T_* the class token-instance masses and D = `buckets` (default
+    * [[TrainedBuckets]]) the smoothing denominator's bucket count. NB training is pure
     * counting — ONE feature aggregation (bucket-keyed, D-bounded) plus a
     * 1-row totals broadcast — so unlike the iterative trainers (q87's
     * BPE loop, the q178 perceptron) the whole train is dataflow, stays
@@ -628,12 +668,12 @@ object TextAnalysisOps {
     * [[qualityClassify]]'s weight relation (model-as-data, exactly the
     * swap its scaladoc promises).
     */
-  def nbTrainedWeights(docs: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    val inst = batteryLabeled(docs, idCol, textCol)
+  def nbTrainedWeights(labeled: DataFrame,
+                       buckets: Long = TrainedBuckets): DataFrame = {
+    val inst = labeled
       .select(col("good"), explode(col("toks")).as("tok"))
       .select(col("good"),
-        (HashOps.charHash(col("tok")) % ClassifierBuckets).as("bucket"))
+        (HashOps.charHash(col("tok")) % buckets).as("bucket"))
     val counts = inst.groupBy(col("bucket"))
       .agg(sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
         sum(when(!col("good"), 1L).otherwise(0L)).as("n_bad"))
@@ -645,8 +685,8 @@ object TextAnalysisOps {
     counts.crossJoin(totals)
       .select(col("bucket"), col("n_good"), col("n_bad"),
         (l2len(col("n_good") + 1L) - l2len(col("n_bad") + 1L)
-          - l2len(col("tg") + lit(ClassifierBuckets))
-          + l2len(col("tb") + lit(ClassifierBuckets))).as("weight"))
+          - l2len(col("tg") + lit(buckets))
+          + l2len(col("tb") + lit(buckets))).as("weight"))
   }
 
   /** Context-window chunking: each document cut into token windows of

@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gates for the in-engine quality-classifier trainers (q177 NB /
+  * q178 perceptron):
+  *
+  *   - the NB weights equal hand-computed floor-log2 odds on a designed
+  *     corpus (the SQL oracle carries the fixture-scale proof; this is
+  *     the semantics unit),
+  *   - the perceptron equals an independent step-by-step replay
+  *     (separate update code path, shared constants only — the
+  *     BpeTrainSpec golden pattern) and is bit-deterministic,
+  *   - training BEATS the fixed surrogate on a designed separable
+  *     problem — the property that makes q178b's promotion row
+  *     meaningful rather than decorative.
+  */
+class ClassifierTrainSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import sqlImplicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // a battery-passing sentence: >=5 tokens, high TTR, low stopword/punct
+  private val goodText = "quick brown foxes jump over seven lazy dogs daily"
+  // battery-failing: too few tokens
+  private val badText = "spam spam"
+
+  test("NB weights match hand-computed floor-log2 odds on a designed corpus") {
+    // 2 good docs, 1 bad doc; token 'alpha' only in good, 'zzz' only in bad
+    val docs = docsDf(Seq(
+      (1L, goodText + " alpha alpha"),
+      (2L, goodText + " alpha beta"),
+      (3L, badText)))
+    val labeled = TextAnalysisOps.batteryLabeled(docs)
+      .select("doc_id", "good").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(labeled == Map(1L -> true, 2L -> true, 3L -> false))
+    val w = TextAnalysisOps.nbTrainedWeights(
+      TextAnalysisOps.batteryLabeled(docs)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // hand-compute: good instances = 11 + 11 = 22 tokens, bad = 2
+    def l2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val d = TextAnalysisOps.TrainedBuckets
+    val (tg, tb) = (22L, 2L)
+    val shift = -l2(tg + d) + l2(tb + d)
+    def expected(g: Long, b: Long): Long = l2(g + 1) - l2(b + 1) + shift
+    val alphaBucket = docs.sparkSession.range(1)
+      .select((HashOps.charHash(lit("alpha")) % d).as("b"))
+      .head().getLong(0)
+    val spamBucket = docs.sparkSession.range(1)
+      .select((HashOps.charHash(lit("spam")) % d).as("b"))
+      .head().getLong(0)
+    // 'alpha': 3 good instances, 0 bad; 'spam': 0 good, 2 bad
+    assert(w(alphaBucket) == ((3L, 0L, expected(3L, 0L))))
+    assert(w(spamBucket) == ((0L, 2L, expected(0L, 2L))))
+    // every weight row restates its own counts through the same formula
+    w.foreach { case (_, (g, b, wt)) => assert(wt == expected(g, b)) }
+  }
+
+  /** Independent replay of the averaged-perceptron contract: predict on
+    * running weights, update on margin violation, publish the lazy
+    * average u. Plain Map arithmetic — no shared code with the op's
+    * Array loop.
+    */
+  private def replay(examples: Seq[(Long, Boolean, Seq[Long])],
+                     epochs: Int): Map[Long, Long] = {
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    var u = Map.empty[Long, Long].withDefaultValue(0L)
+    val total = examples.size.toLong * epochs
+    var step = 0L
+    (1 to epochs).foreach { _ =>
+      examples.foreach { case (_, good, feats) =>
+        val y = if (good) 1L else -1L
+        val s = feats.map(w).sum
+        if (y * s <= 0L) {
+          feats.foreach { b =>
+            w = w.updated(b, w(b) + y)
+            u = u.updated(b, u(b) + y * (total - step))
+          }
+        }
+        step += 1L
+      }
+    }
+    u.filter(_._2 != 0L)
+  }
+
+  test("perceptron equals an independent replay and is bit-deterministic") {
+    val examples = Seq(
+      (1L, true, Seq(7L, 7L, 12L)),
+      (2L, false, Seq(12L, 99L)),
+      (3L, true, Seq(7L, 3L)),
+      (4L, false, Seq(99L, 99L, 3L)))
+    val trained = ClassifierTrainOps.trainLocal(examples, epochs = 3, buckets = 128)
+    assert(trained.toMap == replay(examples, 3))
+    assert(trained == ClassifierTrainOps.trainLocal(examples, epochs = 3, buckets = 128))
+  }
+
+  test("perceptron learns a separable problem the fixed surrogate cannot") {
+    // 24 docs: good ones share goodText's vocabulary, bad ones are spammy
+    // few-token docs; the battery labels them, the perceptron must FIT
+    // them (train accuracy), and the arbitrary fixed surrogate must not
+    // be competitive
+    val docs = docsDf((0 until 24).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, s"$goodText variant$i brings number$i extra words")
+      else (i.toLong, s"junk$i junk$i")
+    })
+    val trainedW = ClassifierTrainOps.train(spark,
+      TextAnalysisOps.batteryLabeled(docs))
+    val labels = TextAnalysisOps.batteryLabeled(docs).select("doc_id", "good")
+    def accuracy(weights: org.apache.spark.sql.DataFrame,
+                 buckets: Long): Long = {
+      val scored = TextAnalysisOps.qualityClassify(docs, weights,
+        buckets = buckets)
+        .select(col("doc_id"), col("quality_label"))
+      labels.join(scored, "doc_id")
+        .agg(sum(when(col("quality_label") === col("good"), 1L).otherwise(0L)))
+        .head().getLong(0)
+    }
+    val accTrained = accuracy(trainedW, TextAnalysisOps.TrainedBuckets)
+    val accFixed = accuracy(TextAnalysisOps.classifierWeights(spark),
+      TextAnalysisOps.ClassifierBuckets)
+    assert(accTrained == 24L,
+      s"perceptron failed to fit a separable training set: $accTrained/24")
+    assert(accTrained > accFixed,
+      s"trained ($accTrained) must beat the surrogate ($accFixed)")
+  }
+
+  test("fixture in-domain supervision is two-class and both trainers beat the surrogate") {
+    // The CEILING here is low by MEASURED fixture construction: the five
+    // languages draw from one shared 31-word vocabulary, so a
+    // full-vocabulary float NB fit-capacity probe reaches only 0.594 on
+    // the lang label (and no better on source/length labels). The
+    // registry rows therefore demonstrate the exact-verified train→score
+    // plumbing at near-base-rate accuracy; LEARNING is proven by the
+    // designed-corpus tests above where signal exists. Floors assert the
+    // mechanical contract: two-class supervision, no collapse below the
+    // majority-class floor, and both trainers above the arbitrary
+    // surrogate.
+    val dir = "/root/testdata/sf0.001"
+    val nb = graft.queries.AnalysisQueries.q177cNbEval(spark, dir).head()
+    val pc = graft.queries.AnalysisQueries.q178bPerceptronEval(spark, dir).head()
+    val (nDocs, nGood) = (nb.getLong(0), nb.getLong(1))
+    assert(nGood > 0 && nGood < nDocs,
+      s"in-domain label is one-class on the fixture: $nGood/$nDocs")
+    val accNb = nb.getLong(2)
+    val accPc = pc.getLong(2)
+    val accFixed = nb.getLong(3)
+    assert(accNb > accFixed && accPc > accFixed,
+      s"trained (nb=$accNb, perceptron=$accPc) must beat the surrogate ($accFixed)")
+    val majority = math.max(nGood, nDocs - nGood) * 1000L / nDocs
+    assert(accNb >= majority - 20 && accPc >= majority - 20,
+      s"trained classifiers collapsed below the majority floor $majority " +
+        s"(nb=$accNb, perceptron=$accPc permille)")
+  }
+
+  test("training examples are bounded and deterministically ordered") {
+    val docs = docsDf((0 until 10).map(i => (i.toLong, goodText + s" t$i")))
+    val ex = ClassifierTrainOps.trainingExamples(
+      TextAnalysisOps.batteryLabeled(docs), maxDocs = 4, maxToks = 3)
+      .collect()
+    assert(ex.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(ex.forall(_.getSeq[Long](2).size <= 3))
+  }
+}
