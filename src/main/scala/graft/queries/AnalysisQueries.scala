@@ -2937,6 +2937,20 @@ object AnalysisQueries {
     FROM c, tot WHERE c.cnt > tot.n // 500
     ORDER BY cnt DESC, token"""
 
+  // --- q179: q99 executed THROUGH the streaming path -----------------------
+  // The first registry query whose execution runs a real Structured
+  // Streaming job inside the correctness gate (r12 verdict item 2): the
+  // corpus is staged into 4 deterministic chunk files, file-replayed one
+  // per trigger through StreamingOps.heavyHitterStream (per-batch MG
+  // summaries into the durable store), and the merged candidates get
+  // q99's exact verify pass — output exact and chunk-order-independent,
+  // so q99's batch oracle SQL verifies the streaming execution
+  // hash-exactly. Same capacity/den dials as q99.
+  def q179StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.heavyHittersViaStream(spark,
+      s"$dir/documents.parquet", chunks = 4, capacity = 1024, den = 500L,
+      scratchName = s"stream_hh/${new java.io.File(dir).getName}")
+
   // --- q110: HTML text extraction ------------------------------------------
   // See TextAnalysisOps.htmlTextExtract. Each doc is wrapped into a REAL
   // deterministic HTML page (title + style in head; nav, h1 with an
@@ -3088,6 +3102,7 @@ object AnalysisQueries {
     "q131_c4_line_filter" -> (q131C4LineFilter _),
     "q100_blocklist" -> (q100Blocklist _),
     "q99_heavy_hitters" -> (q99HeavyHitters _),
+    "q179_stream_heavy_hitters" -> (q179StreamHeavyHitters _),
     "q99b_heavy_hitters_by_source" -> (q99bHeavyHittersBySource _),
     "q110_html_extract" -> (q110HtmlExtract _),
     "q118_more_like_this" -> (q118MoreLikeThis _),
@@ -3152,6 +3167,7 @@ object AnalysisQueries {
     "q100_blocklist" -> q100Sql,
     "q131_c4_line_filter" -> q131Sql,
     "q99_heavy_hitters" -> q99Sql,
+    "q179_stream_heavy_hitters" -> q99Sql,
     "q99b_heavy_hitters_by_source" -> q99bSql,
     "q110_html_extract" -> q110Sql,
     "q118_more_like_this" -> q118Sql,

@@ -819,6 +819,84 @@ object StreamingOps {
       spark.read.parquet(summaryPath).select("rep", "b", "z"))
   }
 
+  /** The q99 exact heavy hitters computed THROUGH the streaming path —
+    * the registry's driver-oracled streaming entry (r12 verdict item 2:
+    * every streaming twin was unit-gated only; this one runs a real
+    * [[heavyHitterStream]] execution inside the correctness gate).
+    *
+    * Body: the documents fixture is staged into `chunks` files by a
+    * deterministic doc_id mod split, replayed as a file stream one file
+    * per trigger through [[heavyHitterStream]] (per-batch MG summaries
+    * into the durable store), then the standing candidate set is derived
+    * by [[mergedHeavyHitterCandidates]] and q99's exact verify pass
+    * counts ONLY the broadcast candidates over the staged corpus. The
+    * OUTPUT is exact and chunk-order-INDEPENDENT — the MG mergeable-
+    * summaries guarantee makes the candidates a superset of the true
+    * heavy hitters under any file arrival order (capacity ≥ den - 1,
+    * checked by heavyHitters' rule), and the verify pass is plain batch
+    * counting — so the batch q99 oracle SQL verifies this streaming
+    * execution hash-exactly. Scratch state (input staging, summary
+    * store, checkpoint) is wiped per invocation: each run is a complete
+    * fresh ingest, which is the point of registering it.
+    *
+    * Scale shape: staging is one pass over the corpus; the stream ships
+    * ≤ capacity counters per batch; the verify joins the term stream to
+    * ≤ capacity broadcast candidates — q99's exact shape, just fed by
+    * the streaming store.
+    */
+  def heavyHittersViaStream(spark: SparkSession, docsPath: String,
+                            chunks: Int, capacity: Int, den: Long,
+                            scratchName: String): DataFrame = {
+    require(chunks > 0, "heavyHittersViaStream needs at least one chunk")
+    val base = graft.Scratch.dir(scratchName)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    def mustFs(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"heavyHittersViaStream: filesystem step failed: $what")
+    if (fs.exists(basePath)) mustFs(fs.delete(basePath, true), s"wipe $base")
+    val inputDir = s"$base/input"
+    mustFs(fs.mkdirs(new org.apache.hadoop.fs.Path(inputDir)),
+      s"mkdirs $inputDir")
+    val docs = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
+    (0 until chunks).foreach { k =>
+      val stage = s"$base/stage-$k"
+      docs.where(pmod(col("doc_id"), lit(chunks)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new java.io.IOException(
+          s"heavyHittersViaStream: no part file written under $stage"))
+      mustFs(fs.rename(part,
+        new org.apache.hadoop.fs.Path(s"$inputDir/chunk-$k.parquet")),
+        s"stage chunk $k")
+      mustFs(fs.delete(new org.apache.hadoop.fs.Path(stage), true),
+        s"drop staging $stage")
+    }
+    val schema = spark.read.parquet(inputDir).schema
+    val streamTerms = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inputDir)
+      .select(explode(graft.ops.TextOps.tokenize(
+        coalesce(col("text"), lit("")))).as("tok"))
+    val q = heavyHitterStream(streamTerms, capacity,
+      s"$base/summaries", s"$base/checkpoint")(_ => ())
+    try q.processAllAvailable() finally q.stop()
+    val cands = mergedHeavyHitterCandidates(spark, s"$base/summaries", capacity)
+    import spark.implicits._
+    val batchTerms = spark.read.parquet(inputDir)
+      .select(explode(graft.ops.TextOps.tokenize(
+        coalesce(col("text"), lit("")))).as("tok"))
+    val candDf = broadcast(cands.toDF("tok"))
+    val total = broadcast(batchTerms.agg(count(lit(1)).as("n")))
+    batchTerms.join(candDf, "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(total)
+      .where(col("cnt") > expr(s"n div $den"))
+      .select(col("tok").as("token"), col("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+  }
+
   /** Convenience: the events fixture schema as a file stream — the same
     * relation Tables.events yields, but incremental (one-file-per-trigger).
     *

@@ -401,6 +401,20 @@ class StreamingParitySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q179 streaming heavy hitters: the registered streaming execution " +
+      "is row-identical to the batch q99 relation") {
+    val viaStream = graft.queries.AnalysisQueries
+      .q179StreamHeavyHitters(spark, dir).collect().toSeq
+    val batch = graft.queries.AnalysisQueries
+      .q99HeavyHitters(spark, dir).collect().toSeq
+    assert(viaStream.nonEmpty, "streaming heavy hitters came back empty")
+    assert(viaStream == batch)
+    // re-running is a complete fresh ingest (scratch wiped) — same rows
+    val again = graft.queries.AnalysisQueries
+      .q179StreamHeavyHitters(spark, dir).collect().toSeq
+    assert(again == batch)
+  }
+
   test("q99 heavy-hitter stream: replayed corpus candidates cover every " +
       "exact heavy hitter (mergeable-summaries guarantee across batches)") {
     import graft.ops.TextOps
