@@ -487,14 +487,30 @@ object TextAnalysisOps {
   def moreLikeThis(docs: DataFrame, everyNth: Int, k: Int, tfCap: Int,
                    idfBoost: Int, dfCap: Long,
                    idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text"): DataFrame =
+    moreLikeThisFromPostings(
+      docs.agg(count(lit(1)).as("n_docs")),
+      graft.CacheScope.persist(docs
+        .select(col(idCol),
+          explode(TextOps.tokenize(lower(coalesce(col(textCol), lit(""))))).as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))),
+      everyNth, k, tfCap, idfBoost, dfCap, idCol)
+
+  /** [[moreLikeThis]] over an already-aggregated LOWERCASED postings
+    * relation `(id, term, tf)` plus the 1-row corpus count — the
+    * session-memo entry point (q118 shares the tokenized corpus; callers
+    * persist the postings, which the df aggregate and the weighting join
+    * both consume). Lowercased-postings note: deriving these from the
+    * shared `toks` memo as `lower(tok)` is exact because lowercasing
+    * never creates or removes whitespace, so
+    * `tokenize(lower(text)) == map(lower, tokenize(text))` —
+    * property-gated against the direct form in TextAnalysisSpec.
+    */
+  def moreLikeThisFromPostings(nDocs: DataFrame, postings: DataFrame,
+                               everyNth: Int, k: Int, tfCap: Int,
+                               idfBoost: Int, dfCap: Long,
+                               idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val postings0 = docs
-      .select(col(idCol),
-        explode(TextOps.tokenize(lower(coalesce(col(textCol), lit(""))))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val postings = graft.CacheScope.persist(postings0)
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     def log2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
     val weights = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
@@ -700,10 +716,18 @@ object TextAnalysisOps {
     */
   def contextChunks(docs: DataFrame, size: Int, stride: Int,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text"): DataFrame =
+    contextChunksOf(docs.select(col(idCol),
+      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks")),
+      size, stride, idCol)
+
+  /** [[contextChunks]] over an already-tokenized relation (`toks`
+    * staged) — the session-memo entry point (q119 carries the shared
+    * token arrays through its filter chain instead of re-tokenizing).
+    */
+  def contextChunksOf(staged: DataFrame, size: Int, stride: Int,
+                      idCol: String = "doc_id"): DataFrame = {
     require(size > 0 && stride > 0, "contextChunks needs positive size/stride")
-    val staged = docs.select(col(idCol),
-      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"))
     val starts = when(org.apache.spark.sql.functions.size(col("toks")) > 0,
       sequence(lit(0),
         org.apache.spark.sql.functions.size(col("toks")) - 1, lit(stride)))
@@ -1077,12 +1101,24 @@ object TextAnalysisOps {
     * scale documentation.
     */
   private def rarityProfile(docs: DataFrame, terms: DataFrame,
-                            idCol: String): DataFrame = {
+                            idCol: String): DataFrame =
     // persisted: BOTH the profile join's probe side and the vocabulary
     // aggregate consume the postings, and Catalyst never shares work
     // across join branches — unpersisted, the corpus tokenizes twice
-    val postings = graft.CacheScope.persist(
-      terms.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf")))
+    rarityProfileFromPostings(docs.select(col(idCol)),
+      graft.CacheScope.persist(
+        terms.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))),
+      idCol)
+
+  /** The rarity profile over an ALREADY-AGGREGATED postings relation
+    * `(id, tok, tf)` — the entry point for session-memoized postings
+    * (q70/q70b read the shared relation instead of re-tokenizing the
+    * corpus inside their own plans; callers persist the postings, since
+    * both the vocabulary aggregate and the profile join consume them).
+    */
+  private[graft] def rarityProfileFromPostings(ids: DataFrame,
+                                               postings: DataFrame,
+                                               idCol: String = "doc_id"): DataFrame = {
     val vocab = postings.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
     val log2Ctf = (length(conv(col("ctf"), 10, 2)) - 1).cast("long")
     val profile = postings.join(vocab, Seq("tok"))
@@ -1093,7 +1129,7 @@ object TextAnalysisOps {
         sum(when(col("ctf") <= RareMaxCtf, col("tf")).otherwise(0L)).as("n_rare"),
         min(col("ctf")).as("min_ctf"),
         sum(col("tf") * log2Ctf).as("sum_log2_ctf"))
-    docs.select(col(idCol)).join(profile, Seq(idCol), "left")
+    ids.join(profile, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
@@ -1360,10 +1396,12 @@ object TextAnalysisOps {
     */
   val SurprisalSalts = 8
 
-  private def bigramPairs(docs: DataFrame, cols: Seq[Column],
-                          textCol: String): DataFrame = {
-    val staged = docs.select(cols :+
-      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"): _*)
+  /** Bigram instance rows from an ALREADY-TOKENIZED relation (`toks`
+    * column staged) — the entry point the session-memoized tokenized
+    * corpus feeds (the q70-family shared relation, r12 verdict item 3).
+    */
+  private[graft] def bigramPairsOf(staged: DataFrame,
+                                   cols: Seq[Column]): DataFrame =
     staged
       .select(cols :+
         (when(size(col("toks")) >= 2,
@@ -1374,7 +1412,11 @@ object TextAnalysisOps {
           .as("bs")): _*)
       .select(cols :+ explode(col("bs")).as("b"): _*)
       .select(cols ++ Seq(col("b.w1").as("w1"), col("b.w2").as("w2")): _*)
-  }
+
+  private def bigramPairs(docs: DataFrame, cols: Seq[Column],
+                          textCol: String): DataFrame =
+    bigramPairsOf(docs.select(cols :+
+      TextOps.tokenize(coalesce(col(textCol), lit(""))).as("toks"): _*), cols)
 
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
@@ -1384,6 +1426,16 @@ object TextAnalysisOps {
     val dt = graft.CacheScope.persist(
       pairs.groupBy(col(idCol), col("w1"), col("w2"))
         .agg(count(lit(1)).as("k")))
+    bigramSurprisalFromCounts(docs.select(col(idCol)), dt, idCol)
+  }
+
+  /** [[bigramSurprisal]] over an ALREADY-AGGREGATED per-doc bigram-count
+    * relation `(id, w1, w2, k)` — the session-memo entry point (q90
+    * reads the shared relation; callers persist `dt`, which both the
+    * model aggregate and the scoring join consume).
+    */
+  def bigramSurprisalFromCounts(ids: DataFrame, dt: DataFrame,
+                                idCol: String = "doc_id"): DataFrame = {
     val bt = graft.CacheScope.persist(
       dt.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("btf")))
     val ut = bt.groupBy(col("w1")).agg(sum(col("btf")).as("ctf1"))
@@ -1411,7 +1463,7 @@ object TextAnalysisOps {
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") * col("s")).as("sum_surprisal"),
         max(col("s")).as("max_surprisal"))
-    docs.select(col(idCol)).join(profile, Seq(idCol), "left")
+    ids.join(profile, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("sum_surprisal"), lit(0L)).as("sum_surprisal"),
@@ -1468,12 +1520,23 @@ object TextAnalysisOps {
     */
   def crossSurprisalUnder(model: DataFrame, scoredDocs: DataFrame,
                           idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text"): DataFrame =
+    crossSurprisalFromCounts(model, scoredDocs.select(col(idCol)),
+      bigramPairs(scoredDocs, Seq(col(idCol)), textCol)
+        .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("k")),
+      idCol)
+
+  /** [[crossSurprisalUnder]] over an ALREADY-AGGREGATED scored-side
+    * bigram-count relation — the session-memo entry point (q90b carves
+    * both its model side and its scored side out of the shared per-doc
+    * bigram counts instead of re-tokenizing the corpus twice).
+    */
+  def crossSurprisalFromCounts(model: DataFrame, ids: DataFrame,
+                               dt: DataFrame,
+                               idCol: String = "doc_id"): DataFrame = {
     val ut = model.select(col("w1"), col("ctf1")).distinct()
     val total = ut.agg(sum(col("ctf1")).as("b_total"))
     def log2len(c: Column): Column = length(conv(c, 10, 2)).cast("long")
-    val dt = bigramPairs(scoredDocs, Seq(col(idCol)), textCol)
-      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("k"))
     // Join shape (the q90 lesson applied to the smoothing ladder): the
     // model arrives pre-enriched (model-sized), so the corpus-sized `dt`
     // shuffles ONCE on (w1, w2). Rows that miss the enriched model — the
@@ -1507,7 +1570,7 @@ object TextAnalysisOps {
           .as("n_unknown_ctx"),
         sum(col("k") * col("s")).as("sum_surprisal"),
         max(col("s")).as("max_surprisal"))
-    scoredDocs.select(col(idCol)).join(profile, Seq(idCol), "left")
+    ids.join(profile, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
@@ -1598,6 +1661,14 @@ object TextAnalysisOps {
     val dt = graft.CacheScope.persist(
       pairs.groupBy(col(idCol), col("w1"), col("w2"))
         .agg(count(lit(1)).as("k")))
+    knSurprisalFromCounts(docs.select(col(idCol)), dt, idCol)
+  }
+
+  /** [[knSurprisal]] over the already-aggregated per-doc bigram counts —
+    * the session-memo entry point (q90c shares q90's relation).
+    */
+  def knSurprisalFromCounts(ids: DataFrame, dt: DataFrame,
+                            idCol: String = "doc_id"): DataFrame = {
     val model = knModelFromCounts(
       dt.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("btf")))
     val scored = JoinOps.saltedJoinKeys(dt, model, Seq("w1", "w2"),
@@ -1607,7 +1678,7 @@ object TextAnalysisOps {
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") * col("p_micro")).as("sum_p_micro"),
         min(col("p_micro")).as("min_p_micro"))
-    docs.select(col(idCol)).join(profile, Seq(idCol), "left")
+    ids.join(profile, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("sum_p_micro"), lit(0L)).as("sum_p_micro"),

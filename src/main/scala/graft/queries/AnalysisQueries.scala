@@ -488,6 +488,14 @@ object AnalysisQueries {
     trainedCache.clear(); unigramCache.clear(); wpCache.clear()
     mixtureCache.clear(); bucketsCache.clear(); driftCache.clear()
     nbCache.clear(); perceptronCache.clear()
+    Seq(tokedCache, uniPostCache, bigramCtCache, lowerPostCache).foreach {
+      cache =>
+        val it = cache.values.iterator()
+        while (it.hasNext) {
+          it.next().unpersist(blocking = false)
+          it.remove()
+        }
+    }
   }
 
   def q87BpeTrain(spark: SparkSession, dir: String): DataFrame =
@@ -1229,7 +1237,8 @@ object AnalysisQueries {
   // buckets under the corpus's own bigram counts — the sequence-level
   // perplexity filter q70 (unigram) and q70b (coverage) stop short of.
   def q90BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysisOps.bigramSurprisal(Tables.documents(spark, dir))
+    TextAnalysisOps.bigramSurprisalFromCounts(tokedIds(spark, dir),
+      bigramDocCounts(spark, dir))
       .orderBy("doc_id")
 
   val q90Sql: String =
@@ -1261,10 +1270,24 @@ object AnalysisQueries {
   // unseen bigrams and unknown contexts are real events handled by the
   // integer smoothing ladder (see TextAnalysisOps.crossSurprisal).
   def q90bHeldoutSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("h", graft.ops.HashOps.charHash(col("text")))
-    TextAnalysisOps.crossSurprisal(
-      docs.where(col("h") % 2 === 0), docs.where(col("h") % 2 =!= 0))
+    // both carves read the SHARED per-doc bigram counts: the even-half
+    // model is a semi-scoped regroup of the memo, the odd-half scored
+    // side a filter of it — zero re-tokenization (crossSurprisal's
+    // text-based form is the non-memo path, q172b's stored-model tier)
+    val halves = tokedDocs(spark, dir).select(col("doc_id"),
+      (graft.ops.HashOps.charHash(col("text")) % 2 === 0).as("even"))
+    val evenIds = halves.where(col("even")).select("doc_id")
+    val oddIds = halves.where(!col("even")).select("doc_id")
+    val dt = bigramDocCounts(spark, dir)
+    // bigramModel's enrichment over the even carve (bt persisted: the
+    // context aggregate and the enrichment join both consume it)
+    val btEven = graft.CacheScope.persist(
+      dt.join(evenIds, "doc_id")
+        .groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("btf")))
+    val model = btEven.join(
+      btEven.groupBy(col("w1")).agg(sum(col("btf")).as("ctf1")), Seq("w1"))
+    TextAnalysisOps.crossSurprisalFromCounts(model, oddIds,
+      dt.join(oddIds, "doc_id"))
       .orderBy("doc_id")
   }
 
@@ -1786,7 +1809,8 @@ object AnalysisQueries {
   // count statistic q90's raw log2 buckets can't express. Self-scored,
   // so every doc bigram is in the model by construction.
   def q90cKneserNey(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysisOps.knSurprisal(Tables.documents(spark, dir))
+    TextAnalysisOps.knSurprisalFromCounts(tokedIds(spark, dir),
+      bigramDocCounts(spark, dir))
       .orderBy("doc_id")
 
   val q90cSql: String = {
@@ -2171,7 +2195,9 @@ object AnalysisQueries {
   val MltDfCap = 450L // drop terms present in >90% of the 500-doc fixture
 
   def q118MoreLikeThis(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysisOps.moreLikeThis(Tables.documents(spark, dir),
+    TextAnalysisOps.moreLikeThisFromPostings(
+      tokedDocs(spark, dir).agg(count(lit(1)).as("n_docs")),
+      lowerPostings(spark, dir),
       MltEveryNth, MltTopK, MltTfCap, MltIdfBoost, MltDfCap)
       .orderBy("query_id", "rk")
 
@@ -2849,13 +2875,82 @@ object AnalysisQueries {
     FROM g ORDER BY source"""
   }
 
+  // --- session-shared tokenized corpus (the q70/q90/q118/q119 family) ------
+  // r12 verdict item 3: seven LM-profile queries each re-tokenized the
+  // corpus (and four re-derived the per-doc bigram counts) inside their
+  // own plans — the ~0.12 s/stage fixed overhead × the repeated
+  // scan+tokenize+aggregate stages was the family's entire gap over its
+  // reference rows. The shingle/pairs memo pattern (DedupQueries.memoIn)
+  // applied here: ONE persisted tokenized relation, with the unigram
+  // postings, per-doc bigram counts, and lowercased postings derived
+  // relations memoized on top of it. Per (application, fixture),
+  // released via evictAll so the bench's cold pass genuinely
+  // re-tokenizes.
+  private val tokedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val uniPostCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val bigramCtCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private val lowerPostCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def memoDf(cache: java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame],
+                     spark: SparkSession, dir: String)
+                    (build: String => DataFrame): DataFrame = {
+    cache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    cache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) =>
+        build(d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  /** `(doc_id, text, toks)` of the documents table, tokenized once. */
+  private[queries] def tokedDocs(spark: SparkSession, dir: String): DataFrame =
+    memoDf(tokedCache, spark, dir)(d =>
+      Tables.documents(spark, d).select(col("doc_id"), col("text"),
+        TextOps.tokenize(coalesce(col("text"), lit(""))).as("toks")))
+
+  /** `(doc_id, tok, tf)` unigram postings (q70's probe+vocab relation). */
+  private def uniPostings(spark: SparkSession, dir: String): DataFrame =
+    memoDf(uniPostCache, spark, dir)(d =>
+      tokedDocs(spark, d)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+
+  /** `(doc_id, w1, w2, k)` per-doc bigram counts — q70b/q90/q90b/q90c
+    * all start from this one aggregate.
+    */
+  private[queries] def bigramDocCounts(spark: SparkSession, dir: String): DataFrame =
+    memoDf(bigramCtCache, spark, dir)(d =>
+      TextAnalysisOps.bigramPairsOf(
+        tokedDocs(spark, d).select(col("doc_id"), col("toks")),
+        Seq(col("doc_id")))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k")))
+
+  /** `(doc_id, term, tf)` lowercased postings (q118). Deriving via
+    * `lower(tok)` from the shared toks is exact — lowercasing never
+    * creates or removes whitespace (TextAnalysisSpec property gate).
+    */
+  private def lowerPostings(spark: SparkSession, dir: String): DataFrame =
+    memoDf(lowerPostCache, spark, dir)(d =>
+      tokedDocs(spark, d)
+        .select(col("doc_id"), explode(transform(col("toks"),
+          t => lower(t))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+
+  private def tokedIds(spark: SparkSession, dir: String): DataFrame =
+    tokedDocs(spark, dir).select(col("doc_id"))
+
   // --- q70: unigram-rarity profile (perplexity proxy) ---------------------
   // See TextAnalysisOps.unigramRarity: the corpus's own unigram counts
   // joined back over each doc's postings, all-integer (log2 buckets via
   // binary-string length — no float log anywhere, so the "LM familiarity"
-  // signal hash-verifies bit-exactly).
+  // signal hash-verifies bit-exactly). Reads the session-shared postings.
   def q70UnigramRarity(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysisOps.unigramRarity(Tables.documents(spark, dir))
+    TextAnalysisOps.rarityProfileFromPostings(tokedIds(spark, dir),
+      uniPostings(spark, dir))
       .orderBy("doc_id")
 
   val q70Sql: String = {
@@ -2887,7 +2982,10 @@ object AnalysisQueries {
   // BIGRAM instances — catches corpus-alien word ORDER that the unigram
   // profile is blind to. Same integer log2-bucket arithmetic.
   def q70bBigramFamiliarity(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysisOps.bigramFamiliarity(Tables.documents(spark, dir))
+    TextAnalysisOps.rarityProfileFromPostings(tokedIds(spark, dir),
+      bigramDocCounts(spark, dir).select(col("doc_id"),
+        concat(col("w1"), lit(" "), col("w2")).as("tok"),
+        col("k").as("tf")))
       .orderBy("doc_id")
 
   val q70bSql: String = {

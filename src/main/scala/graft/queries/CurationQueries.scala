@@ -1413,13 +1413,13 @@ object CurationQueries {
 
   def q119LlmPrep(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+    // reads the session-shared tokenized corpus (AnalysisQueries memo) —
+    // the capstone used to re-tokenize twice inside its own plan
+    val toked0 = AnalysisQueries.tokedDocs(spark, dir)
     val pats = AnalysisQueries.BlockPhrases.map(_.trim.toLowerCase.replace(" ", "\\s+"))
     val combined = "\\b(?:" + pats.mkString("|") + ")\\b"
-    val unblocked = docs.where(
+    val toked = toked0.where(
       regexp_count(lower(coalesce(col("text"), lit(""))), lit(combined)) === 0)
-    val toked = unblocked.select(col("doc_id"), col("text"),
-      graft.ops.TextOps.tokenize(col("text")).as("toks"))
     val quality = toked.select(
       (Seq(col("doc_id"), col("text"), col("toks")) ++
         TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*)
@@ -1429,8 +1429,8 @@ object CurationQueries {
       .withColumn("ck", graft.ops.HashOps.contentKey(col("text")))
       .withColumn("cid", min(col("doc_id")).over(Window.partitionBy("ck")))
       .where(col("doc_id") === col("cid"))
-      .select("doc_id", "text")
-    val chunks = TextAnalysisOps.contextChunks(exact, ChunkSize, ChunkStride)
+      .select("doc_id", "toks")
+    val chunks = TextAnalysisOps.contextChunksOf(exact, ChunkSize, ChunkStride)
     // synthetic monotone (doc, chunk) key for the global prefix sum;
     // chunk_id < 1024 holds whenever a doc has < 1024·stride tokens
     // (49k at the registered stride — far above any fixture/plausible doc)

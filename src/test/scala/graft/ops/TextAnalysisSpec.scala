@@ -386,4 +386,23 @@ class TextAnalysisSpec extends SparkSpec {
         s"doc ${r.getLong(0)} want ${r.getString(1)} got ${got(r.getLong(0))}")
     }
   }
+
+  test("tokenize(lower(text)) == map(lower, tokenize(text)) — the q118 " +
+      "lowered-postings memo derivation is exact (fixture + unicode edges)") {
+    import org.apache.spark.sql.functions._
+    // lowercasing never creates or removes whitespace, so the whitespace
+    // split commutes with it; exercised on the real fixture plus
+    // handcrafted unicode edge cases (dotted capital I expands to two
+    // code points under toLowerCase, German sharp-s, fullwidth forms)
+    val edges = Seq((9001L, "İstanbul STRAßE  AＡa \tMiXeD"),
+      (9002L, "ÉTÉ İİ x"))
+    val fixture = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val docs = fixture.unionByName(edges.toDF("doc_id", "text"))
+    val direct = TextOps.tokenize(lower(coalesce(col("text"), lit(""))))
+    val derived = transform(
+      TextOps.tokenize(coalesce(col("text"), lit(""))), t => lower(t))
+    val bad = docs.where(not(direct <=> derived)).count()
+    assert(bad == 0L, s"$bad docs where lower/tokenize do not commute")
+  }
 }
