@@ -62,6 +62,13 @@ object Bench {
     * single-line format — a regex pull, not a JSON library, keeps the
     * bench dependency-free). Returns empty on any malformed input. */
   private[graft] def parseQueriesCold(txt: String): Map[String, Double] =
+    parseQueriesKey(txt, "queries_cold")
+
+  /** The reference WARM vector (`"queries"` — per-query warm mins). */
+  private[graft] def parseQueriesWarm(txt: String): Map[String, Double] =
+    parseQueriesKey(txt, "queries")
+
+  private def parseQueriesKey(txt: String, key: String): Map[String, Double] =
     try {
       // \s* after the colon: the reference file may be rewritten by a
       // JSON library that puts a space there (json.dumps default). The
@@ -70,7 +77,7 @@ object Bench {
       // an unparseable entry is SKIPPED rather than discarding the whole
       // map — an all-or-nothing parse silently disables the entire
       // cold_inflated channel on one bad value.
-      val m = """"queries_cold":\s*\{([^}]*)\}""".r
+      val m = (""""""" + java.util.regex.Pattern.quote(key) + """":\s*\{([^}]*)\}""").r
         .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
       """"([^"]+)":\s*(-?[0-9][0-9.]*(?:[eE][-+]?[0-9]+)?)""".r
         .findAllMatchIn(m)
@@ -78,6 +85,38 @@ object Bench {
           scala.util.Try(x.group(1) -> x.group(2).toDouble).toOption)
         .toMap
     } catch { case _: Throwable => Map.empty }
+
+  /** The warm_vs_ref channel (r12 verdict item 4): a UNIFORMLY loaded
+    * host inflates every warm reading by a similar factor, which the
+    * within-run detectors (noisy/rebuild/warm_inflated) structurally
+    * cannot see — r12's s1 runs sat at 1.1-1.28× the reference with all
+    * three channels empty and needed a human diff against BENCH_REF.
+    * This compares each warm min against the reference warm vector:
+    * median ratio over the common set (reference rows ≥ 0.1 s — tiny
+    * rows are scheduler jitter), dispersion = IQR/median of those
+    * ratios, and `loaded_host` fires when the median is > 1.2 with LOW
+    * dispersion (< 0.35) — uniform inflation, not a real per-query
+    * regression, which would move few queries a lot (high dispersion)
+    * rather than all queries a little. Returns
+    * (medianRatio, dispersion, n, loadedHost); None when fewer than 10
+    * common queries (a filtered local run — no basis for a host claim).
+    */
+  private[graft] def warmVsRef(mins: Seq[(String, Double)],
+                               ref: Map[String, Double])
+      : Option[(Double, Double, Int, Boolean)] = {
+    val ratios = mins.collect {
+      case (k, m) if m > 0 && ref.get(k).exists(_ >= 0.1) => m / ref(k)
+    }.sorted
+    if (ratios.size < 10) None
+    else {
+      val med = ratios(ratios.size / 2)
+      val disp =
+        if (med > 0)
+          (ratios(ratios.size * 3 / 4) - ratios(ratios.size / 4)) / med
+        else 0.0
+      Some((med, disp, ratios.size, med > 1.2 && disp < 0.35))
+    }
+  }
 
   /** The cold_inflated rule: a cold time above 0.3 s that is > 3x the
     * reference run's cold for the same query. Queries absent from the
@@ -263,6 +302,19 @@ object Bench {
     val coldRefDesc =
       if (refColdMap.isEmpty) "none"
       else s"BENCH_REF.json (${refColdMap.size} queries)"
+    // warm-vs-reference self-attribution: flags the uniformly-loaded-host
+    // window no within-run channel can see (scaladoc at warmVsRef)
+    val refWarmMap: Map[String, Double] = {
+      val f = new java.io.File("BENCH_REF.json")
+      if (!f.exists) Map.empty
+      else parseQueriesWarm(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    }
+    val warmVsRefJson = warmVsRef(mins, refWarmMap) match {
+      case Some((med, disp, n, loaded)) =>
+        f"""{"median_ratio":$med%.3f,"dispersion":$disp%.3f,"n":$n,"loaded_host":$loaded}"""
+      case None => "null"
+    }
     val qs = mins.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qsMed = medians.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qsW1 = warm1s.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
@@ -276,7 +328,7 @@ object Bench {
       s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
     }.mkString("{", ",", "}")
     val coldInflJson = coldInflated.map(k => s"\"$k\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"rebuild":$rebuildJson,"warm_inflated":$warmInflJson,"cold_inflated":$coldInflJson,"cold_ref":"$coldRefDesc","errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"rebuild":$rebuildJson,"warm_inflated":$warmInflJson,"cold_inflated":$coldInflJson,"warm_vs_ref":$warmVsRefJson,"cold_ref":"$coldRefDesc","errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // target/bench.json is the durable FULL-registry round artifact; a
     // filtered local run writes a sibling file so it can never clobber

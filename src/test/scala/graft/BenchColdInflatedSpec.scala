@@ -57,4 +57,47 @@ class BenchColdInflatedSpec extends AnyFunSuite {
     assert(Bench.coldInflatedOf(
       Seq("qa" -> 100.0), Map("qa" -> -1.0)) === Nil)
   }
+
+  test("parseQueriesWarm pulls the warm vector, not the cold one") {
+    val line = """{"metric":"total","queries":{"qa":0.4,"qb":1.5},""" +
+      """"queries_cold":{"qa":9.9,"qb":9.9}}"""
+    assert(Bench.parseQueriesWarm(line) === Map("qa" -> 0.4, "qb" -> 1.5))
+  }
+
+  test("warm_vs_ref flags the r12 uniformly-loaded window and nothing else") {
+    // 20 reference rows spread over realistic magnitudes
+    val ref = (1 to 20).map(i => s"q$i" -> (0.2 + 0.1 * i)).toMap
+    def inflate(f: Double, jitter: Double = 0.0) =
+      ref.toSeq.map { case (k, v) =>
+        k -> v * (f + jitter * (k.hashCode % 7 - 3) / 100.0) }
+    // the r12 s1 window: everything ~1.28x with small scatter -> flagged
+    val Some((med, disp, n, loaded)) =
+      Bench.warmVsRef(inflate(1.28, jitter = 1.0), ref)
+    assert(loaded && n == 20 && med > 1.2 && disp < 0.35,
+      s"uniform 1.28x window not flagged: med=$med disp=$disp")
+    // a clean run sits near 1.0 -> not flagged
+    val Some((medClean, _, _, loadedClean)) =
+      Bench.warmVsRef(inflate(1.0, jitter = 1.0), ref)
+    assert(!loadedClean && medClean < 1.1)
+    // ONE real 5x regression on a clean run: median stays ~1 -> the
+    // channel stays quiet (that row belongs to per-query ratio review,
+    // not a host claim)
+    val spiked = inflate(1.0).map { case (k, v) =>
+      if (k == "q7") k -> v * 5 else k -> v }
+    val Some((_, _, _, loadedSpike)) = Bench.warmVsRef(spiked, ref)
+    assert(!loadedSpike)
+    // high median WITH high dispersion (half the queries 2x, half 1x) is
+    // NOT a uniform-load claim
+    val bimodal = ref.toSeq.zipWithIndex.map { case ((k, v), i) =>
+      k -> (if (i % 2 == 0) v * 2.2 else v) }
+    Bench.warmVsRef(bimodal, ref).foreach { case (_, disp2, _, loaded2) =>
+      assert(!loaded2, s"bimodal run misread as loaded host (disp=$disp2)")
+    }
+    // tiny reference rows (< 0.1 s) are excluded from the basis
+    val tinyRef = Map("qa" -> 0.01)
+    assert(Bench.warmVsRef(Seq("qa" -> 0.2), tinyRef).isEmpty)
+    // fewer than 10 common rows (filtered run / no ref) -> no claim
+    assert(Bench.warmVsRef(Seq("qa" -> 1.0), Map("qa" -> 1.0)).isEmpty)
+    assert(Bench.warmVsRef(inflate(1.28), Map.empty).isEmpty)
+  }
 }
