@@ -204,23 +204,44 @@ object AnalysisQueries {
   // snapshot B (the same carve every snapshot-delta query uses), and
   // the report is per predicted language: doc counts, integer-permille
   // corpus shares, and the SIGNED share drift — the number that says
-  // "this refresh shifted the corpus toward X". One tagged-union
-  // aggregate over the two per-doc label relations (the ReconcileOps
-  // shape — no full-outer join), scalar totals broadcast back;
-  // everything integer, so the drift hash-verifies.
-  def q170LangMixDrift(spark: SparkSession, dir: String): DataFrame = {
-    import CurationQueries.Snapshots
-    val docs = Tables.documents(spark, dir)
-    val a = hashedLangScoresOf(spark,
-      docs.where(Snapshots.inA).select(col("doc_id"), col("text")))
-    val b = hashedLangScoresOf(spark,
-      docs.where(Snapshots.inB)
-        .select(col("doc_id"), Snapshots.textB.as("text")))
-    val tagged = a.select(col("pred_lang"), lit(true).as("is_a"))
-      .unionByName(b.select(col("pred_lang"), lit(false).as("is_a")))
-    val counts = tagged.groupBy("pred_lang")
-      .agg(count(when(col("is_a"), 1)).as("n_a"),
-        count(when(!col("is_a"), 1)).as("n_b"))
+  // "this refresh shifted the corpus toward X". Since r13 the reference
+  // side is a StoredRelations artifact (the q172b pattern): snapshot A
+  // is classified once, its L-row label counts stored, and the live
+  // path classifies ONLY snapshot B — O(B + L), with the from-scratch
+  // twin row-compared in DriftDqSpec and the oracle recomputing both
+  // sides so a stale artifact breaks the hash. Everything integer, so
+  // the drift hash-verifies.
+  /** Snapshot A's stored per-language label counts `(pred_lang, n_a)` —
+    * the q172b stored-reference pattern applied to the composition
+    * monitor (r12 verdict item 5): the reference mix is classified once
+    * and stored, so the live path classifies ONLY snapshot B.
+    */
+  private[graft] def langMixBaseA(spark: SparkSession,
+                                  dir: String): DataFrame =
+    graft.sources.StoredRelations.readOrBuild(spark, "langmix_baseA",
+      Seq(s"$dir/documents.parquet"),
+      s"$MonitorStoreVersion,model=hashedTrigram") {
+      import CurationQueries.Snapshots
+      hashedLangScoresOf(spark, Tables.documents(spark, dir)
+        .where(Snapshots.inA).select(col("doc_id"), col("text")))
+        .groupBy("pred_lang").agg(count(lit(1)).as("n_a"))
+    }
+
+  /** The drift report from a `(pred_lang, n_a)` reference and a live
+    * B-side label relation — shared by the registry path (stored A) and
+    * the from-scratch twin, one combine rule for both.
+    */
+  private def langMixFromCounts(countsA: DataFrame,
+                                labelsB: DataFrame): DataFrame = {
+    // full outer, coalesce 0: a language present in only one snapshot is
+    // the drift case the monitor exists for (the q172b asymmetric-source
+    // rule) — the tagged-union groupBy had the same totality
+    val counts = countsA.join(
+      labelsB.groupBy("pred_lang").agg(count(lit(1)).as("n_b")),
+      Seq("pred_lang"), "full")
+      .select(col("pred_lang"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
     val totals = broadcast(counts.agg(
       sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb")))
     val shareA = when(col("ta") > 0,
@@ -232,6 +253,30 @@ object AnalysisQueries {
         shareA.as("share_a_permille"), shareB.as("share_b_permille"),
         (shareB - shareA).as("drift_permille"))
       .orderBy("pred_lang")
+  }
+
+  def q170LangMixDrift(spark: SparkSession, dir: String): DataFrame = {
+    import CurationQueries.Snapshots
+    langMixFromCounts(langMixBaseA(spark, dir),
+      hashedLangScoresOf(spark, Tables.documents(spark, dir)
+        .where(Snapshots.inB)
+        .select(col("doc_id"), Snapshots.textB.as("text"))))
+  }
+
+  /** From-scratch twin of [[q170LangMixDrift]] (both sides classified
+    * live) — row-compared in DriftDqSpec; not a registry entry.
+    */
+  private[graft] def langMixScratch(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    import CurationQueries.Snapshots
+    val docs = Tables.documents(spark, dir)
+    langMixFromCounts(
+      hashedLangScoresOf(spark,
+        docs.where(Snapshots.inA).select(col("doc_id"), col("text")))
+        .groupBy("pred_lang").agg(count(lit(1)).as("n_a")),
+      hashedLangScoresOf(spark,
+        docs.where(Snapshots.inB)
+          .select(col("doc_id"), Snapshots.textB.as("text"))))
   }
 
   val q170Sql: String = {
@@ -1056,26 +1101,76 @@ object AnalysisQueries {
   // the drift in permille POINTS — the "did this source's latest crawl
   // degrade" alarm a recurring ingest reads before the mixture weights
   // (q146) are recomputed. Drift is a plain BIGINT subtraction (may be
-  // negative — no division, so no floor-semantics hazard). Two narrow
-  // battery passes + two S-row aggregates.
+  // negative — no division, so no floor-semantics hazard). Since r13
+  // the A side is a StoredRelations artifact (the q172b pattern): ONE
+  // narrow battery pass over snapshot B joins the stored S-row
+  // reference — O(B), with the from-scratch twin row-compared in
+  // DriftDqSpec and the oracle recomputing both sides.
+  /** Per-source q21-battery pass rates of one snapshot side —
+    * `(source, docs_<suffix>, pass_<suffix>_permille)`. Shared by
+    * q155's stored-A builder, its live B side, and the from-scratch
+    * twin, so the stored path can never battery differently than the
+    * recompute it is row-compared against.
+    */
+  private def batteryPassRate(df: DataFrame, suffix: String): DataFrame = {
+    val toked = df.select(col("doc_id"), col("source"), col("text"),
+      TextOps.tokenize(col("text")).as("toks"))
+    val q = toked.select(
+      (Seq(col("doc_id"), col("source")) ++
+        TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*)
+    q.withColumn("p", TextAnalysisOps.qualityPass)
+      .groupBy("source")
+      .agg(count(lit(1)).as(s"docs_$suffix"),
+        expr("(1000 * sum(CASE WHEN p THEN 1 ELSE 0 END)) div count(1)")
+          .as(s"pass_${suffix}_permille"))
+  }
+
+  /** Version for the stored reference-side snapshot-monitor artifacts
+    * (q155/q170) — bump when the carve or the battery/classifier rule
+    * changes semantics.
+    */
+  private val MonitorStoreVersion = "1:carve=inA"
+
+  /** Snapshot A's stored per-source pass rates — the q172b
+    * stored-reference pattern applied to the quality monitor (r12
+    * verdict item 5): the reference side of a recurring drift check is
+    * computed once per corpus version and stored, so the live path is
+    * O(B), never O(A∪B).
+    */
+  private[graft] def qualityRatesBaseA(spark: SparkSession,
+                                       dir: String): DataFrame =
+    graft.sources.StoredRelations.readOrBuild(spark, "quality_rates_baseA",
+      Seq(s"$dir/documents.parquet"), MonitorStoreVersion) {
+      import CurationQueries.Snapshots
+      batteryPassRate(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .where(Snapshots.inA), "a")
+    }
+
   def q155QualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    import CurationQueries.Snapshots
+    val b = batteryPassRate(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .where(Snapshots.inB)
+      .select(col("doc_id"), col("source"), Snapshots.textB.as("text")), "b")
+    qualityRatesBaseA(spark, dir).join(b, Seq("source"))
+      .withColumn("drift_pm",
+        col("pass_b_permille") - col("pass_a_permille"))
+      .orderBy("source")
+  }
+
+  /** From-scratch twin of [[q155QualityDrift]] (both sides live, nothing
+    * stored) — row-compared against the stored path in DriftDqSpec; not
+    * a registry entry. The ORACLE also recomputes everything from
+    * scratch, so a stale artifact breaks the q155 hash as well.
+    */
+  private[graft] def qualityDriftScratch(spark: SparkSession,
+                                         dir: String): DataFrame = {
     import CurationQueries.Snapshots
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
-    def passRate(df: DataFrame, suffix: String): DataFrame = {
-      val toked = df.select(col("doc_id"), col("source"), col("text"),
-        TextOps.tokenize(col("text")).as("toks"))
-      val q = toked.select(
-        (Seq(col("doc_id"), col("source")) ++
-          TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*)
-      q.withColumn("p", TextAnalysisOps.qualityPass)
-        .groupBy("source")
-        .agg(count(lit(1)).as(s"docs_$suffix"),
-          expr("(1000 * sum(CASE WHEN p THEN 1 ELSE 0 END)) div count(1)")
-            .as(s"pass_${suffix}_permille"))
-    }
-    val a = passRate(docs.where(Snapshots.inA), "a")
-    val b = passRate(docs.where(Snapshots.inB)
+    val a = batteryPassRate(docs.where(Snapshots.inA), "a")
+    val b = batteryPassRate(docs.where(Snapshots.inB)
       .select(col("doc_id"), col("source"), Snapshots.textB.as("text")), "b")
     a.join(b, Seq("source"))
       .withColumn("drift_pm",

@@ -21,6 +21,24 @@ class DriftDqSpec extends SparkSpec {
     }
   }
 
+  test("q155/q170: the stored-reference path equals the from-scratch recompute") {
+    // merge ≡ recompute, the q172b/StoredPairsSpec pattern: the registry
+    // paths read snapshot A's stored artifacts (battery rates / label
+    // counts) and compute only the B side live; the scratch twins
+    // re-derive both sides with nothing stored
+    val dir = "/root/testdata/sf0.001"
+    val q155Stored = AnalysisQueries.q155QualityDrift(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val q155Scratch = AnalysisQueries.qualityDriftScratch(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(q155Stored === q155Scratch)
+    val q170Stored = AnalysisQueries.q170LangMixDrift(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val q170Scratch = AnalysisQueries.langMixScratch(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(q170Stored === q170Scratch)
+  }
+
   test("q156: every constraint fires on a dirty hand table, zero on a clean one") {
     import sqlImplicits._
     val good = (1 to 64).map(_.toFloat)
