@@ -17,11 +17,20 @@ import java.util.zip.{DataFormatException, Inflater}
   *   - text is pulled from content-stream operators: `Tj`, `'`, `"`
   *     (literal and hex strings) and `TJ` arrays, with PDF escape and
   *     octal sequences decoded; Td, TD, T-star, Tm, BT and ET break lines;
-  *   - single-byte standard/WinAnsi-style encodings are assumed (bytes
-  *     read as Latin-1) for literal strings; hex strings additionally
+  *   - single-byte strings read as Latin-1 by default; when the document
+  *     declares `/WinAnsiEncoding` (or `/MacRomanEncoding`) the
+  *     high-byte range is remapped through the JDK's windows-1252 /
+  *     x-MacRoman charset tables (WinAnsi differs from Latin-1 exactly
+  *     on 0x80-0x9F — the curly quotes/dashes/€ block real-world PDFs
+  *     actually use; MacRoman across 0x80-0xFF). Detection is
+  *     document-wide like the CMap merge — per-font Encoding routing
+  *     needs the resource walk and stays out of scope, with WinAnsi
+  *     winning a mixed declaration (the common case; 0x00-0x7F agrees
+  *     everywhere). Hex strings additionally
   *     try the document's ToUnicode CMap (bfchar/bfrange blocks, merged
   *     document-wide) and use it when every code unit maps — the common
-  *     CID/Identity-H case. Per-font CMap routing, encrypted files and
+  *     CID/Identity-H case; CMap-mapped text is already Unicode and is
+  *     never remapped. Per-font CMap routing, encrypted files and
   *     object streams (/ObjStm) remain out of scope and simply yield
   *     whatever simple text the file also contains.
   *
@@ -91,10 +100,47 @@ object PdfText {
       try mergeCmaps(streams.filter(c =>
         c.contains("beginbfchar") || c.contains("beginbfrange")))
       catch { case scala.util.control.NonFatal(_) => None }
+    // document-wide predefined-encoding detection: font dicts live in the
+    // raw object text (or in decoded streams); WinAnsi wins a mixed
+    // declaration (scaladoc above)
+    val declares = (name: String) =>
+      s.contains(name) || streams.exists(_.contains(name))
+    val enc =
+      if (declares("/WinAnsiEncoding")) winAnsiTable
+      else if (declares("/MacRomanEncoding")) macRomanTable
+      else None
     val out = new StringBuilder
-    streams.filter(_.contains("BT")).foreach(appendContentText(_, out, cmap))
+    streams.filter(_.contains("BT"))
+      .foreach(appendContentText(_, out, cmap, enc))
     Some(out.toString.trim)
   }
+
+  /** 256-entry byte→char table from a JDK charset; bytes the charset
+    * leaves undefined (windows-1252 has five) keep their Latin-1
+    * identity rather than becoming U+FFFD. None when the charset is
+    * absent from this JVM — extraction then stays on Latin-1 instead of
+    * failing.
+    */
+  private def byteTable(charsetName: String): Option[Array[Char]] =
+    try {
+      val cs = java.nio.charset.Charset.forName(charsetName)
+      val arr = new Array[Char](256)
+      var b = 0
+      while (b < 256) {
+        val decoded = new String(Array(b.toByte), cs)
+        arr(b) =
+          if (decoded.length == 1 && decoded.charAt(0) != '�')
+            decoded.charAt(0)
+          else b.toChar
+        b += 1
+      }
+      Some(arr)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private lazy val winAnsiTable: Option[Array[Char]] =
+    byteTable("windows-1252")
+  private lazy val macRomanTable: Option[Array[Char]] =
+    byteTable("x-MacRoman")
 
   /** Bounded hex-code parse: CMap codes wider than 4 bytes (or past
     * Int.MaxValue) are skipped, not crashed on — real UCS-4 codespaces
@@ -254,22 +300,34 @@ object PdfText {
 
   /** Walks a decoded content stream and appends shown text to `out`. */
   private def appendContentText(cs: String, out: StringBuilder,
-                                cmap: Option[ToUnicode] = None): Unit = {
+                                cmap: Option[ToUnicode] = None,
+                                enc: Option[Array[Char]] = None): Unit = {
     val pending = new StringBuilder // operand strings since the last operator
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out += '\n'
     def show(): Unit = { out ++= pending; pending.clear() }
+    // byte-decoded text (literal strings, single-byte hex fallback) maps
+    // through the declared encoding table; CMap-mapped hex text is
+    // already Unicode and bypasses this (parseHex applies enc only on
+    // its fallback path)
+    def appendMapped(tmp: StringBuilder): Unit = enc match {
+      case Some(tbl) =>
+        tmp.foreach(ch => pending += (if (ch < 256) tbl(ch) else ch))
+      case None => pending ++= tmp
+    }
     var i = 0
     val n = cs.length
     while (i < n) {
       val c = cs.charAt(i)
       c match {
         case '(' =>
-          i = parseLiteral(cs, i, pending)
+          val tmp = new StringBuilder
+          i = parseLiteral(cs, i, tmp)
+          appendMapped(tmp)
         case '<' if i + 1 < n && cs.charAt(i + 1) == '<' =>
           i = skipDict(cs, i)
         case '<' =>
-          i = parseHex(cs, i, pending, cmap)
+          i = parseHex(cs, i, pending, cmap, enc)
         case '%' =>
           while (i < n && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1
         case '/' =>
@@ -339,7 +397,8 @@ object PdfText {
     * single-byte reading applies unchanged.
     */
   private def parseHex(cs: String, start: Int, sb: StringBuilder,
-                       cmap: Option[ToUnicode] = None): Int = {
+                       cmap: Option[ToUnicode] = None,
+                       enc: Option[Array[Char]] = None): Int = {
     var i = start + 1
     val digits = new StringBuilder
     val n = cs.length
@@ -366,7 +425,8 @@ object PdfText {
       case None =>
         var j = 0
         while (j < digits.length) {
-          sb += Integer.parseInt(digits.substring(j, j + 2), 16).toChar
+          val b = Integer.parseInt(digits.substring(j, j + 2), 16)
+          sb += enc.map(_(b)).getOrElse(b.toChar)
           j += 2
         }
     }

@@ -23,7 +23,8 @@ class DocumentSourcesSpec extends SparkSpec {
   }
 
   // -- minimal spec-shaped PDF builder for the extraction tests -----------
-  private def buildPdf(streams: Seq[(String, Boolean)]): Array[Byte] = {
+  private def buildPdf(streams: Seq[(String, Boolean)],
+                       extraObjs: Seq[String] = Nil): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit =
       bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -46,6 +47,9 @@ class DocumentSourcesSpec extends SparkSpec {
       w(s"${4 + i} 0 obj << /Length ${data.length}$filter >> stream\n")
       bos.write(data)
       w("\nendstream endobj\n")
+    }
+    extraObjs.zipWithIndex.foreach { case (obj, i) =>
+      w(s"${100 + i} 0 obj $obj endobj\n")
     }
     w("trailer << /Root 1 0 R >>\n%%EOF\n")
     bos.toByteArray
@@ -153,6 +157,52 @@ class DocumentSourcesSpec extends SparkSpec {
       .replace("/Length", "/Filter /LZWDecode /Length")
     assert(PdfText.extract(lzw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
       .contains(""))
+  }
+
+  test("PdfText remaps the high-byte range under a declared WinAnsiEncoding") {
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>"
+    // 0xE9 agrees with Latin-1 (é); 0x93/0x94 are the curly quotes and
+    // 0x80 the euro sign ONLY under windows-1252; 0x81 is undefined in
+    // windows-1252 and must keep its byte identity
+    val content = "BT (caf\\351 \\223q\\224 \\200 \\201) Tj <93> Tj ET"
+    val win = PdfText.extract(buildPdf(Seq((content, false)), Seq(font)))
+    assert(win.contains("café “q” € “"),
+      s"got $win")
+    // same bytes with NO declared encoding: Latin-1 reading (C1 controls)
+    val plain = PdfText.extract(buildPdf(Seq((content, false))))
+    assert(plain.contains("café q  "),
+      s"got $plain")
+  }
+
+  test("PdfText remaps under MacRomanEncoding; WinAnsi wins a mixed doc") {
+    val mac = "<< /Type /Font /Encoding /MacRomanEncoding >>"
+    // MacRoman 0x8E = é, 0xA5 = • (bullet)
+    val content = "BT (caf\\216 \\245) Tj ET"
+    val out = PdfText.extract(buildPdf(Seq((content, false)), Seq(mac)))
+    assert(out.contains("café •"), s"got $out")
+    // mixed declarations: WinAnsi wins (0x93 reads as the curly quote)
+    val both = PdfText.extract(buildPdf(Seq(("BT (\\223) Tj ET", false)),
+      Seq(mac, "<< /Type /Font /Encoding /WinAnsiEncoding >>")))
+    assert(both.contains("“"), s"got $both")
+  }
+
+  test("PdfText never remaps CMap-mapped hex text under a declared encoding") {
+    // the CMap maps code 0x01 to U+0093 — a code point the WinAnsi table
+    // would rewrite to U+201C if the mapped text were (wrongly) fed back
+    // through the byte remap
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange <00> <FF> endcodespacerange
+        |1 beginbfchar
+        |<01> <0093>
+        |endbfchar
+        |endcmap""".stripMargin
+    val font = "<< /Type /Font /Encoding /WinAnsiEncoding >>"
+    val out = PdfText.extract(
+      buildPdf(Seq(("BT <01> Tj ET", false), (cmap, true)), Seq(font)))
+    assert(out.contains(""), s"got $out")
   }
 
   test("whole-text reader + CSV round trip") {
