@@ -1507,12 +1507,29 @@ object AnalysisQueries {
   private[graft] def perplexityBucketsLive(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val model = TextAnalysisOps.bigramModel(
-      docs.where(HashOps.charHash(col("text")) % 2 === 0))
+    // model and scored side both read the session-shared bigram counts
+    // (q172's even-content-hash carve is exactly q90b's model carve) —
+    // zero re-tokenization; the q172b stored builders keep the text-based
+    // surprisalMeans (they run once per corpus version, over inA)
+    val evenIds = tokedDocs(spark, dir)
+      .where(HashOps.charHash(col("text")) % 2 === 0).select("doc_id")
+    val dt = bigramDocCounts(spark, dir)
+    val btEven = graft.CacheScope.persist(
+      dt.join(evenIds, "doc_id")
+        .groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("btf")))
+    val model = btEven.join(
+      btEven.groupBy(col("w1")).agg(sum(col("btf")).as("ctf1")), Seq("w1"))
     // persisted: the histogram/cuts pass and the bucket assignment both
     // consume the per-doc mean relation
-    val means = graft.CacheScope.persist(surprisalMeans(model,
-      docs.select(col("doc_id"), col("source"), col("text"))))
+    val means = graft.CacheScope.persist(
+      TextAnalysisOps.crossSurprisalFromCounts(model,
+        tokedIds(spark, dir), dt)
+        .select(col("doc_id"), col("n_bigrams"), col("sum_surprisal"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_bigrams"),
+          when(col("n_bigrams") > 0,
+            expr("(1000000 * sum_surprisal) div n_bigrams"))
+            .otherwise(lit(0L)).as("mean_micro")))
     val cuts = tercileCuts(means.select(col("source"), col("mean_micro")))
     val bucketed = assignBucket(
       means.join(broadcast(cuts), Seq("source"), "left"))
@@ -2857,6 +2874,45 @@ object AnalysisQueries {
         AS n_agree
     FROM j""")
 
+  // --- q177d: the trained gate DEPLOYED (per-source keep rates) ------------
+  // The last step of the classifier lifecycle: train (q177) → score
+  // (q177b) → evaluate (q177c) → run as the ingest gate and read its
+  // realized per-source effect — the keep-rate report a curator checks
+  // before the mixture weights (q146) are recomputed under a new filter.
+  // All-integer, one corpus aggregate; hash-exact like the rest of the
+  // NB family (the shared nbCtes generator trains the same model).
+  def q177dNbGateEffect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysisOps.qualityClassify(docs,
+      nbFrame(spark, dir).select(col("bucket"), col("weight")),
+      buckets = TextAnalysisOps.TrainedBuckets)
+      .select(col("doc_id"), col("quality_label"))
+    docs.select(col("doc_id"), col("source")).join(scored, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality_label"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        expr("(1000 * n_kept) div n_docs").as("kept_permille"))
+      .orderBy("source")
+  }
+
+  val q177dSql: String = graft.queries.SqlDefs.materializeCtes(
+    s"""WITH $nbCtes,
+    b AS (SELECT doc_id,
+        ${HashOps.charHashSql("tok")} % ${TextAnalysisOps.TrainedBuckets} AS bucket
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM nb_l) z3),
+    sc AS (SELECT doc_id, CAST(sum(coalesce(w.weight, 0)) AS BIGINT) AS score
+      FROM b LEFT JOIN nb_w w USING (bucket) GROUP BY doc_id),
+    lbl AS (SELECT d.doc_id, d.source,
+        coalesce(sc.score, 0) >= 0 AS kept
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+    g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM lbl GROUP BY source)
+    SELECT source, n_docs, n_kept,
+      (1000 * n_kept) // n_docs AS kept_permille
+    FROM g ORDER BY source""")
+
   // --- q178/q178b: averaged-perceptron training (iterative tier) ----------
   // The discriminative sibling of q177 via the BpeTrainOps template
   // (ops/ClassifierTrainOps): bounded labeled example relation → scalar
@@ -3346,6 +3402,7 @@ object AnalysisQueries {
     "q177_nb_train" -> (q177NbTrain _),
     "q177b_nb_scores" -> (q177bNbScores _),
     "q177c_nb_eval" -> (q177cNbEval _),
+    "q177d_nb_gate_effect" -> (q177dNbGateEffect _),
     "q178_perceptron_train" -> (q178PerceptronTrain _),
     "q178b_perceptron_eval" -> (q178bPerceptronEval _),
     "q65b_calibration" -> (q65bCalibration _),
@@ -3403,6 +3460,7 @@ object AnalysisQueries {
     "q177_nb_train" -> q177Sql,
     "q177b_nb_scores" -> q177bSql,
     "q177c_nb_eval" -> q177cSql,
+    "q177d_nb_gate_effect" -> q177dSql,
     "q65b_calibration" -> q65bSql,
     "q67_source_health" -> q67Sql,
     "q76_phrase_search" -> q76Sql,
