@@ -157,6 +157,27 @@ class ClassifierTrainSpec extends SparkSpec {
         s"(nb=$accNb, perceptron=$accPc permille)")
   }
 
+  test("fixture-trained weights match the committed golden checksum (rows-tier drift gate)") {
+    // the q178 rows tier has no oracle; this pins the trained table's
+    // CONTENT (not just determinism-within-a-run) so an unintentional
+    // semantic change to the example builder, hashing, or update rule
+    // fails loudly. The fold is order-sensitive (rows sorted by bucket).
+    def checksum(rows: Seq[(Long, Long)]): Long =
+      rows.sortBy(_._1).foldLeft(1125899906842597L) { case (h, (b, w)) =>
+        h * 31 + b * 131 + w
+      }
+    val dir = "/root/testdata/sf0.001"
+    val pc = graft.queries.AnalysisQueries.q178PerceptronTrain(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nb = graft.queries.AnalysisQueries.q177NbTrain(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(pc.nonEmpty && nb.nonEmpty)
+    assert(checksum(pc) === 8577068903420713019L,
+      s"perceptron golden drifted: ${checksum(pc)}")
+    assert(checksum(nb) === -4646080506815126240L,
+      s"nb golden drifted: ${checksum(nb)}")
+  }
+
   test("training examples are bounded and deterministically ordered") {
     val docs = docsDf((0 until 10).map(i => (i.toLong, goodText + s" t$i")))
     val ex = ClassifierTrainOps.trainingExamples(
