@@ -2726,9 +2726,9 @@ object AnalysisQueries {
   // surrogate); q177c is the promotion evidence — one row of
   // accuracy-vs-label for the trained model and the fixed surrogate
   // plus their agreement mass, all integer.
-  // Session memo: the ≤ClassifierBuckets-row weight table has three
-  // registry consumers; the mixtureCache bound, cleared by evictAll so
-  // the cold pass genuinely retrains.
+  // Session memo: the ≤TrainedBuckets-row weight table (2^15 rows ≈ a
+  // few hundred KB collected) has four registry consumers; cleared by
+  // evictAll so the cold pass genuinely retrains.
   val InDomainLang = "en"
 
   private def inDomainLabeled(spark: SparkSession, dir: String): DataFrame =

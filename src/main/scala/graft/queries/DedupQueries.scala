@@ -120,6 +120,26 @@ object DedupQueries {
       doc_id <> canonical_id AS is_duplicate
     FROM w ORDER BY doc_id"""
 
+  // --- q180: the exact-dedup STREAM executed in the gate --------------------
+  // q179's sibling for the STATEFUL streaming path: the corpus replays
+  // as 4 deterministic chunk files through exactDedupStream
+  // (dropDuplicatesWithinWatermark keyed on the 8-byte content key,
+  // never text), survivors land in an append-mode file sink, and the
+  // registered relation is the surviving content-key SET — one row per
+  // distinct key whatever the arrival order, so q24's batch key
+  // semantics oracle this streaming execution hash-exactly. The
+  // doc-level twin parity (WHICH doc survives) stays unit-gated in
+  // StreamingOpsSpec; this row proves the stateful operator runs inside
+  // the correctness gate every round.
+  def q180StreamExactDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.exactDedupViaStream(spark,
+      s"$dir/documents.parquet", chunks = 4,
+      scratchName = s"stream_dedup/${new java.io.File(dir).getName}")
+
+  val q180Sql: String =
+    s"""SELECT DISTINCT ${HashOps.contentKeySql("text")} AS content_key
+    FROM documents ORDER BY content_key"""
+
   // --- q24b: canonical-form exact dedup ----------------------------------
   // The "fuzzy-exact" dedup every web pipeline runs before anything
   // fancier (RefinedWeb/CCNet practice): group on a NORMALIZED text key —
@@ -2022,6 +2042,7 @@ object DedupQueries {
     "q61b_variable_spans" -> (q61bVariableSpans _),
     "q61c_exact_substr" -> (q61cExactSubstr _),
     "q24_exact_dup" -> (q24ExactDup _),
+    "q180_stream_exact_dedup" -> (q180StreamExactDedup _),
     "q24b_canonical_dup" -> (q24bCanonicalDup _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
     "q73_leakage_audit" -> (q73LeakageAudit _),
@@ -2069,6 +2090,7 @@ object DedupQueries {
     "q61_strip_spans" -> q61Sql,
     "q61b_variable_spans" -> q61bSql,
     "q24_exact_dup" -> q24Sql,
+    "q180_stream_exact_dedup" -> q180Sql,
     "q24b_canonical_dup" -> q24bSql,
     "q25_ngram_jaccard" -> q25Sql,
     "q73_leakage_audit" -> q73Sql,

@@ -844,17 +844,23 @@ object StreamingOps {
     * ≤ capacity broadcast candidates — q99's exact shape, just fed by
     * the streaming store.
     */
-  def heavyHittersViaStream(spark: SparkSession, docsPath: String,
-                            chunks: Int, capacity: Int, den: Long,
-                            scratchName: String): DataFrame = {
-    require(chunks > 0, "heavyHittersViaStream needs at least one chunk")
+  /** Wipe `Scratch.dir(scratchName)` and stage `docsPath`'s
+    * `(doc_id, text)` rows into `chunks` single-file parquet chunks
+    * under `<base>/input` by the deterministic `doc_id mod chunks`
+    * split — the shared fresh-ingest staging of the driver-oracled
+    * streaming queries (q179/q180). Returns the (base, inputDir) pair.
+    */
+  private def stageDocChunks(spark: SparkSession, docsPath: String,
+                             chunks: Int,
+                             scratchName: String): (String, String) = {
+    require(chunks > 0, "stageDocChunks needs at least one chunk")
     val base = graft.Scratch.dir(scratchName)
     val conf = spark.sparkContext.hadoopConfiguration
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(conf)
     def mustFs(ok: Boolean, what: String): Unit =
       if (!ok) throw new java.io.IOException(
-        s"heavyHittersViaStream: filesystem step failed: $what")
+        s"stageDocChunks: filesystem step failed: $what")
     if (fs.exists(basePath)) mustFs(fs.delete(basePath, true), s"wipe $base")
     val inputDir = s"$base/input"
     mustFs(fs.mkdirs(new org.apache.hadoop.fs.Path(inputDir)),
@@ -867,13 +873,20 @@ object StreamingOps {
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
         .map(_.getPath).find(_.getName.startsWith("part-"))
         .getOrElse(throw new java.io.IOException(
-          s"heavyHittersViaStream: no part file written under $stage"))
+          s"stageDocChunks: no part file written under $stage"))
       mustFs(fs.rename(part,
         new org.apache.hadoop.fs.Path(s"$inputDir/chunk-$k.parquet")),
         s"stage chunk $k")
       mustFs(fs.delete(new org.apache.hadoop.fs.Path(stage), true),
         s"drop staging $stage")
     }
+    (base, inputDir)
+  }
+
+  def heavyHittersViaStream(spark: SparkSession, docsPath: String,
+                            chunks: Int, capacity: Int, den: Long,
+                            scratchName: String): DataFrame = {
+    val (base, inputDir) = stageDocChunks(spark, docsPath, chunks, scratchName)
     val schema = spark.read.parquet(inputDir).schema
     val streamTerms = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inputDir)
@@ -895,6 +908,39 @@ object StreamingOps {
       .where(col("cnt") > expr(s"n div $den"))
       .select(col("tok").as("token"), col("cnt"))
       .orderBy(desc("cnt"), asc("token"))
+  }
+
+  /** The exact-dedup STREAM executed over the documents fixture — the
+    * second driver-oracled streaming entry (q180), covering the stateful
+    * `dropDuplicatesWithinWatermark` path where q179 covers foreachBatch
+    * aggregation. Same fresh-ingest staging as q179; event time is
+    * synthesized deterministically from doc_id (one second apart, well
+    * inside the watermark). The emitted relation is the surviving
+    * CONTENT-KEY SET: which doc_id survives per group depends on
+    * arrival order inside a micro-batch, but the key set — one survivor
+    * per distinct 62-bit content key — is order-INDEPENDENT, so the
+    * batch `SELECT DISTINCT contentKey(text)` oracle verifies this
+    * streaming execution hash-exactly. Output lands in a file sink
+    * (append mode) under the wiped scratch, then reads back sorted.
+    */
+  def exactDedupViaStream(spark: SparkSession, docsPath: String,
+                          chunks: Int, scratchName: String): DataFrame = {
+    val (base, inputDir) = stageDocChunks(spark, docsPath, chunks, scratchName)
+    val schema = spark.read.parquet(inputDir).schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inputDir)
+      .withColumn("ts",
+        (lit(1700000000L) + col("doc_id")).cast("timestamp"))
+    val q = exactDedupStream(docs)
+      .select(col("content_key"))
+      .writeStream
+      .option("checkpointLocation", s"$base/checkpoint")
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", s"$base/survivors")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$base/survivors").orderBy("content_key")
   }
 
   /** Convenience: the events fixture schema as a file stream — the same

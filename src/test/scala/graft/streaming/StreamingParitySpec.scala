@@ -415,6 +415,19 @@ class StreamingParitySpec extends SparkSpec {
     assert(again == batch)
   }
 
+  test("q180 streaming exact dedup: the registered stateful execution " +
+      "emits exactly the batch distinct content-key set") {
+    val viaStream = graft.queries.DedupQueries
+      .q180StreamExactDedup(spark, dir).collect().map(_.getLong(0)).toSeq
+    val batch = graft.Tables.documents(spark, dir)
+      .select(graft.ops.HashOps.contentKey(col("text")).as("ck"))
+      .distinct().orderBy("ck").collect().map(_.getLong(0)).toSeq
+    assert(viaStream.nonEmpty && viaStream == batch)
+    // fresh-ingest identity on re-run (scratch wiped per invocation)
+    assert(graft.queries.DedupQueries.q180StreamExactDedup(spark, dir)
+      .collect().map(_.getLong(0)).toSeq == batch)
+  }
+
   test("q99 heavy-hitter stream: replayed corpus candidates cover every " +
       "exact heavy hitter (mergeable-summaries guarantee across batches)") {
     import graft.ops.TextOps
