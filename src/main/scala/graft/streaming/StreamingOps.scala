@@ -819,6 +819,31 @@ object StreamingOps {
       spark.read.parquet(summaryPath).select("rep", "b", "z"))
   }
 
+  /** Streaming deployment of a TRAINED quality classifier — the last
+    * step of the q177/q178 lifecycle (train → score → evaluate → gate):
+    * each micro-batch of arriving documents is scored through the SAME
+    * batch operator ([[graft.ops.TextAnalysisOps.qualityClassify]])
+    * under the broadcast trained weight relation. Scoring is per-doc
+    * with no cross-batch state, so foreachBatch batch-semantics is the
+    * exact streaming form (the incrementalDedupStream pattern) — parity
+    * with the batch scorer over the concatenated batches is unit-gated.
+    * At-least-once delivery re-scores a replayed batch identically
+    * (pure function of the batch), so any idempotent sink is safe.
+    */
+  def classifyStream(docs: DataFrame, weights: DataFrame, buckets: Long,
+                     checkpoint: String)
+                    (collect: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // scoped, NOT releaseAll — the incrementalDedupStream rule
+        graft.CacheScope.scoped {
+          collect(graft.ops.TextAnalysisOps.qualityClassify(
+            batch, weights, buckets = buckets))
+        }
+      }
+      .start()
+
   /** The q99 exact heavy hitters computed THROUGH the streaming path —
     * the registry's driver-oracled streaming entry (r12 verdict item 2:
     * every streaming twin was unit-gated only; this one runs a real

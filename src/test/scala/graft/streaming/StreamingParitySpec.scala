@@ -415,6 +415,43 @@ class StreamingParitySpec extends SparkSpec {
     assert(again == batch)
   }
 
+  test("classifyStream: chunked ingest scored under the trained NB table " +
+      "equals the batch scorer over the concatenated batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val weights = graft.ops.TextAnalysisOps.nbTrainedWeights(
+      graft.ops.TextAnalysisOps.langLabeled(
+        graft.Tables.documents(spark, dir), "en"))
+      .select(col("bucket"), col("weight"))
+    val persisted = graft.CacheScope.persist(weights)
+    try {
+      val docs = graft.Tables.documents(spark, dir)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val mem = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-clsstream").toString
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+      val q = StreamingOps.classifyStream(
+        mem.toDF.toDF("doc_id", "text"), persisted,
+        graft.ops.TextAnalysisOps.TrainedBuckets, ckpt) { scored =>
+        got ++= scored.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      }
+      try {
+        docs.grouped(200).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val batch = graft.ops.TextAnalysisOps.qualityClassify(
+        graft.Tables.documents(spark, dir), persisted,
+        buckets = graft.ops.TextAnalysisOps.TrainedBuckets)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
+    } finally graft.CacheScope.releaseAll()
+  }
+
   test("q180 streaming exact dedup: the registered stateful execution " +
       "emits exactly the batch distinct content-key set") {
     val viaStream = graft.queries.DedupQueries
