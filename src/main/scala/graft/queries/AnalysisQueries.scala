@@ -1147,16 +1147,31 @@ object AnalysisQueries {
         .where(Snapshots.inA), "a")
     }
 
+  /** The drift report from the two per-side rate relations — shared by
+    * the stored-reference path and the from-scratch twin. FULL outer
+    * with coalesce-0 (r13 review): a source present in only one
+    * snapshot — brand-new in B, or vanished from it — is exactly the
+    * drift case the monitor exists for (the q170/q172b asymmetric-source
+    * rule); the earlier inner join silently hid it.
+    */
+  private def qualityDriftCombine(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, Seq("source"), "full")
+      .select(col("source"),
+        coalesce(col("docs_a"), lit(0L)).as("docs_a"),
+        coalesce(col("pass_a_permille"), lit(0L)).as("pass_a_permille"),
+        coalesce(col("docs_b"), lit(0L)).as("docs_b"),
+        coalesce(col("pass_b_permille"), lit(0L)).as("pass_b_permille"))
+      .withColumn("drift_pm",
+        col("pass_b_permille") - col("pass_a_permille"))
+      .orderBy("source")
+
   def q155QualityDrift(spark: SparkSession, dir: String): DataFrame = {
     import CurationQueries.Snapshots
     val b = batteryPassRate(Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
       .where(Snapshots.inB)
       .select(col("doc_id"), col("source"), Snapshots.textB.as("text")), "b")
-    qualityRatesBaseA(spark, dir).join(b, Seq("source"))
-      .withColumn("drift_pm",
-        col("pass_b_permille") - col("pass_a_permille"))
-      .orderBy("source")
+    qualityDriftCombine(qualityRatesBaseA(spark, dir), b)
   }
 
   /** From-scratch twin of [[q155QualityDrift]] (both sides live, nothing
@@ -1172,10 +1187,7 @@ object AnalysisQueries {
     val a = batteryPassRate(docs.where(Snapshots.inA), "a")
     val b = batteryPassRate(docs.where(Snapshots.inB)
       .select(col("doc_id"), col("source"), Snapshots.textB.as("text")), "b")
-    a.join(b, Seq("source"))
-      .withColumn("drift_pm",
-        col("pass_b_permille") - col("pass_a_permille"))
-      .orderBy("source")
+    qualityDriftCombine(a, b)
   }
 
   // lazy: references CurationQueries.Snapshots — the cross-object clinit
@@ -1200,10 +1212,13 @@ object AnalysisQueries {
       FROM documents WHERE ${Snapshots.inBSql}),
     pa AS ${battery("ad")},
     pb AS ${battery("bd")}
-    SELECT pa.source, pa.docs AS docs_a, pa.pp AS pass_a_permille,
-      pb.docs AS docs_b, pb.pp AS pass_b_permille,
-      pb.pp - pa.pp AS drift_pm
-    FROM pa JOIN pb ON pa.source = pb.source ORDER BY pa.source"""
+    SELECT coalesce(pa.source, pb.source) AS source,
+      coalesce(pa.docs, 0) AS docs_a,
+      coalesce(pa.pp, 0) AS pass_a_permille,
+      coalesce(pb.docs, 0) AS docs_b,
+      coalesce(pb.pp, 0) AS pass_b_permille,
+      coalesce(pb.pp, 0) - coalesce(pa.pp, 0) AS drift_pm
+    FROM pa FULL JOIN pb ON pa.source = pb.source ORDER BY source"""
   }
 
   // --- q165: dedup-aware effective mixture -----------------------------------

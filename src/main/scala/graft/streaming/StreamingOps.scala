@@ -590,7 +590,24 @@ object StreamingOps {
     */
   def heavyHitterStream(terms: DataFrame, capacity: Int, summaryPath: String,
                         checkpoint: String)
-                       (onUpdate: Seq[String] => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+                       (onUpdate: Seq[String] => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    heavyHitterStreamWith(terms, capacity, summaryPath, checkpoint,
+      Some(onUpdate))
+
+  /** Store-only variant: maintains the per-batch summary store with NO
+    * per-trigger standing-candidate derivation — a consumer that only
+    * reads the store after the fact (q179's verify pass) would otherwise
+    * pay a full store read + driver merge per trigger just to discard
+    * it (r13 review: 5 merges per execution where 1 is used).
+    */
+  def heavyHitterStreamStore(terms: DataFrame, capacity: Int,
+                             summaryPath: String,
+                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    heavyHitterStreamWith(terms, capacity, summaryPath, checkpoint, None)
+
+  private def heavyHitterStreamWith(terms: DataFrame, capacity: Int,
+                                    summaryPath: String, checkpoint: String,
+                                    onUpdate: Option[Seq[String] => Unit]): org.apache.spark.sql.streaming.StreamingQuery = {
     val agg = new graft.functions.MisraGries.SketchCounters(capacity)
     terms.writeStream
       .option("checkpointLocation", checkpoint)
@@ -604,7 +621,8 @@ object StreamingOps {
           spark.createDataset(batchSummary.toSeq).toDF("tok", "cnt")
             .withColumn("mg_batch", lit(batchId)),
           summaryPath, Seq("mg_batch"))
-        onUpdate(mergedHeavyHitterCandidates(spark, summaryPath, capacity))
+        onUpdate.foreach(f =>
+          f(mergedHeavyHitterCandidates(spark, summaryPath, capacity)))
       }
       .start()
   }
@@ -890,21 +908,31 @@ object StreamingOps {
     val inputDir = s"$base/input"
     mustFs(fs.mkdirs(new org.apache.hadoop.fs.Path(inputDir)),
       s"mkdirs $inputDir")
-    val docs = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
+    // ONE corpus pass (r13 review: the earlier per-chunk filter loop
+    // scanned the source `chunks` times): partition the write by the
+    // mod split — repartition on the chunk key puts each value in
+    // exactly one task, so each chunk dir holds exactly one part file —
+    // then flatten the part files into the input dir the file stream
+    // lists (partitionBy drops the chunk column, keeping the schema)
+    val stage = s"$base/stage"
+    spark.read.parquet(docsPath)
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(chunks)).as("chunk"))
+      .repartition(chunks, col("chunk"))
+      .write.partitionBy("chunk").mode("overwrite").parquet(stage)
     (0 until chunks).foreach { k =>
-      val stage = s"$base/stage-$k"
-      docs.where(pmod(col("doc_id"), lit(chunks)) === k)
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(throw new java.io.IOException(
-          s"stageDocChunks: no part file written under $stage"))
-      mustFs(fs.rename(part,
-        new org.apache.hadoop.fs.Path(s"$inputDir/chunk-$k.parquet")),
-        s"stage chunk $k")
-      mustFs(fs.delete(new org.apache.hadoop.fs.Path(stage), true),
-        s"drop staging $stage")
+      val chunkDir = new org.apache.hadoop.fs.Path(s"$stage/chunk=$k")
+      if (fs.exists(chunkDir)) // an empty chunk writes no dir — fine
+        fs.listStatus(chunkDir).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (p, j) =>
+            mustFs(fs.rename(p,
+              new org.apache.hadoop.fs.Path(s"$inputDir/chunk-$k-$j.parquet")),
+              s"stage chunk $k file $j")
+          }
     }
+    mustFs(fs.delete(new org.apache.hadoop.fs.Path(stage), true),
+      s"drop staging $stage")
     (base, inputDir)
   }
 
@@ -917,8 +945,8 @@ object StreamingOps {
       .option("maxFilesPerTrigger", 1).parquet(inputDir)
       .select(explode(graft.ops.TextOps.tokenize(
         coalesce(col("text"), lit("")))).as("tok"))
-    val q = heavyHitterStream(streamTerms, capacity,
-      s"$base/summaries", s"$base/checkpoint")(_ => ())
+    val q = heavyHitterStreamStore(streamTerms, capacity,
+      s"$base/summaries", s"$base/checkpoint")
     try q.processAllAvailable() finally q.stop()
     val cands = mergedHeavyHitterCandidates(spark, s"$base/summaries", capacity)
     import spark.implicits._
@@ -939,8 +967,17 @@ object StreamingOps {
     * second driver-oracled streaming entry (q180), covering the stateful
     * `dropDuplicatesWithinWatermark` path where q179 covers foreachBatch
     * aggregation. Same fresh-ingest staging as q179; event time is
-    * synthesized deterministically from doc_id (one second apart, well
-    * inside the watermark). The emitted relation is the surviving
+    * synthesized deterministically from doc_id (one second apart), and
+    * the watermark delay is SCALED TO THE STAGED SPAN (max doc_id +
+    * slack): the chunk split interleaves the whole id range across
+    * files, so every later chunk carries events older than the first
+    * chunk's max — under a fixed 1-hour delay any corpus over 3600 docs
+    * would advance the watermark past them, silently DROPPING late
+    * keys and re-emitting cross-chunk duplicates (found at sf0.1 by
+    * review, reproduced: 150 ids / 3 chunks / 30 s watermark lost 39
+    * keys and double-emitted 1). The dedup horizon must cover the
+    * replayed span — exactly the dial a production backfill sets from
+    * its ingest window. The emitted relation is the surviving
     * CONTENT-KEY SET: which doc_id survives per group depends on
     * arrival order inside a micro-batch, but the key set — one survivor
     * per distinct 62-bit content key — is order-INDEPENDENT, so the
@@ -951,12 +988,17 @@ object StreamingOps {
   def exactDedupViaStream(spark: SparkSession, docsPath: String,
                           chunks: Int, scratchName: String): DataFrame = {
     val (base, inputDir) = stageDocChunks(spark, docsPath, chunks, scratchName)
-    val schema = spark.read.parquet(inputDir).schema
+    val staged = spark.read.parquet(inputDir)
+    val schema = staged.schema
+    val spanSeconds = staged.agg(max(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => 0L // empty corpus: any horizon works
+      case r => r.getLong(0)
+    }
     val docs = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inputDir)
       .withColumn("ts",
         (lit(1700000000L) + col("doc_id")).cast("timestamp"))
-    val q = exactDedupStream(docs)
+    val q = exactDedupStream(docs, watermark = s"${spanSeconds + 60} seconds")
       .select(col("content_key"))
       .writeStream
       .option("checkpointLocation", s"$base/checkpoint")

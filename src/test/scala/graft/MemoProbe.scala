@@ -56,11 +56,6 @@ object MemoProbe {
     time("noop_range") {
       spark.range(1000L).write.format("noop").mode("overwrite").save()
     }
-    time("orderBy_tax") {
-      queries.AnalysisQueries.q70UnigramRarity(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      CacheScope.releaseAll()
-    }
     spark.stop()
   }
 }

@@ -153,6 +153,33 @@ class DriftDqSpec extends SparkSpec {
     assert(storedBatches == 2, s"expected 2 stored batches, got $storedBatches")
   }
 
+  test("q155: sources present in only one snapshot stay IN the report " +
+      "(the asymmetric-source rule)") {
+    import sqlImplicits._
+    // carve: inA = doc_id%10 < 8, inB = doc_id%10 >= 2 — so ids {10,11}
+    // are A-only and {18,19} B-only; 'both' spans the intersection
+    val passing = "the quick brown fox jumps over seven lazy dogs daily"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q155-asym")
+    Seq(
+      (2L, "both", passing), (3L, "both", passing), (4L, "both", passing),
+      (10L, "onlyA", passing), (11L, "onlyA", passing),
+      (18L, "onlyB", passing), (19L, "onlyB", passing))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = AnalysisQueries.q155QualityDrift(spark, tmp.toString)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rows.keySet === Set("both", "onlyA", "onlyB"),
+      s"asymmetric sources missing from the report: ${rows.keySet}")
+    val (da, pa, db, pb, drift) = rows("onlyB")
+    assert(da == 0L && pa == 0L && db == 2L && drift == pb,
+      s"new-in-B source row wrong: ${rows("onlyB")}")
+    val (da2, pa2, db2, pb2, drift2) = rows("onlyA")
+    assert(db2 == 0L && pb2 == 0L && da2 == 2L && drift2 == -pa2,
+      s"vanished-in-B source row wrong: ${rows("onlyA")}")
+  }
+
   test("q155: a degraded snapshot-B source shows negative drift") {
     import sqlImplicits._
     // source 'sA': A-side text passes the battery; its B rewrite (doc_id

@@ -465,6 +465,28 @@ class StreamingParitySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == batch)
   }
 
+  test("exactDedupViaStream survives an id span past the default 1-hour " +
+      "watermark (the r13 review regression: late keys dropped, dups re-emitted)") {
+    import sqlImplicits._
+    // 5000 ids -> a 5000 s event-time span; the chunk split interleaves
+    // the whole range across files, so under a FIXED 1-hour delay the
+    // keys of late rows vanish and cross-chunk duplicates double-emit
+    // (reproduced: 150 ids / 3 chunks / 30 s watermark lost 39 of 149
+    // keys). The span-scaled watermark must emit exactly one survivor
+    // per distinct key.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q180-span")
+    (0L until 5000L).map(i => (i, s"text ${i % 97}"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = StreamingOps.exactDedupViaStream(spark,
+      s"$tmp/documents.parquet", chunks = 4,
+      scratchName = "stream_dedup/span-test")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.size == 97 && out.distinct.size == 97,
+      s"expected 97 unique survivors, got ${out.size} rows / " +
+        s"${out.distinct.size} distinct")
+  }
+
   test("q99 heavy-hitter stream: replayed corpus candidates cover every " +
       "exact heavy hitter (mergeable-summaries guarantee across batches)") {
     import graft.ops.TextOps
