@@ -518,6 +518,30 @@ object EventQueries {
         col("duration_sec"))
       .orderBy("user_id", "session_seq")
 
+  // --- q181: the dynamic-gap session stream EXECUTED in the gate -----------
+  // Third streaming path class driver-oracled (r13 verdict item 3): q179
+  // covers foreachBatch aggregation, q180 the built-in stateful dedup;
+  // this runs the CUSTOM-STATE machine (flatMapGroupsWithState +
+  // EventTimeTimeout, StreamingOps.dynamicGapSessionStream) over a fresh
+  // time-ordered file replay of the events fixture and is verified by
+  // q117's batch lag/cumsum SQL — closed sessions are a pure function of
+  // each user's event-time-ordered events, so the streamed rows must
+  // equal the batch operator's hash-exactly once the final watermark
+  // flush runs (the staged far-future flush event provides it).
+  def q181StreamDynamicSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.dynamicSessionsViaStream(spark, dir,
+      chunks = 4,
+      gapMicrosOf = uid =>
+        (300L + java.lang.Math.floorMod(uid, 3L) * 300L) * 1000000L,
+      scratchName = "q181_dyn_sessions")
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_end"),
+        col("duration_sec"))
+      .orderBy("user_id", "session_seq")
+
   val q117Sql: String =
     s"""WITH e AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -961,6 +985,7 @@ object EventQueries {
     "q114_gap_fill" -> (q114GapFill _),
     "q116_asof_directions" -> (q116AsofDirections _),
     "q117_dynamic_sessions" -> (q117DynamicSessions _),
+    "q181_stream_dynamic_sessions" -> (q181StreamDynamicSessions _),
     "q129_zorder_layout" -> (q129ZorderLayout _),
     "q32_tumbling" -> (q32Tumbling _),
     "q33_sliding" -> (q33Sliding _),
@@ -979,6 +1004,7 @@ object EventQueries {
     "q114_gap_fill" -> q114Sql,
     "q116_asof_directions" -> q116Sql,
     "q117_dynamic_sessions" -> q117Sql,
+    "q181_stream_dynamic_sessions" -> q117Sql,
     "q129_zorder_layout" -> q129Sql,
     "q54_asof_enrich" -> q54Sql,
     "q77_click_attribution" -> q77Sql,

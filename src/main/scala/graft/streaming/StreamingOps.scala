@@ -887,7 +887,21 @@ object StreamingOps {
     * ≤ capacity broadcast candidates — q99's exact shape, just fed by
     * the streaming store.
     */
-  /** Wipe `Scratch.dir(scratchName)` and stage `docsPath`'s
+  /** PID-scoped scratch base for the streaming ingest harnesses: two
+    * JVMs running the same driver-oracled streaming query concurrently
+    * (the test-beside-bench scenario StoredRelations hardens against
+    * with per-PID tmp + rename) must not race on one wiped
+    * input/summary/checkpoint tree — the dir is wiped at the START of
+    * every staging call, so a cross-process collision can hand a running
+    * stream a half-staged corpus. Per-PID bases make the wipe private to
+    * this JVM; stale bases from dead PIDs live under the ephemeral tmp
+    * root and are re-wiped whenever that PID number recurs.
+    */
+  private def pidScopedBase(scratchName: String): String =
+    graft.Scratch.dir(
+      s"$scratchName-pid${ProcessHandle.current().pid()}")
+
+  /** Wipe the PID-scoped scratch for `scratchName` and stage `docsPath`'s
     * `(doc_id, text)` rows into `chunks` single-file parquet chunks
     * under `<base>/input` by the deterministic `doc_id mod chunks`
     * split — the shared fresh-ingest staging of the driver-oracled
@@ -897,7 +911,7 @@ object StreamingOps {
                              chunks: Int,
                              scratchName: String): (String, String) = {
     require(chunks > 0, "stageDocChunks needs at least one chunk")
-    val base = graft.Scratch.dir(scratchName)
+    val base = pidScopedBase(scratchName)
     val conf = spark.sparkContext.hadoopConfiguration
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(conf)
@@ -1008,6 +1022,136 @@ object StreamingOps {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(s"$base/survivors").orderBy("content_key")
+  }
+
+  /** Stage the events fixture as `chunks` TIME-ORDERED single-file
+    * parquet chunks plus one far-future flush event, with strictly
+    * increasing file mtimes so FileStreamSource replays them in
+    * event-time order — the staging the STATEFUL streaming executions
+    * need (q181): unlike q179/q180's id-mod interleave (which replays
+    * the full time span in every file and therefore sizes its own
+    * watermark to the span), a custom-state session machine requires
+    * per-key event-time order within the watermark, and a time-ordered
+    * replay provides it under the production 1-hour delay. The flush
+    * event (2 h past the last real event, user_id = -1) pushes the final
+    * watermark past every real session's `last + gap` so the
+    * EventTimeTimeout flushes them all — the role a quiescent production
+    * stream's next real event plays.
+    *
+    * Chunking is by event-time VALUE RANGE (equal-width slices of
+    * [min ts, max ts] — one 2-scalar aggregate plus a narrow
+    * projection), not an ntile rank: the ordered-replay contract needs
+    * chunk k's events to all precede chunk k+1's, which a range split
+    * gives by construction with NO global sort — the same shape a
+    * 100 TB backfill uses when it stages per-day files. Chunk sizes may
+    * be uneven (skewed event-time density); the session machine doesn't
+    * care.
+    */
+  private def stageEventChunksOrdered(spark: SparkSession, dir: String,
+                                      chunks: Int,
+                                      scratchName: String): (String, String) = {
+    require(chunks > 0, "stageEventChunksOrdered needs at least one chunk")
+    val base = pidScopedBase(scratchName)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    def mustFs(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"stageEventChunksOrdered: filesystem step failed: $what")
+    if (fs.exists(basePath)) mustFs(fs.delete(basePath, true), s"wipe $base")
+    val inputDir = s"$base/input"
+    mustFs(fs.mkdirs(new org.apache.hadoop.fs.Path(inputDir)),
+      s"mkdirs $inputDir")
+    val ev = graft.Tables.events(spark, dir)
+    val (minUs, maxUs) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head() match {
+      case r if r.isNullAt(0) => (0L, 0L) // empty fixture: one empty chunk
+      case r => (r.getLong(0), r.getLong(1))
+    }
+    val flushTs = new Timestamp(maxUs / 1000L + 2L * 3600L * 1000L)
+    val widthUs = (maxUs - minUs) / chunks + 1L
+    val chunked = ev.withColumn("chunk",
+      ((unix_micros(col("ts")) - minUs) / widthUs).cast("int"))
+    val stage = s"$base/stage"
+    chunked.repartition(chunks, col("chunk"))
+      .write.partitionBy("chunk").mode("overwrite").parquet(stage)
+    // the flush row, written with the STAGED schema (one extra chunk)
+    ev.limit(1).select(
+      lit(-1L).as("event_id"), lit(flushTs).as("ts"),
+      lit(-1L).as("user_id"), lit("flush").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$stage/chunk=$chunks")
+    (0 to chunks).foreach { k =>
+      val chunkDir = new org.apache.hadoop.fs.Path(s"$stage/chunk=$k")
+      if (fs.exists(chunkDir)) // an empty ntile chunk writes no dir — fine
+        fs.listStatus(chunkDir).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (p, j) =>
+            val dst = new org.apache.hadoop.fs.Path(
+              f"$inputDir/chunk-$k%03d-$j.parquet")
+            mustFs(fs.rename(p, dst), s"stage chunk $k file $j")
+            // strictly increasing mtimes: FileStreamSource lists in
+            // mtime order, and the ordered-replay contract rides on it
+            fs.setTimes(dst, 1000000000L + k * 60000L + j, -1)
+          }
+    }
+    mustFs(fs.delete(new org.apache.hadoop.fs.Path(stage), true),
+      s"drop staging $stage")
+    (base, inputDir)
+  }
+
+  /** The dynamic-gap SESSION stream executed over the events fixture —
+    * the THIRD driver-oracled streaming path class (q181): custom
+    * per-key state via flatMapGroupsWithState + EventTimeTimeout, where
+    * q179 covers foreachBatch aggregation and q180 the built-in stateful
+    * dedup operator. Fresh ingest per invocation (staging wiped and
+    * rebuilt, 1 file per trigger), the [[dynamicGapSessionStream]] state
+    * machine closing each user's sessions incrementally, results landing
+    * in an append-mode file sink and read back sorted. Closed sessions
+    * are a pure function of each user's event-time-ordered event list —
+    * independent of how the replay chunks that list — so the batch
+    * lag/cumsum SQL (q117's oracle) verifies this streaming execution
+    * hash-exactly. The flush event's own open session never emits (the
+    * final watermark sits 1 h behind it); its user is filtered
+    * defensively anyway.
+    */
+  def dynamicSessionsViaStream(spark: SparkSession, dir: String,
+                               chunks: Int, gapMicrosOf: Long => Long,
+                               scratchName: String): DataFrame = {
+    val (base, inputDir) = stageEventChunksOrdered(spark, dir, chunks,
+      scratchName)
+    val schema = spark.read.parquet(inputDir).schema
+    import spark.implicits._
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inputDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[UserEvent]
+    // State partition count is a CHECKPOINT-scoped dial (pinned at first
+    // start): each trigger commits one state-store delta per partition,
+    // so at fixture scale 32 partitions cost ~4x the file ops the state
+    // actually needs. 8 keeps per-trigger commit cost proportionate; a
+    // production deployment sizes this to keys/executor once at
+    // checkpoint birth. Restored after the stream stops — the session
+    // value is Verify/Bench's batch dial, not ours to keep.
+    // the conf must stay set until the stream STOPS — micro-batch
+    // planning happens asynchronously after start(), so an early restore
+    // races the first batch's read of the dial
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = dynamicGapSessionStream(src, gapMicrosOf).toDF
+        .writeStream
+        .option("checkpointLocation", s"$base/checkpoint")
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/sessions")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(s"$base/sessions")
+      .where(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_seq")
   }
 
   /** Convenience: the events fixture schema as a file stream — the same

@@ -401,6 +401,16 @@ class StreamingParitySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q181 streaming dynamic sessions: the registered streaming execution " +
+      "is row-identical to the batch q117 relation") {
+    val viaStream = graft.queries.EventQueries
+      .q181StreamDynamicSessions(spark, dir).collect().toSeq
+    val batch = graft.queries.EventQueries
+      .q117DynamicSessions(spark, dir).collect().toSeq
+    assert(viaStream.nonEmpty, "streaming dynamic sessions came back empty")
+    assert(viaStream == batch)
+  }
+
   test("q179 streaming heavy hitters: the registered streaming execution " +
       "is row-identical to the batch q99 relation") {
     val viaStream = graft.queries.AnalysisQueries
