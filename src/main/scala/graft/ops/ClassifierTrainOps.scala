@@ -124,6 +124,15 @@ object ClassifierTrainOps {
       .collect()
       .map(r => (r.getLong(0), r.getBoolean(1),
         r.getSeq[Long](2).toSeq)).toSeq
+    // the head-of-id-order carve can go ONE-CLASS when label correlates
+    // with id order (e.g. good docs appended last in a curated corpus) —
+    // the perceptron would then silently degenerate to a constant
+    // predictor. Fail loudly instead: the caller should widen maxDocs or
+    // supply a hash-ordered carve.
+    require(examples.map(_._2).distinct.size == 2,
+      s"perceptron training carve is one-class over ${examples.size} " +
+        "examples (label correlates with id order?) — widen maxDocs or " +
+        "pre-shuffle the labeled relation by a hash key")
     val rows = trainLocal(examples, epochs)
       .map { case (b, wt) => Row(b, wt) }
     spark.createDataFrame(

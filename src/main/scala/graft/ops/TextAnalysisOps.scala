@@ -705,6 +705,57 @@ object TextAnalysisOps {
           + l2len(col("tb") + lit(buckets))).as("weight"))
   }
 
+  /** Train-vs-HELD-OUT evaluation of the NB trainer in one dataflow row —
+    * the generalization report an in-sample accuracy (q177c's shape)
+    * cannot give: the model trains ONLY on the `is_train` carve of the
+    * labeled relation and is then scored on both carves, so
+    * `acc_heldout_permille` is the number a curation gate actually
+    * routes on and `gap_permille` (train − held-out) is the
+    * memorization signal. Input is any `(doc_id, toks, good, is_train)`
+    * relation — q182 feeds the fixture's language supervision under the
+    * content-hash carve (q90b's re-ingestion-stable split), q183 a
+    * synthesized separable corpus, and ClassifierTrainSpec designed
+    * corpora where the gap provably appears and disappears.
+    *
+    * All counting: [[nbTrainedWeights]] on the carve (one bucket-keyed
+    * aggregate), one explode+broadcast-join scoring pass over ALL docs
+    * (the ≤`buckets`-row weight table broadcasts; unseen buckets score 0
+    * — [[qualityClassify]]'s left-join semantics), one corpus aggregate
+    * → a single integer row, hash-exact end-to-end.
+    */
+  def nbHeldoutReport(labeledCarved: DataFrame,
+                      buckets: Long = TrainedBuckets): DataFrame = {
+    val weights = nbTrainedWeights(labeledCarved.where(col("is_train")),
+      buckets).select(col("bucket"), col("weight"))
+    val inst = labeledCarved
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), (HashOps.charHash(col("tok")) % buckets).as("bucket"))
+    val scores = inst.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("weight"), lit(0L))).as("score"))
+    labeledCarved.select(col("doc_id"), col("good"), col("is_train"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("good"), col("is_train"),
+        (coalesce(col("score"), lit(0L)) >= 0).as("pred"))
+      .agg(
+        sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_heldout"),
+        sum(when(col("is_train") && col("good"), 1L).otherwise(0L))
+          .as("n_good_train"),
+        sum(when(!col("is_train") && col("good"), 1L).otherwise(0L))
+          .as("n_good_heldout"),
+        sum(when(col("is_train") && (col("pred") === col("good")), 1L)
+          .otherwise(0L)).as("c_train"),
+        sum(when(!col("is_train") && (col("pred") === col("good")), 1L)
+          .otherwise(0L)).as("c_heldout"))
+      .select(col("n_train"), col("n_heldout"),
+        col("n_good_train"), col("n_good_heldout"),
+        expr("(1000 * c_train) div n_train").as("acc_train_permille"),
+        expr("(1000 * c_heldout) div n_heldout").as("acc_heldout_permille"),
+        expr("(1000 * c_train) div n_train - (1000 * c_heldout) div n_heldout")
+          .as("gap_permille"))
+  }
+
   /** Context-window chunking: each document cut into token windows of
     * `size` starting every `stride` tokens (windows overlap by
     * `size - stride`; tail windows may be partial). The doc →

@@ -2812,14 +2812,12 @@ object AnalysisQueries {
     * floor-log2 via binary-string length; the four `-1`s cancel across
     * the two differences, so raw lengths are exact.
     */
-  private val nbCtes: String = {
+  private def nbChainCtes(nbL: String): String = {
     val d = TextAnalysisOps.TrainedBuckets
-    s"""nb_l AS (SELECT doc_id, ${toksSql("text")} AS toks,
-        lang = '$InDomainLang' AS good
-      FROM documents),
+    s"""nb_l AS ($nbL),
     nb_i AS (SELECT good,
         ${HashOps.charHashSql("tok")} % $d AS bucket
-      FROM (SELECT good, unnest(toks) AS tok FROM nb_l) z2),
+      FROM (SELECT good, unnest(toks) AS tok FROM nb_l WHERE is_train) z2),
     nb_c AS (SELECT bucket,
         CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
         CAST(sum(CASE WHEN NOT good THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
@@ -2832,6 +2830,54 @@ object AnalysisQueries {
           - length(format('{:b}', tg + $d))
           + length(format('{:b}', tb + $d)) AS BIGINT) AS weight
       FROM nb_c, nb_tot)"""
+  }
+
+  /** The fixture labeled relation (language supervision) under a given
+    * train carve — `TRUE` = q177's train-on-everything, the content-hash
+    * parity = q182's held-out split.
+    */
+  private def nbLFixture(trainPred: String): String =
+    s"""SELECT doc_id, ${toksSql("text")} AS toks,
+        lang = '$InDomainLang' AS good, $trainPred AS is_train
+      FROM documents"""
+
+  private val nbCtes: String = nbChainCtes(nbLFixture("TRUE"))
+
+  /** Score-every-doc + train-vs-held-out report CTEs, appended after
+    * [[nbChainCtes]] — ONE generator for q182 and q183 so the eval twins
+    * can never diverge from [[TextAnalysisOps.nbHeldoutReport]]'s
+    * dataflow (the nbCtes argument, one level up).
+    */
+  private val nbHeldoutReportSql: String = {
+    val d = TextAnalysisOps.TrainedBuckets
+    s"""nb_b AS (SELECT doc_id,
+        ${HashOps.charHashSql("tok")} % $d AS bucket
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM nb_l) zb),
+    nb_s AS (SELECT doc_id,
+        CAST(sum(coalesce(w.weight, 0)) AS BIGINT) AS score
+      FROM nb_b LEFT JOIN nb_w w USING (bucket) GROUP BY doc_id),
+    nb_j AS (SELECT l.good, l.is_train,
+        coalesce(s.score, 0) >= 0 AS pred
+      FROM nb_l l LEFT JOIN nb_s s USING (doc_id)),
+    nb_r AS (SELECT
+        CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        CAST(sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_heldout,
+        CAST(sum(CASE WHEN is_train AND good THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_good_train,
+        CAST(sum(CASE WHEN NOT is_train AND good THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_good_heldout,
+        CAST(sum(CASE WHEN is_train AND pred = good THEN 1 ELSE 0 END)
+          AS BIGINT) AS c_train,
+        CAST(sum(CASE WHEN NOT is_train AND pred = good THEN 1 ELSE 0 END)
+          AS BIGINT) AS c_heldout
+      FROM nb_j)
+    SELECT n_train, n_heldout, n_good_train, n_good_heldout,
+      (1000 * c_train) // n_train AS acc_train_permille,
+      (1000 * c_heldout) // n_heldout AS acc_heldout_permille,
+      (1000 * c_train) // n_train - (1000 * c_heldout) // n_heldout
+        AS gap_permille
+    FROM nb_r"""
   }
 
   val q177Sql: String = graft.queries.SqlDefs.materializeCtes(
@@ -2927,6 +2973,74 @@ object AnalysisQueries {
     SELECT source, n_docs, n_kept,
       (1000 * n_kept) // n_docs AS kept_permille
     FROM g ORDER BY source""")
+
+  // --- q182: HELD-OUT evaluation of the NB trainer (r13 verdict #1) --------
+  // q177c's accuracy is in-sample (model scored on its own training
+  // corpus — memorization, not the number a curation gate routes on).
+  // This trains ONLY on the content-hash-EVEN carve (q90b's
+  // re-ingestion-stable split) and publishes train-vs-held-out accuracy
+  // plus the gap in one integer row. NB training is pure counting, so
+  // the ENTIRE carve→train→score→eval chain hash-verifies. Fixture
+  // honesty carries over from q177: the 31-word shared vocabulary caps
+  // BOTH carves near the base rate — the generalization MECHANISM is
+  // what this row exact-verifies; ClassifierTrainSpec's designed corpora
+  // show the gap appearing (memorization corpus) and vanishing
+  // (separable corpus), and q183 proves learning in-gate.
+  def q182NbHeldoutEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val carve = docs.select(col("doc_id"),
+      (HashOps.charHash(col("text")) % 2 === 0).as("is_train"))
+    TextAnalysisOps.nbHeldoutReport(
+      inDomainLabeled(spark, dir).join(carve, "doc_id"))
+  }
+
+  val q182Sql: String = graft.queries.SqlDefs.materializeCtes(
+    s"""WITH ${nbChainCtes(
+      nbLFixture(s"${HashOps.charHashSql("text")} % 2 = 0"))},
+    $nbHeldoutReportSql""")
+
+  // --- q183: learning PROOF, oracled (r13 verdict #2) -----------------------
+  // The fixture's shared 31-word vocabulary makes no fixture label
+  // learnable (measured: float-NB ceiling 0.594), so q177/q182's rows
+  // demonstrate exact-verified plumbing at near-base-rate accuracy and
+  // the learning evidence lived only in spec corpora. This closes that:
+  // a SEPARABLE labeled corpus is synthesized INSIDE the query (the
+  // q110/q122 deterministic per-doc_id pattern — both engines re-derive
+  // the same docs): 8 class-keyed signal tokens ('g'/'b' + arithmetic
+  // index) and 4 shared noise tokens per doc, label = doc_id parity,
+  // train carve = doc_id % 4 < 2 (class-balanced on both sides by
+  // construction). NB trains on the carve and must score the UNSEEN
+  // half far above the ~500‰ base rate — the committed floor is ≥900‰
+  // (ClassifierTrainSpec gates it; measured: 1000‰ at sf0.001/sf0.01) —
+  // hash-exact end-to-end through the same shared CTE chain as q182.
+  def q183NbLearningProof(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 2 === 0).as("good"),
+        (col("doc_id") % 4 < 2).as("is_train"))
+    val labeled = base.select(col("doc_id"), col("good"), col("is_train"),
+      concat(
+        transform(sequence(lit(0), lit(7)), i =>
+          concat(when(col("good"), lit("g")).otherwise(lit("b")),
+            ((col("doc_id") * 7 + i * 13) % 40).cast("string"))),
+        transform(sequence(lit(0), lit(3)), j =>
+          concat(lit("s"), ((col("doc_id") * 3 + j * 5) % 10).cast("string"))))
+        .as("toks"))
+    TextAnalysisOps.nbHeldoutReport(labeled)
+  }
+
+  val q183Sql: String = graft.queries.SqlDefs.materializeCtes(
+    s"""WITH ${nbChainCtes(
+      """SELECT doc_id,
+        list_concat(
+          list_transform(range(0, 8), i ->
+            (CASE WHEN doc_id % 2 = 0 THEN 'g' ELSE 'b' END)
+              || CAST((doc_id * 7 + i * 13) % 40 AS VARCHAR)),
+          list_transform(range(0, 4), j ->
+            's' || CAST((doc_id * 3 + j * 5) % 10 AS VARCHAR))) AS toks,
+        doc_id % 2 = 0 AS good,
+        doc_id % 4 < 2 AS is_train
+      FROM documents""")},
+    $nbHeldoutReportSql""")
 
   // --- q178/q178b: averaged-perceptron training (iterative tier) ----------
   // The discriminative sibling of q177 via the BpeTrainOps template
@@ -3418,6 +3532,8 @@ object AnalysisQueries {
     "q177b_nb_scores" -> (q177bNbScores _),
     "q177c_nb_eval" -> (q177cNbEval _),
     "q177d_nb_gate_effect" -> (q177dNbGateEffect _),
+    "q182_nb_heldout_eval" -> (q182NbHeldoutEval _),
+    "q183_nb_learning_proof" -> (q183NbLearningProof _),
     "q178_perceptron_train" -> (q178PerceptronTrain _),
     "q178b_perceptron_eval" -> (q178bPerceptronEval _),
     "q65b_calibration" -> (q65bCalibration _),
@@ -3476,6 +3592,8 @@ object AnalysisQueries {
     "q177b_nb_scores" -> q177bSql,
     "q177c_nb_eval" -> q177cSql,
     "q177d_nb_gate_effect" -> q177dSql,
+    "q182_nb_heldout_eval" -> q182Sql,
+    "q183_nb_learning_proof" -> q183Sql,
     "q65b_calibration" -> q65bSql,
     "q67_source_health" -> q67Sql,
     "q76_phrase_search" -> q76Sql,

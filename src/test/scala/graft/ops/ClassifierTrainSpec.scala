@@ -186,4 +186,61 @@ class ClassifierTrainSpec extends SparkSpec {
     assert(ex.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
     assert(ex.forall(_.getSeq[Long](2).size <= 3))
   }
+
+  // --- nbHeldoutReport (q182/q183's dataflow): the generalization gap
+  // appears on a memorization corpus and vanishes on a separable one ----
+
+  private def labeledCarved(rows: Seq[(Long, Seq[String], Boolean, Boolean)]) = {
+    import sqlImplicits._
+    rows.toDF("doc_id", "toks", "good", "is_train")
+  }
+
+  private def reportOf(df: org.apache.spark.sql.DataFrame)
+      : (Long, Long, Long, Long, Long) = {
+    val r = TextAnalysisOps.nbHeldoutReport(df).head()
+    (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6))
+  }
+
+  test("held-out report: a separable shared-vocabulary corpus generalizes " +
+      "(held-out ~ train, both far above base rate)") {
+    // class vocabularies are SHARED across docs, so what the train carve
+    // learns transfers to the unseen half
+    val rows = (0L until 40L).map { id =>
+      val good = id % 2 == 0
+      val sig = if (good) Seq("apple", "banana", "cherry")
+                else Seq("xray", "yankee", "zulu")
+      (id, sig ++ Seq(s"s${id % 5}"), good, id % 4 < 2)
+    }
+    val (nTrain, nHeld, accTrain, accHeld, gap) = reportOf(labeledCarved(rows))
+    assert(nTrain == 20L && nHeld == 20L)
+    assert(accTrain == 1000L, s"train acc $accTrain")
+    assert(accHeld == 1000L, s"held-out acc $accHeld")
+    assert(gap == 0L)
+  }
+
+  test("held-out report: a memorization corpus (unique tokens per doc) " +
+      "shows the large train-vs-held-out gap in-sample eval hides") {
+    // every token occurs in exactly one doc: the model can only memorize
+    // the train carve; held-out docs score 0 -> the all-good default
+    val rows = (0L until 40L).map { id =>
+      (id, Seq(s"u${id}a", s"u${id}b", s"u${id}c"), id % 2 == 0, id % 4 < 2)
+    }
+    val (nTrain, nHeld, accTrain, accHeld, gap) = reportOf(labeledCarved(rows))
+    assert(nTrain == 20L && nHeld == 20L)
+    assert(accTrain == 1000L, s"train acc $accTrain")
+    assert(accHeld == 500L, s"held-out acc $accHeld (the base rate)")
+    assert(gap == 500L)
+  }
+
+  test("q183 learning proof: held-out accuracy on the synthesized separable " +
+      "corpus meets the committed >= 900 permille floor") {
+    val r = graft.queries.AnalysisQueries
+      .q183NbLearningProof(spark, "/root/testdata/sf0.001").head()
+    val (nHeld, nGoodHeld, accHeld) =
+      (r.getLong(1), r.getLong(3), r.getLong(5))
+    // base rate sanity: the eval carve is ~class-balanced by construction
+    assert(math.abs(2 * nGoodHeld - nHeld) <= 1,
+      s"eval carve unbalanced: $nGoodHeld good of $nHeld")
+    assert(accHeld >= 900L, s"held-out acc $accHeld below the 900 floor")
+  }
 }
