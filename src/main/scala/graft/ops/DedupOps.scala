@@ -1022,4 +1022,43 @@ object DedupOps {
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         col("k_used"), col("n_inter"), col("jaccard_micro"))
   }
+
+  /** Cluster-BALANCED sampling — the "diversify after dedup" step the
+    * published dedup-then-sample recipes (the D4 shape: Tirumala et al.
+    * 2023, public) run after clustering: instead of one canonical doc
+    * per cluster (q159's dial, which discards near-dup variation
+    * entirely) or keeping everything (which lets template clusters
+    * dominate the mixture), each cluster contributes a quota that grows
+    * only LOGARITHMICALLY with its size — quota = bit-length(n) =
+    * ⌊log₂ n⌋ + 1, the engine's integer log convention — so a
+    * 1000-template cluster lands 10 docs while singletons keep their 1,
+    * and realized sampling rate decays like log n / n (the
+    * inverse-to-density flavor, all-integer). Members are picked in the
+    * q137/q149 keyed-permutation order (perm 0 of charHash(doc_id)):
+    * deterministic, replay-stable, no RNG state.
+    *
+    * Input is any `(doc_id, cluster_id)` labels relation (q55's stored
+    * table; singletons are their own cluster by construction). ONE
+    * cluster_id exchange: the rank and size windows share the partition
+    * key, and the quota filter is a per-row predicate on them — at
+    * 100 TB this is a single shuffle of two longs per doc, and with the
+    * labels table bucketed by cluster_id it would be exchange-free.
+    * Output `(cluster_id, cluster_size, quota, doc_id, rk)` — per-pick
+    * rows so the oracle hash covers the exact realized sample.
+    */
+  def clusterBalancedSample(labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+    val quota = length(conv(col("cluster_size"), 10, 2)).cast("long")
+    labels
+      .select(col("doc_id"), col("cluster_id"),
+        HashOps.perm(0, HashOps.charHash(col("doc_id").cast("string")))
+          .as("k"))
+      .withColumn("rk",
+        row_number().over(w.orderBy(col("k"), col("doc_id"))).cast("long"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .where(col("rk") <= quota)
+      .select(col("cluster_id"), col("cluster_size"), quota.as("quota"),
+        col("doc_id"), col("rk"))
+  }
 }

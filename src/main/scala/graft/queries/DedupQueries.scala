@@ -741,6 +741,44 @@ object DedupQueries {
     s"""WITH RECURSIVE $labelsCtes
     SELECT doc_id, cluster_id FROM labs ORDER BY doc_id"""
 
+  // --- q184: cluster-balanced sampling (dedup → diversify, D4 shape) -------
+  // r13 verdict item 4: the corpus ladder dedups (q24/q26), prunes
+  // (q50), elects canonicals (q159) and realizes mixtures (q149), but
+  // never BALANCES — a template-heavy source keeps its weight until the
+  // canonical dial throws all variation away. DedupOps.
+  // clusterBalancedSample composes the stored q55 cluster labels with
+  // the q149 quota machinery: every cluster contributes ⌊log₂ n⌋ + 1
+  // picks in the deterministic keyed-permutation order, so template
+  // clusters compress logarithmically while singleton (unique) docs all
+  // survive. Per-pick output; the oracle replays the identical closure +
+  // window chain, so the hash covers the exact realized sample.
+  def q184ClusterBalancedSample(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.clusterBalancedSample(dupLabels(spark, dir))
+      .orderBy("cluster_id", "rk")
+
+  // lazy: interpolates labelsCtes (declared above, but clinit-order
+  // fragile across this object's eager vals — the q159b precedent);
+  // materializeCtes like every labelsCtes consumer
+  lazy val q184Sql: String = graft.queries.SqlDefs.materializeCtes({
+    import graft.ops.HashOps
+    val h = HashOps.charHashSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH RECURSIVE $labelsCtes,
+    hh AS (SELECT doc_id, cluster_id, $h AS h FROM labs),
+    kk AS (SELECT doc_id, cluster_id,
+        ${HashOps.permSql(0, "h")} AS k FROM hh),
+    r AS (SELECT cluster_id, doc_id,
+        CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY k, doc_id)
+          AS BIGINT) AS rk,
+        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+          AS cluster_size
+      FROM kk)
+    SELECT cluster_id, cluster_size,
+      CAST(length(format('{:b}', cluster_size)) AS BIGINT) AS quota,
+      doc_id, rk
+    FROM r WHERE rk <= length(format('{:b}', cluster_size))
+    ORDER BY cluster_id, rk"""
+  })
+
   // --- q163: duplicate-cluster cohesion audit -------------------------------
   // Label propagation certifies CONNECTIVITY, not similarity strength —
   // a transitive chain a~b~c can collapse docs whose endpoints share
@@ -2066,6 +2104,7 @@ object DedupQueries {
     "q55_dup_clusters" -> (q55DupClusters _),
     "q55b_dup_clusters_star" -> (q55bDupClustersStar _),
     "q55c_incremental_clusters" -> (q55cIncrementalClusters _),
+    "q184_cluster_balanced_sample" -> (q184ClusterBalancedSample _),
     "q159b_incremental_canonical" -> (q159bIncrementalCanonical _),
     "q163_cluster_cohesion" -> (q163ClusterCohesion _),
     "q166_tier_consistency" -> (q166TierConsistency _),
@@ -2107,6 +2146,7 @@ object DedupQueries {
     "q55_dup_clusters" -> q55Sql,
     "q55b_dup_clusters_star" -> q55Sql,
     "q55c_incremental_clusters" -> q55Sql,
+    "q184_cluster_balanced_sample" -> q184Sql,
     "q159b_incremental_canonical" -> q159bSql,
     "q163_cluster_cohesion" -> q163Sql,
     "q166_tier_consistency" -> q166Sql,

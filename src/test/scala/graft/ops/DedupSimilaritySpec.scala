@@ -668,4 +668,32 @@ class DedupSimilaritySpec extends SparkSpec {
       .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(0L, 2L))
   }
+
+  test("clusterBalancedSample rebalances a template-heavy corpus: the big " +
+      "cluster compresses to its log quota, singletons all survive") {
+    import sqlImplicits._
+    // one 40-doc template cluster + 20 unique singletons: before
+    // sampling the template owns 40/60 = 67% of the corpus
+    val labels = ((0L until 40L).map(i => (i, 1L)) ++
+      (100L until 120L).map(i => (i, i))).toDF("doc_id", "cluster_id")
+    val picks = DedupOps.clusterBalancedSample(labels)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byCluster = picks.groupBy(_._1)
+    // quota = bit-length: 40 -> 6, 1 -> 1; every cluster fills exactly
+    // min(quota, size) with ranks 1..quota
+    assert(byCluster(1L).map(_._5).sorted.toSeq == (1L to 6L) &&
+      byCluster(1L).forall(p => p._2 == 40L && p._3 == 6L))
+    (100L until 120L).foreach { c =>
+      assert(byCluster(c).map(p => (p._2, p._3, p._5)).toSeq ==
+        Seq((1L, 1L, 1L)))
+    }
+    // rebalanced: the template's share drops from 67% to 6/26 = 23%
+    assert(picks.length == 26)
+    // picks are a deterministic function of the labels (replay-stable)
+    val again = DedupOps.clusterBalancedSample(labels).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(again == picks.map(p => (p._1, p._4)).sorted.toSeq)
+  }
 }
