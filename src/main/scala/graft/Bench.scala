@@ -18,6 +18,11 @@ import org.apache.spark.sql.SparkSession
   * sample (warm_min/cold > 3x with cold > 0.3 s): interference windows
   * that inflate BOTH warm runs are invisible to the run-to-run detectors
   * but cannot hide from the cold pass, which does strictly more work.
+  * Every row that rule flags gets ONE in-run warm re-measurement (the
+  * cold pass's retry, mirrored): the published warm is the min of the
+  * three, retried names publish under "warm_retried", and the
+  * warm_inflated list is computed post-retry — a transient window
+  * self-heals in the artifact, a real regression reproduces and stays.
   * The cold pass gets the symmetric control, "cold_inflated": each cold
   * time is compared against the previous durable clean run's cold vector
   * (committed as BENCH_REF.json; > 3x with cold > 0.3 s flags), because
@@ -86,37 +91,68 @@ object Bench {
         .toMap
     } catch { case _: Throwable => Map.empty }
 
-  /** The warm_vs_ref channel (r12 verdict item 4): a UNIFORMLY loaded
-    * host inflates every warm reading by a similar factor, which the
-    * within-run detectors (noisy/rebuild/warm_inflated) structurally
-    * cannot see — r12's s1 runs sat at 1.1-1.28× the reference with all
-    * three channels empty and needed a human diff against BENCH_REF.
-    * This compares each warm min against the reference warm vector:
-    * median ratio over the common set (reference rows ≥ 0.1 s — tiny
-    * rows are scheduler jitter), dispersion = IQR/median of those
-    * ratios, and `loaded_host` fires when the median is > 1.2 with LOW
-    * dispersion (< 0.35) — uniform inflation, not a real per-query
-    * regression, which would move few queries a lot (high dispersion)
-    * rather than all queries a little. Returns
-    * (medianRatio, dispersion, n, loadedHost); None when fewer than 10
-    * common queries (a filtered local run — no basis for a host claim).
+  /** The warm-vs-reference summary: quartile ratios over the common set
+    * plus the two window classifications the ratios support.
+    */
+  private[graft] final case class WarmVsRef(q1: Double, median: Double,
+      q3: Double, dispersion: Double, n: Int,
+      loadedHost: Boolean, mixedWindow: Boolean)
+
+  /** The warm_vs_ref channel (r12 verdict item 4, quartiles + mixed
+    * window r13 item 6): a UNIFORMLY loaded host inflates every warm
+    * reading by a similar factor, which the within-run detectors
+    * (noisy/rebuild/warm_inflated) structurally cannot see — r12's s1
+    * runs sat at 1.1-1.28× the reference with all three channels empty
+    * and needed a human diff against BENCH_REF. This compares each warm
+    * min against the reference warm vector over the common set
+    * (reference rows ≥ 0.1 s — tiny rows are scheduler jitter) and
+    * publishes the QUARTILE ratios, so any run self-describes its shape:
+    *
+    *   - `loaded_host`: median > 1.2 with LOW dispersion (IQR/median
+    *     < 0.35) — uniform inflation, not a real per-query regression
+    *     (which moves few queries a lot, i.e. high dispersion);
+    *   - `mixed_window` (the r13 blind spot: two independent runs read
+    *     median ~1.05-1.07 with dispersion ~0.45 and 3-4× individual
+    *     rows, passing as clean): the median looks sane (≤ 1.2) but the
+    *     top quartile is inflated — q3 > 1.3, or a moderately-high
+    *     median (> 1.05) with high dispersion (> 0.4). Reads as
+    *     "part of this run crossed a load window"; per-query rows then
+    *     attribute which part (warm_inflated / sibling-run diff).
+    *
+    * None when fewer than 10 common queries (a filtered local run — no
+    * basis for a host claim).
     */
   private[graft] def warmVsRef(mins: Seq[(String, Double)],
                                ref: Map[String, Double])
-      : Option[(Double, Double, Int, Boolean)] = {
+      : Option[WarmVsRef] = {
     val ratios = mins.collect {
       case (k, m) if m > 0 && ref.get(k).exists(_ >= 0.1) => m / ref(k)
     }.sorted
     if (ratios.size < 10) None
     else {
+      val q1 = ratios(ratios.size / 4)
       val med = ratios(ratios.size / 2)
-      val disp =
-        if (med > 0)
-          (ratios(ratios.size * 3 / 4) - ratios(ratios.size / 4)) / med
-        else 0.0
-      Some((med, disp, ratios.size, med > 1.2 && disp < 0.35))
+      val q3 = ratios(ratios.size * 3 / 4)
+      val disp = if (med > 0) (q3 - q1) / med else 0.0
+      val loaded = med > 1.2 && disp < 0.35
+      val mixed = !loaded && med <= 1.2 &&
+        (q3 > 1.3 || (med > 1.05 && disp > 0.4))
+      Some(WarmVsRef(q1, med, q3, disp, ratios.size, loaded, mixed))
     }
   }
+
+  /** The warm_inflated rule (r9 finding): a warm min above 3x the
+    * query's OWN cold time (cold > 0.3 s) cannot be the query's cost —
+    * cold does strictly more work — and marks interference during the
+    * warm pass. Factored out so the in-run retry and the published list
+    * share one contract.
+    */
+  private[graft] def warmInflatedOf(mins: Seq[(String, Double)],
+                                    cold: Map[String, Double]): Seq[String] =
+    mins.collect {
+      case (k, mn) if mn > 0 && cold.getOrElse(k, -1.0) > 0.3 &&
+        mn / cold(k) > 3.0 => k
+    }
 
   /** The cold_inflated rule: a cold time above 0.3 s that is > 3x the
     * reference run's cold for the same query. Queries absent from the
@@ -213,9 +249,22 @@ object Bench {
     // leave no memo from the cold pass: the warm pass must start exactly
     // where the pre-cold-pass bench did
     evictMemos()
+    // test hook for the warm-retry channel: "substr:millis" sleeps before
+    // each FIRST-PASS warm measurement of matching queries (never before
+    // the retry), so a durable run can demonstrate a planted-slow row
+    // clearing itself through the retry. Unset in real runs.
+    val plant: Option[(String, Long)] =
+      sys.env.get("SPARK_GRAFT_PLANT_WARM_SLOW").flatMap { v =>
+        v.split(":", 2) match {
+          case Array(s, ms) => scala.util.Try((s, ms.toLong)).toOption
+          case _ => None
+        }
+      }
     val results = selected.map { case (name, fn) =>
       val times = (1 to RunsPerQuery).flatMap { _ =>
         val t0 = System.nanoTime()
+        plant.foreach { case (s, ms) => // inside the timed window
+          if (name.contains(s)) Thread.sleep(ms) }
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
@@ -242,8 +291,40 @@ object Bench {
       if (ts.isEmpty) -1.0
       else if (ts.size % 2 == 1) ts.sorted.apply(ts.size / 2)
       else (ts.sorted.apply(ts.size / 2 - 1) + ts.sorted.apply(ts.size / 2)) / 2.0
-    val mins = results.map { case (k, ts) =>
+    val minsRaw = results.map { case (k, ts) =>
       k -> (if (ts.nonEmpty) ts.min else -1.0) }
+    val coldMap = cold.toMap
+    // In-run warm retry (r13 verdict item 7, the cold pass's symmetric
+    // twin): every row the warm_inflated rule flags — warm min > 3x its
+    // own cold control — gets ONE immediate re-measurement under the
+    // same warm contract (memos stay warm, operator caches released
+    // after, plant hook skipped); the published warm is the min of the
+    // three runs. A transient interference window self-heals in the
+    // artifact; a genuine regression reproduces and stays flagged.
+    // Retried names publish under "warm_retried" either way, so a
+    // cleared row remains attributable.
+    val warmRetried = warmInflatedOf(minsRaw, coldMap)
+    val retryMins = warmRetried.map { k =>
+      val t0 = System.nanoTime()
+      val t =
+        try {
+          fnByName(k)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(s"warmretry:$k",
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            -1.0
+        }
+      CacheScope.releaseAll()
+      k -> t
+    }.toMap
+    val mins = minsRaw.map { case (k, mn) =>
+      k -> (retryMins.get(k) match {
+        case Some(t) if t > 0 => math.min(mn, t)
+        case _ => mn
+      })
+    }
     val medians = results.map { case (k, ts) => k -> median(ts) }
     // First warm run, separately: with n=2 the median is the mean, so a
     // memo-rebuild-heavy run 1 silently inflates it (the round-6 dedup
@@ -281,12 +362,10 @@ object Bench {
     // memo rebuilt), so a warm min > 3x its own cold time cannot be the
     // query's own cost and marks machine interference during the warm
     // pass. Floor cold at 0.3 s so scheduler jitter on trivial queries
-    // doesn't flood the list.
-    val coldMap = cold.toMap
-    val warmInflated = mins.collect {
-      case (k, mn) if mn > 0 && coldMap.getOrElse(k, -1.0) > 0.3 &&
-        mn / coldMap(k) > 3.0 => k
-    }
+    // doesn't flood the list (rule in warmInflatedOf). Computed on the
+    // POST-retry mins: a row the in-run retry cleared drops off; a
+    // persistent one stays flagged.
+    val warmInflated = warmInflatedOf(mins, coldMap)
     // Cold-side divergence self-report (r10 finding): warm_inflated uses
     // the cold pass as its control, but nothing controlled the COLD pass
     // itself — r10's driver artifact carried a 927.9 s cold total (q127
@@ -311,8 +390,8 @@ object Bench {
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
     }
     val warmVsRefJson = warmVsRef(mins, refWarmMap) match {
-      case Some((med, disp, n, loaded)) =>
-        f"""{"median_ratio":$med%.3f,"dispersion":$disp%.3f,"n":$n,"loaded_host":$loaded}"""
+      case Some(w) =>
+        f"""{"median_ratio":${w.median}%.3f,"q1_ratio":${w.q1}%.3f,"q3_ratio":${w.q3}%.3f,"dispersion":${w.dispersion}%.3f,"n":${w.n},"loaded_host":${w.loadedHost},"mixed_window":${w.mixedWindow}}"""
       case None => "null"
     }
     val qs = mins.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
@@ -322,13 +401,14 @@ object Bench {
     val noisyJson = noisy.map(k => s"\"$k\"").mkString("[", ",", "]")
     val rebuildJson = rebuilds.map(k => s"\"$k\"").mkString("[", ",", "]")
     val warmInflJson = warmInflated.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val warmRetriedJson = warmRetried.map(k => s"\"$k\"").mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum
     val coldTotal = cold.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) =>
       s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
     }.mkString("{", ",", "}")
     val coldInflJson = coldInflated.map(k => s"\"$k\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"rebuild":$rebuildJson,"warm_inflated":$warmInflJson,"cold_inflated":$coldInflJson,"warm_vs_ref":$warmVsRefJson,"cold_ref":"$coldRefDesc","errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"rebuild":$rebuildJson,"warm_inflated":$warmInflJson,"warm_retried":$warmRetriedJson,"cold_inflated":$coldInflJson,"warm_vs_ref":$warmVsRefJson,"cold_ref":"$coldRefDesc","errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // target/bench.json is the durable FULL-registry round artifact; a
     // filtered local run writes a sibling file so it can never clobber
