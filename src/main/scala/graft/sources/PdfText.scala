@@ -22,11 +22,15 @@ import java.util.zip.{DataFormatException, Inflater}
   *     high-byte range is remapped through the JDK's windows-1252 /
   *     x-MacRoman charset tables (WinAnsi differs from Latin-1 exactly
   *     on 0x80-0x9F — the curly quotes/dashes/€ block real-world PDFs
-  *     actually use; MacRoman across 0x80-0xFF). Detection is
+  *     actually use; MacRoman across 0x80-0xFF). Font `/Differences`
+  *     arrays overlay the base table (glyph names resolved through an
+  *     embedded AGL subset + the uniXXXX forms; unknown names keep the
+  *     base reading). Detection is
   *     document-wide like the CMap merge — per-font Encoding routing
   *     needs the resource walk and stays out of scope, with WinAnsi
   *     winning a mixed declaration (the common case; 0x00-0x7F agrees
-  *     everywhere). Hex strings additionally
+  *     everywhere) and the encoding name only honored in `/Encoding` /
+  *     `/BaseEncoding` position, never as loose text. Hex strings additionally
   *     try the document's ToUnicode CMap (bfchar/bfrange blocks, merged
   *     document-wide) and use it when every code unit maps — the common
   *     CID/Identity-H case; CMap-mapped text is already Unicode and is
@@ -102,13 +106,37 @@ object PdfText {
       catch { case scala.util.control.NonFatal(_) => None }
     // document-wide predefined-encoding detection: font dicts live in the
     // raw object text (or in decoded streams); WinAnsi wins a mixed
-    // declaration (scaladoc above)
-    val declares = (name: String) =>
-      s.contains(name) || streams.exists(_.contains(name))
-    val enc =
-      if (declares("/WinAnsiEncoding")) winAnsiTable
-      else if (declares("/MacRomanEncoding")) macRomanTable
+    // declaration (scaladoc above). The name must appear in ENCODING
+    // POSITION — `/Encoding /WinAnsiEncoding` or `/BaseEncoding
+    // /WinAnsiEncoding` — not anywhere in the byte soup: the literal
+    // text "/WinAnsiEncoding" inside a shown string or comment must not
+    // flip the whole document's byte remap (r13 ADVICE).
+    val declares = (name: String) => {
+      val re = ("/(?:Base)?Encoding\\s*/" + name).r
+      re.findFirstIn(s).isDefined ||
+        streams.exists(c => re.findFirstIn(c).isDefined)
+    }
+    val baseEnc =
+      if (declares("WinAnsiEncoding")) winAnsiTable
+      else if (declares("MacRomanEncoding")) macRomanTable
       else None
+    // font /Differences overlays, merged document-wide like the CMaps
+    // (per-font routing needs the resource walk — same declared
+    // granularity). Applied over the base table (Latin-1 identity when
+    // no base encoding is declared); names outside the embedded AGL
+    // subset keep their base reading — a lossless degrade, same as an
+    // unmapped CMap code. Defensive try like the CMap pass: a malformed
+    // array must degrade to "no overlay", never fail the scan task.
+    val diffs =
+      try (s +: streams).map(parseDifferences).reduce(_ ++ _)
+      catch { case scala.util.control.NonFatal(_) => Map.empty[Int, Char] }
+    val enc =
+      if (diffs.isEmpty) baseEnc
+      else {
+        val tbl = baseEnc.getOrElse(Array.tabulate(256)(_.toChar)).clone()
+        diffs.foreach { case (code, ch) => tbl(code) = ch }
+        Some(tbl)
+      }
     val out = new StringBuilder
     streams.filter(_.contains("BT"))
       .foreach(appendContentText(_, out, cmap, enc))
@@ -141,6 +169,140 @@ object PdfText {
     byteTable("windows-1252")
   private lazy val macRomanTable: Option[Array[Char]] =
     byteTable("x-MacRoman")
+
+  /** Every `/Differences [ code /name code /name ... ]` array in `t`,
+    * resolved to code → char through [[glyphChar]]: an integer element
+    * sets the current code, each following name maps code++ (the PDF
+    * spec's Encoding-dict rule). Codes outside 0-255 and names outside
+    * the glyph subset are skipped (they keep the base-encoding reading).
+    * Later arrays win a merge conflict — the document-wide-merge
+    * convention the CMap pass already uses.
+    */
+  private[sources] def parseDifferences(t: String): Map[Int, Char] = {
+    val out = Map.newBuilder[Int, Char]
+    var from = t.indexOf("/Differences")
+    while (from >= 0) {
+      val open = t.indexOf('[', from)
+      // only an immediate array (whitespace between) is the dict entry
+      if (open >= 0 && t.substring(from + "/Differences".length, open)
+          .forall(_.isWhitespace)) {
+        var i = open + 1
+        var code = -1
+        var done = false
+        while (i < t.length && !done) {
+          val c = t.charAt(i)
+          if (c == ']') done = true
+          else if (c.isDigit) {
+            var v = 0
+            while (i < t.length && t.charAt(i).isDigit) {
+              v = v * 10 + (t.charAt(i) - '0'); i += 1
+            }
+            code = v
+            i -= 1 // outer i += 1 below
+          } else if (c == '/') {
+            i += 1
+            val st = i
+            while (i < t.length && !isDelim(t.charAt(i))) i += 1
+            if (code >= 0 && code < 256)
+              glyphChar(t.substring(st, i)).foreach(ch => out += code -> ch)
+            if (code >= 0) code += 1
+            i -= 1
+          }
+          i += 1
+        }
+      }
+      from = t.indexOf("/Differences", from + 1)
+    }
+    out.result()
+  }
+
+  /** Glyph name → char: the `uniXXXX`/`uXXXX` forms, single-character
+    * names (letters/digits name themselves in the AGL), and an embedded
+    * subset of the Adobe Glyph List covering ASCII punctuation, the
+    * WinAnsi/Latin-1 repertoire and the common typographic set — the
+    * names real Type1 /Differences arrays overwhelmingly use. Unknown
+    * names → None (callers keep the base-encoding byte).
+    */
+  private[sources] def glyphChar(name: String): Option[Char] =
+    if (name.length == 1 && name.charAt(0).isLetterOrDigit)
+      Some(name.charAt(0))
+    else if ((name.startsWith("uni") && name.length == 7) ||
+      (name.startsWith("u") && (name.length == 5 || name.length == 7))) {
+      val hex = if (name.startsWith("uni")) name.substring(3)
+                else name.substring(1)
+      try {
+        val v = Integer.parseInt(hex, 16)
+        if (v >= 0 && v <= 0xFFFF) Some(v.toChar) else None
+      } catch { case _: NumberFormatException => None }
+    } else aglSubset.get(name)
+
+  private lazy val aglSubset: Map[String, Char] = Map(
+    // ASCII punctuation and symbols
+    "space" -> ' ', "exclam" -> '!', "quotedbl" -> '"',
+    "numbersign" -> '#', "dollar" -> '$', "percent" -> '%',
+    "ampersand" -> '&', "quotesingle" -> '\'', "parenleft" -> '(',
+    "parenright" -> ')', "asterisk" -> '*', "plus" -> '+',
+    "comma" -> ',', "hyphen" -> '-', "period" -> '.', "slash" -> '/',
+    "zero" -> '0', "one" -> '1', "two" -> '2', "three" -> '3',
+    "four" -> '4', "five" -> '5', "six" -> '6', "seven" -> '7',
+    "eight" -> '8', "nine" -> '9', "colon" -> ':', "semicolon" -> ';',
+    "less" -> '<', "equal" -> '=', "greater" -> '>', "question" -> '?',
+    "at" -> '@', "bracketleft" -> '[', "backslash" -> '\\',
+    "bracketright" -> ']', "asciicircum" -> '^', "underscore" -> '_',
+    "grave" -> '`', "braceleft" -> '{', "bar" -> '|', "braceright" -> '}',
+    "asciitilde" -> '~',
+    // typographic set (the WinAnsi 0x80-0x9F block and friends)
+    "quoteleft" -> '‘', "quoteright" -> '’',
+    "quotedblleft" -> '“', "quotedblright" -> '”',
+    "quotesinglbase" -> '‚', "quotedblbase" -> '„',
+    "endash" -> '–', "emdash" -> '—', "bullet" -> '•',
+    "dagger" -> '†', "daggerdbl" -> '‡',
+    "ellipsis" -> '…', "perthousand" -> '‰',
+    "guilsinglleft" -> '‹', "guilsinglright" -> '›',
+    "florin" -> 'ƒ', "fraction" -> '⁄', "Euro" -> '€',
+    "trademark" -> '™', "minus" -> '−',
+    "fi" -> 'ﬁ', "fl" -> 'ﬂ',
+    "circumflex" -> 'ˆ', "caron" -> 'ˇ', "breve" -> '˘',
+    "dotaccent" -> '˙', "ring" -> '˚', "ogonek" -> '˛',
+    "tilde" -> '˜', "hungarumlaut" -> '˝',
+    "OE" -> 'Œ', "oe" -> 'œ', "Scaron" -> 'Š',
+    "scaron" -> 'š', "Ydieresis" -> 'Ÿ', "Zcaron" -> 'Ž',
+    "zcaron" -> 'ž', "dotlessi" -> 'ı',
+    // Latin-1 supplement (0xA0-0xFF), by AGL name
+    "exclamdown" -> '¡', "cent" -> '¢', "sterling" -> '£',
+    "currency" -> '¤', "yen" -> '¥', "brokenbar" -> '¦',
+    "section" -> '§', "dieresis" -> '¨', "copyright" -> '©',
+    "ordfeminine" -> 'ª', "guillemotleft" -> '«',
+    "logicalnot" -> '¬', "registered" -> '®', "macron" -> '¯',
+    "degree" -> '°', "plusminus" -> '±', "twosuperior" -> '²',
+    "threesuperior" -> '³', "acute" -> '´', "mu" -> 'µ',
+    "paragraph" -> '¶', "periodcentered" -> '·',
+    "cedilla" -> '¸', "onesuperior" -> '¹',
+    "ordmasculine" -> 'º', "guillemotright" -> '»',
+    "onequarter" -> '¼', "onehalf" -> '½',
+    "threequarters" -> '¾', "questiondown" -> '¿',
+    "Agrave" -> 'À', "Aacute" -> 'Á', "Acircumflex" -> 'Â',
+    "Atilde" -> 'Ã', "Adieresis" -> 'Ä', "Aring" -> 'Å',
+    "AE" -> 'Æ', "Ccedilla" -> 'Ç', "Egrave" -> 'È',
+    "Eacute" -> 'É', "Ecircumflex" -> 'Ê', "Edieresis" -> 'Ë',
+    "Igrave" -> 'Ì', "Iacute" -> 'Í', "Icircumflex" -> 'Î',
+    "Idieresis" -> 'Ï', "Eth" -> 'Ð', "Ntilde" -> 'Ñ',
+    "Ograve" -> 'Ò', "Oacute" -> 'Ó', "Ocircumflex" -> 'Ô',
+    "Otilde" -> 'Õ', "Odieresis" -> 'Ö', "multiply" -> '×',
+    "Oslash" -> 'Ø', "Ugrave" -> 'Ù', "Uacute" -> 'Ú',
+    "Ucircumflex" -> 'Û', "Udieresis" -> 'Ü', "Yacute" -> 'Ý',
+    "Thorn" -> 'Þ', "germandbls" -> 'ß',
+    "agrave" -> 'à', "aacute" -> 'á', "acircumflex" -> 'â',
+    "atilde" -> 'ã', "adieresis" -> 'ä', "aring" -> 'å',
+    "ae" -> 'æ', "ccedilla" -> 'ç', "egrave" -> 'è',
+    "eacute" -> 'é', "ecircumflex" -> 'ê', "edieresis" -> 'ë',
+    "igrave" -> 'ì', "iacute" -> 'í', "icircumflex" -> 'î',
+    "idieresis" -> 'ï', "eth" -> 'ð', "ntilde" -> 'ñ',
+    "ograve" -> 'ò', "oacute" -> 'ó', "ocircumflex" -> 'ô',
+    "otilde" -> 'õ', "odieresis" -> 'ö', "divide" -> '÷',
+    "oslash" -> 'ø', "ugrave" -> 'ù', "uacute" -> 'ú',
+    "ucircumflex" -> 'û', "udieresis" -> 'ü', "yacute" -> 'ý',
+    "thorn" -> 'þ', "ydieresis" -> 'ÿ')
 
   /** Bounded hex-code parse: CMap codes wider than 4 bytes (or past
     * Int.MaxValue) are skipped, not crashed on — real UCS-4 codespaces

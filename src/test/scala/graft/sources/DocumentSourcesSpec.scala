@@ -187,6 +187,56 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(both.contains("“"), s"got $both")
   }
 
+  test("PdfText honors the encoding name only in /Encoding position, not " +
+      "as loose text") {
+    // the literal text "/WinAnsiEncoding" inside a shown string must NOT
+    // flip the document-wide remap (r13 ADVICE): 0x93 stays the Latin-1
+    // C1 control, not the curly quote
+    val content = "BT (mentions /WinAnsiEncoding here \\223) Tj ET"
+    val out = PdfText.extract(buildPdf(Seq((content, false))))
+    assert(out.exists(t => t.contains('\u0093') && !t.contains('“')),
+      s"got $out")
+    // /BaseEncoding position (inside an Encoding dict) DOES count
+    val font = "<< /Type /Font /Encoding << /Type /Encoding " +
+      "/BaseEncoding /WinAnsiEncoding >> >>"
+    val based = PdfText.extract(
+      buildPdf(Seq(("BT (\\223) Tj ET", false)), Seq(font)))
+    assert(based.contains("“"), s"got $based")
+  }
+
+  test("PdfText applies font /Differences arrays over the base encoding") {
+    // remap 0x41 ('A') -> eacute, 0x42 -> quotedblleft, then the
+    // implicit code++ maps 0x43 -> uni20AC (euro); 0x44 stays 'D'
+    val font = "<< /Type /Font /Encoding << /Type /Encoding " +
+      "/BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 65 /eacute /quotedblleft /uni20AC 200 /unknownglyph ] >> >>"
+    val out = PdfText.extract(
+      buildPdf(Seq(("BT (ABCD \\310) Tj ET", false)), Seq(font)))
+    assert(out.contains("é“€D È"), s"got $out")
+    // without a base encoding the overlay applies over Latin-1 identity
+    val bare = "<< /Type /Font /Encoding << /Type /Encoding " +
+      "/Differences [ 66 /bullet ] >> >>"
+    val out2 = PdfText.extract(
+      buildPdf(Seq(("BT (AB) Tj ET", false)), Seq(bare)))
+    assert(out2.contains("A•"), s"got $out2")
+    // a malformed array degrades to no overlay, never fails the scan
+    val broken = "<< /Encoding << /Differences [ 65 /eacute >> >>"
+    val out3 = PdfText.extract(
+      buildPdf(Seq(("BT (A) Tj ET", false)), Seq(broken)))
+    assert(out3.isDefined)
+  }
+
+  test("glyphChar resolves AGL names, uniXXXX forms, and single chars") {
+    assert(PdfText.glyphChar("eacute").contains('é'))
+    assert(PdfText.glyphChar("Euro").contains('€'))
+    assert(PdfText.glyphChar("uni201C").contains('“'))
+    assert(PdfText.glyphChar("u0041").contains('A'))
+    assert(PdfText.glyphChar("A").contains('A'))
+    assert(PdfText.glyphChar("seven").contains('7'))
+    assert(PdfText.glyphChar("nosuchglyph").isEmpty)
+    assert(PdfText.glyphChar("uniZZZZ").isEmpty)
+  }
+
   test("PdfText never remaps CMap-mapped hex text under a declared encoding") {
     // the CMap maps code 0x01 to U+0093 — a code point the WinAnsi table
     // would rewrite to U+201C if the mapped text were (wrongly) fed back
