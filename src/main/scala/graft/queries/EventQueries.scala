@@ -542,6 +542,21 @@ object EventQueries {
         col("duration_sec"))
       .orderBy("user_id", "session_seq")
 
+  // --- q185: the stream-stream interval join EXECUTED in the gate ----------
+  // Fourth streaming path class driver-oracled (the r13 verdict's stretch
+  // sibling of q181): q77's click-attribution interval join run as a
+  // dual-watermark stream-stream join over a fresh time-ordered file
+  // replay, verified by q77's batch SQL — an inner interval join's match
+  // set is replay-chunking-independent, so the streamed rows must equal
+  // the batch bucketed-range-join's hash-exactly.
+  def q185StreamClickAttribution(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.clickAttributionViaStream(spark, dir,
+      chunks = 4, windowSeconds = AttributionWindowSeconds,
+      scratchName = "q185_click_attr")
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        col("delay_sec"))
+      .orderBy("click_id", "view_id")
+
   val q117Sql: String =
     s"""WITH e AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -986,6 +1001,7 @@ object EventQueries {
     "q116_asof_directions" -> (q116AsofDirections _),
     "q117_dynamic_sessions" -> (q117DynamicSessions _),
     "q181_stream_dynamic_sessions" -> (q181StreamDynamicSessions _),
+    "q185_stream_click_attribution" -> (q185StreamClickAttribution _),
     "q129_zorder_layout" -> (q129ZorderLayout _),
     "q32_tumbling" -> (q32Tumbling _),
     "q33_sliding" -> (q33Sliding _),
@@ -1005,6 +1021,7 @@ object EventQueries {
     "q116_asof_directions" -> q116Sql,
     "q117_dynamic_sessions" -> q117Sql,
     "q181_stream_dynamic_sessions" -> q117Sql,
+    "q185_stream_click_attribution" -> q77Sql,
     "q129_zorder_layout" -> q129Sql,
     "q54_asof_enrich" -> q54Sql,
     "q77_click_attribution" -> q77Sql,

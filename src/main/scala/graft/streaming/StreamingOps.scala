@@ -1127,19 +1127,7 @@ object StreamingOps {
       .option("maxFilesPerTrigger", 1).parquet(inputDir)
       .select(col("user_id"), col("ts"), col("value"))
       .as[UserEvent]
-    // State partition count is a CHECKPOINT-scoped dial (pinned at first
-    // start): each trigger commits one state-store delta per partition,
-    // so at fixture scale 32 partitions cost ~4x the file ops the state
-    // actually needs. 8 keeps per-trigger commit cost proportionate; a
-    // production deployment sizes this to keys/executor once at
-    // checkpoint birth. Restored after the stream stops — the session
-    // value is Verify/Bench's batch dial, not ours to keep.
-    // the conf must stay set until the stream STOPS — micro-batch
-    // planning happens asynchronously after start(), so an early restore
-    // races the first batch's read of the dial
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    withStatePartitions(spark, 8) {
       val q = dynamicGapSessionStream(src, gapMicrosOf).toDF
         .writeStream
         .option("checkpointLocation", s"$base/checkpoint")
@@ -1148,10 +1136,75 @@ object StreamingOps {
         .option("path", s"$base/sessions")
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.read.parquet(s"$base/sessions")
       .where(col("user_id") =!= -1L)
       .orderBy("user_id", "session_seq")
+  }
+
+  /** State partition count is a CHECKPOINT-scoped dial (pinned at first
+    * start): each trigger commits one state-store delta per partition,
+    * so at fixture scale 32 partitions cost ~4x the file ops the state
+    * actually needs; 8 keeps per-trigger commit cost proportionate. A
+    * production deployment sizes this to keys/executor once at
+    * checkpoint birth. The conf must stay set until the stream STOPS —
+    * micro-batch planning happens asynchronously after start(), so an
+    * early restore races the first batch's read of the dial; `body`
+    * therefore runs start + processAllAvailable + stop inside the
+    * scope, and the session's batch dial is restored after.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)
+      (body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      body
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** The stream-stream INTERVAL JOIN executed over the events fixture —
+    * the FOURTH driver-oracled streaming path class (q185), covering the
+    * dual-watermark join state machine where q179 covers foreachBatch,
+    * q180 built-in stateful dedup and q181 custom flatMapGroupsWithState
+    * state. q77's click-attribution shape: both sides read the SAME
+    * staged time-ordered replay (two independent file-stream sources
+    * over one input dir), views opening a `windowSeconds` half-open
+    * window, clicks matching within it, equi-keyed by user — the
+    * [[intervalJoin]] operator unchanged. An INNER stream-stream join
+    * emits each match as soon as both rows are buffered, so the emitted
+    * SET is chunking- and trigger-independent and q77's batch SQL
+    * oracles this execution hash-exactly (the flush event joins nothing:
+    * its event_type is neither side's filter).
+    */
+  def clickAttributionViaStream(spark: SparkSession, dir: String,
+                                chunks: Int, windowSeconds: Long,
+                                scratchName: String): DataFrame = {
+    val (base, inputDir) = stageEventChunksOrdered(spark, dir, chunks,
+      scratchName)
+    val schema = spark.read.parquet(inputDir).schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inputDir)
+    val views = src.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts"), col("user_id"))
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts"), col("user_id"))
+    val joined = intervalJoin(views, clicks, "user_id",
+      maxDelay = s"$windowSeconds seconds")
+      .select(col("click_id_r").as("click_id"), col("view_id"),
+        col("user_id"),
+        expr("(unix_micros(ts_r) - unix_micros(ts)) div 1000000L")
+          .as("delay_sec"))
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .option("checkpointLocation", s"$base/checkpoint")
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/matches")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(s"$base/matches")
+      .orderBy("click_id", "view_id")
   }
 
   /** Convenience: the events fixture schema as a file stream — the same

@@ -411,6 +411,16 @@ class StreamingParitySpec extends SparkSpec {
     assert(viaStream == batch)
   }
 
+  test("q185 streaming click attribution: the registered stream-stream " +
+      "interval join is row-identical to the batch q77 relation") {
+    val viaStream = graft.queries.EventQueries
+      .q185StreamClickAttribution(spark, dir).collect().toSeq
+    val batch = graft.queries.EventQueries
+      .q77ClickAttribution(spark, dir).collect().toSeq
+    assert(viaStream.nonEmpty, "streaming click attribution came back empty")
+    assert(viaStream == batch)
+  }
+
   test("q179 streaming heavy hitters: the registered streaming execution " +
       "is row-identical to the batch q99 relation") {
     val viaStream = graft.queries.AnalysisQueries
