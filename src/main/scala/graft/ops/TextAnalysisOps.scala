@@ -723,8 +723,16 @@ object TextAnalysisOps {
     * — [[qualityClassify]]'s left-join semantics), one corpus aggregate
     * → a single integer row, hash-exact end-to-end.
     */
-  def nbHeldoutReport(labeledCarved: DataFrame,
-                      buckets: Long = TrainedBuckets): DataFrame = {
+  /** `(good, is_train, score)` for EVERY doc of a `(doc_id, toks, good,
+    * is_train)` labeled relation, scored under the NB table trained on
+    * the `is_train` carve — the shared stage of [[nbHeldoutReport]] and
+    * [[nbThresholdCalibration]]: train ([[nbTrainedWeights]], one
+    * bucket-keyed aggregate), one explode+broadcast-join scoring pass
+    * (unseen buckets score 0 — [[qualityClassify]]'s left-join
+    * semantics).
+    */
+  def nbCarveScores(labeledCarved: DataFrame,
+                    buckets: Long = TrainedBuckets): DataFrame = {
     val weights = nbTrainedWeights(labeledCarved.where(col("is_train")),
       buckets).select(col("bucket"), col("weight"))
     val inst = labeledCarved
@@ -736,7 +744,13 @@ object TextAnalysisOps {
     labeledCarved.select(col("doc_id"), col("good"), col("is_train"))
       .join(scores, Seq("doc_id"), "left")
       .select(col("good"), col("is_train"),
-        (coalesce(col("score"), lit(0L)) >= 0).as("pred"))
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  def nbHeldoutReport(labeledCarved: DataFrame,
+                      buckets: Long = TrainedBuckets): DataFrame = {
+    nbCarveScores(labeledCarved, buckets)
+      .select(col("good"), col("is_train"), (col("score") >= 0).as("pred"))
       .agg(
         sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
         sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_heldout"),
@@ -754,6 +768,63 @@ object TextAnalysisOps {
         expr("(1000 * c_heldout) div n_heldout").as("acc_heldout_permille"),
         expr("(1000 * c_train) div n_train - (1000 * c_heldout) div n_heldout")
           .as("gap_permille"))
+  }
+
+  /** Decision-THRESHOLD calibration for the trained NB scorer — the step
+    * between training and deployment every production quality gate runs:
+    * the raw `score >= 0` cut assumes balanced likelihood odds, but the
+    * operating point a curation run wants is the cut that actually
+    * maximizes train-carve accuracy (equivalently, the prior-corrected
+    * MAP rule the [[nbTrainedWeights]] scaladoc deliberately leaves to
+    * consumers — with class imbalance the best cut is NOT 0). The sweep
+    * is the classic sorted-histogram form, NOT an O(n·|thresholds|)
+    * cross join: per distinct integer score, good/bad counts (one
+    * aggregate), then running `< t` sums via a window over the DISTINCT
+    * scores — a relation bounded by the score range (integer log-odds
+    * sums: hundreds of values at any corpus size), so its
+    * single-partition window is a bounded scalar stage, never
+    * corpus-sized. correct(t) = TG − g_lt(t) + b_lt(t); best t by
+    * (max correct, then smallest t). One row out: the chosen threshold,
+    * train accuracy at it, and HELD-OUT accuracy at it vs at the
+    * uncalibrated 0 — the gain column is the evidence a promotion
+    * decision reads. All counting → hash-exact end-to-end (q186).
+    */
+  def nbThresholdCalibration(labeledCarved: DataFrame,
+                             buckets: Long = TrainedBuckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = graft.CacheScope.persist(nbCarveScores(labeledCarved, buckets))
+    val train = s.where(col("is_train"))
+    val hist = train.groupBy("score").agg(
+      sum(when(col("good"), 1L).otherwise(0L)).as("g"),
+      sum(when(!col("good"), 1L).otherwise(0L)).as("b"))
+    val before = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("score").as("threshold"),
+      coalesce(sum(col("g")).over(before), lit(0L)).as("g_lt"),
+      coalesce(sum(col("b")).over(before), lit(0L)).as("b_lt"))
+    val tot = train.agg(
+      sum(when(col("good"), 1L).otherwise(0L)).as("tg"),
+      count(lit(1)).as("n_train"))
+    val best = cum.crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_train"),
+        (col("tg") - col("g_lt") + col("b_lt")).as("c_train"))
+      .orderBy(desc("c_train"), asc("threshold")).limit(1)
+    s.where(!col("is_train"))
+      .crossJoin(broadcast(best))
+      .groupBy(col("threshold"), col("n_train"), col("c_train"))
+      .agg(count(lit(1)).as("n_heldout"),
+        sum(when((col("score") >= col("threshold")) === col("good"), 1L)
+          .otherwise(0L)).as("c_held_t"),
+        sum(when((col("score") >= 0) === col("good"), 1L)
+          .otherwise(0L)).as("c_held_0"))
+      .select(col("threshold"),
+        expr("(1000 * c_train) div n_train").as("acc_train_at_t_permille"),
+        expr("(1000 * c_held_t) div n_heldout")
+          .as("acc_heldout_at_t_permille"),
+        expr("(1000 * c_held_0) div n_heldout")
+          .as("acc_heldout_at_zero_permille"),
+        expr("(1000 * c_held_t) div n_heldout - (1000 * c_held_0) div n_heldout")
+          .as("gain_permille"))
   }
 
   /** Context-window chunking: each document cut into token windows of

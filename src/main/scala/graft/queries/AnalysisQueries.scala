@@ -2848,7 +2848,11 @@ object AnalysisQueries {
     * can never diverge from [[TextAnalysisOps.nbHeldoutReport]]'s
     * dataflow (the nbCtes argument, one level up).
     */
-  private val nbHeldoutReportSql: String = {
+  /** Score-every-doc CTEs shared by the held-out report and the
+    * threshold calibration — final relation `nb_sc (doc_id, good,
+    * is_train, score)`, [[TextAnalysisOps.nbCarveScores]]'s shape.
+    */
+  private val nbScoreCtes: String = {
     val d = TextAnalysisOps.TrainedBuckets
     s"""nb_b AS (SELECT doc_id,
         ${HashOps.charHashSql("tok")} % $d AS bucket
@@ -2856,9 +2860,14 @@ object AnalysisQueries {
     nb_s AS (SELECT doc_id,
         CAST(sum(coalesce(w.weight, 0)) AS BIGINT) AS score
       FROM nb_b LEFT JOIN nb_w w USING (bucket) GROUP BY doc_id),
-    nb_j AS (SELECT l.good, l.is_train,
-        coalesce(s.score, 0) >= 0 AS pred
-      FROM nb_l l LEFT JOIN nb_s s USING (doc_id)),
+    nb_sc AS (SELECT l.doc_id, l.good, l.is_train,
+        CAST(coalesce(s.score, 0) AS BIGINT) AS score
+      FROM nb_l l LEFT JOIN nb_s s USING (doc_id))"""
+  }
+
+  private val nbHeldoutReportSql: String =
+    s"""$nbScoreCtes,
+    nb_j AS (SELECT good, is_train, score >= 0 AS pred FROM nb_sc),
     nb_r AS (SELECT
         CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
         CAST(sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT)
@@ -2878,7 +2887,50 @@ object AnalysisQueries {
       (1000 * c_train) // n_train - (1000 * c_heldout) // n_heldout
         AS gap_permille
     FROM nb_r"""
-  }
+
+  /** The threshold-calibration tail (q186), appended after
+    * [[nbChainCtes]] — [[TextAnalysisOps.nbThresholdCalibration]]'s
+    * dataflow restated: distinct-score histogram over the train carve,
+    * running `< t` sums, correct(t) = tg − g_lt + b_lt, best by
+    * (max correct, min t), held-out accuracy at best-t vs at 0.
+    */
+  private val nbCalibrationSql: String =
+    s"""$nbScoreCtes,
+    nb_h AS (SELECT score,
+        CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS g,
+        CAST(sum(CASE WHEN NOT good THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM nb_sc WHERE is_train GROUP BY score),
+    nb_cum AS (SELECT score AS threshold,
+        CAST(coalesce(sum(g) OVER (ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS g_lt,
+        CAST(coalesce(sum(b) OVER (ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS b_lt
+      FROM nb_h),
+    nb_tt AS (SELECT
+        CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS tg,
+        CAST(count(*) AS BIGINT) AS n_train
+      FROM nb_sc WHERE is_train),
+    nb_best AS (SELECT threshold, n_train, tg - g_lt + b_lt AS c_train
+      FROM nb_cum, nb_tt ORDER BY c_train DESC, threshold ASC LIMIT 1),
+    nb_he AS (SELECT
+        CAST(max(b.threshold) AS BIGINT) AS threshold,
+        CAST(max(b.n_train) AS BIGINT) AS n_train,
+        CAST(max(b.c_train) AS BIGINT) AS c_train,
+        CAST(count(*) AS BIGINT) AS n_heldout,
+        CAST(sum(CASE WHEN (score >= b.threshold) = good THEN 1 ELSE 0 END)
+          AS BIGINT) AS c_held_t,
+        CAST(sum(CASE WHEN (score >= 0) = good THEN 1 ELSE 0 END)
+          AS BIGINT) AS c_held_0
+      FROM nb_sc, nb_best b WHERE NOT is_train)
+    SELECT threshold,
+      (1000 * c_train) // n_train AS acc_train_at_t_permille,
+      (1000 * c_held_t) // n_heldout AS acc_heldout_at_t_permille,
+      (1000 * c_held_0) // n_heldout AS acc_heldout_at_zero_permille,
+      (1000 * c_held_t) // n_heldout - (1000 * c_held_0) // n_heldout
+        AS gain_permille
+    FROM nb_he"""
 
   val q177Sql: String = graft.queries.SqlDefs.materializeCtes(
     s"""WITH $nbCtes
@@ -2998,6 +3050,31 @@ object AnalysisQueries {
     s"""WITH ${nbChainCtes(
       nbLFixture(s"${HashOps.charHashSql("text")} % 2 = 0"))},
     $nbHeldoutReportSql""")
+
+  // --- q186: decision-threshold calibration (train → calibrate → deploy) ---
+  // The lifecycle step between q182's held-out eval and q177d's deployed
+  // gate: the raw score >= 0 cut ignores the class prior, and with
+  // imbalanced supervision (the fixture: 193/307) the accuracy-optimal
+  // operating point is elsewhere. One sorted-histogram sweep over the
+  // TRAIN carve's distinct integer scores picks the calibrated cut
+  // (never an O(n·|thresholds|) cross join — scaladoc at
+  // TextAnalysisOps.nbThresholdCalibration), and the row publishes
+  // held-out accuracy at that cut vs at 0 — the gain a promotion
+  // decision reads. Same carve and shared CTE chain as q182, so the
+  // calibration can never sweep a different model than q182 evaluates.
+  def q186NbThresholdCalibration(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val carve = docs.select(col("doc_id"),
+      (HashOps.charHash(col("text")) % 2 === 0).as("is_train"))
+    TextAnalysisOps.nbThresholdCalibration(
+      inDomainLabeled(spark, dir).join(carve, "doc_id"))
+  }
+
+  val q186Sql: String = graft.queries.SqlDefs.materializeCtes(
+    s"""WITH ${nbChainCtes(
+      nbLFixture(s"${HashOps.charHashSql("text")} % 2 = 0"))},
+    $nbCalibrationSql""")
 
   // --- q183: learning PROOF, oracled (r13 verdict #2) -----------------------
   // The fixture's shared 31-word vocabulary makes no fixture label
@@ -3534,6 +3611,7 @@ object AnalysisQueries {
     "q177d_nb_gate_effect" -> (q177dNbGateEffect _),
     "q182_nb_heldout_eval" -> (q182NbHeldoutEval _),
     "q183_nb_learning_proof" -> (q183NbLearningProof _),
+    "q186_nb_threshold_calibration" -> (q186NbThresholdCalibration _),
     "q178_perceptron_train" -> (q178PerceptronTrain _),
     "q178b_perceptron_eval" -> (q178bPerceptronEval _),
     "q65b_calibration" -> (q65bCalibration _),
@@ -3594,6 +3672,7 @@ object AnalysisQueries {
     "q177d_nb_gate_effect" -> q177dSql,
     "q182_nb_heldout_eval" -> q182Sql,
     "q183_nb_learning_proof" -> q183Sql,
+    "q186_nb_threshold_calibration" -> q186Sql,
     "q65b_calibration" -> q65bSql,
     "q67_source_health" -> q67Sql,
     "q76_phrase_search" -> q76Sql,

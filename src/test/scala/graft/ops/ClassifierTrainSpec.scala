@@ -232,6 +232,27 @@ class ClassifierTrainSpec extends SparkSpec {
     assert(gap == 500L)
   }
 
+  test("threshold calibration beats the raw score>=0 cut on an imbalanced " +
+      "corpus where every doc scores positive") {
+    // 3:1 good:bad, 5 shared tokens per doc (positive weight: more good
+    // mass) + 1 class token — BOTH classes score positive, so the
+    // uncalibrated cut predicts all-good (750 permille); the calibrated
+    // cut separates the two score levels and generalizes (the score
+    // vocabulary is shared across carves)
+    val rows = (0L until 40L).map { id =>
+      val bad = id % 8 == 0 || id % 8 == 1 // 5 bad in each carve
+      val common = (0 until 5).map(i => s"c$i")
+      (id, common :+ (if (bad) "badtok" else "goodtok"), !bad, id % 2 == 0)
+    }
+    val r = TextAnalysisOps.nbThresholdCalibration(labeledCarved(rows)).head()
+    val (t, accTrainT, accHeldT, accHeld0, gain) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(accHeld0 == 750L, s"uncalibrated held-out acc $accHeld0")
+    assert(accTrainT == 1000L && accHeldT == 1000L,
+      s"calibrated acc train=$accTrainT held=$accHeldT")
+    assert(gain == 250L && t > 0L, s"gain=$gain t=$t")
+  }
+
   test("q183 learning proof: held-out accuracy on the synthesized separable " +
       "corpus meets the committed >= 900 permille floor") {
     val r = graft.queries.AnalysisQueries
