@@ -350,6 +350,35 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** Metadata-FILTERED exact top-k — the "filtered vector search" every
+    * production vector store exposes (retrieval constrained to a
+    * category/language/tenant): for each query vector (`vec_id %
+    * everyNth == 0`), the top-k among candidates sharing the query's
+    * `label`, self excluded. The predicate is a per-row CONJUNCT on the
+    * join, so a candidate outside it is never dotted — and because it is
+    * candidate-side-local, the same filter composes unchanged with the
+    * IVF/LSH candidate generators at scale (filter the probed cells'
+    * members before scoring; recall per probed cell is unchanged within
+    * the label's sub-corpus). This brute tier is the oracle-checkable
+    * baseline, [[bruteForceTopK]]'s exact shape plus the label equi-key —
+    * which also SHRINKS the join: the label becomes part of the
+    * broadcast-hash key, so each candidate only meets the queries of its
+    * own label.
+    */
+  def labelFilteredTopK(embeddings: DataFrame, everyNth: Int,
+                        k: Int): DataFrame = {
+    val p = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"), col("label"))
+    val q = p.toDF("query_id", "q_emb", "label")
+      .where(col("query_id") % everyNth === 0)
+    val scored = p.toDF("cand_id", "c_emb", "label")
+      .join(broadcast(q), Seq("label"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    topKPerQuery(scored, k)
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")

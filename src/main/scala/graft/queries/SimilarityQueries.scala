@@ -367,6 +367,36 @@ object SimilarityQueries {
     SELECT query_id, cand_id, cos_micro, rk FROM r
     WHERE rk <= $TopK ORDER BY query_id, rk"""
 
+  // --- q187: metadata-filtered top-k (filtered vector search) -------------
+  // The constrained-retrieval feature every production vector store
+  // exposes (search within a category/language/tenant): q29's exact
+  // contract plus a per-query label predicate, pushed into the join as
+  // an equi-key so out-of-label candidates are never scored and each
+  // candidate only meets its own label's queries. Exact brute tier →
+  // hash-oracled; the predicate composes unchanged with the IVF/LSH
+  // candidate generators at scale (SimilarityOps.labelFilteredTopK doc).
+  def q187FilteredTopK(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.labelFilteredTopK(
+      Tables.embeddings(spark, dir), QueryEveryNth, TopK)
+      .orderBy("query_id", "rk")
+
+  val q187Sql: String =
+    s"""WITH pl AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+      FROM embeddings),
+    nl AS (SELECT vec_id, emb, label, sqrt(${dotSql("emb", "emb")}) AS nrm
+      FROM pl),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, label
+      FROM nl WHERE vec_id % $QueryEveryNth = 0),
+    s AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+        ${cosMicroSql("q.q_emb", "c.emb", "q.q_nrm", "c.nrm")} AS cos_micro
+      FROM q JOIN nl c ON c.label = q.label AND c.vec_id <> q.query_id),
+    r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rk
+      FROM s)
+    SELECT query_id, cand_id, cos_micro, rk FROM r
+    WHERE rk <= $TopK ORDER BY query_id, rk"""
+
   // --- q29b: multi-table sign-LSH top-k (the 100 TB path) ----------------
   def q29bKnnLsh(spark: SparkSession, dir: String): DataFrame =
     SimilarityOps.bucketedTopK(
@@ -1895,6 +1925,7 @@ object SimilarityQueries {
     "q156_embedding_dq" -> (q156EmbeddingDq _),
     "q62_semantic_dedup" -> (q62SemanticDedup _),
     "q29_knn_brute" -> (q29KnnBrute _),
+    "q187_filtered_topk" -> (q187FilteredTopK _),
     "q29b_knn_lsh" -> (q29bKnnLsh _),
     "q29c_knn_agg" -> (q29cKnnAgg _),
     "q29d_knn_ivf" -> (q29dKnnIvf _),
@@ -1938,6 +1969,7 @@ object SimilarityQueries {
     "q156_embedding_dq" -> q156Sql,
     "q62_semantic_dedup" -> q62Sql,
     "q29_knn_brute" -> q29Sql,
+    "q187_filtered_topk" -> q187Sql,
     "q29b_knn_lsh" -> q29bSql,
     "q29c_knn_agg" -> q29Sql, // identical contract to the window formulation
     "q29e_knn_jl" -> q29eSql,

@@ -669,6 +669,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Seq(0L, 2L))
   }
 
+  test("labelFilteredTopK never scores a candidate outside the query's " +
+      "label, even a cos=1 twin") {
+    import sqlImplicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),  // query (0 % 3 == 0), label 0
+      (1L, Seq(1.0f, 0.0f), 1),  // identical vector, WRONG label
+      (2L, Seq(0.8f, 0.2f), 0),
+      (3L, Seq(0.0f, 1.0f), 1),  // query, label 1
+      (4L, Seq(-1.0f, 0.0f), 0),
+      (5L, Seq(0.1f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.labelFilteredTopK(emb, everyNth = 3, k = 2)
+      .orderBy("query_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // query 0 (label 0): the label-1 twin at cos=1 is excluded; in-label
+    // candidates 2 then 4. query 3 (label 1): 5 then 1.
+    assert(out.toSeq == Seq((0L, 2L), (0L, 4L), (3L, 5L), (3L, 1L)))
+  }
+
   test("clusterBalancedSample rebalances a template-heavy corpus: the big " +
       "cluster compresses to its log quota, singletons all survive") {
     import sqlImplicits._
