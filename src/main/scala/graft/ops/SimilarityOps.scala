@@ -379,6 +379,47 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** [[labelFilteredTopK]]'s SCALE tier — the composability the brute
+    * tier's scaladoc claims, executed: [[bucketedTopK]]'s multi-table
+    * sign-LSH candidate generation with the label added to the bucket
+    * equi-key (`(tbl, bucket, label)`), so out-of-label candidates never
+    * even surface as candidates, then exact rerank of the survivors.
+    * The index layout is unchanged — one bucket row per vector per
+    * table, label carried as a partition-style key column — which is
+    * exactly how a production store filters: the predicate narrows the
+    * posting list BEFORE distance computation. Candidate volume per
+    * query is bounded by in-label collision density; recall within the
+    * label's sub-corpus matches unfiltered [[bucketedTopK]]'s at the
+    * same dial (the hyperplanes don't see the label).
+    */
+  def labelFilteredTopKLsh(embeddings: DataFrame, everyNth: Int, k: Int,
+                           bits: Int, tables: Int): DataFrame = {
+    val p = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"), col("label"))
+    val withBuckets = p.select(col("vec_id"), col("label"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          signBucketAt(col("emb"), t * bits, bits).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("label"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = withBuckets.where(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("query_id"), col("label"),
+        col("tbl"), col("bucket"))
+    val cand = withBuckets
+      .select(col("vec_id").as("cand_id"), col("label"),
+        col("tbl"), col("bucket"))
+      .join(broadcast(q), Seq("tbl", "bucket", "label"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select("query_id", "cand_id").distinct()
+    val pe = p.select(col("vec_id"), col("emb"))
+    val scored = cand
+      .join(pe.toDF("query_id", "q_emb"), "query_id")
+      .join(pe.toDF("cand_id", "c_emb"), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    topKPerQuery(scored, k)
+  }
+
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")

@@ -427,6 +427,45 @@ object SimilarityQueries {
     WHERE rk <= $TopK ORDER BY query_id, rk"""
   }
 
+  // --- q187b: metadata-filtered top-k, LSH tier (the scale path) -----------
+  // q187's brute tier proves the contract; this executes the claimed
+  // composition: the label joins the (tbl, bucket) candidate equi-key,
+  // so out-of-label vectors never surface as candidates and per-query
+  // candidate volume is bounded by IN-LABEL collision density. Same LSH
+  // dial as q29b so the two ladders stay comparable.
+  def q187bFilteredTopKLsh(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.labelFilteredTopKLsh(
+      Tables.embeddings(spark, dir), QueryEveryNth, TopK, TopKBits, TopKTables)
+      .orderBy("query_id", "rk")
+
+  val q187bSql: String = {
+    val tableSelects = (0 until TopKTables).map(t =>
+      s"SELECT vec_id, label, $t AS tbl, " +
+        s"${bucketSql(TopKBits, t * TopKBits)} AS bucket FROM nl")
+      .mkString(" UNION ALL ")
+    s"""WITH pl AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+      FROM embeddings),
+    nl AS (SELECT vec_id, emb, label, sqrt(${dotSql("emb", "emb")}) AS nrm
+      FROM pl),
+    b AS ($tableSelects),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        AND q.label = c.label AND c.vec_id <> q.vec_id
+      WHERE q.vec_id % $QueryEveryNth = 0),
+    s AS (
+      SELECT cand.query_id, cand.cand_id,
+        ${cosMicroSql("q.emb", "c.emb", "q.nrm", "c.nrm")} AS cos_micro
+      FROM cand
+      JOIN nl q ON q.vec_id = cand.query_id
+      JOIN nl c ON c.vec_id = cand.cand_id),
+    r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_micro DESC, cand_id ASC) AS BIGINT) AS rk
+      FROM s)
+    SELECT query_id, cand_id, cos_micro, rk FROM r
+    WHERE rk <= $TopK ORDER BY query_id, rk"""
+  }
+
   // --- q29g: multi-probe sign-LSH top-k ------------------------------------
   // The recall lever that leaves the index unchanged (semantics + cost
   // trade in SimilarityOps.multiProbeTopK scaladoc): q29b's exact-bucket
@@ -1926,6 +1965,7 @@ object SimilarityQueries {
     "q62_semantic_dedup" -> (q62SemanticDedup _),
     "q29_knn_brute" -> (q29KnnBrute _),
     "q187_filtered_topk" -> (q187FilteredTopK _),
+    "q187b_filtered_topk_lsh" -> (q187bFilteredTopKLsh _),
     "q29b_knn_lsh" -> (q29bKnnLsh _),
     "q29c_knn_agg" -> (q29cKnnAgg _),
     "q29d_knn_ivf" -> (q29dKnnIvf _),
@@ -1970,6 +2010,7 @@ object SimilarityQueries {
     "q62_semantic_dedup" -> q62Sql,
     "q29_knn_brute" -> q29Sql,
     "q187_filtered_topk" -> q187Sql,
+    "q187b_filtered_topk_lsh" -> q187bSql,
     "q29b_knn_lsh" -> q29bSql,
     "q29c_knn_agg" -> q29Sql, // identical contract to the window formulation
     "q29e_knn_jl" -> q29eSql,
