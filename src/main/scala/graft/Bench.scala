@@ -113,11 +113,14 @@ object Bench {
     *     (which moves few queries a lot, i.e. high dispersion);
     *   - `mixed_window` (the r13 blind spot: two independent runs read
     *     median ~1.05-1.07 with dispersion ~0.45 and 3-4× individual
-    *     rows, passing as clean): the median looks sane (≤ 1.2) but the
-    *     top quartile is inflated — q3 > 1.3, or a moderately-high
-    *     median (> 1.05) with high dispersion (> 0.4). Reads as
-    *     "part of this run crossed a load window"; per-query rows then
-    *     attribute which part (warm_inflated / sibling-run diff).
+    *     rows, passing as clean): the top quartile is inflated —
+    *     q3 > 1.3, or a raised median (> 1.05) with high dispersion
+    *     (> 0.4) — without the uniform-inflation signature. Deliberately
+    *     NOT capped at median ≤ 1.2: a run with median 1.4 and high
+    *     dispersion is a worse mixed window, not a clean one, and must
+    *     not fall between the two flags. Reads as "part of this run
+    *     crossed a load window"; per-query rows then attribute which
+    *     part (warm_inflated / sibling-run diff).
     *
     * None when fewer than 10 common queries (a filtered local run — no
     * basis for a host claim).
@@ -135,7 +138,7 @@ object Bench {
       val q3 = ratios(ratios.size * 3 / 4)
       val disp = if (med > 0) (q3 - q1) / med else 0.0
       val loaded = med > 1.2 && disp < 0.35
-      val mixed = !loaded && med <= 1.2 &&
+      val mixed = !loaded &&
         (q3 > 1.3 || (med > 1.05 && disp > 0.4))
       Some(WarmVsRef(q1, med, q3, disp, ratios.size, loaded, mixed))
     }

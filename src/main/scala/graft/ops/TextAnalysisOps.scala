@@ -783,7 +783,11 @@ object TextAnalysisOps {
     * scores — a relation bounded by the score range (integer log-odds
     * sums: hundreds of values at any corpus size), so its
     * single-partition window is a bounded scalar stage, never
-    * corpus-sized. correct(t) = TG − g_lt(t) + b_lt(t); best t by
+    * corpus-sized. correct(t) = TG − g_lt(t) + b_lt(t); candidates are
+    * the distinct train scores PLUS max+1 — the all-bad rule, which IS
+    * the optimum when the majority class is bad and scores don't
+    * separate (without it the sweep could never express "keep nothing"
+    * and would publish a sub-optimal cut as calibrated); best t by
     * (max correct, then smallest t). One row out: the chosen threshold,
     * train accuracy at it, and HELD-OUT accuracy at it vs at the
     * uncalibrated 0 — the gain column is the evidence a promotion
@@ -802,10 +806,13 @@ object TextAnalysisOps {
     val cum = hist.select(col("score").as("threshold"),
       coalesce(sum(col("g")).over(before), lit(0L)).as("g_lt"),
       coalesce(sum(col("b")).over(before), lit(0L)).as("b_lt"))
+    val allBad = hist.agg((max(col("score")) + 1L).as("threshold"),
+      sum(col("g")).as("g_lt"), sum(col("b")).as("b_lt"))
+      .where(col("threshold").isNotNull) // empty train carve: no candidate
     val tot = train.agg(
       sum(when(col("good"), 1L).otherwise(0L)).as("tg"),
       count(lit(1)).as("n_train"))
-    val best = cum.crossJoin(broadcast(tot))
+    val best = cum.unionByName(allBad).crossJoin(broadcast(tot))
       .select(col("threshold"), col("n_train"),
         (col("tg") - col("g_lt") + col("b_lt")).as("c_train"))
       .orderBy(desc("c_train"), asc("threshold")).limit(1)

@@ -2891,7 +2891,8 @@ object AnalysisQueries {
   /** The threshold-calibration tail (q186), appended after
     * [[nbChainCtes]] — [[TextAnalysisOps.nbThresholdCalibration]]'s
     * dataflow restated: distinct-score histogram over the train carve,
-    * running `< t` sums, correct(t) = tg − g_lt + b_lt, best by
+    * running `< t` sums, correct(t) = tg − g_lt + b_lt over candidates =
+    * distinct scores ∪ {max+1} (the all-bad rule), best by
     * (max correct, min t), held-out accuracy at best-t vs at 0.
     */
   private val nbCalibrationSql: String =
@@ -2908,12 +2909,17 @@ object AnalysisQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
           AS b_lt
       FROM nb_h),
+    nb_allbad AS (SELECT CAST(max(score) + 1 AS BIGINT) AS threshold,
+        CAST(sum(g) AS BIGINT) AS g_lt, CAST(sum(b) AS BIGINT) AS b_lt
+      FROM nb_h),
+    nb_cand AS (SELECT * FROM nb_cum
+      UNION ALL SELECT * FROM nb_allbad WHERE threshold IS NOT NULL),
     nb_tt AS (SELECT
         CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS tg,
         CAST(count(*) AS BIGINT) AS n_train
       FROM nb_sc WHERE is_train),
     nb_best AS (SELECT threshold, n_train, tg - g_lt + b_lt AS c_train
-      FROM nb_cum, nb_tt ORDER BY c_train DESC, threshold ASC LIMIT 1),
+      FROM nb_cand, nb_tt ORDER BY c_train DESC, threshold ASC LIMIT 1),
     nb_he AS (SELECT
         CAST(max(b.threshold) AS BIGINT) AS threshold,
         CAST(max(b.n_train) AS BIGINT) AS n_train,

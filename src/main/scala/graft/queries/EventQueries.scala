@@ -531,8 +531,9 @@ object EventQueries {
   def q181StreamDynamicSessions(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.dynamicSessionsViaStream(spark, dir,
       chunks = 4,
-      gapMicrosOf = uid =>
-        (300L + java.lang.Math.floorMod(uid, 3L) * 300L) * 1000000L,
+      // plain %, NOT floorMod: the gap rule must mirror sessionGapMicros
+      // / sessionGapMicrosSql bit-for-bit (they diverge on negative ids)
+      gapMicrosOf = uid => (300L + (uid % 3L) * 300L) * 1000000L,
       scratchName = "q181_dyn_sessions")
       .select(col("user_id"), col("session_seq"), col("n_events"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")

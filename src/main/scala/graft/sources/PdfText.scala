@@ -111,8 +111,14 @@ object PdfText {
     // /WinAnsiEncoding` — not anywhere in the byte soup: the literal
     // text "/WinAnsiEncoding" inside a shown string or comment must not
     // flip the whole document's byte remap (r13 ADVICE).
+    // two legal shapes: the direct name (`/Encoding /WinAnsiEncoding`,
+    // `/BaseEncoding /WinAnsiEncoding`) and the indirect name OBJECT
+    // (`/Encoding 12 0 R` + `12 0 obj /WinAnsiEncoding endobj`) — the
+    // object form matches on its `obj`-framed definition, which a shown
+    // string cannot fake without writing a whole object header
     val declares = (name: String) => {
-      val re = ("/(?:Base)?Encoding\\s*/" + name).r
+      val re = ("/(?:Base)?Encoding\\s*/" + name +
+        "|obj\\s*/" + name + "\\s*endobj").r
       re.findFirstIn(s).isDefined ||
         streams.exists(c => re.findFirstIn(c).isDefined)
     }
@@ -122,13 +128,17 @@ object PdfText {
       else None
     // font /Differences overlays, merged document-wide like the CMaps
     // (per-font routing needs the resource walk — same declared
-    // granularity). Applied over the base table (Latin-1 identity when
-    // no base encoding is declared); names outside the embedded AGL
+    // granularity), and honored only in DICT context (inside an
+    // `/Encoding <<...>>` dict or an object's own dict) — the same
+    // loose-text hardening as the encoding-name detection: the literal
+    // text "/Differences [ 65 /eacute ]" inside a shown string must not
+    // remap the document. Applied over the base table (Latin-1 identity
+    // when no base encoding is declared); names outside the embedded AGL
     // subset keep their base reading — a lossless degrade, same as an
     // unmapped CMap code. Defensive try like the CMap pass: a malformed
     // array must degrade to "no overlay", never fail the scan task.
     val diffs =
-      try (s +: streams).map(parseDifferences).reduce(_ ++ _)
+      try (s +: streams).map(differencesInDicts).reduce(_ ++ _)
       catch { case scala.util.control.NonFatal(_) => Map.empty[Int, Char] }
     val enc =
       if (diffs.isEmpty) baseEnc
@@ -169,6 +179,31 @@ object PdfText {
     byteTable("windows-1252")
   private lazy val macRomanTable: Option[Array[Char]] =
     byteTable("x-MacRoman")
+
+  /** [[parseDifferences]] restricted to DICT context: only `/Differences`
+    * arrays inside an `/Encoding <<...>>` dictionary (the inline form) or
+    * inside an object's own `N G obj <<...>>` dictionary (the indirect
+    * Encoding-dict form) are honored — a `/Differences` appearing as
+    * shown TEXT in a content stream is outside both and ignored, the
+    * same loose-text hardening the encoding-name detection applies. A
+    * forged object header inside a string remains out of scope, the
+    * documented residue of document-wide (non-resource-walk) granularity.
+    */
+  private[sources] def differencesInDicts(t: String): Map[Int, Char] = {
+    val out = Map.newBuilder[Int, Char]
+    def scanFrom(pattern: scala.util.matching.Regex): Unit =
+      pattern.findAllMatchIn(t).foreach { m =>
+        val open = t.indexOf("<<", m.start)
+        if (open >= 0) {
+          val end = math.min(skipDict(t, open), t.length)
+          val dict = t.substring(open, end)
+          if (dict.contains("/Differences")) out ++= parseDifferences(dict)
+        }
+      }
+    scanFrom("/Encoding\\s*<<".r)
+    scanFrom("\\d+\\s+\\d+\\s+obj\\s*<<".r)
+    out.result()
+  }
 
   /** Every `/Differences [ code /name code /name ... ]` array in `t`,
     * resolved to code → char through [[glyphChar]]: an integer element

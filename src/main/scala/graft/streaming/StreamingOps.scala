@@ -907,47 +907,65 @@ object StreamingOps {
     * split — the shared fresh-ingest staging of the driver-oracled
     * streaming queries (q179/q180). Returns the (base, inputDir) pair.
     */
-  private def stageDocChunks(spark: SparkSession, docsPath: String,
-                             chunks: Int,
-                             scratchName: String): (String, String) = {
-    require(chunks > 0, "stageDocChunks needs at least one chunk")
+  private def mustFs(ok: Boolean, what: String): Unit =
+    if (!ok) throw new java.io.IOException(
+      s"streaming staging: filesystem step failed: $what")
+
+  /** Shared staging scaffold of the driver-oracled streaming ingests
+    * (q179/q180/q181/q185): wipe the PID-scoped base, write `chunked`
+    * (which must carry an int `chunk` column in [0, chunkCount)) as ONE
+    * partitioned pass — repartition on the chunk key puts each value in
+    * exactly one task, so each chunk dir holds exactly one part file
+    * (the r13 review fix: an earlier per-chunk filter loop scanned the
+    * source `chunkCount` times) — then flatten the part files into
+    * `<base>/input` under deterministic names (partitionBy drops the
+    * chunk column, keeping the schema). `mtimeOf`, when set, stamps
+    * strictly increasing mtimes so FileStreamSource lists the files in
+    * chunk order — the ordered-replay contract. A chunk with no rows
+    * writes no dir and is skipped. Returns (base, inputDir).
+    */
+  private def stageChunkedInput(spark: SparkSession, chunked: DataFrame,
+                                chunkCount: Int, scratchName: String,
+                                mtimeOf: Option[(Int, Int) => Long] = None)
+      : (String, String) = {
     val base = pidScopedBase(scratchName)
     val conf = spark.sparkContext.hadoopConfiguration
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(conf)
-    def mustFs(ok: Boolean, what: String): Unit =
-      if (!ok) throw new java.io.IOException(
-        s"stageDocChunks: filesystem step failed: $what")
     if (fs.exists(basePath)) mustFs(fs.delete(basePath, true), s"wipe $base")
     val inputDir = s"$base/input"
     mustFs(fs.mkdirs(new org.apache.hadoop.fs.Path(inputDir)),
       s"mkdirs $inputDir")
-    // ONE corpus pass (r13 review: the earlier per-chunk filter loop
-    // scanned the source `chunks` times): partition the write by the
-    // mod split — repartition on the chunk key puts each value in
-    // exactly one task, so each chunk dir holds exactly one part file —
-    // then flatten the part files into the input dir the file stream
-    // lists (partitionBy drops the chunk column, keeping the schema)
     val stage = s"$base/stage"
-    spark.read.parquet(docsPath)
-      .select(col("doc_id"), col("text"),
-        pmod(col("doc_id"), lit(chunks)).as("chunk"))
-      .repartition(chunks, col("chunk"))
+    chunked
+      .repartition(chunkCount, col("chunk"))
       .write.partitionBy("chunk").mode("overwrite").parquet(stage)
-    (0 until chunks).foreach { k =>
+    (0 until chunkCount).foreach { k =>
       val chunkDir = new org.apache.hadoop.fs.Path(s"$stage/chunk=$k")
-      if (fs.exists(chunkDir)) // an empty chunk writes no dir — fine
+      if (fs.exists(chunkDir))
         fs.listStatus(chunkDir).map(_.getPath)
           .filter(_.getName.startsWith("part-")).sortBy(_.getName)
           .zipWithIndex.foreach { case (p, j) =>
-            mustFs(fs.rename(p,
-              new org.apache.hadoop.fs.Path(s"$inputDir/chunk-$k-$j.parquet")),
-              s"stage chunk $k file $j")
+            val dst = new org.apache.hadoop.fs.Path(
+              f"$inputDir/chunk-$k%03d-$j.parquet")
+            mustFs(fs.rename(p, dst), s"stage chunk $k file $j")
+            mtimeOf.foreach(f => fs.setTimes(dst, f(k, j), -1))
           }
     }
     mustFs(fs.delete(new org.apache.hadoop.fs.Path(stage), true),
       s"drop staging $stage")
     (base, inputDir)
+  }
+
+  private def stageDocChunks(spark: SparkSession, docsPath: String,
+                             chunks: Int,
+                             scratchName: String): (String, String) = {
+    require(chunks > 0, "stageDocChunks needs at least one chunk")
+    stageChunkedInput(spark,
+      spark.read.parquet(docsPath)
+        .select(col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(chunks)).cast("int").as("chunk")),
+      chunks, scratchName)
   }
 
   def heavyHittersViaStream(spark: SparkSession, docsPath: String,
@@ -1051,17 +1069,6 @@ object StreamingOps {
                                       chunks: Int,
                                       scratchName: String): (String, String) = {
     require(chunks > 0, "stageEventChunksOrdered needs at least one chunk")
-    val base = pidScopedBase(scratchName)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val basePath = new org.apache.hadoop.fs.Path(base)
-    val fs = basePath.getFileSystem(conf)
-    def mustFs(ok: Boolean, what: String): Unit =
-      if (!ok) throw new java.io.IOException(
-        s"stageEventChunksOrdered: filesystem step failed: $what")
-    if (fs.exists(basePath)) mustFs(fs.delete(basePath, true), s"wipe $base")
-    val inputDir = s"$base/input"
-    mustFs(fs.mkdirs(new org.apache.hadoop.fs.Path(inputDir)),
-      s"mkdirs $inputDir")
     val ev = graft.Tables.events(spark, dir)
     val (minUs, maxUs) = ev
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
@@ -1071,34 +1078,17 @@ object StreamingOps {
     }
     val flushTs = new Timestamp(maxUs / 1000L + 2L * 3600L * 1000L)
     val widthUs = (maxUs - minUs) / chunks + 1L
+    // value-range chunks 0..chunks-1, plus the flush row as its own final
+    // chunk — one unioned partitioned write through the shared scaffold
     val chunked = ev.withColumn("chunk",
       ((unix_micros(col("ts")) - minUs) / widthUs).cast("int"))
-    val stage = s"$base/stage"
-    chunked.repartition(chunks, col("chunk"))
-      .write.partitionBy("chunk").mode("overwrite").parquet(stage)
-    // the flush row, written with the STAGED schema (one extra chunk)
-    ev.limit(1).select(
-      lit(-1L).as("event_id"), lit(flushTs).as("ts"),
-      lit(-1L).as("user_id"), lit("flush").as("event_type"),
-      lit(0.0).as("value"), lit("{}").as("props"))
-      .coalesce(1).write.parquet(s"$stage/chunk=$chunks")
-    (0 to chunks).foreach { k =>
-      val chunkDir = new org.apache.hadoop.fs.Path(s"$stage/chunk=$k")
-      if (fs.exists(chunkDir)) // an empty ntile chunk writes no dir — fine
-        fs.listStatus(chunkDir).map(_.getPath)
-          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-          .zipWithIndex.foreach { case (p, j) =>
-            val dst = new org.apache.hadoop.fs.Path(
-              f"$inputDir/chunk-$k%03d-$j.parquet")
-            mustFs(fs.rename(p, dst), s"stage chunk $k file $j")
-            // strictly increasing mtimes: FileStreamSource lists in
-            // mtime order, and the ordered-replay contract rides on it
-            fs.setTimes(dst, 1000000000L + k * 60000L + j, -1)
-          }
-    }
-    mustFs(fs.delete(new org.apache.hadoop.fs.Path(stage), true),
-      s"drop staging $stage")
-    (base, inputDir)
+      .unionByName(ev.limit(1).select(
+        lit(-1L).as("event_id"), lit(flushTs).as("ts"),
+        lit(-1L).as("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"),
+        lit(chunks).cast("int").as("chunk")))
+    stageChunkedInput(spark, chunked, chunks + 1, scratchName,
+      mtimeOf = Some((k, j) => 1000000000L + k * 60000L + j))
   }
 
   /** The dynamic-gap SESSION stream executed over the events fixture —

@@ -123,6 +123,15 @@ class BenchColdInflatedSpec extends AnyFunSuite {
     val clean = (1 to 20).map(i => s"q$i" -> (0.9 + 0.015 * i))
     val Some(wc) = Bench.warmVsRef(clean, ref)
     assert(!wc.mixedWindow && !wc.loadedHost, s"clean run flagged: $wc")
+    // a window WORSE than r13's — median above 1.2 but with high
+    // dispersion (60% of rows 1.2-3x) — must not fall between the two
+    // flags: not uniform enough for loaded_host, so mixed_window owns it
+    val worse = (1 to 20).map { i =>
+      s"q$i" -> (if (i <= 8) 1.0 else 1.2 + 0.15 * (i - 8))
+    }
+    val Some(ww) = Bench.warmVsRef(worse, ref)
+    assert(!ww.loadedHost && ww.median > 1.2 && ww.mixedWindow,
+      s"high-median high-dispersion window unflagged: $ww")
   }
 
   test("warmInflatedOf flags warm mins above 3x their own cold control " +

@@ -253,6 +253,22 @@ class ClassifierTrainSpec extends SparkSpec {
     assert(gain == 250L && t > 0L, s"gain=$gain t=$t")
   }
 
+  test("calibration can express the all-bad rule: a one-class-bad corpus " +
+      "picks the max-score-plus-one cut") {
+    // every doc is bad and shares the same tokens, so every doc lands on
+    // one (negative) score s: predicting good at ANY observed cut t <= s
+    // is 0% correct, and the only correct rule — keep nothing — lives at
+    // the max+1 candidate. Without it the sweep publishes 0 permille as
+    // "calibrated".
+    val rows = (0L until 40L).map { id =>
+      (id, Seq("c0", "c1", "c2"), false, id % 2 == 0)
+    }
+    val r = TextAnalysisOps.nbThresholdCalibration(labeledCarved(rows)).head()
+    assert(r.getLong(1) == 1000L,
+      s"train acc at calibrated cut ${r.getLong(1)} (all-bad candidate missing?)")
+    assert(r.getLong(2) == 1000L)
+  }
+
   test("q183 learning proof: held-out accuracy on the synthesized separable " +
       "corpus meets the committed >= 900 permille floor") {
     val r = graft.queries.AnalysisQueries

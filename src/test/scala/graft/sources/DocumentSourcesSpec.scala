@@ -224,6 +224,13 @@ class DocumentSourcesSpec extends SparkSpec {
     val out3 = PdfText.extract(
       buildPdf(Seq(("BT (A) Tj ET", false)), Seq(broken)))
     assert(out3.isDefined)
+    // the literal text "/Differences [...]" inside a SHOWN STRING is not
+    // dict context and must not remap (the same loose-text hardening as
+    // the encoding-name detection)
+    val loose = PdfText.extract(buildPdf(
+      Seq(("BT (the /Differences [ 65 /eacute ] rule, A) Tj ET", false))))
+    assert(loose.exists(t => t.contains("rule, A") && !t.contains("é")),
+      s"got $loose")
   }
 
   test("glyphChar resolves AGL names, uniXXXX forms, and single chars") {

@@ -380,9 +380,10 @@ class StreamingParitySpec extends SparkSpec {
     val src = StreamingOps.eventsFileStream(spark, streamDir)
       .select(col("user_id"), col("ts"), col("value"))
       .as[StreamingOps.UserEvent]
-    // the q117 gap rule: 5/10/15 minutes by user_id % 3, in micros
+    // the q117 gap rule: 5/10/15 minutes by user_id % 3, in micros —
+    // plain % on both sides, mirroring sessionGapMicros bit-for-bit
     def gapOf(uid: Long): Long =
-      (300L + math.floorMod(uid, 3L) * 300L) * 1000000L
+      (300L + (uid % 3L) * 300L) * 1000000L
     val got = runAppend(
       StreamingOps.dynamicGapSessionStream(src, gapOf).toDF, "parity_dyn_sessions")
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -391,7 +392,7 @@ class StreamingParitySpec extends SparkSpec {
       .sortBy(t => (t._1, t._2))
     val want = EventOps.sessionsDynamicGap(
       graft.Tables.events(spark, dir),
-      (lit(300L) + pmod(col("user_id"), lit(3L)) * 300L) * 1000000L)
+      (lit(300L) + (col("user_id") % 3) * 300L) * 1000000L)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getTimestamp(3).toString, r.getTimestamp(4).toString, r.getLong(5)))
