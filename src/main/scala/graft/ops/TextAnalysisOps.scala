@@ -723,13 +723,13 @@ object TextAnalysisOps {
     * — [[qualityClassify]]'s left-join semantics), one corpus aggregate
     * → a single integer row, hash-exact end-to-end.
     */
-  /** `(good, is_train, score)` for EVERY doc of a `(doc_id, toks, good,
-    * is_train)` labeled relation, scored under the NB table trained on
-    * the `is_train` carve — the shared stage of [[nbHeldoutReport]] and
-    * [[nbThresholdCalibration]]: train ([[nbTrainedWeights]], one
-    * bucket-keyed aggregate), one explode+broadcast-join scoring pass
-    * (unseen buckets score 0 — [[qualityClassify]]'s left-join
-    * semantics).
+  /** `(doc_id, good, is_train, score)` for EVERY doc of a `(doc_id,
+    * toks, good, is_train)` labeled relation, scored under the NB table
+    * trained on the `is_train` carve — the shared stage of
+    * [[nbHeldoutReport]], [[nbThresholdCalibration]] and the q188
+    * deployed-gate report: train ([[nbTrainedWeights]], one bucket-keyed
+    * aggregate), one explode+broadcast-join scoring pass (unseen buckets
+    * score 0 — [[qualityClassify]]'s left-join semantics).
     */
   def nbCarveScores(labeledCarved: DataFrame,
                     buckets: Long = TrainedBuckets): DataFrame = {
@@ -743,8 +743,37 @@ object TextAnalysisOps {
       .agg(sum(coalesce(col("weight"), lit(0L))).as("score"))
     labeledCarved.select(col("doc_id"), col("good"), col("is_train"))
       .join(scores, Seq("doc_id"), "left")
-      .select(col("good"), col("is_train"),
+      .select(col("doc_id"), col("good"), col("is_train"),
         coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** The 1-row accuracy-optimal cut `(threshold, n_train, c_train)` over
+    * a [[nbCarveScores]] relation — [[nbThresholdCalibration]]'s sweep
+    * factored out so the q188 deployed-gate report applies the SAME
+    * calibrated threshold the q186 row publishes (sweep semantics and
+    * scale argument in that scaladoc).
+    */
+  def nbBestThreshold(scores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val train = scores.where(col("is_train"))
+    val hist = train.groupBy("score").agg(
+      sum(when(col("good"), 1L).otherwise(0L)).as("g"),
+      sum(when(!col("good"), 1L).otherwise(0L)).as("b"))
+    val before = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("score").as("threshold"),
+      coalesce(sum(col("g")).over(before), lit(0L)).as("g_lt"),
+      coalesce(sum(col("b")).over(before), lit(0L)).as("b_lt"))
+    val allBad = hist.agg((max(col("score")) + 1L).as("threshold"),
+      sum(col("g")).as("g_lt"), sum(col("b")).as("b_lt"))
+      .where(col("threshold").isNotNull) // empty train carve: no candidate
+    val tot = train.agg(
+      sum(when(col("good"), 1L).otherwise(0L)).as("tg"),
+      count(lit(1)).as("n_train"))
+    cum.unionByName(allBad).crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_train"),
+        (col("tg") - col("g_lt") + col("b_lt")).as("c_train"))
+      .orderBy(desc("c_train"), asc("threshold")).limit(1)
   }
 
   def nbHeldoutReport(labeledCarved: DataFrame,
@@ -795,27 +824,8 @@ object TextAnalysisOps {
     */
   def nbThresholdCalibration(labeledCarved: DataFrame,
                              buckets: Long = TrainedBuckets): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = graft.CacheScope.persist(nbCarveScores(labeledCarved, buckets))
-    val train = s.where(col("is_train"))
-    val hist = train.groupBy("score").agg(
-      sum(when(col("good"), 1L).otherwise(0L)).as("g"),
-      sum(when(!col("good"), 1L).otherwise(0L)).as("b"))
-    val before = Window.orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist.select(col("score").as("threshold"),
-      coalesce(sum(col("g")).over(before), lit(0L)).as("g_lt"),
-      coalesce(sum(col("b")).over(before), lit(0L)).as("b_lt"))
-    val allBad = hist.agg((max(col("score")) + 1L).as("threshold"),
-      sum(col("g")).as("g_lt"), sum(col("b")).as("b_lt"))
-      .where(col("threshold").isNotNull) // empty train carve: no candidate
-    val tot = train.agg(
-      sum(when(col("good"), 1L).otherwise(0L)).as("tg"),
-      count(lit(1)).as("n_train"))
-    val best = cum.unionByName(allBad).crossJoin(broadcast(tot))
-      .select(col("threshold"), col("n_train"),
-        (col("tg") - col("g_lt") + col("b_lt")).as("c_train"))
-      .orderBy(desc("c_train"), asc("threshold")).limit(1)
+    val best = nbBestThreshold(s)
     s.where(!col("is_train"))
       .crossJoin(broadcast(best))
       .groupBy(col("threshold"), col("n_train"), col("c_train"))

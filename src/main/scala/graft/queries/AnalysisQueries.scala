@@ -2895,9 +2895,12 @@ object AnalysisQueries {
     * distinct scores ∪ {max+1} (the all-bad rule), best by
     * (max correct, min t), held-out accuracy at best-t vs at 0.
     */
-  private val nbCalibrationSql: String =
-    s"""$nbScoreCtes,
-    nb_h AS (SELECT score,
+  /** The sweep CTEs through `nb_best (threshold, n_train, c_train)` —
+    * shared by the q186 report and q188's deployed-gate rollup so both
+    * apply the IDENTICAL calibrated cut.
+    */
+  private val nbSweepCtes: String =
+    s"""nb_h AS (SELECT score,
         CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS g,
         CAST(sum(CASE WHEN NOT good THEN 1 ELSE 0 END) AS BIGINT) AS b
       FROM nb_sc WHERE is_train GROUP BY score),
@@ -2919,7 +2922,11 @@ object AnalysisQueries {
         CAST(count(*) AS BIGINT) AS n_train
       FROM nb_sc WHERE is_train),
     nb_best AS (SELECT threshold, n_train, tg - g_lt + b_lt AS c_train
-      FROM nb_cand, nb_tt ORDER BY c_train DESC, threshold ASC LIMIT 1),
+      FROM nb_cand, nb_tt ORDER BY c_train DESC, threshold ASC LIMIT 1)"""
+
+  private val nbCalibrationSql: String =
+    s"""$nbScoreCtes,
+    $nbSweepCtes,
     nb_he AS (SELECT
         CAST(max(b.threshold) AS BIGINT) AS threshold,
         CAST(max(b.n_train) AS BIGINT) AS n_train,
@@ -3081,6 +3088,61 @@ object AnalysisQueries {
     s"""WITH ${nbChainCtes(
       nbLFixture(s"${HashOps.charHashSql("text")} % 2 = 0"))},
     $nbCalibrationSql""")
+
+  // --- q188: the CALIBRATED gate deployed (per-source keep rates) ----------
+  // q177d reports the trained gate's per-source effect at the raw
+  // score >= 0 cut; this is the same report under q186's calibrated
+  // threshold — the last arrow of the lifecycle (train → held-out eval →
+  // calibrate → DEPLOY at the calibrated operating point), published
+  // side-by-side with the uncalibrated rates so a curator reads exactly
+  // what moving the cut does to each source's keep mass before q146's
+  // weights are recomputed. Shares nbScoreCtes + nbSweepCtes with q186,
+  // so the deployed threshold can never drift from the published one.
+  def q188CalibratedGateEffect(spark: SparkSession,
+                               dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val carve = docs.select(col("doc_id"),
+      (HashOps.charHash(col("text")) % 2 === 0).as("is_train"))
+    val s = graft.CacheScope.persist(TextAnalysisOps.nbCarveScores(
+      inDomainLabeled(spark, dir).join(carve, "doc_id")))
+    val best = TextAnalysisOps.nbBestThreshold(s)
+      .select(col("threshold"))
+    docs.select(col("doc_id"), col("source"))
+      .join(s.select(col("doc_id"), col("score")), "doc_id")
+      .crossJoin(broadcast(best))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= 0, 1L).otherwise(0L)).as("kept_at_zero"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+          .as("kept_calibrated"),
+        max(col("threshold")).as("threshold"))
+      .select(col("source"), col("n_docs"), col("threshold"),
+        col("kept_at_zero"), col("kept_calibrated"),
+        expr("(1000 * kept_at_zero) div n_docs").as("keep_zero_permille"),
+        expr("(1000 * kept_calibrated) div n_docs")
+          .as("keep_calibrated_permille"))
+      .orderBy("source")
+  }
+
+  val q188Sql: String = graft.queries.SqlDefs.materializeCtes(
+    s"""WITH ${nbChainCtes(
+      nbLFixture(s"${HashOps.charHashSql("text")} % 2 = 0"))},
+    $nbScoreCtes,
+    $nbSweepCtes,
+    nb_g AS (SELECT d.source, sc.score, b.threshold
+      FROM nb_sc sc JOIN documents d ON sc.doc_id = d.doc_id, nb_best b),
+    nb_gr AS (SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(max(threshold) AS BIGINT) AS threshold,
+        CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS kept_at_zero,
+        CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+          AS kept_calibrated
+      FROM nb_g GROUP BY source)
+    SELECT source, n_docs, threshold, kept_at_zero, kept_calibrated,
+      (1000 * kept_at_zero) // n_docs AS keep_zero_permille,
+      (1000 * kept_calibrated) // n_docs AS keep_calibrated_permille
+    FROM nb_gr ORDER BY source""")
 
   // --- q183: learning PROOF, oracled (r13 verdict #2) -----------------------
   // The fixture's shared 31-word vocabulary makes no fixture label
@@ -3618,6 +3680,7 @@ object AnalysisQueries {
     "q182_nb_heldout_eval" -> (q182NbHeldoutEval _),
     "q183_nb_learning_proof" -> (q183NbLearningProof _),
     "q186_nb_threshold_calibration" -> (q186NbThresholdCalibration _),
+    "q188_calibrated_gate_effect" -> (q188CalibratedGateEffect _),
     "q178_perceptron_train" -> (q178PerceptronTrain _),
     "q178b_perceptron_eval" -> (q178bPerceptronEval _),
     "q65b_calibration" -> (q65bCalibration _),
@@ -3679,6 +3742,7 @@ object AnalysisQueries {
     "q182_nb_heldout_eval" -> q182Sql,
     "q183_nb_learning_proof" -> q183Sql,
     "q186_nb_threshold_calibration" -> q186Sql,
+    "q188_calibrated_gate_effect" -> q188Sql,
     "q65b_calibration" -> q65bSql,
     "q67_source_health" -> q67Sql,
     "q76_phrase_search" -> q76Sql,

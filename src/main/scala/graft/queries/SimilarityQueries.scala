@@ -466,6 +466,105 @@ object SimilarityQueries {
     WHERE rk <= $TopK ORDER BY query_id, rk"""
   }
 
+  // --- q184b: SEMANTIC cluster-balanced sampling (the D4-proper) -----------
+  // q184 balances over TEXT duplicate clusters (n-gram Jaccard); the
+  // published D4 recipe (Tirumala et al. 2023) balances over
+  // EMBEDDING-space clusters — paraphrases and re-renders that share no
+  // shingles but collapse in representation space. Composition of three
+  // hash-verified pieces: q28's banded cosine near-dup pairs → the q55
+  // label-propagation closure over vec ids → DedupOps.
+  // clusterBalancedSample's log-quota keyed-permutation pick. The oracle
+  // replays band generation, cosine verification, the recursive closure
+  // AND the window chain in one statement, so a pair lost or a label
+  // drifted anywhere in the composite breaks the hash.
+  def q184bSemanticBalancedSample(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = SimilarityOps.cosineNearDupPairs(
+      emb, NearDupBits, NearDupBands, NearDupMinMicro)
+      .select(col("id_a"), col("id_b"))
+    val labels = graft.ops.DedupOps.duplicateClusters(
+      emb.select(col("vec_id").as("doc_id")), pairs)
+    graft.ops.DedupOps.clusterBalancedSample(labels)
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy("cluster_id", "rk")
+  }
+
+  lazy val q184bSql: String = graft.queries.SqlDefs.materializeCtes({
+    import graft.ops.HashOps
+    val bandSelects = (0 until NearDupBands).map(t =>
+      s"SELECT vec_id, $t AS band, " +
+        s"${bucketSql(NearDupBits, t * NearDupBits)} AS key FROM n")
+      .mkString(" UNION ALL ")
+    val h = HashOps.charHashSql("CAST(vec_id AS VARCHAR)")
+    s"""WITH RECURSIVE $preparedCte,
+    b AS ($bandSelects),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.band = c.band AND a.key = c.key
+        AND a.vec_id < c.vec_id),
+    jp AS (
+      SELECT cand.id_a, cand.id_b
+      FROM cand
+      JOIN n x ON x.vec_id = cand.id_a
+      JOIN n y ON y.vec_id = cand.id_b
+      WHERE ${cosMicroSql("x.emb", "y.emb", "x.nrm", "y.nrm")}
+        >= $NearDupMinMicro),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION ALL SELECT id_b, id_a FROM jp),
+    reach(id, lab) AS (
+      SELECT vec_id, vec_id FROM p
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+    labs AS (
+      SELECT id AS vec_id, CAST(min(lab) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY id),
+    hh AS (SELECT vec_id, cluster_id, $h AS h FROM labs),
+    kk AS (SELECT vec_id, cluster_id,
+        ${HashOps.permSql(0, "h")} AS k FROM hh),
+    r AS (SELECT cluster_id, vec_id,
+        CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY k, vec_id)
+          AS BIGINT) AS rk,
+        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+          AS cluster_size
+      FROM kk)
+    SELECT cluster_id, cluster_size,
+      CAST(length(format('{:b}', cluster_size)) AS BIGINT) AS quota,
+      vec_id, rk
+    FROM r WHERE rk <= length(format('{:b}', cluster_size))
+    ORDER BY cluster_id, rk"""
+  })
+
+  // --- q187c: filtered-retrieval recall row --------------------------------
+  // The q153 dashboard pattern applied to the filtered ladder: the
+  // permille of the filtered BRUTE top-k (q187, exact within each
+  // label's sub-corpus) that the filtered LSH tier (q187b) returns —
+  // the "route filtered queries to the index?" evidence, exactly as
+  // trustworthy as the two hash-verified rungs it composes.
+  def q187cFilteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = q187FilteredTopK(spark, dir).select("query_id", "cand_id")
+    val possible = brute.agg(count(lit(1)).as("possible"))
+    q187bFilteredTopKLsh(spark, dir).select("query_id", "cand_id")
+      .join(brute, Seq("query_id", "cand_id"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("hits"))
+      .crossJoin(broadcast(possible)) // 1-row scalar
+      .select(lit("filtered_lsh").as("rung"), col("hits"), col("possible"),
+        expr("(1000 * hits) div possible").as("recall_permille"))
+  }
+
+  lazy val q187cSql: String =
+    s"""WITH brute AS (SELECT query_id, cand_id FROM ($q187Sql) x),
+    rung AS (SELECT query_id, cand_id FROM ($q187bSql) x),
+    per AS (SELECT CAST(coalesce(sum(CASE WHEN b.query_id IS NOT NULL
+        THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+      FROM rung t LEFT JOIN brute b
+        ON t.query_id = b.query_id AND t.cand_id = b.cand_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM brute)
+    SELECT 'filtered_lsh' AS rung, per.hits, tot.possible,
+      (1000 * per.hits) // tot.possible AS recall_permille
+    FROM per, tot"""
+
   // --- q29g: multi-probe sign-LSH top-k ------------------------------------
   // The recall lever that leaves the index unchanged (semantics + cost
   // trade in SimilarityOps.multiProbeTopK scaladoc): q29b's exact-bucket
@@ -1966,6 +2065,8 @@ object SimilarityQueries {
     "q29_knn_brute" -> (q29KnnBrute _),
     "q187_filtered_topk" -> (q187FilteredTopK _),
     "q187b_filtered_topk_lsh" -> (q187bFilteredTopKLsh _),
+    "q187c_filtered_recall" -> (q187cFilteredRecall _),
+    "q184b_semantic_balanced_sample" -> (q184bSemanticBalancedSample _),
     "q29b_knn_lsh" -> (q29bKnnLsh _),
     "q29c_knn_agg" -> (q29cKnnAgg _),
     "q29d_knn_ivf" -> (q29dKnnIvf _),
@@ -2011,6 +2112,8 @@ object SimilarityQueries {
     "q29_knn_brute" -> q29Sql,
     "q187_filtered_topk" -> q187Sql,
     "q187b_filtered_topk_lsh" -> q187bSql,
+    "q187c_filtered_recall" -> q187cSql,
+    "q184b_semantic_balanced_sample" -> q184bSql,
     "q29b_knn_lsh" -> q29bSql,
     "q29c_knn_agg" -> q29Sql, // identical contract to the window formulation
     "q29e_knn_jl" -> q29eSql,
