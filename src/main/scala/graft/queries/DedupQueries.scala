@@ -140,6 +140,23 @@ object DedupQueries {
     s"""SELECT DISTINCT ${HashOps.contentKeySql("text")} AS content_key
     FROM documents ORDER BY content_key"""
 
+  // --- q189: checkpoint RESTART of the dedup stream, executed in the gate --
+  // The one streaming property q179/q180/q181/q185 cannot certify: every
+  // other gate execution runs start -> processAllAvailable -> stop in one
+  // query lifetime, so the checkpoint is written but never RESUMED. This
+  // row replays the first 2 staged chunk files, STOPS the query, reopens
+  // a NEW query from the same checkpoint + file sink, replays the rest,
+  // and asserts in-body that the two starts share one query identity
+  // under distinct runIds (the checkpoint-resume contract). The emitted
+  // key set is restart-invariant, so q180's batch oracle verifies the
+  // two-start execution hash-exactly; the crash-shaped no-double-emit
+  // variant (deleted offset-commit, replayed sink-committed batch) is
+  // gated in StreamingParitySpec.
+  def q189StreamRestartDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.exactDedupViaStreamRestart(spark,
+      s"$dir/documents.parquet", chunks = 4, stopAfterFiles = 2,
+      scratchName = s"stream_restart/${new java.io.File(dir).getName}")
+
   // --- q24b: canonical-form exact dedup ----------------------------------
   // The "fuzzy-exact" dedup every web pipeline runs before anything
   // fancier (RefinedWeb/CCNet practice): group on a NORMALIZED text key —
@@ -2081,6 +2098,7 @@ object DedupQueries {
     "q61c_exact_substr" -> (q61cExactSubstr _),
     "q24_exact_dup" -> (q24ExactDup _),
     "q180_stream_exact_dedup" -> (q180StreamExactDedup _),
+    "q189_stream_restart_dedup" -> (q189StreamRestartDedup _),
     "q24b_canonical_dup" -> (q24bCanonicalDup _),
     "q25_ngram_jaccard" -> (q25NgramJaccard _),
     "q73_leakage_audit" -> (q73LeakageAudit _),
@@ -2130,6 +2148,7 @@ object DedupQueries {
     "q61b_variable_spans" -> q61bSql,
     "q24_exact_dup" -> q24Sql,
     "q180_stream_exact_dedup" -> q180Sql,
+    "q189_stream_restart_dedup" -> q180Sql,
     "q24b_canonical_dup" -> q24bSql,
     "q25_ngram_jaccard" -> q25Sql,
     "q73_leakage_audit" -> q73Sql,

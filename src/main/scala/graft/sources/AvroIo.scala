@@ -108,8 +108,23 @@ object AvroIo {
     * per-file decode.
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    // Expand the part-file glob driver-side and load CONCRETE paths: a
+    // glob handed straight to `load` makes the FileStreamSink metadata
+    // probe print a full FileNotFoundException stack at WARN on every
+    // clean run (the probe tries `<glob>/_spark_metadata` before
+    // resolving the glob) — harmless but it reads like a failure in the
+    // Verify log. Listing first also gives an empty directory a clean
+    // empty relation instead of an AnalysisException.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val globPath = new org.apache.hadoop.fs.Path(s"$path/part-*.avro")
+    val fs = globPath.getFileSystem(conf)
+    val parts = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
+      .map(_.getPath.toString).sorted
+    if (parts.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
     val files = spark.read.format("binaryFile")
-      .load(s"$path/part-*.avro").select("content")
+      .load(parts: _*).select("content")
     val fieldNames = schema.fieldNames
     val rows = files.rdd.flatMap { fileRow =>
       val stream = new DataFileStream[GenericRecord](

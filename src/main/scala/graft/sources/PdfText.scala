@@ -25,12 +25,18 @@ import java.util.zip.{DataFormatException, Inflater}
   *     actually use; MacRoman across 0x80-0xFF). Font `/Differences`
   *     arrays overlay the base table (glyph names resolved through an
   *     embedded AGL subset + the uniXXXX forms; unknown names keep the
-  *     base reading). Detection is
-  *     document-wide like the CMap merge — per-font Encoding routing
-  *     needs the resource walk and stays out of scope, with WinAnsi
+  *     base reading). Encoding routing is PER FONT: each `/Font`
+  *     resource entry resolves its own `/Encoding` (direct name, inline
+  *     dict, or indirect object) and the content walker switches tables
+  *     on `Tf`, so conflicting per-font `/Differences` decode
+  *     independently — the PyPDF2 resource-walk granularity. The
+  *     document-wide merge survives as the DEFAULT (strings before any
+  *     `Tf`, fonts with no declaration), with WinAnsi
   *     winning a mixed declaration (the common case; 0x00-0x7F agrees
   *     everywhere) and the encoding name only honored in `/Encoding` /
-  *     `/BaseEncoding` position, never as loose text. Hex strings additionally
+  *     `/BaseEncoding` position, never as loose text; resource names
+  *     merge across pages (per-page `/Resources` scoping is the
+  *     remaining residue). Hex strings additionally
   *     try the document's ToUnicode CMap (bfchar/bfrange blocks, merged
   *     document-wide) and use it when every code unit maps — the common
   *     CID/Identity-H case; CMap-mapped text is already Unicode and is
@@ -117,8 +123,12 @@ object PdfText {
     // object form matches on its `obj`-framed definition, which a shown
     // string cannot fake without writing a whole object header
     val declares = (name: String) => {
+      // the indirect form requires the FULL `N G obj` header (r14
+      // ADVICE: a bare `obj /Name endobj` alternative could be faked by
+      // the literal text of a shown string; a numbered header cannot
+      // without writing a whole object)
       val re = ("/(?:Base)?Encoding\\s*/" + name +
-        "|obj\\s*/" + name + "\\s*endobj").r
+        "|\\d+\\s+\\d+\\s+obj\\s*/" + name + "\\s*endobj").r
       re.findFirstIn(s).isDefined ||
         streams.exists(c => re.findFirstIn(c).isDefined)
     }
@@ -147,10 +157,153 @@ object PdfText {
         diffs.foreach { case (code, ch) => tbl(code) = ch }
         Some(tbl)
       }
+    // PER-FONT encoding routing (the PyPDF2 resource-walk granularity,
+    // nlp_data_tagging.py:37-47): each /Font resource entry resolves its
+    // OWN /Encoding (direct name, inline dict, or indirect object) into
+    // a byte table, and the content walker switches tables on `Tf` — so
+    // two fonts with CONFLICTING /Differences no longer corrupt each
+    // other's text. Strings shown before any Tf, and fonts that declare
+    // no encoding of their own, use the document-wide default above —
+    // which also keeps single-font documents bit-identical to the
+    // pre-routing behavior. Residue, documented: resource NAMES are
+    // merged across pages (per-page /Resources scoping would need the
+    // page-tree walk), and ToUnicode CMaps stay document-merged.
+    // Defensive try like the other parses: a malformed object graph
+    // degrades to document-wide routing, never fails the scan task.
+    val fontEncs: Map[String, Array[Char]] =
+      try {
+        val objs = parseObjects(s)
+        fontResources(s, streams, objs).flatMap { case (n, fd) =>
+          fontEncoding(fd, objs, baseEnc).map(n -> _)
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => Map.empty[String, Array[Char]]
+      }
     val out = new StringBuilder
     streams.filter(_.contains("BT"))
-      .foreach(appendContentText(_, out, cmap, enc))
+      .foreach(appendContentText(_, out, cmap, enc, fontEncs))
     Some(out.toString.trim)
+  }
+
+  /** Object number → body text (between the `N G obj` header and its
+    * `endobj`) for every numbered object in the file — the light
+    * object-graph index the per-font encoding walk resolves `N G R`
+    * references through. Bodies may include raw stream bytes; the
+    * consumers only regex/scan them, so binary content is inert. The
+    * LAST definition of a number wins (incremental-update files append
+    * redefinitions, and later-wins is the PDF update rule).
+    */
+  private[sources] def parseObjects(s: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    "(\\d+)\\s+\\d+\\s+obj\\b".r.findAllMatchIn(s).foreach { m =>
+      val e = s.indexOf("endobj", m.end)
+      if (e >= 0) out += m.group(1).toInt -> s.substring(m.end, e)
+    }
+    out.result()
+  }
+
+  /** Resource-name → font-dict text, merged across every `/Font`
+    * resource dictionary in the document (raw object text and decoded
+    * streams): both the inline form (`/Font << /F1 <<…>> /F2 7 0 R >>`)
+    * and the indirect form (`/Font 5 0 R`). Entries may be inline dicts
+    * or `N G R` references resolved through `objs`. Later definitions
+    * win a name collision — the document-wide merge convention (per-page
+    * scoping is the declared residue).
+    */
+  private[sources] def fontResources(s: String, streams: Seq[String],
+                                     objs: Map[Int, String]): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val refRe = "^(\\d+)\\s+\\d+\\s+R".r
+    def parseFontDict(dict: String): Unit = {
+      var i = 0
+      while (i < dict.length) {
+        if (dict.charAt(i) == '/') {
+          val st = i + 1
+          var j = st
+          while (j < dict.length && !isDelim(dict.charAt(j))) j += 1
+          val name = dict.substring(st, j)
+          var k = j
+          while (k < dict.length && dict.charAt(k).isWhitespace) k += 1
+          if (k + 1 < dict.length && dict.charAt(k) == '<' &&
+              dict.charAt(k + 1) == '<') {
+            val end = math.min(skipDict(dict, k), dict.length)
+            if (name.nonEmpty) out(name) = dict.substring(k, end)
+            i = end
+          } else refRe.findPrefixMatchOf(dict.substring(k)) match {
+            case Some(m) =>
+              if (name.nonEmpty)
+                objs.get(m.group(1).toInt).foreach(out(name) = _)
+              i = k + m.end
+            case None => i = j
+          }
+        } else i += 1
+      }
+    }
+    (s +: streams).foreach { t =>
+      "/Font\\s*<<".r.findAllMatchIn(t).foreach { m =>
+        val open = t.indexOf("<<", m.start)
+        if (open >= 0) {
+          val end = math.min(skipDict(t, open), t.length)
+          // entries only — strip the outer << >> so the first entry name
+          // isn't skipped as part of the dict-open token
+          if (end - open > 4) parseFontDict(t.substring(open + 2, end - 2))
+        }
+      }
+      "/Font\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(t).foreach { m =>
+        objs.get(m.group(1).toInt).foreach(parseFontDict)
+      }
+    }
+    out.toMap
+  }
+
+  /** One font dict's own byte table: its `/Encoding` value (a direct
+    * predefined-encoding name, an inline Encoding dict, or an indirect
+    * object holding either) resolved to base table + `/Differences`
+    * overlay. `docBase` supplies the base when the font carries
+    * differences but no base encoding of its own — the rule that keeps
+    * single-font documents identical to the document-wide path. None =
+    * the font declares nothing usable, so the caller's document-wide
+    * default applies.
+    */
+  private[sources] def fontEncoding(fontDict: String, objs: Map[Int, String],
+                                    docBase: Option[Array[Char]]): Option[Array[Char]] = {
+    val encVal: Option[String] =
+      "/Encoding(?![0-9A-Za-z])".r.findFirstMatchIn(fontDict).flatMap { m =>
+        var k = m.end
+        while (k < fontDict.length && fontDict.charAt(k).isWhitespace) k += 1
+        if (k >= fontDict.length) None
+        else if (fontDict.charAt(k) == '/') {
+          var j = k + 1
+          while (j < fontDict.length && !isDelim(fontDict.charAt(j))) j += 1
+          Some(fontDict.substring(k, j))
+        } else if (k + 1 < fontDict.length && fontDict.charAt(k) == '<' &&
+            fontDict.charAt(k + 1) == '<')
+          Some(fontDict.substring(k,
+            math.min(skipDict(fontDict, k), fontDict.length)))
+        else
+          "^(\\d+)\\s+\\d+\\s+R".r.findPrefixMatchOf(fontDict.substring(k))
+            .flatMap(r => objs.get(r.group(1).toInt)).map(_.trim)
+      }
+    encVal.flatMap { v =>
+      val baseName =
+        if (v.startsWith("/")) Some(v.drop(1).takeWhile(!isDelim(_)))
+        else "/BaseEncoding\\s*/([0-9A-Za-z]+)".r
+          .findFirstMatchIn(v).map(_.group(1))
+      val baseTbl = baseName match {
+        case Some("WinAnsiEncoding") => winAnsiTable
+        case Some("MacRomanEncoding") => macRomanTable
+        case _ => None
+      }
+      val diffs = if (v.contains("/Differences")) parseDifferences(v)
+                  else Map.empty[Int, Char]
+      if (diffs.isEmpty) baseTbl
+      else {
+        val tbl = baseTbl.orElse(docBase)
+          .getOrElse(Array.tabulate(256)(_.toChar)).clone()
+        diffs.foreach { case (code, ch) => tbl(code) = ch }
+        Some(tbl)
+      }
+    }
   }
 
   /** 256-entry byte→char table from a JDK charset; bytes the charset
@@ -265,10 +418,15 @@ object PdfText {
       (name.startsWith("u") && (name.length == 5 || name.length == 7))) {
       val hex = if (name.startsWith("uni")) name.substring(3)
                 else name.substring(1)
-      try {
+      // a u-prefixed name whose tail is NOT hex (e.g. `uring` for ů)
+      // falls through to the AGL table instead of being shadowed by the
+      // failed parse (r14 ADVICE) — the hex reading wins only when it
+      // actually parses, per the AGL's own uXXXX rule
+      (try {
         val v = Integer.parseInt(hex, 16)
         if (v >= 0 && v <= 0xFFFF) Some(v.toChar) else None
-      } catch { case _: NumberFormatException => None }
+      } catch { case _: NumberFormatException => None })
+        .orElse(aglSubset.get(name))
     } else aglSubset.get(name)
 
   private lazy val aglSubset: Map[String, Char] = Map(
@@ -495,19 +653,29 @@ object PdfText {
     } finally inf.end()
   }
 
-  /** Walks a decoded content stream and appends shown text to `out`. */
+  /** Walks a decoded content stream and appends shown text to `out`.
+    * `fontEncs` routes the byte table per font: a `Tf` operator switches
+    * the current table to the named font's (falling back to the
+    * document-wide `enc` for fonts with no declaration of their own),
+    * so conflicting per-font `/Differences` decode independently.
+    */
   private def appendContentText(cs: String, out: StringBuilder,
                                 cmap: Option[ToUnicode] = None,
-                                enc: Option[Array[Char]] = None): Unit = {
+                                enc: Option[Array[Char]] = None,
+                                fontEncs: Map[String, Array[Char]] = Map.empty): Unit = {
     val pending = new StringBuilder // operand strings since the last operator
+    // graphics state, per stream: the active byte table (document-wide
+    // until the first Tf) and the last name token seen (Tf's operand)
+    var cur: Option[Array[Char]] = enc
+    var lastName: String = null
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out += '\n'
     def show(): Unit = { out ++= pending; pending.clear() }
     // byte-decoded text (literal strings, single-byte hex fallback) maps
-    // through the declared encoding table; CMap-mapped hex text is
-    // already Unicode and bypasses this (parseHex applies enc only on
-    // its fallback path)
-    def appendMapped(tmp: StringBuilder): Unit = enc match {
+    // through the active encoding table; CMap-mapped hex text is
+    // already Unicode and bypasses this (parseHex applies the table only
+    // on its fallback path)
+    def appendMapped(tmp: StringBuilder): Unit = cur match {
       case Some(tbl) =>
         tmp.foreach(ch => pending += (if (ch < 256) tbl(ch) else ch))
       case None => pending ++= tmp
@@ -524,12 +692,14 @@ object PdfText {
         case '<' if i + 1 < n && cs.charAt(i + 1) == '<' =>
           i = skipDict(cs, i)
         case '<' =>
-          i = parseHex(cs, i, pending, cmap, enc)
+          i = parseHex(cs, i, pending, cmap, cur)
         case '%' =>
           while (i < n && cs.charAt(i) != '\n' && cs.charAt(i) != '\r') i += 1
         case '/' =>
           i += 1
+          val st = i
           while (i < n && !isDelim(cs.charAt(i))) i += 1
+          lastName = cs.substring(st, i)
         case c0 if c0.isLetter || c0 == '\'' || c0 == '"' || c0 == '*' =>
           val start = i
           while (i < n && { val ch = cs.charAt(i)
@@ -539,6 +709,9 @@ object PdfText {
             case "'" | "\"" => newline(); show()
             case "Td" | "TD" | "T*" | "Tm" | "BT" | "ET" =>
               pending.clear(); newline()
+            case "Tf" =>
+              pending.clear()
+              cur = Option(lastName).flatMap(fontEncs.get).orElse(enc)
             case _ => pending.clear()
           }
         case _ =>

@@ -1042,6 +1042,107 @@ object StreamingOps {
     spark.read.parquet(s"$base/survivors").orderBy("content_key")
   }
 
+  /** Checkpoint-RESTART execution of the exact-dedup stream — the gate
+    * row that certifies checkpoint RECOVERY, the one streaming property
+    * every other gate execution (q179/q180/q181/q185) structurally
+    * cannot: they run start → processAllAvailable → stop inside one
+    * query lifetime, so the checkpoint is written but never RESUMED.
+    * Here the staged replay is deliberately split across two stream
+    * STARTS: the first query ingests only the first `stopAfterFiles`
+    * staged chunk files and stops (a planned shutdown mid-backfill); the
+    * held-back files are then released and a NEW query opens from the
+    * SAME checkpoint + file sink and finishes the replay. The body
+    * asserts the restart semantics the checkpoint exists for — the
+    * second start resumes the same query identity (`id` is persisted in
+    * checkpoint metadata) under a distinct `runId` (fresh start), so the
+    * execution provably spans two stream starts — and the emitted
+    * relation is q180's surviving content-key SET, which is
+    * restart-invariant by the same argument that makes it
+    * chunk-order-invariant: one survivor per distinct 62-bit key,
+    * whatever the arrival schedule. The batch `SELECT DISTINCT
+    * contentKey(text)` oracle therefore verifies this two-start
+    * execution hash-exactly. The crash-shaped variant (kill after a
+    * sink-committed batch whose offset commit never landed, proving the
+    * file-sink metadata log never double-emits on replay) is gated in
+    * StreamingParitySpec — it needs checkpoint surgery no clean gate
+    * run should perform.
+    *
+    * The watermark horizon is sized from the FULL corpus span before any
+    * files are held back (the q180 sizing rule): the id-mod chunk split
+    * interleaves the whole doc_id range across files, and the restart
+    * must not let the first session's watermark expire keys the second
+    * session replays.
+    */
+  def exactDedupViaStreamRestart(spark: SparkSession, docsPath: String,
+                                 chunks: Int, stopAfterFiles: Int,
+                                 scratchName: String): DataFrame = {
+    // A checkpoint RESUME logs one benign WARN per state snapshot file
+    // ("No checksum file found … hence no checksum verification"): the
+    // state store's maintenance thread writes .snapshot files without
+    // sidecar checksums, so the second start's state load prints a wall
+    // of scary-but-harmless lines in every clean run. Scope that ONE
+    // logger to ERROR — files that do carry checksums are still
+    // verified; only the missing-sidecar chatter is dropped (the q96b
+    // log-hygiene rule applied to the restart path).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.checkpointing." +
+        "ChecksumCheckpointFileManager",
+      org.apache.logging.log4j.Level.ERROR)
+    val (base, inputDir) = stageDocChunks(spark, docsPath, chunks, scratchName)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(inputDir))
+      .map(_.getPath).filter(_.getName.startsWith("chunk-")).sortBy(_.getName)
+    require(stopAfterFiles > 0 && stopAfterFiles < staged.length,
+      s"restart split must leave files on both sides of the stop " +
+        s"(got $stopAfterFiles of ${staged.length})")
+    // span from the whole corpus, not the first tranche — see scaladoc
+    val spanSeconds = spark.read.parquet(docsPath)
+      .agg(max(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val pendingDir = new org.apache.hadoop.fs.Path(s"$base/pending")
+    mustFs(fs.mkdirs(pendingDir), s"mkdirs $pendingDir")
+    staged.drop(stopAfterFiles).foreach { p =>
+      mustFs(fs.rename(p,
+        new org.apache.hadoop.fs.Path(pendingDir, p.getName)),
+        s"hold back ${p.getName}")
+    }
+    val schema = spark.read.parquet(inputDir).schema
+    def runOnce(): (java.util.UUID, java.util.UUID) = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inputDir)
+        .withColumn("ts",
+          (lit(1700000000L) + col("doc_id")).cast("timestamp"))
+      val q = exactDedupStream(docs,
+        watermark = s"${spanSeconds + 60} seconds")
+        .select(col("content_key"))
+        .writeStream
+        .option("checkpointLocation", s"$base/checkpoint")
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/survivors")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      (q.id, q.runId)
+    }
+    val (id1, run1) = runOnce()
+    fs.listStatus(pendingDir).map(_.getPath).foreach { p =>
+      mustFs(fs.rename(p,
+        new org.apache.hadoop.fs.Path(inputDir, p.getName)),
+        s"release ${p.getName}")
+    }
+    val (id2, run2) = runOnce()
+    require(id1 == id2,
+      s"restart must resume the SAME query identity from the checkpoint " +
+        s"(got $id1 then $id2)")
+    require(run1 != run2,
+      "the execution must span two distinct stream starts " +
+        s"(runId repeated: $run1)")
+    spark.read.parquet(s"$base/survivors").orderBy("content_key")
+  }
+
   /** Stage the events fixture as `chunks` TIME-ORDERED single-file
     * parquet chunks plus one far-future flush event, with strictly
     * increasing file mtimes so FileStreamSource replays them in
@@ -1051,7 +1152,8 @@ object StreamingOps {
     * watermark to the span), a custom-state session machine requires
     * per-key event-time order within the watermark, and a time-ordered
     * replay provides it under the production 1-hour delay. The flush
-    * event (2 h past the last real event, user_id = -1) pushes the final
+    * event (2 h past the last real event, user_id = [[flushUserId]],
+    * asserted absent from the fixture) pushes the final
     * watermark past every real session's `last + gap` so the
     * EventTimeTimeout flushes them all — the role a quiescent production
     * stream's next real event plays.
@@ -1065,6 +1167,11 @@ object StreamingOps {
     * be uneven (skewed event-time density); the session machine doesn't
     * care.
     */
+  /** Flush-event sentinel user id for the ordered event staging — outside
+    * any realistic id domain (see the staging-time assert below).
+    */
+  val flushUserId: Long = Long.MinValue
+
   private def stageEventChunksOrdered(spark: SparkSession, dir: String,
                                       chunks: Int,
                                       scratchName: String): (String, String) = {
@@ -1078,13 +1185,25 @@ object StreamingOps {
     }
     val flushTs = new Timestamp(maxUs / 1000L + 2L * 3600L * 1000L)
     val widthUs = (maxUs - minUs) / chunks + 1L
+    // The flush sentinel must sit OUTSIDE the fixture's user-id domain:
+    // the read-back filters it out, so a real user carrying the sentinel
+    // id would have their sessions silently dropped and their stream
+    // polluted by the flush event — a latent hash-parity break vs the
+    // batch oracle (r14 ADVICE). Long.MinValue is unreachable by any
+    // realistic id scheme, and the staging still ASSERTS absence so a
+    // pathological fixture fails loudly instead of corrupting parity.
+    val sentinelRows = ev.where(col("user_id") === flushUserId).count()
+    require(sentinelRows == 0L,
+      s"events fixture carries $sentinelRows row(s) with the flush " +
+        s"sentinel user_id=$flushUserId; ordered staging cannot " +
+        "distinguish them from the flush event")
     // value-range chunks 0..chunks-1, plus the flush row as its own final
     // chunk — one unioned partitioned write through the shared scaffold
     val chunked = ev.withColumn("chunk",
       ((unix_micros(col("ts")) - minUs) / widthUs).cast("int"))
       .unionByName(ev.limit(1).select(
         lit(-1L).as("event_id"), lit(flushTs).as("ts"),
-        lit(-1L).as("user_id"), lit("flush").as("event_type"),
+        lit(flushUserId).as("user_id"), lit("flush").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"),
         lit(chunks).cast("int").as("chunk")))
     stageChunkedInput(spark, chunked, chunks + 1, scratchName,
@@ -1128,7 +1247,7 @@ object StreamingOps {
       try q.processAllAvailable() finally q.stop()
     }
     spark.read.parquet(s"$base/sessions")
-      .where(col("user_id") =!= -1L)
+      .where(col("user_id") =!= flushUserId)
       .orderBy("user_id", "session_seq")
   }
 

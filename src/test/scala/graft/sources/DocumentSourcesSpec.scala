@@ -233,6 +233,62 @@ class DocumentSourcesSpec extends SparkSpec {
       s"got $loose")
   }
 
+  test("per-font routing: two fonts with CONFLICTING /Differences both " +
+      "decode correctly") {
+    // F1 maps 0x41 -> eacute, F2 maps the SAME code 0x41 -> bullet; the
+    // pre-routing document-wide merge could only honor one of them. The
+    // page declares both under /Resources /Font; the content stream
+    // switches fonts with Tf between the two shows.
+    val resources = "<< /Font << " +
+      "/F1 << /Type /Font /Encoding << /Type /Encoding " +
+      "/Differences [ 65 /eacute ] >> >> " +
+      "/F2 << /Type /Font /Encoding << /Type /Encoding " +
+      "/Differences [ 65 /bullet ] >> >> >> >>"
+    val content = "BT /F1 12 Tf (A) Tj /F2 12 Tf (A) Tj ET"
+    val out = PdfText.extract(
+      buildPdf(Seq((content, false)), Seq(resources)))
+    assert(out.contains("é•"), s"got $out")
+    // the same two fonts via INDIRECT references: /F1 110 0 R whose
+    // object body carries the font dict, /Encoding also indirect
+    val indirectRes = "<< /Font << /F1 110 0 R /F2 111 0 R >> >>"
+    val extra = Seq(
+      indirectRes, // 100 0 obj
+      "<< /Type /Encoding /Differences [ 66 /Euro ] >>") // 101 0 obj
+    val pdf = {
+      // append the font objects at numbers the builder doesn't use
+      val base = new String(
+        buildPdf(Seq(("BT /F1 9 Tf (B) Tj /F2 9 Tf (B) Tj ET", false)), extra),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val fonts = "110 0 obj << /Type /Font /Encoding 101 0 R >> endobj\n" +
+        "111 0 obj << /Type /Font /Encoding << " +
+        "/Differences [ 66 /emdash ] >> >> endobj\n"
+      (base + fonts).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val out2 = PdfText.extract(pdf)
+    assert(out2.contains("€—"), s"got $out2")
+  }
+
+  test("per-font routing: a font's own base encoding routes, and strings " +
+      "before any Tf keep the document-wide default") {
+    // F1 is WinAnsi, F2 declares nothing: 0x93 reads as the curly quote
+    // under F1, and under F2 falls back to the document default — which
+    // IS WinAnsi here because the document-wide detection still sees the
+    // declaration (regression: single-font docs are bit-identical)
+    val res = "<< /Font << " +
+      "/F1 << /Type /Font /Encoding /WinAnsiEncoding >> " +
+      "/F2 << /Type /Font >> >> >>"
+    val out = PdfText.extract(buildPdf(
+      Seq(("BT (\\223) Tj /F1 12 Tf (\\223) Tj /F2 12 Tf (\\223) Tj ET",
+        false)), Seq(res)))
+    assert(out.contains("“\n“\n“") || out.exists(_.count(_ == '“') == 3),
+      s"got $out")
+    // an unknown font name in Tf also falls back to the default
+    val out2 = PdfText.extract(buildPdf(
+      Seq(("BT /Zz 12 Tf (\\223) Tj ET", false)),
+      Seq("<< /Type /Font /Encoding /WinAnsiEncoding >>")))
+    assert(out2.contains("“"), s"got $out2")
+  }
+
   test("glyphChar resolves AGL names, uniXXXX forms, and single chars") {
     assert(PdfText.glyphChar("eacute").contains('é'))
     assert(PdfText.glyphChar("Euro").contains('€'))

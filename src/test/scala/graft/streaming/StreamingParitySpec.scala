@@ -715,4 +715,85 @@ class StreamingParitySpec extends SparkSpec {
     assert(got == batch,
       s"streamed evidence diverged: got ${got.size} rows, want ${batch.size}")
   }
+
+  test("q189 streaming restart: the registered two-start execution emits " +
+      "exactly the batch distinct content-key set") {
+    val viaStream = graft.queries.DedupQueries
+      .q189StreamRestartDedup(spark, dir).collect().toSeq
+    import sqlImplicits._
+    val batch = graft.Tables.documents(spark, dir)
+      .select(graft.ops.HashOps.contentKey(col("text")).as("content_key"))
+      .distinct().orderBy("content_key").collect().toSeq
+    assert(viaStream.nonEmpty, "restart dedup came back empty")
+    assert(viaStream == batch)
+  }
+
+  test("q189 crash shape: a sink-committed batch whose offset commit was " +
+      "lost in the kill replays on restart without double-emitting") {
+    import java.nio.file.{Files => NF}
+    import java.nio.file.attribute.FileTime
+    import sqlImplicits._
+    val base = NF.createTempDirectory("graft-restart-crash")
+    val input = NF.createDirectories(base.resolve("input"))
+    val hold = NF.createDirectories(base.resolve("hold"))
+    // 4 single-file chunks; duplicate content is planted INSIDE the
+    // replayed batch (charlie x2 in chunk 1), ACROSS the crash boundary
+    // (alpha/bravo/charlie recur after the restart), and pre-crash
+    // (alpha in chunks 0 and 1) — so the assertion exercises sink
+    // idempotence AND state-store recovery at once.
+    val chunkRows = Seq(
+      Seq(0L -> "alpha", 1L -> "bravo"),
+      Seq(2L -> "alpha", 3L -> "charlie", 4L -> "charlie"),
+      Seq(5L -> "bravo", 6L -> "delta"),
+      Seq(7L -> "charlie", 8L -> "echo"))
+    chunkRows.zipWithIndex.foreach { case (rows, i) =>
+      val work = NF.createTempDirectory(s"graft-crash-c$i")
+      rows.toDF("doc_id", "text").coalesce(1).write
+        .parquet(work.resolve("p").toString)
+      val src = NF.list(work.resolve("p")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = (if (i < 2) input else hold).resolve(f"chunk-$i%03d.parquet")
+      NF.move(src, dst)
+      NF.setLastModifiedTime(dst, FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(input.toString).schema
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(input.toString)
+        .withColumn("ts", (lit(1700000000L) + col("doc_id")).cast("timestamp"))
+      val q = StreamingOps.exactDedupStream(docs, watermark = "1 hour")
+        .select(col("content_key"))
+        .writeStream
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .outputMode("append").format("parquet")
+        .option("path", base.resolve("sink").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // precondition: the FILE SINK committed batch 1 (its metadata entry
+    // exists) …
+    assert(NF.exists(base.resolve("sink").resolve("_spark_metadata")
+      .resolve("1")), "sink never committed batch 1 — harness assumption broke")
+    // … but the OFFSET commit for batch 1 is lost in the kill, so the
+    // restart MUST re-execute that batch from its logged offsets
+    val lostCommit = base.resolve("cp").resolve("commits").resolve("1")
+    assert(NF.exists(lostCommit), "no offset commit to lose")
+    NF.delete(lostCommit)
+    NF.list(hold).iterator().asScala.foreach { p =>
+      NF.move(p, input.resolve(p.getFileName))
+    }
+    run()
+    val perKey = spark.read.parquet(base.resolve("sink").toString)
+      .groupBy("content_key").count().collect()
+    val dup = perKey.filter(_.getLong(1) > 1L)
+    assert(dup.isEmpty,
+      s"file sink double-emitted ${dup.length} key(s) on replay: " +
+        dup.take(3).mkString(", "))
+    val want = chunkRows.flatten.map(_._2).distinct.toDF("text")
+      .select(graft.ops.HashOps.contentKey(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    assert(perKey.map(_.getLong(0)).toSet == want,
+      "restart lost or invented keys vs the batch distinct set")
+  }
 }
