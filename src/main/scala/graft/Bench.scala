@@ -411,13 +411,23 @@ object Bench {
       s"\"${jsonEscape(k)}\":\"${jsonEscape(v)}\""
     }.mkString("{", ",", "}")
     val coldInflJson = coldInflated.map(k => s"\"$k\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"rebuild":$rebuildJson,"warm_inflated":$warmInflJson,"warm_retried":$warmRetriedJson,"cold_inflated":$coldInflJson,"warm_vs_ref":$warmVsRefJson,"cold_ref":"$coldRefDesc","errors":$errJson,"sf":"$sfDir"}"""
+    // The plant hook self-reports in the artifact: an accidentally
+    // exported SPARK_GRAFT_PLANT_WARM_SLOW must never corrupt a durable
+    // run silently (every other noise channel here self-attributes; the
+    // one that INJECTS noise has to as well).
+    val plantJson = plant
+      .map { case (s, ms) => s""","plant":"${jsonEscape(s"$s:$ms")}"""" }
+      .getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"queries_median":$qsMed,"queries_warm1":$qsW1,"queries_cold":$qsCold,"noisy":$noisyJson,"rebuild":$rebuildJson,"warm_inflated":$warmInflJson,"warm_retried":$warmRetriedJson,"cold_inflated":$coldInflJson,"warm_vs_ref":$warmVsRefJson,"cold_ref":"$coldRefDesc","errors":$errJson$plantJson,"sf":"$sfDir"}"""
     println(line)
     // target/bench.json is the durable FULL-registry round artifact; a
     // filtered local run writes a sibling file so it can never clobber
-    // the last complete round with a partial, indistinguishable one
+    // the last complete round with a partial, indistinguishable one.
+    // A planted run is demoted to the sibling too: the durable artifact
+    // must never carry injected latency, even self-attributed.
     val benchFile =
-      if (args.isEmpty) "target/bench.json" else "target/bench_partial.json"
+      if (args.isEmpty && plant.isEmpty) "target/bench.json"
+      else "target/bench_partial.json"
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
@@ -427,7 +437,7 @@ object Bench {
       // the only surviving copy was a /tmp file. Archives make clean and
       // polluted runs diff-able after the fact; bench.json stays the
       // "latest full run" pointer.
-      if (args.isEmpty)
+      if (args.isEmpty && plant.isEmpty)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(
             s"target/bench-${selected.size}q-${System.currentTimeMillis}.json"),

@@ -25,6 +25,10 @@ object Census {
       "PropertySpec: relative-error bound vs exact distinct across seeds"),
     "q29d_knn_ivf" -> ("IVF probe is recall-traded retrieval (cell subset)",
       "DedupSimilaritySpec: all-cells-probed ≡ brute force bit-exactly; stored cell-partitioned index scores byte-identically to the in-memory path with a scan pruned to exactly the probed cells; ≥60% recall floor"),
+    "q187d_filtered_topk_ivf" -> ("label-filtered IVF probe (KMeans cells, recall-traded)",
+      "DedupSimilaritySpec: all-cells-probed float tier ≡ the hash-verified filtered brute truth (q187) bit-exactly; stored label-keyed layout scores byte-identically to the in-memory path with partition pruning to probed cells AND the label in the ADC join key plan-asserted; deterministic re-run"),
+    "q187e_filtered_ivf_recall" -> ("recall row composes the KMeans rung (q187d)",
+      "DedupSimilaritySpec: ≥800‰ floor vs the hash-verified q187 brute truth (measured 880‰ at nProbe 12)"),
     "q40_topic_terms" -> ("LDA fit (MLlib EM, seeded)",
       "TopicPipelineSpec + LdaGoldenSpec: seeded determinism + golden top-terms content"),
     "q41_doc_tags" -> ("LDA inference over the q40 model",

@@ -1060,6 +1060,94 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** The label-carrying coded IVF layout: [[ivfSq8Coded]]'s relation plus
+    * each vector's metadata `label` — `(vec_id, cell, label, codes)`.
+    * The layout is unchanged from q79e's store (written PARTITIONED BY
+    * cell); the label rides as a key COLUMN of the posting list, which is
+    * exactly how a production store serves filtered queries: the
+    * partition key stays the geometry (cell), the predicate column sits
+    * in the row group where the probe's join key can consume it.
+    */
+  def ivfSq8CodedLabeled(index: IvfIndex, embeddings: DataFrame): DataFrame =
+    ivfSq8Coded(index, embeddings)
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("label"), col("codes"))
+
+  /** [[ivfSq8ProbeCells]] carrying each query's label — `(query_id,
+    * q_codes, label, cell)`, still queries × nProbe rows (broadcast
+    * size). The label joins from the same embeddings relation the codes
+    * come from, so probe and posting list can never disagree on a
+    * vector's label.
+    */
+  def labelFilteredIvfProbeCells(index: IvfIndex, coded: DataFrame,
+                                 labels: DataFrame, everyNth: Int,
+                                 nProbe: Int): DataFrame =
+    ivfSq8ProbeCells(index, coded, everyNth, nProbe)
+      .join(labels.select(col("vec_id").as("query_id"), col("label")),
+        "query_id")
+      .select("query_id", "q_codes", "label", "cell")
+
+  /** Label-FILTERED IVF-SQ8 retrieval — the composition
+    * [[labelFilteredTopK]]'s scaladoc claims, executed on the stored
+    * tier: stage-1 ADC (the fused integer dot over SQ8 codes) joins the
+    * coded posting list to the broadcast probes on `(cell, label)`, so
+    * an out-of-label member of a probed cell is dropped by the join hash
+    * key BEFORE its codes are ever dotted — the predicate narrows the
+    * posting list below the score, the q187b shape at the IVF rung.
+    * Rerank is [[ivfSq8Score]]'s exact float-cosine pass over the
+    * k × overfetch survivors (already in-label by construction). Given
+    * the fitted cells the output is deterministic but KMeans has no
+    * DuckDB twin → rows-only; recall vs the filtered brute truth (q187)
+    * is the check, and the all-cells-probed float-tier identity
+    * ([[labelFilteredIvfScore]] ≡ [[labelFilteredTopK]]) pins the
+    * filtering semantics exactly (DedupSimilaritySpec).
+    */
+  def labelFilteredIvfSq8Score(index: IvfIndex, labeledCoded: DataFrame,
+                               qCells: DataFrame, k: Int,
+                               overfetch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = index.assigned
+    val stage1 = labeledCoded.toDF("cand_id", "cell", "label", "c_codes")
+      .join(broadcast(qCells), Seq("cell", "label"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.IntDot.intDot(col("q_codes"), col("c_codes"))
+          .as("dot_int"))
+    val cand = stage1.withColumn("prk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("dot_int").desc, col("cand_id").asc)))
+      .where(col("prk") <= k * overfetch)
+      .select("query_id", "cand_id")
+    val scored = cand
+      .join(assigned.select(col("vec_id").as("query_id"), col("emb").as("q_emb")),
+        "query_id")
+      .join(assigned.select(col("vec_id").as("cand_id"), col("emb").as("c_emb")),
+        "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Float tier of the filtered-IVF composition, for the exactness unit:
+    * [[ivfScore]] with the label in the `(cell, label)` join key over a
+    * label-carrying assignment `(vec_id, emb, label, cell)` and a
+    * label-carrying probe `(query_id, q_emb, label, cell)`. With every
+    * cell probed this is [[labelFilteredTopK]] bit-exactly (the q29d
+    * identity argument, filtered): the cell key partitions the corpus,
+    * so probing all of it makes the join's candidate set = the label's
+    * whole sub-corpus.
+    */
+  def labelFilteredIvfScore(assignedLabeled: DataFrame, qCells: DataFrame,
+                            k: Int): DataFrame = {
+    val scored = broadcast(qCells)
+      .join(assignedLabeled.toDF("cand_id", "c_emb", "label", "cell"),
+        Seq("cell", "label"))
+      .where(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineMicro(col("q_emb"), col("c_emb")).as("cos_micro"))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, multi-band sign-LSH blocked:
     * pairs sharing at least one per-band bucket (band t buckets on dims
     * [t*bits, (t+1)*bits)) with scaled cosine >= minMicro. The

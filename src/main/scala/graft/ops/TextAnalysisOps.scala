@@ -844,6 +844,91 @@ object TextAnalysisOps {
           .as("gain_permille"))
   }
 
+  /** Per-SOURCE accuracy-optimal cuts — [[nbBestThreshold]]'s sweep with
+    * every stage keyed by `source` (input is a [[nbCarveScores]] relation
+    * carrying a `source` column): per-source distinct-score histogram,
+    * running `< t` sums via a window PARTITIONED by source, the all-bad
+    * `max+1` candidate per source, best per source by (max c_train,
+    * min t). One row per source that has ANY train mass; a source with
+    * none has no sweepable evidence and no row (callers decide the
+    * fallback — q190 inherits this by inner join, documented there).
+    * Scale: the per-source windows stay bounded by the distinct integer
+    * score range within each source — the same hundreds-of-values bound
+    * as the pooled sweep, now spread across source partitions.
+    */
+  def nbBestThresholdPerSource(scores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val train = scores.where(col("is_train"))
+    val hist = train.groupBy("source", "score").agg(
+      sum(when(col("good"), 1L).otherwise(0L)).as("g"),
+      sum(when(!col("good"), 1L).otherwise(0L)).as("b"))
+    val before = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("source"), col("score").as("threshold"),
+      coalesce(sum(col("g")).over(before), lit(0L)).as("g_lt"),
+      coalesce(sum(col("b")).over(before), lit(0L)).as("b_lt"))
+    val allBad = hist.groupBy("source").agg(
+      (max(col("score")) + 1L).as("threshold"),
+      sum(col("g")).as("g_lt"), sum(col("b")).as("b_lt"))
+    val tot = train.groupBy("source").agg(
+      sum(when(col("good"), 1L).otherwise(0L)).as("tg"),
+      count(lit(1)).as("n_train"))
+    val pick = Window.partitionBy("source")
+      .orderBy(desc("c_train"), asc("threshold"))
+    cum.unionByName(allBad).join(tot, "source")
+      .select(col("source"), col("threshold"), col("n_train"),
+        (col("tg") - col("g_lt") + col("b_lt")).as("c_train"))
+      .withColumn("prk", row_number().over(pick))
+      .where(col("prk") === 1)
+      .drop("prk")
+  }
+
+  /** SOURCE-CONDITIONAL threshold calibration (q190) — the production
+    * shape [[nbThresholdCalibration]]'s single global cut cannot express:
+    * when one source is mostly boilerplate and another mostly prose, the
+    * accuracy-optimal operating point differs per source, and deploying
+    * the pooled cut over- or under-keeps each of them. Per source: the
+    * [[nbBestThresholdPerSource]] cut, the pooled cut beside it, and the
+    * held-out keep rate + accuracy under EACH — the delta column is the
+    * evidence a curator reads before switching a source to its own
+    * operating point. A source with no train mass has no per-source
+    * sweep and is absent from the report (the inner join on the best-cut
+    * relation; its docs still count in the pooled sweep's cut).
+    * All counting → hash-exact; the per-source windows are bounded by
+    * each source's distinct integer score range.
+    */
+  def nbPerSourceCalibration(labeledCarved: DataFrame, sources: DataFrame,
+                             buckets: Long = TrainedBuckets): DataFrame = {
+    val s = graft.CacheScope.persist(nbCarveScores(labeledCarved, buckets))
+    val ss = graft.CacheScope.persist(s.join(sources, "doc_id"))
+    val bestSrc = nbBestThresholdPerSource(ss)
+      .select(col("source"), col("threshold"))
+    val bestGlobal = nbBestThreshold(s)
+      .select(col("threshold").as("global_threshold"))
+    ss.where(!col("is_train"))
+      .join(broadcast(bestSrc), Seq("source"))
+      .crossJoin(broadcast(bestGlobal)) // 1-row scalar
+      .groupBy(col("source"), col("threshold"), col("global_threshold"))
+      .agg(count(lit(1)).as("n_heldout"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+          .as("kept_src"),
+        sum(when(col("score") >= col("global_threshold"), 1L).otherwise(0L))
+          .as("kept_global"),
+        sum(when((col("score") >= col("threshold")) === col("good"), 1L)
+          .otherwise(0L)).as("c_src"),
+        sum(when((col("score") >= col("global_threshold")) === col("good"), 1L)
+          .otherwise(0L)).as("c_global"))
+      .select(col("source"), col("threshold"), col("global_threshold"),
+        col("n_heldout"), col("kept_src"), col("kept_global"),
+        expr("(1000 * kept_src) div n_heldout").as("keep_src_permille"),
+        expr("(1000 * kept_global) div n_heldout").as("keep_global_permille"),
+        expr("(1000 * kept_src) div n_heldout" +
+          " - (1000 * kept_global) div n_heldout").as("delta_keep_permille"),
+        expr("(1000 * c_src) div n_heldout").as("acc_src_permille"),
+        expr("(1000 * c_global) div n_heldout").as("acc_global_permille"))
+      .orderBy("source")
+  }
+
   /** Context-window chunking: each document cut into token windows of
     * `size` starting every `stride` tokens (windows overlap by
     * `size - stride`; tail windows may be partial). The doc →

@@ -3144,6 +3144,93 @@ object AnalysisQueries {
       (1000 * kept_calibrated) // n_docs AS keep_calibrated_permille
     FROM nb_gr ORDER BY source""")
 
+  // --- q190: SOURCE-CONDITIONAL calibration (per-source operating points) --
+  // q188 deploys ONE pooled cut across sources whose class priors
+  // differ; the production shape (one source mostly boilerplate, another
+  // mostly prose) calibrates per source. q186's sweep re-run GROUPED BY
+  // source (windows partitioned by source — still bounded by each
+  // source's distinct integer score range), the pooled cut from the
+  // SAME shared sweep CTEs beside it, and the held-out keep rate +
+  // accuracy under each — delta_keep_permille is what switching a source
+  // to its own operating point moves. Pure counting → hash-exact; same
+  // carve and CTE chain as q182/q186/q188 so none of the four can sweep
+  // a different model than the others evaluate.
+  def q190PerSourceCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val carve = docs.select(col("doc_id"),
+      (HashOps.charHash(col("text")) % 2 === 0).as("is_train"))
+    TextAnalysisOps.nbPerSourceCalibration(
+      inDomainLabeled(spark, dir).join(carve, "doc_id"),
+      docs.select(col("doc_id"), col("source")))
+  }
+
+  /** The per-source sweep through `nb_best_src (source, threshold)` —
+    * [[TextAnalysisOps.nbBestThresholdPerSource]]'s dataflow restated
+    * (q190's SQL half).
+    */
+  private val nbPerSourceSweepCtes: String =
+    s"""nb_scs AS (SELECT sc.doc_id, sc.good, sc.is_train, sc.score, d.source
+      FROM nb_sc sc JOIN documents d ON sc.doc_id = d.doc_id),
+    nb_hs AS (SELECT source, score,
+        CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS g,
+        CAST(sum(CASE WHEN NOT good THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM nb_scs WHERE is_train GROUP BY source, score),
+    nb_cums AS (SELECT source, score AS threshold,
+        CAST(coalesce(sum(g) OVER (PARTITION BY source ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS g_lt,
+        CAST(coalesce(sum(b) OVER (PARTITION BY source ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS b_lt
+      FROM nb_hs),
+    nb_allbads AS (SELECT source, CAST(max(score) + 1 AS BIGINT) AS threshold,
+        CAST(sum(g) AS BIGINT) AS g_lt, CAST(sum(b) AS BIGINT) AS b_lt
+      FROM nb_hs GROUP BY source),
+    nb_cands AS (SELECT * FROM nb_cums UNION ALL SELECT * FROM nb_allbads),
+    nb_tots AS (SELECT source,
+        CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS tg,
+        CAST(count(*) AS BIGINT) AS n_train
+      FROM nb_scs WHERE is_train GROUP BY source),
+    nb_rankeds AS (SELECT c.source, c.threshold,
+        t.tg - c.g_lt + c.b_lt AS c_train,
+        row_number() OVER (PARTITION BY c.source
+          ORDER BY (t.tg - c.g_lt + c.b_lt) DESC, c.threshold ASC) AS prk
+      FROM nb_cands c JOIN nb_tots t USING (source)),
+    nb_best_src AS (SELECT source, threshold FROM nb_rankeds WHERE prk = 1)"""
+
+  val q190Sql: String = graft.queries.SqlDefs.materializeCtes(
+    s"""WITH ${nbChainCtes(
+      nbLFixture(s"${HashOps.charHashSql("text")} % 2 = 0"))},
+    $nbScoreCtes,
+    $nbSweepCtes,
+    $nbPerSourceSweepCtes,
+    nb_held AS (SELECT s.source, s.good, s.score,
+        bs.threshold, b.threshold AS global_threshold
+      FROM nb_scs s JOIN nb_best_src bs USING (source), nb_best b
+      WHERE NOT s.is_train),
+    nb_reps AS (SELECT source,
+        CAST(max(threshold) AS BIGINT) AS threshold,
+        CAST(max(global_threshold) AS BIGINT) AS global_threshold,
+        CAST(count(*) AS BIGINT) AS n_heldout,
+        CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+          AS kept_src,
+        CAST(sum(CASE WHEN score >= global_threshold THEN 1 ELSE 0 END)
+          AS BIGINT) AS kept_global,
+        CAST(sum(CASE WHEN (score >= threshold) = good THEN 1 ELSE 0 END)
+          AS BIGINT) AS c_src,
+        CAST(sum(CASE WHEN (score >= global_threshold) = good
+          THEN 1 ELSE 0 END) AS BIGINT) AS c_global
+      FROM nb_held GROUP BY source)
+    SELECT source, threshold, global_threshold, n_heldout, kept_src,
+      kept_global,
+      (1000 * kept_src) // n_heldout AS keep_src_permille,
+      (1000 * kept_global) // n_heldout AS keep_global_permille,
+      (1000 * kept_src) // n_heldout - (1000 * kept_global) // n_heldout
+        AS delta_keep_permille,
+      (1000 * c_src) // n_heldout AS acc_src_permille,
+      (1000 * c_global) // n_heldout AS acc_global_permille
+    FROM nb_reps ORDER BY source""")
+
   // --- q183: learning PROOF, oracled (r13 verdict #2) -----------------------
   // The fixture's shared 31-word vocabulary makes no fixture label
   // learnable (measured: float-NB ceiling 0.594), so q177/q182's rows
@@ -3681,6 +3768,7 @@ object AnalysisQueries {
     "q183_nb_learning_proof" -> (q183NbLearningProof _),
     "q186_nb_threshold_calibration" -> (q186NbThresholdCalibration _),
     "q188_calibrated_gate_effect" -> (q188CalibratedGateEffect _),
+    "q190_per_source_calibration" -> (q190PerSourceCalibration _),
     "q178_perceptron_train" -> (q178PerceptronTrain _),
     "q178b_perceptron_eval" -> (q178bPerceptronEval _),
     "q65b_calibration" -> (q65bCalibration _),
@@ -3743,6 +3831,7 @@ object AnalysisQueries {
     "q183_nb_learning_proof" -> q183Sql,
     "q186_nb_threshold_calibration" -> q186Sql,
     "q188_calibrated_gate_effect" -> q188Sql,
+    "q190_per_source_calibration" -> q190Sql,
     "q65b_calibration" -> q65bSql,
     "q67_source_health" -> q67Sql,
     "q76_phrase_search" -> q76Sql,

@@ -543,6 +543,30 @@ object EventQueries {
         col("duration_sec"))
       .orderBy("user_id", "session_seq")
 
+  // --- q191: checkpoint RESTART of the custom-state session stream ---------
+  // q189 certifies checkpoint recovery for the BUILT-IN dedup operator's
+  // state; this certifies it for USER-AUTHORED state — the per-key event
+  // buffers the q181 flatMapGroupsWithState machine keeps. The replay is
+  // cut after 2 of 5 staged files with OPEN sessions parked in the state
+  // store, a new query resumes from the same checkpoint (same query id,
+  // distinct run ids, asserted in-body) and replays the rest including
+  // the flush event. Same gap rule and projection as q181; q117's batch
+  // SQL verifies the two-start execution hash-exactly — a session lost
+  // from recovered state, double-emitted, or split at the stop boundary
+  // breaks the hash.
+  def q191StreamRestartSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.dynamicSessionsViaStreamRestart(spark, dir,
+      chunks = 4, stopAfterFiles = 2,
+      gapMicrosOf = uid => (300L + (uid % 3L) * 300L) * 1000000L,
+      scratchName = "q191_restart_sessions")
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_end"),
+        col("duration_sec"))
+      .orderBy("user_id", "session_seq")
+
   // --- q185: the stream-stream interval join EXECUTED in the gate ----------
   // Fourth streaming path class driver-oracled (the r13 verdict's stretch
   // sibling of q181): q77's click-attribution interval join run as a
@@ -1002,6 +1026,7 @@ object EventQueries {
     "q116_asof_directions" -> (q116AsofDirections _),
     "q117_dynamic_sessions" -> (q117DynamicSessions _),
     "q181_stream_dynamic_sessions" -> (q181StreamDynamicSessions _),
+    "q191_stream_restart_sessions" -> (q191StreamRestartSessions _),
     "q185_stream_click_attribution" -> (q185StreamClickAttribution _),
     "q129_zorder_layout" -> (q129ZorderLayout _),
     "q32_tumbling" -> (q32Tumbling _),
@@ -1022,6 +1047,7 @@ object EventQueries {
     "q116_asof_directions" -> q116Sql,
     "q117_dynamic_sessions" -> q117Sql,
     "q181_stream_dynamic_sessions" -> q117Sql,
+    "q191_stream_restart_sessions" -> q117Sql,
     "q185_stream_click_attribution" -> q77Sql,
     "q129_zorder_layout" -> q129Sql,
     "q54_asof_enrich" -> q54Sql,

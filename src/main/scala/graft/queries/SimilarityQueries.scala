@@ -477,18 +477,52 @@ object SimilarityQueries {
   // replays band generation, cosine verification, the recursive closure
   // AND the window chain in one statement, so a pair lost or a label
   // drifted anywhere in the composite breaks the hash.
-  def q184bSemanticBalancedSample(spark: SparkSession,
-                                  dir: String): DataFrame = {
+  /** The SEMANTIC cluster-labels relation, stored like the text-side
+    * `dedup_labels` (DedupQueries.dupLabels): in production the vector
+    * cluster table is maintained infrastructure, not a per-query
+    * re-derivation — band generation, cosine verification and the LP
+    * closure run ONCE per corpus state and land as a StoredRelations
+    * artifact; consumers read the store. q184b's oracle still replays
+    * the full composite (bands → cosine → recursive-CTE closure → window
+    * chain) from scratch, so the stored labels are re-verified against
+    * the closure on every gate run, and StoredPairsSpec row-compares
+    * store vs fresh build as the in-JVM backstop. Version bumps when the
+    * banding/threshold constants or LP semantics change — the
+    * fingerprint sees input files and this string, not code.
+    */
+  private val SemLabelsStoreVersion =
+    s"1:bits=$NearDupBits,bands=$NearDupBands,min=$NearDupMinMicro"
+
+  private val semLabelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private[graft] def freshSemanticLabels(spark: SparkSession,
+                                           dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val pairs = SimilarityOps.cosineNearDupPairs(
       emb, NearDupBits, NearDupBands, NearDupMinMicro)
       .select(col("id_a"), col("id_b"))
-    val labels = graft.ops.DedupOps.duplicateClusters(
+    graft.ops.DedupOps.duplicateClusters(
       emb.select(col("vec_id").as("doc_id")), pairs)
-    graft.ops.DedupOps.clusterBalancedSample(labels)
+  }
+
+  private[graft] def semanticLabels(spark: SparkSession,
+                                      dir: String): DataFrame = {
+    semLabelsCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    semLabelsCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) =>
+        graft.sources.StoredRelations.readOrBuild(spark, "semantic_labels",
+          Seq(s"$d/embeddings.parquet"), SemLabelsStoreVersion)(
+          freshSemanticLabels(spark, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  def q184bSemanticBalancedSample(spark: SparkSession,
+                                  dir: String): DataFrame =
+    graft.ops.DedupOps.clusterBalancedSample(semanticLabels(spark, dir))
       .withColumnRenamed("doc_id", "vec_id")
       .orderBy("cluster_id", "rk")
-  }
 
   lazy val q184bSql: String = graft.queries.SqlDefs.materializeCtes({
     import graft.ops.HashOps
@@ -564,6 +598,49 @@ object SimilarityQueries {
     SELECT 'filtered_lsh' AS rung, per.hits, tot.possible,
       (1000 * per.hits) // tot.possible AS recall_permille
     FROM per, tot"""
+
+  // --- q187f: PER-LABEL filtered-retrieval recall --------------------------
+  // q187c aggregates recall over the whole filtered ladder; this splits
+  // it BY LABEL — the fairness row a production filtered store publishes
+  // (an index whose aggregate recall is 900‰ can still be 600‰ for one
+  // tenant: labels with sparser sub-corpora collide less per bucket and
+  // lose more of their true neighbors). Both rungs are hash-verified SQL
+  // relations, so unlike the IVF recall rows this per-label report is
+  // itself hash-exact end-to-end. Labels with zero brute mass cannot
+  // occur (every query has k in-label neighbors at the fixture's label
+  // cardinality; if one ever had none it would simply have no rows in
+  // either rung and no report row — the group key comes from the brute
+  // truth's query side).
+  def q187fPerLabelRecall(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("query_id"), col("label"))
+    val brute = q187FilteredTopK(spark, dir)
+      .select("query_id", "cand_id").join(labels, "query_id")
+    val rung = q187bFilteredTopKLsh(spark, dir).select("query_id", "cand_id")
+    brute
+      .join(rung.withColumn("hit", lit(1L)), Seq("query_id", "cand_id"),
+        "left")
+      .groupBy("label")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("possible"))
+      .select(col("label"), col("hits"), col("possible"),
+        expr("(1000 * hits) div possible").as("recall_permille"))
+      .orderBy("label")
+  }
+
+  lazy val q187fSql: String =
+    s"""WITH brute AS (SELECT query_id, cand_id FROM ($q187Sql) x),
+    rung AS (SELECT query_id, cand_id FROM ($q187bSql) x),
+    lab AS (SELECT vec_id AS query_id, label FROM embeddings),
+    j AS (SELECT l.label,
+        CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM brute b JOIN lab l ON b.query_id = l.query_id
+      LEFT JOIN rung t
+        ON t.query_id = b.query_id AND t.cand_id = b.cand_id)
+    SELECT label, CAST(sum(hit) AS BIGINT) AS hits,
+      CAST(count(*) AS BIGINT) AS possible,
+      (1000 * sum(hit)) // count(*) AS recall_permille
+    FROM j GROUP BY label ORDER BY label"""
 
   // --- q29g: multi-probe sign-LSH top-k ------------------------------------
   // The recall lever that leaves the index unchanged (semantics + cost
@@ -713,6 +790,93 @@ object SimilarityQueries {
       storedCoded(spark, ivfStoredPath(spark, dir), cells),
       qCells, TopK, RerankOverfetch)
       .orderBy("query_id", "rk")
+  }
+
+  // --- q187d: label-FILTERED IVF over the stored label-keyed layout -------
+  // The last composition labelFilteredTopK's scaladoc claims, executed
+  // (q187b proved it for LSH): the stored cell-partitioned coded index
+  // (q79e's layout) carries the label as a key column, the probe derives
+  // its cell set first and pushes it into the stored scan as a partition
+  // filter (plan-asserted: the scan reads the probed cells' files,
+  // never the corpus), and stage-1 ADC joins posting list to probes on
+  // (cell, label) — an out-of-label member of a probed cell is dropped
+  // by the join key BEFORE its codes are dotted. KMeans-seeded → the
+  // q29d rows-only census class; the checks are the all-cells-probed
+  // float identity vs q187's hash-verified brute truth and the q187e
+  // recall row (DedupSimilaritySpec floors both).
+  private val ivfLabeledCodedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def ivfCodedLabeled(spark: SparkSession, dir: String): DataFrame = {
+    ivfLabeledCodedCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    ivfLabeledCodedCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) =>
+        SimilarityOps.ivfSq8CodedLabeled(ivfIndex(spark, d),
+            Tables.embeddings(spark, d))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+  }
+
+  private val ivfLabeledStoredCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def ivfLabeledStoredPath(spark: SparkSession, dir: String): String = {
+    ivfLabeledStoredCache.keySet.removeIf(_._1 != spark.sparkContext.applicationId)
+    ivfLabeledStoredCache.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      { case (_, d) =>
+        val path = graft.Scratch.dir(
+          s"q187d_ivf_${Integer.toHexString(d.hashCode)}")
+        ivfCodedLabeled(spark, d).write.mode("overwrite")
+          .partitionBy("cell").parquet(path)
+        path
+      })
+  }
+
+  /** Stored label-keyed coded scan pruned to `cells` — split out so the
+    * plan unit asserts pruning + the (cell, label) join on exactly the
+    * relation q187d scans.
+    */
+  private[queries] def storedCodedLabeled(spark: SparkSession, path: String,
+                                          cells: Seq[Long]): DataFrame =
+    spark.read.parquet(path)
+      .where(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("label"), col("codes"))
+
+  def q187dFilteredTopKIvf(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(spark, dir)
+    // nProbe 12 of 16, ABOVE q79d's 8: a filtered probe only dots the
+    // probed cells' IN-LABEL members, so at equal candidate budget the
+    // filtered rung affords more cells — the dial filtered stores turn
+    // when the predicate thins posting lists (measured at sf0.001,
+    // FilteredIvfDialProbe: nProbe 8 → 720‰, 10 → 800‰, 12 → 880‰
+    // vs the filtered brute truth)
+    val qCells = SimilarityOps.labelFilteredIvfProbeCells(
+      idx, ivfCoded(spark, dir),
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+      QueryEveryNth, nProbe = 12)
+    val cells = qCells.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    SimilarityOps.labelFilteredIvfSq8Score(idx,
+      storedCodedLabeled(spark, ivfLabeledStoredPath(spark, dir), cells),
+      qCells, TopK, RerankOverfetch)
+      .orderBy("query_id", "rk")
+  }
+
+  // --- q187e: filtered-IVF recall row --------------------------------------
+  // q187c's dashboard shape at the IVF rung: permille of the filtered
+  // BRUTE top-k (q187, hash-verified) that q187d returns. Composes a
+  // KMeans rung → rows-only like q187d itself; the spec floor keeps the
+  // published number honest.
+  def q187eFilteredIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = q187FilteredTopK(spark, dir).select("query_id", "cand_id")
+    val possible = brute.agg(count(lit(1)).as("possible"))
+    q187dFilteredTopKIvf(spark, dir).select("query_id", "cand_id")
+      .join(brute, Seq("query_id", "cand_id"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("hits"))
+      .crossJoin(broadcast(possible)) // 1-row scalar
+      .select(lit("filtered_ivf").as("rung"), col("hits"), col("possible"),
+        expr("(1000 * hits) div possible").as("recall_permille"))
   }
 
   // --- q79f: incremental index maintenance (delta append, no rebuild) ----
@@ -1419,6 +1583,17 @@ object SimilarityQueries {
     // a cold measurement should charge them for
     ivfStoredCache.clear()
     pqStoredCache.clear()
+    ivfLabeledStoredCache.clear()
+    val il = ivfLabeledCodedCache.values.iterator()
+    while (il.hasNext) {
+      il.next().unpersist(blocking = false)
+      il.remove()
+    }
+    val sl = semLabelsCache.values.iterator()
+    while (sl.hasNext) {
+      sl.next().unpersist(blocking = false)
+      sl.remove()
+    }
     val im = ivfMergedCache.values.iterator()
     while (im.hasNext) {
       im.next().assigned.unpersist(blocking = false)
@@ -2066,6 +2241,9 @@ object SimilarityQueries {
     "q187_filtered_topk" -> (q187FilteredTopK _),
     "q187b_filtered_topk_lsh" -> (q187bFilteredTopKLsh _),
     "q187c_filtered_recall" -> (q187cFilteredRecall _),
+    "q187f_per_label_recall" -> (q187fPerLabelRecall _),
+    "q187d_filtered_topk_ivf" -> (q187dFilteredTopKIvf _),
+    "q187e_filtered_ivf_recall" -> (q187eFilteredIvfRecall _),
     "q184b_semantic_balanced_sample" -> (q184bSemanticBalancedSample _),
     "q29b_knn_lsh" -> (q29bKnnLsh _),
     "q29c_knn_agg" -> (q29cKnnAgg _),
@@ -2113,6 +2291,7 @@ object SimilarityQueries {
     "q187_filtered_topk" -> q187Sql,
     "q187b_filtered_topk_lsh" -> q187bSql,
     "q187c_filtered_recall" -> q187cSql,
+    "q187f_per_label_recall" -> q187fSql,
     "q184b_semantic_balanced_sample" -> q184bSql,
     "q29b_knn_lsh" -> q29bSql,
     "q29c_knn_agg" -> q29Sql, // identical contract to the window formulation

@@ -847,17 +847,71 @@ object StreamingOps {
     * with the batch scorer over the concatenated batches is unit-gated.
     * At-least-once delivery re-scores a replayed batch identically
     * (pure function of the batch), so any idempotent sink is safe.
+    *
+    * `threshold` deploys the CALIBRATED operating point (q186's 1-row
+    * `(threshold)` relation — [[graft.ops.TextAnalysisOps.nbBestThreshold]])
+    * instead of the raw `score >= 0` cut: each batch's `quality_label`
+    * is recomputed at the broadcast calibrated cut, so the streaming
+    * gate keeps exactly the set q188's batch report publishes — the two
+    * gates read the same threshold relation and can never disagree
+    * (parity unit-gated against the q188 keep set). `None` keeps the
+    * uncalibrated `score >= 0` label — [[graft.ops.TextAnalysisOps
+    * .qualityClassify]]'s default semantics.
     */
   def classifyStream(docs: DataFrame, weights: DataFrame, buckets: Long,
-                     checkpoint: String)
+                     checkpoint: String,
+                     threshold: Option[DataFrame] = None)
                     (collect: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // scoped, NOT releaseAll — the incrementalDedupStream rule
         graft.CacheScope.scoped {
-          collect(graft.ops.TextAnalysisOps.qualityClassify(
-            batch, weights, buckets = buckets))
+          val scored = graft.ops.TextAnalysisOps.qualityClassify(
+            batch, weights, buckets = buckets)
+          collect(threshold.fold(scored)(t =>
+            scored.crossJoin(broadcast(t.select(col("threshold")))) // 1 row
+              .withColumn("quality_label", col("score") >= col("threshold"))
+              .drop("threshold")))
+        }
+      }
+      .start()
+
+  /** SOURCE-CONDITIONAL deployment of the calibrated gate — the
+    * streaming arrow of q190: arriving docs carry a `source` column,
+    * each batch is scored once ([[graft.ops.TextAnalysisOps
+    * .qualityClassify]]) and labeled at its SOURCE's calibrated cut
+    * (`sourceThresholds`, q190's per-source sweep — a ≤|sources|-row
+    * broadcast), falling back to the pooled cut (`globalThreshold`,
+    * q186's 1-row relation) for a source the sweep had no train mass
+    * for — the production rule when a brand-new source appears
+    * mid-stream. Both threshold relations are read once and broadcast,
+    * so the stream and the q190 batch report apply literally the same
+    * operating points (parity unit-gated). Per-doc work only; the same
+    * foreachBatch-is-exact argument as [[classifyStream]].
+    */
+  def classifyStreamPerSource(docs: DataFrame, weights: DataFrame,
+                              buckets: Long, checkpoint: String,
+                              sourceThresholds: DataFrame,
+                              globalThreshold: DataFrame)
+                             (collect: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.CacheScope.scoped {
+          val scored = graft.ops.TextAnalysisOps.qualityClassify(
+            batch.select(col("doc_id"), col("text")), weights,
+            buckets = buckets)
+            .join(batch.select(col("doc_id"), col("source")), "doc_id")
+          collect(scored
+            .join(broadcast(sourceThresholds.select(col("source"),
+              col("threshold").as("src_threshold"))), Seq("source"), "left")
+            .crossJoin(broadcast(globalThreshold // 1 row
+              .select(col("threshold").as("global_threshold"))))
+            .withColumn("quality_label", col("score") >=
+              coalesce(col("src_threshold"), col("global_threshold")))
+            .select("doc_id", "source", "score", "n_features",
+              "quality_label"))
         }
       }
       .start()
@@ -1246,6 +1300,87 @@ object StreamingOps {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
+    spark.read.parquet(s"$base/sessions")
+      .where(col("user_id") =!= flushUserId)
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Checkpoint RESTART of the CUSTOM-STATE session stream (q191) —
+    * [[exactDedupViaStreamRestart]]'s two-start harness applied to the
+    * hardest recovery class: q189 certifies that the built-in dedup
+    * operator's state survives a stop/reopen, but a production backfill
+    * that dies mid-replay must also recover *user-authored* state — the
+    * per-key event buffers [[dynamicGapSessionStream]] keeps via
+    * flatMapGroupsWithState. The first start replays `stopAfterFiles`
+    * staged chunk files and stops with OPEN sessions parked in the state
+    * store; a NEW query resumes from the same checkpoint, replays the
+    * held-back files (including the far-future flush event) and closes
+    * them. Closed sessions are a pure function of each user's
+    * time-ordered events — independent of where the replay was cut — so
+    * q117's batch lag/cumsum SQL verifies the two-start execution
+    * hash-exactly, sequence numbers included: a session lost from the
+    * recovered state, double-emitted by the sink, or split at the stop
+    * boundary breaks the hash. Query identity across the two starts is
+    * asserted in-body (same query id, distinct run ids) so the row can
+    * never silently degrade to a single start.
+    */
+  def dynamicSessionsViaStreamRestart(spark: SparkSession, dir: String,
+                                      chunks: Int, stopAfterFiles: Int,
+                                      gapMicrosOf: Long => Long,
+                                      scratchName: String): DataFrame = {
+    // same missing-checksum-sidecar WARN hygiene as the q189 resume
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.checkpointing." +
+        "ChecksumCheckpointFileManager",
+      org.apache.logging.log4j.Level.ERROR)
+    val (base, inputDir) = stageEventChunksOrdered(spark, dir, chunks,
+      scratchName)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(inputDir))
+      .map(_.getPath).filter(_.getName.startsWith("chunk-")).sortBy(_.getName)
+    require(stopAfterFiles > 0 && stopAfterFiles < staged.length,
+      s"restart split must leave files on both sides of the stop " +
+        s"(got $stopAfterFiles of ${staged.length})")
+    val pendingDir = new org.apache.hadoop.fs.Path(s"$base/pending")
+    mustFs(fs.mkdirs(pendingDir), s"mkdirs $pendingDir")
+    staged.drop(stopAfterFiles).foreach { p =>
+      mustFs(fs.rename(p,
+        new org.apache.hadoop.fs.Path(pendingDir, p.getName)),
+        s"hold back ${p.getName}")
+    }
+    val schema = spark.read.parquet(inputDir).schema
+    import spark.implicits._
+    def runOnce(): (java.util.UUID, java.util.UUID) = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inputDir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[UserEvent]
+      withStatePartitions(spark, 8) {
+        val q = dynamicGapSessionStream(src, gapMicrosOf).toDF
+          .writeStream
+          .option("checkpointLocation", s"$base/checkpoint")
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$base/sessions")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        (q.id, q.runId)
+      }
+    }
+    val (id1, run1) = runOnce()
+    fs.listStatus(pendingDir).map(_.getPath).foreach { p =>
+      mustFs(fs.rename(p,
+        new org.apache.hadoop.fs.Path(inputDir, p.getName)),
+        s"release ${p.getName}")
+    }
+    val (id2, run2) = runOnce()
+    require(id1 == id2,
+      s"restart must resume the SAME query identity from the checkpoint " +
+        s"(got $id1 then $id2)")
+    require(run1 != run2,
+      "the execution must span two distinct stream starts " +
+        s"(runId repeated: $run1)")
     spark.read.parquet(s"$base/sessions")
       .where(col("user_id") =!= flushUserId)
       .orderBy("user_id", "session_seq")

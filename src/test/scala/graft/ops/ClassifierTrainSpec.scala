@@ -269,6 +269,47 @@ class ClassifierTrainSpec extends SparkSpec {
     assert(r.getLong(2) == 1000L)
   }
 
+  test("per-source calibration: a skewed-prior source provably gets a " +
+      "different cut than the pooled sweep, and the deployed delta shows it") {
+    import sqlImplicits._
+    // Source A is separable: good docs carry 'hi', bad docs 'lo' (the
+    // bad ids are all odd, so 'lo' never reaches the train carve and
+    // scores 0 held-out — below the positive 'hi' weight either way).
+    // Source B is ALL bad but scores exactly like A's good ('hi'): the
+    // pooled cut must keep the hi level (A's train good outnumber B's
+    // train bad), so it keeps every B doc; B's own sweep picks the
+    // all-bad max+1 cut and keeps nothing.
+    val rows = (0L until 32L).map { id =>
+      val src = if (id < 24) "A" else "B"
+      val bad = (src == "B") || (id % 4 == 3)
+      val tok = if (src == "A" && bad) "lo" else "hi"
+      (id, Seq(tok), !bad, id % 2 == 0, src)
+    }
+    val labeled = rows.map(r => (r._1, r._2, r._3, r._4))
+      .toDF("doc_id", "toks", "good", "is_train")
+    val sources = rows.map(r => (r._1, r._5)).toDF("doc_id", "source")
+    val scores = TextAnalysisOps.nbCarveScores(labeled)
+    val pooled = TextAnalysisOps.nbBestThreshold(scores)
+      .head().getLong(0)
+    val rep = TextAnalysisOps.nbPerSourceCalibration(labeled, sources)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rep.keySet == Set("A", "B"))
+    val a = rep("A"); val b = rep("B")
+    // A's operating point IS the pooled one; B's provably is not
+    assert(a.getLong(1) == pooled && a.getLong(2) == pooled)
+    assert(b.getLong(1) > pooled,
+      s"skewed source B kept the pooled cut ${b.getLong(1)} vs $pooled")
+    // deployed effect: the pooled cut keeps all 4 held-out B docs (all
+    // bad), B's own cut keeps none — the delta the report exists to show
+    assert(b.getLong(5) == 4L && b.getLong(4) == 0L)
+    assert(b.getLong(8) == -1000L,
+      s"B delta_keep_permille ${b.getLong(8)}")
+    // and B's own cut is the ACCURATE one held-out
+    assert(b.getLong(9) == 1000L && b.getLong(10) == 0L)
+    // A is untouched by per-source calibration (same cut, zero delta)
+    assert(a.getLong(8) == 0L && a.getLong(9) == a.getLong(10))
+  }
+
   test("q183 learning proof: held-out accuracy on the synthesized separable " +
       "corpus meets the committed >= 900 permille floor") {
     val r = graft.queries.AnalysisQueries

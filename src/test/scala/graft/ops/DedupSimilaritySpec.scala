@@ -642,6 +642,110 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.queries.SimilarityQueries.evictAll()
   }
 
+  test("filtered IVF, float tier, all cells probed: bit-identical to the " +
+      "hash-verified filtered brute truth (the q29d identity, filtered)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = SimilarityOps.buildIvfIndex(emb, nCells = 16)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val assignedLabeled = index.assigned.join(labels, "vec_id")
+      .select(col("vec_id"), col("emb"), col("label"), col("cell"))
+    val qCells = SimilarityOps.ivfProbeCells(index, everyNth = 50,
+        nProbe = 16) // every cell: candidate set = the label's sub-corpus
+      .join(labels.toDF("query_id", "label"), "query_id")
+      .select("query_id", "q_emb", "label", "cell")
+    val viaIvf = SimilarityOps.labelFilteredIvfScore(assignedLabeled,
+        qCells, k = 5)
+      .orderBy("query_id", "rk").collect().toSeq
+    val brute = SimilarityOps.labelFilteredTopK(emb, everyNth = 50, k = 5)
+      .orderBy("query_id", "rk").collect().toSeq
+    assert(viaIvf.nonEmpty && viaIvf == brute)
+  }
+
+  test("stored label-keyed coded index: the probe prunes to the probed " +
+      "cells' partitions and the label joins the ADC key below the score") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = SimilarityOps.buildIvfIndex(emb, nCells = 16)
+    val coded = SimilarityOps.ivfSq8Coded(index, emb)
+    val codedLabeled = SimilarityOps.ivfSq8CodedLabeled(index, emb)
+    val path = graft.Scratch.dir("test_ivf_labeled_stored")
+    codedLabeled.write.mode("overwrite").partitionBy("cell").parquet(path)
+    val labels = emb.select(col("vec_id"), col("label"))
+    // single-query serving shape, nProbe = 4 of 16
+    val qCells = SimilarityOps.labelFilteredIvfProbeCells(index, coded,
+      labels, everyNth = 1 << 20, nProbe = 4)
+    val cells = qCells.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(cells.size == 4, s"expected 4 probed cells, got $cells")
+    val stored = spark.read.parquet(path)
+      .where(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("label"), col("codes"))
+    val disk = SimilarityOps.labelFilteredIvfSq8Score(index, stored, qCells,
+      k = 5, overfetch = 4).orderBy("query_id", "rk").collect().toSeq
+    val mem = SimilarityOps.labelFilteredIvfSq8Score(index, codedLabeled,
+      qCells, k = 5, overfetch = 4).orderBy("query_id", "rk").collect().toSeq
+    assert(disk.nonEmpty && disk == mem,
+      "stored-pruned filtered path diverged from in-memory path")
+    // (a) partition pruning: the cell filter skips directories at the scan
+    val scan = stored.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      scan.partitionFilters.toString)
+    val scanned = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil).size
+    assert(scanned == 4, s"scan read $scanned of 16 cell partitions")
+    // (b) the label sits in the stage-1 join KEY (below the IntDot score):
+    // out-of-label candidates are dropped by the hash join, never dotted.
+    // AQE wraps the executed plan — walk through adaptive/stage nodes
+    // (the PlanShapeSpec pattern) after forcing execution so the final
+    // plan is materialized.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val planned = SimilarityOps.labelFilteredIvfSq8Score(index, stored,
+      qCells, k = 5, overfetch = 4)
+    planned.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    val keyedJoin = walk(planned.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.leftKeys.flatMap(_.references).map(_.name).contains("label") ||
+            j.rightKeys.flatMap(_.references).map(_.name).contains("label") => j
+    }
+    assert(keyedJoin.nonEmpty,
+      "no broadcast-hash join carries the label in its key — the filter " +
+        "is not below the score")
+    // and every returned candidate shares its query's label
+    val lab = labels.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    disk.foreach { r =>
+      assert(lab(r.getLong(1)) == lab(r.getLong(0)),
+        s"candidate ${r.getLong(1)} broke query ${r.getLong(0)}'s label filter")
+    }
+  }
+
+  test("q187e: filtered-IVF recall vs the filtered brute truth clears the " +
+      "floor, and q187d re-runs deterministically") {
+    val dir = "/root/testdata/sf0.001"
+    val row = graft.queries.SimilarityQueries
+      .q187eFilteredIvfRecall(spark, dir).collect().head
+    val recall = row.getLong(3)
+    // measured 880 at sf0.001 at q187d's nProbe 12 dial
+    // (FilteredIvfDialProbe: 8 → 720‰, 10 → 800‰, 12 → 880‰)
+    assert(recall >= 800, s"filtered-IVF recall $recall < 800 permille")
+    val a = graft.queries.SimilarityQueries.q187dFilteredTopKIvf(spark, dir)
+      .collect().toSeq
+    val b = graft.queries.SimilarityQueries.q187dFilteredTopKIvf(spark, dir)
+      .collect().toSeq
+    assert(a.nonEmpty && a == b)
+    graft.queries.SimilarityQueries.evictAll()
+  }
+
   test("cosine near-dup pairs are symmetric-free and thresholded") {
     val emb = Seq(
       (0L, Array.fill(8)(0.5f), 0),

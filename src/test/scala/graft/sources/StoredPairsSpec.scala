@@ -36,6 +36,19 @@ class StoredPairsSpec extends SparkSpec {
     graft.CacheScope.releaseAll()
   }
 
+  test("stored semantic_labels matches a from-scratch band->cosine->LP " +
+      "re-derivation") {
+    val stored = graft.queries.SimilarityQueries.semanticLabels(spark, dir)
+    val fresh = graft.queries.SimilarityQueries
+      .freshSemanticLabels(spark, dir)
+    assert(stored.columns.toSeq == fresh.columns.toSeq)
+    assert(asSet(stored) == asSet(fresh),
+      "stored semantic_labels diverges from a fresh build — semantics " +
+        "changed without a SemLabelsStoreVersion bump, or the store is corrupt")
+    graft.queries.SimilarityQueries.evictAll()
+    graft.CacheScope.releaseAll()
+  }
+
   test("stored curation_pairs matches a from-scratch rebuild") {
     val stored = graft.queries.CurationQueries.pairsDf(spark, dir)
     val fresh = graft.CurationPipeline.nearDupPairs(

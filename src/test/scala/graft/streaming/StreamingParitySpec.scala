@@ -412,6 +412,19 @@ class StreamingParitySpec extends SparkSpec {
     assert(viaStream == batch)
   }
 
+  test("q191 checkpoint restart of the custom-state session stream: the " +
+      "two-start execution is row-identical to the batch q117 relation") {
+    // open sessions are parked in the state store at the mid-replay stop
+    // and must close correctly after the new query recovers them; the
+    // in-body asserts already pin same-query-id / distinct-run-ids
+    val viaRestart = graft.queries.EventQueries
+      .q191StreamRestartSessions(spark, dir).collect().toSeq
+    val batch = graft.queries.EventQueries
+      .q117DynamicSessions(spark, dir).collect().toSeq
+    assert(viaRestart.nonEmpty, "restarted session stream came back empty")
+    assert(viaRestart == batch)
+  }
+
   test("q185 streaming click attribution: the registered stream-stream " +
       "interval join is row-identical to the batch q77 relation") {
     val viaStream = graft.queries.EventQueries
@@ -470,6 +483,148 @@ class StreamingParitySpec extends SparkSpec {
         .collect().map(r =>
           (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
       assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
+    } finally graft.CacheScope.releaseAll()
+  }
+
+  test("classifyStream under the CALIBRATED threshold keeps exactly the " +
+      "q188 batch gate's kept set (stream and batch gates cannot disagree)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.TextAnalysisOps
+    val docsDf = graft.Tables.documents(spark, dir)
+    // q186/q188's exact training setup: language supervision under the
+    // content-hash carve, NB trained on the train half only
+    val carve = docsDf.select(col("doc_id"),
+      (graft.ops.HashOps.charHash(col("text")) % 2 === 0).as("is_train"))
+    val labeledCarved = TextAnalysisOps.langLabeled(docsDf, "en")
+      .join(carve, "doc_id")
+    val s = graft.CacheScope.persist(
+      TextAnalysisOps.nbCarveScores(labeledCarved))
+    val best = graft.CacheScope.persist(
+      TextAnalysisOps.nbBestThreshold(s).select(col("threshold")))
+    val weights = graft.CacheScope.persist(
+      TextAnalysisOps.nbTrainedWeights(labeledCarved.where(col("is_train")))
+        .select(col("bucket"), col("weight")))
+    try {
+      val tVal = best.collect().head.getLong(0)
+      assert(tVal != 0L,
+        "fixture calibrated cut degenerated to the raw 0 cut — the parity " +
+          "case would no longer exercise the calibrated path")
+      // batch truth: q188's keep set — every doc whose carve score clears
+      // the calibrated cut
+      val batchKept = s.where(col("score") >= tVal)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val docs = docsDf.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val mem = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-calstream").toString
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+      val q = StreamingOps.classifyStream(
+        mem.toDF.toDF("doc_id", "text"), weights,
+        TextAnalysisOps.TrainedBuckets, ckpt, threshold = Some(best)) {
+        scored => got ++= scored.collect().map(r =>
+          (r.getLong(0), r.getBoolean(3)))
+      }
+      try {
+        docs.grouped(200).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamKept = got.filter(_._2).map(_._1).toSet
+      assert(got.size == docs.length, "stream scored a different doc count")
+      assert(streamKept == batchKept,
+        s"calibrated stream gate diverged from the batch gate: " +
+          s"stream-only=${(streamKept -- batchKept).take(5)} " +
+          s"batch-only=${(batchKept -- streamKept).take(5)}")
+      // and it genuinely differs from the raw score >= 0 gate on this
+      // fixture — the calibration is observable, not a no-op
+      val keptAtZero = s.where(col("score") >= 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamKept != keptAtZero,
+        "calibrated and raw gates coincide on the fixture — parity check vacuous")
+    } finally graft.CacheScope.releaseAll()
+  }
+
+  test("classifyStreamPerSource applies each source's own calibrated cut " +
+      "(q190 parity) and falls back to the pooled cut for unseen sources") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.TextAnalysisOps
+    val docsDf = graft.Tables.documents(spark, dir)
+    val carve = docsDf.select(col("doc_id"),
+      (graft.ops.HashOps.charHash(col("text")) % 2 === 0).as("is_train"))
+    val labeledCarved = TextAnalysisOps.langLabeled(docsDf, "en")
+      .join(carve, "doc_id")
+    val s = graft.CacheScope.persist(
+      TextAnalysisOps.nbCarveScores(labeledCarved)
+        .join(docsDf.select("doc_id", "source"), "doc_id"))
+    val bestSrc = graft.CacheScope.persist(
+      TextAnalysisOps.nbBestThresholdPerSource(s)
+        .select(col("source"), col("threshold")))
+    val bestGlobal = graft.CacheScope.persist(
+      TextAnalysisOps.nbBestThreshold(s).select(col("threshold")))
+    val weights = graft.CacheScope.persist(
+      TextAnalysisOps.nbTrainedWeights(labeledCarved.where(col("is_train")))
+        .select(col("bucket"), col("weight")))
+    try {
+      val srcCuts = bestSrc.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val g = bestGlobal.collect().head.getLong(0)
+      // batch truth: q190's operating points applied per doc, pooled
+      // fallback for a source without a sweep row
+      val batchKept = s.collect().map { r =>
+        val (id, score, src) = (r.getLong(0), r.getLong(3), r.getString(4))
+        id -> (score >= srcCuts.getOrElse(src, g))
+      }.filter(_._2).map(_._1).toSet
+      // stream the corpus with ONE source renamed to an unseen id, so the
+      // fallback path provably executes (its docs screen at the pooled g)
+      val someSrc = docsDf.select("source").head().getString(0)
+      val docs = docsDf.select("doc_id", "text", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val mem = MemoryStream[(Long, String, String)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-srcstream").toString
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+      val q = StreamingOps.classifyStreamPerSource(
+        mem.toDF.toDF("doc_id", "text", "source"), weights,
+        TextAnalysisOps.TrainedBuckets, ckpt, bestSrc, bestGlobal) {
+        scored => got ++= scored.collect().map(r =>
+          (r.getLong(0), r.getBoolean(4)))
+      }
+      try {
+        docs.grouped(200).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      assert(got.size == docs.length)
+      assert(got.filter(_._2).map(_._1).toSet == batchKept,
+        "per-source stream gate diverged from the q190 batch operating points")
+      // fallback leg: rerun with the renamed source — those docs must
+      // screen at the POOLED cut, everything else unchanged
+      val mem2 = MemoryStream[(Long, String, String)]
+      val ckpt2 = java.nio.file.Files
+        .createTempDirectory("graft-srcstream2").toString
+      val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+      val q2 = StreamingOps.classifyStreamPerSource(
+        mem2.toDF.toDF("doc_id", "text", "source"), weights,
+        TextAnalysisOps.TrainedBuckets, ckpt2, bestSrc, bestGlobal) {
+        scored => got2 ++= scored.collect().map(r =>
+          (r.getLong(0), r.getBoolean(4)))
+      }
+      try {
+        mem2.addData(docs.map { case (id, t, src) =>
+          (id, t, if (src == someSrc) "unseen_source" else src)
+        }.toIndexedSeq)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val expect2 = s.collect().map { r =>
+        val (id, score, src0) = (r.getLong(0), r.getLong(3), r.getString(4))
+        val cut = if (src0 == someSrc) g else srcCuts.getOrElse(src0, g)
+        id -> (score >= cut)
+      }.filter(_._2).map(_._1).toSet
+      assert(got2.filter(_._2).map(_._1).toSet == expect2,
+        "unseen source did not fall back to the pooled cut")
     } finally graft.CacheScope.releaseAll()
   }
 
