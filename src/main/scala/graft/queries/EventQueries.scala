@@ -582,6 +582,25 @@ object EventQueries {
         col("delay_sec"))
       .orderBy("click_id", "view_id")
 
+  // --- q192: checkpoint RESTART of the stream-stream interval join ---------
+  // Completes the restart matrix: q189 recovers the built-in dedup
+  // operator's state, q191 custom flatMapGroupsWithState state, and this
+  // the dual-side JOIN BUFFERS (unmatched views/clicks, one watermark
+  // per side). The replay stops after 2 of 5 files with both buffers
+  // non-empty; a new query resumes from the checkpoint, so every
+  // CROSS-CUT match — a view before the stop whose click arrives after —
+  // exists only if the recovered buffers are complete. q77's batch SQL
+  // verifies the two-start execution hash-exactly.
+  def q192StreamRestartAttribution(spark: SparkSession,
+                                   dir: String): DataFrame =
+    graft.streaming.StreamingOps.clickAttributionViaStreamRestart(spark, dir,
+      chunks = 4, stopAfterFiles = 2,
+      windowSeconds = AttributionWindowSeconds,
+      scratchName = "q192_restart_attr")
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        col("delay_sec"))
+      .orderBy("click_id", "view_id")
+
   val q117Sql: String =
     s"""WITH e AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -1028,6 +1047,7 @@ object EventQueries {
     "q181_stream_dynamic_sessions" -> (q181StreamDynamicSessions _),
     "q191_stream_restart_sessions" -> (q191StreamRestartSessions _),
     "q185_stream_click_attribution" -> (q185StreamClickAttribution _),
+    "q192_stream_restart_attribution" -> (q192StreamRestartAttribution _),
     "q129_zorder_layout" -> (q129ZorderLayout _),
     "q32_tumbling" -> (q32Tumbling _),
     "q33_sliding" -> (q33Sliding _),
@@ -1049,6 +1069,7 @@ object EventQueries {
     "q181_stream_dynamic_sessions" -> q117Sql,
     "q191_stream_restart_sessions" -> q117Sql,
     "q185_stream_click_attribution" -> q77Sql,
+    "q192_stream_restart_attribution" -> q77Sql,
     "q129_zorder_layout" -> q129Sql,
     "q54_asof_enrich" -> q54Sql,
     "q77_click_attribution" -> q77Sql,

@@ -1226,9 +1226,18 @@ object StreamingOps {
     */
   val flushUserId: Long = Long.MinValue
 
+  /** `cutsUs`, when set, replaces the equal-width value-range rule with
+    * EXPLICIT chunk boundaries (sorted microsecond instants): chunk k
+    * holds the events in [cut(k-1), cut(k)). q192 uses this to place one
+    * boundary INSIDE a known view→click match window, so its restart cut
+    * provably leaves a row in the join buffer — equal-width boundaries
+    * never split a match on the fixtures (30-day span, ≤600 s windows).
+    */
   private def stageEventChunksOrdered(spark: SparkSession, dir: String,
                                       chunks: Int,
-                                      scratchName: String): (String, String) = {
+                                      scratchName: String,
+                                      cutsUs: Option[Seq[Long]] = None)
+      : (String, String) = {
     require(chunks > 0, "stageEventChunksOrdered needs at least one chunk")
     val ev = graft.Tables.events(spark, dir)
     val (minUs, maxUs) = ev
@@ -1251,16 +1260,25 @@ object StreamingOps {
       s"events fixture carries $sentinelRows row(s) with the flush " +
         s"sentinel user_id=$flushUserId; ordered staging cannot " +
         "distinguish them from the flush event")
-    // value-range chunks 0..chunks-1, plus the flush row as its own final
-    // chunk — one unioned partitioned write through the shared scaffold
-    val chunked = ev.withColumn("chunk",
-      ((unix_micros(col("ts")) - minUs) / widthUs).cast("int"))
+    // value-range chunks 0..nChunks-1 (equal-width, or the caller's
+    // explicit cuts), plus the flush row as its own final chunk — one
+    // unioned partitioned write through the shared scaffold
+    val nChunks = cutsUs.map(_.size + 1).getOrElse(chunks)
+    val chunkExpr = cutsUs match {
+      case None =>
+        ((unix_micros(col("ts")) - minUs) / widthUs).cast("int")
+      case Some(cuts) =>
+        cuts.sorted.foldLeft(lit(0)) { (acc, cut) =>
+          acc + when(unix_micros(col("ts")) >= cut, 1).otherwise(0)
+        }.cast("int")
+    }
+    val chunked = ev.withColumn("chunk", chunkExpr)
       .unionByName(ev.limit(1).select(
         lit(-1L).as("event_id"), lit(flushTs).as("ts"),
         lit(flushUserId).as("user_id"), lit("flush").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"),
-        lit(chunks).cast("int").as("chunk")))
-    stageChunkedInput(spark, chunked, chunks + 1, scratchName,
+        lit(nChunks).cast("int").as("chunk")))
+    stageChunkedInput(spark, chunked, nChunks + 1, scratchName,
       mtimeOf = Some((k, j) => 1000000000L + k * 60000L + j))
   }
 
@@ -1449,6 +1467,132 @@ object StreamingOps {
     }
     spark.read.parquet(s"$base/matches")
       .orderBy("click_id", "view_id")
+  }
+
+  /** Checkpoint RESTART of the stream-stream interval join (q192) —
+    * completing the restart matrix the two-start harness certifies: q189
+    * recovers the BUILT-IN dedup operator's state, q191 recovers CUSTOM
+    * flatMapGroupsWithState state, and this recovers the third state
+    * kind — the dual-side JOIN BUFFERS a stream-stream join parks
+    * (unmatched views awaiting clicks, clicks awaiting views, one
+    * watermark per side). The replay stops after `stopAfterFiles` with
+    * both buffers non-empty; a NEW query resumes from the checkpoint and
+    * replays the rest, so every CROSS-CUT match — a view ingested before
+    * the stop whose click arrives after it — exists in the output ONLY
+    * if the recovered buffers are complete. An inner interval join's
+    * match set is replay-independent, so q77's batch SQL verifies the
+    * two-start execution hash-exactly; a buffer row lost at recovery
+    * drops its matches and breaks the hash, a replayed sink batch
+    * double-emits and breaks it the other way. Query identity across
+    * starts is asserted in-body (same id, distinct run ids).
+    */
+  def clickAttributionViaStreamRestart(spark: SparkSession, dir: String,
+                                       chunks: Int, stopAfterFiles: Int,
+                                       windowSeconds: Long,
+                                       scratchName: String): DataFrame = {
+    // same missing-checksum-sidecar WARN hygiene as the q189/q191 resume
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.checkpointing." +
+        "ChecksumCheckpointFileManager",
+      org.apache.logging.log4j.Level.ERROR)
+    // Place the restart cut INSIDE a real match window: the fixtures'
+    // matches are rare and tight (≤ windowSeconds inside a 30-day span),
+    // so an equal-width boundary never splits one and the restart would
+    // recover buffers whose completeness the output cannot witness. A
+    // bounded harness probe (1 collected row — the earliest matched
+    // pair) picks cut = midpoint(view, click); the view then sits in the
+    // pre-stop tranche, its click after, and the match appears in the
+    // output ONLY if the recovered buffer still holds the view — require
+    // (d) below turns that into a hard in-body fact. Falls back to the
+    // equal-width rule if the fixture has no match at all (the oracle
+    // output is empty there; nothing to witness).
+    val evAll = graft.Tables.events(spark, dir)
+    val vSide = evAll.where(col("event_type") === "view")
+      .select(unix_micros(col("ts")).as("v_us"), col("user_id"))
+    val cSide = evAll.where(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("c_us"), col("user_id"))
+    val firstPair = vSide.join(cSide, "user_id")
+      .where(col("c_us") > col("v_us") &&
+        col("c_us") <= col("v_us") + windowSeconds * 1000000L)
+      .select(col("v_us"), col("c_us"))
+      .orderBy("c_us", "v_us").limit(1).collect().headOption
+    val cutUs = firstPair.map { r =>
+      r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2L
+    }
+    val (base, inputDir) = stageEventChunksOrdered(spark, dir, chunks,
+      scratchName, cutsUs = cutUs.map(Seq(_)))
+    // with an explicit cut the staged layout is [before-cut, after-cut,
+    // flush]: stop after the first file so the view's buffer row spans
+    // the restart; otherwise keep the caller's equal-width split
+    val stopAfter = if (cutUs.isDefined) 1 else stopAfterFiles
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(inputDir))
+      .map(_.getPath).filter(_.getName.startsWith("chunk-")).sortBy(_.getName)
+    require(stopAfter > 0 && stopAfter < staged.length,
+      s"restart split must leave files on both sides of the stop " +
+        s"(got $stopAfter of ${staged.length})")
+    val pendingDir = new org.apache.hadoop.fs.Path(s"$base/pending")
+    mustFs(fs.mkdirs(pendingDir), s"mkdirs $pendingDir")
+    staged.drop(stopAfter).foreach { p =>
+      mustFs(fs.rename(p,
+        new org.apache.hadoop.fs.Path(pendingDir, p.getName)),
+        s"hold back ${p.getName}")
+    }
+    val schema = spark.read.parquet(inputDir).schema
+    def runOnce(): (java.util.UUID, java.util.UUID) = {
+      def src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inputDir)
+      val views = src.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts"), col("user_id"))
+      val clicks = src.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts"), col("user_id"))
+      val joined = intervalJoin(views, clicks, "user_id",
+        maxDelay = s"$windowSeconds seconds")
+        .select(col("click_id_r").as("click_id"), col("view_id"),
+          col("user_id"),
+          expr("(unix_micros(ts_r) - unix_micros(ts)) div 1000000L")
+            .as("delay_sec"))
+      withStatePartitions(spark, 8) {
+        val q = joined.writeStream
+          .option("checkpointLocation", s"$base/checkpoint")
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$base/matches")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        (q.id, q.runId)
+      }
+    }
+    val (id1, run1) = runOnce()
+    fs.listStatus(pendingDir).map(_.getPath).foreach { p =>
+      mustFs(fs.rename(p,
+        new org.apache.hadoop.fs.Path(inputDir, p.getName)),
+        s"release ${p.getName}")
+    }
+    val (id2, run2) = runOnce()
+    require(id1 == id2,
+      s"restart must resume the SAME query identity from the checkpoint " +
+        s"(got $id1 then $id2)")
+    require(run1 != run2,
+      "the execution must span two distinct stream starts " +
+        s"(runId repeated: $run1)")
+    val out = spark.read.parquet(s"$base/matches")
+    // (d) the buffer-recovery witness: the output must contain a match
+    // whose view arrived before the cut and whose click after it — the
+    // pair the cut was placed inside guarantees one exists iff the
+    // recovered buffer is complete
+    cutUs.foreach { cut =>
+      val evUs = evAll.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      val crossCut = out.select(col("click_id"), col("view_id"))
+        .join(evUs.toDF("view_id", "v_us"), "view_id")
+        .join(evUs.toDF("click_id", "c_us"), "click_id")
+        .where(col("v_us") < cut && col("c_us") >= cut).count()
+      require(crossCut > 0,
+        "no match spans the restart cut — the recovered join buffer " +
+          "dropped the pre-stop view (or the cut missed the match window)")
+    }
+    out.orderBy("click_id", "view_id")
   }
 
   /** Convenience: the events fixture schema as a file stream — the same

@@ -425,6 +425,21 @@ class StreamingParitySpec extends SparkSpec {
     assert(viaRestart == batch)
   }
 
+  test("q192 checkpoint restart of the stream-stream join: the two-start " +
+      "execution is row-identical to batch q77 and contains a cross-cut match") {
+    val viaRestart = graft.queries.EventQueries
+      .q192StreamRestartAttribution(spark, dir).collect().toSeq
+    val batch = graft.queries.EventQueries
+      .q77ClickAttribution(spark, dir).collect().toSeq
+    assert(viaRestart.nonEmpty, "restarted attribution stream came back empty")
+    assert(viaRestart == batch)
+    // the cross-cut buffer-recovery witness (a match whose view arrived
+    // before the stop and whose click after it) is a hard in-body
+    // `require` of the harness — it places the cut inside a real match
+    // window precisely so that witness must exist; reaching this line
+    // means it held
+  }
+
   test("q185 streaming click attribution: the registered stream-stream " +
       "interval join is row-identical to the batch q77 relation") {
     val viaStream = graft.queries.EventQueries
