@@ -187,13 +187,21 @@ object CurationQueries {
       (Seq(col("doc_id"), col("text"), col("toks")) ++
         TextAnalysisOps.qualityColumns(col("text"), col("toks"))): _*)
       .withColumn("q_pass", TextAnalysisOps.qualityPass)
-    val exactCid = flagged.where(col("q_pass"))
-      .withColumn("ck", graft.ops.HashOps.contentKey(col("text")))
+    // r15 opt (guide §2.3): `flagged` used to be referenced twice — the
+    // exact-dedup window AND the final attribution both re-ran the
+    // redact + tokenize + quality-regex pass (Catalyst shares no
+    // subtrees across references). ONE persisted NARROW projection
+    // (doc_id, q_pass, content key — three scalar columns, never the
+    // text payload) now feeds both; same rows, one regex pass.
+    val screened = graft.CacheScope.persist(
+      flagged.select(col("doc_id"), col("q_pass"),
+        graft.ops.HashOps.contentKey(col("text")).as("ck")))
+    val exactCid = screened.where(col("q_pass"))
       .withColumn("cid", min(col("doc_id")).over(Window.partitionBy("ck")))
       .select(col("doc_id"), col("cid"))
     val ndDrops = pairsDf(spark, dir).select(col("id_b").as("doc_id"))
       .distinct().withColumn("nd", lit(true))
-    flagged.select(col("doc_id"), col("q_pass"))
+    screened.select(col("doc_id"), col("q_pass"))
       .join(exactCid, Seq("doc_id"), "left")
       .join(ndDrops, Seq("doc_id"), "left")
       .select(col("doc_id"),

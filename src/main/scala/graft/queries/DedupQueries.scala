@@ -1500,10 +1500,15 @@ object DedupQueries {
     * the delta sides, and the spec's from-scratch compare.
     */
   private[graft] def vocabPresences(df: DataFrame): DataFrame =
+    // r15 opt: `source` rides the shingle rows as a carry column instead
+    // of being joined back on doc_id afterwards — the join was a second
+    // scan of `df` plus an exchange of the full shingle relation on
+    // doc_id (guide §2.4, remove shuffles outright). Identical rows:
+    // doc_id is unique in every caller's `df`, so the join was 1:1.
     DedupOps.shingles(
-      df.select(col("doc_id"), TextOps.tokenize(col("text")).as("toks")),
-      ShingleN)
-      .join(df.select(col("doc_id"), col("source")), "doc_id")
+      df.select(col("doc_id"), col("source"),
+        TextOps.tokenize(col("text")).as("toks")),
+      ShingleN, carryCols = Seq("source"))
       .groupBy("source", "shingle").agg(count(lit(1)).as("cnt"))
 
   /** Snapshot A's stored presence state (the q159b stored-artifact
@@ -1523,18 +1528,37 @@ object DedupQueries {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
     def presences(df: DataFrame): DataFrame = vocabPresences(df)
+    // r15 opt (guide §2.4): the delta classification used to be four
+    // independent join plans (two anti-joins, a changed-ids inner join,
+    // two semi-joins back) — Catalyst shares no subtrees across
+    // DataFrame references, so each re-scanned and re-filtered the
+    // documents table. ONE full-outer join on doc_id classifies every
+    // delta doc, persisted so the minus and plus sides read it instead
+    // of re-deriving it. Row-identical by case analysis: `removed` =
+    // a-side rows with no b row OR a changed text (the old anti ∪ semi),
+    // `added` symmetric; `changed` uses the same null-rejecting =!= as
+    // the old changedIds filter, so null-text rows classify identically.
     val a = docs.where(Snapshots.inA)
+      .select(col("doc_id"), col("source").as("src_a"),
+        col("text").as("ta"), lit(true).as("in_a"))
     val b = docs.where(Snapshots.inB)
-      .select(col("doc_id"), col("source"), Snapshots.textB.as("text"))
-    val changedIds = a.select(col("doc_id"), col("text").as("ta"))
-      .join(b.select(col("doc_id"), col("text").as("tb")), "doc_id")
-      .where(col("ta") =!= col("tb")).select("doc_id")
+      .select(col("doc_id"), col("source").as("src_b"),
+        Snapshots.textB.as("tb"), lit(true).as("in_b"))
+    val j = a.join(b, Seq("doc_id"), "full_outer")
+    val changed = col("in_a") && col("in_b") && (col("ta") =!= col("tb"))
+    val delta = graft.CacheScope.persist(
+      j.where(col("in_a").isNull || col("in_b").isNull || changed)
+        .select(col("doc_id"), col("src_a"), col("src_b"),
+          col("ta"), col("tb"), col("in_a"), col("in_b"),
+          changed.as("chg")))
     val minus = presences(
-      a.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
-        .unionByName(a.join(changedIds, "doc_id")))
+      delta.where(col("in_a") && (col("in_b").isNull || col("chg")))
+        .select(col("doc_id"), col("src_a").as("source"),
+          col("ta").as("text")))
     val plus = presences(
-      b.join(a.select("doc_id"), Seq("doc_id"), "left_anti")
-        .unionByName(b.join(changedIds, "doc_id")))
+      delta.where(col("in_b") && (col("in_a").isNull || col("chg")))
+        .select(col("doc_id"), col("src_b").as("source"),
+          col("tb").as("text")))
     val state = vocabPresenceBase(spark, dir)
       .select(col("source"), col("shingle"), col("cnt"), lit(0L).as("d"))
       .unionByName(minus.select(col("source"), col("shingle"),

@@ -920,23 +920,38 @@ object EventQueries {
     */
   private[graft] def overlapCounts(iv0: DataFrame): DataFrame = {
     val iv = graft.CacheScope.persist(iv0)
-    def probeCount(data: DataFrame, probes: DataFrame, name: String) =
-      CurationQueries.runningOffsets(data.unionByName(probes), OverlapShards)
-        .where(col("n_tokens") === 0L)
-        .select(col("source").as("event_type"), col("doc_id").as("user_id"),
-          col("start_offset").as(name))
-    def rel(tCol: String, shift: Int, isData: Boolean) =
-      iv.select(col("event_type").as("source"),
+    // r15 opt (guide §2.4): the two prefix counts used to run as two
+    // INDEPENDENT runningOffsets invocations — two persists, two bounds
+    // aggregates, four window passes — differing only in which timeline
+    // role carries weight. The per-source sharded prefix sum is keyed by
+    // the `source` column alone, so tagging source with a pass id
+    // computes BOTH counts in ONE two-level sweep over the union: pass
+    // rows never share a source key, so shard bounds, cumsums and
+    // outputs are row-identical to the two separate calls. The two
+    // probe-count joins collapse to one for the same reason (each
+    // (pass, event_type, user_id) has exactly one probe row).
+    def rel(tCol: String, shift: Int, isData: Boolean, pass: String) =
+      iv.select(
+        concat(lit(pass), lit(":"), col("event_type")).as("source"),
         (col(tCol) * 2 + shift).as("ord"), col("user_id").as("doc_id"),
         lit(if (isData) 1L else 0L).as("n_tokens"))
-    val nStartsLeEnd = probeCount(
-      rel("t0", 0, isData = true), rel("t1", 1, isData = false),
-      "n_starts_le_end")
-    val nEndsLtStart = probeCount(
-      rel("t1", 1, isData = true), rel("t0", 0, isData = false),
-      "n_ends_lt_start")
-    iv.join(nStartsLeEnd, Seq("event_type", "user_id"))
-      .join(nEndsLtStart, Seq("event_type", "user_id"))
+    val union =
+      rel("t0", 0, isData = true, "A")
+        .unionByName(rel("t1", 1, isData = false, "A"))
+        .unionByName(rel("t1", 1, isData = true, "B"))
+        .unionByName(rel("t0", 0, isData = false, "B"))
+    val counts = CurationQueries.runningOffsets(union, OverlapShards)
+      .where(col("n_tokens") === 0L)
+      .select(substring(col("source"), 1, 1).as("pass"),
+        expr("substring(source, 3)").as("event_type"),
+        col("doc_id").as("user_id"), col("start_offset"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        min(when(col("pass") === "A", col("start_offset")))
+          .as("n_starts_le_end"),
+        min(when(col("pass") === "B", col("start_offset")))
+          .as("n_ends_lt_start"))
+    iv.join(counts, Seq("event_type", "user_id"))
       .select(col("event_type"), col("user_id"),
         (col("n_starts_le_end") - col("n_ends_lt_start") - 1).as("n_overlap"))
   }

@@ -1040,9 +1040,20 @@ object StreamingOps {
       .select(explode(graft.ops.TextOps.tokenize(
         coalesce(col("text"), lit("")))).as("tok"))
     val candDf = broadcast(cands.toDF("tok"))
-    val total = broadcast(batchTerms.agg(count(lit(1)).as("n")))
-    batchTerms.join(candDf, "tok")
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // r15 opt (guide §2.3/§1.2): the grand total used to be a SECOND
+    // reference to batchTerms — Catalyst shares no subtrees, so the
+    // staged corpus was scanned and re-tokenized twice (once for the
+    // candidate counts, once just to count tokens). One vocab-sized
+    // aggregate now feeds both: per-token counts join the broadcast
+    // candidates (identical counts — join key = group key and the MG
+    // candidate set is distinct), and the total is their sum (every
+    // token instance lands in exactly one group). Vocab is
+    // Heaps-sublinear in corpus size, so the persisted relation is
+    // strictly cheaper than the second corpus pass at any scale.
+    val tokCounts = graft.CacheScope.persist(
+      batchTerms.groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
+    val total = broadcast(tokCounts.agg(sum(col("cnt")).as("n")))
+    tokCounts.join(candDf, "tok")
       .crossJoin(total)
       .where(col("cnt") > expr(s"n div $den"))
       .select(col("tok").as("token"), col("cnt"))
@@ -1240,11 +1251,18 @@ object StreamingOps {
       : (String, String) = {
     require(chunks > 0, "stageEventChunksOrdered needs at least one chunk")
     val ev = graft.Tables.events(spark, dir)
-    val (minUs, maxUs) = ev
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+    // ONE aggregate pass computes the span AND the sentinel-absence
+    // check (r15 opt, guide §1.2/§2.3: the check used to be its own
+    // `where(...).count()` — a second full scan of events per staged
+    // streaming query, pure waste since both are scan-collapsing
+    // aggregates over the same rows).
+    val (minUs, maxUs, sentinelRows) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        count(when(col("user_id") === flushUserId, 1)))
       .head() match {
-      case r if r.isNullAt(0) => (0L, 0L) // empty fixture: one empty chunk
-      case r => (r.getLong(0), r.getLong(1))
+      // empty fixture: one empty chunk
+      case r if r.isNullAt(0) => (0L, 0L, 0L)
+      case r => (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     val flushTs = new Timestamp(maxUs / 1000L + 2L * 3600L * 1000L)
     val widthUs = (maxUs - minUs) / chunks + 1L
@@ -1255,7 +1273,6 @@ object StreamingOps {
     // batch oracle (r14 ADVICE). Long.MinValue is unreachable by any
     // realistic id scheme, and the staging still ASSERTS absence so a
     // pathological fixture fails loudly instead of corrupting parity.
-    val sentinelRows = ev.where(col("user_id") === flushUserId).count()
     require(sentinelRows == 0L,
       s"events fixture carries $sentinelRows row(s) with the flush " +
         s"sentinel user_id=$flushUserId; ordered staging cannot " +
