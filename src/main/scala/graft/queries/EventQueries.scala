@@ -918,40 +918,37 @@ object EventQueries {
     * property suite can drive it with adversarial random intervals
     * against an O(n²) reference (PropertySpec).
     */
+  // r15 optimization note: a draft merged the two prefix counts into ONE
+  // runningOffsets sweep keyed by a pass-tagged source (half the
+  // persists/bounds/window passes, hash-identical output). It was
+  // REVERTED after measurement: the two sweeps below are INDEPENDENT
+  // subtrees of one final plan, so Spark executes them concurrently
+  // (guide §2.6 back-fill) — the merged single chain serialized them
+  // behind one bounds barrier and read ~2.9 s in three independent full
+  // bench runs vs ~1.9 s for this shape (evidence in
+  // OPTIMIZATION_r15.md). Less total work lost to a longer critical
+  // path; the concurrent shape is also the right one on a busy cluster,
+  // where the two 2n-row sweeps cost the same resources as one 4n-row
+  // sweep but finish in one sweep's wall-clock.
   private[graft] def overlapCounts(iv0: DataFrame): DataFrame = {
     val iv = graft.CacheScope.persist(iv0)
-    // r15 opt (guide §2.4): the two prefix counts used to run as two
-    // INDEPENDENT runningOffsets invocations — two persists, two bounds
-    // aggregates, four window passes — differing only in which timeline
-    // role carries weight. The per-source sharded prefix sum is keyed by
-    // the `source` column alone, so tagging source with a pass id
-    // computes BOTH counts in ONE two-level sweep over the union: pass
-    // rows never share a source key, so shard bounds, cumsums and
-    // outputs are row-identical to the two separate calls. The two
-    // probe-count joins collapse to one for the same reason (each
-    // (pass, event_type, user_id) has exactly one probe row).
-    def rel(tCol: String, shift: Int, isData: Boolean, pass: String) =
-      iv.select(
-        concat(lit(pass), lit(":"), col("event_type")).as("source"),
+    def probeCount(data: DataFrame, probes: DataFrame, name: String) =
+      CurationQueries.runningOffsets(data.unionByName(probes), OverlapShards)
+        .where(col("n_tokens") === 0L)
+        .select(col("source").as("event_type"), col("doc_id").as("user_id"),
+          col("start_offset").as(name))
+    def rel(tCol: String, shift: Int, isData: Boolean) =
+      iv.select(col("event_type").as("source"),
         (col(tCol) * 2 + shift).as("ord"), col("user_id").as("doc_id"),
         lit(if (isData) 1L else 0L).as("n_tokens"))
-    val union =
-      rel("t0", 0, isData = true, "A")
-        .unionByName(rel("t1", 1, isData = false, "A"))
-        .unionByName(rel("t1", 1, isData = true, "B"))
-        .unionByName(rel("t0", 0, isData = false, "B"))
-    val counts = CurationQueries.runningOffsets(union, OverlapShards)
-      .where(col("n_tokens") === 0L)
-      .select(substring(col("source"), 1, 1).as("pass"),
-        expr("substring(source, 3)").as("event_type"),
-        col("doc_id").as("user_id"), col("start_offset"))
-      .groupBy(col("event_type"), col("user_id"))
-      .agg(
-        min(when(col("pass") === "A", col("start_offset")))
-          .as("n_starts_le_end"),
-        min(when(col("pass") === "B", col("start_offset")))
-          .as("n_ends_lt_start"))
-    iv.join(counts, Seq("event_type", "user_id"))
+    val nStartsLeEnd = probeCount(
+      rel("t0", 0, isData = true), rel("t1", 1, isData = false),
+      "n_starts_le_end")
+    val nEndsLtStart = probeCount(
+      rel("t1", 1, isData = true), rel("t0", 0, isData = false),
+      "n_ends_lt_start")
+    iv.join(nStartsLeEnd, Seq("event_type", "user_id"))
+      .join(nEndsLtStart, Seq("event_type", "user_id"))
       .select(col("event_type"), col("user_id"),
         (col("n_starts_le_end") - col("n_ends_lt_start") - 1).as("n_overlap"))
   }
