@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val probe = args.headOption.getOrElse("stream185")
+    val probe = args.headOption.getOrElse("stream:q185_stream_click_attribution")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -69,6 +69,31 @@ object Profile {
           }
           CacheScope.releaseAll()
         }
+      case "q41" =>
+        // phase attribution for the q41 32-core anti-scaling reading:
+        // which piece of tags() pays for parallelism?
+        import graft.ml.TopicPipeline
+        val docs = Tables.documents(spark, sfDir)
+        val f = timed("LDA fit (q40/q41 shared memo)") {
+          TopicPipeline.fit(docs)
+        }
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        (1 to 3).foreach { i =>
+          timed(s"[$i] transform only (topicDistributions)") {
+            noop(TopicPipeline.topicDistributions(f))
+          }
+          timed(s"[$i] full tags()") {
+            noop(TopicPipeline.tags(f))
+          }
+          timed(s"[$i] q41 complete (tags + join + orderBy)") {
+            noop(graft.queries.TopicQueries.queries("q41_doc_tags")(
+              spark, sfDir))
+          }
+          CacheScope.releaseAll()
+        }
+        println(s"[profile] tokenized partitions: " +
+          f.tokenized.rdd.getNumPartitions)
       case other =>
         // generic: time any registered query 3x warm with one cold first
         val fn = SparkEntry.queries(other)

@@ -628,6 +628,10 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  // Every integer column here must be CAST to BIGINT: DuckDB's sum()
+  // returns HUGEINT, which the driver's pandas dump renders as float
+  // ("800.0" vs Spark's "800") — an uncast aggregate fails the hash even
+  // when every value agrees (the r15 q187f failure).
   lazy val q187fSql: String =
     s"""WITH brute AS (SELECT query_id, cand_id FROM ($q187Sql) x),
     rung AS (SELECT query_id, cand_id FROM ($q187bSql) x),
@@ -639,7 +643,7 @@ object SimilarityQueries {
         ON t.query_id = b.query_id AND t.cand_id = b.cand_id)
     SELECT label, CAST(sum(hit) AS BIGINT) AS hits,
       CAST(count(*) AS BIGINT) AS possible,
-      (1000 * sum(hit)) // count(*) AS recall_permille
+      CAST((1000 * sum(hit)) // count(*) AS BIGINT) AS recall_permille
     FROM j GROUP BY label ORDER BY label"""
 
   // --- q29g: multi-probe sign-LSH top-k ------------------------------------

@@ -43,7 +43,18 @@ def compare(name, spark_df, duck_df):
     for c in a.columns:
         av, bv = a[c], b[c]
         try:
-            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            # The driver's hash is over rendered values, so an int64 column
+            # on one side and a float64 on the other ("800" vs "800.0") is a
+            # driver-visible failure even when every value is numerically
+            # equal — e.g. an uncast DuckDB HUGEINT aggregate (the r15 q187f
+            # escape). A float64 that only exists because pandas promoted a
+            # NULLABLE integer column is fine when BOTH sides promoted the
+            # same way (both kind "f"), which the branch below handles.
+            if (av.dtype.kind == "f") != (bv.dtype.kind == "f"):
+                msgs.append(
+                    f"{c}: dtype kind mismatch spark={av.dtype} duck={bv.dtype}"
+                    " (int-vs-float renders differently in the driver hash)")
+            elif av.dtype.kind == "f" or bv.dtype.kind == "f":
                 aa = av.astype(float)
                 bb = bv.astype(float)
                 diff = (aa - bb).abs()
