@@ -16,9 +16,13 @@ object Profile {
     val probe = args.headOption.getOrElse("stream:q185_stream_click_attribution")
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // attribution dial (dev only): decouple the shuffle-partition count
+    // from the core count so anti-scaling readings can be split into
+    // "more cores" vs "more tasks per stage"
+    val shuffleParts = sys.env.getOrElse("GRAFT_PROFILE_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -74,6 +78,9 @@ object Profile {
         // which piece of tags() pays for parallelism?
         import graft.ml.TopicPipeline
         val docs = Tables.documents(spark, sfDir)
+        timed("fit sub-phase: featurize+narrow count") {
+          TopicPipeline.featurize(docs).select("doc_id", "terms").count()
+        }
         val f = timed("LDA fit (q40/q41 shared memo)") {
           TopicPipeline.fit(docs)
         }

@@ -64,7 +64,16 @@ object TopicPipeline {
     * guards this), at the cost of one extra small agg.
     */
   def fit(docs: DataFrame, cfg: Config = Config()): Fitted = {
-    val corpus = featurize(docs)
+    // Stage the featurized corpus ONCE, narrowed to (doc_id, terms): the
+    // doc-count, the vocabulary aggregate and the vectorize pass below
+    // each consume it, and without the persist each would re-run the
+    // tokenize → NGram chain from the scan (three corpus passes where one
+    // suffices). Narrowing drops the text payload and intermediate token
+    // arrays from the cached bytes. Values are unchanged — the persist
+    // only shares the computation — so the seeded fit stays reproducible
+    // (LdaGoldenSpec).
+    val corpus = featurize(docs).select(col("doc_id"), col("terms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     require(cfg.maxDF < 1.0, "maxDF is interpreted as a document fraction")
     val nDocs = corpus.count().toDouble
     val vocab = corpus
@@ -82,6 +91,9 @@ object TopicPipeline {
       .select("doc_id", "features")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = math.max(2, math.min(cfg.k, vectorized.count().toInt))
+    // vectorized is materialized by the count above; the staged term
+    // corpus has no further consumer
+    corpus.unpersist(blocking = false)
     val lda = new LDA()
       .setK(k).setMaxIter(cfg.maxIter).setSeed(cfg.seed)
       .setOptimizer("online")

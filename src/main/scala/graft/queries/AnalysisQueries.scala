@@ -3452,7 +3452,7 @@ object AnalysisQueries {
           t => lower(t))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
 
-  private def tokedIds(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def tokedIds(spark: SparkSession, dir: String): DataFrame =
     tokedDocs(spark, dir).select(col("doc_id"))
 
   // --- q70: unigram-rarity profile (perplexity proxy) ---------------------

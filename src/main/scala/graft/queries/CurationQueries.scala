@@ -2159,7 +2159,17 @@ object CurationQueries {
   private def mwTraceLive(spark: SparkSession,
                           dir: String): Seq[(Long, String, Long, Long)] = {
     val docs = Tables.documents(spark, dir)
-    val perSource = TextAnalysisOps.bigramSurprisal(docs)
+    // r16 opt (guide §1.2): read the session-shared tokenized/bigram
+    // memos (the q90 entry point) instead of the text-based
+    // bigramSurprisal, which re-ran the tokenize → bigram-pairs → count
+    // chain privately. Value-identical by construction: bigramSurprisal
+    // IS bigramPairsOf(tokenize(text)) → per-doc counts →
+    // bigramSurprisalFromCounts, and the memos stage exactly those two
+    // relations. Saves one full corpus tokenize+count chain per cold
+    // q174/q175 build (the rest of the LM family already shares it).
+    val perSource = TextAnalysisOps.bigramSurprisalFromCounts(
+      AnalysisQueries.tokedIds(spark, dir),
+      AnalysisQueries.bigramDocCounts(spark, dir))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy("source")
       .agg(sum(col("sum_surprisal")).as("ssum"),

@@ -237,7 +237,14 @@ object SimilarityQueries {
   // the approximate path. Cost: the rungs' own plans plus pair-keyed
   // joins and a 3-row rollup.
   def q153AnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    val brute = q29KnnBrute(spark, dir).select("query_id", "cand_id")
+    // r16 opt (guide §2.3, the q50c duplicate-reference class): `brute`
+    // is consumed FOUR times (the possible scalar + one semi-join per
+    // rung), and Catalyst shares no subtrees across DataFrame references
+    // — unpersisted, the all-pairs exact rung (the most expensive input
+    // here) executed once per reference. One narrow persisted (query_id,
+    // cand_id) relation feeds all four consumers; rows unchanged.
+    val brute = graft.CacheScope.persist(
+      q29KnnBrute(spark, dir).select("query_id", "cand_id"))
     val possible = brute.agg(count(lit(1)).as("possible"))
     def rung(name: String, df: DataFrame): DataFrame =
       df.select("query_id", "cand_id")
@@ -577,7 +584,10 @@ object SimilarityQueries {
   // the "route filtered queries to the index?" evidence, exactly as
   // trustworthy as the two hash-verified rungs it composes.
   def q187cFilteredRecall(spark: SparkSession, dir: String): DataFrame = {
-    val brute = q187FilteredTopK(spark, dir).select("query_id", "cand_id")
+    // same duplicate-reference fix as q153: brute feeds the possible
+    // scalar AND the semi-join — persist the narrow pair set once
+    val brute = graft.CacheScope.persist(
+      q187FilteredTopK(spark, dir).select("query_id", "cand_id"))
     val possible = brute.agg(count(lit(1)).as("possible"))
     q187bFilteredTopKLsh(spark, dir).select("query_id", "cand_id")
       .join(brute, Seq("query_id", "cand_id"), "left_semi")

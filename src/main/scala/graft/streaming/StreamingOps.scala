@@ -1095,15 +1095,24 @@ object StreamingOps {
       .option("maxFilesPerTrigger", 1).parquet(inputDir)
       .withColumn("ts",
         (lit(1700000000L) + col("doc_id")).cast("timestamp"))
-    val q = exactDedupStream(docs, watermark = s"${spanSeconds + 60} seconds")
-      .select(col("content_key"))
-      .writeStream
-      .option("checkpointLocation", s"$base/checkpoint")
-      .outputMode(OutputMode.Append())
-      .format("parquet")
-      .option("path", s"$base/survivors")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // Same checkpoint-scoped state sizing as the other stateful gates
+    // (withStatePartitions scaladoc): this stream was the one stateful
+    // execution still inheriting the session's batch shuffle dial, so at
+    // 32 cpus every trigger committed 32 store deltas (4x the file ops;
+    // measured 17-25 s summed commitTimeMs per trigger vs ~4 s on the
+    // pinned-8 siblings). The emitted relation is the content-key SET,
+    // which is partitioning-invariant, so the q180 oracle is unchanged.
+    withStatePartitions(spark, 8) {
+      val q = exactDedupStream(docs, watermark = s"${spanSeconds + 60} seconds")
+        .select(col("content_key"))
+        .writeStream
+        .option("checkpointLocation", s"$base/checkpoint")
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/survivors")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(s"$base/survivors").orderBy("content_key")
   }
 
@@ -1180,17 +1189,23 @@ object StreamingOps {
         .option("maxFilesPerTrigger", 1).parquet(inputDir)
         .withColumn("ts",
           (lit(1700000000L) + col("doc_id")).cast("timestamp"))
-      val q = exactDedupStream(docs,
-        watermark = s"${spanSeconds + 60} seconds")
-        .select(col("content_key"))
-        .writeStream
-        .option("checkpointLocation", s"$base/checkpoint")
-        .outputMode(OutputMode.Append())
-        .format("parquet")
-        .option("path", s"$base/survivors")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      (q.id, q.runId)
+      // q180's checkpoint-scoped state sizing, applied to both starts
+      // (the dial is pinned at checkpoint birth; the restart reads it
+      // back from the checkpoint, and the scope keeps the two starts
+      // symmetric with the q191/q192 restart gates)
+      withStatePartitions(spark, 8) {
+        val q = exactDedupStream(docs,
+          watermark = s"${spanSeconds + 60} seconds")
+          .select(col("content_key"))
+          .writeStream
+          .option("checkpointLocation", s"$base/checkpoint")
+          .outputMode(OutputMode.Append())
+          .format("parquet")
+          .option("path", s"$base/survivors")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        (q.id, q.runId)
+      }
     }
     val (id1, run1) = runOnce()
     fs.listStatus(pendingDir).map(_.getPath).foreach { p =>
