@@ -693,6 +693,15 @@ object TextAnalysisOps {
     val counts = inst.groupBy(col("bucket"))
       .agg(sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
         sum(when(!col("good"), 1L).otherwise(0L)).as("n_bad"))
+    nbWeightsOfCounts(counts, buckets)
+  }
+
+  /** The weight formula over an already-aggregated per-bucket count
+    * relation `(bucket, n_good, n_bad)` — factored out so
+    * [[nbCarveScores]]'s single-pass path derives weights from the SAME
+    * expression the canonical trainer uses (no formula drift).
+    */
+  private def nbWeightsOfCounts(counts: DataFrame, buckets: Long): DataFrame = {
     val totals = broadcast(counts.agg(
       sum(col("n_good")).as("tg"), sum(col("n_bad")).as("tb")))
     // floor(log2 x) = length(binary string) - 1; the four -1s cancel in
@@ -733,14 +742,31 @@ object TextAnalysisOps {
     */
   def nbCarveScores(labeledCarved: DataFrame,
                     buckets: Long = TrainedBuckets): DataFrame = {
-    val weights = nbTrainedWeights(labeledCarved.where(col("is_train")),
-      buckets).select(col("bucket"), col("weight"))
-    val inst = labeledCarved
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), (HashOps.charHash(col("tok")) % buckets).as("bucket"))
-    val scores = inst.join(broadcast(weights), Seq("bucket"), "left")
+    // r16 opt (guide §2.3, aggregate before you shuffle + duplicate
+    // references): the trainer and the scoring pass each exploded the
+    // token column separately — two corpus tokenize passes over the
+    // SAME instances. ONE pass now folds instances to per-(doc, label,
+    // carve, bucket) counts (bounded by docs x min(doc_len, buckets),
+    // strictly smaller than the instance stream), persisted; the train
+    // carve's bucket counts feed the SAME weight formula
+    // (nbWeightsOfCounts — values identical: counting sums commute),
+    // and the per-doc score is sum(c x weight) over the same groups the
+    // instance sum visited one row at a time.
+    val db = graft.CacheScope.persist(labeledCarved
+      .select(col("doc_id"), col("good"), col("is_train"),
+        explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("good"), col("is_train"),
+        (HashOps.charHash(col("tok")) % buckets).as("bucket"))
+      .groupBy(col("doc_id"), col("good"), col("is_train"), col("bucket"))
+      .agg(count(lit(1)).as("c")))
+    val trainCounts = db.where(col("is_train")).groupBy(col("bucket"))
+      .agg(sum(when(col("good"), col("c")).otherwise(0L)).as("n_good"),
+        sum(when(!col("good"), col("c")).otherwise(0L)).as("n_bad"))
+    val weights = nbWeightsOfCounts(trainCounts, buckets)
+      .select(col("bucket"), col("weight"))
+    val scores = db.join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(coalesce(col("weight"), lit(0L))).as("score"))
+      .agg(sum(coalesce(col("weight"), lit(0L)) * col("c")).as("score"))
     labeledCarved.select(col("doc_id"), col("good"), col("is_train"))
       .join(scores, Seq("doc_id"), "left")
       .select(col("doc_id"), col("good"), col("is_train"),

@@ -671,8 +671,13 @@ object DedupQueries {
           DedupOps.duplicateClusters(baseDocs, basePairs)
             .join(richness, Seq("doc_id")))
       })
-    // today's membership under the new labels — q55c's quotient algebra
-    val membership = q55cIncrementalClusters(spark, dir)
+    // today's membership under the new labels — q55c's quotient algebra.
+    // Persisted (r16, guide §2.3 duplicate-reference class): three
+    // consumers below (touched, the old→new label map, the re-election)
+    // each re-ran q55c's post-checkpoint label joins; the relation is
+    // two long columns.
+    val membership = graft.CacheScope.persist(
+      q55cIncrementalClusters(spark, dir))
     val touched = membership
       .join(toked.select(col("doc_id")).where(!snaps.inA), Seq("doc_id"),
         "left_semi")
